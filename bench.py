@@ -1,0 +1,57 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Runs the bench-flagged suite queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is forced
+to full execution with a count-style noop write (``write.format("noop")``)
+so timings measure the whole plan, not a collect of the head.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from d365fo_db_sync_spark.session import get_spark
+    from d365fo_db_sync_spark.suite import bench_queries
+
+    spark = get_spark("bench")
+    qs = bench_queries()
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-run class loading.
+    next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

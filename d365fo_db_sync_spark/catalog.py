@@ -1,0 +1,77 @@
+"""Catalog discovery (reference family S1-S3, R7, R8).
+
+The reference enumerates tables with row counts and size estimates from
+DMVs (Tier2DataService.cs:35-97) and caches the app-level schema
+dictionary in one query (:484-543). Spark's analog: the session catalog
+plus parquet footer statistics. ``discovery_stats`` builds the same
+(table_name, row_count) relation distributedly — parquet count() is a
+metadata-only job (footer row counts), not a full scan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def discovery_stats(tables: dict[str, DataFrame], include_empty: bool = False) -> DataFrame:
+    """Per-table stats scan (S1): one small agg per table, unioned.
+
+    Mirrors DiscoverTablesAsync's ``GROUP BY name HAVING count > 0``
+    shape; counts run as Spark jobs (parquet footer metadata) and the
+    empty-table filter is the reference's P6 skip rule.
+    """
+    frames = [
+        df.agg(F.count(F.lit(1)).alias("row_count")).select(
+            F.lit(name).alias("table_name"), "row_count"
+        )
+        for name, df in tables.items()
+    ]
+    out = reduce(DataFrame.unionAll, frames)
+    if not include_empty:
+        out = out.filter(F.col("row_count") > 0)
+    return out
+
+
+class SchemaDictionary:
+    """Schema-dictionary cache (S2/S3/R7).
+
+    tableName -> StructType, loaded once per run — the reference's
+    "~4000 queries -> 1" optimization (Tier2DataService.cs:481-482)
+    becomes "inspect each DataFrame's schema once and memoize".
+    """
+
+    def __init__(self) -> None:
+        self._schemas: dict[str, T.StructType] = {}
+
+    def put(self, name: str, schema: T.StructType) -> None:
+        self._schemas[name.upper()] = schema
+
+    def load(self, tables: dict[str, DataFrame]) -> "SchemaDictionary":
+        for name, df in tables.items():
+            self.put(name, df.schema)
+        return self
+
+    def fields(self, name: str) -> list[str]:
+        return [f.name for f in self._schemas[name.upper()].fields]
+
+    def schema(self, name: str) -> T.StructType:
+        return self._schemas[name.upper()]
+
+    def __contains__(self, name: str) -> bool:
+        return name.upper() in self._schemas
+
+
+def schema_diff(src_fields: list[str], tgt_fields: list[str]) -> tuple[list[str], list[str]]:
+    """J8 — schema set-compare both directions for the system-table
+    exact-equality check (CopyOrchestrator.cs:384-399). Returns
+    (only_in_source, only_in_target)."""
+    s = {f.upper(): f for f in src_fields}
+    t = {f.upper(): f for f in tgt_fields}
+    return (
+        [v for k, v in s.items() if k not in t],
+        [v for k, v in t.items() if k not in s],
+    )

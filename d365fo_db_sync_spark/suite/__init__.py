@@ -1,0 +1,79 @@
+"""Named query suite — the engine's public test surface.
+
+Every operator from SURVEY.md §2 marked for t2 correctness registers here
+as a named query (PySpark builder) paired with an ANSI-SQL oracle string
+that DuckDB can evaluate over the same parquet tables. The driver (and
+``tools/check.py``) runs both and compares row-count + schema +
+order-insensitive value hash.
+
+Conventions that make the comparison exact:
+
+* every computed column is aliased identically in Spark and SQL;
+* money-type double aggregates go through DECIMAL(18,2) so both engines
+  sum exactly, then cast back to DOUBLE;
+* every LIMIT/top-k orders by a unique key (tie-free);
+* timestamps stay naive (session tz UTC == DuckDB naive).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+_SUITE_MODULES = (
+    "core",
+    "delta_q",
+    "events_q",
+    "text_q",
+    "dedup_q",
+    "similarity_q",
+    "sync_q",
+)
+
+
+def register(name: str, oracle: str | None = None, bench: bool = False):
+    """Decorator: add a (spark, sf_dir) -> DataFrame builder to the suite."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, bench=bench)
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    for mod in _SUITE_MODULES:
+        importlib.import_module(f"{__name__}.{mod}")
+
+
+def queries() -> dict[str, QueryFn]:
+    _load()
+    return {q.name: q.fn for q in REGISTRY.values()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    _load()
+    return {q.name: q.fn for q in REGISTRY.values() if q.bench}

@@ -1,0 +1,711 @@
+"""Core relational suite: scans, projections, aggregations, joins,
+set ops, scalar functions (SURVEY §2.1-2.8).
+
+Each query cites the reference operator ids it covers.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark import projection, scans
+from d365fo_db_sync_spark.operators import setops, windows
+from d365fo_db_sync_spark.sources import load_table
+from d365fo_db_sync_spark.suite import register
+
+# ---------------------------------------------------------------------------
+# §2.1 scans
+
+
+@register(
+    "topn_orders_snapshot",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders ORDER BY o_orderkey DESC LIMIT 1000
+    """,
+    bench=True,
+)
+def topn_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/O1/P1 — the flagship shape: last N rows by unique key with a
+    pruned projection (Tier2DataService.cs:278-286). Catalyst plans
+    TakeOrderedAndProject — distributed top-k, no full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return scans.top_n_by_key(
+        orders,
+        "o_orderkey",
+        1000,
+        fields=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
+@register(
+    "control_scan_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey DESC LIMIT 2000
+    """,
+)
+def control_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — 2-column control sidecar (Tier2DataService.cs:336-376);
+    the 99%-transfer-cut is the pruned ReadSchema."""
+    orders = load_table(spark, sf_dir, "orders")
+    return scans.control_scan(orders, key="o_orderkey", version="o_orderdate", n=2000)
+
+
+@register(
+    "watermark_scan_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' AND event_id >= 500
+    ORDER BY event_id DESC LIMIT 2000
+    """,
+)
+def watermark_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/T1 — watermark + key-floor incremental fetch
+    (Tier2DataService.cs:381-434); both range predicates push to the scan."""
+    events = load_table(spark, sf_dir, "events")
+    return scans.watermark_scan(
+        events,
+        version_threshold="2024-01-20 00:00:00",
+        min_key=500,
+        key="event_id",
+        version="ts",
+        fields=["event_id", "ts", "user_id", "event_type"],
+        n=2000,
+    )
+
+
+@register(
+    "recency_scan_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '2001-09-01 00:00:00' - INTERVAL 90 DAY
+    """,
+)
+def recency_scan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — modified-in-last-N-days filter (Tier2DataService.cs:291-311);
+    fixed anchor for determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return scans.recency_scan(li, days=90, now="2001-09-01 00:00:00", ts_col="l_shipdate").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+
+@register(
+    "catalog_discovery_stats",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'region' AS table_name, COUNT(*) AS row_count FROM region UNION ALL
+      SELECT 'nation', COUNT(*) FROM nation UNION ALL
+      SELECT 'customer', COUNT(*) FROM customer UNION ALL
+      SELECT 'supplier', COUNT(*) FROM supplier UNION ALL
+      SELECT 'part', COUNT(*) FROM part UNION ALL
+      SELECT 'orders', COUNT(*) FROM orders UNION ALL
+      SELECT 'lineitem', COUNT(*) FROM lineitem UNION ALL
+      SELECT 'events', COUNT(*) FROM events UNION ALL
+      SELECT 'documents', COUNT(*) FROM documents UNION ALL
+      SELECT 'embeddings', COUNT(*) FROM embeddings
+    ) WHERE row_count > 0
+    """,
+)
+def catalog_discovery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/A1/O2 — catalog discovery: per-table stats with empty-table
+    filter (Tier2DataService.cs:35-97). Parquet footers supply counts
+    without full scans; expressed as distributed counts + union."""
+    from d365fo_db_sync_spark.catalog import discovery_stats
+    from d365fo_db_sync_spark.sources import CORPUS_TABLES
+
+    tables = {t: load_table(spark, sf_dir, t) for t in CORPUS_TABLES}
+    return discovery_stats(tables)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+
+
+@register(
+    "grouped_agg_having",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    """,
+    bench=True,
+)
+def grouped_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 analog of TPC-H Q1 — grouped agg with HAVING
+    (Tier2DataService.cs:46-62). Partial (map-side) aggregation makes
+    this a single narrow shuffle of one row per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 100)
+    )
+
+
+@register(
+    "derived_metric_case",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                ELSE 0.0 END AS bytes_per_row
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def derived_metric_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F17 — CASE-guarded derived metric over agg results: the
+    bytesPerRow expression shape (Tier2DataService.cs:51-55)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count("*")
+    total = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        cnt.alias("cnt"),
+        F.when(cnt > 0, total / cnt).otherwise(F.lit(0.0)).alias("bytes_per_row"),
+    )
+
+
+@register(
+    "minmax_keys_per_status",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def minmax_keys_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4/A5 — min/max over keys and timestamps
+    (CopyOrchestrator.cs:866-869, AxDbDataService.cs:492-495,1093-1109)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+@register(
+    "counts_plain_and_filtered",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01') AS changed_rows
+    FROM orders
+    """,
+)
+def counts_plain_and_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7/P7 — total count + changed-above-watermark count
+    (AxDbDataService.cs:1053-1063, 1004-1018) in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("total_rows"),
+        F.count(F.when(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"), 1)).alias(
+            "changed_rows"
+        ),
+    )
+
+
+@register(
+    "change_ratio_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01') AS src_changed,
+             COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2001-01-01') AS tgt_changed,
+             COUNT(*) AS control_rows,
+             COUNT(*) + 25 AS tgt_total
+      FROM orders
+    )
+    SELECT CAST(src_changed + tgt_changed AS DOUBLE) / control_rows * 100.0 AS change_percent,
+           CAST(tgt_total - control_rows AS DOUBLE) / control_rows * 100.0 AS excess_percent
+    FROM m
+    """,
+)
+def change_ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — the change%%/excess%% expressions that drive the
+    incremental-vs-truncate decision (CopyOrchestrator.cs:884-891)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.count(F.when(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"), 1)).alias(
+            "src_changed"
+        ),
+        F.count(F.when(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"), 1)).alias(
+            "tgt_changed"
+        ),
+        F.count("*").alias("control_rows"),
+        (F.count("*") + 25).alias("tgt_total"),
+    )
+    return m.select(
+        ((F.col("src_changed") + F.col("tgt_changed")).cast("double") / F.col("control_rows") * 100.0).alias(
+            "change_percent"
+        ),
+        ((F.col("tgt_total") - F.col("control_rows")).cast("double") / F.col("control_rows") * 100.0).alias(
+            "excess_percent"
+        ),
+    )
+
+
+@register(
+    "sequence_gap_fence",
+    oracle="""
+    SELECT GREATEST(MAX(o_orderkey), 42) + 10000 AS next_seq FROM orders
+    """,
+)
+def sequence_gap_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/A5/F13 — sequence fencing: ``greatest(max(key), current_seq) +
+    gap`` (AxDbDataService.cs:489-531, gap const :12)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        (F.greatest(F.max("o_orderkey"), F.lit(42)) + 10000).alias("next_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins (J2-J7; J1 lives in delta_q)
+
+
+@register(
+    "missing_keys_anti_join",
+    oracle="""
+    SELECT DISTINCT l_orderkey FROM lineitem li
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_totalprice > 150000 AND o.o_orderkey = li.l_orderkey
+    )
+    """,
+)
+def missing_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/E2 — left-anti join replacing the reference's HashSet difference
+    (CopyOrchestrator.cs:1018-1022). Stays distributed at any scale."""
+    from d365fo_db_sync_spark.delta import missing_keys
+
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey"))
+    big_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return missing_keys(li, big_orders, key="l_orderkey").distinct()
+
+
+@register(
+    "deleted_keys_anti_join",
+    oracle="""
+    SELECT o_orderkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem li WHERE li.l_orderkey = o.o_orderkey)
+    """,
+)
+def deleted_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — target-side keys absent from source (AxDbDataService.cs:857-864)."""
+    from d365fo_db_sync_spark.delta import deleted_keys
+
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return deleted_keys(li, orders, key="k").select(F.col("k").alias("o_orderkey"))
+
+
+@register(
+    "semi_join_doomed_rows",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem li
+      WHERE li.l_orderkey = o.o_orderkey AND li.l_shipdate > TIMESTAMP '2001-06-01'
+    )
+    """,
+)
+def semi_join_doomed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — modified-above-watermark delete set as a left-semi join
+    (AxDbDataService.cs:1129-1144)."""
+    from d365fo_db_sync_spark.delta import doomed_rows
+
+    orders = load_table(spark, sf_dir, "orders")
+    control = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_shipdate").alias("ver")
+    )
+    return doomed_rows(
+        orders, control, version_threshold="2001-06-01", key="o_orderkey", version="ver"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "semi_join_survivors",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem li WHERE li.l_orderkey = o.o_orderkey)
+    """,
+)
+def semi_join_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — NOT-EXISTS delete expressed as keep-the-survivors
+    (AxDbDataService.cs:1160-1173)."""
+    from d365fo_db_sync_spark.delta import surviving_rows
+
+    orders = load_table(spark, sf_dir, "orders")
+    control = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return surviving_rows(orders, control, key="o_orderkey").select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "dim_join_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS num_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    bench=True,
+)
+def dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A1 — metadata-style equi-joins (Tier2DataService.cs:56-57,
+    175-184). nation/region are broadcast by Catalyst (tiny dims), so the
+    only shuffle is the final group-by."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("num_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+
+
+@register(
+    "setop_intersect_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — intersection (CopyOrchestrator.cs:190)."""
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return setops.intersect(orders, cust)
+
+
+@register(
+    "setop_except_keys",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def setop_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — set difference both directions (CopyOrchestrator.cs:385-399);
+    here: customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return setops.except_(cust, orders)
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+    SELECT s_nationkey AS nationkey FROM supplier
+    UNION
+    SELECT c_nationkey FROM customer
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — union + distinct (AxDbDataService.cs:266-270)."""
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return setops.union_distinct(s, c)
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — UNION ALL strategy-SQL pattern (README.md:120); duplicates kept."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = orders.filter(F.col("o_totalprice") > 300000).select("o_orderkey", "o_orderstatus")
+    return setops.union_all(a, b)
+
+
+@register(
+    "dedup_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — dropDuplicates (CopyOrchestrator.cs:68-77)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    return setops.dedup(orders)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+
+
+@register(
+    "projection_schema_intersection",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    """,
+)
+def projection_schema_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/E1 — copyable set = source ∩ target − excluded
+    (CopyOrchestrator.cs:190-208). The pruned set reaches the parquet
+    ReadSchema (column pruning at the scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    target_fields = ["O_ORDERKEY", "O_CUSTKEY", "O_TOTALPRICE", "O_ORDERDATE", "TGT_ONLY_COL"]
+    return projection.project_copyable(orders, target_fields, excluded=["O_TOTALPRICE"])
+
+
+@register(
+    "wildcard_pattern_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE 'PROMO%'
+    """,
+)
+def wildcard_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/F5 — ``*``-wildcard -> anchored regex (CopyOrchestrator.cs:1844-1863)."""
+    part = load_table(spark, sf_dir, "part")
+    return projection.filter_by_wildcard(part, "p_type", "PROMO*").select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+@register(
+    "identifier_class_filter",
+    oracle="""
+    SELECT p_partkey, UPPER(REPLACE(p_name, ' ', '_')) AS ident FROM part
+    WHERE regexp_full_match(UPPER(REPLACE(p_name, ' ', '_')), '[A-Z0-9_]+')
+    """,
+)
+def identifier_class_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/F1/F9 — D365 identifier-class predicate
+    (Tier2DataService.cs:548-554)."""
+    part = load_table(spark, sf_dir, "part")
+    ident = F.upper(F.regexp_replace(F.col("p_name"), " ", "_"))
+    out = part.select("p_partkey", ident.alias("ident"))
+    return projection.filter_d365_identifiers(out, "ident")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+
+
+@register(
+    "string_function_family",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_mktsegment) AS seg_upper,
+           CONCAT(c_name, '|', c_mktsegment) AS joined,
+           string_split(c_name, '#')[2] AS cust_num,
+           TRIM(CONCAT('  ', c_name, '  ')) AS trimmed,
+           SUBSTRING(c_name, 1, 8) AS prefix,
+           REPLACE(c_name, 'Customer', 'CUST') AS replaced,
+           CASE WHEN c_name LIKE 'Customer%' THEN 1 ELSE 0 END AS is_cust
+    FROM customer
+    """,
+)
+def string_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F6/F9 — upper, concat, split, trim, substring, replace,
+    prefix-test (CopyOrchestrator.cs:1915, 1696-1701; TimestampManager.cs:82)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.split(F.col("c_name"), "#").getItem(1).alias("cust_num"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.regexp_replace("c_name", "Customer", "CUST").alias("replaced"),
+        F.when(F.col("c_name").startswith("Customer"), 1).otherwise(0).alias("is_cust"),
+    )
+
+
+@register(
+    "date_function_family",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           o_orderdate - INTERVAL 93 DAY AS back_93d,
+           CAST(o_orderdate >= TIMESTAMP '2001-01-01' - INTERVAL 180 DAY AS INTEGER) AS recent
+    FROM orders
+    """,
+)
+def date_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F11 — date arithmetic + formatting (Tier2DataService.cs:293;
+    strategy-SQL DATEADD pattern README.md:124; BackupService.cs:54)."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("2001-01-01").cast("timestamp_ntz") - F.make_interval(days=F.lit(180))
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        (F.col("o_orderdate") - F.make_interval(days=F.lit(93))).alias("back_93d"),
+        (F.col("o_orderdate") >= cutoff).cast("int").alias("recent"),
+    )
+
+
+@register(
+    "binary_encoding_family",
+    oracle="""
+    SELECT s_suppkey,
+           hex(s_suppkey) AS key_hex,
+           to_base64(encode(s_name)) AS name_b64,
+           CONCAT('0x', lpad(hex(s_suppkey), 16, '0')) AS rowversion_hex
+    FROM supplier
+    """,
+)
+def binary_encoding_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8 — hex/base64 round-trips: the rowversion 0xHEX form
+    (TimestampHelper.cs:37-64) and config obfuscation
+    (EncryptionHelper.cs:11-45)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.hex(F.col("s_suppkey")).alias("key_hex"),
+        F.base64(F.col("s_name").cast("binary")).alias("name_b64"),
+        F.concat(F.lit("0x"), F.lpad(F.hex(F.col("s_suppkey")), 16, "0")).alias("rowversion_hex"),
+    )
+
+
+@register(
+    "numeric_function_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           LEAST(l_quantity, 25.0) AS capped,
+           GREATEST(l_quantity, 5.0) AS floored,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS disc_price,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CASE WHEN l_discount > 0.05 THEN 'high' ELSE 'low' END AS disc_band
+    FROM lineitem
+    """,
+)
+def numeric_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F13/F14/F17 — least/greatest/round/cast/case
+    (CopyOrchestrator.cs:222-225; AxDbDataService.cs:523)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("capped"),
+        F.greatest(F.col("l_quantity"), F.lit(5.0)).alias("floored"),
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(8,2)")),
+            2,
+        )
+        .cast("double")
+        .alias("disc_price"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.when(F.col("l_discount") > 0.05, "high").otherwise("low").alias("disc_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+
+
+@register(
+    "topn_per_group_window",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    QUALIFY rank() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC) <= 2
+    """,
+    bench=True,
+)
+def topn_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — "last N rows per group" in ONE pass: the scale
+    generalization of the reference's per-table top-N loop
+    (CopyOrchestrator.cs:446-495 -> one shuffle total). rank() keeps
+    ties, so output is deterministic on non-unique order keys."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    ranked = windows.with_rank(li, ["l_orderkey"], [F.desc("l_linenumber")], kind="rank")
+    return ranked.filter(F.col("rnk") <= 2).drop("rnk")
+
+
+@register(
+    "running_total_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_sum
+    FROM orders
+    """,
+)
+def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — running aggregate (the ETA/progress-rate analog,
+    CopyOrchestrator.cs:474-492)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_sum"),
+    )
+
+
+@register(
+    "lag_lead_window",
+    oracle="""
+    SELECT user_id, event_id, value,
+           lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+           lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+    FROM events
+    """,
+)
+def lag_lead_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — analytic lag/lead over a unique ordering."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = windows.with_lag_lead(e, ["user_id"], ["event_id"], "value")
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("prev_value").alias("prev_value"),
+        F.col("next_value").alias("next_value"),
+    )

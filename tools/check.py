@@ -1,0 +1,141 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every suite query on Spark AND its oracle SQL on DuckDB over the
+same parquet corpus, then compares row count, sorted column names, and an
+order-insensitive value hash. Usage:
+
+    python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(v) -> str:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, (dt.datetime,)):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(normalize(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(normalize(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--show-diff", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from d365fo_db_sync_spark.session import get_spark
+    from d365fo_db_sync_spark.suite import oracle_sql, queries
+
+    qs = queries()
+    oracles = oracle_sql()
+    names = args.names or list(qs)
+
+    spark = get_spark("check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    passed = failed = 0
+    for name in names:
+        if name not in qs:
+            print(f"{name}: NOT REGISTERED")
+            failed += 1
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
+            failed += 1
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            passed += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
+            failed += 1
+            continue
+
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
+        if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
+            problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        if not problems:
+            sh = value_hash([c.lower() for c in s_cols], s_rows)
+            dh = value_hash([c.lower() for c in d_cols], d_rows)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                if args.show_diff:
+                    order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i].lower())
+                    order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i].lower())
+                    ls = sorted("|".join(normalize(r[i]) for i in order_s) for r in s_rows)
+                    ld = sorted("|".join(normalize(r[i]) for i in order_d) for r in d_rows)
+                    shown = 0
+                    for a, b in zip(ls, ld):
+                        if a != b:
+                            print(f"  spark:  {a}\n  oracle: {b}")
+                            shown += 1
+                            if shown >= 5:
+                                break
+        if problems:
+            print(f"{name}: FAIL ({'; '.join(problems)})")
+            failed += 1
+        else:
+            print(f"{name}: PASS ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            passed += 1
+
+    print(f"\n{passed} passed, {failed} failed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
