@@ -1,0 +1,170 @@
+"""Run orchestration: plan set -> parallel per-table execution + report.
+
+Mirrors the reference's two entry points (SURVEY §3): PrepareTableList
+(catalog -> include/exclude patterns -> strategy bind -> schema
+intersection) and ProcessTables (worker pool over a shared queue,
+auto-stop on first failure, retry of failed units —
+CopyOrchestrator.cs:414-619).
+
+Spark mapping: cross-table parallelism is a driver-side thread pool
+submitting independent Spark jobs (the cluster scheduler interleaves
+their tasks; with the FAIR scheduler each worker can pin a pool).
+Within one table, Spark's DAG scheduler replaces the reference's
+hand-rolled fetch→compare→delete→insert pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import traceback
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from d365fo_db_sync_spark import projection
+from d365fo_db_sync_spark.sinks import ParquetTarget
+from d365fo_db_sync_spark.strategy import (
+    Strategy,
+    get_strategy,
+    parse_strategy_overrides,
+)
+from d365fo_db_sync_spark.sync import SyncEngine, SyncReport
+
+
+@dataclass
+class TablePlan:
+    """The reference's TableInfo: logical plan + status record
+    (Models/TableInfo.cs:5-120)."""
+
+    name: str
+    strategy: Strategy
+    copyable_fields: list[str]
+    status: str = "Pending"
+    error: str = ""
+    report: SyncReport | None = None
+
+
+@dataclass
+class RunResult:
+    plans: list[TablePlan] = field(default_factory=list)
+
+    @property
+    def failed(self) -> list[TablePlan]:
+        return [p for p in self.plans if p.status == "Failed"]
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """The run-report grid (TableInfo's status columns) as a DataFrame."""
+        rows = [
+            (
+                p.name,
+                p.strategy.type.value,
+                p.status,
+                p.report.mode if p.report else None,
+                p.report.inserted if p.report else None,
+                p.report.deleted if p.report else None,
+                round(p.report.duration_sec, 3) if p.report else None,
+                p.error or None,
+            )
+            for p in self.plans
+        ]
+        return spark.createDataFrame(
+            rows,
+            "table_name string, strategy string, status string, mode string, "
+            "inserted long, deleted long, duration_sec double, error string",
+        )
+
+
+class Orchestrator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        engine: SyncEngine,
+        workers: int = 10,  # ParallelWorkers default (AppConfiguration.cs:36)
+        stop_on_first_failure: bool = True,  # CopyOrchestrator.cs:462-472
+    ) -> None:
+        self.spark = spark
+        self.engine = engine
+        self.workers = workers
+        self.stop_on_first_failure = stop_on_first_failure
+
+    # -- entry point 1: prepare (CopyOrchestrator.cs:49-341) -----------------
+
+    def prepare(
+        self,
+        sources: dict[str, DataFrame],
+        target_schemas: dict[str, list[str]] | None = None,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
+        strategy_text: str = "",
+        excluded_fields: list[str] | None = None,
+        default_count: int = 10_000,
+    ) -> list[TablePlan]:
+        overrides = parse_strategy_overrides(strategy_text)
+        names = projection.match_table_names(
+            sources.keys(), include or ["*"], exclude or []
+        )
+        global_excl, per_table_excl = projection.parse_field_exclusions(excluded_fields or [])
+
+        plans: list[TablePlan] = []
+        for name in names:
+            src_fields = sources[name].columns
+            tgt_fields = (target_schemas or {}).get(name, src_fields)
+            excl = global_excl | per_table_excl.get(name.upper(), set())
+            copyable = projection.schema_intersection(src_fields, tgt_fields, excl)
+            if not copyable:  # P6-adjacent skip rule (CopyOrchestrator.cs:203-208)
+                continue
+            plans.append(
+                TablePlan(
+                    name=name,
+                    strategy=get_strategy(name, overrides, default_count),
+                    copyable_fields=copyable,
+                )
+            )
+        return plans
+
+    # -- entry point 2: process (CopyOrchestrator.cs:414-523) ----------------
+
+    def process(
+        self,
+        plans: list[TablePlan],
+        sources: dict[str, DataFrame],
+        target_root: str,
+    ) -> RunResult:
+        stop = threading.Event()
+
+        def run_one(plan: TablePlan) -> None:
+            if stop.is_set():
+                return  # stays Pending, like the drained queue on auto-stop
+            plan.status = "Processing"
+            try:
+                src = sources[plan.name].select(*plan.copyable_fields)
+                target = ParquetTarget(os.path.join(target_root, plan.name))
+                plan.report = self.engine.sync_table(plan.name, src, target)
+                plan.status = "Completed"
+            except Exception as e:  # noqa: BLE001 — per-table fault containment (R11)
+                plan.status = "Failed"
+                plan.error = f"{type(e).__name__}: {e}\n{traceback.format_exc(limit=3)}"
+                if self.stop_on_first_failure:
+                    stop.set()
+
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            futures = [pool.submit(run_one, p) for p in plans]
+            for f in as_completed(futures):
+                f.result()
+        return RunResult(plans=plans)
+
+    def retry_failed(
+        self,
+        result: RunResult,
+        sources: dict[str, DataFrame],
+        target_root: str,
+    ) -> RunResult:
+        """Re-run only failed units (RetryFailedAsync,
+        CopyOrchestrator.cs:525-619)."""
+        failed = [p for p in result.plans if p.status in ("Failed", "Pending")]
+        for p in failed:
+            p.status, p.error = "Pending", ""
+        self.process(failed, sources, target_root)
+        return result

@@ -1,0 +1,118 @@
+"""Sinks: transactional-enough writes for a non-transactional format.
+
+The reference wraps delete+insert+sequence in one SQL transaction
+(CopyOrchestrator.cs:1053-1232). Parquet has no transactions, so the
+engine uses the classic staging-path + atomic-pointer-swap pattern
+(SURVEY §4 R14): write the new version to a fresh directory, then
+atomically repoint. A failed write leaves the current version intact and
+the watermark un-advanced — the same failure semantics as the
+reference's rollback.
+
+``JdbcSink`` carries the reference's physical knobs (batch size 10,000 —
+AxDbDataService.cs:353) for real JDBC deployments; it is exercised only
+for SQL generation in tests since no database ships in this environment.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTarget:
+    """A versioned parquet table with atomic overwrite.
+
+    Layout: ``<root>/_version`` names the live subdirectory; writers
+    stage into a new uuid-dir and swap the pointer last. Readers resolve
+    the pointer at read time.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- read ---------------------------------------------------------------
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_version")
+
+    def current_path(self) -> str | None:
+        try:
+            with open(self._pointer(), encoding="utf-8") as f:
+                name = f.read().strip()
+        except FileNotFoundError:
+            return None
+        path = os.path.join(self.root, name)
+        return path if os.path.exists(path) else None
+
+    def exists(self) -> bool:
+        return self.current_path() is not None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        path = self.current_path()
+        if path is None:
+            raise FileNotFoundError(f"no live version under {self.root}")
+        return spark.read.parquet(path)
+
+    # -- write --------------------------------------------------------------
+    def overwrite(self, df: DataFrame) -> None:
+        """Stage + atomic pointer swap; old version GC'd after the swap."""
+        name = f"v_{uuid.uuid4().hex[:12]}"
+        staged = os.path.join(self.root, name)
+        df.write.mode("overwrite").parquet(staged)
+        old = self.current_path()
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(name)
+        os.replace(tmp, self._pointer())
+        if old and os.path.abspath(old) != os.path.abspath(staged):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def append(self, df: DataFrame, spark: SparkSession) -> None:
+        """Append = rewrite(current ∪ new). Parquet-append without a table
+        format is not atomic; the rewrite keeps the swap semantics."""
+        if self.exists():
+            self.overwrite(self.read(spark).unionByName(df))
+        else:
+            self.overwrite(df)
+
+
+class JdbcSink:
+    """JDBC sink config mirroring the reference's physical parameters."""
+
+    def __init__(
+        self,
+        url: str,
+        table: str,
+        batch_size: int = 10_000,  # SqlBulkCopy batch (AxDbDataService.cs:353)
+        delete_batch_size: int = 5_000,  # IN-list chunk (AxDbDataService.cs:11)
+        options: dict[str, str] | None = None,
+    ) -> None:
+        self.url = url
+        self.table = table
+        self.batch_size = batch_size
+        self.delete_batch_size = delete_batch_size
+        self.options = options or {}
+
+    def write(self, df: DataFrame, mode: str = "append") -> None:
+        (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table)
+            .option("batchsize", str(self.batch_size))
+            .options(**self.options)
+            .mode(mode)
+            .save()
+        )
+
+    def delete_in_batches_sql(self, key: str, ids: list[int]) -> list[str]:
+        """J6 — chunked IN-list DELETE statements
+        (AxDbDataService.cs:909-932). Generated for JDBC targets; parquet
+        targets express deletes as anti-join rewrites instead."""
+        out = []
+        for i in range(0, len(ids), self.delete_batch_size):
+            chunk = ",".join(str(x) for x in ids[i : i + self.delete_batch_size])
+            out.append(f"DELETE FROM {self.table} WHERE {key} IN ({chunk})")
+        return out

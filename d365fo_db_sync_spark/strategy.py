@@ -1,0 +1,201 @@
+"""Strategy DSL — the reference's per-table query spec language (U1).
+
+Grammar (ParseStrategyLine, CopyOrchestrator.cs:1691-1801):
+
+    TABLE                                  -> RecId strategy, default count
+    TABLE|N          (N supports m-suffix) -> RecId strategy, top-N
+    TABLE|sql:SELECT ... * ... FROM ...    -> SQL template strategy
+    TABLE|N|sql:...                        -> SQL with explicit count
+    any of the above + " -truncate"        -> force full-refresh mode
+
+SQL templates must contain ``*`` (expanded to the copyable field list)
+and may use ``@recordCount`` and ``@sysRowVersionFilter`` — the latter is
+the explicit predicate-pushdown slot: ``(1 = 1)`` for full/truncate
+passes, the watermark predicate for incremental passes
+(GenerateFetchSql, CopyOrchestrator.cs:1913-1935; incremental variant
+Tier2DataService.cs:393-411; contract README.md:217-221).
+
+Compilation targets ``spark.sql`` over a temp view of the source, so
+Catalyst folds the substituted constants and pushes the filters — the
+macro expansion is literally predicate/projection injection.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StrategyType(Enum):
+    RECID = "RecId"  # top-N by key (default)
+    SQL = "Sql"  # user SQL template
+    SYSTEM = "System"  # full table copy (TableInfo.cs:134-139)
+
+
+@dataclass
+class Strategy:
+    table: str
+    type: StrategyType = StrategyType.RECID
+    record_count: int | None = None
+    sql_template: str = ""
+    use_truncate: bool = False
+
+
+class StrategyParseError(ValueError):
+    pass
+
+
+def try_parse_record_count(text: str) -> int | None:
+    """``10m`` -> 10,000,000 (TryParseRecordCount, CopyOrchestrator.cs:1765-1779)."""
+    t = text.strip()
+    if t.lower().endswith("m"):
+        num = t[:-1]
+        return int(num) * 1_000_000 if re.fullmatch(r"-?\d+", num) else None
+    return int(t) if re.fullmatch(r"-?\d+", t) else None
+
+
+def parse_strategy_line(line: str) -> Strategy:
+    """One line -> Strategy (ParseStrategyLine, CopyOrchestrator.cs:1692-1763)."""
+    working = line.strip()
+    use_truncate = False
+    if working.lower().endswith(" -truncate"):
+        use_truncate = True
+        working = working[: -len(" -truncate")].strip()
+
+    parts = working.split("|")
+    if not parts or not parts[0].strip():
+        raise StrategyParseError("Invalid format: missing table name")
+    table = parts[0].strip()
+
+    if len(parts) == 1:
+        return Strategy(table=table, use_truncate=use_truncate)
+
+    part1 = parts[1].strip()
+    if part1.lower().startswith("sql:"):
+        return _parse_sql(table, part1, None, use_truncate)
+
+    count = try_parse_record_count(part1)
+    if count is not None:
+        if count <= 0:
+            raise StrategyParseError("Invalid format: RecId count must be positive")
+        if len(parts) >= 3:
+            part2 = parts[2].strip()
+            if part2.lower().startswith("sql:"):
+                return _parse_sql(table, part2, count, use_truncate)
+            raise StrategyParseError(f"Invalid format: unexpected '{part2}' after record count")
+        return Strategy(table=table, record_count=count, use_truncate=use_truncate)
+
+    raise StrategyParseError(
+        f"Invalid format: '{part1}' is not a valid strategy (expected number or 'sql:...')"
+    )
+
+
+def _parse_sql(table: str, sql_part: str, count: int | None, use_truncate: bool) -> Strategy:
+    sql = sql_part[4:].strip()
+    if not sql:
+        raise StrategyParseError("Invalid format: empty SQL statement")
+    if "*" not in sql:
+        raise StrategyParseError("SQL strategy must contain '*' for field replacement")
+    return Strategy(
+        table=table,
+        type=StrategyType.SQL,
+        record_count=count,
+        sql_template=sql,
+        use_truncate=use_truncate,
+    )
+
+
+def parse_strategy_overrides(text: str) -> dict[str, Strategy]:
+    """Multi-line parse with line-numbered errors
+    (ParseStrategyOverrides, CopyOrchestrator.cs:1660-1689)."""
+    result: dict[str, Strategy] = {}
+    if not text or not text.strip():
+        return result
+    for i, raw in enumerate(text.splitlines(), start=1):
+        line = raw.strip()
+        if not line:
+            continue
+        try:
+            s = parse_strategy_line(line)
+        except StrategyParseError as e:
+            raise StrategyParseError(f"Line {i}: {e}\nLine text: {line}") from e
+        result[s.table.upper()] = s
+    return result
+
+
+def get_strategy(
+    table: str, overrides: dict[str, Strategy], default_count: int = 10_000
+) -> Strategy:
+    """Override lookup with RecId default (GetStrategy,
+    CopyOrchestrator.cs:1803-1817)."""
+    s = overrides.get(table.upper())
+    if s is not None:
+        return s
+    return Strategy(table=table, record_count=default_count)
+
+
+# ---------------------------------------------------------------------------
+# compilation
+
+
+def expand_sql_template(
+    template: str,
+    fields: list[str],
+    record_count: int,
+    watermark_predicate: str = "(1 = 1)",
+    key: str = "RecId",
+) -> str:
+    """Macro expansion (GenerateFetchSql, CopyOrchestrator.cs:1923-1930;
+    control variant Tier2DataService.cs:344-353): ``@recordCount`` ->
+    constant, ``*`` -> field list, ``@sysRowVersionFilter`` -> pushdown
+    predicate. T-SQL ``TOP (n)`` is rewritten to Spark-SQL ``LIMIT``."""
+    field_list = ", ".join(f"`{f}`" for f in fields)
+    sql = template.replace("@recordCount", str(record_count))
+    sql = sql.replace("*", field_list)
+    sql = re.sub(r"@sysRowVersionFilter", watermark_predicate, sql, flags=re.IGNORECASE)
+    # T-SQL TOP(n) has no Spark equivalent in-place; hoist to LIMIT.
+    m = re.search(r"\bTOP\s*\(\s*(\d+)\s*\)\s*", sql, flags=re.IGNORECASE)
+    if m:
+        sql = sql[: m.start()] + sql[m.end() :]
+        sql = f"{sql.rstrip().rstrip(';')} LIMIT {m.group(1)}"
+    return sql
+
+
+def compile_fetch(
+    spark: SparkSession,
+    source: DataFrame,
+    strategy: Strategy,
+    fields: list[str],
+    key: str = "RecId",
+    default_count: int = 10_000,
+    watermark_predicate: str = "(1 = 1)",
+) -> DataFrame:
+    """Strategy -> DataFrame plan over the source.
+
+    RECID/SYSTEM compile straight to declarative ops (top-N / full scan);
+    SQL templates expand and run through ``spark.sql`` on a temp view, so
+    the user query stays inside Catalyst (pushdown, pruning, folding).
+    """
+    from d365fo_db_sync_spark.scans import top_n_by_key
+
+    n = strategy.record_count or default_count
+    if strategy.type == StrategyType.SYSTEM:
+        return source.select(*fields)
+    if strategy.type == StrategyType.RECID:
+        return top_n_by_key(source, key, n, fields=fields)
+
+    view = f"__strategy_src_{strategy.table.lower()}"
+    source.createOrReplaceTempView(view)
+    sql = expand_sql_template(
+        strategy.sql_template, fields, n, watermark_predicate=watermark_predicate, key=key
+    )
+    sql = re.sub(
+        rf"\bFROM\s+\[?{re.escape(strategy.table)}\]?",
+        f"FROM {view}",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return spark.sql(sql)

@@ -1,0 +1,285 @@
+"""Incremental sync engine — the reference's execution core, Spark-first.
+
+Maps the reference's per-table pipeline (CopyOrchestrator.cs:812-1233)
+onto DataFrame ops + an atomic-rewrite sink:
+
+* control scan + change-volume evaluation  -> scans.control_scan + counts
+* cost-based mode selection (R5/T2)        -> NO_CHANGE / INCREMENTAL /
+  TRUNCATE / STANDARD, threshold 40% (AppConfiguration.cs:39)
+* 3-step delete + selective insert (T3)    -> semi/anti-join recomposition:
+  a parquet target can't DELETE, so "delete" = rebuild the survivors and
+  atomically swap (sinks.ParquetTarget)
+* late-data widening (T4)                  -> fetch threshold =
+  min(stored watermark, min version among keys missing from target)
+  (CopyOrchestrator.cs:1106-1123)
+* idempotent insert (T5)                   -> anti-join fetched rows
+  against current keys before union (CopyOrchestrator.cs:1147-1161)
+* sequence fencing (T7)                    -> greatest(max key, seq) + gap
+  (AxDbDataService.cs:489-531)
+* watermark commit (T1)                    -> StateStore.commit AFTER the
+  sink swap succeeds; never on failure
+
+Scale notes: every join here shuffles on the sync key only; the control
+frame is two columns (~16 B/row — DBSyncTool_Optimization_Spec.md:1560)
+and broadcasts when small. The only driver-side values are scalar counts
+and watermarks — key sets stay distributed (unlike the reference's
+HashSets, CopyOrchestrator.cs:1018-1022).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark import delta, scans
+from d365fo_db_sync_spark.sinks import ParquetTarget
+from d365fo_db_sync_spark.state import StateStore, TableState
+
+NO_CHANGE = "NO_CHANGE"
+INCREMENTAL = "INCREMENTAL"
+TRUNCATE = "TRUNCATE"
+STANDARD = "STANDARD"
+
+
+@dataclass
+class SyncConfig:
+    key: str = "RecId"
+    version: str = "SysRowVersion"  # uint64 surrogate of BINARY(8) rowversion
+    record_count: int = 10_000  # DefaultRecordCount (AppConfiguration.cs:32)
+    truncate_threshold_percent: float = 40.0  # AppConfiguration.cs:39
+    sequence_gap: int = 10_000  # AxDbDataService.cs:12
+    current_sequence: int = 0
+
+
+@dataclass
+class SyncReport:
+    table: str
+    mode: str
+    src_changed: int = 0
+    tgt_changed: int = 0
+    missing: int = 0
+    deleted: int = 0
+    inserted: int = 0
+    change_percent: float = 0.0
+    excess_percent: float = 0.0
+    duration_sec: float = 0.0
+    classification: dict[str, int] = field(default_factory=dict)
+
+
+class SyncEngine:
+    """Per-table incremental replication onto ParquetTarget sinks."""
+
+    def __init__(self, spark: SparkSession, store: StateStore, config: SyncConfig | None = None):
+        self.spark = spark
+        self.store = store
+        self.config = config or SyncConfig()
+
+    # -- public -------------------------------------------------------------
+
+    def sync_table(self, name: str, source: DataFrame, target: ParquetTarget) -> SyncReport:
+        """Make the last N source rows (by key) identical in the target —
+        the reference's core promise (README.md:9). Routes to the
+        optimized (watermark) path when state exists, else standard."""
+        t0 = time.time()
+        cfg = self.config
+        state = self.store.get(name)
+        optimized = (
+            cfg.version in source.columns
+            and state.src_ts is not None
+            and target.exists()
+        )
+        if optimized:
+            report = self._sync_optimized(name, source, target, state)
+        else:
+            report = self._sync_standard(name, source, target)
+        report.duration_sec = time.time() - t0
+        return report
+
+    # -- optimized path (CopyOrchestrator.cs:812-939) -------------------------
+
+    def _sync_optimized(
+        self, name: str, source: DataFrame, target: ParquetTarget, state: TableState
+    ) -> SyncReport:
+        cfg = self.config
+        key, ver = cfg.key, cfg.version
+
+        # S6: 2-column control scan of the sync window
+        control = scans.control_scan(source, key=key, version=ver, n=cfg.record_count).cache()
+        tgt_df = target.read(self.spark)
+        tgt_keys = tgt_df.select(key)
+
+        # A6/A7: change volumes vs stored watermarks (one pass each side)
+        row = control.agg(
+            F.count("*").alias("control_rows"),
+            F.count(F.when(F.col(ver) > F.lit(state.src_ts), 1)).alias("src_changed"),
+            F.min(key).alias("min_key"),
+            F.max(key).alias("max_key"),
+            F.max(ver).alias("max_ver"),
+        ).first()
+        control_rows, src_changed = row["control_rows"], row["src_changed"]
+        min_key, max_key, max_ver = row["min_key"], row["max_key"], row["max_ver"]
+
+        trow = tgt_df.agg(
+            F.count("*").alias("tgt_total"),
+            F.count(F.when(F.col(ver) > F.lit(state.tgt_ts), 1)).alias("tgt_changed"),
+        ).first()
+        tgt_total, tgt_changed = trow["tgt_total"], trow["tgt_changed"]
+
+        # J2: keys in the control window missing from the target
+        missing_control = delta.missing_keys(control, tgt_keys, key=key).cache()
+        missing = missing_control.count()
+
+        metrics = delta.change_metrics(src_changed, tgt_changed, control_rows, tgt_total)
+        report = SyncReport(
+            table=name,
+            mode=INCREMENTAL,
+            src_changed=src_changed,
+            tgt_changed=tgt_changed,
+            missing=missing,
+            change_percent=metrics["change_percent"],
+            excess_percent=metrics["excess_percent"],
+        )
+
+        # R6: perfect-sync fast path (CopyOrchestrator.cs:998-1051)
+        if src_changed == 0 and tgt_changed == 0 and missing == 0 and tgt_total == control_rows:
+            report.mode = NO_CHANGE
+            control.unpersist()
+            missing_control.unpersist()
+            return report
+
+        # R5/T2: cost-based fallback to full refresh (CopyOrchestrator.cs:884-914)
+        if (
+            report.change_percent >= cfg.truncate_threshold_percent
+            or report.excess_percent >= cfg.truncate_threshold_percent
+        ):
+            report.mode = TRUNCATE
+            fetched = scans.top_n_by_key(source, key, cfg.record_count)
+            report.inserted = self._overwrite_and_commit(name, fetched, target, max_key, max_ver)
+            control.unpersist()
+            missing_control.unpersist()
+            return report
+
+        # T4: late-data widening — rows older than the watermark but absent
+        # from the target must still be recovered (CopyOrchestrator.cs:1106-1123)
+        widen = missing_control.agg(
+            F.min(ver).alias("min_missing_ver"), F.min(key).alias("min_missing_key")
+        ).first()
+        fetch_ts = state.src_ts
+        if widen["min_missing_ver"] is not None:
+            fetch_ts = min(fetch_ts, widen["min_missing_ver"])
+        fetch_floor = min_key if widen["min_missing_key"] is None else min(
+            min_key, widen["min_missing_key"]
+        )
+
+        # S7: watermark-filtered incremental fetch
+        fetched = scans.watermark_scan(
+            source, version_threshold=fetch_ts, min_key=fetch_floor, key=key, version=ver
+        )
+
+        # T3: three-step merge as a survivors rewrite
+        changed_keys = control.filter(F.col(ver) > F.lit(state.tgt_ts)).select(key)
+        survivors = (
+            tgt_df.join(control.select(key), on=key, how="left_semi")  # J5: drop deleted/excess
+            .join(changed_keys, on=key, how="left_anti")  # J4: drop modified
+        )
+        # T5: idempotent insert — only rows whose key is absent post-delete
+        inserts = fetched.join(survivors.select(key), on=key, how="left_anti")
+        new_tgt = survivors.unionByName(inserts.select(*survivors.columns))
+
+        report.deleted = tgt_total  # refined below from counts
+        inserted = inserts.count()
+        report.inserted = inserted
+        report.deleted = max(0, tgt_total - survivors.count())
+
+        self._swap_and_commit(name, new_tgt, target, max_key, max_ver)
+        control.unpersist()
+        missing_control.unpersist()
+        return report
+
+    # -- standard path (CopyOrchestrator.cs:1281-1450) ------------------------
+
+    def _sync_standard(self, name: str, source: DataFrame, target: ParquetTarget) -> SyncReport:
+        cfg = self.config
+        key, ver = cfg.key, cfg.version
+
+        fetched = scans.top_n_by_key(source, key, cfg.record_count).cache()
+        row = fetched.agg(
+            F.min(key).alias("min_key"), F.max(key).alias("max_key"),
+            F.max(ver).alias("max_ver") if ver in source.columns else F.lit(None).alias("max_ver"),
+        ).first()
+        min_key, max_key, max_ver = row["min_key"], row["max_key"], row["max_ver"]
+
+        if not target.exists() or min_key is None:
+            report = SyncReport(table=name, mode=STANDARD)
+            report.inserted = self._overwrite_and_commit(name, fetched, target, max_key, max_ver)
+            fetched.unpersist()
+            return report
+
+        tgt_df = target.read(self.spark)
+        # J1 scoped to keys >= min fetched key (GetAxDbVersionMapAsync's
+        # WHERE RecId >= @MinRecId, AxDbDataService.cs:737)
+        tgt_window = tgt_df.filter(F.col(key) >= F.lit(min_key))
+        state = self.store.get(name)
+        classified = delta.classify_changes(
+            fetched,
+            tgt_window,
+            key=key,
+            context=delta.ComparisonContext.from_columns(fetched.columns, tgt_df.columns),
+            max_transferred_key=state.max_transferred_key,
+        ).cache()
+        counts = {r["change_type"]: r["cnt"] for r in delta.change_counts(classified).collect()}
+
+        doomed = classified.filter(
+            F.col("change_type").isin(delta.MODIFIED, delta.DELETED)
+        ).select(key)
+        incoming_keys = classified.filter(
+            F.col("change_type").isin(delta.MODIFIED, delta.NEW)
+        ).select(key)
+
+        survivors = tgt_df.join(doomed, on=key, how="left_anti")
+        inserts = fetched.join(incoming_keys, on=key, how="left_semi")
+        new_tgt = survivors.unionByName(inserts.select(*survivors.columns))
+
+        report = SyncReport(table=name, mode=STANDARD, classification=counts)
+        report.inserted = counts.get(delta.MODIFIED, 0) + counts.get(delta.NEW, 0)
+        report.deleted = counts.get(delta.MODIFIED, 0) + counts.get(delta.DELETED, 0)
+        self._swap_and_commit(name, new_tgt, target, max_key, max_ver)
+        classified.unpersist()
+        fetched.unpersist()
+        return report
+
+    # -- commit machinery -----------------------------------------------------
+
+    def _overwrite_and_commit(
+        self, name: str, df: DataFrame, target: ParquetTarget, max_key, max_ver
+    ) -> int:
+        df = df.cache()
+        n = df.count()
+        self._swap_and_commit(name, df, target, max_key, max_ver)
+        df.unpersist()
+        return n
+
+    def _swap_and_commit(
+        self, name: str, new_tgt: DataFrame, target: ParquetTarget, max_key, max_ver
+    ) -> None:
+        """Sink swap first, state second — a failure between the two leaves
+        a valid target with a stale watermark, which the next run repairs
+        idempotently (T5/T6). State NEVER advances on a failed write."""
+        target.overwrite(new_tgt)
+        cfg = self.config
+        next_seq = None
+        if max_key is not None:
+            # T7: fence target-assigned ids past source-assigned ones
+            next_seq = max(int(max_key), cfg.current_sequence) + cfg.sequence_gap
+        self.store.commit(
+            name,
+            TableState(
+                src_ts=int(max_ver) if max_ver is not None else None,
+                tgt_ts=int(max_ver) if max_ver is not None else None,
+                max_transferred_key=int(max_key) if max_key is not None else None,
+                next_sequence=next_seq,
+            ),
+        )

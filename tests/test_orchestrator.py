@@ -1,0 +1,88 @@
+"""Orchestration: prepare (patterns, intersection, strategy bind) +
+parallel process + retry (CopyOrchestrator.cs:49-341, 414-619)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from d365fo_db_sync_spark.orchestrator import Orchestrator
+from d365fo_db_sync_spark.state import StateStore
+from d365fo_db_sync_spark.strategy import StrategyType
+from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+
+@pytest.fixture()
+def sources(spark):
+    def mk(n, extra_col=False):
+        rows = [
+            (i, 2, 100 + i, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2), float(i))
+            for i in range(n)
+        ]
+        schema = (
+            "RecId long, RECVERSION int, SysRowVersion long, "
+            "CREATEDDATETIME timestamp_ntz, MODIFIEDDATETIME timestamp_ntz, AMOUNT double"
+        )
+        df = spark.createDataFrame(rows, schema)
+        if extra_col:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("SRC_ONLY_COL", F.lit("x"))
+        return df
+
+    return {"CUSTTABLE": mk(30), "SALESTABLE": mk(40, extra_col=True), "tmp_Lower": mk(5)}
+
+
+def test_prepare_patterns_and_intersection(spark, sources):
+    engine = SyncEngine(spark, StateStore("/tmp/_unused_state.json"), SyncConfig())
+    orch = Orchestrator(spark, engine, workers=2)
+    plans = orch.prepare(
+        sources,
+        target_schemas={
+            "CUSTTABLE": ["RECID", "RECVERSION", "SYSROWVERSION", "CREATEDDATETIME",
+                          "MODIFIEDDATETIME", "AMOUNT", "TGT_ONLY"],
+            "SALESTABLE": ["RECID", "RECVERSION", "SYSROWVERSION", "CREATEDDATETIME",
+                           "MODIFIEDDATETIME", "AMOUNT"],
+        },
+        include=["CUST*", "SALES*"],
+        exclude=["*lower*"],
+        strategy_text="CUSTTABLE|20\nSALESTABLE|sql:SELECT * FROM SALESTABLE -truncate",
+        excluded_fields=["CUSTTABLE.AMOUNT"],
+    )
+    by_name = {p.name: p for p in plans}
+    assert set(by_name) == {"CUSTTABLE", "SALESTABLE"}
+    # P1: intersection minus exclusions, preserving source order & case
+    assert "AMOUNT" not in by_name["CUSTTABLE"].copyable_fields
+    assert "SRC_ONLY_COL" not in by_name["SALESTABLE"].copyable_fields
+    assert by_name["CUSTTABLE"].strategy.record_count == 20
+    assert by_name["SALESTABLE"].strategy.type == StrategyType.SQL
+    assert by_name["SALESTABLE"].strategy.use_truncate
+
+
+def test_process_parallel_and_report(spark, sources, tmp_path):
+    engine = SyncEngine(spark, StateStore(str(tmp_path / "state.json")), SyncConfig())
+    orch = Orchestrator(spark, engine, workers=3)
+    plans = orch.prepare(sources, include=["CUSTTABLE", "SALESTABLE"])
+    result = orch.process(plans, sources, str(tmp_path / "targets"))
+    assert all(p.status == "Completed" for p in result.plans)
+    report = result.to_df(spark).collect()
+    assert {r["table_name"] for r in report} == {"CUSTTABLE", "SALESTABLE"}
+    assert all(r["mode"] == "STANDARD" for r in report)
+
+
+def test_failure_containment_and_retry(spark, sources, tmp_path):
+    engine = SyncEngine(spark, StateStore(str(tmp_path / "state.json")), SyncConfig())
+    orch = Orchestrator(spark, engine, workers=1, stop_on_first_failure=True)
+    plans = orch.prepare(sources, include=["CUSTTABLE", "SALESTABLE"])
+
+    broken = dict(sources)
+    broken["CUSTTABLE"] = None  # will raise on .select
+    result = orch.process(plans, broken, str(tmp_path / "targets"))
+    statuses = {p.name: p.status for p in result.plans}
+    assert statuses["CUSTTABLE"] == "Failed"
+    assert result.failed and "NoneType" in result.failed[0].error
+
+    # retry with the fixed source heals the run (R11)
+    orch.retry_failed(result, sources, str(tmp_path / "targets"))
+    assert all(p.status == "Completed" for p in result.plans)
