@@ -1,0 +1,218 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the whole point of these implementations):
+
+* Exact dedup is a hash-groupBy — ONE shuffle on the fingerprint.
+* MinHash-LSH is the sub-quadratic near-dup path: shingle -> K min-hash
+  values -> B bands -> candidates join only within identical band
+  buckets. Cost is O(docs x K) map-side plus a shuffle per band-bucket,
+  never the O(n^2) cross join.
+* SimHash packs a document into 64 bits; banding the bits gives
+  Hamming-distance candidates with the same bucket-join trick.
+* n-gram Jaccard verifies candidates exactly via an explode/join/count —
+  at scale it runs on the candidate set, not all pairs.
+
+All hashing uses xxhash64 (Spark built-in, deterministic across runs and
+executors with a fixed seed) and stays in codegen; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators.text import tokens
+
+# fixed parameters of the (a*x + b) mod p universal hash family over
+# 32-bit base hashes: a < 2^31, x < 2^32, so a*x + b < 2^63 and the
+# whole chain stays in overflow-free Long arithmetic (ANSI-safe)
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a seeded LCG (no RNG dependency)."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = ((state | 1) % _MERSENNE_P) or 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def exact_dedup(df: DataFrame, cols: list[str], key: str) -> DataFrame:
+    """Keep the lowest-key row per exact duplicate group — one shuffle
+    on the group hash, map-side combinable."""
+    keeper = df.groupBy(*cols).agg(F.min(key).alias(key))
+    return df.join(keeper, on=cols + [key], how="left_semi")
+
+
+def shingles(text_col: str, n: int = 3) -> "F.Column":
+    """Word n-gram shingles as an array column (higher-order functions,
+    no explode needed until the LSH stage)."""
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - n + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """(id, minhash[0..K-1]) — explode shingles once, then K min-aggs in a
+    single groupBy (map-side partial mins keep the shuffle tiny: K longs
+    per doc regardless of document size)."""
+    params = _hash_params(num_hashes)
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    ).withColumn("h", F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF)))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
+
+    rows/band = num_hashes/bands; two docs are candidates if ANY band's
+    hash-tuple matches. The band bucket join shuffles on
+    (band, bucket_hash) — collision groups only, never all pairs.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: sum +/-1 per bit over token hashes,
+    then pack the signs. 64 conditional-sum aggregates in ONE groupBy —
+    wide but map-side combinable, shuffle is 64 longs per doc."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    # shiftleft instead of a 1<<63 literal: bit 63 is the Long sign bit,
+    # unrepresentable as a positive literal; distinct-power addition
+    # never overflows (the one negative term only pulls the sum down)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig + F.when(
+            F.col(f"s_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, bands: int = 4
+) -> DataFrame:
+    """Hamming-near candidates: split the 64-bit signature into bands;
+    pairs sharing any band are candidates (catches Hamming distance
+    < bands by pigeonhole)."""
+    width = 64 // bands
+    sigs = simhash(df, id_col, text_col)
+    mask = (1 << width) - 1
+    chunks = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs above ``threshold``.
+
+    With ``candidates`` (e.g. from MinHash-LSH) the exact check runs only
+    on candidate pairs — the scale path. Without, it self-joins on shared
+    shingles (still sub-quadratic: only pairs sharing >= 1 shingle meet).
+    """
+    sets = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
+    ).withColumn("set_size", F.size("sh"))
+    exploded = sets.select(id_col, "set_size", F.explode("sh").alias("g"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    common = joined.groupBy(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.set_size").alias("size_a"),
+        F.col("b.set_size").alias("size_b"),
+    ).agg(F.count("*").alias("common"))
+    if candidates is not None:
+        common = common.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return common.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

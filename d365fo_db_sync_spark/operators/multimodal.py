@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side machinery here is real and tested — schema contract,
+Arrow-batched mapInPandas pipelines, partition sizing — while the actual
+media decoding is STUBBED (image/audio libraries are not available in
+this environment): ``decode`` raises NotImplementedError unless a codec
+is registered, and :func:`fake_codec` provides a deterministic stand-in
+so the distributed plumbing is testable end-to-end.
+
+Design for scale: media bytes ride in the same rows as metadata (binary
+column), so a 100 TB corpus partitions by size
+(``spark.sql.files.maxPartitionBytes``) and the decode stage is a
+mapInPandas over Arrow batches — one Python worker round-trip per batch,
+not per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema contract for a multimodal asset column
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+#: features produced by the decode/extract stage
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+Codec = Callable[[bytes, str], dict]
+
+_CODECS: dict[str, Codec] = {}
+
+
+def register_codec(media_type: str, codec: Codec) -> None:
+    _CODECS[media_type] = codec
+
+
+def fake_codec(content: bytes, media_type: str) -> dict:
+    """Deterministic stand-in decoder: derives pseudo-dimensions and an
+    8-dim feature from the raw bytes. Replace with a real decoder
+    (PIL/ffmpeg/...) via register_codec in production."""
+    n = len(content or b"")
+    h = sum(content[:64]) if content else 0
+    return {
+        "width": (h % 640) + 1 if media_type == "image" else None,
+        "height": ((h // 7) % 480) + 1 if media_type == "image" else None,
+        "duration_ms": (n * 10) if media_type in ("audio", "video") else None,
+        "feature": [float((h + i * n) % 97) / 97.0 for i in range(8)],
+    }
+
+
+def decode_features(assets: DataFrame, batch_hint: int = 0) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow batches).
+
+    Raises NotImplementedError at execution time for media types without
+    a registered codec — the stub contract. The plumbing (schema,
+    batching, null handling) is production-shaped.
+    """
+    codecs = dict(_CODECS)  # captured in the closure, shipped to workers
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("asset_id", "media_type", "n_bytes", "width", "height",
+                    "duration_ms", "feature")}
+            for aid, mtype, content in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                codec = codecs.get(mtype)
+                if codec is None:
+                    raise NotImplementedError(
+                        f"no codec registered for media_type={mtype!r}; "
+                        "register one with register_codec() (decode is "
+                        "stubbed in this environment)"
+                    )
+                raw = bytes(content) if content is not None else b""
+                feat = codec(raw, mtype)
+                out["asset_id"].append(aid)
+                out["media_type"].append(mtype)
+                out["n_bytes"].append(len(raw))
+                out["width"].append(feat.get("width"))
+                out["height"].append(feat.get("height"))
+                out["duration_ms"].append(feat.get("duration_ms"))
+                out["feature"].append(feat.get("feature"))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a multimodal asset table from the documents corpus —
+    text bytes as stand-in media content, so the pipeline is exercisable
+    on the test corpus."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+        F.create_map(F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")).alias(
+            "meta"
+        ),
+    )
+
+
+@dataclass
+class FrameSampleSpec:
+    """Frame-sampling contract for video assets (every Nth frame up to a
+    cap) — executed by the codec; recorded here so the plan carries the
+    physical parameters."""
+
+    every_n: int = 30
+    max_frames: int = 16

@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB engine needs both:
+
+* brute-force cosine top-k — exact baseline. The dot product runs as a
+  higher-order-function fold (zip_with + aggregate) in the JVM: no
+  Python, no UDF. Queries are broadcast (they are small by
+  construction); the corpus side never shuffles until the final
+  per-query top-k (TakeOrdered-style via rank window on the query key).
+* random-hyperplane LSH ANN — the scale path: 2^bits buckets, candidates
+  only within a bucket (plus optional multi-probe neighbors), exact
+  re-rank on the candidate set. Hyperplanes are derived deterministically
+  from a seed so plans are reproducible across runs/executors.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    """Precompute L2 norms once — at scale this column is written with the
+    embeddings so cosine needs only the dot product."""
+    return df.withColumn(out, _norm(F.col(vec_col)))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, rnk, neighbor_id, cosine). The queries side is
+    broadcast; cosine ties break on neighbor id for determinism.
+    """
+    c = with_norm(corpus.select(F.col(id_col), F.col(vec_col)), vec_col, "c_norm").alias("c")
+    q = with_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec")), "q_vec", "q_norm"
+    ).alias("q")
+    pairs = q.join(F.broadcast(c) if _is_small(c) else c, F.lit(True))
+    cos = _dot(F.col("q_vec"), F.col(vec_col)) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    # full-precision cosine: ranking happens on the raw double; any
+    # display rounding is the caller's single responsibility (double
+    # rounding shifts values that sit near a rounding boundary)
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).filter(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "rnk", "neighbor_id", "cosine")
+    )
+
+
+def _is_small(df: DataFrame) -> bool:
+    # queries frames in this engine are explicit small selections; a
+    # conservative static check keeps the broadcast decision plan-time
+    return True
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes via Box-Muller over a
+    seeded LCG — reproducible without any RNG library."""
+    state = seed or 1
+    planes: list[list[float]] = []
+
+    def nxt() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        return (state >> 11) / float(1 << 52)  # uniform (0,1)
+
+    for _ in range(bits):
+        plane = []
+        for _ in range(dim):
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            plane.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        planes.append(plane)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id from fixed hyperplanes — a pure column
+    expression: bit i = sign(dot(vec, plane_i))."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, F.lit(plane))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: bucket corpus and queries by hyperplane signs, join on
+    the bucket, exact-rerank within. Approximate — neighbors in other
+    buckets are missed (recall grows as bits shrink); the candidate join
+    shuffles on bucket id, ~n/2^bits rows per bucket instead of n."""
+    planes = _hyperplanes(dim, bits, seed)
+    c = with_norm(corpus.select(id_col, vec_col), vec_col, "c_norm").withColumn(
+        "bucket", lsh_bucket(vec_col, planes)
+    )
+    q = with_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec")), "q_vec", "q_norm"
+    ).withColumn("bucket", lsh_bucket("q_vec", planes))
+    pairs = q.join(c, on="bucket")
+    cos = _dot(F.col("q_vec"), F.col(vec_col)) / (F.col("q_norm") * F.col("c_norm"))
+    scored = pairs.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).filter(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "rnk", "neighbor_id", "cosine")
+    )
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine pairs (id_a < id_b) above ``threshold`` — the O(n^2)
+    baseline the LSH path approximates. Correctness anchor for small
+    frames and the oracle for the bucketed variants; at 100 TB only the
+    LSH/IVF paths run."""
+    v = with_norm(df.select(id_col, vec_col), vec_col, "norm")
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the LSH bucket join (id_a < id_b,
+    cosine >= threshold). The O(n^2) check happens only inside buckets."""
+    planes = _hyperplanes(dim, bits)
+    v = with_norm(df.select(id_col, vec_col), vec_col, "norm").withColumn(
+        "bucket", lsh_bucket(vec_col, planes)
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is built-in column expressions (JVM codegen, no Python
+UDFs): at 100 TB the tokenizer must run inside whole-stage codegen, not
+in a Python worker. Derived from the PySpark public API; these have no
+reference-tool counterpart (BASELINE.json north-star extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic (classic dictionary method)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "es": ("el", "la", "los", "de", "que", "es"),
+    "fr": ("le", "la", "les", "des", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+}
+
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization with empty-token filtering — stays in
+    codegen (split + filter higher-order function)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-like proxy: split on whitespace AND punctuation/digit
+    boundaries — approximates subword token counts without a tokenizer
+    model (regex stays JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(F.lower(c), r"[\s\p{Punct}]+|(?<=\D)(?=\d)|(?<=\d)(?=\D)"),
+            lambda t: t != "",
+        )
+    )
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+
+
+def stopword_count(col: Column | str) -> Column:
+    return F.size(F.array_intersect(tokens(col), F.lit(list(STOPWORDS)).cast("array<string>")))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword features for quality scoring —
+    the standard cheap filters of web-scale corpus cleaning."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_actual": F.length(text_col),
+            "punct_ratio": punct_count(text_col) / F.greatest(F.length(text_col), F.lit(1)),
+            "stopword_ratio": stopword_count(text_col) / F.greatest(n_tok, F.lit(1)),
+            "mean_token_len": (
+                F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+                / F.greatest(n_tok, F.lit(1))
+            ),
+        }
+    )
+
+
+def language_id(col: Column | str, default: str = "unknown") -> Column:
+    """Dictionary language-ID: argmax of per-language marker-token hits.
+
+    Pure column expression (array_intersect per language + CASE chain),
+    so it distributes with the scan. Ties resolve in LANG_MARKERS order —
+    deterministic."""
+    toks = tokens(col)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.lit(list(ws)).cast("array<string>")))
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit(default))
+    for lang in LANG_MARKERS:  # first max wins, in declaration order
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit(default))
+
+
+def fingerprint(col: Column | str, prefix_tokens: int | None = None) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized token
+    stream (optionally just the first N tokens — a cheap rolling-hash
+    analog for prefix dedup). md5 keeps oracle parity with DuckDB."""
+    t = tokens(col)
+    if prefix_tokens is not None:
+        t = F.slice(t, 1, prefix_tokens)
+    return F.md5(F.array_join(t, " ").cast("binary"))

@@ -43,6 +43,7 @@ _SUITE_MODULES = (
     "text_q",
     "dedup_q",
     "similarity_q",
+    "multimodal_q",
     "sync_q",
 )
 

@@ -1,1 +1,105 @@
-"""Placeholder — filled in as the suite widens."""
+"""Deduplication suite over the `documents` corpus (driver north-star:
+exact, MinHash-LSH, SimHash, n-gram Jaccard).
+
+Oracle notes:
+
+* The exact-fingerprint and n-gram-Jaccard paths are fully
+  SQL-expressible — DuckDB mirrors the shingling with list functions.
+* MinHash-LSH candidates depend on xxhash64 (Spark-side, deterministic,
+  but not available in DuckDB), so the *verified* query is checked
+  end-to-end instead: LSH candidates -> exact Jaccard filter. With 32
+  bands x 2 rows the probability of missing a >=0.8-Jaccard pair is
+  (1-0.8^2)^32 < 1e-13, so the verified output equals the exact pair
+  set and the DuckDB oracle can assert it.
+* SimHash banding has no such near-certain recall bound at this corpus'
+  similarity levels, so it stays a rows-only check (oracle omitted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import dedup, text
+from d365fo_db_sync_spark.sources import load_table
+from d365fo_db_sync_spark.suite import register
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+#: DuckDB CTE computing distinct word-3-gram shingle sets per document
+#: (mirrors dedup.shingles: slice windows of 3, clamped to >=1 window).
+_SHINGLE_CTE = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS sh
+      FROM tok),
+    e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s)
+"""
+
+_JACCARD_SQL = (
+    _SHINGLE_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(COUNT(*) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)), 6) AS jaccard
+    FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING ROUND(COUNT(*) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)), 6) >= 0.8
+    """
+)
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp FROM documents),
+    k AS (SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp)
+    SELECT f.doc_id, f.fp FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.doc_id
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of the normalized token stream,
+    keep the lowest doc_id per group. One shuffle on the 16-byte
+    fingerprint (map-side combinable min) — the canonical exact-dedup
+    plan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    )
+    return dedup.exact_dedup(docs, cols=["fp"], key="doc_id")
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_SQL, bench=True)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.8. Sub-quadratic: the
+    self-join meets only on shared shingles, so disjoint documents never
+    pair; the shuffle key is the shingle string."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register("dedup_minhash_lsh_verified", oracle=_JACCARD_SQL, bench=True)
+def dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation (64 hashes, 32 bands) verified by
+    exact Jaccard — the two-stage near-dup pipeline at scale: banded
+    bucket join finds candidates in O(n), the exact check runs only on
+    candidates. Recall at 0.8 is 1 - (1-0.64)^32 (certain), so the
+    output equals the exact pair set and the same oracle applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=32, shingle_n=3
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, candidates=cands
+    )
+
+
+@register("dedup_simhash_candidates", oracle=None)
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) banded Hamming candidates (4 bands of 16 bits —
+    catches every pair with Hamming distance <= 3 by pigeonhole).
+    Depends on xxhash64 bit patterns, which DuckDB cannot reproduce ->
+    rows-only check; the pytest suite asserts the planted near-dup pairs
+    are recovered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(docs, "doc_id", "text", bands=4)

@@ -1,1 +1,179 @@
-"""Placeholder — filled in as the suite widens."""
+"""Event-time window + JSON suite over the `events` stream table
+(SURVEY §2.9 extension surface).
+
+The reference has no event-time windows — its watermark machinery is
+micro-batch CDC. These queries are the engine's streaming-semantics
+surface, run in batch mode so the DuckDB oracle can check them; the
+identical expressions run under Structured Streaming with a watermark
+(d365fo_db_sync_spark.streaming).
+
+Float discipline: `value` is summed through DECIMAL(18,6) in both
+engines (binary doubles are effectively never on a rounding boundary,
+and decimal accumulation is order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import windows
+from d365fo_db_sync_spark.sources import load_table
+from d365fo_db_sync_spark.suite import register
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    bench=True,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — the batch form of
+    ``groupBy(window(ts, '1 hour'))``; under streaming the same plan
+    runs with ``withWatermark``. One shuffle on (window, type)."""
+    e = load_table(spark, sf_dir, "events")
+    out = windows.tumbling_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        [
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        ],
+        extra_group=("event_type",),
+    )
+    return out
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM buckets
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows — every event lands in two windows; the
+    oracle materializes the same assignment with a two-bucket union."""
+    e = load_table(spark, sf_dir, "events")
+    return windows.sliding_window_agg(
+        e,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        ],
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS cnt
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — Spark's native
+    session_window; the oracle is the classic gaps-and-islands
+    formulation. Session end = last event + gap, matching Spark."""
+    e = load_table(spark, sf_dir, "events")
+    out = windows.session_window_agg(
+        e, "ts", "30 minutes", ["user_id"], [F.count("*").alias("cnt")]
+    )
+    return out.select("user_id", "session_start", "session_end", "cnt")
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column (SURVEY §2.8 extension;
+    `events.props` is JSON-encoded) — stays in JVM codegen via
+    get_json_object, no UDF."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return e.select("event_id", "event_type", k.alias("k_value")).filter(
+        F.col("k_value") >= 50
+    )
+
+
+@register(
+    "events_type_rollup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           COUNT(DISTINCT user_id) AS users,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6 + distinct-agg over the stream table (distinct aggregates are
+    a SURVEY §2.4 'not present in reference, engine adds' item)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "events_cube_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(day FROM ts) AS INTEGER) AS day_of_month,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY CUBE (event_type, day_of_month)
+    """,
+)
+def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY §2.4 'engine adds' surface: cube/rollup
+    are Spark built-ins the reference lacks)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").alias("day_of_month")
+    )
+    return e.cube("event_type", "day_of_month").agg(F.count("*").alias("cnt"))

@@ -1,1 +1,159 @@
-"""Placeholder — filled in as the suite widens."""
+"""End-to-end sync-engine suite: the reference's whole pipeline as a
+single deterministic, ORACLE-CHECKED scenario.
+
+Two versioned source snapshots are derived from `orders`; the engine
+runs a first standard sync (fresh target) and then an incremental cycle
+(deletes + modifications + late-arriving "new" rows below the
+watermark). The reference's core promise — "make the last N records the
+same between source and target" (README.md:9) — means the final target
+state IS SQL-expressible: `SELECT ... FROM v2 ORDER BY key DESC LIMIT N`.
+The DuckDB oracle asserts exactly that, which transitively verifies mode
+selection, the 3-step merge, late-data widening (T4), idempotent insert
+(T5) and the watermark commit (T1).
+
+Targets/state live in a per-invocation temp directory (torn down by the
+OS); everything else is pure DataFrame.
+
+Scenario derivation (Spark and SQL in lockstep):
+  v1 = orders minus keys %89==0 (these arrive "late" in v2 with OLD
+       versions -> only recoverable via watermark widening)
+  v2 = orders minus keys %97==0 (deletions), with keys %13==0 modified
+       (version +2e9, amount +1000)
+  version = o_orderkey * 2 (+bump); N = 5000 of 15000 keys.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.sinks import ParquetTarget
+from d365fo_db_sync_spark.sources import load_table
+from d365fo_db_sync_spark.state import StateStore
+from d365fo_db_sync_spark.suite import register
+from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+_N = 5000
+_BUMP = 2_000_000_000
+
+
+def _v1(orders: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey")
+    return orders.filter(F.pmod(k, 89) != 0).select(
+        k.alias("RecId"),
+        (k * 2).alias("SysRowVersion"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+def _v2(orders: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey")
+    modified = F.pmod(k, 13) == 0
+    return orders.filter(F.pmod(k, 97) != 0).select(
+        k.alias("RecId"),
+        (k * 2 + F.when(modified, F.lit(_BUMP)).otherwise(0)).alias("SysRowVersion"),
+        F.when(modified, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+_FINAL_STATE_SQL = f"""
+    WITH v2 AS (
+      SELECT o_orderkey AS RecId,
+             o_orderkey * 2
+               + CASE WHEN o_orderkey % 13 = 0 THEN {_BUMP} ELSE 0 END AS SysRowVersion,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS amount,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 97 <> 0)
+    SELECT RecId, SysRowVersion, amount, status
+    FROM v2 ORDER BY RecId DESC LIMIT {_N}
+"""
+
+
+def _run_cycles(spark: SparkSession, sf_dir: str) -> tuple[SyncEngine, ParquetTarget, list]:
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="syncq_")
+    store = StateStore(f"{work}/state.json")
+    engine = SyncEngine(spark, store, SyncConfig(record_count=_N))
+    target = ParquetTarget(f"{work}/orders_tgt")
+    reports = [
+        engine.sync_table("orders", _v1(orders), target),
+        engine.sync_table("orders", _v2(orders), target),
+    ]
+    return engine, target, reports
+
+
+@register("sync_incremental_e2e", oracle=_FINAL_STATE_SQL, bench=True)
+def sync_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: standard first sync, then an incremental cycle over
+    a mutated source (deletes, version-bumped modifications, late rows
+    below the watermark). Returns the final target table; the oracle is
+    the engine's contract — the last N source rows, verbatim."""
+    engine, target, reports = _run_cycles(spark, sf_dir)
+    assert reports[1].mode == "INCREMENTAL", reports[1]
+    return target.read(spark).select("RecId", "SysRowVersion", "amount", "status")
+
+
+@register(
+    "sync_noop_fastpath",
+    oracle=f"""
+    SELECT 'NO_CHANGE' AS mode,
+           LEAST({_N}, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 89 <> 0))
+             AS tgt_rows
+    """,
+)
+def sync_noop_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 perfect-sync short circuit: re-syncing an unchanged source must
+    touch nothing — no deletes, no inserts, NO_CHANGE mode. Returns the
+    observed (mode, target row count) as a 1-row frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="syncq_")
+    store = StateStore(f"{work}/state.json")
+    engine = SyncEngine(spark, store, SyncConfig(record_count=_N))
+    target = ParquetTarget(f"{work}/orders_tgt")
+    engine.sync_table("orders", _v1(orders), target)
+    rpt = engine.sync_table("orders", _v1(orders), target)
+    n = target.read(spark).count()
+    return spark.createDataFrame([(rpt.mode, n)], "mode string, tgt_rows long")
+
+
+@register(
+    "sync_truncate_fallback",
+    oracle=f"""
+    WITH v2 AS (
+      SELECT o_orderkey AS RecId,
+             o_orderkey * 2 + {_BUMP} AS SysRowVersion,
+             o_totalprice + 1000.0 AS amount,
+             o_orderstatus AS status
+      FROM orders)
+    SELECT RecId, SysRowVersion, amount, status
+    FROM v2 ORDER BY RecId DESC LIMIT {_N}
+    """,
+)
+def sync_truncate_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/T2 cost-based fallback: when every row in the window changed
+    (100% >= the 40% threshold), the engine must pick TRUNCATE and fully
+    refresh — the oracle is again the last-N contract over the new
+    source version."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    all_modified = orders.select(
+        k.alias("RecId"),
+        (k * 2 + F.lit(_BUMP)).alias("SysRowVersion"),
+        (F.col("o_totalprice") + 1000.0).alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    work = tempfile.mkdtemp(prefix="syncq_")
+    store = StateStore(f"{work}/state.json")
+    engine = SyncEngine(spark, store, SyncConfig(record_count=_N))
+    target = ParquetTarget(f"{work}/orders_tgt")
+    engine.sync_table("orders", _v1(orders), target)
+    rpt = engine.sync_table("orders", all_modified, target)
+    assert rpt.mode == "TRUNCATE", rpt
+    return target.read(spark).select("RecId", "SysRowVersion", "amount", "status")

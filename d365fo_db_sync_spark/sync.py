@@ -98,6 +98,39 @@ class SyncEngine:
         report.duration_sec = time.time() - t0
         return report
 
+    def merge_upsert(self, name: str, batch: DataFrame, target: ParquetTarget) -> SyncReport:
+        """Delta-batch upsert: replace-or-insert by key, never delete.
+
+        This is the merge shape for CDC micro-batches (each batch carries
+        only changed rows, unlike the snapshot window sync_table expects).
+        Equivalent to MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT;
+        idempotent on replay (T5) because the batch rows simply replace
+        the same keys again.
+        """
+        t0 = time.time()
+        key, ver = self.config.key, self.config.version
+        batch = batch.cache()
+        row = batch.agg(
+            F.count("*").alias("n"),
+            F.max(key).alias("max_key"),
+            F.max(ver).alias("max_ver") if ver in batch.columns else F.lit(None).alias("max_ver"),
+        ).first()
+        report = SyncReport(table=name, mode=INCREMENTAL, inserted=row["n"])
+        if row["n"] == 0:
+            report.mode = NO_CHANGE
+            batch.unpersist()
+            return report
+        if target.exists():
+            tgt_df = target.read(self.spark)
+            survivors = tgt_df.join(batch.select(key), on=key, how="left_anti")
+            new_tgt = survivors.unionByName(batch.select(*survivors.columns))
+        else:
+            new_tgt = batch
+        self._swap_and_commit(name, new_tgt, target, row["max_key"], row["max_ver"])
+        batch.unpersist()
+        report.duration_sec = time.time() - t0
+        return report
+
     # -- optimized path (CopyOrchestrator.cs:812-939) -------------------------
 
     def _sync_optimized(

@@ -1,0 +1,157 @@
+"""Unit tests for the scale-extension operator families:
+dedup (exact / MinHash-LSH / SimHash / Jaccard), similarity search,
+text analysis, multimodal plumbing.
+
+Synthetic micro-frames with planted duplicates keep these fast and make
+recall assertions exact; the value-level oracle checks live in
+tools/check.py over the corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import dedup, multimodal, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while a cold wind blows across the open field and the tall grass sways"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("cold wind", "warm breeze")),  # near dup of 0
+        (3, "completely different content about spark dataframes and shuffles "
+            "partitions executors tasks stages jobs catalyst tungsten codegen"),
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_key(spark, docs):
+    out = dedup.exact_dedup(
+        docs.select("doc_id", text.fingerprint("text").alias("fp")), ["fp"], "doc_id"
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {0, 2, 3, 4}  # doc 1 collapsed into doc 0
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs and (1, 2) in pairs  # near dup
+    assert (0, 3) not in pairs  # disjoint content
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_simhash_candidates_recall(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidates(docs, "doc_id", "text").collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 4-dim embeddings: 0/1 identical, 2 close to them, 3 orthogonal
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_bruteforce(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = similarity.cosine_topk_bruteforce(vectors, q, k=2).collect()
+    assert [r["neighbor_id"] for r in res] == [1, 2]
+    assert res[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_embedding_near_duplicates_exact_pair(spark, vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_near_duplicates(
+            vectors, threshold=0.95, bits=4, dim=4
+        ).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 3) not in pairs
+
+
+def test_lsh_near_dup_is_subset_of_exact(spark):
+    from d365fo_db_sync_spark.suite.similarity_q import (
+        similarity_near_dup_exact,
+        similarity_near_dup_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity_near_dup_exact(spark, "/root/testdata/sf0.001").collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity_near_dup_lsh(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert exact[k] == v
+
+
+def test_language_id_and_quality(spark):
+    rows = [
+        (0, "the cat and the dog is a friend of the bird"),
+        (1, "el gato y la casa de los perros es que grande"),
+        (2, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", text.language_id("text").alias("lang")).collect()}
+    assert langs == {0: "en", 1: "es", 2: "unknown"}
+    q = text.quality_features(df, "text").filter(F.col("doc_id") == 0).first()
+    assert q["n_tokens"] == 11
+    assert q["stopword_ratio"] > 0.3
+
+
+def test_multimodal_decode_roundtrip(spark):
+    for mt in ("image", "audio", "video"):
+        multimodal.register_codec(mt, multimodal.fake_codec)
+    rows = [(0, "image", b"abcd" * 32), (1, "audio", b"xy"), (2, "video", None)]
+    assets = spark.createDataFrame(rows, "asset_id long, media_type string, content binary")
+    out = {r["asset_id"]: r for r in multimodal.decode_features(assets).collect()}
+    assert out[0]["width"] is not None and out[0]["n_bytes"] == 128
+    assert out[1]["duration_ms"] == 20
+    assert out[2]["n_bytes"] == 0
+    assert len(out[0]["feature"]) == 8
+
+
+def test_multimodal_missing_codec_raises(spark):
+    multimodal._CODECS.clear()
+    assets = spark.createDataFrame(
+        [(0, "image", b"x")], "asset_id long, media_type string, content binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        multimodal.decode_features(assets).collect()
