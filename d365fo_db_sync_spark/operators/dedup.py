@@ -191,28 +191,71 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs above ``threshold``.
 
-    With ``candidates`` (e.g. from MinHash-LSH) the exact check runs only
-    on candidate pairs — the scale path. Without, it self-joins on shared
-    shingles (still sub-quadratic: only pairs sharing >= 1 shingle meet).
+    With ``candidates`` (e.g. from MinHash-LSH) the exact check verifies
+    only the candidate pairs via a JVM ``array_intersect`` — no shingle
+    self-join at all. Without, candidates come from **prefix filtering**
+    (AllPairs / PPJoin family): under a global rarest-first shingle
+    ordering, two sets with Jaccard >= t must share an element within
+    their first ``sz - floor(t*sz) + 1`` shingles, so the self-join meets
+    only on rare prefix shingles instead of every shared shingle — this
+    is what keeps the quadratic blowup bounded on low-entropy corpora
+    and at 100 TB. Both paths are exact (prefix filtering is complete),
+    so results are identical to the naive all-shared-shingles join.
     """
-    sets = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
-    ).withColumn("set_size", F.size("sh"))
-    exploded = sets.select(id_col, "set_size", F.explode("sh").alias("g"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    sets = (
+        df.select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh"))
+        .withColumn("set_size", F.size("sh"))
+        .cache()
     )
-    common = joined.groupBy(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.col("a.set_size").alias("size_a"),
-        F.col("b.set_size").alias("size_b"),
-    ).agg(F.count("*").alias("common"))
-    if candidates is not None:
-        common = common.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    if candidates is None:
+        candidates = _prefix_filter_candidates(sets, id_col, threshold)
+    a = sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("set_size").alias("size_a")
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("set_size").alias("size_b")
+    )
+    verified = (
+        candidates.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
     jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
-    return common.select(
+    return verified.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def _prefix_filter_candidates(sets: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Candidate pairs via prefix filtering with a rarest-first global
+    ordering. Prefix length ``sz - floor(t*sz) + 1`` is >= the canonical
+    ``sz - ceil(t*sz) + 1`` (floor used to dodge float-boundary error on
+    t*sz), so completeness is preserved. Size-compatibility pruning
+    (``t*max(sa,sb) <= min(sa,sb)``) is applied inside the join."""
+    from pyspark.sql import Window
+
+    tok = sets.select(id_col, "set_size", F.explode("sh").alias("g"))
+    freq = tok.groupBy("g").agg(F.count("*").alias("df_g"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df_g"), F.asc("g"))
+    prefix = (
+        tok.join(freq, on="g")
+        .withColumn("r", F.row_number().over(w))
+        .filter(
+            F.col("r")
+            <= F.col("set_size") - F.floor(F.lit(threshold) * F.col("set_size")) + 1
+        )
+        .select(id_col, "set_size", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    t = F.lit(threshold)
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.set_size") >= t * F.col("a.set_size"))
+            & (F.col("a.set_size") >= t * F.col("b.set_size")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

@@ -709,3 +709,105 @@ def lag_lead_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_value").alias("prev_value"),
         F.col("next_value").alias("next_value"),
     )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+ — INTERSECT ALL (multiplicity-preserving; SURVEY §2.7 names it
+    absent from the reference but part of the engine surface)."""
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return setops.intersect_all(orders, cust)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ — EXCEPT ALL (multiplicity-preserving difference)."""
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return setops.except_all(orders, cust)
+
+
+@register(
+    "script_line_filter",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id AS line_no,
+             CASE WHEN doc_id % 5 = 0 THEN '-- ' || text
+                  WHEN doc_id % 7 = 0 THEN '   '
+                  ELSE text END AS line
+      FROM documents)
+    SELECT line_no, line FROM lines
+    WHERE NOT starts_with(ltrim(line), '--') AND length(trim(line)) > 0
+    """,
+)
+def script_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — post-transfer script-line filter: skip `--` comments and
+    blank lines, keep the rest in order
+    (PostTransferSqlService.cs:43-79). Lines are derived
+    deterministically from the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.col("doc_id").alias("line_no"),
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.concat(F.lit("-- "), F.col("text")))
+        .when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("   "))
+        .otherwise(F.col("text"))
+        .alias("line"),
+    )
+    return lines.filter(
+        ~F.startswith(F.ltrim(F.col("line")), F.lit("--"))
+        & (F.length(F.trim(F.col("line"))) > 0)
+    )
+
+
+@register(
+    "percentile_metrics",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.95) AS p95_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension — exact interpolated percentiles (Spark
+    `percentile` == DuckDB `quantile_cont`). Low-cardinality int input
+    means the interpolation lands inside runs of equal values, keeping
+    both engines bit-identical. At 100 TB the same query shape swaps in
+    approx_percentile (sketch, one pass, mergeable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register("approx_distinct_sketch", oracle=None)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension — HyperLogLog++ distinct-count sketch
+    (approx_count_distinct, rsd=0.01). Sketch internals differ across
+    engines so there is no value-level oracle; the pytest suite asserts
+    the estimate is within the configured error of the exact count. At
+    100 TB this replaces exact COUNT(DISTINCT) — mergeable, single-pass,
+    constant memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orderkeys"),
+        F.count("*").alias("n_rows"),
+    )

@@ -155,3 +155,23 @@ def test_multimodal_missing_codec_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         multimodal.decode_features(assets).collect()
+
+
+def test_approx_distinct_within_rsd(spark):
+    from d365fo_db_sync_spark.suite.core import approx_distinct_sketch
+
+    got = {
+        r["l_returnflag"]: r["approx_orderkeys"]
+        for r in approx_distinct_sketch(spark, "/root/testdata/sf0.001").collect()
+    }
+    from d365fo_db_sync_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").alias("n")
+        ).collect()
+    }
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) <= max(0.05 * exact[flag], 5)
