@@ -38,6 +38,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
+            # keep the raw nanos column: predicates on the CONVERTED ts
+            # cannot reach the parquet scan (computed column), but an
+            # equivalent range predicate on ts_nanos pushes down and
+            # enables row-group skipping (see SCALE.md pushdown gap)
+            df = df.withColumn("ts_nanos", F.col("ts"))
             # epoch-nanos -> TIMESTAMP_NTZ via pure interval arithmetic:
             # exact to the microsecond and independent of the session
             # timezone (timestamp_micros() would yield LTZ and render
