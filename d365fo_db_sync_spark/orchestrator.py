@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from d365fo_db_sync_spark import projection
 from d365fo_db_sync_spark.sinks import ParquetTarget
 from d365fo_db_sync_spark.strategy import (
+    Fetcher,
     Strategy,
+    StrategyType,
     get_strategy,
     parse_strategy_overrides,
 )
@@ -139,9 +141,26 @@ class Orchestrator:
                 return  # stays Pending, like the drained queue on auto-stop
             plan.status = "Processing"
             try:
-                src = sources[plan.name].select(*plan.copyable_fields)
+                src = sources[plan.name]
                 target = ParquetTarget(os.path.join(target_root, plan.name))
-                plan.report = self.engine.sync_table(plan.name, src, target)
+                fetcher = Fetcher(
+                    self.spark,
+                    src,
+                    plan.strategy,
+                    fields=plan.copyable_fields,
+                    key=self.engine.config.key,
+                    version=self.engine.config.version,
+                    default_count=self.engine.config.record_count,
+                )
+                plan.report = self.engine.sync_table(
+                    plan.name,
+                    src.select(*plan.copyable_fields),
+                    target,
+                    fetcher=fetcher,
+                    # -truncate flag and System strategy force full refresh
+                    force_truncate=plan.strategy.use_truncate
+                    or plan.strategy.type == StrategyType.SYSTEM,
+                )
                 plan.status = "Completed"
             except Exception as e:  # noqa: BLE001 — per-table fault containment (R11)
                 plan.status = "Failed"

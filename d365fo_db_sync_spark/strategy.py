@@ -199,3 +199,92 @@ def compile_fetch(
         flags=re.IGNORECASE,
     )
     return spark.sql(sql)
+
+
+class Fetcher:
+    """The three physical specializations of one table's strategy
+    (SURVEY §3 entry point 3): the reference expands ONE SQL template
+    into a full fetch, a 2-column control fetch (star ->
+    "RecId, SysRowVersion", Tier2DataService.cs:344-353), and a
+    watermark-filtered incremental fetch (@sysRowVersionFilter -> the
+    stored-threshold predicate, Tier2DataService.cs:393-411). RECID and
+    SYSTEM strategies compile to declarative DataFrame ops directly.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        strategy: Strategy,
+        fields: list[str],
+        key: str = "RecId",
+        version: str = "SysRowVersion",
+        default_count: int = 10_000,
+    ) -> None:
+        self.spark = spark
+        self.source = source
+        self.strategy = strategy
+        self.fields = fields
+        self.key = key
+        self.version = version
+        self.n = strategy.record_count or default_count
+
+    # -- the three variants ---------------------------------------------------
+
+    def full(self) -> DataFrame:
+        """Full/truncate pass: @sysRowVersionFilter folds to (1 = 1)."""
+        from d365fo_db_sync_spark.scans import top_n_by_key
+
+        if self.strategy.type == StrategyType.SYSTEM:
+            return self.source.select(*self.fields)
+        if self.strategy.type == StrategyType.RECID:
+            return top_n_by_key(self.source, self.key, self.n, fields=self.fields)
+        return self._sql(self.fields, "(1 = 1)")
+
+    def control(self) -> DataFrame:
+        """Control pass: projection forced to (key, version) before the
+        top-k — the 99%-transfer-cut column pruning."""
+        from d365fo_db_sync_spark.scans import control_scan
+
+        if self.strategy.type == StrategyType.SQL:
+            return self._sql([self.key, self.version], "(1 = 1)")
+        n = None if self.strategy.type == StrategyType.SYSTEM else self.n
+        return control_scan(self.source, key=self.key, version=self.version, n=n)
+
+    def incremental(self, version_threshold, min_key) -> DataFrame:
+        """Incremental pass: the pushdown slot becomes the watermark
+        predicate; RECID compiles to the same range filters natively."""
+        from d365fo_db_sync_spark.scans import watermark_scan
+
+        if self.strategy.type == StrategyType.SQL:
+            pred = (
+                f"(`{self.version}` >= {int(version_threshold)}"
+                f" AND `{self.key}` >= {int(min_key)})"
+            )
+            return self._sql(self.fields, pred)
+        return watermark_scan(
+            self.source,
+            version_threshold=version_threshold,
+            min_key=min_key,
+            key=self.key,
+            version=self.version,
+            fields=self.fields,
+        )
+
+    def _sql(self, fields: list[str], watermark_predicate: str) -> DataFrame:
+        view = f"__strategy_src_{self.strategy.table.lower()}"
+        self.source.createOrReplaceTempView(view)
+        sql = expand_sql_template(
+            self.strategy.sql_template,
+            fields,
+            self.n,
+            watermark_predicate=watermark_predicate,
+            key=self.key,
+        )
+        sql = re.sub(
+            rf"\bFROM\s+\[?{re.escape(self.strategy.table)}\]?",
+            f"FROM {view}",
+            sql,
+            flags=re.IGNORECASE,
+        )
+        return self.spark.sql(sql)

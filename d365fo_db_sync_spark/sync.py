@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from d365fo_db_sync_spark import delta, scans
+from d365fo_db_sync_spark import delta
 from d365fo_db_sync_spark.sinks import ParquetTarget
 from d365fo_db_sync_spark.state import StateStore, TableState
 
@@ -79,23 +79,67 @@ class SyncEngine:
 
     # -- public -------------------------------------------------------------
 
-    def sync_table(self, name: str, source: DataFrame, target: ParquetTarget) -> SyncReport:
+    def sync_table(
+        self,
+        name: str,
+        source: DataFrame,
+        target: ParquetTarget,
+        fetcher=None,
+        force_truncate: bool = False,
+    ) -> SyncReport:
         """Make the last N source rows (by key) identical in the target —
         the reference's core promise (README.md:9). Routes to the
-        optimized (watermark) path when state exists, else standard."""
+        optimized (watermark) path when state exists, else standard.
+
+        ``fetcher`` supplies the three physical fetch specializations
+        (strategy.Fetcher); omitted, the default RecId top-N shapes are
+        built from config. ``force_truncate`` is the strategy DSL's
+        ``-truncate`` flag / System mode: full refresh, no delta compare
+        (ProcessTableStandardModeAsync truncate branch,
+        CopyOrchestrator.cs:1281-1450)."""
         t0 = time.time()
         cfg = self.config
+        if fetcher is None:
+            from d365fo_db_sync_spark.strategy import Fetcher, Strategy
+
+            fetcher = Fetcher(
+                self.spark,
+                source,
+                Strategy(table=name, record_count=cfg.record_count),
+                fields=source.columns,
+                key=cfg.key,
+                version=cfg.version,
+                default_count=cfg.record_count,
+            )
         state = self.store.get(name)
-        optimized = (
+        if force_truncate:
+            report = self._sync_truncate(name, source, target, fetcher)
+        elif (
             cfg.version in source.columns
             and state.src_ts is not None
             and target.exists()
-        )
-        if optimized:
-            report = self._sync_optimized(name, source, target, state)
+        ):
+            report = self._sync_optimized(name, source, target, state, fetcher)
         else:
-            report = self._sync_standard(name, source, target)
+            report = self._sync_standard(name, source, target, fetcher)
         report.duration_sec = time.time() - t0
+        return report
+
+    def _sync_truncate(
+        self, name: str, source: DataFrame, target: ParquetTarget, fetcher
+    ) -> SyncReport:
+        cfg = self.config
+        key, ver = cfg.key, cfg.version
+        fetched = fetcher.full().cache()
+        row = fetched.agg(
+            F.max(key).alias("max_key"),
+            F.max(ver).alias("max_ver") if ver in source.columns else F.lit(None).alias("max_ver"),
+        ).first()
+        report = SyncReport(table=name, mode=TRUNCATE)
+        report.inserted = self._overwrite_and_commit(
+            name, fetched, target, row["max_key"], row["max_ver"]
+        )
+        fetched.unpersist()
         return report
 
     def merge_upsert(self, name: str, batch: DataFrame, target: ParquetTarget) -> SyncReport:
@@ -134,13 +178,14 @@ class SyncEngine:
     # -- optimized path (CopyOrchestrator.cs:812-939) -------------------------
 
     def _sync_optimized(
-        self, name: str, source: DataFrame, target: ParquetTarget, state: TableState
+        self, name: str, source: DataFrame, target: ParquetTarget, state: TableState, fetcher
     ) -> SyncReport:
         cfg = self.config
         key, ver = cfg.key, cfg.version
 
-        # S6: 2-column control scan of the sync window
-        control = scans.control_scan(source, key=key, version=ver, n=cfg.record_count).cache()
+        # S6: 2-column control scan of the sync window (strategy-aware:
+        # SQL templates get their star rewritten to (key, version))
+        control = fetcher.control().select(key, ver).cache()
         tgt_df = target.read(self.spark)
         tgt_keys = tgt_df.select(key)
 
@@ -189,7 +234,7 @@ class SyncEngine:
             or report.excess_percent >= cfg.truncate_threshold_percent
         ):
             report.mode = TRUNCATE
-            fetched = scans.top_n_by_key(source, key, cfg.record_count)
+            fetched = fetcher.full()
             report.inserted = self._overwrite_and_commit(name, fetched, target, max_key, max_ver)
             control.unpersist()
             missing_control.unpersist()
@@ -207,10 +252,9 @@ class SyncEngine:
             min_key, widen["min_missing_key"]
         )
 
-        # S7: watermark-filtered incremental fetch
-        fetched = scans.watermark_scan(
-            source, version_threshold=fetch_ts, min_key=fetch_floor, key=key, version=ver
-        )
+        # S7: watermark-filtered incremental fetch (strategy-aware: the
+        # template's @sysRowVersionFilter slot becomes this predicate)
+        fetched = fetcher.incremental(fetch_ts, fetch_floor)
 
         # T3: three-step merge as a survivors rewrite
         changed_keys = control.filter(F.col(ver) > F.lit(state.tgt_ts)).select(key)
@@ -234,11 +278,13 @@ class SyncEngine:
 
     # -- standard path (CopyOrchestrator.cs:1281-1450) ------------------------
 
-    def _sync_standard(self, name: str, source: DataFrame, target: ParquetTarget) -> SyncReport:
+    def _sync_standard(
+        self, name: str, source: DataFrame, target: ParquetTarget, fetcher
+    ) -> SyncReport:
         cfg = self.config
         key, ver = cfg.key, cfg.version
 
-        fetched = scans.top_n_by_key(source, key, cfg.record_count).cache()
+        fetched = fetcher.full().cache()
         row = fetched.agg(
             F.min(key).alias("min_key"), F.max(key).alias("max_key"),
             F.max(ver).alias("max_ver") if ver in source.columns else F.lit(None).alias("max_ver"),
