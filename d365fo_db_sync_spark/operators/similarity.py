@@ -209,3 +209,94 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, "object"]:
+    """IVF (inverted-file) index: k-means centroids partition the corpus
+    into n_lists cells; each vector is assigned to its nearest centroid.
+
+    Returns (assigned corpus with a `cell` column and precomputed norm,
+    fitted KMeansModel). Training samples at most ~100k vectors — at
+    100 TB the centroids come from a sample, assignment is a map-only
+    pass (broadcast centroids), and the index is written partitioned by
+    cell so a probe reads only its cells' files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = with_norm(df.select(id_col, vec_col), vec_col, "norm").withColumn(
+        "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_fv", predictionCol="cell")
+    model = km.fit(v.select("_fv"))
+    assigned = model.transform(v).drop("_fv")
+    return assigned, model
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    model,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k over an IVF index: each query scores only the vectors in
+    its ``n_probes`` nearest cells (by centroid distance), then exact
+    re-rank inside. Recall rises with n_probes (= brute force when
+    n_probes = n_lists). The probe join shuffles on the cell id —
+    ~n * n_probes / n_lists candidate rows instead of n per query."""
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    # probe-cell assignment as a pure column expression over centroid
+    # literals (like lsh_bucket): per query, squared distance to each
+    # centroid, array_sort on (dist, cell) structs, keep the n_probes
+    # nearest. Queries never touch the driver.
+    def _sq_dist(center: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.lit(center),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dist_structs = F.array(
+        *[
+            F.struct(_sq_dist(c).alias("d"), F.lit(i).cast("int").alias("cell"))
+            for i, c in enumerate(centers)
+        ]
+    )
+    q = with_norm(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec")), "q_vec", "q_norm"
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dist_structs), 1, n_probes), lambda s: s["cell"]
+            )
+        ),
+    )
+    pairs = q.join(assigned, on="cell")
+    cos = _dot(F.col("q_vec"), F.col(vec_col)) / (F.col("q_norm") * F.col("norm"))
+    scored = pairs.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).filter(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "rnk", "neighbor_id", "cosine")
+    )

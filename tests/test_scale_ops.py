@@ -175,3 +175,34 @@ def test_approx_distinct_within_rsd(spark):
     }
     for flag, est in got.items():
         assert abs(est - exact[flag]) <= max(0.05 * exact[flag], 5)
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF's contract holds on clusterable data: vectors near one of a
+    few prototype directions. On such data probing the nearest cells
+    recovers the true neighbors (uniform random vectors do NOT cluster,
+    and IVF recall there is ~n_probes/n_lists by design)."""
+    import math
+
+    protos = [
+        [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    for i in range(200):
+        p = protos[i % 4]
+        jitter = [0.15 * math.sin(i * 1.7 + d) for d in range(4)]
+        rows.append((i, [p[d] + jitter[d] for d in range(4)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    assigned, model = similarity.ivf_index(emb, n_lists=4)
+    approx = similarity.ivf_topk(assigned, model, queries, k=5, n_probes=2)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    e, a = pairs(exact), pairs(approx)
+    assert len(a & e) / len(e) >= 0.9  # probe recall on clustered data
