@@ -94,3 +94,83 @@ def stream_tumbling_counts(
     return res.select(
         F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *others
     )
+
+
+def stateful_sessionize(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: event-time sessionization with
+    ``applyInPandasWithState`` — the surface Spark's built-in
+    ``session_window`` cannot cover when per-session custom state or
+    emission logic is needed.
+
+    Per key, events are folded into gap-separated sessions; a session
+    closes (and emits) either when a later event arrives beyond the gap,
+    or when the event-time timeout fires after the watermark passes
+    session_end + gap. State per key is three scalars — bounded
+    regardless of corpus size — and the watermark bounds how long it
+    lives, exactly like the reference bounds its incremental window with
+    the stored rowversion (T1/T4).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start_us long, end_us long, cnt long"
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(key, start_us: int, end_us: int, cnt: int):
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [cnt],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        (k,) = key
+        if state.hasTimedOut:
+            start_us, end_us, cnt = state.get
+            state.remove()
+            yield _emit(k, start_us, end_us, cnt)
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col]))
+        if not ts_us:
+            return
+        ts_us.sort()
+        if state.exists:
+            start_us, end_us, cnt = state.get
+        else:
+            start_us, end_us, cnt = ts_us[0], ts_us[0], 0
+        for t in ts_us:
+            if t - end_us > gap_us:
+                yield _emit(k, start_us, end_us, cnt)
+                start_us, end_us, cnt = t, t, 1
+            else:
+                end_us = max(end_us, t)
+                cnt += 1
+        state.update((start_us, end_us, cnt))
+        # close the open session once the watermark passes end + gap
+        state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -77,3 +77,50 @@ def test_stream_tumbling_counts_matches_batch(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path):
+    from d365fo_db_sync_spark.streaming import stateful_sessionize
+
+    src_dir = str(tmp_path / "sess_src")
+    os.makedirs(src_dir)
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+    schema = "user_id long, ts timestamp"
+
+    # user 1: two sessions separated by > gap; user 2: one session
+    batch1 = spark.createDataFrame(
+        [
+            (1, base), (1, base + dt.timedelta(minutes=5)),
+            (1, base + dt.timedelta(hours=3)),
+            (2, base + dt.timedelta(minutes=1)),
+        ],
+        schema,
+    )
+    batch1.write.mode("append").parquet(src_dir)
+
+    def drain():
+        stream = spark.readStream.schema(batch1.schema).parquet(src_dir)
+        out = stateful_sessionize(stream, gap_seconds=1800, watermark_delay="1 minute")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "sess_out"))
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # sentinel far in the future advances the watermark so the remaining
+    # open sessions time out and emit on the next run
+    spark.createDataFrame(
+        [(99, base + dt.timedelta(days=2))], schema
+    ).write.mode("append").parquet(src_dir)
+    drain()
+
+    rows = spark.read.parquet(str(tmp_path / "sess_out")).collect()
+    sessions = {(r["user_id"], r["n_events"]) for r in rows}
+    assert (1, 2) in sessions  # first session of user 1 (2 events)
+    assert (1, 1) in sessions  # second session of user 1
+    assert (2, 1) in sessions  # user 2's only session
