@@ -206,3 +206,32 @@ def test_ivf_topk_recall_on_clustered_data(spark):
 
     e, a = pairs(exact), pairs(approx)
     assert len(a & e) / len(e) >= 0.9  # probe recall on clustered data
+
+
+def test_pandas_udf_cosine_matches_jvm_fold(spark, vectors):
+    """U4 — the Arrow slow path must agree with the JVM fold to 1e-12."""
+    from d365fo_db_sync_spark.functions.pandas_udfs import cosine_pandas_udf
+    from d365fo_db_sync_spark.operators.similarity import _dot, _norm
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    udf = cosine_pandas_udf(q)
+    jvm = (
+        _dot(F.col("embedding"), F.lit(q)) / (_norm(F.col("embedding")) * F.lit(1.0))
+    )
+    rows = vectors.select(
+        "vec_id", udf(F.col("embedding")).alias("py"), jvm.alias("jvm")
+    ).collect()
+    for r in rows:
+        assert abs(r["py"] - r["jvm"]) < 1e-12, r
+
+
+def test_grouped_robust_stats(spark):
+    from d365fo_db_sync_spark.functions.pandas_udfs import grouped_robust_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 100.0), ("b", 5.0)], "g string, v double"
+    )
+    out = {r["group_key"]: r for r in grouped_robust_stats(df, "g", "v").collect()}
+    assert out["a"]["median"] == 2.0
+    assert out["a"]["mad"] == 1.0  # |1-2|,|2-2|,|100-2| -> median 1
+    assert out["b"]["n"] == 1 and out["b"]["mad"] == 0.0
