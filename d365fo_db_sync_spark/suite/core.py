@@ -818,3 +818,25 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orderkeys"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "grouped_collect_keysets",
+    oracle="""
+    SELECT user_id,
+           list(DISTINCT event_type ORDER BY event_type) AS event_types,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def grouped_collect_keysets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A11/S2 — distributed key-set collection and grouped collect
+    (the schema-dictionary build shape, Tier2DataService.cs:517-538, and
+    GetRecIdSetAsync, AxDbDataService.cs:1068-1088). collect_set is
+    unordered, so the array is sorted to make the value deterministic —
+    the same discipline any engine needs for set-valued columns."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
