@@ -187,3 +187,38 @@ class Orchestrator:
             p.status, p.error = "Pending", ""
         self.process(failed, sources, target_root)
         return result
+
+
+# -- post-transfer action chain (U2/U3; MainForm.cs:1714-1753) ----------------
+
+
+def run_sql_script(spark: SparkSession, script: str) -> list[str]:
+    """Post-transfer SQL script runner (PostTransferSqlService.cs:23-96):
+    line-per-statement, skip blanks and `--` comments, stop on first
+    error. Returns the executed statements; raises on the failing one
+    with its line number."""
+    executed: list[str] = []
+    for i, raw in enumerate(script.splitlines(), start=1):
+        stmt = raw.strip()
+        if not stmt or stmt.startswith("--"):
+            continue
+        try:
+            spark.sql(stmt).collect()
+        except Exception as e:  # noqa: BLE001 — stop-on-first-error contract
+            raise RuntimeError(f"Post-transfer SQL failed at line {i}: {stmt!r}: {e}") from e
+        executed.append(stmt)
+    return executed
+
+
+def run_action_chain(result: RunResult, actions: list) -> list[str]:
+    """Post-run hook chain (the reference's SQL -> backup -> PowerShell
+    pipeline): each callable receives the RunResult; the chain stops at
+    the first failure and each stage is gated on all prior successes —
+    and on the run itself having no failed tables."""
+    ran: list[str] = []
+    if result.failed:
+        return ran
+    for action in actions:
+        action(result)
+        ran.append(getattr(action, "__name__", repr(action)))
+    return ran

@@ -129,3 +129,42 @@ def test_truncate_flag_forces_full_refresh(spark, sources, tmp_path):
 
     got = ParquetTarget(str(tmp_path / "tgt" / "CUSTTABLE")).read(spark)
     assert got.count() == 15  # top-15 by key, full refresh every run
+
+
+def test_post_transfer_sql_script(spark):
+    from d365fo_db_sync_spark.orchestrator import run_sql_script
+
+    spark.sql("DROP TABLE IF EXISTS _pt_demo")
+    script = """
+    -- comment line is skipped
+
+    CREATE TABLE _pt_demo (id INT) USING parquet
+    INSERT INTO _pt_demo VALUES (1), (2)
+    """
+    executed = run_sql_script(spark, script)
+    assert len(executed) == 2
+    assert spark.table("_pt_demo").count() == 2
+    with pytest.raises(RuntimeError, match="line 1"):
+        run_sql_script(spark, "SELECT * FROM _no_such_table_xyz")
+    spark.sql("DROP TABLE IF EXISTS _pt_demo")
+
+
+def test_action_chain_gated_on_success(spark):
+    from d365fo_db_sync_spark.orchestrator import RunResult, TablePlan, run_action_chain
+    from d365fo_db_sync_spark.strategy import Strategy
+
+    calls = []
+
+    def a1(res):
+        calls.append("a1")
+
+    def a2(res):
+        calls.append("a2")
+
+    ok = RunResult(plans=[TablePlan("T", Strategy("T"), ["A"], status="Completed")])
+    assert run_action_chain(ok, [a1, a2]) == ["a1", "a2"]
+
+    calls.clear()
+    bad = RunResult(plans=[TablePlan("T", Strategy("T"), ["A"], status="Failed")])
+    assert run_action_chain(bad, [a1, a2]) == []
+    assert calls == []
