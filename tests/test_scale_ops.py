@@ -235,3 +235,24 @@ def test_grouped_robust_stats(spark):
     assert out["a"]["median"] == 2.0
     assert out["a"]["mad"] == 1.0  # |1-2|,|2-2|,|100-2| -> median 1
     assert out["b"]["n"] == 1 and out["b"]["mad"] == 0.0
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from d365fo_db_sync_spark.operators.skew import salted_agg, top_frequent_keys
+
+    rows = [("hot", float(i)) for i in range(500)] + [("cold", 1.0), ("cold", 2.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: (r["total"], r["n"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df, ["k"],
+            {"total": ("v", "sum"), "n": ("*", "count"),
+             "lo": ("v", "min"), "hi": ("v", "max")},
+            salt=8,
+        ).collect()
+    }
+    assert got["hot"] == (sum(range(500)), 500, 0.0, 499.0)
+    assert got["cold"] == (3.0, 2, 1.0, 2.0)
+
+    hot = top_frequent_keys(df, "k", min_count=100).collect()
+    assert [r["k"] for r in hot] == ["hot"]
