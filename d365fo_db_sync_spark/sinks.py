@@ -116,3 +116,21 @@ class JdbcSink:
             chunk = ",".join(str(x) for x in ids[i : i + self.delete_batch_size])
             out.append(f"DELETE FROM {self.table} WHERE {key} IN ({chunk})")
         return out
+
+
+def snapshot(target: ParquetTarget, snapshot_root: str, label: str) -> str:
+    """Backup sink (S13, BackupService.cs:36-121): write the target's
+    current state to a labeled snapshot path. The reference's
+    ``[database]_[datetime].bak`` token pattern becomes a caller-built
+    label (date_format tokens); COPY_ONLY semantics hold for free — the
+    snapshot never participates in the pointer swap.
+    """
+    src = target.current_path()
+    if src is None:
+        raise FileNotFoundError(f"target {target.root} has no current version")
+    dest = os.path.join(snapshot_root, label)
+    if os.path.exists(dest):
+        raise FileExistsError(dest)
+    os.makedirs(snapshot_root, exist_ok=True)
+    shutil.copytree(src, dest)
+    return dest

@@ -201,3 +201,33 @@ def test_state_store_roundtrip(tmp_path):
     assert (st.src_ts, st.tgt_ts, st.max_transferred_key, st.next_sequence) == (10, 9, 123, 500)
     s2.clear("foo")
     assert StateStore(p).get("FOO").src_ts is None
+
+
+def test_config_profiles_roundtrip(tmp_path):
+    from d365fo_db_sync_spark.config import ConfigStore, EngineConfig
+
+    store = ConfigStore(str(tmp_path / "cfg.json"))
+    cfg = EngineConfig(parallel_workers=4, strategy_text="T|100 -truncate")
+    store.save("prod-sync", cfg)
+    assert not ConfigStore.is_valid_name("bad name!")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.save("bad name!", cfg)
+
+    again = ConfigStore(str(tmp_path / "cfg.json"))
+    assert again.load().parallel_workers == 4  # last-used pointer
+    assert again.names() == ["prod-sync"]
+
+
+def test_snapshot_sink(spark, tmp_path):
+    from d365fo_db_sync_spark.sinks import ParquetTarget, snapshot
+
+    tgt = ParquetTarget(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    tgt.overwrite(df)
+    dest = snapshot(tgt, str(tmp_path / "snaps"), "t_2024_01_01_0000")
+    assert spark.read.parquet(dest).count() == 2
+    # snapshot survives a subsequent overwrite (COPY_ONLY semantics)
+    tgt.overwrite(spark.createDataFrame([(9,)], "id long"))
+    assert spark.read.parquet(dest).count() == 2
