@@ -206,9 +206,15 @@ class SyncEngine:
         ).first()
         tgt_total, tgt_changed = trow["tgt_total"], trow["tgt_changed"]
 
-        # J2: keys in the control window missing from the target
-        missing_control = delta.missing_keys(control, tgt_keys, key=key).cache()
-        missing = missing_control.count()
+        # J2: keys in the control window missing from the target — count
+        # and the T4 widening bounds come from ONE aggregation job
+        missing_control = delta.missing_keys(control, tgt_keys, key=key)
+        mrow = missing_control.agg(
+            F.count("*").alias("missing"),
+            F.min(ver).alias("min_missing_ver"),
+            F.min(key).alias("min_missing_key"),
+        ).first()
+        missing = mrow["missing"]
 
         metrics = delta.change_metrics(src_changed, tgt_changed, control_rows, tgt_total)
         report = SyncReport(
@@ -225,7 +231,6 @@ class SyncEngine:
         if src_changed == 0 and tgt_changed == 0 and missing == 0 and tgt_total == control_rows:
             report.mode = NO_CHANGE
             control.unpersist()
-            missing_control.unpersist()
             return report
 
         # R5/T2: cost-based fallback to full refresh (CopyOrchestrator.cs:884-914)
@@ -237,19 +242,15 @@ class SyncEngine:
             fetched = fetcher.full()
             report.inserted = self._overwrite_and_commit(name, fetched, target, max_key, max_ver)
             control.unpersist()
-            missing_control.unpersist()
             return report
 
         # T4: late-data widening — rows older than the watermark but absent
         # from the target must still be recovered (CopyOrchestrator.cs:1106-1123)
-        widen = missing_control.agg(
-            F.min(ver).alias("min_missing_ver"), F.min(key).alias("min_missing_key")
-        ).first()
         fetch_ts = state.src_ts
-        if widen["min_missing_ver"] is not None:
-            fetch_ts = min(fetch_ts, widen["min_missing_ver"])
-        fetch_floor = min_key if widen["min_missing_key"] is None else min(
-            min_key, widen["min_missing_key"]
+        if mrow["min_missing_ver"] is not None:
+            fetch_ts = min(fetch_ts, mrow["min_missing_ver"])
+        fetch_floor = min_key if mrow["min_missing_key"] is None else min(
+            min_key, mrow["min_missing_key"]
         )
 
         # S7: watermark-filtered incremental fetch (strategy-aware: the
@@ -273,7 +274,6 @@ class SyncEngine:
 
         self._swap_and_commit(name, new_tgt, target, max_key, max_ver)
         control.unpersist()
-        missing_control.unpersist()
         return report
 
     # -- standard path (CopyOrchestrator.cs:1281-1450) ------------------------
