@@ -48,8 +48,8 @@ class CdcStreamPipeline:
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # a micro-batch is a DELTA, not a snapshot window — upsert by key,
-        # never delete (deletes arrive as explicit tombstones upstream)
+        # a micro-batch is a DELTA, not a snapshot window — upsert by
+        # key; rows carrying a true `__deleted` tombstone delete theirs
         self.engine.merge_upsert(self.table, batch_df, self.target)
 
     def start(self, stream_df: DataFrame, available_now: bool = True):

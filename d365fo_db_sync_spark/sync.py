@@ -142,36 +142,54 @@ class SyncEngine:
         fetched.unpersist()
         return report
 
+    #: optional tombstone marker column in CDC batches: rows where it is
+    #: true DELETE their key from the target instead of upserting
+    TOMBSTONE_COL = "__deleted"
+
     def merge_upsert(self, name: str, batch: DataFrame, target: ParquetTarget) -> SyncReport:
-        """Delta-batch upsert: replace-or-insert by key, never delete.
+        """Delta-batch merge: replace-or-insert by key; delete keys whose
+        rows carry a true ``__deleted`` tombstone marker.
 
         This is the merge shape for CDC micro-batches (each batch carries
         only changed rows, unlike the snapshot window sync_table expects).
-        Equivalent to MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT;
-        idempotent on replay (T5) because the batch rows simply replace
-        the same keys again.
+        Equivalent to MERGE WHEN MATCHED [AND tombstone] DELETE /
+        WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT; idempotent on
+        replay (T5): upserts re-replace the same keys, deletes of absent
+        keys are no-ops.
         """
         t0 = time.time()
         key, ver = self.config.key, self.config.version
-        batch = batch.cache()
-        row = batch.agg(
+        tomb = self.TOMBSTONE_COL
+        if tomb in batch.columns:
+            upserts = batch.filter(~F.coalesce(F.col(tomb), F.lit(False))).drop(tomb)
+            dead_keys = batch.filter(F.coalesce(F.col(tomb), F.lit(False))).select(key)
+        else:
+            upserts, dead_keys = batch, None
+        upserts = upserts.cache()
+        row = upserts.agg(
             F.count("*").alias("n"),
             F.max(key).alias("max_key"),
-            F.max(ver).alias("max_ver") if ver in batch.columns else F.lit(None).alias("max_ver"),
+            F.max(ver).alias("max_ver")
+            if ver in upserts.columns
+            else F.lit(None).alias("max_ver"),
         ).first()
-        report = SyncReport(table=name, mode=INCREMENTAL, inserted=row["n"])
-        if row["n"] == 0:
+        n_dead = dead_keys.count() if dead_keys is not None else 0
+        report = SyncReport(table=name, mode=INCREMENTAL, inserted=row["n"], deleted=n_dead)
+        if row["n"] == 0 and n_dead == 0:
             report.mode = NO_CHANGE
-            batch.unpersist()
+            upserts.unpersist()
             return report
         if target.exists():
             tgt_df = target.read(self.spark)
-            survivors = tgt_df.join(batch.select(key), on=key, how="left_anti")
-            new_tgt = survivors.unionByName(batch.select(*survivors.columns))
+            doomed = upserts.select(key)
+            if dead_keys is not None:
+                doomed = doomed.unionByName(dead_keys)
+            survivors = tgt_df.join(doomed, on=key, how="left_anti")
+            new_tgt = survivors.unionByName(upserts.select(*survivors.columns))
         else:
-            new_tgt = batch
+            new_tgt = upserts
         self._swap_and_commit(name, new_tgt, target, row["max_key"], row["max_ver"])
-        batch.unpersist()
+        upserts.unpersist()
         report.duration_sec = time.time() - t0
         return report
 

@@ -124,3 +124,28 @@ def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path):
     assert (1, 2) in sessions  # first session of user 1 (2 events)
     assert (1, 1) in sessions  # second session of user 1
     assert (2, 1) in sessions  # user 2's only session
+
+
+def test_cdc_merge_tombstones_delete_keys(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = StateStore(str(tmp_path / "ts_state.json"))
+    engine = SyncEngine(spark, store, SyncConfig())
+    target = ParquetTarget(str(tmp_path / "ts_tgt"))
+
+    base = spark.createDataFrame(
+        [(i, 2, 100 + i, float(i)) for i in range(10)], SCHEMA
+    )
+    engine.merge_upsert("T", base, target)
+
+    batch = spark.createDataFrame(
+        [(3, 3, 500, 99.0, True), (4, 3, 501, 44.0, False), (77, 2, 502, 7.0, True)],
+        SCHEMA + ", __deleted boolean",
+    )
+    rpt = engine.merge_upsert("T", batch, target)
+    got = {r["RecId"]: r["AMOUNT"] for r in target.read(spark).collect()}
+    assert 3 not in got  # tombstoned
+    assert got[4] == 44.0  # upserted
+    assert 77 not in got  # delete of absent key is a no-op
+    assert rpt.deleted == 2 and rpt.inserted == 1
+    assert len(got) == 9
