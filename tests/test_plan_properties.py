@@ -1,0 +1,65 @@
+"""Plan-property regression tests: the physical plans the 100 TB design
+depends on, pinned (see SCALE.md audit). A change that silently turns
+the top-k into a global sort or un-pushes a scan predicate fails here,
+not in production."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark import scans
+from d365fo_db_sync_spark.plans.audit import (
+    physical_operators,
+    pushed_filters,
+    read_schema,
+    uses,
+)
+from d365fo_db_sync_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_topn_is_distributed_topk_with_pruned_scan(spark):
+    orders = load_table(spark, SF, "orders")
+    df = scans.top_n_by_key(orders, "o_orderkey", 100, fields=["o_orderkey", "o_totalprice"])
+    assert uses(df, "TakeOrderedAndProject"), physical_operators(df)
+    assert not uses(df, "Sort"), "top-k must not global-sort"
+    assert set(read_schema(df)) == {"o_orderkey", "o_totalprice"}
+
+
+def test_watermark_predicates_reach_scan(spark):
+    events = load_table(spark, SF, "events").filter(
+        F.col("ts_nanos") >= F.lit(1705708800000000000)
+    )
+    df = scans.watermark_scan(
+        events, version_threshold="2024-01-20 00:00:00", min_key=500,
+        key="event_id", version="ts",
+    )
+    pushed = pushed_filters(df)
+    assert any("GreaterThanOrEqual(ts," in p for p in pushed), pushed
+    assert any("GreaterThanOrEqual(event_id,500" in p for p in pushed), pushed
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = load_table(spark, SF, "nation")
+    customer = load_table(spark, SF, "customer")
+    df = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    assert uses(df, "BroadcastHashJoin"), physical_operators(df)
+
+
+def test_full_outer_classify_is_sort_merge(spark):
+    from d365fo_db_sync_spark import delta
+
+    orders = load_table(spark, SF, "orders")
+    k = F.col("o_orderkey")
+    src = orders.select(k.alias("RecId"), F.pmod(k, 100).cast("int").alias("RECVERSION"))
+    tgt = orders.select(k.alias("RecId"), F.pmod(k, 100).cast("int").alias("RECVERSION"))
+    ctx = delta.ComparisonContext(has_recversion=True, has_created=False, has_modified=False)
+    df = delta.classify_changes(src, tgt, key="RecId", context=ctx, max_transferred_key=0)
+    assert uses(df, "SortMergeJoin"), physical_operators(df)
+
+
+def test_control_scan_prunes_to_two_columns(spark):
+    orders = load_table(spark, SF, "orders")
+    df = scans.control_scan(orders, key="o_orderkey", version="o_orderdate", n=100)
+    assert set(read_schema(df)) == {"o_orderkey", "o_orderdate"}
