@@ -30,8 +30,13 @@ class ParquetTarget:
     the pointer at read time.
     """
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, partition_by: list[str] | None = None) -> None:
+        """``partition_by``: hive-style partition columns for every write
+        — at scale this is what lets downstream scans partition-prune
+        (e.g. an IVF index partitioned by cell, a sync target by date).
+        """
         self.root = root
+        self.partition_by = list(partition_by or [])
         os.makedirs(root, exist_ok=True)
 
     # -- read ---------------------------------------------------------------
@@ -61,7 +66,10 @@ class ParquetTarget:
         """Stage + atomic pointer swap; old version GC'd after the swap."""
         name = f"v_{uuid.uuid4().hex[:12]}"
         staged = os.path.join(self.root, name)
-        df.write.mode("overwrite").parquet(staged)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(staged)
         old = self.current_path()
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:

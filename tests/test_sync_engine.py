@@ -231,3 +231,22 @@ def test_snapshot_sink(spark, tmp_path):
     # snapshot survives a subsequent overwrite (COPY_ONLY semantics)
     tgt.overwrite(spark.createDataFrame([(9,)], "id long"))
     assert spark.read.parquet(dest).count() == 2
+
+
+def test_partitioned_target_prunes_on_read(spark, tmp_path):
+    import os
+
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+    from d365fo_db_sync_spark.sinks import ParquetTarget
+
+    tgt = ParquetTarget(str(tmp_path / "pt"), partition_by=["day"])
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}") for i in range(30)], "id long, day string"
+    )
+    tgt.overwrite(df)
+    live = tgt.current_path()
+    assert any(e.startswith("day=") for e in os.listdir(live))  # hive layout
+
+    pruned = tgt.read(spark).filter("day = '2024-01-02'")
+    assert pruned.count() == 10
+    assert "PartitionFilters" in explain_formatted(pruned)
