@@ -289,17 +289,27 @@ def _prefix_filter_candidates(sets: DataFrame, id_col: str, threshold: float) ->
             F.col("r")
             <= F.col("set_size") - F.floor(F.lit(threshold) * F.col("set_size")) + 1
         )
-        .select(id_col, "set_size", "g")
+        .select(id_col, "set_size", "g", "r")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     t = F.lit(threshold)
+    # PPJoin positional filter: a token matched at prefix positions
+    # (ra, rb) bounds the possible overlap at 1 + min(sa-ra, sb-rb);
+    # the pair can only reach Jaccard >= t if that bound meets the
+    # required overlap t/(1+t)*(sa+sb). The 1e-9 slack keeps float
+    # boundary error from ever pruning a true pair.
+    ubound = F.lit(1) + F.least(
+        F.col("a.set_size") - F.col("a.r"), F.col("b.set_size") - F.col("b.r")
+    )
+    alpha = (t / (1 + threshold)) * (F.col("a.set_size") + F.col("b.set_size"))
     return (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.col("b.set_size") >= t * F.col("a.set_size"))
-            & (F.col("a.set_size") >= t * F.col("b.set_size")),
+            & (F.col("a.set_size") >= t * F.col("b.set_size"))
+            & (ubound >= alpha - F.lit(1e-9)),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
