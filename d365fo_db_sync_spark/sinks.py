@@ -142,3 +142,29 @@ def snapshot(target: ParquetTarget, snapshot_root: str, label: str) -> str:
     os.makedirs(snapshot_root, exist_ok=True)
     shutil.copytree(src, dest)
     return dest
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_col) at
+    WRITE time so every later equi-join or aggregation on that column
+    runs shuffle-free (Exchange-less SortMergeJoin between two tables
+    bucketed the same way).
+
+    This is the 100 TB answer for the sync workload's repeated key joins
+    (control ⋈ target, missing-keys, survivors): pay the partitioning
+    once on load, reuse it every cycle. Requires a metastore-backed
+    saveAsTable — plain parquet files cannot carry bucket metadata.
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

@@ -63,3 +63,30 @@ def test_control_scan_prunes_to_two_columns(spark):
     orders = load_table(spark, SF, "orders")
     df = scans.control_scan(orders, key="o_orderkey", version="o_orderdate", n=100)
     assert set(read_schema(df)) == {"o_orderkey", "o_orderdate"}
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed identically on the join key must join with no
+    Exchange on either side — the write-once/join-many co-location that
+    replaces per-cycle shuffles at scale."""
+    from d365fo_db_sync_spark.sinks import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS _bk_src")
+    spark.sql("DROP TABLE IF EXISTS _bk_tgt")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "RecId")
+    write_bucketed(df, "_bk_src", "RecId", num_buckets=8)
+    write_bucketed(df.withColumn("RecId", F.col("RecId") + 5_000), "_bk_tgt", "RecId", 8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the merge-join path: broadcast would bypass bucketing
+        # (and its BroadcastExchange is not the shuffle being tested)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("_bk_src").join(spark.table("_bk_tgt"), on="RecId")
+        ops = physical_operators(joined)
+        assert not any("Exchange" in o for o in ops), ops
+        assert joined.count() == 5_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS _bk_src")
+        spark.sql("DROP TABLE IF EXISTS _bk_tgt")
