@@ -36,6 +36,10 @@ def main() -> None:
     for name, fn in qs.items():
         best = float("inf")
         for _ in range(2):
+            # isolate runs: operators that cache intermediates would
+            # otherwise accumulate blocks across invocations and skew
+            # later queries via eviction pressure
+            spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
