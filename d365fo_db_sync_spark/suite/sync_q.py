@@ -157,3 +157,34 @@ def sync_truncate_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     rpt = engine.sync_table("orders", all_modified, target)
     assert rpt.mode == "TRUNCATE", rpt
     return target.read(spark).select("RecId", "SysRowVersion", "amount", "status")
+
+
+@register(
+    "strategy_sql_template_fetch",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_totalprice > 100000
+    ORDER BY o_orderkey DESC LIMIT 2000
+    """,
+)
+def strategy_sql_template_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — the strategy DSL's sql: template path end-to-end: parse a
+    DSL line, compile the template (star expansion to the copyable field
+    list, @recordCount substitution, @sysRowVersionFilter folded to
+    (1=1) for the full pass, TOP(n) hoisted to LIMIT), execute through
+    spark.sql so Catalyst prunes/pushes the user query like any other
+    plan (CopyOrchestrator.cs:1913-1935)."""
+    from d365fo_db_sync_spark.strategy import Fetcher, parse_strategy_line
+
+    s = parse_strategy_line(
+        "ORDERS|2000|sql:SELECT TOP (@recordCount) * FROM ORDERS "
+        "WHERE o_totalprice > 100000 AND @sysRowVersionFilter "
+        "ORDER BY o_orderkey DESC"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    f = Fetcher(
+        spark, orders, s,
+        fields=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        key="o_orderkey", version="o_orderdate",
+    )
+    return f.full()
