@@ -177,3 +177,30 @@ def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.dayofmonth("ts").alias("day_of_month")
     )
     return e.cube("event_type", "day_of_month").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_event, user_id, ts AS view_ts FROM events
+          WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts, v.view_event, v.view_ts
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event gets the SAME
+    user's most recent earlier-or-equal view event — the attribution /
+    last-touch shape. One shuffle on the user key via the union+window
+    trick; DuckDB's native ASOF JOIN is the oracle."""
+    from d365fo_db_sync_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols={"event_id": "view_event", "ts": "view_ts"},
+    )

@@ -256,3 +256,28 @@ def test_salted_agg_matches_plain_groupby(spark):
 
     hot = top_frequent_keys(df, "k", min_count=100).collect()
     assert [r["k"] for r in hot] == ["hot"]
+
+
+def test_asof_join_semantics(spark):
+    from d365fo_db_sync_spark.operators.asof import asof_join
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(10)), (2, 10, t(5)), (3, 20, t(30)), (4, 30, t(1))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(5)), (101, 10, t(9)), (102, 20, t(30)), (103, 20, t(31))],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r["id"]: r["match"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_cols={"rid": "match"}
+        ).collect()
+    }
+    assert out[1] == 101  # latest earlier
+    assert out[2] == 100  # equal ts matches (inclusive)
+    assert out[3] == 102  # equal ts, not the later one
+    assert out[4] is None  # no earlier right row -> NULL
