@@ -204,3 +204,37 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, views, on="user_id", left_ts="ts", right_ts="ts",
         right_cols={"event_id": "view_event", "ts": "view_ts"},
     )
+
+
+@register(
+    "events_interval_join_counts",
+    oracle="""
+    WITH s AS (SELECT event_id, ts FROM events WHERE event_type = 'signup'),
+    e AS (SELECT event_id AS err_id, ts AS err_ts FROM events WHERE event_type = 'error')
+    SELECT s.event_id AS window_id, COUNT(e.err_id) AS n_errors
+    FROM s LEFT JOIN e ON e.err_ts >= s.ts AND e.err_ts < s.ts + INTERVAL 2 HOUR
+    GROUP BY 1
+    """,
+)
+def events_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators/rangejoin.py): errors inside
+    each signup's 2-hour window, banded on the hour so the join is an
+    equi-join on band ids — never a nested-loop over
+    |points| x |intervals|. Zero-error windows survive via the final
+    left join (DuckDB's IEJoin is the oracle)."""
+    from d365fo_db_sync_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.make_interval(hours=F.lit(2))).alias("w_end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    pairs = interval_join(errors, signups, "err_ts", "w_start", "w_end", band_seconds=3600)
+    counts = pairs.groupBy("window_id").agg(F.count("*").alias("n_errors"))
+    return signups.join(counts, on="window_id", how="left").select(
+        "window_id", F.coalesce("n_errors", F.lit(0)).alias("n_errors")
+    )

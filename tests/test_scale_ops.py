@@ -281,3 +281,29 @@ def test_asof_join_semantics(spark):
     assert out[2] == 100  # equal ts matches (inclusive)
     assert out[3] == 102  # equal ts, not the later one
     assert out[4] is None  # no earlier right row -> NULL
+
+
+def test_interval_join_matches_naive(spark):
+    import datetime as dt
+
+    from d365fo_db_sync_spark.operators.rangejoin import interval_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    pts = spark.createDataFrame(
+        [(i, t(i * 7)) for i in range(9)], "pid long, pts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(0, t(0), t(15)), (1, t(10), t(40)), (2, t(58), t(59))],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "pts", "s", "e", band_seconds=600).collect()
+    }
+    naive = {
+        (p["pid"], i["iid"])
+        for p in pts.collect()
+        for i in ivs.collect()
+        if i["s"] <= p["pts"] < i["e"]
+    }
+    assert got == naive and len(naive) > 0
