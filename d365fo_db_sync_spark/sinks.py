@@ -61,6 +61,25 @@ class ParquetTarget:
             raise FileNotFoundError(f"no live version under {self.root}")
         return spark.read.parquet(path)
 
+    def num_rows(self) -> int:
+        """Row count of the live version from parquet footers — no Spark
+        job at all. Footers carry exact row counts, so post-write
+        accounting (rows inserted = new total − survivors) is free
+        instead of costing a pre-write recomputation of the insert
+        frame. Driver-side file walk; an object-store deployment would
+        swap in a listing client, the footer math is identical."""
+        import pyarrow.parquet as pq
+
+        path = self.current_path()
+        if path is None:
+            return 0
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(dirpath, fn)).metadata.num_rows
+        return total
+
     # -- write --------------------------------------------------------------
     def overwrite(self, df: DataFrame) -> None:
         """Stage + atomic pointer swap; old version GC'd after the swap."""

@@ -160,36 +160,36 @@ class SyncEngine:
         t0 = time.time()
         key, ver = self.config.key, self.config.version
         tomb = self.TOMBSTONE_COL
-        if tomb in batch.columns:
-            upserts = batch.filter(~F.coalesce(F.col(tomb), F.lit(False))).drop(tomb)
-            dead_keys = batch.filter(F.coalesce(F.col(tomb), F.lit(False))).select(key)
-        else:
-            upserts, dead_keys = batch, None
-        upserts = upserts.cache()
-        row = upserts.agg(
-            F.count("*").alias("n"),
-            F.max(key).alias("max_key"),
-            F.max(ver).alias("max_ver")
-            if ver in upserts.columns
+        is_tomb = (
+            F.coalesce(F.col(tomb), F.lit(False)) if tomb in batch.columns else F.lit(False)
+        )
+        batch = batch.cache()
+        # one agg job covers live count, tombstone count, and watermark
+        # maxima (previously two jobs: upsert agg + tombstone count)
+        row = batch.agg(
+            F.count(F.when(~is_tomb, 1)).alias("n"),
+            F.count(F.when(is_tomb, 1)).alias("n_dead"),
+            F.max(F.when(~is_tomb, F.col(key))).alias("max_key"),
+            F.max(F.when(~is_tomb, F.col(ver))).alias("max_ver")
+            if ver in batch.columns
             else F.lit(None).alias("max_ver"),
         ).first()
-        n_dead = dead_keys.count() if dead_keys is not None else 0
+        n_dead = row["n_dead"]
         report = SyncReport(table=name, mode=INCREMENTAL, inserted=row["n"], deleted=n_dead)
         if row["n"] == 0 and n_dead == 0:
             report.mode = NO_CHANGE
-            upserts.unpersist()
+            batch.unpersist()
             return report
+        upserts = batch.filter(~is_tomb).drop(tomb) if tomb in batch.columns else batch
         if target.exists():
             tgt_df = target.read(self.spark)
-            doomed = upserts.select(key)
-            if dead_keys is not None:
-                doomed = doomed.unionByName(dead_keys)
+            doomed = batch.select(key)  # upsert keys ∪ tombstoned keys
             survivors = tgt_df.join(doomed, on=key, how="left_anti")
             new_tgt = survivors.unionByName(upserts.select(*survivors.columns))
         else:
             new_tgt = upserts
         self._swap_and_commit(name, new_tgt, target, row["max_key"], row["max_ver"])
-        upserts.unpersist()
+        batch.unpersist()
         report.duration_sec = time.time() - t0
         return report
 
@@ -205,34 +205,44 @@ class SyncEngine:
         # SQL templates get their star rewritten to (key, version))
         control = fetcher.control().select(key, ver).cache()
         tgt_df = target.read(self.spark)
-        tgt_keys = tgt_df.select(key)
 
-        # A6/A7: change volumes vs stored watermarks (one pass each side)
-        row = control.agg(
-            F.count("*").alias("control_rows"),
-            F.count(F.when(F.col(ver) > F.lit(state.src_ts), 1)).alias("src_changed"),
-            F.min(key).alias("min_key"),
-            F.max(key).alias("max_key"),
-            F.max(ver).alias("max_ver"),
-        ).first()
+        # A6/A7 + J2 + T4 bounds + survivor count, FUSED: one full-outer
+        # join on the key feeds ONE aggregation job. The driver pays a
+        # single round trip where the naive plan pays four (control agg,
+        # target agg, missing-keys agg, pre-write survivors count) — and
+        # the join shuffles only (key, version) pairs, ~16 B/row.
+        c = control.select(F.col(key), F.col(ver).alias("__sv"), F.lit(1).alias("__c"))
+        t = tgt_df.select(F.col(key), F.col(ver).alias("__tv"), F.lit(1).alias("__t"))
+        on_ctl = F.col("__c").isNotNull()
+        is_missing = on_ctl & F.col("__t").isNull()
+        # survivor = target row whose key is in the window and not marked
+        # changed — the complement of the J4/J5 delete set below
+        is_survivor = (
+            F.col("__t").isNotNull()
+            & on_ctl
+            & ~F.coalesce(F.col("__sv") > F.lit(state.tgt_ts), F.lit(False))
+        )
+        row = (
+            c.join(t, on=key, how="full_outer")
+            .agg(
+                F.count("__c").alias("control_rows"),
+                F.count(F.when(F.col("__sv") > F.lit(state.src_ts), 1)).alias("src_changed"),
+                F.min(F.when(on_ctl, F.col(key))).alias("min_key"),
+                F.max(F.when(on_ctl, F.col(key))).alias("max_key"),
+                F.max("__sv").alias("max_ver"),
+                F.count("__t").alias("tgt_total"),
+                F.count(F.when(F.col("__tv") > F.lit(state.tgt_ts), 1)).alias("tgt_changed"),
+                F.count(F.when(is_missing, 1)).alias("missing"),
+                F.min(F.when(is_missing, F.col("__sv"))).alias("min_missing_ver"),
+                F.min(F.when(is_missing, F.col(key))).alias("min_missing_key"),
+                F.count(F.when(is_survivor, 1)).alias("survivors"),
+            )
+            .first()
+        )
         control_rows, src_changed = row["control_rows"], row["src_changed"]
         min_key, max_key, max_ver = row["min_key"], row["max_key"], row["max_ver"]
-
-        trow = tgt_df.agg(
-            F.count("*").alias("tgt_total"),
-            F.count(F.when(F.col(ver) > F.lit(state.tgt_ts), 1)).alias("tgt_changed"),
-        ).first()
-        tgt_total, tgt_changed = trow["tgt_total"], trow["tgt_changed"]
-
-        # J2: keys in the control window missing from the target — count
-        # and the T4 widening bounds come from ONE aggregation job
-        missing_control = delta.missing_keys(control, tgt_keys, key=key)
-        mrow = missing_control.agg(
-            F.count("*").alias("missing"),
-            F.min(ver).alias("min_missing_ver"),
-            F.min(key).alias("min_missing_key"),
-        ).first()
-        missing = mrow["missing"]
+        tgt_total, tgt_changed = row["tgt_total"], row["tgt_changed"]
+        missing, survivors_cnt = row["missing"], row["survivors"]
 
         metrics = delta.change_metrics(src_changed, tgt_changed, control_rows, tgt_total)
         report = SyncReport(
@@ -265,10 +275,10 @@ class SyncEngine:
         # T4: late-data widening — rows older than the watermark but absent
         # from the target must still be recovered (CopyOrchestrator.cs:1106-1123)
         fetch_ts = state.src_ts
-        if mrow["min_missing_ver"] is not None:
-            fetch_ts = min(fetch_ts, mrow["min_missing_ver"])
-        fetch_floor = min_key if mrow["min_missing_key"] is None else min(
-            min_key, mrow["min_missing_key"]
+        if row["min_missing_ver"] is not None:
+            fetch_ts = min(fetch_ts, row["min_missing_ver"])
+        fetch_floor = min_key if row["min_missing_key"] is None else min(
+            min_key, row["min_missing_key"]
         )
 
         # S7: watermark-filtered incremental fetch (strategy-aware: the
@@ -285,12 +295,11 @@ class SyncEngine:
         inserts = fetched.join(survivors.select(key), on=key, how="left_anti")
         new_tgt = survivors.unionByName(inserts.select(*survivors.columns))
 
-        report.deleted = tgt_total  # refined below from counts
-        inserted = inserts.count()
-        report.inserted = inserted
-        report.deleted = max(0, tgt_total - survivors.count())
-
         self._swap_and_commit(name, new_tgt, target, max_key, max_ver)
+        # accounting from the fused agg + the written footers: zero extra
+        # jobs (previously a full recomputation of inserts + survivors)
+        report.deleted = max(0, tgt_total - survivors_cnt)
+        report.inserted = max(0, target.num_rows() - survivors_cnt)
         control.unpersist()
         return report
 
@@ -353,11 +362,10 @@ class SyncEngine:
     def _overwrite_and_commit(
         self, name: str, df: DataFrame, target: ParquetTarget, max_key, max_ver
     ) -> int:
-        df = df.cache()
-        n = df.count()
+        # write once, then count from the written footers — no pre-write
+        # cache+count materialization pass
         self._swap_and_commit(name, df, target, max_key, max_ver)
-        df.unpersist()
-        return n
+        return target.num_rows()
 
     def _swap_and_commit(
         self, name: str, new_tgt: DataFrame, target: ParquetTarget, max_key, max_ver
