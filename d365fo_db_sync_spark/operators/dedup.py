@@ -106,6 +106,19 @@ def _shingle_sets(exploded: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document distinct shingle sets: (id, sh array, set_size).
+
+    The reusable intermediate of the Jaccard family. Callers that verify
+    many candidate batches against the same corpus should ``.cache()``
+    this frame themselves and unpersist when done — the operators below
+    never cache behind the caller's back (a hidden cache pins executor
+    memory for the life of the session)."""
+    return _shingle_sets(exploded_shingles(df, id_col, text_col, n), id_col)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
@@ -237,6 +250,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs above ``threshold``.
 
@@ -250,8 +264,15 @@ def ngram_jaccard_pairs(
     is what keeps the quadratic blowup bounded on low-entropy corpora
     and at 100 TB. Both paths are exact (prefix filtering is complete),
     so results are identical to the naive all-shared-shingles join.
+
+    ``sets`` (from :func:`shingle_sets`) is consumed three times in the
+    default plan (prefix candidates + both verify sides); Spark's
+    exchange reuse dedups the shuffle, and a caller running repeated
+    batches can pass a cached frame and own its lifecycle — nothing is
+    cached internally.
     """
-    sets = _shingle_sets(exploded_shingles(df, id_col, text_col, n), id_col).cache()
+    if sets is None:
+        sets = shingle_sets(df, id_col, text_col, n)
     if candidates is None:
         candidates = _prefix_filter_candidates(sets, id_col, threshold)
     a = sets.select(
