@@ -96,6 +96,117 @@ def stream_tumbling_counts(
     )
 
 
+def stream_sliding_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    watermark_delay: str,
+    agg_exprs: Sequence[Column] | None = None,
+    extra_group: Sequence[str] = (),
+) -> DataFrame:
+    """Sliding-window streaming aggregate: same contract as
+    :func:`stream_tumbling_counts` but each event lands in
+    duration/slide overlapping windows. State cost scales with that
+    ratio — the watermark still bounds it."""
+    aggs = list(agg_exprs) if agg_exprs else [F.count("*").alias("cnt")]
+    win = F.window(F.col(ts_col), duration, slide)
+    res = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(win.alias("w"), *extra_group)
+        .agg(*aggs)
+    )
+    others = [c for c in res.columns if c != "w"]
+    return res.select(
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *others
+    )
+
+
+def stream_session_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    gap: str,
+    watermark_delay: str,
+    key_cols: Sequence[str] = (),
+    agg_exprs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Built-in ``session_window`` streaming aggregate (gap-merged
+    windows per key). Use :func:`stateful_sessionize` instead when the
+    per-session logic can't be expressed as an aggregate."""
+    aggs = list(agg_exprs) if agg_exprs else [F.count("*").alias("cnt")]
+    res = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *key_cols)
+        .agg(*aggs)
+    )
+    others = [c for c in res.columns if c != "w"]
+    return res.select(
+        F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), *others
+    )
+
+
+def stream_dedup_keys(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark_delay: str,
+) -> DataFrame:
+    """Streaming exactly-once-per-key filter: keeps the first arrival of
+    each key, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark``). This is the reference's
+    idempotent-replay guarantee (T5, CopyOrchestrator.cs:1147-1161) as a
+    stream operator — replays and at-least-once upstream sources
+    collapse to one row per key, and state for keys older than the
+    watermark is dropped instead of growing forever."""
+    return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def stream_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    point_watermark: str,
+    interval_watermark: str,
+    band_seconds: int = 3600,
+) -> DataFrame:
+    """Stream-stream interval-containment join (closed-open
+    ``start <= ts < end``), the streaming twin of
+    operators/rangejoin.interval_join.
+
+    Spark rejects stream-stream joins without an equality predicate, so
+    the same banding trick carries over: points get one band id,
+    intervals explode into every band they cover, and the join is an
+    equi-join on the band plus the exact range condition. Both sides
+    carry watermarks and the range condition is on event-time columns,
+    so each side's buffered state is evicted once the other side's
+    watermark passes it — bounded state for an unbounded join. Intervals
+    longer than their side's watermark delay should widen
+    ``interval_watermark`` accordingly."""
+    b = F.lit(band_seconds)
+    p = points.withWatermark(point_ts, point_watermark).withColumn(
+        "__band", F.floor(F.col(point_ts).cast("timestamp").cast("long") / b)
+    )
+    i = intervals.withWatermark(start_col, interval_watermark).withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("timestamp").cast("long") / b),
+                F.floor(F.col(end_col).cast("timestamp").cast("long") / b),
+            )
+        ),
+    )
+    cond = (
+        (p["__band"] == i["__band"])
+        & (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    return p.join(i, cond).drop("__band")
+
+
 def stateful_sessionize(
     stream_df: DataFrame,
     ts_col: str = "ts",

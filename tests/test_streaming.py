@@ -149,3 +149,138 @@ def test_cdc_merge_tombstones_delete_keys(spark, tmp_path):
     assert 77 not in got  # delete of absent key is a no-op
     assert rpt.deleted == 2 and rpt.inserted == 1
     assert len(got) == 9
+
+
+def test_stream_dedup_keys_collapses_replays(spark, tmp_path):
+    from d365fo_db_sync_spark.streaming import stream_dedup_keys
+
+    src_dir = str(tmp_path / "dup_src")
+    base = dt.datetime(2024, 5, 1)
+    schema = "RecId long, ts timestamp, v double"
+    # the same keys delivered twice (at-least-once upstream)
+    rows = [(i, base + dt.timedelta(minutes=i), float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows + rows[:5], schema)
+    df.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out = stream_dedup_keys(stream, ["RecId"], "ts", "30 minutes")
+    out_dir = str(tmp_path / "dup_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["RecId"] for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(got) == list(range(10))  # one row per key, no replays
+
+
+def test_stream_sliding_and_session_counts_match_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.streaming import (
+        stream_session_counts,
+        stream_sliding_counts,
+    )
+
+    src_dir = str(tmp_path / "sw_src")
+    base = dt.datetime(2024, 6, 1)
+    # two users, bursts separated by quiet gaps
+    rows = [
+        (u, base + dt.timedelta(minutes=m))
+        for u in (1, 2)
+        for m in [0, 3, 6, 60, 63, 200]
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.write.parquet(src_dir)
+
+    def drain(out, name):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / f"{name}_out"))
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / f"{name}_out"))
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    slid = drain(
+        stream_sliding_counts(stream, "ts", "10 minutes", "5 minutes", "1 minute"),
+        "slid",
+    )
+    expected = {
+        (r["w"]["start"], r["cnt"])
+        for r in df.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    got = {(r["window_start"], r["cnt"]) for r in slid.collect()}
+    assert got and got <= expected  # append emits only watermark-closed windows
+
+    stream2 = spark.readStream.schema(df.schema).parquet(src_dir)
+    sess = drain(
+        stream_session_counts(stream2, "ts", "30 minutes", "1 minute", ["user_id"]),
+        "sess",
+    )
+    sess_expected = {
+        (r["user_id"], r["w"]["start"], r["cnt"])
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    sess_got = {(r["user_id"], r["session_start"], r["cnt"]) for r in sess.collect()}
+    assert sess_got and sess_got <= sess_expected
+
+
+def test_stream_interval_join_bounded_state(spark, tmp_path):
+    from d365fo_db_sync_spark.streaming import stream_interval_join
+
+    base = dt.datetime(2024, 7, 1)
+    p_dir, i_dir = str(tmp_path / "pts"), str(tmp_path / "ivs")
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=10 * i)) for i in range(12)],
+        "pid long, pts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (0, base, base + dt.timedelta(minutes=25)),
+            (1, base + dt.timedelta(minutes=40), base + dt.timedelta(minutes=70)),
+        ],
+        "iid long, s timestamp, e timestamp",
+    )
+    pts.write.parquet(p_dir)
+    ivs.write.parquet(i_dir)
+
+    out = stream_interval_join(
+        spark.readStream.schema(pts.schema).parquet(p_dir),
+        spark.readStream.schema(ivs.schema).parquet(i_dir),
+        "pts", "s", "e",
+        point_watermark="1 minute",
+        interval_watermark="2 hours",
+    )
+    out_dir = str(tmp_path / "ij_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["pid"], r["iid"]) for r in spark.read.parquet(out_dir).collect()}
+    naive = {
+        (p["pid"], i["iid"])
+        for p in pts.collect()
+        for i in ivs.collect()
+        if i["s"] <= p["pts"] < i["e"]
+    }
+    assert got == naive and len(naive) > 0
