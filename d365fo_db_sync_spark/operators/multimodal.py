@@ -133,3 +133,82 @@ class FrameSampleSpec:
 
     every_n: int = 30
     max_frames: int = 16
+    #: stand-in decode granularity: the stub treats each 100-byte run of
+    #: the payload as one frame (a real codec gets this from the container)
+    bytes_per_frame: int = 100
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage for image assets: mapInPandas, one Arrow round-trip
+    per batch. The pixel transform is STUBBED deterministically (payload
+    truncated to width*height/8 bytes — stands in for a real
+    PIL/libvips resample registered the same way as decode codecs); the
+    schema/batching contract is what a real deployment keeps."""
+    cap = max(1, (width * height) // 8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = [
+                bytes(c)[:cap] if c is not None else b"" for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "content": raws,
+                    "n_bytes": [len(r) for r in raws],
+                }
+            )
+
+    return assets.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(assets: DataFrame, spec: FrameSampleSpec | None = None) -> DataFrame:
+    """Frame sampling for video assets: every ``spec.every_n``-th frame,
+    at most ``spec.max_frames`` per asset — output cardinality larger
+    than input (one row per sampled frame), which is the part that must
+    be distributed correctly: the explode happens inside the Arrow batch
+    on the executor, never on the driver. Frame extraction itself is the
+    stub codec (fixed-size byte runs as frames)."""
+    spec = spec or FrameSampleSpec()
+    bpf, every_n, maxf = spec.bytes_per_frame, spec.every_n, spec.max_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                total = len(raw) // bpf + 1
+                for j, fi in enumerate(range(0, total, every_n)):
+                    if j >= maxf:
+                        break
+                    ids.append(aid)
+                    idxs.append(fi)
+                    frames.append(raw[fi * bpf : (fi + 1) * bpf])
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return assets.filter(F.col("media_type") == "video").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -52,3 +52,56 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("long").alias("height"),
         "duration_ms",
     )
+
+
+@register(
+    "multimodal_resize_images",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+           LEAST(strlen(text), 384) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over the image subset: mapInPandas with the stub
+    resample (truncate to width*height/8 bytes). The oracle recomputes
+    the output byte size from the source text — verifying routing,
+    batch shape, and the binary round-trip."""
+    assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    out = multimodal.resize_images(assets, width=64, height=48)
+    return out.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes",
+    )
+
+
+@register(
+    "multimodal_frame_sample_counts",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, LEAST(4, strlen(text) // 100 + 1) AS n_frames,
+             LEAST(strlen(text), 400) AS sampled_bytes
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT doc_id AS asset_id, n_frames,
+           n_frames - 1 AS max_frame_idx, sampled_bytes
+    FROM v
+    """,
+)
+def multimodal_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video subset (every frame, capped at 4;
+    stub codec = 100-byte runs). The per-frame explode happens inside
+    the Arrow batch on executors; the oracle recomputes frame counts and
+    sampled byte totals from source lengths."""
+    assets = multimodal.assets_from_documents(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(
+        assets,
+        multimodal.FrameSampleSpec(every_n=1, max_frames=4, bytes_per_frame=100),
+    )
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_idx").cast("long").alias("max_frame_idx"),
+        F.sum(F.length("frame")).alias("sampled_bytes"),
+    )

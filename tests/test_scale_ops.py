@@ -307,3 +307,32 @@ def test_interval_join_matches_naive(spark):
         if i["s"] <= p["pts"] < i["e"]
     }
     assert got == naive and len(naive) > 0
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from d365fo_db_sync_spark.operators import multimodal as M
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", b"x" * 1000, None),
+            (2, "video", b"y" * 250, None),
+            (3, "video", None, None),     # null payload
+            (4, "audio", b"z" * 50, None),  # wrong media type -> filtered
+        ],
+        M.ASSET_SCHEMA,
+    )
+    resized = {r["asset_id"]: r for r in M.resize_images(assets, 8, 8).collect()}
+    assert list(resized) == [1]
+    assert resized[1]["n_bytes"] == 8  # 8*8/8 cap
+    assert bytes(resized[1]["content"]) == b"x" * 8
+
+    spec = M.FrameSampleSpec(every_n=1, max_frames=4, bytes_per_frame=100)
+    frames = M.sample_frames(assets, spec).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert sorted(by_asset) == [2, 3]
+    # 250 bytes -> frames of 100, 100, 50
+    sizes = [len(bytes(r["frame"])) for r in sorted(by_asset[2], key=lambda r: r["frame_idx"])]
+    assert sizes == [100, 100, 50]
+    assert [len(bytes(r["frame"])) for r in by_asset[3]] == [0]  # null -> 1 empty frame
