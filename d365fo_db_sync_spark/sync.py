@@ -206,39 +206,7 @@ class SyncEngine:
         control = fetcher.control().select(key, ver).cache()
         tgt_df = target.read(self.spark)
 
-        # A6/A7 + J2 + T4 bounds + survivor count, FUSED: one full-outer
-        # join on the key feeds ONE aggregation job. The driver pays a
-        # single round trip where the naive plan pays four (control agg,
-        # target agg, missing-keys agg, pre-write survivors count) — and
-        # the join shuffles only (key, version) pairs, ~16 B/row.
-        c = control.select(F.col(key), F.col(ver).alias("__sv"), F.lit(1).alias("__c"))
-        t = tgt_df.select(F.col(key), F.col(ver).alias("__tv"), F.lit(1).alias("__t"))
-        on_ctl = F.col("__c").isNotNull()
-        is_missing = on_ctl & F.col("__t").isNull()
-        # survivor = target row whose key is in the window and not marked
-        # changed — the complement of the J4/J5 delete set below
-        is_survivor = (
-            F.col("__t").isNotNull()
-            & on_ctl
-            & ~F.coalesce(F.col("__sv") > F.lit(state.tgt_ts), F.lit(False))
-        )
-        row = (
-            c.join(t, on=key, how="full_outer")
-            .agg(
-                F.count("__c").alias("control_rows"),
-                F.count(F.when(F.col("__sv") > F.lit(state.src_ts), 1)).alias("src_changed"),
-                F.min(F.when(on_ctl, F.col(key))).alias("min_key"),
-                F.max(F.when(on_ctl, F.col(key))).alias("max_key"),
-                F.max("__sv").alias("max_ver"),
-                F.count("__t").alias("tgt_total"),
-                F.count(F.when(F.col("__tv") > F.lit(state.tgt_ts), 1)).alias("tgt_changed"),
-                F.count(F.when(is_missing, 1)).alias("missing"),
-                F.min(F.when(is_missing, F.col("__sv"))).alias("min_missing_ver"),
-                F.min(F.when(is_missing, F.col(key))).alias("min_missing_key"),
-                F.count(F.when(is_survivor, 1)).alias("survivors"),
-            )
-            .first()
-        )
+        row = self._premerge_metrics(control, tgt_df, state).first()
         control_rows, src_changed = row["control_rows"], row["src_changed"]
         min_key, max_key, max_ver = row["min_key"], row["max_key"], row["max_ver"]
         tgt_total, tgt_changed = row["tgt_total"], row["tgt_changed"]
@@ -302,6 +270,41 @@ class SyncEngine:
         report.inserted = max(0, target.num_rows() - survivors_cnt)
         control.unpersist()
         return report
+
+    def _premerge_metrics(
+        self, control: DataFrame, tgt_df: DataFrame, state: TableState
+    ) -> DataFrame:
+        """A6/A7 + J2 + T4 bounds + survivor count, FUSED: one full-outer
+        join on the key feeds ONE aggregation — a single driver round
+        trip where the naive plan pays four (control agg, target agg,
+        missing-keys agg, pre-write survivors count). The join shuffles
+        only (key, version) pairs, ~16 B/row. Returns a 1-row frame;
+        plan-property tests pin the single-join shape."""
+        key, ver = self.config.key, self.config.version
+        c = control.select(F.col(key), F.col(ver).alias("__sv"), F.lit(1).alias("__c"))
+        t = tgt_df.select(F.col(key), F.col(ver).alias("__tv"), F.lit(1).alias("__t"))
+        on_ctl = F.col("__c").isNotNull()
+        is_missing = on_ctl & F.col("__t").isNull()
+        # survivor = target row whose key is in the window and not marked
+        # changed — the complement of the J4/J5 delete set
+        is_survivor = (
+            F.col("__t").isNotNull()
+            & on_ctl
+            & ~F.coalesce(F.col("__sv") > F.lit(state.tgt_ts), F.lit(False))
+        )
+        return c.join(t, on=key, how="full_outer").agg(
+            F.count("__c").alias("control_rows"),
+            F.count(F.when(F.col("__sv") > F.lit(state.src_ts), 1)).alias("src_changed"),
+            F.min(F.when(on_ctl, F.col(key))).alias("min_key"),
+            F.max(F.when(on_ctl, F.col(key))).alias("max_key"),
+            F.max("__sv").alias("max_ver"),
+            F.count("__t").alias("tgt_total"),
+            F.count(F.when(F.col("__tv") > F.lit(state.tgt_ts), 1)).alias("tgt_changed"),
+            F.count(F.when(is_missing, 1)).alias("missing"),
+            F.min(F.when(is_missing, F.col("__sv"))).alias("min_missing_ver"),
+            F.min(F.when(is_missing, F.col(key))).alias("min_missing_key"),
+            F.count(F.when(is_survivor, 1)).alias("survivors"),
+        )
 
     # -- standard path (CopyOrchestrator.cs:1281-1450) ------------------------
 

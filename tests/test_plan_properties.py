@@ -90,3 +90,50 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS _bk_src")
         spark.sql("DROP TABLE IF EXISTS _bk_tgt")
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    from d365fo_db_sync_spark.operators.rangejoin import interval_join
+
+    events = load_table(spark, SF, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("wid"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.make_interval(hours=F.lit(2))).alias("w_end"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("ts").alias("ets")
+    )
+    df = interval_join(errors, signups, "ets", "w_start", "w_end")
+    ops = physical_operators(df)
+    assert not uses(df, "BroadcastNestedLoopJoin"), ops
+    assert not uses(df, "CartesianProduct"), ops
+    assert uses(df, "HashJoin") or uses(df, "SortMergeJoin"), ops
+
+
+def test_fused_sync_metrics_single_join(spark):
+    """The optimized sync path's metric pass must stay ONE join feeding
+    ONE aggregate — a regression to per-metric passes multiplies driver
+    round-trips at cluster latencies."""
+    from d365fo_db_sync_spark.state import TableState
+    from d365fo_db_sync_spark.sync import SyncEngine, SyncConfig
+    from d365fo_db_sync_spark.state import StateStore
+    import tempfile
+
+    orders = load_table(spark, SF, "orders")
+    k = F.col("o_orderkey")
+    src = orders.select(k.alias("RecId"), (k * 2).alias("SysRowVersion"))
+    engine = SyncEngine(
+        spark, StateStore(tempfile.mktemp(suffix=".json")), SyncConfig()
+    )
+    metrics = engine._premerge_metrics(
+        src.select("RecId", "SysRowVersion"),
+        src.select("RecId", "SysRowVersion"),
+        TableState(src_ts=10**12, tgt_ts=10**12),  # nothing above watermark
+    )
+    ops = physical_operators(metrics)
+    joins = [o for o in ops if "Join" in o]
+    assert len(joins) == 1, ops  # all metrics from a single join pass
+    row = metrics.first()
+    assert row["control_rows"] == row["tgt_total"] == row["survivors"]
+    assert row["missing"] == 0
