@@ -188,3 +188,66 @@ def strategy_sql_template_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="o_orderkey", version="o_orderdate",
     )
     return f.full()
+
+
+@register(
+    "orchestrator_multi_table_e2e",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k FROM orders ORDER BY k DESC LIMIT 2000),
+         b AS (SELECT c_custkey AS k FROM customer ORDER BY k DESC LIMIT 1000)
+    SELECT 'ORDERS_A' AS table_name, 'STANDARD' AS mode, COUNT(*) AS n_rows,
+           MIN(k) AS min_key, MAX(k) AS max_key, CAST(3 AS BIGINT) AS n_cols
+    FROM a
+    UNION ALL
+    SELECT 'CUSTOMER_B', 'TRUNCATE', COUNT(*), MIN(k), MAX(k), CAST(3 AS BIGINT)
+    FROM b
+    """,
+)
+def orchestrator_multi_table_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole prepare->process pipeline over two tables at once
+    (CopyOrchestrator.cs:49-523 as one flow): strategy DSL binds a
+    RecId top-N to one table and a -truncate full refresh to the other,
+    a field exclusion shrinks the copyable schema (P1/P2), and the
+    parallel worker pool runs both syncs concurrently. The oracle is
+    the last-N contract per table plus the strategy-determined mode and
+    the post-exclusion column count."""
+    from d365fo_db_sync_spark.orchestrator import Orchestrator
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    ko, kc = F.col("o_orderkey"), F.col("c_custkey")
+    sources = {
+        "ORDERS_A": orders.select(
+            ko.alias("RecId"), (ko * 2).alias("SysRowVersion"),
+            F.col("o_totalprice").alias("amount"),
+        ),
+        "CUSTOMER_B": customer.select(
+            kc.alias("RecId"), (kc * 3).alias("SysRowVersion"),
+            F.col("c_acctbal").alias("bal"), F.col("c_mktsegment").alias("seg"),
+        ),
+    }
+    work = tempfile.mkdtemp(prefix="orch_e2e_")
+    engine = SyncEngine(spark, StateStore(f"{work}/state.json"), SyncConfig())
+    orch = Orchestrator(spark, engine, workers=4)
+    plans = orch.prepare(
+        sources,
+        strategy_text="ORDERS_A|2000\nCUSTOMER_B|1000 -truncate",
+        excluded_fields=["CUSTOMER_B.seg"],
+    )
+    result = orch.process(plans, sources, f"{work}/targets")
+    assert not result.failed, [p.error for p in result.failed]
+
+    out = []
+    for p in result.plans:
+        tgt = ParquetTarget(f"{work}/targets/{p.name}").read(spark)
+        row = tgt.agg(
+            F.count("*").alias("n"), F.min("RecId").alias("mn"), F.max("RecId").alias("mx")
+        ).first()
+        out.append(
+            (p.name, p.report.mode, row["n"], row["mn"], row["mx"], len(tgt.columns))
+        )
+    return spark.createDataFrame(
+        out,
+        "table_name string, mode string, n_rows long, min_key long, "
+        "max_key long, n_cols long",
+    )
