@@ -4,9 +4,9 @@ Two paths, as a 100 TB engine needs both:
 
 * brute-force cosine top-k — exact baseline. The dot product runs as a
   higher-order-function fold (zip_with + aggregate) in the JVM: no
-  Python, no UDF. Queries are broadcast (they are small by
-  construction); the corpus side never shuffles until the final
-  per-query top-k (TakeOrdered-style via rank window on the query key).
+  Python, no UDF. The QUERIES side is broadcast (small by construction);
+  the corpus streams through executors and never shuffles until the
+  final per-query top-k (rank window on the query key).
 * random-hyperplane LSH ANN — the scale path: 2^bits buckets, candidates
   only within a bucket (plus optional multi-probe neighbors), exact
   re-rank on the candidate set. Hyperplanes are derived deterministically
@@ -58,7 +58,12 @@ def cosine_topk_bruteforce(
     q = with_norm(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec")), "q_vec", "q_norm"
     ).alias("q")
-    pairs = q.join(F.broadcast(c) if _is_small(c) else c, F.lit(True))
+    # the CORPUS streams, the QUERIES broadcast: queries are small by
+    # construction (a top-k request ships a handful of vectors) while the
+    # corpus is the 100 TB side — broadcasting it would OOM every executor.
+    # BroadcastNestedLoopJoin with the build side pinned to q; plan test
+    # asserts the build side (tests/test_plan_properties.py).
+    pairs = c.join(F.broadcast(q), F.lit(True))
     cos = _dot(F.col("q_vec"), F.col(vec_col)) / (
         F.col("q_norm") * F.col("c_norm")
     )
@@ -76,12 +81,6 @@ def cosine_topk_bruteforce(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, "rnk", "neighbor_id", "cosine")
     )
-
-
-def _is_small(df: DataFrame) -> bool:
-    # queries frames in this engine are explicit small selections; a
-    # conservative static check keeps the broadcast decision plan-time
-    return True
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:

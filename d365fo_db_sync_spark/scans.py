@@ -76,8 +76,17 @@ def watermark_scan(
     (Tier2DataService.cs:381-434). Both predicates are simple range
     filters -> pushed to the scan (row-group skipping on parquet,
     WHERE-clause on JDBC).
+
+    A threshold <= 0 is the late-data "fetch everything" floor
+    (CopyOrchestrator.cs:1115-1118): NULL versions are admitted too —
+    ``version >= 0`` alone is null-rejecting and would strand rows whose
+    version was never stamped. The OR of two pushable predicates
+    (range + IsNull) still reaches the parquet scan.
     """
-    out = df.filter((F.col(version) >= F.lit(version_threshold)) & (F.col(key) >= F.lit(min_key)))
+    ver_pred = F.col(version) >= F.lit(version_threshold)
+    if isinstance(version_threshold, (int, float)) and version_threshold <= 0:
+        ver_pred = ver_pred | F.col(version).isNull()
+    out = df.filter(ver_pred & (F.col(key) >= F.lit(min_key)))
     if fields is not None:
         out = out.select(*fields)
     if n is not None:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from dataclasses import asdict, dataclass
 
 
@@ -39,29 +40,38 @@ class StateStore:
     def __init__(self, path: str) -> None:
         self._path = path
         self._state: dict[str, TableState] = {}
+        # commits arrive from the orchestrator's worker pool (up to 10
+        # threads, Orchestrator.process): mutate + snapshot under a lock so
+        # a concurrent commit can neither tear the dict mid-iteration nor
+        # race two os.replace calls into losing a just-committed table
+        self._lock = threading.Lock()
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 raw = json.load(f)
             self._state = {k: TableState(**v) for k, v in raw.items()}
 
     def get(self, table: str) -> TableState:
-        return self._state.get(table.upper(), TableState())
+        with self._lock:
+            return self._state.get(table.upper(), TableState())
 
     def commit(self, table: str, state: TableState) -> None:
         """Update one table's state and persist immediately — the
         per-table commit that makes interrupted runs resumable
         (CopyOrchestrator.cs:975-978)."""
-        self._state[table.upper()] = state
-        self._flush()
+        with self._lock:
+            self._state[table.upper()] = state
+            self._flush()
 
     def clear(self, table: str | None = None) -> None:
-        if table is None:
-            self._state.clear()
-        else:
-            self._state.pop(table.upper(), None)
-        self._flush()
+        with self._lock:
+            if table is None:
+                self._state.clear()
+            else:
+                self._state.pop(table.upper(), None)
+            self._flush()
 
     def _flush(self) -> None:
+        """Serialize + atomic-swap; caller holds ``self._lock``."""
         # deterministic ordering (TimestampManager.cs:78-84) + atomic swap
         payload = {k: asdict(v) for k, v in sorted(self._state.items())}
         d = os.path.dirname(os.path.abspath(self._path)) or "."

@@ -257,10 +257,11 @@ class Fetcher:
         from d365fo_db_sync_spark.scans import watermark_scan
 
         if self.strategy.type == StrategyType.SQL:
-            pred = (
-                f"(`{self.version}` >= {int(version_threshold)}"
-                f" AND `{self.key}` >= {int(min_key)})"
-            )
+            ver_pred = f"`{self.version}` >= {int(version_threshold)}"
+            if int(version_threshold) <= 0:
+                # zero-floor late-data pass admits NULL versions too
+                ver_pred = f"({ver_pred} OR `{self.version}` IS NULL)"
+            pred = f"({ver_pred} AND `{self.key}` >= {int(min_key)})"
             return self._sql(self.fields, pred)
         return watermark_scan(
             self.source,

@@ -163,7 +163,7 @@ class SyncEngine:
         is_tomb = (
             F.coalesce(F.col(tomb), F.lit(False)) if tomb in batch.columns else F.lit(False)
         )
-        batch = batch.cache()
+        batch = self._compact_last_event(batch).cache()
         # one agg job covers live count, tombstone count, and watermark
         # maxima (previously two jobs: upsert agg + tombstone count)
         row = batch.agg(
@@ -192,6 +192,35 @@ class SyncEngine:
         batch.unpersist()
         report.duration_sec = time.time() - t0
         return report
+
+    def _compact_last_event(self, batch: DataFrame) -> DataFrame:
+        """Reduce a CDC micro-batch to the LAST event per key before the
+        tombstone/upsert split. Raw foreachBatch frames routinely carry
+        several events for one key: without compaction two updates both
+        survive the union (duplicate keys in the target) and an
+        update-then-tombstone pair resurrects the deleted row (the key is
+        anti-joined away, then the stale update is re-inserted).
+
+        Ordering: version descending when the batch carries the version
+        column, arrival order (within the batch) as the tiebreaker —
+        one row_number window on the key, no extra shuffle beyond the
+        per-key partition the merge needs anyway."""
+        from pyspark.sql import Window
+
+        key, ver = self.config.key, self.config.version
+        arrival = "__arrival"
+        compacted = batch.withColumn(arrival, F.monotonically_increasing_id())
+        order = (
+            [F.col(ver).desc_nulls_last(), F.col(arrival).desc()]
+            if ver in batch.columns
+            else [F.col(arrival).desc()]
+        )
+        w = Window.partitionBy(key).orderBy(*order)
+        return (
+            compacted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", arrival)
+        )
 
     # -- optimized path (CopyOrchestrator.cs:812-939) -------------------------
 
@@ -245,6 +274,14 @@ class SyncEngine:
         fetch_ts = state.src_ts
         if row["min_missing_ver"] is not None:
             fetch_ts = min(fetch_ts, row["min_missing_ver"])
+        elif row["missing"]:
+            # missing rows exist but ALL carry a NULL version: F.min skipped
+            # them, and `version >= ts` is null-rejecting — without a floor
+            # they are re-reported missing every cycle without converging.
+            # The reference substitutes an all-zeros timestamp here
+            # (CopyOrchestrator.cs:1115-1118); watermark_scan additionally
+            # admits NULL versions when the threshold is <= 0.
+            fetch_ts = 0
         fetch_floor = min_key if row["min_missing_key"] is None else min(
             min_key, row["min_missing_key"]
         )
@@ -375,19 +412,34 @@ class SyncEngine:
     ) -> None:
         """Sink swap first, state second — a failure between the two leaves
         a valid target with a stale watermark, which the next run repairs
-        idempotently (T5/T6). State NEVER advances on a failed write."""
+        idempotently (T5/T6). State NEVER advances on a failed write.
+
+        The commit MERGES with the prior state (element-wise max, never
+        overwriting a non-None watermark with None): a CDC batch touching
+        only old keys must not regress max_transferred_key/next_sequence
+        below committed values (the T7 fence may never move backwards),
+        and an all-tombstone batch (no live maxima) must not erase the
+        watermark — doing so silently demotes the next run to the full
+        standard compare."""
         target.overwrite(new_tgt)
         cfg = self.config
         next_seq = None
         if max_key is not None:
             # T7: fence target-assigned ids past source-assigned ones
             next_seq = max(int(max_key), cfg.current_sequence) + cfg.sequence_gap
+        prev = self.store.get(name)
+
+        def _merged(old: int | None, new) -> int | None:
+            if new is None:
+                return old
+            return int(new) if old is None else max(old, int(new))
+
         self.store.commit(
             name,
             TableState(
-                src_ts=int(max_ver) if max_ver is not None else None,
-                tgt_ts=int(max_ver) if max_ver is not None else None,
-                max_transferred_key=int(max_key) if max_key is not None else None,
-                next_sequence=next_seq,
+                src_ts=_merged(prev.src_ts, max_ver),
+                tgt_ts=_merged(prev.tgt_ts, max_ver),
+                max_transferred_key=_merged(prev.max_transferred_key, max_key),
+                next_sequence=_merged(prev.next_sequence, next_seq),
             ),
         )

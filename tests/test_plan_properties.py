@@ -65,6 +65,33 @@ def test_control_scan_prunes_to_two_columns(spark):
     assert set(read_schema(df)) == {"o_orderkey", "o_orderdate"}
 
 
+def test_bruteforce_cosine_broadcasts_queries_not_corpus(spark):
+    """The exact top-k path must broadcast the QUERY side and stream the
+    corpus — broadcasting the corpus OOMs every executor at 100 TB
+    (VERDICT r1). Pins the BroadcastNestedLoopJoin build side to the
+    frame carrying q_vec."""
+    import re
+
+    from d365fo_db_sync_spark.operators.similarity import cosine_topk_bruteforce
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = cosine_topk_bruteforce(corpus, queries, k=5)
+    plan = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the BroadcastExchange section's Input must carry the query columns
+    # (q_vec/q_norm), never the corpus norm
+    m = re.search(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    broadcast_cols = m.group(1)
+    assert "q_vec" in broadcast_cols and "q_norm" in broadcast_cols, broadcast_cols
+    assert "c_norm" not in broadcast_cols, broadcast_cols
+
+
 def test_bucketed_join_is_shuffle_free(spark):
     """Two tables bucketed identically on the join key must join with no
     Exchange on either side — the write-once/join-many co-location that

@@ -192,6 +192,116 @@ def test_fallback_no_rowversion_column(env):
     assert keys_of(target, spark) == [r[0] for r in rows]
 
 
+def test_cdc_batch_compacted_to_last_event_per_key(env):
+    # ADVICE r1: multiple events per key in one micro-batch must reduce to
+    # the LAST event before the tombstone/upsert split — otherwise both
+    # updates survive (duplicate keys) and update-then-tombstone
+    # resurrects the deleted row.
+    spark, store, engine, target = env
+    base = df_of(spark, make_rows(10))
+    engine.merge_upsert("T", base, target)
+
+    batch = spark.createDataFrame(
+        [
+            # two updates to key 1003: only ver 501 may survive
+            (1003, 3, 500, None, dt.datetime(2024, 2, 1), 11.0, False),
+            (1003, 4, 501, None, dt.datetime(2024, 2, 1), 22.0, False),
+            # update then tombstone for key 1005: key must stay deleted
+            (1005, 3, 510, None, dt.datetime(2024, 2, 1), 33.0, False),
+            (1005, 4, 511, None, dt.datetime(2024, 2, 1), None, True),
+            # tombstone then a LATER update for key 1007: row must live
+            (1007, 3, 520, None, dt.datetime(2024, 2, 1), None, True),
+            (1007, 4, 521, None, dt.datetime(2024, 2, 1), 44.0, False),
+        ],
+        SCHEMA + ", __deleted boolean",
+    )
+    engine.merge_upsert("T", batch, target)
+    rows = target.read(spark).collect()
+    got = {r["RecId"]: r["AMOUNT"] for r in rows}
+    assert len(rows) == len(got), "duplicate keys in target after CDC merge"
+    assert got[1003] == 22.0  # last update won
+    assert 1005 not in got  # tombstone was the final event
+    assert got[1007] == 44.0  # update after tombstone resurrects
+
+
+def test_cdc_state_never_regresses(env):
+    # ADVICE r1: a batch touching only old keys must not move the T7 fence
+    # or watermark backwards, and an all-tombstone batch must not erase it.
+    spark, store, engine, target = env
+    rows = make_rows(50)  # keys 1000..1049, vers 100..149
+    engine.merge_upsert("T", df_of(spark, rows), target)
+    st0 = store.get("T")
+    assert st0.max_transferred_key == 1049 and st0.src_ts == 149
+
+    # update an OLD key with an old-ish version: nothing may regress
+    old = spark.createDataFrame(
+        [(1003, 3, 120, None, dt.datetime(2024, 2, 1), 9.0)], SCHEMA
+    )
+    engine.merge_upsert("T", old, target)
+    st1 = store.get("T")
+    assert st1.max_transferred_key == 1049
+    assert st1.src_ts == 149
+    assert st1.next_sequence == st0.next_sequence
+
+    # all-tombstone batch: live maxima are None -> watermark must survive
+    dead = spark.createDataFrame(
+        [(1004, 3, 150, None, dt.datetime(2024, 2, 1), None, True)],
+        SCHEMA + ", __deleted boolean",
+    )
+    engine.merge_upsert("T", dead, target)
+    st2 = store.get("T")
+    assert st2.src_ts == 149 and st2.max_transferred_key == 1049
+    assert 1004 not in keys_of(target, spark)
+
+
+def test_null_version_missing_row_recovered_and_converges(env):
+    # ADVICE r1: a missing row whose version is NULL must still be fetched
+    # (zero-floor fallback, CopyOrchestrator.cs:1115-1118) instead of being
+    # re-reported missing forever.
+    spark, store, engine, target = env
+    rows = make_rows(50)
+    engine.sync_table("T1", df_of(spark, rows), target)
+
+    late_null = (3000, 2, None, None, dt.datetime(2024, 1, 15), 7.0)
+    src2 = df_of(spark, rows + [late_null])
+    r2 = engine.sync_table("T1", src2, target)
+    assert r2.mode == INCREMENTAL
+    assert r2.missing == 1
+    assert 3000 in keys_of(target, spark)
+
+    # converged: the next cycle sees a perfect window, not missing=1 again
+    r3 = engine.sync_table("T1", src2, target)
+    assert r3.mode == NO_CHANGE
+
+
+def test_state_store_concurrent_commits(tmp_path):
+    # ADVICE r1: Orchestrator commits from up to 10 worker threads —
+    # concurrent commit/_flush must neither tear the dict nor lose state.
+    import threading
+
+    p = str(tmp_path / "s.json")
+    store = StateStore(p)
+    errors: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            for j in range(25):
+                store.commit(f"T{i}_{j}", TableState(src_ts=j, max_transferred_key=i))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    persisted = StateStore(p)
+    for i in range(10):
+        for j in range(25):
+            assert persisted.get(f"T{i}_{j}").src_ts == j
+
+
 def test_state_store_roundtrip(tmp_path):
     p = str(tmp_path / "s.json")
     s1 = StateStore(p)
