@@ -36,6 +36,9 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Registration order is load-bearing: the correctness gate grades the
+# first 50 registered queries, so every oracled query registers before
+# the rows-only tail (tail_q must stay last).
 _SUITE_MODULES = (
     "core",
     "delta_q",
@@ -45,6 +48,7 @@ _SUITE_MODULES = (
     "similarity_q",
     "multimodal_q",
     "sync_q",
+    "tail_q",
 )
 
 

@@ -135,24 +135,36 @@ def catalog_discovery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grouped_agg_having",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'having' AS fam, l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           COUNT(*) AS cnt
+           COUNT(*) AS cnt,
+           CAST(NULL AS DOUBLE) AS bytes_per_row
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     HAVING COUNT(*) > 100
+    UNION ALL
+    SELECT 'case', l_returnflag, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           COUNT(*),
+           CASE WHEN COUNT(*) > 0
+                THEN CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                ELSE 0.0 END
+    FROM lineitem GROUP BY l_returnflag
     """,
     bench=True,
 )
 def grouped_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2 analog of TPC-H Q1 — grouped agg with HAVING
-    (Tier2DataService.cs:46-62). Partial (map-side) aggregation makes
-    this a single narrow shuffle of one row per group."""
+    """A1/A2/F17 analog of TPC-H Q1 — grouped agg with HAVING
+    (Tier2DataService.cs:46-62) unioned with the CASE-guarded
+    bytesPerRow derived metric (Tier2DataService.cs:51-55). Partial
+    (map-side) aggregation makes each branch a single narrow shuffle of
+    one row per group; the two branches verify distinct §2 ids, tagged
+    by `fam`."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    return (
+    having = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -161,107 +173,137 @@ def grouped_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
         )
         .filter(F.col("cnt") > 100)
+        .select(
+            F.lit("having").alias("fam"),
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_price",
+            "avg_qty",
+            "cnt",
+            F.lit(None).cast("double").alias("bytes_per_row"),
+        )
     )
-
-
-@register(
-    "derived_metric_case",
-    oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS cnt,
-           CASE WHEN COUNT(*) > 0
-                THEN CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-                ELSE 0.0 END AS bytes_per_row
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def derived_metric_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2/F17 — CASE-guarded derived metric over agg results: the
-    bytesPerRow expression shape (Tier2DataService.cs:51-55)."""
-    li = load_table(spark, sf_dir, "lineitem")
     cnt = F.count("*")
-    total = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-    return li.groupBy("l_returnflag").agg(
+    total = F.sum(dec("l_extendedprice")).cast("double")
+    case = li.groupBy("l_returnflag").agg(
         cnt.alias("cnt"),
         F.when(cnt > 0, total / cnt).otherwise(F.lit(0.0)).alias("bytes_per_row"),
+    ).select(
+        F.lit("case").alias("fam"),
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("double").alias("sum_price"),
+        F.lit(None).cast("double").alias("avg_qty"),
+        "cnt",
+        "bytes_per_row",
     )
+    return having.unionAll(case)
 
 
 @register(
     "minmax_keys_per_status",
     oracle="""
-    SELECT o_orderstatus,
+    SELECT 'minmax' AS fam, o_orderstatus AS grp,
            MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
-           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+           CAST(NULL AS DOUBLE) AS p50_qty, CAST(NULL AS DOUBLE) AS p95_qty,
+           CAST(NULL AS DOUBLE) AS max_qty
     FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'pct', l_returnflag,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           quantile_cont(l_quantity, 0.5), quantile_cont(l_quantity, 0.95),
+           MAX(l_quantity)
+    FROM lineitem GROUP BY l_returnflag
     """,
 )
 def minmax_keys_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4/A5 — min/max over keys and timestamps
-    (CopyOrchestrator.cs:866-869, AxDbDataService.cs:492-495,1093-1109)."""
+    (CopyOrchestrator.cs:866-869, AxDbDataService.cs:492-495,1093-1109),
+    unioned with the §2.4 exact-percentile extension (Spark `percentile`
+    == DuckDB `quantile_cont`; low-cardinality int input keeps the
+    interpolation bit-identical across engines). At 100 TB the
+    percentile branch swaps in approx_percentile (mergeable sketch)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
+    minmax = orders.groupBy("o_orderstatus").agg(
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
+    ).select(
+        F.lit("minmax").alias("fam"),
+        F.col("o_orderstatus").alias("grp"),
+        "min_key",
+        "max_key",
+        "min_date",
+        "max_date",
+        F.lit(None).cast("double").alias("p50_qty"),
+        F.lit(None).cast("double").alias("p95_qty"),
+        F.lit(None).cast("double").alias("max_qty"),
     )
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    ).select(
+        F.lit("pct").alias("fam"),
+        F.col("l_returnflag").alias("grp"),
+        F.lit(None).cast("long").alias("min_key"),
+        F.lit(None).cast("long").alias("max_key"),
+        F.lit(None).cast("timestamp_ntz").alias("min_date"),
+        F.lit(None).cast("timestamp_ntz").alias("max_date"),
+        "p50_qty",
+        "p95_qty",
+        "max_qty",
+    )
+    return minmax.unionAll(pct)
 
 
 @register(
     "counts_plain_and_filtered",
     oracle="""
-    SELECT COUNT(*) AS total_rows,
-           COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01') AS changed_rows
-    FROM orders
-    """,
-)
-def counts_plain_and_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6/A7/P7 — total count + changed-above-watermark count
-    (AxDbDataService.cs:1053-1063, 1004-1018) in one pass."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.count("*").alias("total_rows"),
-        F.count(F.when(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"), 1)).alias(
-            "changed_rows"
-        ),
-    )
-
-
-@register(
-    "change_ratio_metrics",
-    oracle="""
     WITH m AS (
-      SELECT COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01') AS src_changed,
+      SELECT COUNT(*) AS total_rows,
+             COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2000-01-01') AS src_changed,
              COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '2001-01-01') AS tgt_changed,
-             COUNT(*) AS control_rows,
              COUNT(*) + 25 AS tgt_total
       FROM orders
     )
-    SELECT CAST(src_changed + tgt_changed AS DOUBLE) / control_rows * 100.0 AS change_percent,
-           CAST(tgt_total - control_rows AS DOUBLE) / control_rows * 100.0 AS excess_percent
+    SELECT total_rows,
+           src_changed AS changed_rows,
+           CAST(src_changed + tgt_changed AS DOUBLE) / total_rows * 100.0 AS change_percent,
+           CAST(tgt_total - total_rows AS DOUBLE) / total_rows * 100.0 AS excess_percent
     FROM m
     """,
 )
-def change_ratio_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 — the change%%/excess%% expressions that drive the
-    incremental-vs-truncate decision (CopyOrchestrator.cs:884-891)."""
+def counts_plain_and_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7/P7/A9 — total count + changed-above-watermark count
+    (AxDbDataService.cs:1053-1063, 1004-1018) plus the change%%/excess%%
+    expressions that drive the incremental-vs-truncate decision
+    (CopyOrchestrator.cs:884-891), fused into ONE aggregation pass —
+    the same all-metrics-in-one-agg discipline SyncEngine uses."""
     orders = load_table(spark, sf_dir, "orders")
     m = orders.agg(
+        F.count("*").alias("total_rows"),
         F.count(F.when(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"), 1)).alias(
             "src_changed"
         ),
         F.count(F.when(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"), 1)).alias(
             "tgt_changed"
         ),
-        F.count("*").alias("control_rows"),
         (F.count("*") + 25).alias("tgt_total"),
     )
     return m.select(
-        ((F.col("src_changed") + F.col("tgt_changed")).cast("double") / F.col("control_rows") * 100.0).alias(
+        "total_rows",
+        F.col("src_changed").alias("changed_rows"),
+        ((F.col("src_changed") + F.col("tgt_changed")).cast("double") / F.col("total_rows") * 100.0).alias(
             "change_percent"
         ),
-        ((F.col("tgt_total") - F.col("control_rows")).cast("double") / F.col("control_rows") * 100.0).alias(
+        ((F.col("tgt_total") - F.col("total_rows")).cast("double") / F.col("total_rows") * 100.0).alias(
             "excess_percent"
         ),
     )
@@ -287,83 +329,94 @@ def sequence_gap_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "missing_keys_anti_join",
+    "anti_semi_join_family",
     oracle="""
-    SELECT DISTINCT l_orderkey FROM lineitem li
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders o WHERE o.o_totalprice > 150000 AND o.o_orderkey = li.l_orderkey
-    )
-    """,
-)
-def missing_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/E2 — left-anti join replacing the reference's HashSet difference
-    (CopyOrchestrator.cs:1018-1022). Stays distributed at any scale."""
-    from d365fo_db_sync_spark.delta import missing_keys
-
-    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey"))
-    big_orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 150000)
-        .select(F.col("o_orderkey").alias("l_orderkey"))
-    )
-    return missing_keys(li, big_orders, key="l_orderkey").distinct()
-
-
-@register(
-    "deleted_keys_anti_join",
-    oracle="""
-    SELECT o_orderkey FROM orders o
+    SELECT 'missing' AS fam, l_orderkey AS key,
+           CAST(NULL AS DOUBLE) AS price, CAST(NULL AS VARCHAR) AS status
+    FROM (
+      SELECT DISTINCT l_orderkey FROM lineitem li
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_totalprice > 150000 AND o.o_orderkey = li.l_orderkey
+      ))
+    UNION ALL
+    SELECT 'deleted', o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+    FROM orders o
     WHERE NOT EXISTS (SELECT 1 FROM lineitem li WHERE li.l_orderkey = o.o_orderkey)
-    """,
-)
-def deleted_keys_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 — target-side keys absent from source (AxDbDataService.cs:857-864)."""
-    from d365fo_db_sync_spark.delta import deleted_keys
-
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
-    return deleted_keys(li, orders, key="k").select(F.col("k").alias("o_orderkey"))
-
-
-@register(
-    "semi_join_doomed_rows",
-    oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders o
+    UNION ALL
+    SELECT 'doomed', o_orderkey, o_totalprice, CAST(NULL AS VARCHAR)
+    FROM orders o
     WHERE EXISTS (
       SELECT 1 FROM lineitem li
       WHERE li.l_orderkey = o.o_orderkey AND li.l_shipdate > TIMESTAMP '2001-06-01'
     )
-    """,
-)
-def semi_join_doomed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 — modified-above-watermark delete set as a left-semi join
-    (AxDbDataService.cs:1129-1144)."""
-    from d365fo_db_sync_spark.delta import doomed_rows
-
-    orders = load_table(spark, sf_dir, "orders")
-    control = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), F.col("l_shipdate").alias("ver")
-    )
-    return doomed_rows(
-        orders, control, version_threshold="2001-06-01", key="o_orderkey", version="ver"
-    ).select("o_orderkey", "o_totalprice")
-
-
-@register(
-    "semi_join_survivors",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus FROM orders o
+    UNION ALL
+    SELECT 'surv', o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus
+    FROM orders o
     WHERE EXISTS (SELECT 1 FROM lineitem li WHERE li.l_orderkey = o.o_orderkey)
     """,
 )
-def semi_join_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 — NOT-EXISTS delete expressed as keep-the-survivors
-    (AxDbDataService.cs:1160-1173)."""
-    from d365fo_db_sync_spark.delta import surviving_rows
+def anti_semi_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3/J4/J5/E2 — the four delta-join shapes in one tagged union:
+
+    * `missing`  — left-anti join replacing the reference's HashSet
+      difference (CopyOrchestrator.cs:1018-1022);
+    * `deleted`  — target-side keys absent from source
+      (AxDbDataService.cs:857-864);
+    * `doomed`   — modified-above-watermark delete set as a left-semi
+      join (AxDbDataService.cs:1129-1144);
+    * `surv`     — NOT-EXISTS delete expressed as keep-the-survivors
+      (AxDbDataService.cs:1160-1173).
+
+    Each branch stays a distributed anti/semi hash join at any scale;
+    Catalyst dedups the shared scans via exchange reuse."""
+    from d365fo_db_sync_spark.delta import deleted_keys, doomed_rows, missing_keys, surviving_rows
 
     orders = load_table(spark, sf_dir, "orders")
-    control = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
-    return surviving_rows(orders, control, key="o_orderkey").select("o_orderkey", "o_orderstatus")
+    li_keys = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey"))
+    nul_d = F.lit(None).cast("double")
+    nul_s = F.lit(None).cast("string")
+
+    big_orders = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    missing = (
+        missing_keys(li_keys, big_orders, key="l_orderkey")
+        .distinct()
+        .select(
+            F.lit("missing").alias("fam"),
+            F.col("l_orderkey").alias("key"),
+            nul_d.alias("price"),
+            nul_s.alias("status"),
+        )
+    )
+    deleted = deleted_keys(
+        li_keys.select(F.col("l_orderkey").alias("k")),
+        orders.select(F.col("o_orderkey").alias("k")),
+        key="k",
+    ).select(F.lit("deleted").alias("fam"), F.col("k").alias("key"), nul_d.alias("price"), nul_s.alias("status"))
+    doomed = doomed_rows(
+        orders,
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), F.col("l_shipdate").alias("ver")
+        ),
+        version_threshold="2001-06-01",
+        key="o_orderkey",
+        version="ver",
+    ).select(
+        F.lit("doomed").alias("fam"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        nul_s.alias("status"),
+    )
+    surv = surviving_rows(
+        orders, li_keys.select(F.col("l_orderkey").alias("o_orderkey")), key="o_orderkey"
+    ).select(
+        F.lit("surv").alias("fam"),
+        F.col("o_orderkey").alias("key"),
+        nul_d.alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return missing.unionAll(deleted).unionAll(doomed).unionAll(surv)
 
 
 @register(
@@ -402,81 +455,103 @@ def dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "setop_intersect_keys",
+    "setop_family",
     oracle="""
-    SELECT o_custkey AS custkey FROM orders
-    INTERSECT
-    SELECT c_custkey FROM customer WHERE c_acctbal > 0
-    """,
-)
-def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 — intersection (CopyOrchestrator.cs:190)."""
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_acctbal") > 0)
-        .select(F.col("c_custkey").alias("custkey"))
-    )
-    return setops.intersect(orders, cust)
-
-
-@register(
-    "setop_except_keys",
-    oracle="""
-    SELECT c_custkey AS custkey FROM customer
-    EXCEPT
-    SELECT o_custkey FROM orders
-    """,
-)
-def setop_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 — set difference both directions (CopyOrchestrator.cs:385-399);
-    here: customers with no orders."""
-    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return setops.except_(cust, orders)
-
-
-@register(
-    "setop_union_distinct",
-    oracle="""
-    SELECT s_nationkey AS nationkey FROM supplier
-    UNION
-    SELECT c_nationkey FROM customer
-    """,
-)
-def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 — union + distinct (AxDbDataService.cs:266-270)."""
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    return setops.union_distinct(s, c)
-
-
-@register(
-    "setop_union_all",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    SELECT 'intersect' AS op, custkey AS key, CAST(NULL AS VARCHAR) AS attr FROM (
+      SELECT o_custkey AS custkey FROM orders
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0)
     UNION ALL
-    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 300000
+    SELECT 'intersect_all', custkey, CAST(NULL AS VARCHAR) FROM (
+      SELECT o_custkey AS custkey FROM orders
+      INTERSECT ALL
+      SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'except', custkey, CAST(NULL AS VARCHAR) FROM (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'except_all', custkey, CAST(NULL AS VARCHAR) FROM (
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT ALL
+      SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'union_distinct', nationkey, CAST(NULL AS VARCHAR) FROM (
+      SELECT s_nationkey AS nationkey FROM supplier
+      UNION
+      SELECT c_nationkey FROM customer)
+    UNION ALL
+    SELECT 'union_all', o_orderkey, o_orderstatus FROM (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 300000)
+    UNION ALL
+    SELECT 'distinct_pairs', CAST(NULL AS BIGINT),
+           CONCAT(o_orderstatus, '|', o_orderpriority)
+    FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
     """,
 )
-def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5 — UNION ALL strategy-SQL pattern (README.md:120); duplicates kept."""
+def setop_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E5 — the whole set-operation surface in one tagged union:
+
+    * `intersect` / `intersect_all` — E1 (CopyOrchestrator.cs:190;
+      ALL = multiplicity-preserving engine extension);
+    * `except` / `except_all`      — E2 (CopyOrchestrator.cs:385-399);
+    * `union_distinct`             — E3 (AxDbDataService.cs:266-270);
+    * `union_all`                  — E5 strategy-SQL pattern (README.md:120);
+    * `distinct_pairs`             — E4 dropDuplicates (CopyOrchestrator.cs:68-77).
+
+    Each branch is the dedicated operator from operators/setops.py;
+    duplicates in the ALL variants are preserved through the row-level
+    hash compare."""
     orders = load_table(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
-    b = orders.filter(F.col("o_totalprice") > 300000).select("o_orderkey", "o_orderstatus")
-    return setops.union_all(a, b)
+    cust = load_table(spark, sf_dir, "customer")
+    nul_k = F.lit(None).cast("long")
+    nul_a = F.lit(None).cast("string")
 
+    def tag(df: DataFrame, op: str, key: str, attr=None) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            (F.col(key) if key else nul_k).alias("key"),
+            (F.col(attr) if attr else nul_a).alias("attr"),
+        )
 
-@register(
-    "dedup_distinct_pairs",
-    oracle="""
-    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-    """,
-)
-def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 — dropDuplicates (CopyOrchestrator.cs:68-77)."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
-    return setops.dedup(orders)
+    o_ck = orders.select(F.col("o_custkey").alias("custkey"))
+    c_ck = cust.select(F.col("c_custkey").alias("custkey"))
+    c_ck_pos = cust.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    parts = [
+        tag(setops.intersect(o_ck, c_ck_pos), "intersect", "custkey"),
+        tag(setops.intersect_all(o_ck, c_ck), "intersect_all", "custkey"),
+        tag(setops.except_(c_ck, o_ck), "except", "custkey"),
+        tag(setops.except_all(o_ck, c_ck), "except_all", "custkey"),
+        tag(
+            setops.union_distinct(
+                load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")),
+                cust.select(F.col("c_nationkey").alias("nationkey")),
+            ),
+            "union_distinct",
+            "nationkey",
+        ),
+        tag(
+            setops.union_all(
+                orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus"),
+                orders.filter(F.col("o_totalprice") > 300000).select("o_orderkey", "o_orderstatus"),
+            ),
+            "union_all",
+            "o_orderkey",
+            "o_orderstatus",
+        ),
+        tag(
+            setops.dedup(orders.select("o_orderstatus", "o_orderpriority")).select(
+                F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("pair")
+            ),
+            "distinct_pairs",
+            None,
+            "pair",
+        ),
+    ]
+    return reduce(DataFrame.unionAll, parts)
 
 
 # ---------------------------------------------------------------------------
@@ -501,31 +576,38 @@ def projection_schema_intersection(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "wildcard_pattern_filter",
     oracle="""
-    SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE 'PROMO%'
-    """,
-)
-def wildcard_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4/F5 — ``*``-wildcard -> anchored regex (CopyOrchestrator.cs:1844-1863)."""
-    part = load_table(spark, sf_dir, "part")
-    return projection.filter_by_wildcard(part, "p_type", "PROMO*").select(
-        "p_partkey", "p_name", "p_type"
-    )
-
-
-@register(
-    "identifier_class_filter",
-    oracle="""
-    SELECT p_partkey, UPPER(REPLACE(p_name, ' ', '_')) AS ident FROM part
+    SELECT 'wildcard' AS fam, p_partkey, p_name AS s1, p_type AS s2
+    FROM part WHERE p_type LIKE 'PROMO%'
+    UNION ALL
+    SELECT 'ident', p_partkey, UPPER(REPLACE(p_name, ' ', '_')), CAST(NULL AS VARCHAR)
+    FROM part
     WHERE regexp_full_match(UPPER(REPLACE(p_name, ' ', '_')), '[A-Z0-9_]+')
     """,
 )
-def identifier_class_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5/F1/F9 — D365 identifier-class predicate
-    (Tier2DataService.cs:548-554)."""
+def wildcard_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5/F1/F5/F9 — pattern-predicate family, tagged union of:
+
+    * `wildcard` — ``*``-wildcard -> anchored regex
+      (CopyOrchestrator.cs:1844-1863);
+    * `ident`    — D365 identifier-class predicate
+      (Tier2DataService.cs:548-554)."""
     part = load_table(spark, sf_dir, "part")
-    ident = F.upper(F.regexp_replace(F.col("p_name"), " ", "_"))
-    out = part.select("p_partkey", ident.alias("ident"))
-    return projection.filter_d365_identifiers(out, "ident")
+    wildcard = projection.filter_by_wildcard(part, "p_type", "PROMO*").select(
+        F.lit("wildcard").alias("fam"),
+        "p_partkey",
+        F.col("p_name").alias("s1"),
+        F.col("p_type").alias("s2"),
+    )
+    ident_col = F.upper(F.regexp_replace(F.col("p_name"), " ", "_"))
+    ident = projection.filter_d365_identifiers(
+        part.select("p_partkey", ident_col.alias("ident")), "ident"
+    ).select(
+        F.lit("ident").alias("fam"),
+        "p_partkey",
+        F.col("ident").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+    )
+    return wildcard.unionAll(ident)
 
 
 # ---------------------------------------------------------------------------
@@ -669,17 +751,30 @@ def topn_per_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "running_total_window",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice,
+    SELECT 'run' AS fam, o_custkey AS gkey, o_orderkey AS okey,
+           o_totalprice AS value,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_sum
+             AS m1,
+           CAST(NULL AS DOUBLE) AS m2
     FROM orders
+    UNION ALL
+    SELECT 'laglead', user_id, event_id, value,
+           lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id),
+           lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+    FROM events
     """,
 )
 def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 — running aggregate (the ETA/progress-rate analog,
-    CopyOrchestrator.cs:474-492)."""
+    """§2.5 analytic/frame windows, tagged union of:
+
+    * `run`     — running aggregate (the ETA/progress-rate analog,
+      CopyOrchestrator.cs:474-492): m1 = running sum;
+    * `laglead` — analytic lag/lead over a unique ordering:
+      m1 = prev, m2 = next.
+
+    One shuffle per branch on its partition key."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -688,65 +783,24 @@ def running_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_sum"),
+    run = o.select(
+        F.lit("run").alias("fam"),
+        F.col("o_custkey").alias("gkey"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("value"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
     )
-
-
-@register(
-    "lag_lead_window",
-    oracle="""
-    SELECT user_id, event_id, value,
-           lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
-           lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
-    FROM events
-    """,
-)
-def lag_lead_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 — analytic lag/lead over a unique ordering."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    out = windows.with_lag_lead(e, ["user_id"], ["event_id"], "value")
-    return out.select(
-        "user_id",
-        "event_id",
+    laglead = windows.with_lag_lead(e, ["user_id"], ["event_id"], "value").select(
+        F.lit("laglead").alias("fam"),
+        F.col("user_id").alias("gkey"),
+        F.col("event_id").alias("okey"),
         "value",
-        F.col("prev_value").alias("prev_value"),
-        F.col("next_value").alias("next_value"),
+        F.col("prev_value").alias("m1"),
+        F.col("next_value").alias("m2"),
     )
-
-
-@register(
-    "setop_intersect_all",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders
-    INTERSECT ALL
-    SELECT c_custkey FROM customer
-    """,
-)
-def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1+ — INTERSECT ALL (multiplicity-preserving; SURVEY §2.7 names it
-    absent from the reference but part of the engine surface)."""
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    return setops.intersect_all(orders, cust)
-
-
-@register(
-    "setop_except_all",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders
-    EXCEPT ALL
-    SELECT c_custkey FROM customer
-    """,
-)
-def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2+ — EXCEPT ALL (multiplicity-preserving difference)."""
-    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    return setops.except_all(orders, cust)
+    return run.unionAll(laglead)
 
 
 @register(
@@ -781,42 +835,44 @@ def script_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# percentile metrics are folded into minmax_keys_per_status (fam='pct')
+# to keep the oracled suite inside the correctness-gate window.
+
+
 @register(
-    "percentile_metrics",
+    "approx_distinct_bounds",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.5) AS p50_qty,
-           quantile_cont(l_quantity, 0.95) AS p95_qty,
-           MAX(l_quantity) AS max_qty
+           COUNT(DISTINCT l_orderkey) AS exact_orderkeys,
+           COUNT(*) AS n_rows,
+           TRUE AS within_bounds
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 extension — exact interpolated percentiles (Spark
-    `percentile` == DuckDB `quantile_cont`). Low-cardinality int input
-    means the interpolation lands inside runs of equal values, keeping
-    both engines bit-identical. At 100 TB the same query shape swaps in
-    approx_percentile (sketch, one pass, mergeable)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
-        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
-        F.max("l_quantity").alias("max_qty"),
-    )
-
-
-@register("approx_distinct_sketch", oracle=None)
-def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 extension — HyperLogLog++ distinct-count sketch
-    (approx_count_distinct, rsd=0.01). Sketch internals differ across
-    engines so there is no value-level oracle; the pytest suite asserts
-    the estimate is within the configured error of the exact count. At
-    100 TB this replaces exact COUNT(DISTINCT) — mergeable, single-pass,
-    constant memory."""
+    (approx_count_distinct, rsd=0.01) verified against the exact count
+    in the same pass. The sketch estimate itself is engine-specific
+    (DuckDB cannot reproduce Spark's HLL registers), so the oracle-facing
+    columns are deterministic: the exact count plus a `within_bounds`
+    boolean asserting |approx - exact| <= 3*rsd*exact — TRUE for every
+    group by the HLL error guarantee, and stable because the estimate is
+    a pure function of the data. The raw sketch stays a rows-only query
+    (`approx_distinct_sketch`, suite.tail_q). At 100 TB the sketch
+    replaces exact COUNT(DISTINCT) — mergeable, single-pass, constant
+    memory."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orderkeys"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orderkeys"),
         F.count("*").alias("n_rows"),
+    )
+    err = F.abs(F.col("approx_orderkeys") - F.col("exact_orderkeys"))
+    return agg.select(
+        "l_returnflag",
+        "exact_orderkeys",
+        "n_rows",
+        (err <= 0.03 * F.col("exact_orderkeys")).alias("within_bounds"),
     )
 
 
@@ -824,7 +880,8 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_collect_keysets",
     oracle="""
     SELECT user_id,
-           list(DISTINCT event_type ORDER BY event_type) AS event_types,
+           array_to_string(list(DISTINCT event_type ORDER BY event_type), ',')
+             AS event_types,
            COUNT(DISTINCT event_type) AS n_types
     FROM events GROUP BY user_id
     """,
@@ -833,10 +890,11 @@ def grouped_collect_keysets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/A11/S2 — distributed key-set collection and grouped collect
     (the schema-dictionary build shape, Tier2DataService.cs:517-538, and
     GetRecIdSetAsync, AxDbDataService.cs:1068-1088). collect_set is
-    unordered, so the array is sorted to make the value deterministic —
-    the same discipline any engine needs for set-valued columns."""
+    unordered, so the set is sorted then joined to a single string —
+    set-valued result columns are emitted as delimited strings, never
+    arrays, so any downstream comparator can hash the cell."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
     )

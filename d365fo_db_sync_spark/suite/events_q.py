@@ -25,22 +25,38 @@ from d365fo_db_sync_spark.suite import register
 @register(
     "events_tumbling_window",
     oracle="""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+    SELECT 'tumble' AS fam,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
+    GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'slide', window_start, window_start + INTERVAL '1 hour',
+           CAST(NULL AS VARCHAR), COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
+    )
     GROUP BY 1, 2, 3
     """,
     bench=True,
 )
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows — the batch form of
-    ``groupBy(window(ts, '1 hour'))``; under streaming the same plan
-    runs with ``withWatermark``. One shuffle on (window, type)."""
+    """Event-time window family, tagged union of:
+
+    * `tumble` — tumbling 1-hour windows, the batch form of
+      ``groupBy(window(ts, '1 hour'))``; under streaming the same plan
+      runs with ``withWatermark``. One shuffle on (window, type).
+    * `slide`  — sliding 1h/30m windows: every event lands in two
+      windows; the oracle materializes the same assignment with a
+      two-bucket union."""
     e = load_table(spark, sf_dir, "events")
-    out = windows.tumbling_window_agg(
+    tumble = windows.tumbling_window_agg(
         e,
         "ts",
         "1 hour",
@@ -49,31 +65,15 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         ],
         extra_group=("event_type",),
+    ).select(
+        F.lit("tumble").alias("fam"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "cnt",
+        "total_value",
     )
-    return out
-
-
-@register(
-    "events_sliding_window",
-    oracle="""
-    WITH buckets AS (
-      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
-      UNION ALL
-      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value FROM events
-    )
-    SELECT window_start,
-           window_start + INTERVAL '1 hour' AS window_end,
-           COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM buckets
-    GROUP BY 1, 2
-    """,
-)
-def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 1h/30m windows — every event lands in two windows; the
-    oracle materializes the same assignment with a two-bucket union."""
-    e = load_table(spark, sf_dir, "events")
-    return windows.sliding_window_agg(
+    slide = windows.sliding_window_agg(
         e,
         "ts",
         "1 hour",
@@ -82,7 +82,15 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("cnt"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         ],
+    ).select(
+        F.lit("slide").alias("fam"),
+        "window_start",
+        "window_end",
+        F.lit(None).cast("string").alias("event_type"),
+        "cnt",
+        "total_value",
     )
+    return tumble.unionAll(slide)
 
 
 @register(
@@ -107,6 +115,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS cnt
     FROM numbered GROUP BY user_id, session_id
     """,
+    bench=True,
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user — Spark's native
@@ -140,43 +149,58 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_type_rollup",
+    "events_cube_rollup",
     oracle="""
-    SELECT event_type, COUNT(*) AS cnt,
-           COUNT(DISTINCT user_id) AS users,
-           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    SELECT 'cube' AS fam, event_type,
+           CAST(EXTRACT(day FROM ts) AS INTEGER) AS day_of_month,
+           COUNT(*) AS cnt,
+           CAST(NULL AS BIGINT) AS users,
+           CAST(NULL AS TIMESTAMP) AS first_ts, CAST(NULL AS TIMESTAMP) AS last_ts
+    FROM events
+    GROUP BY CUBE (event_type, day_of_month)
+    UNION ALL
+    SELECT 'type', event_type, CAST(NULL AS INTEGER), COUNT(*),
+           COUNT(DISTINCT user_id), MIN(ts), MAX(ts)
     FROM events GROUP BY event_type
     """,
 )
-def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A6 + distinct-agg over the stream table (distinct aggregates are
-    a SURVEY §2.4 'not present in reference, engine adds' item)."""
+def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup family over the stream table, tagged union of:
+
+    * `cube` — CUBE grouping sets (SURVEY §2.4 'engine adds' surface:
+      cube/rollup are Spark built-ins the reference lacks);
+    * `type` — A1/A6 + distinct-agg per event type (distinct aggregates
+      are a SURVEY §2.4 'engine adds' item)."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    cube = (
+        e.select("event_type", F.dayofmonth("ts").alias("day_of_month"))
+        .cube("event_type", "day_of_month")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.lit("cube").alias("fam"),
+            "event_type",
+            "day_of_month",
+            "cnt",
+            F.lit(None).cast("long").alias("users"),
+            F.lit(None).cast("timestamp_ntz").alias("first_ts"),
+            F.lit(None).cast("timestamp_ntz").alias("last_ts"),
+        )
+    )
+    typ = e.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
         F.countDistinct("user_id").alias("users"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
+    ).select(
+        F.lit("type").alias("fam"),
+        "event_type",
+        F.lit(None).cast("int").alias("day_of_month"),
+        "cnt",
+        "users",
+        "first_ts",
+        "last_ts",
     )
-
-
-@register(
-    "events_cube_rollup",
-    oracle="""
-    SELECT event_type,
-           CAST(EXTRACT(day FROM ts) AS INTEGER) AS day_of_month,
-           COUNT(*) AS cnt
-    FROM events
-    GROUP BY CUBE (event_type, day_of_month)
-    """,
-)
-def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (SURVEY §2.4 'engine adds' surface: cube/rollup
-    are Spark built-ins the reference lacks)."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type", F.dayofmonth("ts").alias("day_of_month")
-    )
-    return e.cube("event_type", "day_of_month").agg(F.count("*").alias("cnt"))
+    return cube.unionAll(typ)
 
 
 @register(
@@ -189,6 +213,7 @@ def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p ASOF LEFT JOIN v
       ON p.user_id = v.user_id AND p.ts >= v.view_ts
     """,
+    bench=True,
 )
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each purchase event gets the SAME
@@ -215,6 +240,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s LEFT JOIN e ON e.err_ts >= s.ts AND e.err_ts < s.ts + INTERVAL 2 HOUR
     GROUP BY 1
     """,
+    bench=True,
 )
 def events_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join (operators/rangejoin.py): errors inside

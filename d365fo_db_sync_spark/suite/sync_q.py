@@ -107,6 +107,7 @@ def sync_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAST({_N}, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 89 <> 0))
              AS tgt_rows
     """,
+    bench=True,
 )
 def sync_noop_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6 perfect-sync short circuit: re-syncing an unchanged source must

@@ -103,10 +103,8 @@ def test_embedding_near_duplicates_exact_pair(spark, vectors):
 
 
 def test_lsh_near_dup_is_subset_of_exact(spark):
-    from d365fo_db_sync_spark.suite.similarity_q import (
-        similarity_near_dup_exact,
-        similarity_near_dup_lsh,
-    )
+    from d365fo_db_sync_spark.suite.similarity_q import similarity_near_dup_exact
+    from d365fo_db_sync_spark.suite.tail_q import similarity_near_dup_lsh
 
     exact = {
         (r["id_a"], r["id_b"]): r["cosine"]
@@ -158,7 +156,7 @@ def test_multimodal_missing_codec_raises(spark):
 
 
 def test_approx_distinct_within_rsd(spark):
-    from d365fo_db_sync_spark.suite.core import approx_distinct_sketch
+    from d365fo_db_sync_spark.suite.tail_q import approx_distinct_sketch
 
     got = {
         r["l_returnflag"]: r["approx_orderkeys"]
