@@ -62,6 +62,21 @@ class StateStore:
             self._state[table.upper()] = state
             self._flush()
 
+    def merge_commit(self, table: str, state: TableState, merge_fn) -> TableState:
+        """Read-merge-write in ONE critical section. ``commit`` alone is
+        atomic, but a caller doing get() -> merge -> commit() holds the
+        lock twice: two concurrent commits for the SAME table can
+        interleave and lose a maximum. Pass ``merge_fn(old, new) ->
+        TableState``; it runs under the store lock, so the merged value
+        is computed against the truly-latest state. Returns the merged
+        state that was persisted."""
+        with self._lock:
+            old = self._state.get(table.upper(), TableState())
+            merged = merge_fn(old, state)
+            self._state[table.upper()] = merged
+            self._flush()
+            return merged
+
     def clear(self, table: str | None = None) -> None:
         with self._lock:
             if table is None:

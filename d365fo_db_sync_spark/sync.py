@@ -52,6 +52,12 @@ class SyncConfig:
     truncate_threshold_percent: float = 40.0  # AppConfiguration.cs:39
     sequence_gap: int = 10_000  # AxDbDataService.cs:12
     current_sequence: int = 0
+    #: optional CDC arrival-order column (e.g. a Kafka offset). When a
+    #: micro-batch carries it, _compact_last_event uses it as the
+    #: tiebreaker instead of monotonically_increasing_id, whose value
+    #: encodes (partitionId, rowIndex) — partition order, NOT true
+    #: arrival order, for batches spanning >1 partition.
+    sequence_col: str | None = None
 
 
 @dataclass
@@ -201,25 +207,45 @@ class SyncEngine:
         update-then-tombstone pair resurrects the deleted row (the key is
         anti-joined away, then the stale update is re-inserted).
 
-        Ordering: version descending when the batch carries the version
-        column, arrival order (within the batch) as the tiebreaker —
-        one row_number window on the key, no extra shuffle beyond the
-        per-key partition the merge needs anyway."""
+        Ordering: version descending when EVERY event of the key carries
+        a version; arrival order as the tiebreaker. Keys where ANY event
+        lacks a version fall back to arrival-order-primary for the whole
+        key — a NULL-version tombstone (the common CDC delete shape, all
+        non-key columns NULL) must beat an earlier versioned update, not
+        sort below it.
+
+        Arrival = ``config.sequence_col`` when the batch carries it (a
+        true source offset); else monotonically_increasing_id, which
+        encodes (partitionId, rowIndex) — batch-internal partition order.
+        For single-partition foreachBatch frames that IS arrival order;
+        for multi-partition version-less batches it is only
+        deterministic per physical plan, so supply ``sequence_col``
+        there. Both windows partition on the key — one shuffle, reused."""
         from pyspark.sql import Window
 
-        key, ver = self.config.key, self.config.version
+        cfg = self.config
+        key, ver = cfg.key, cfg.version
         arrival = "__arrival"
-        compacted = batch.withColumn(arrival, F.monotonically_increasing_id())
-        order = (
-            [F.col(ver).desc_nulls_last(), F.col(arrival).desc()]
-            if ver in batch.columns
-            else [F.col(arrival).desc()]
-        )
+        if cfg.sequence_col and cfg.sequence_col in batch.columns:
+            compacted = batch.withColumn(arrival, F.col(cfg.sequence_col))
+        else:
+            compacted = batch.withColumn(arrival, F.monotonically_increasing_id())
+        if ver in batch.columns:
+            # NULL-out the version for every row of a key that has any
+            # NULL-version event: the whole key then ties on the primary
+            # sort and resolves purely by arrival.
+            any_null = F.max(F.col(ver).isNull().cast("int")).over(Window.partitionBy(key))
+            compacted = compacted.withColumn(
+                "__ord_ver", F.when(any_null == 0, F.col(ver))
+            )
+            order = [F.col("__ord_ver").desc_nulls_last(), F.col(arrival).desc()]
+        else:
+            order = [F.col(arrival).desc()]
         w = Window.partitionBy(key).orderBy(*order)
         return (
             compacted.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", arrival)
+            .drop("__rn", arrival, "__ord_ver")
         )
 
     # -- optimized path (CopyOrchestrator.cs:812-939) -------------------------
@@ -392,7 +418,9 @@ class SyncEngine:
         report = SyncReport(table=name, mode=STANDARD, classification=counts)
         report.inserted = counts.get(delta.MODIFIED, 0) + counts.get(delta.NEW, 0)
         report.deleted = counts.get(delta.MODIFIED, 0) + counts.get(delta.DELETED, 0)
-        self._swap_and_commit(name, new_tgt, target, max_key, max_ver)
+        # full-window fetch: the fetched maxima ARE the source's truth,
+        # so overwrite (a restore-lowered rowversion must stick)
+        self._swap_and_commit(name, new_tgt, target, max_key, max_ver, overwrite=True)
         classified.unpersist()
         fetched.unpersist()
         return report
@@ -403,43 +431,72 @@ class SyncEngine:
         self, name: str, df: DataFrame, target: ParquetTarget, max_key, max_ver
     ) -> int:
         # write once, then count from the written footers — no pre-write
-        # cache+count materialization pass
-        self._swap_and_commit(name, df, target, max_key, max_ver)
+        # cache+count materialization pass. Every caller is a snapshot
+        # path (full refresh), so the state commit OVERWRITES.
+        self._swap_and_commit(name, df, target, max_key, max_ver, overwrite=True)
         return target.num_rows()
 
     def _swap_and_commit(
-        self, name: str, new_tgt: DataFrame, target: ParquetTarget, max_key, max_ver
+        self,
+        name: str,
+        new_tgt: DataFrame,
+        target: ParquetTarget,
+        max_key,
+        max_ver,
+        overwrite: bool = False,
     ) -> None:
         """Sink swap first, state second — a failure between the two leaves
         a valid target with a stale watermark, which the next run repairs
         idempotently (T5/T6). State NEVER advances on a failed write.
 
-        The commit MERGES with the prior state (element-wise max, never
-        overwriting a non-None watermark with None): a CDC batch touching
-        only old keys must not regress max_transferred_key/next_sequence
-        below committed values (the T7 fence may never move backwards),
-        and an all-tombstone batch (no live maxima) must not erase the
-        watermark — doing so silently demotes the next run to the full
-        standard compare."""
+        Two commit semantics, matching the reference:
+
+        * partial-batch merges (``overwrite=False``) MERGE element-wise
+          max with the prior state, never overwriting a non-None
+          watermark with None: a CDC batch touching only old keys must
+          not regress max_transferred_key/next_sequence below committed
+          values (the T7 fence may never move backwards), and an
+          all-tombstone batch (no live maxima) must not erase the
+          watermark — doing so silently demotes the next run to the
+          full standard compare. The get-merge-write runs atomically
+          under the store lock (StateStore.merge_commit) so concurrent
+          same-table commits cannot interleave and lose a maximum.
+        * snapshot paths (``overwrite=True``: truncate, standard, the
+          optimized path's TRUNCATE fallback) OVERWRITE state with the
+          fetched maxima, as TimestampManager.SetTimestamps does
+          (TimestampManager.cs:41-53). After a source rowversion
+          regression (DB restore), merging would pin the stale high
+          watermark forever: later modifications with versions below it
+          would classify NO_CHANGE and be silently skipped until
+          store.clear(). A full refresh must be able to LOWER the
+          watermark to the rebuilt source's true maximum."""
         target.overwrite(new_tgt)
         cfg = self.config
         next_seq = None
         if max_key is not None:
             # T7: fence target-assigned ids past source-assigned ones
             next_seq = max(int(max_key), cfg.current_sequence) + cfg.sequence_gap
-        prev = self.store.get(name)
+        fetched_state = TableState(
+            src_ts=None if max_ver is None else int(max_ver),
+            tgt_ts=None if max_ver is None else int(max_ver),
+            max_transferred_key=None if max_key is None else int(max_key),
+            next_sequence=next_seq,
+        )
+        if overwrite:
+            self.store.commit(name, fetched_state)
+            return
 
-        def _merged(old: int | None, new) -> int | None:
+        def _merged(old: int | None, new: int | None) -> int | None:
             if new is None:
                 return old
-            return int(new) if old is None else max(old, int(new))
+            return new if old is None else max(old, new)
 
-        self.store.commit(
-            name,
-            TableState(
-                src_ts=_merged(prev.src_ts, max_ver),
-                tgt_ts=_merged(prev.tgt_ts, max_ver),
-                max_transferred_key=_merged(prev.max_transferred_key, max_key),
-                next_sequence=_merged(prev.next_sequence, next_seq),
-            ),
-        )
+        def _merge(prev: TableState, new: TableState) -> TableState:
+            return TableState(
+                src_ts=_merged(prev.src_ts, new.src_ts),
+                tgt_ts=_merged(prev.tgt_ts, new.tgt_ts),
+                max_transferred_key=_merged(prev.max_transferred_key, new.max_transferred_key),
+                next_sequence=_merged(prev.next_sequence, new.next_sequence),
+            )
+
+        self.store.merge_commit(name, fetched_state, _merge)

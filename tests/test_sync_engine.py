@@ -254,6 +254,112 @@ def test_cdc_state_never_regresses(env):
     assert 1004 not in keys_of(target, spark)
 
 
+def test_full_refresh_lowers_watermark_after_source_restore(env):
+    # ADVICE r2 (medium): snapshot paths must OVERWRITE state with the
+    # fetched maxima (TimestampManager.SetTimestamps), not merge-max.
+    # After a source rowversion regression (DB restore), a merge-max
+    # commit pins the stale watermark and later modifications below it
+    # are silently skipped forever.
+    spark, store, engine, target = env
+    engine.sync_table("T1", df_of(spark, make_rows(50, ver_start=100_000)), target)
+    assert store.get("T1").src_ts == 100_049
+
+    # restored source: same keys, versions restart at 100
+    restored = make_rows(50, ver_start=100)
+    engine.sync_table("T1", df_of(spark, restored), target, force_truncate=True)
+    st = store.get("T1")
+    assert st.src_ts == 149  # lowered to the restored source's truth
+    assert st.tgt_ts == 149
+
+    # post-restore modification (version 150 << stale 100_049) must now
+    # be picked up instead of classifying NO_CHANGE
+    bumped = [
+        (r[0], r[1] + 1, 150, r[3], r[4], 777.0) if r[0] == 1010 else r for r in restored
+    ]
+    r = engine.sync_table("T1", df_of(spark, bumped), target)
+    assert r.mode == INCREMENTAL
+    got = {x["RecId"]: x["AMOUNT"] for x in target.read(spark).collect()}
+    assert got[1010] == 777.0
+
+
+def test_cdc_null_version_tombstone_beats_versioned_update(env):
+    # ADVICE r2: a NULL-version tombstone (common CDC delete shape: all
+    # non-key columns NULL) must win over an EARLIER versioned update for
+    # the same key — desc_nulls_last alone resurrects the deleted row.
+    spark, store, engine, target = env
+    engine.merge_upsert("T", df_of(spark, make_rows(10)), target)
+
+    batch = spark.createDataFrame(
+        [
+            (1003, 3, 500, None, dt.datetime(2024, 2, 1), 11.0, False),
+            (1003, None, None, None, None, None, True),  # NULL-version tombstone, later
+        ],
+        SCHEMA + ", __deleted boolean",
+    ).coalesce(1)
+    engine.merge_upsert("T", batch, target)
+    assert 1003 not in keys_of(target, spark)
+
+
+def test_cdc_explicit_sequence_col_tiebreaker(env):
+    # ADVICE r2: monotonically_increasing_id orders by partition index,
+    # not arrival — a version-less multi-partition batch needs an
+    # explicit source offset column for a deterministic winner.
+    spark, store, engine, target = env
+    engine.config.sequence_col = "__offset"
+    engine.merge_upsert("T", df_of(spark, make_rows(10)), target)
+
+    batch = spark.createDataFrame(
+        [
+            # same key, NO versions, arrival encoded in __offset; spread
+            # over 4 partitions so partition order != arrival order
+            (1003, 1, None, None, dt.datetime(2024, 2, 1), 1.0, False, 7),
+            (1003, 1, None, None, dt.datetime(2024, 2, 1), 2.0, False, 12),
+            (1003, 1, None, None, dt.datetime(2024, 2, 1), 3.0, False, 9),
+            (1003, 1, None, None, dt.datetime(2024, 2, 1), 4.0, False, 3),
+        ],
+        SCHEMA + ", __deleted boolean, __offset long",
+    ).repartition(4)
+    engine.merge_upsert("T", batch, target)
+    got = {r["RecId"]: r["AMOUNT"] for r in target.read(spark).collect()}
+    assert got[1003] == 2.0  # highest offset wins regardless of partitioning
+
+
+def test_state_store_merge_commit_atomic(tmp_path):
+    # ADVICE r2: get->merge->commit must not interleave between threads —
+    # merge_commit runs the merge under the store lock.
+    import threading
+
+    from d365fo_db_sync_spark.state import StateStore, TableState
+
+    store = StateStore(str(tmp_path / "s.json"))
+
+    def merge_max(old: TableState, new: TableState) -> TableState:
+        def mx(a, b):
+            if b is None:
+                return a
+            return b if a is None else max(a, b)
+
+        return TableState(
+            src_ts=mx(old.src_ts, new.src_ts),
+            tgt_ts=mx(old.tgt_ts, new.tgt_ts),
+            max_transferred_key=mx(old.max_transferred_key, new.max_transferred_key),
+            next_sequence=mx(old.next_sequence, new.next_sequence),
+        )
+
+    def work(vals):
+        for v in vals:
+            store.merge_commit("T", TableState(src_ts=v), merge_max)
+
+    threads = [
+        threading.Thread(target=work, args=(range(i, 1000, 8),)) for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert store.get("T").src_ts == 999  # no lost maximum
+
+
 def test_null_version_missing_row_recovered_and_converges(env):
     # ADVICE r1: a missing row whose version is NULL must still be fetched
     # (zero-floor fallback, CopyOrchestrator.cs:1115-1118) instead of being
