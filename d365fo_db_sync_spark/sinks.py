@@ -107,7 +107,14 @@ class ParquetTarget:
 
 
 class JdbcSink:
-    """JDBC sink config mirroring the reference's physical parameters."""
+    """JDBC sink config mirroring the reference's physical parameters.
+
+    Statement execution goes through a caller-supplied
+    ``statement_runner: Callable[[str], None]`` (a thin wrapper over a
+    JDBC/ODBC cursor in a real deployment, a stub in tests) — the
+    sandbox ships no database driver, so the sink's contract is pinned
+    by the statements it emits and the order it emits them in.
+    """
 
     def __init__(
         self,
@@ -123,7 +130,45 @@ class JdbcSink:
         self.delete_batch_size = delete_batch_size
         self.options = options or {}
 
-    def write(self, df: DataFrame, mode: str = "append") -> None:
+    # -- T8: trigger toggling around loads (AxDbDataService.cs:316-318,369-397)
+    def trigger_disable_sql(self) -> str:
+        return f"ALTER TABLE [{self.table}] DISABLE TRIGGER ALL"
+
+    def trigger_enable_sql(self) -> str:
+        return f"ALTER TABLE [{self.table}] ENABLE TRIGGER ALL"
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        statement_runner=None,
+        pre_sql: list[str] | None = None,
+        post_sql: list[str] | None = None,
+    ) -> None:
+        """Bulk load, optionally bracketed by pre/post statements.
+
+        With a ``statement_runner``, pre_sql (default: DISABLE TRIGGER
+        ALL) runs before the load and post_sql (default: ENABLE TRIGGER
+        ALL) runs in a finally — ALWAYS, even when the load raises, and
+        re-enable failures are swallowed so they cannot mask the
+        original error (the reference's catch-all re-enable,
+        AxDbDataService.cs:369-397: triggers must never stay disabled).
+        """
+        if statement_runner is None:
+            self._save(df, mode)
+            return
+        for stmt in pre_sql if pre_sql is not None else [self.trigger_disable_sql()]:
+            statement_runner(stmt)
+        try:
+            self._save(df, mode)
+        finally:
+            for stmt in post_sql if post_sql is not None else [self.trigger_enable_sql()]:
+                try:
+                    statement_runner(stmt)
+                except Exception:  # noqa: BLE001 — best-effort re-enable
+                    pass
+
+    def _save(self, df: DataFrame, mode: str) -> None:
         (
             df.write.format("jdbc")
             .option("url", self.url)
@@ -143,6 +188,16 @@ class JdbcSink:
             chunk = ",".join(str(x) for x in ids[i : i + self.delete_batch_size])
             out.append(f"DELETE FROM {self.table} WHERE {key} IN ({chunk})")
         return out
+
+    def execute_deletes(self, statement_runner, key: str, ids: list[int]) -> int:
+        """Run the chunked DELETEs through the statement runner, in
+        order (DeleteByRecIdListAsync, AxDbDataService.cs:909-932: one
+        statement per DELETE_BATCH_SIZE chunk, no-op on empty list).
+        Returns the number of statements executed."""
+        statements = self.delete_in_batches_sql(key, ids)
+        for stmt in statements:
+            statement_runner(stmt)
+        return len(statements)
 
 
 def snapshot(target: ParquetTarget, snapshot_root: str, label: str) -> str:
