@@ -65,6 +65,8 @@ def classify_changes(
     recversion: str = "RECVERSION",
     created: str = "CREATEDDATETIME",
     modified: str = "MODIFIEDDATETIME",
+    compact_duplicates: bool = False,
+    salt: int = 16,
 ) -> DataFrame:
     """Full-outer join + 4-way classification (J1).
 
@@ -79,6 +81,18 @@ def classify_changes(
       max-transferred key, else ``modified``
     * otherwise: ``unchanged`` iff RECVERSION equal and every available
       datetime column null-safe-equal, else ``modified``.
+
+    Skew: with unique keys per side (the reference's invariant) the
+    hash shuffle spreads keys uniformly and AQE splits any residual
+    partition skew — no salting needed or useful. The skew vector that
+    CAN kill this join is a source carrying MANY duplicate rows for a
+    hot key (an uncompacted CDC replay feed): the full-outer join
+    funnels every duplicate into the hot key's one task.
+    ``compact_duplicates=True`` removes it before the join with a
+    two-stage salted reduction (operators/skew.py): stage 1 reduces on
+    (key, salt) so the hot key spreads over ``salt`` reducers, stage 2
+    merges the partials per key. Element-wise max is the correct merge
+    for replayed/monotone version columns — the latest version wins.
     """
     context = context or ComparisonContext.from_columns(src.columns, tgt.columns)
 
@@ -94,6 +108,14 @@ def classify_changes(
 
     s = side(src, "s")
     t = side(tgt, "t")
+    if compact_duplicates:
+        from d365fo_db_sync_spark.operators.skew import salted_agg
+
+        value_cols = [c for c in s.columns if c != f"s_{key}"]
+        if value_cols:
+            s = salted_agg(s, [f"s_{key}"], {c: (c, "max") for c in value_cols}, salt=salt)
+        else:
+            s = s.distinct()
     joined = s.join(t, s[f"s_{key}"] == t[f"t_{key}"], "full_outer")
 
     equal: Column = F.lit(True)

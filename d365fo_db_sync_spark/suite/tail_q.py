@@ -4,9 +4,12 @@ training, HLL registers).
 
 Registered LAST on purpose: the 50 oracled queries come first in
 registration order so every one of them sits inside the driver's
-correctness gate window; these four get the weaker rows-only check there
-but each carries a pytest asserting its semantic contract
-(tests/test_scale_ops.py, tests/test_similarity.py).
+correctness gate window; the rows-only queries here get the weaker
+rows-only check there but each carries a pytest asserting its semantic
+contract (tests/test_scale_ops.py, tests/test_similarity.py). The tail
+also carries oracle-checked scale-stress queries that exist for
+bench.py rather than the gate (the gate already verifies the same
+operators on uniform data).
 """
 
 from __future__ import annotations
@@ -63,6 +66,78 @@ def similarity_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact pair set with matching cosines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(emb, threshold=0.4, bits=_BITS, dim=_DIM)
+
+
+_SKEW_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN l_partkey % 10 < 3 THEN 5
+              ELSE l_orderkey * 10 + l_linenumber END AS RecId,
+         MAX(CAST(l_linenumber AS INT)) AS rv,
+         MAX(CAST(l_shipdate AS TIMESTAMP)) AS cd,
+         MAX(l_shipdate + l_linenumber * INTERVAL 1 DAY) AS md
+  FROM lineitem GROUP BY 1
+), tgt AS (
+  SELECT l_orderkey * 10 + l_linenumber AS RecId,
+         MAX(CAST(l_linenumber AS INT)
+             + CASE WHEN l_suppkey % 5 = 0 THEN 1 ELSE 0 END) AS rv,
+         MAX(CAST(l_shipdate AS TIMESTAMP)) AS cd,
+         MAX(l_shipdate + l_linenumber * INTERVAL 1 DAY) AS md
+  FROM lineitem
+  WHERE l_suppkey % 7 <> 0 AND l_partkey % 10 >= 3 GROUP BY 1
+)
+SELECT change_type, COUNT(*) AS cnt FROM (
+  SELECT CASE WHEN t.RecId IS NULL THEN 'new'
+              WHEN s.RecId IS NULL THEN 'deleted'
+              WHEN s.rv = t.rv AND s.cd IS NOT DISTINCT FROM t.cd
+                   AND s.md IS NOT DISTINCT FROM t.md THEN 'unchanged'
+              ELSE 'modified' END AS change_type
+  FROM src s FULL OUTER JOIN tgt t ON s.RecId = t.RecId
+) GROUP BY change_type ORDER BY change_type
+"""
+
+
+@register("delta_classify_skewed", oracle=_SKEW_ORACLE, bench=True)
+def delta_classify_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 under deliberate key skew — the scale-stress twin of
+    `delta_classify_4way`. ~30% of lineitem rows collapse onto ONE hot
+    source key (an uncompacted CDC-replay shape); without mitigation the
+    full-outer join funnels them into a single task. The engine path
+    compacts duplicates first with the two-stage salted reduction
+    (delta.classify_changes(compact_duplicates=True) ->
+    operators/skew.salted_agg), so the join itself sees unique keys and
+    hash-partitions uniformly. Oracle mirrors the compaction as a plain
+    GROUP BY MAX. Bench evidence: runtime stays in family with the
+    uniform delta_classify_4way (the within-2x gate)."""
+    from d365fo_db_sync_spark import delta
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = F.col("l_partkey") % 10 < 3
+    src = li.select(
+        F.when(hot, F.lit(5))
+        .otherwise(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .alias("RecId"),
+        F.col("l_linenumber").cast("int").alias("RECVERSION"),
+        F.col("l_shipdate").cast("timestamp").alias("CREATEDDATETIME"),
+        F.timestamp_add("DAY", F.col("l_linenumber"), F.col("l_shipdate")).alias("MODIFIEDDATETIME"),
+    )
+    tgt = (
+        li.filter((F.col("l_suppkey") % 7 != 0) & ~hot)
+        .groupBy((F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("RecId"))
+        .agg(
+            F.max(
+                F.col("l_linenumber").cast("int")
+                + F.when(F.col("l_suppkey") % 5 == 0, 1).otherwise(0)
+            ).alias("RECVERSION"),
+            F.max(F.col("l_shipdate").cast("timestamp")).alias("CREATEDDATETIME"),
+            F.max(F.timestamp_add("DAY", F.col("l_linenumber"), F.col("l_shipdate"))).alias("MODIFIEDDATETIME"),
+        )
+    )
+    classified = delta.classify_changes(src, tgt, compact_duplicates=True)
+    return (
+        delta.change_counts(classified)
+        .orderBy("change_type")
+        .select("change_type", "cnt")
+    )
 
 
 @register("similarity_cosine_topk_ivf", oracle=None)

@@ -113,3 +113,24 @@ def test_context_from_columns():
     )
     assert ctx.has_recversion and not ctx.has_created and not ctx.has_modified
     assert ctx.is_fallback_mode
+
+
+def test_compact_duplicates_salted(spark):
+    """compact_duplicates: a duplicate-key source (uncompacted CDC
+    replay) reduces to element-wise max per key BEFORE the join, via the
+    two-stage salted aggregation — the latest version wins and the
+    classification matches what a pre-deduped source would produce."""
+    later = dt.datetime(2024, 3, 2, 12, 0, 0)
+    src_rows = (
+        # hot key 1: many replayed events, versions 1..40, latest ts
+        [(1, v, TS, later if v == 40 else TS) for v in range(1, 41)]
+        + [(2, 2, TS, TS), (3, 9, TS, TS)]
+    )
+    tgt_rows = [(1, 40, TS, later), (2, 2, TS, TS)]
+    got = classify(spark, src_rows, tgt_rows, compact_duplicates=True, salt=4)
+    assert got == {1: "unchanged", 2: "unchanged", 3: "new"}
+    # exactly one row per key — the join never sees the duplicates
+    src = spark.createDataFrame(src_rows, SCHEMA)
+    tgt = spark.createDataFrame(tgt_rows, SCHEMA)
+    out = delta.classify_changes(src, tgt, compact_duplicates=True, salt=4)
+    assert out.count() == 3
