@@ -70,6 +70,48 @@ def fake_codec(content: bytes, media_type: str) -> dict:
     }
 
 
+def pillow_image_codec() -> Codec | None:
+    """REAL image decoder backed by Pillow when it is importable, else
+    None. Emits the same feature-dict contract as :func:`fake_codec`
+    (true pixel dimensions + an 8-bin normalized luminance histogram as
+    the feature vector), so swapping it in changes only the VALUES —
+    the schema, batching, and distributed plan are identical. Pillow is
+    not shipped in this environment; deployments that have it get the
+    real decode with zero pipeline changes."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    def codec(content: bytes, media_type: str) -> dict:
+        img = Image.open(io.BytesIO(content))
+        hist = img.convert("L").histogram()  # 256 luminance bins
+        total = float(sum(hist)) or 1.0
+        return {
+            "width": img.width,
+            "height": img.height,
+            "duration_ms": None,
+            "feature": [sum(hist[i * 32 : (i + 1) * 32]) / total for i in range(8)],
+        }
+
+    return codec
+
+
+def register_default_codecs(prefer_real: bool = True) -> dict[str, str]:
+    """Register a codec for every media type: the real Pillow decoder
+    for images when importable (and ``prefer_real``), the deterministic
+    stub otherwise. Returns {media_type: "pillow" | "stub"} so callers
+    can log which path is live."""
+    pil = pillow_image_codec() if prefer_real else None
+    register_codec("image", pil or fake_codec)
+    chosen = {"image": "pillow" if pil else "stub"}
+    for mt in ("audio", "video"):
+        register_codec(mt, fake_codec)
+        chosen[mt] = "stub"
+    return chosen
+
+
 def decode_features(assets: DataFrame, batch_hint: int = 0) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow batches).
 
@@ -157,18 +199,46 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+def pillow_resampler() -> Callable[[bytes, int, int], bytes] | None:
+    """Real resampler (Pillow) when importable, else None: decodes,
+    LANCZOS-resizes to (width, height), re-encodes PNG. Same
+    bytes-in/bytes-out contract as the stub truncation."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    def resample(content: bytes, width: int, height: int) -> bytes:
+        img = Image.open(io.BytesIO(content)).resize((width, height), Image.LANCZOS)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    return resample
+
+
+def resize_images(
+    assets: DataFrame,
+    width: int,
+    height: int,
+    resample: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
     """Resize stage for image assets: mapInPandas, one Arrow round-trip
-    per batch. The pixel transform is STUBBED deterministically (payload
-    truncated to width*height/8 bytes — stands in for a real
-    PIL/libvips resample registered the same way as decode codecs); the
-    schema/batching contract is what a real deployment keeps."""
+    per batch. The pixel transform is pluggable: pass ``resample``
+    (e.g. :func:`pillow_resampler`) for a real decode-resize-encode;
+    the default is the deterministic STUB (payload truncated to
+    width*height/8 bytes) since no media libs ship in this environment.
+    The schema/batching contract is identical either way."""
     cap = max(1, (width * height) // 8)
+    if resample is None:
+        resample = lambda content, w, h: content[:cap]  # noqa: E731 — stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raws = [
-                bytes(c)[:cap] if c is not None else b"" for c in pdf["content"]
+                resample(bytes(c), width, height) if c is not None else b""
+                for c in pdf["content"]
             ]
             yield pd.DataFrame(
                 {
