@@ -200,13 +200,29 @@ class JdbcSink:
         return len(statements)
 
 
-def snapshot(target: ParquetTarget, snapshot_root: str, label: str) -> str:
+def snapshot(
+    target: ParquetTarget,
+    snapshot_root: str,
+    label: str,
+    progress=None,
+) -> str:
     """Backup sink (S13, BackupService.cs:36-121): write the target's
     current state to a labeled snapshot path. The reference's
     ``[database]_[datetime].bak`` token pattern becomes a caller-built
     label (date_format tokens); COPY_ONLY semantics hold for free — the
     snapshot never participates in the pointer swap.
+
+    ``progress``: optional ``callback(percent: float,
+    est_remaining_sec: float | None)`` — the analog of the reference's
+    percent_complete/estimated_completion_time poll
+    (PollBackupProgressAsync, BackupService.cs:129-192). Called after
+    every copied file plus once at 100%; estimates come from measured
+    copy throughput (None until any bytes have moved). Callback errors
+    are swallowed, as the reference swallows poll errors — monitoring
+    must never fail the backup.
     """
+    import time
+
     src = target.current_path()
     if src is None:
         raise FileNotFoundError(f"target {target.root} has no current version")
@@ -214,7 +230,35 @@ def snapshot(target: ParquetTarget, snapshot_root: str, label: str) -> str:
     if os.path.exists(dest):
         raise FileExistsError(dest)
     os.makedirs(snapshot_root, exist_ok=True)
-    shutil.copytree(src, dest)
+    if progress is None:
+        shutil.copytree(src, dest)
+        return dest
+
+    files: list[tuple[str, str, int]] = []  # (abs src, rel path, bytes)
+    for dirpath, _dirs, names in os.walk(src):
+        for fn in names:
+            p = os.path.join(dirpath, fn)
+            files.append((p, os.path.relpath(p, src), os.path.getsize(p)))
+    total = sum(sz for _, _, sz in files) or 1
+    done = 0
+    t0 = time.monotonic()
+
+    def report(pct: float) -> None:
+        elapsed = time.monotonic() - t0
+        est = (elapsed / done * (total - done)) if done else None
+        try:
+            progress(pct, est)
+        except Exception:  # noqa: BLE001 — monitoring never fails the backup
+            pass
+
+    os.makedirs(dest, exist_ok=True)
+    for abs_src, rel, sz in files:
+        out = os.path.join(dest, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        shutil.copy2(abs_src, out)
+        done += sz
+        report(min(100.0, done / total * 100.0))
+    report(100.0)
     return dest
 
 

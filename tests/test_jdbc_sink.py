@@ -113,3 +113,33 @@ def test_execute_deletes_default_batch_size_matches_reference():
     stmts = sink.delete_in_batches_sql("RecId", list(range(5001)))
     assert len(stmts) == 2
     assert stmts[0].count(",") == 4999
+
+
+def test_snapshot_progress_reporting(tmp_path):
+    # S13 progress analog of the reference's percent_complete poll:
+    # monotonic percentages ending at 100, estimates appear once bytes
+    # have moved, and a crashing callback never fails the backup.
+    from pyspark.sql import SparkSession
+
+    from d365fo_db_sync_spark.sinks import ParquetTarget, snapshot
+
+    spark = SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[2]").getOrCreate()
+    )
+    tgt = ParquetTarget(str(tmp_path / "t"))
+    tgt.overwrite(spark.range(1000).repartition(4))
+
+    calls: list[tuple[float, float | None]] = []
+    dest = snapshot(
+        tgt, str(tmp_path / "snaps"), "s1", progress=lambda p, e: calls.append((p, e))
+    )
+    assert spark.read.parquet(dest).count() == 1000
+    pcts = [p for p, _ in calls]
+    assert pcts == sorted(pcts) and pcts[-1] == 100.0
+    assert any(e is not None for _, e in calls[1:])
+
+    def boom(p, e):
+        raise RuntimeError("monitor died")
+
+    dest2 = snapshot(tgt, str(tmp_path / "snaps"), "s2", progress=boom)
+    assert spark.read.parquet(dest2).count() == 1000
