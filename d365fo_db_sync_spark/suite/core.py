@@ -157,49 +157,43 @@ def catalog_discovery_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouped_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2/F17 analog of TPC-H Q1 — grouped agg with HAVING
-    (Tier2DataService.cs:46-62) unioned with the CASE-guarded
-    bytesPerRow derived metric (Tier2DataService.cs:51-55). Partial
-    (map-side) aggregation makes each branch a single narrow shuffle of
-    one row per group; the two branches verify distinct §2 ids, tagged
-    by `fam`."""
+    (Tier2DataService.cs:46-62) plus the CASE-guarded bytesPerRow
+    derived metric (Tier2DataService.cs:51-55), fused into ONE
+    rollup pass (single scan, Expand + map-side partial agg, one
+    narrow shuffle of one row per grouping). The two grouping_id
+    branches verify distinct §2 ids, tagged by `fam`."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    having = (
-        li.groupBy("l_returnflag", "l_linestatus")
+    # ONE scan for both branches: rollup(flag, status) computes the
+    # (flag, status) and (flag) groupings in a single pass (Expand +
+    # partial agg + one shuffle) where a tagged UNION ALL would scan
+    # lineitem twice — at 100 TB the second full scan is the dominant
+    # waste. grouping_id routes each output row to its family shape;
+    # the grand-total row (gid=3) is dropped.
+    g = (
+        li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.sum(dec("l_quantity")).cast("double").alias("sq"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sp"),
             F.count("*").alias("cnt"),
+            F.grouping_id().alias("gid"),
         )
-        .filter(F.col("cnt") > 100)
-        .select(
-            F.lit("having").alias("fam"),
-            "l_returnflag",
-            "l_linestatus",
-            "sum_qty",
-            "sum_price",
-            "avg_qty",
-            "cnt",
-            F.lit(None).cast("double").alias("bytes_per_row"),
-        )
+        .filter((F.col("gid") == 1) | ((F.col("gid") == 0) & (F.col("cnt") > 100)))
     )
-    cnt = F.count("*")
-    total = F.sum(dec("l_extendedprice")).cast("double")
-    case = li.groupBy("l_returnflag").agg(
-        cnt.alias("cnt"),
-        F.when(cnt > 0, total / cnt).otherwise(F.lit(0.0)).alias("bytes_per_row"),
-    ).select(
-        F.lit("case").alias("fam"),
+    is_having = F.col("gid") == 0
+    return g.select(
+        F.when(is_having, "having").otherwise("case").alias("fam"),
         "l_returnflag",
-        F.lit(None).cast("string").alias("l_linestatus"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.lit(None).cast("double").alias("sum_price"),
-        F.lit(None).cast("double").alias("avg_qty"),
+        "l_linestatus",  # rollup already NULLs it on the gid=1 grouping
+        F.when(is_having, F.col("sq")).alias("sum_qty"),
+        F.when(is_having, F.col("sp")).alias("sum_price"),
+        F.when(is_having, F.col("sq") / F.col("cnt")).alias("avg_qty"),
         "cnt",
-        "bytes_per_row",
+        F.when(
+            ~is_having,
+            F.when(F.col("cnt") > 0, F.col("sp") / F.col("cnt")).otherwise(0.0),
+        ).alias("bytes_per_row"),
     )
-    return having.unionAll(case)
 
 
 @register(
