@@ -1,0 +1,118 @@
+"""Deterministic sampling for training-data curation.
+
+``df.sample()`` is the wrong tool for a data pipeline: it is seeded per
+partition, so the sampled SET changes whenever partitioning, file
+layout, or cluster size changes — a backfill resamples different rows
+than the original run, silently breaking train/eval separation. The
+operators here derive membership from a CONTENT hash of stable key
+columns instead:
+
+* the decision is a pure map-side filter — zero shuffles, no state,
+  embarrassingly parallel at any scale;
+* the same row lands in the same bucket on every run, every cluster,
+  every engine (md5 is engine-independent, unlike xxhash64 which DuckDB
+  cannot reproduce — that is what makes these operators oracle-checkable);
+* splits are disjoint and exhaustive by construction (half-open hex
+  ranges over one hash value).
+
+Hash mechanics: md5 of the concatenated key columns, first 8 hex chars
+compared LEXICOGRAPHICALLY against a threshold — lowercase hex strings
+of equal length order exactly like their numeric values, so no
+hex-to-int conversion is needed (keeps the oracle SQL portable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 1 << 32  # first 8 hex chars of the md5
+
+
+def _bucket_hex(key_cols: Sequence[str], salt: str = "") -> Column:
+    """First 8 hex chars of md5(salt || key columns) — the sampling
+    coordinate in [0, 2^32) encoded as a lexicographically ordered hex
+    string. ``salt`` decorrelates independent sampling decisions drawn
+    from the same keys (e.g. a fraction sample inside a train split)."""
+    parts = [F.lit(salt)] if salt else []
+    parts += [F.col(c).cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8)
+
+
+def _hex_threshold(fraction: float) -> str:
+    v = max(0, int(fraction * _HEX_SPACE))
+    # 2^32 would print as 9 chars and compare LOWER than any 8-char hex
+    # ("1..." < "f..."); "g" is a single char above the whole hex
+    # alphabet, so `bucket < "g"` correctly admits every row
+    return "g" if v >= _HEX_SPACE else format(v, "08x")
+
+
+def hash_sample(
+    df: DataFrame, key_cols: Sequence[str], fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by key content.
+
+    Unlike ``df.sample``, membership survives repartitioning, reruns,
+    and incremental backfills: a row is in or out forever. Pure
+    map-side predicate — pushes down to the scan when the key columns
+    are scan columns."""
+    return df.filter(_bucket_hex(key_cols, salt) < F.lit(_hex_threshold(fraction)))
+
+
+def split_column(
+    key_cols: Sequence[str],
+    splits: dict[str, float],
+    salt: str = "",
+) -> Column:
+    """A split-label column from cumulative half-open hash ranges.
+
+    ``splits`` maps label -> weight (weights need not sum to 1; rows
+    hashing past the last boundary get NULL, i.e. "held out"). Ranges
+    are disjoint and exhaustive over the listed weights by
+    construction, so train/eval can NEVER overlap — the property that
+    per-split independent sampling does not give."""
+    total = 0.0
+    expr = F.lit(None).cast("string")
+    bucket = _bucket_hex(key_cols, salt)
+    bounds: list[tuple[str, str, str]] = []
+    for label, weight in splits.items():
+        lo = _hex_threshold(total)
+        total += weight
+        bounds.append((label, lo, _hex_threshold(total)))
+    for label, lo, hi in reversed(bounds):
+        expr = F.when((bucket >= lo) & (bucket < hi), label).otherwise(expr)
+    return expr
+
+
+def train_eval_split(
+    df: DataFrame, key_cols: Sequence[str], splits: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Attach a ``split`` label column (see :func:`split_column`)."""
+    return df.withColumn("split", split_column(key_cols, splits, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    key_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash
+    rank — deterministic quota sampling (balanced eval sets, per-source
+    caps in a mixture). ONE shuffle on the strata columns; the hash
+    order is uniform within each stratum, so the quota is an unbiased
+    draw. Ties are impossible: the full md5 plus the key columns make
+    the ordering total."""
+    from pyspark.sql import Window
+
+    parts = ([F.lit(salt)] if salt else []) + [F.col(c).cast("string") for c in key_cols]
+    order = [F.md5(F.concat_ws("\x1f", *parts))] + [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

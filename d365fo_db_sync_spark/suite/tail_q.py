@@ -140,6 +140,86 @@ def delta_classify_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hexth(fraction: float) -> str:
+    from d365fo_db_sync_spark.operators.sampling import _hex_threshold
+
+    return _hex_threshold(fraction)
+
+
+@register(
+    "sampling_hash_fraction",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{th}'
+    """.format(th=_hexth(0.25)),
+)
+def sampling_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (operators/sampling.py):
+    ~25% of documents by md5(doc_id) range. Unlike df.sample, the
+    sampled SET is invariant to partitioning, cluster size, and reruns
+    — the property training-data backfills need. Pure map-side filter,
+    zero shuffles; the oracle reproduces the exact membership, so the
+    value hash verifies every sampled row."""
+    from d365fo_db_sync_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, ["doc_id"], 0.25).select("doc_id", "lang")
+
+
+@register(
+    "sampling_train_eval_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+      FROM documents)
+    SELECT CASE WHEN h < '{t1}' THEN 'train'
+                WHEN h < '{t2}' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS cnt, SUM(doc_id) AS id_checksum
+    FROM b GROUP BY split ORDER BY split
+    """.format(t1=_hexth(0.8), t2=_hexth(0.9)),
+)
+def sampling_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint-exhaustive 80/10/10 train/val/test assignment from
+    half-open hash ranges over ONE md5 value (operators/sampling.py):
+    splits can never overlap or leak, on any engine, on any rerun.
+    The per-split count plus doc_id checksum pins the whole assignment
+    through the value hash."""
+    from d365fo_db_sync_spark.operators.sampling import train_eval_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_eval_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count("*").alias("cnt"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("split")
+    )
+
+
+@register(
+    "sampling_stratified_topn",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 3
+    """,
+)
+def sampling_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: exactly min(3, |stratum|) documents per language
+    by hash rank (operators/sampling.py) — balanced eval subsets /
+    per-source caps for mixture weighting. One shuffle on the stratum;
+    md5 makes the draw uniform AND reproducible cross-engine, which is
+    what lets DuckDB verify the exact chosen rows."""
+    from d365fo_db_sync_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return stratified_sample(docs, ["lang"], 3, ["doc_id"])
+
+
 @register("similarity_cosine_topk_ivf", oracle=None)
 def similarity_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via an IVF index (k-means cells, probe the 4 nearest of

@@ -1,0 +1,88 @@
+"""Deterministic sampling operators (operators/sampling.py): the
+properties that make them safe for training-data pipelines —
+partitioning-invariant membership, disjoint-exhaustive splits, exact
+stratum quotas, and decorrelated salts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import sampling
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("src")
+    )
+
+
+def ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_membership_invariant_to_partitioning(spark, docs):
+    a = ids(sampling.hash_sample(docs, ["doc_id"], 0.3))
+    b = ids(sampling.hash_sample(docs.repartition(17, "src"), ["doc_id"], 0.3))
+    c = ids(sampling.hash_sample(docs.coalesce(1), ["doc_id"], 0.3))
+    assert a == b == c  # df.sample() fails exactly this
+    assert 0.2 < len(a) / 2000 < 0.4
+
+
+def test_fraction_bounds(spark, docs):
+    assert ids(sampling.hash_sample(docs, ["doc_id"], 0.0)) == []
+    assert len(ids(sampling.hash_sample(docs, ["doc_id"], 1.0))) == 2000
+
+
+def test_subset_monotonicity(spark, docs):
+    # a smaller fraction is a strict subset of a larger one (same keys,
+    # same salt): growing a sample never unsamples anything
+    small = set(ids(sampling.hash_sample(docs, ["doc_id"], 0.1)))
+    big = set(ids(sampling.hash_sample(docs, ["doc_id"], 0.5)))
+    assert small <= big
+
+
+def test_salt_decorrelates(spark, docs):
+    a = set(ids(sampling.hash_sample(docs, ["doc_id"], 0.5, salt="a")))
+    b = set(ids(sampling.hash_sample(docs, ["doc_id"], 0.5, salt="b")))
+    assert a != b
+    overlap = len(a & b) / max(1, len(a))
+    assert 0.3 < overlap < 0.7  # ~independent draws
+
+
+def test_split_disjoint_exhaustive(spark, docs):
+    out = sampling.train_eval_split(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["cnt"] for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert None not in counts  # exhaustive: weights sum to 1.0
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # disjoint by construction: one row -> one label (split is a column,
+    # not three independent samples). Check against independent samples:
+    train = set(ids(out.filter(F.col("split") == "train")))
+    val = set(ids(out.filter(F.col("split") == "val")))
+    test = set(ids(out.filter(F.col("split") == "test")))
+    assert not (train & val) and not (train & test) and not (val & test)
+
+
+def test_split_heldout_when_weights_short(spark, docs):
+    out = sampling.train_eval_split(docs, ["doc_id"], {"train": 0.5})
+    n_null = out.filter(F.col("split").isNull()).count()
+    assert 0 < n_null < 2000  # the unlisted mass is held out as NULL
+
+
+def test_stratified_exact_quota(spark, docs):
+    out = sampling.stratified_sample(docs, ["src"], 5, ["doc_id"])
+    counts = [r["cnt"] for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()]
+    assert counts == [5] * 7
+    # deterministic: same rows on a different partitioning
+    again = sampling.stratified_sample(docs.repartition(13), ["src"], 5, ["doc_id"])
+    assert ids(out) == ids(again)
+
+
+def test_stratified_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, src string")
+    out = sampling.stratified_sample(df, ["src"], 5, ["doc_id"])
+    assert out.count() == 3
