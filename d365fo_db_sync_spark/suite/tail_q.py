@@ -1,15 +1,18 @@
-"""Rows-only tail of the suite — queries whose values are genuinely not
-SQL-expressible cross-engine (engine-specific hash bit patterns, k-means
-training, HLL registers).
+"""Tail of the suite — everything registered AFTER the correctness
+gate's 50-query window.
 
 Registered LAST on purpose: the 50 oracled queries come first in
 registration order so every one of them sits inside the driver's
-correctness gate window; the rows-only queries here get the weaker
-rows-only check there but each carries a pytest asserting its semantic
-contract (tests/test_scale_ops.py, tests/test_similarity.py). The tail
-also carries oracle-checked scale-stress queries that exist for
-bench.py rather than the gate (the gate already verifies the same
-operators on uniform data).
+correctness gate window. Two kinds of queries live here:
+
+* rows-only queries whose values are genuinely not SQL-expressible
+  cross-engine (engine-specific hash bit patterns, k-means training,
+  HLL registers) — each carries a pytest asserting its semantic
+  contract (tests/test_scale_ops.py, tests/test_similarity.py);
+* additional ORACLE-CHECKED queries that exist for bench.py or as
+  composition demos rather than the gate (delta_classify_skewed, the
+  sampling family, the corpus-curation pipeline) — tools/check.py
+  verifies them with the same DuckDB comparison the gate uses.
 """
 
 from __future__ import annotations
@@ -218,6 +221,62 @@ def sampling_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
     return stratified_sample(docs, ["lang"], 3, ["doc_id"])
+
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+_CURATION_ORACLE = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    q AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / GREATEST(length(text), 1) AS punct_ratio
+      FROM t),
+    kept AS (
+      SELECT doc_id, toks, n_tokens FROM q
+      WHERE n_tokens BETWEEN 30 AND 95 AND punct_ratio <= 0.3),
+    f AS (SELECT doc_id, n_tokens, md5(array_to_string(toks, ' ')) AS fp FROM kept),
+    d AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY fp),
+    u AS (SELECT f.doc_id, f.n_tokens FROM f JOIN d ON f.fp = d.fp AND f.doc_id = d.keep_id),
+    b AS (SELECT doc_id, n_tokens,
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM u)
+    SELECT CASE WHEN h < '{{t1}}' THEN 'train' ELSE 'eval' END AS split,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+           SUM(doc_id) AS id_checksum
+    FROM b GROUP BY split ORDER BY split
+""".format(t1=_hexth(0.9))
+
+
+@register("pipeline_corpus_curation", oracle=_CURATION_ORACLE, bench=True)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline — the composition a training-data
+    user actually runs, as ONE lazy plan: quality gate (token-count
+    band + punctuation ratio, operators/text.py) -> exact dedup
+    (md5 fingerprint, keep lowest doc_id, operators/dedup.py) ->
+    deterministic 90/10 train/eval split (operators/sampling.py) ->
+    per-split doc/token counts with an id checksum. The whole chain is
+    scan -> map-side filters -> one fingerprint shuffle -> map-side
+    split label -> one final rollup: two shuffles total at any scale,
+    and the oracle verifies the composed result, not just the stages."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.sampling import train_eval_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(docs, "text")
+    kept = feats.filter(
+        F.col("n_tokens").between(30, 95) & (F.col("punct_ratio") <= 0.3)
+    ).select("doc_id", "n_tokens", text_ops.fingerprint("text").alias("fp"))
+    unique = dedup.exact_dedup(kept, cols=["fp"], key="doc_id")
+    split = train_eval_split(unique, ["doc_id"], {"train": 0.9, "eval": 0.1})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
 
 
 @register("similarity_cosine_topk_ivf", oracle=None)
