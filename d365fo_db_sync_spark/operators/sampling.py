@@ -93,6 +93,47 @@ def train_eval_split(
     return df.withColumn("split", split_column(key_cols, splits, salt))
 
 
+def mixture_fractions(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-source sampling fractions that realize a target mixture.
+
+    Given source row counts and target composition weights, the largest
+    achievable output (no upsampling) is ``T = min_s(n_s / w_s)``; each
+    source then contributes ``w_s * T`` rows, i.e. fraction
+    ``w_s * T / n_s`` (the binding source samples at 1.0). Driver-side
+    arithmetic on a handful of per-source scalars — the counts come
+    from one tiny groupBy."""
+    active = {s: w for s, w in weights.items() if w > 0}
+    t = min(counts[s] / w for s, w in active.items())
+    return {
+        s: (min(1.0, w * t / counts[s]) if counts[s] else 0.0)
+        for s, w in active.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    fractions: dict[str, float],
+    key_cols: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Sample each source at its own fraction — dataset mixture
+    weighting (e.g. rebalance web/code/books to a target recipe).
+    Sources absent from ``fractions`` are dropped. Still a pure
+    map-side predicate: the per-source threshold is a CASE chain over
+    the (small) source set, composed with the same hash the other
+    samplers use, so mixture membership is as rerun-stable as a plain
+    fraction sample. Use :func:`mixture_fractions` to derive the
+    fractions from counts + target weights."""
+    bucket = _bucket_hex(key_cols, salt)
+    th = F.lit(None).cast("string")
+    for s, frac in fractions.items():
+        th = F.when(F.col(source_col) == s, F.lit(_hex_threshold(frac))).otherwise(th)
+    return df.filter(bucket < th)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: Sequence[str],

@@ -223,6 +223,34 @@ def sampling_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, ["lang"], 3, ["doc_id"])
 
 
+#: fixed mixture recipe for the oracled demo query: three sources at
+#: descending rates, everything else dropped (thresholds are literals
+#: in both engines, so membership verifies row-exactly)
+_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+@register(
+    "sampling_mixture_by_source",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE source WHEN 'src0' THEN '{a}' WHEN 'src1' THEN '{b}'
+                        WHEN 'src2' THEN '{c}' END
+    """.format(a=_hexth(1.0), b=_hexth(0.5), c=_hexth(0.25)),
+)
+def sampling_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture weighting (operators/sampling.py): per-source
+    hash-sampling rates realize a target corpus recipe (here src0 full,
+    src1 half, src2 quarter, rest dropped) as ONE map-side predicate —
+    no shuffle, rerun-stable membership. mixture_fractions() derives
+    the rates from counts + target weights; the demo pins fixed rates
+    so the oracle verifies exact row membership."""
+    from d365fo_db_sync_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, "source", _MIX, ["doc_id"]).select("doc_id", "source")
+
+
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
 
 _CURATION_ORACLE = f"""

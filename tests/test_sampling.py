@@ -86,3 +86,31 @@ def test_stratified_small_stratum_keeps_all(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, src string")
     out = sampling.stratified_sample(df, ["src"], 5, ["doc_id"])
     assert out.count() == 3
+
+
+def test_mixture_fractions_math():
+    counts = {"web": 1000, "code": 100, "books": 50}
+    weights = {"web": 0.5, "code": 0.3, "books": 0.2}
+    fr = sampling.mixture_fractions(counts, weights)
+    # books binds: T = 50/0.2 = 250 -> web 125/1000, code 75/100, books 50/50
+    assert fr == {"web": 0.125, "code": 0.75, "books": 1.0}
+    # zero-weight sources are excluded entirely
+    fr2 = sampling.mixture_fractions(counts, {"web": 1.0, "code": 0.0})
+    assert "code" not in fr2 and fr2["web"] == 1.0
+
+
+def test_mixture_sample_rates_and_determinism(spark, docs):
+    src = docs.withColumn("source", F.concat(F.lit("s"), F.col("src")))
+    mix = {"s0": 1.0, "s1": 0.5}
+    out = sampling.mixture_sample(src, "source", mix, ["doc_id"])
+    counts = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(counts) == {"s0", "s1"}  # unlisted sources dropped
+    n0 = src.filter(F.col("source") == "s0").count()
+    n1 = src.filter(F.col("source") == "s1").count()
+    assert counts["s0"] == n0  # fraction 1.0 keeps everything
+    assert 0.3 < counts["s1"] / n1 < 0.7
+    again = sampling.mixture_sample(src.repartition(11), "source", mix, ["doc_id"])
+    assert ids(out) == ids(again)
