@@ -223,6 +223,48 @@ def sampling_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, ["lang"], 3, ["doc_id"])
 
 
+@register(
+    "gridsort_typed_order",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 500 AS VARCHAR)
+                  WHEN doc_id % 3 = 1 THEN lang
+                  ELSE CAST(doc_id AS VARCHAR) || '.5' END AS cell
+      FROM documents)
+    SELECT row_number() OVER (
+             ORDER BY (regexp_full_match(cell, '-?\\d+(\\.\\d+)?') IS FALSE),
+                      CASE WHEN regexp_full_match(cell, '-?\\d+(\\.\\d+)?')
+                           THEN CAST(cell AS DOUBLE) END,
+                      cell, doc_id) AS pos,
+           doc_id, cell
+    FROM d
+    """,
+)
+def gridsort_typed_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — typed grid-column sort (operators/gridsort.py): a mixed
+    column of integer-looking, decimal-looking, and plain-text cells
+    orders numerically-then-lexically, exactly as the reference sorts
+    grid columns by underlying type (MainForm.cs:2127-2250). The
+    emitted `pos` makes the ORDER itself part of the value hash (the
+    comparison is otherwise order-insensitive); production callers use
+    grid_sort/orderBy — Spark's range-partitioned distributed sort —
+    without materializing ranks."""
+    from pyspark.sql import Window
+
+    from d365fo_db_sync_spark.operators.gridsort import typed_sort_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    cell = (
+        F.when(F.col("doc_id") % 3 == 0, (F.col("doc_id") % 500).cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.col("lang"))
+        .otherwise(F.concat(F.col("doc_id").cast("string"), F.lit(".5")))
+    )
+    d = docs.select("doc_id", cell.alias("cell"))
+    w = Window.orderBy(typed_sort_key("cell"), F.col("doc_id"))
+    return d.select(F.row_number().over(w).alias("pos"), "doc_id", "cell")
+
+
 #: fixed mixture recipe for the oracled demo query: three sources at
 #: descending rates, everything else dropped (thresholds are literals
 #: in both engines, so membership verifies row-exactly)

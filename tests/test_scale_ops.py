@@ -334,3 +334,31 @@ def test_resize_and_frame_sample_plumbing(spark):
     sizes = [len(bytes(r["frame"])) for r in sorted(by_asset[2], key=lambda r: r["frame_idx"])]
     assert sizes == [100, 100, 50]
     assert [len(bytes(r["frame"])) for r in by_asset[3]] == [0]  # null -> 1 empty frame
+
+
+def test_grid_sort_typed_and_numeric_source(spark):
+    # O5: numeric-looking strings sort numerically (as a group, first),
+    # text lexically; numeric_source sorts a display column by its raw
+    # backing value; descending toggles.
+    from d365fo_db_sync_spark.operators.gridsort import grid_sort
+
+    df = spark.createDataFrame(
+        [
+            (1, "10", 10.0, "10 MB"),
+            (2, "9", 9.0, "9 MB"),
+            (3, "alpha", 2.0, "2 MB"),
+            (4, "2.5", 2.5, "2.5 MB"),
+            (5, "Beta", 100.0, "100 MB"),
+        ],
+        "id long, cell string, size double, size_display string",
+    )
+    asc = [r["id"] for r in grid_sort(df, "cell", tiebreak="id").collect()]
+    assert asc == [4, 2, 1, 5, 3]  # 2.5 < 9 < 10, then "Beta" < "alpha"
+    desc = [r["id"] for r in grid_sort(df, "cell", ascending=False, tiebreak="id").collect()]
+    assert desc == [3, 5, 1, 2, 4]
+    # display column sorted by its raw numeric backing, not "10">"100"
+    by_size = [
+        r["id"]
+        for r in grid_sort(df, "size_display", numeric_source="size", tiebreak="id").collect()
+    ]
+    assert by_size == [3, 4, 2, 1, 5]
