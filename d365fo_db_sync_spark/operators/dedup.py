@@ -62,16 +62,21 @@ def shingles(text_col: str, n: int = 3) -> "F.Column":
 
 
 def exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """DISTINCT (id, shingle) rows built with codegen-friendly operators:
+    """(id, shingle) rows built with codegen-friendly operators:
     posexplode tokens -> lead() window per document -> concat_ws.
 
-    Equivalent to ``explode(array_distinct(shingles(text, n)))`` —
-    including the short-document rule (a document with < n tokens yields
-    its whole token stream as one shingle; concat_ws skips the NULL
-    leads). One shuffle on the document id, which every downstream
-    per-document step (sizes, collect, group) then reuses."""
+    Equivalent to ``explode(array_distinct(shingles(text, n)))`` when
+    ``distinct`` (the default) — including the short-document rule (a
+    document with < n tokens yields its whole token stream as one
+    shingle; concat_ws skips the NULL leads).
+
+    ``distinct=False`` keeps repeated shingles and skips the
+    dropDuplicates EXCHANGE on (id, shingle) — the right call whenever
+    the consumer is duplicate-insensitive (min-aggregation for MinHash,
+    collect_set for set building): those consumers then reuse the lead
+    window's doc-id partitioning directly, one full shuffle less."""
     from pyspark.sql import Window
 
     # tokenize ONCE: the regex split over full documents is the single
@@ -88,21 +93,20 @@ def exploded_shingles(
     with_leads = tok.select(id_col, "__n_tok", "__pos", "__tok", *lead_cols)
     last_lead = F.col(f"__t{n - 1}")
     keep = last_lead.isNotNull() | ((F.col("__n_tok") < n) & (F.col("__pos") == 0))
-    return (
-        with_leads.filter(keep)
-        .select(
-            id_col,
-            F.concat_ws(" ", "__tok", *[f"__t{i}" for i in range(1, n)]).alias("g"),
-        )
-        .dropDuplicates([id_col, "g"])
+    out = with_leads.filter(keep).select(
+        id_col,
+        F.concat_ws(" ", "__tok", *[f"__t{i}" for i in range(1, n)]).alias("g"),
     )
+    return out.dropDuplicates([id_col, "g"]) if distinct else out
 
 
 def _shingle_sets(exploded: DataFrame, id_col: str) -> DataFrame:
-    """(id, sh array, set_size) from distinct exploded shingles — the
-    groupBy reuses the explode's doc-id partitioning (no extra shuffle)."""
-    return exploded.groupBy(id_col).agg(
-        F.collect_list("g").alias("sh"), F.count("*").alias("set_size")
+    """(id, sh array, set_size) from exploded shingles (duplicates
+    allowed — collect_set dedups in the aggregation buffer). The groupBy
+    reuses the explode's doc-id partitioning: no exchange between the
+    lead window and the set build."""
+    return exploded.groupBy(id_col).agg(F.collect_set("g").alias("sh")).select(
+        id_col, "sh", F.size("sh").alias("set_size")
     )
 
 
@@ -116,7 +120,9 @@ def shingle_sets(
     this frame themselves and unpersist when done — the operators below
     never cache behind the caller's back (a hidden cache pins executor
     memory for the life of the session)."""
-    return _shingle_sets(exploded_shingles(df, id_col, text_col, n), id_col)
+    return _shingle_sets(
+        exploded_shingles(df, id_col, text_col, n, distinct=False), id_col
+    )
 
 
 def minhash_signatures(
@@ -126,7 +132,10 @@ def minhash_signatures(
     single groupBy (map-side partial mins keep the shuffle tiny: K longs
     per doc regardless of document size)."""
     params = _hash_params(num_hashes)
-    sh = exploded_shingles(df, id_col, text_col, shingle_n).withColumn(
+    # distinct=False: min() is duplicate-insensitive, so the
+    # dropDuplicates exchange would be pure waste — the groupBy below
+    # reuses the shingle window's doc-id partitioning directly
+    sh = exploded_shingles(df, id_col, text_col, shingle_n, distinct=False).withColumn(
         "h", F.xxhash64("g").bitwiseAND(F.lit(0xFFFFFFFF))
     )
     mins = [

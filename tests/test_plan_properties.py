@@ -164,3 +164,29 @@ def test_fused_sync_metrics_single_join(spark):
     row = metrics.first()
     assert row["control_rows"] == row["tgt_total"] == row["survivors"]
     assert row["missing"] == 0
+
+
+def test_shingle_sets_single_exchange(spark):
+    """The shingle pipeline (tokenize -> posexplode -> lead window ->
+    collect_set) must shuffle exactly ONCE, on the document id: the
+    set-building groupBy reuses the window's partitioning. A second
+    Exchange means dropDuplicates/regrouping crept back in — at 100 TB
+    that is a full extra shuffle of the widest intermediate."""
+    from d365fo_db_sync_spark.operators.dedup import shingle_sets
+    from d365fo_db_sync_spark.plans.audit import physical_operators
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ops = physical_operators(shingle_sets(docs, "doc_id", "text"))
+    assert ops.count("Exchange") == 1, ops
+
+
+def test_minhash_signatures_single_exchange(spark):
+    """Same property for the MinHash signature build: min() is
+    duplicate-insensitive, so no distinct pass may appear between the
+    shingle window and the 64-min aggregation."""
+    from d365fo_db_sync_spark.operators.dedup import minhash_signatures
+    from d365fo_db_sync_spark.plans.audit import physical_operators
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ops = physical_operators(minhash_signatures(docs, "doc_id", "text"))
+    assert ops.count("Exchange") == 1, ops
