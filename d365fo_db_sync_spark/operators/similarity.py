@@ -299,3 +299,64 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, "rnk", "neighbor_id", "cosine")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, qvec array<int>,
+    qscale) with q[i] = floor(x / scale + 0.5), scale = max|x| / 127.
+
+    The 100 TB storage lever: 4x smaller vectors (and integer SIMD
+    dot products) at ~1% cosine error on unit-ish embeddings. Two
+    deliberate choices keep it engine-reproducible: explicit
+    floor(x/s + 0.5) instead of round() (engines disagree on tie
+    policy; floor does not), and per-vector symmetric scaling so the
+    scale CANCELS out of cosine entirely — quantized cosine is pure
+    integer arithmetic, exact in any engine."""
+    x = F.col(vec_col)
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = (F.greatest(mx, F.lit(1e-30)) / F.lit(127.0)).alias("qscale")
+    q = F.transform(x, lambda v: F.floor(v.cast("double") / scale + F.lit(0.5)).cast("int"))
+    return emb.select(F.col(id_col), q.alias("qvec"), scale)
+
+
+def quantized_cosine_topk(
+    qcorpus: DataFrame,
+    qqueries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k by QUANTIZED cosine: sum(qa*qb) / (sqrt(sum qa^2) *
+    sqrt(sum qb^2)) — the per-vector scales cancel, so ranking runs on
+    exact integer sums (products bounded by 127^2 * dim, exact in
+    long/double) and is bit-identical across engines: no float-tie
+    hazards in the rank window at all. Same broadcast discipline as
+    the exact path: corpus streams, queries broadcast."""
+    c = qcorpus.select(F.col(id_col), F.col("qvec").alias("c_q")).alias("c")
+    q = qqueries.select(F.col(query_id_col), F.col("qvec").alias("q_q")).alias("q")
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = c.join(F.broadcast(q), F.lit(True))
+    cos = idot(F.col("q_q"), F.col("c_q")).cast("double") / (
+        F.sqrt(idot(F.col("q_q"), F.col("q_q")).cast("double"))
+        * F.sqrt(idot(F.col("c_q"), F.col("c_q")).cast("double"))
+    )
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cos.alias("qcosine"),
+    ).filter(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("qcosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "rnk", "neighbor_id", "qcosine")
+    )

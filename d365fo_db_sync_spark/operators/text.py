@@ -101,3 +101,51 @@ def fingerprint(col: Column | str, prefix_tokens: int | None = None) -> Column:
     if prefix_tokens is not None:
         t = F.slice(t, 1, prefix_tokens)
     return F.md5(F.array_join(t, " ").cast("binary"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional
+    overlap — the standard pre-training/RAG chunking step, entirely in
+    codegen (no Python): tokenize once, build the chunk-start sequence,
+    slice per start, posexplode to one row per chunk.
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens). The final
+    partial window is kept (a document shorter than ``chunk_tokens``
+    yields itself as chunk 0); ``overlap`` tokens are shared between
+    consecutive chunks (stride = chunk_tokens - overlap). The explode
+    happens executor-side, so output cardinality scales with total
+    token count, never through the driver."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    n = F.size(t)
+    # chunk starts: 0, stride, 2*stride, ... with the FINAL chunk
+    # clamped to end exactly at the last token (start = n - chunk),
+    # so no content is dropped and no chunk is a subset of another
+    last_start = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.floor(last_start / stride) + F.when(
+        last_start % stride > 0, F.lit(2)
+    ).otherwise(F.lit(1))
+    starts = F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+    chunk_arrays = F.transform(
+        starts,
+        lambda i: F.slice(
+            t, (F.least(i * stride, last_start.cast("long")) + 1).cast("int"), chunk_tokens
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunk_arrays).alias("chunk_idx", "__toks"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join("__toks", " ").alias("chunk_text"),
+        F.size("__toks").alias("n_chunk_tokens"),
+    )

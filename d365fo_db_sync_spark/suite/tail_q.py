@@ -224,6 +224,100 @@ def sampling_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_quantized_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0
+                   AS sc
+          FROM v),
+    qz AS (SELECT vec_id,
+                  list_transform(e, x -> CAST(floor(x / sc + 0.5) AS INT)) AS q
+           FROM s),
+    qq AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT qq.query_id, qz.vec_id AS neighbor_id,
+             list_dot_product(qq.qq::DOUBLE[], qz.q::DOUBLE[])
+               / (sqrt(list_dot_product(qq.qq::DOUBLE[], qq.qq::DOUBLE[]))
+                  * sqrt(list_dot_product(qz.q::DOUBLE[], qz.q::DOUBLE[])))
+               AS c
+      FROM qq JOIN qz ON qq.query_id <> qz.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, rnk, neighbor_id, ROUND(c, 4) AS qcosine
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over INT8-QUANTIZED embeddings (operators/similarity.py:
+    quantize_embeddings + quantized_cosine_topk) — the 4x-storage path
+    at 100 TB. Per-vector symmetric scales cancel out of the cosine,
+    so ranking runs on exact integer sums: bit-identical cross-engine,
+    no float-tie hazard, and DuckDB verifies the quantized ranks
+    row-exactly. Same plan discipline as the exact query (corpus
+    streams, queries broadcast)."""
+    from d365fo_db_sync_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(emb)
+    queries = qz.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    res = quantized_cosine_topk(qz, queries, k=5)
+    return res.select(
+        "query_id", "rnk", "neighbor_id", F.round("qcosine", 4).alias("qcosine")
+    )
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    p AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             GREATEST(len(toks) - 32, 0) AS last_start
+      FROM t),
+    c AS (
+      SELECT doc_id, toks, last_start,
+             (last_start // 24) + CASE WHEN last_start % 24 > 0 THEN 2 ELSE 1 END
+               AS n_chunks
+      FROM p),
+    e AS (
+      SELECT doc_id, toks, last_start, unnest(range(n_chunks)) AS chunk_idx
+      FROM c)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(toks[LEAST(chunk_idx * 24, last_start) + 1
+                                : LEAST(chunk_idx * 24, last_start) + 32], ' ')
+             AS chunk_text,
+           LEAST(32, len(toks) - LEAST(chunk_idx * 24, last_start))
+             AS n_chunk_tokens
+    FROM e
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for pre-training/RAG prep
+    (operators/text.chunk_documents): 32-token windows, 8-token
+    overlap, final window clamped to the document end so no content
+    drops. Pure array expressions + executor-side posexplode — output
+    cardinality scales with corpus token count, nothing through the
+    driver. Oracle mirrors the exact window arithmetic with DuckDB
+    list slicing, verifying every chunk's text row-exactly."""
+    from d365fo_db_sync_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+@register(
     "gridsort_typed_order",
     oracle="""
     WITH d AS (

@@ -362,3 +362,55 @@ def test_grid_sort_typed_and_numeric_source(spark):
         for r in grid_sort(df, "size_display", numeric_source="size", tiebreak="id").collect()
     ]
     assert by_size == [3, 4, 2, 1, 5]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, words), (2, "a b c")], "doc_id long, text string")
+    out = text.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: stride 3, last_start = 6 -> starts 0,3,6 -> 3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert rows[(1, 2)]["chunk_text"] == "w6 w7 w8 w9"
+    assert all(r["n_chunk_tokens"] == 4 for k, r in rows.items() if k[0] == 1)
+    # doc 2 shorter than a chunk: itself as chunk 0
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert rows[(2, 0)]["n_chunk_tokens"] == 3
+    assert {k for k in rows if k[0] == 2} == {(2, 0)}
+
+
+def test_chunk_documents_clamped_final_window(spark):
+    # 11 tokens, chunk 4, no overlap: starts 0,4, then clamped 7 (not 8)
+    words = " ".join(f"w{i}" for i in range(11))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    out = {r["chunk_idx"]: r["chunk_text"] for r in
+           text.chunk_documents(df, "doc_id", "text", chunk_tokens=4).collect()}
+    assert out == {0: "w0 w1 w2 w3", 1: "w4 w5 w6 w7", 2: "w7 w8 w9 w10"}
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_quantized_cosine_accuracy_and_recall(spark, vectors):
+    # int8 quantization: values in [-127, 127], quantized cosine within
+    # ~2% of exact, and top-k recall preserved on separated clusters
+    q = similarity.quantize_embeddings(vectors)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert all(abs(v) <= 127 for r in rows.values() for v in r["qvec"])
+    assert max(rows[0]["qvec"]) == 127  # max component hits full scale
+
+    queries = q.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    approx = similarity.quantized_cosine_topk(q, queries, k=2).collect()
+    exact = similarity.cosine_topk_bruteforce(
+        vectors,
+        vectors.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=2,
+    ).collect()
+    assert [r["neighbor_id"] for r in approx] == [r["neighbor_id"] for r in exact]
+    for a, e in zip(approx, exact):
+        assert abs(a["qcosine"] - e["cosine"]) < 0.02
