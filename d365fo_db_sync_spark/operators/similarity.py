@@ -360,3 +360,110 @@ def quantized_cosine_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, "rnk", "neighbor_id", "qcosine")
     )
+
+
+def ivf_write(assigned: DataFrame, model, root: str) -> str:
+    """Persist an IVF index: vectors hive-partitioned BY CELL (so a
+    probe's scan prunes to its cells' directories — the disk-level
+    inverted file) plus the centroids as a tiny parquet sidecar. Uses
+    the same atomic-swap ParquetTarget as every other sink, so index
+    rebuilds swap in without a read gap."""
+    import os
+
+    from d365fo_db_sync_spark.sinks import ParquetTarget
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    spark = assigned.sparkSession
+    ParquetTarget(os.path.join(root, "vectors"), partition_by=["cell"]).overwrite(assigned)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, centroid array<double>"
+    )
+    ParquetTarget(os.path.join(root, "centroids")).overwrite(cent_df.coalesce(1))
+    return root
+
+
+def ivf_read(spark, root: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a persisted IVF index: (cell-partitioned vector frame,
+    centroid list). The vector frame's `cell` is a hive partition
+    column — filters on it prune directories before any IO."""
+    import os
+
+    from d365fo_db_sync_spark.sinks import ParquetTarget
+
+    assigned = ParquetTarget(os.path.join(root, "vectors"), partition_by=["cell"]).read(spark)
+    cents = ParquetTarget(os.path.join(root, "centroids")).read(spark).collect()
+    centers = [list(r["centroid"]) for r in sorted(cents, key=lambda r: r["cell"])]
+    return assigned, centers
+
+
+def ivf_topk_on_disk(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k against a PERSISTED index with partition pruning: the
+    query set's probe cells (a handful of ints — queries are small by
+    construction, like every broadcast side here) are collected and
+    pushed as a static `cell IN (...)` predicate, so the scan reads
+    ONLY the probed cells' files. At 100 TB with 1024 cells and 4
+    probes per query batch, that is ~0.4% of the index touched per
+    batch — the disk-level point of an inverted file."""
+
+    class _Centers:
+        def __init__(self, centers):
+            self._c = centers
+
+        def clusterCenters(self):
+            return self._c
+
+    assigned, centers = ivf_read(spark, root)
+    probed = _probe_cells(queries, centers, n_probes, vec_col, query_id_col)
+    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    pruned = assigned.filter(F.col("cell").isin(cells))
+    return ivf_topk(
+        pruned, _Centers(centers), queries, k=k, n_probes=n_probes,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centers: list[list[float]],
+    n_probes: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, cell) rows for each query's n_probes nearest
+    centroids — the same pure-column-expression assignment ivf_topk
+    uses, exposed for pruning and diagnostics."""
+
+    def _sq_dist(center: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("__qv"),
+                F.lit(center),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dist_structs = F.array(
+        *[
+            F.struct(_sq_dist(c).alias("d"), F.lit(i).cast("int").alias("cell"))
+            for i, c in enumerate(centers)
+        ]
+    )
+    return queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    ).select(
+        query_id_col,
+        F.explode(
+            F.transform(F.slice(F.array_sort(dist_structs), 1, n_probes), lambda s: s["cell"])
+        ).alias("cell"),
+    )

@@ -414,3 +414,46 @@ def test_quantized_cosine_accuracy_and_recall(spark, vectors):
     assert [r["neighbor_id"] for r in approx] == [r["neighbor_id"] for r in exact]
     for a, e in zip(approx, exact):
         assert abs(a["qcosine"] - e["cosine"]) < 0.02
+
+
+def test_ivf_persisted_index_partition_prunes(spark, tmp_path):
+    """The on-disk IVF path must (a) return the same neighbors as the
+    in-memory probe and (b) actually prune: the vector scan carries a
+    PartitionFilter on the probed cells, so unprobed cells' files are
+    never read."""
+    import math
+
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+
+    protos = [
+        [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    for i in range(200):
+        p = protos[i % 4]
+        jitter = [0.15 * math.sin(i * 1.7 + d) for d in range(4)]
+        rows.append((i, [p[d] + jitter[d] for d in range(4)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    assigned, model = similarity.ivf_index(emb, n_lists=4)
+    root = similarity.ivf_write(assigned, model, str(tmp_path / "ivf"))
+
+    in_mem = similarity.ivf_topk(assigned, model, queries, k=5, n_probes=2)
+    on_disk = similarity.ivf_topk_on_disk(spark, root, queries, k=5, n_probes=2)
+
+    def pairs(df):
+        return {(r["query_id"], r["rnk"], r["neighbor_id"]) for r in df.collect()}
+
+    assert pairs(on_disk) == pairs(in_mem)
+
+    # pruning evidence: a cell predicate over the partitioned read shows
+    # up as a PartitionFilter, not a post-scan Filter
+    vec_df, centers = similarity.ivf_read(spark, root)
+    plan = explain_formatted(vec_df.filter(F.col("cell").isin([0, 1])))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "cell" in seg, seg
