@@ -54,7 +54,13 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       runs with ``withWatermark``. One shuffle on (window, type).
     * `slide`  — sliding 1h/30m windows: every event lands in two
       windows; the oracle materializes the same assignment with a
-      two-bucket union."""
+      two-bucket union.
+
+    Deliberately TWO scans: each branch exercises the real F.window
+    operator (the streaming-capable primitive — the same expression
+    runs under withWatermark). A hand-built explode could fuse them
+    into one scan but would verify window arithmetic instead of the
+    operator; a production job runs one window spec, not the union."""
     e = load_table(spark, sf_dir, "events")
     tumble = windows.tumbling_window_agg(
         e,
@@ -172,35 +178,38 @@ def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     * `type` — A1/A6 + distinct-agg per event type (distinct aggregates
       are a SURVEY §2.4 'engine adds' item)."""
     e = load_table(spark, sf_dir, "events")
-    cube = (
-        e.select("event_type", F.dayofmonth("ts").alias("day_of_month"))
+    # ONE scan of the fact table: the cube's (event_type) marginal IS
+    # the 'type' branch's grouping, so compute every aggregate in the
+    # cube pass and, post-agg (the result is ~200 rows), emit the
+    # marginal rows under BOTH family tags via an exploded tag array —
+    # the separate groupBy (and its second full scan) disappears.
+    g = (
+        e.select("event_type", F.dayofmonth("ts").alias("day_of_month"), "user_id", "ts")
         .cube("event_type", "day_of_month")
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            F.lit("cube").alias("fam"),
-            "event_type",
-            "day_of_month",
-            "cnt",
-            F.lit(None).cast("long").alias("users"),
-            F.lit(None).cast("timestamp_ntz").alias("first_ts"),
-            F.lit(None).cast("timestamp_ntz").alias("last_ts"),
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("users"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.grouping_id().alias("gid"),
         )
     )
-    typ = e.groupBy("event_type").agg(
-        F.count("*").alias("cnt"),
-        F.countDistinct("user_id").alias("users"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-    ).select(
-        F.lit("type").alias("fam"),
+    # gid 1 = (event_type) marginal: the only grouping shared by both families
+    fams = F.when(
+        F.col("gid") == 1, F.array(F.lit("cube"), F.lit("type"))
+    ).otherwise(F.array(F.lit("cube")))
+    x = g.select(F.explode(fams).alias("fam"), "event_type", "day_of_month",
+                 "cnt", "users", "first_ts", "last_ts")
+    is_type = F.col("fam") == "type"
+    return x.select(
+        "fam",
         "event_type",
-        F.lit(None).cast("int").alias("day_of_month"),
+        "day_of_month",
         "cnt",
-        "users",
-        "first_ts",
-        "last_ts",
+        F.when(is_type, F.col("users")).alias("users"),
+        F.when(is_type, F.col("first_ts")).alias("first_ts"),
+        F.when(is_type, F.col("last_ts")).alias("last_ts"),
     )
-    return cube.unionAll(typ)
 
 
 @register(
