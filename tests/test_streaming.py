@@ -284,3 +284,46 @@ def test_stream_interval_join_bounded_state(spark, tmp_path):
         if i["s"] <= p["pts"] < i["e"]
     }
     assert got == naive and len(naive) > 0
+
+
+def test_stream_curation_filter_matches_batch(spark, tmp_path):
+    """The curation expressions (quality features + deterministic hash
+    sampling) are STATELESS column expressions, so the identical code
+    runs under readStream and admits exactly the same rows the batch
+    pipeline admits — streaming ingest curation needs no second
+    implementation."""
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.sampling import hash_sample
+    from d365fo_db_sync_spark.operators.text import quality_features
+
+    rows = [
+        (i, ("tok " * (5 + i % 40)).strip() + (" x!!" if i % 7 == 0 else ""))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src_dir = str(tmp_path / "src")
+    df.write.parquet(src_dir)
+
+    def curate(frame):
+        kept = quality_features(frame, "text").filter(
+            (F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.05)
+        )
+        return hash_sample(kept, ["doc_id"], 0.5).select("doc_id")
+
+    batch_ids = {r["doc_id"] for r in curate(df).collect()}
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        curate(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_ids = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert stream_ids == batch_ids
+    assert 0 < len(batch_ids) < 300
