@@ -33,3 +33,30 @@ def test_entry_contract(spark):
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_gate_window_is_oracled_and_atomic(spark, sf_dir):
+    """The correctness gate grades EXACTLY the first 50 registered
+    queries, and its canonicalizer (pandas sort_values) crashes on
+    array/map/struct cells. Two invariants guard the hard signal:
+    every query in the window has an oracle, and every in-window
+    query's output schema is purely atomic (the r1/r2 red row was an
+    array<string> column reaching the gate)."""
+    from pyspark.sql import types as T
+
+    from d365fo_db_sync_spark.suite import oracle_sql, queries
+
+    qs = queries()
+    oracles = oracle_sql()
+    window = list(qs)[:50]
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"gate-window queries without oracle: {missing}"
+
+    composite = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name in window:
+        schema = qs[name](spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, composite):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"composite columns inside the gate window: {offenders}"
