@@ -164,17 +164,29 @@ def grouped_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches verify distinct §2 ids, tagged by `fam`."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    # ONE scan for both branches: rollup(flag, status) computes the
-    # (flag, status) and (flag) groupings in a single pass (Expand +
-    # partial agg + one shuffle) where a tagged UNION ALL would scan
-    # lineitem twice — at 100 TB the second full scan is the dominant
-    # waste. grouping_id routes each output row to its family shape;
-    # the grand-total row (gid=3) is dropped.
+    # ONE scan for both branches: GROUPING SETS ((flag, status),
+    # (flag)) computes exactly the two groupings in a single pass
+    # (Expand x2 + partial agg + one shuffle) where a tagged UNION ALL
+    # would scan lineitem twice — at 100 TB the second full scan is the
+    # dominant waste. grouping_id routes each output row to its family
+    # shape.
+    # decimal casts staged BEFORE the Expand so each input row is cast
+    # once, not once per grouping set
+    staged = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        dec("l_quantity").alias("__qd"),
+        dec("l_extendedprice").alias("__pd"),
+    )
     g = (
-        li.rollup("l_returnflag", "l_linestatus")
+        staged.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sq"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sp"),
+            F.sum("__qd").cast("double").alias("sq"),
+            F.sum("__pd").cast("double").alias("sp"),
             F.count("*").alias("cnt"),
             F.grouping_id().alias("gid"),
         )
