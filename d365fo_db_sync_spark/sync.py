@@ -187,14 +187,30 @@ class SyncEngine:
             batch.unpersist()
             return report
         upserts = batch.filter(~is_tomb).drop(tomb) if tomb in batch.columns else batch
-        if target.exists():
-            tgt_df = target.read(self.spark)
-            doomed = batch.select(key)  # upsert keys ∪ tombstoned keys
-            survivors = tgt_df.join(doomed, on=key, how="left_anti")
-            new_tgt = survivors.unionByName(upserts.select(*survivors.columns))
+        from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+        if isinstance(target, BucketedParquetTarget) and target.exists():
+            # partial-rewrite fast path: only the buckets containing
+            # changed keys are read and rewritten; untouched buckets
+            # carry forward as hardlinks. Same atomic swap + same
+            # state-commit discipline, ~1/write-amplification of the
+            # full rewrite at low change rates.
+            tombstoned = (
+                batch.filter(is_tomb).select(key)
+                if tomb in batch.columns
+                else batch.limit(0).select(key)
+            )
+            target.merge(self.spark, upserts, tombstoned)
+            self._commit_state(name, row["max_key"], row["max_ver"])
         else:
-            new_tgt = upserts
-        self._swap_and_commit(name, new_tgt, target, row["max_key"], row["max_ver"])
+            if target.exists():
+                tgt_df = target.read(self.spark)
+                doomed = batch.select(key)  # upsert keys ∪ tombstoned keys
+                survivors = tgt_df.join(doomed, on=key, how="left_anti")
+                new_tgt = survivors.unionByName(upserts.select(*survivors.columns))
+            else:
+                new_tgt = upserts
+            self._swap_and_commit(name, new_tgt, target, row["max_key"], row["max_ver"])
         batch.unpersist()
         report.duration_sec = time.time() - t0
         return report
@@ -471,6 +487,14 @@ class SyncEngine:
           store.clear(). A full refresh must be able to LOWER the
           watermark to the rebuilt source's true maximum."""
         target.overwrite(new_tgt)
+        self._commit_state(name, max_key, max_ver, overwrite=overwrite)
+
+    def _commit_state(
+        self, name: str, max_key, max_ver, overwrite: bool = False
+    ) -> None:
+        """State commit alone — for sinks that already published their
+        data atomically (BucketedParquetTarget.merge). Same semantics
+        as the tail of _swap_and_commit."""
         cfg = self.config
         next_seq = None
         if max_key is not None:

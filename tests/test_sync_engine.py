@@ -466,3 +466,85 @@ def test_partitioned_target_prunes_on_read(spark, tmp_path):
     pruned = tgt.read(spark).filter("day = '2024-01-02'")
     assert pruned.count() == 10
     assert "PartitionFilters" in explain_formatted(pruned)
+
+
+def test_bucketed_merge_matches_full_rewrite(env, tmp_path):
+    # BucketedParquetTarget.merge must produce exactly the state the
+    # full-rewrite path produces, for upserts + tombstones together.
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    spark, store, engine, _ = env
+    plain = ParquetTarget(str(tmp_path / "plain"))
+    bucketed = BucketedParquetTarget(str(tmp_path / "bkt"), key="RecId", n_buckets=8)
+
+    base = make_rows(60)
+    batch = spark.createDataFrame(
+        [
+            (1003, 4, 501, None, dt.datetime(2024, 2, 1), 22.0, False),  # update
+            (2000, 2, 502, None, dt.datetime(2024, 2, 1), 5.0, False),   # insert
+            (1005, 4, 503, None, None, None, True),                      # tombstone
+        ],
+        SCHEMA + ", __deleted boolean",
+    )
+    for tgt in (plain, bucketed):
+        engine.merge_upsert(f"T_{tgt.root[-5:]}", df_of(spark, base), tgt)
+        engine.merge_upsert(f"T_{tgt.root[-5:]}", batch, tgt)
+
+    def state(tgt):
+        return sorted(
+            (r["RecId"], r["SysRowVersion"], r["AMOUNT"])
+            for r in tgt.read(spark).collect()
+        )
+
+    assert state(plain) == state(bucketed)
+    assert "__kb" not in bucketed.read(spark).columns  # bucket col hidden
+
+
+def test_bucketed_merge_rewrites_only_affected_buckets(env, tmp_path):
+    # untouched buckets' files must carry forward as hardlinks (same
+    # inode), proving the merge never rewrote their data
+    import os
+
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    spark, store, engine, _ = env
+    tgt = BucketedParquetTarget(str(tmp_path / "b"), key="RecId", n_buckets=16)
+    engine.merge_upsert("TB", df_of(spark, make_rows(200)), tgt)
+
+    def inodes_by_bucket(path):
+        out = {}
+        for entry in os.listdir(path):
+            if entry.startswith("__kb="):
+                d = os.path.join(path, entry)
+                out[entry] = {
+                    os.stat(os.path.join(d, f)).st_ino
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = inodes_by_bucket(tgt.current_path())
+    one = spark.createDataFrame(
+        [(1003, 4, 900, None, dt.datetime(2024, 3, 1), 1.0)], SCHEMA
+    )
+    n = tgt.merge(spark, one, one.limit(0).select("RecId"))
+    assert n == 1  # exactly one bucket touched
+    after = inodes_by_bucket(tgt.current_path())
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1  # every other bucket is the same inodes
+    untouched = [b for b in before if b not in changed]
+    assert untouched and all(before[b] == after[b] for b in untouched)
+    got = {r["RecId"]: r["SysRowVersion"] for r in tgt.read(spark).collect()}
+    assert got[1003] == 900 and len(got) == 200
+
+
+def test_bucketed_merge_empty_change_set_is_noop(env, tmp_path):
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    spark, store, engine, _ = env
+    tgt = BucketedParquetTarget(str(tmp_path / "b2"), key="RecId", n_buckets=4)
+    engine.merge_upsert("TN", df_of(spark, make_rows(20)), tgt)
+    v = tgt.current_path()
+    empty = df_of(spark, make_rows(1)).limit(0)
+    assert tgt.merge(spark, empty, empty.select("RecId")) == 0
+    assert tgt.current_path() == v  # version untouched
