@@ -329,9 +329,13 @@ class BucketedParquetTarget(ParquetTarget):
         return df.withColumn(self.BUCKET_COL, self._bucket_of(F.col(self.key)))
 
     def overwrite(self, df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
         if self.BUCKET_COL not in df.columns:
             df = self._with_bucket(df)
-        super().overwrite(df)
+        # co-locate each bucket's rows before the hive write: one file
+        # per bucket instead of (shuffle partitions x buckets) shards
+        super().overwrite(df.repartition(self.n_buckets, F.col(self.BUCKET_COL)))
 
     def read(self, spark: SparkSession) -> DataFrame:
         return super().read(spark).drop(self.BUCKET_COL)
@@ -368,7 +372,8 @@ class BucketedParquetTarget(ParquetTarget):
         name = f"v_{_uuid.uuid4().hex[:12]}"
         staged = os.path.join(self.root, name)
         (
-            new_rows.write.mode("overwrite")
+            new_rows.repartition(max(1, len(affected)), F.col(self.BUCKET_COL))
+            .write.mode("overwrite")
             .partitionBy(self.BUCKET_COL)
             .parquet(staged)
         )

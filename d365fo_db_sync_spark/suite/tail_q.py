@@ -143,6 +143,77 @@ def delta_classify_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_BUMP = 2_000_000_000
+#: per-process base-target memo for the bucketed CDC merge query
+_CDC_WORKDIRS: dict[str, str] = {}
+
+
+@register(
+    "sync_bucketed_cdc_merge",
+    oracle=f"""
+    SELECT o_orderkey AS RecId,
+           o_orderkey * 2
+             + CASE WHEN o_orderkey % 4001 = 0 THEN {_CDC_BUMP} ELSE 0 END
+             AS SysRowVersion,
+           CASE WHEN o_orderkey % 4001 = 0 THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS amount,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 4003 <> 0
+    """,
+    bench=True,
+)
+def sync_bucketed_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge against the PARTIAL-REWRITE sink: a small batch of
+    updates + tombstones lands on a BucketedParquetTarget, which
+    rewrites only the hash buckets containing the changed keys and
+    hardlinks the rest forward (sinks.BucketedParquetTarget.merge).
+    The oracle is the final table state, so the value hash verifies
+    that partial rewriting loses/duplicates nothing vs the logical
+    merge. The base target is built once per process and the CDC batch
+    REPLAYS onto it on every invocation — replay idempotency is the T5
+    contract, and it makes the benched cost the merge itself (the
+    low-change-rate cycle the full rewrite pays a whole-table write
+    for), not the initial load."""
+    import tempfile
+
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("RecId"),
+        (k * 2).alias("SysRowVersion"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    work = _CDC_WORKDIRS.get(sf_dir)
+    if work is None:
+        work = _CDC_WORKDIRS[sf_dir] = tempfile.mkdtemp(prefix="syncb_")
+    engine = SyncEngine(spark, StateStore(f"{work}/state.json"), SyncConfig())
+    target = BucketedParquetTarget(f"{work}/tgt", key="RecId", n_buckets=64)
+    if not target.exists():
+        engine.merge_upsert("orders_b", base, target)
+
+    upd = base.filter(F.pmod("RecId", F.lit(4001)) == 0).select(
+        "RecId",
+        (F.col("SysRowVersion") + _CDC_BUMP).alias("SysRowVersion"),
+        (F.col("amount") + 500.0).alias("amount"),
+        "status",
+        F.lit(False).alias("__deleted"),
+    )
+    dead = base.filter(F.pmod("RecId", F.lit(4003)) == 0).select(
+        "RecId",
+        (F.col("SysRowVersion") + _CDC_BUMP).alias("SysRowVersion"),
+        F.lit(None).cast("double").alias("amount"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(True).alias("__deleted"),
+    )
+    engine.merge_upsert("orders_b", upd.unionByName(dead), target)
+    return target.read(spark)
+
+
 def _hexth(fraction: float) -> str:
     from d365fo_db_sync_spark.operators.sampling import _hex_threshold
 
