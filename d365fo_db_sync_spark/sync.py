@@ -332,17 +332,31 @@ class SyncEngine:
         # template's @sysRowVersionFilter slot becomes this predicate)
         fetched = fetcher.incremental(fetch_ts, fetch_floor)
 
-        # T3: three-step merge as a survivors rewrite
+        # T3: three-step merge
         changed_keys = control.filter(F.col(ver) > F.lit(state.tgt_ts)).select(key)
-        survivors = (
-            tgt_df.join(control.select(key), on=key, how="left_semi")  # J5: drop deleted/excess
-            .join(changed_keys, on=key, how="left_anti")  # J4: drop modified
-        )
-        # T5: idempotent insert — only rows whose key is absent post-delete
-        inserts = fetched.join(survivors.select(key), on=key, how="left_anti")
-        new_tgt = survivors.unionByName(inserts.select(*survivors.columns))
+        from d365fo_db_sync_spark.sinks import BucketedParquetTarget
 
-        self._swap_and_commit(name, new_tgt, target, max_key, max_ver)
+        if isinstance(target, BucketedParquetTarget):
+            # partial-rewrite path: doomed = excess (J5 complement) ∪
+            # modified (J4); fetched rows replace-or-insert. Only the
+            # buckets containing doomed/fetched keys are rewritten —
+            # the reference's core incremental cycle without the
+            # whole-table write.
+            excess = tgt_df.join(control.select(key), on=key, how="left_anti").select(key)
+            target.merge(
+                self.spark, fetched, excess.unionByName(changed_keys)
+            )
+            self._commit_state(name, max_key, max_ver)
+        else:
+            # rewrite form: survivors ∪ idempotent inserts, full overwrite
+            survivors = (
+                tgt_df.join(control.select(key), on=key, how="left_semi")  # J5
+                .join(changed_keys, on=key, how="left_anti")  # J4
+            )
+            # T5: idempotent insert — only rows whose key is absent post-delete
+            inserts = fetched.join(survivors.select(key), on=key, how="left_anti")
+            new_tgt = survivors.unionByName(inserts.select(*survivors.columns))
+            self._swap_and_commit(name, new_tgt, target, max_key, max_ver)
         # accounting from the fused agg + the written footers: zero extra
         # jobs (previously a full recomputation of inserts + survivors)
         report.deleted = max(0, tgt_total - survivors_cnt)

@@ -548,3 +548,43 @@ def test_bucketed_merge_empty_change_set_is_noop(env, tmp_path):
     empty = df_of(spark, make_rows(1)).limit(0)
     assert tgt.merge(spark, empty, empty.select("RecId")) == 0
     assert tgt.current_path() == v  # version untouched
+
+
+def test_optimized_path_on_bucketed_target_matches_plain(env, tmp_path):
+    # the reference's core incremental cycle (control scan -> 3-step
+    # merge) must produce identical state through the partial-rewrite
+    # sink as through the full-rewrite sink — deletes, modifications,
+    # window excess, and late rows included.
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    spark, store, engine, _ = env
+    rows = make_rows(100)
+    deleted = {1000 + 7, 1000 + 8}
+    ver = 1000
+    new_rows = []
+    for r in rows:
+        if r[0] in deleted:
+            continue
+        if r[0] % 20 == 0:
+            ver += 1
+            r = (r[0], r[1] + 1, ver, r[3], r[4], r[5] + 99.0)
+        new_rows.append(r)
+    new_rows.append((3000, 2, 5, None, dt.datetime(2024, 1, 15), 7.0))  # late, old ver
+
+    finals = {}
+    for label, tgt in (
+        ("plain", ParquetTarget(str(tmp_path / "p"))),
+        ("bucketed", BucketedParquetTarget(str(tmp_path / "bk"), key="RecId", n_buckets=8)),
+    ):
+        name = f"TO_{label}"
+        r1 = engine.sync_table(name, df_of(spark, rows), tgt)
+        assert r1.mode == STANDARD
+        r2 = engine.sync_table(name, df_of(spark, new_rows), tgt)
+        assert r2.mode == INCREMENTAL, (label, r2)
+        finals[label] = sorted(
+            (r["RecId"], r["SysRowVersion"], r["AMOUNT"])
+            for r in tgt.read(spark).collect()
+        )
+        st = store.get(name)
+        assert st.src_ts == max(x[2] for x in new_rows)
+    assert finals["plain"] == finals["bucketed"]
