@@ -81,6 +81,12 @@ def split_column(
         lo = _hex_threshold(total)
         total += weight
         bounds.append((label, lo, _hex_threshold(total)))
+    if bounds and abs(total - 1.0) < 1e-9:
+        # float accumulation can land a hair under 1.0, which would
+        # hold out the topmost hash sliver ("ffffffff") from splits the
+        # caller clearly meant to be exhaustive — clamp the last bound
+        label, lo, _ = bounds[-1]
+        bounds[-1] = (label, lo, "g")
     for label, lo, hi in reversed(bounds):
         expr = F.when((bucket >= lo) & (bucket < hi), label).otherwise(expr)
     return expr

@@ -1,0 +1,84 @@
+"""Property-based invariants (hypothesis) for the curation operators —
+the guarantees training pipelines rely on, checked over arbitrary
+inputs rather than fixtures: split exhaustiveness/disjointness for any
+weight vector, chunking content preservation for any document and
+window geometry."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from d365fo_db_sync_spark.operators.sampling import _hex_threshold
+
+
+def _label_of(h: str, bounds: list[tuple[str, str, str]]) -> str | None:
+    for label, lo, hi in bounds:
+        if lo <= h < hi:
+            return label
+    return None
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_ranges_partition_the_hash_space(weights):
+    # normalized weights must tile [0, 2^32) with no gap and no overlap
+    total = sum(weights)
+    norm = [w / total for w in weights]
+    cum, bounds = 0.0, []
+    for i, w in enumerate(norm):
+        lo = _hex_threshold(cum)
+        cum += w
+        bounds.append((f"s{i}", lo, _hex_threshold(cum)))
+    if abs(cum - 1.0) < 1e-9:  # split_column's exhaustiveness clamp
+        label, lo, _ = bounds[-1]
+        bounds[-1] = (label, lo, "g")
+    # ranges are contiguous: each hi == next lo, first lo is 0, last hi
+    # admits the max bucket
+    assert bounds[0][1] == "00000000"
+    for (_, _, hi), (_, lo, _) in zip(bounds, bounds[1:]):
+        assert hi == lo
+    assert "ffffffff" < bounds[-1][2]  # exhaustive at the top
+    # spot probes across the space land in exactly one range
+    for probe in ("00000000", "3fffffff", "80000000", "bfffffff", "ffffffff"):
+        hits = [b for b in bounds if b[1] <= probe < b[2]]
+        assert len(hits) == 1
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=200),
+    chunk=st.integers(min_value=1, max_value=64),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_geometry_covers_every_token_exactly(n_tokens, chunk, overlap_frac):
+    # pure-python replica of chunk_documents' window arithmetic: the
+    # union of windows covers [0, n) with no gap, the stride is
+    # honored, and the final window ends exactly at n
+    overlap = min(chunk - 1, int(chunk * overlap_frac))
+    stride = chunk - overlap
+    last_start = max(n_tokens - chunk, 0)
+    n_chunks = last_start // stride + (2 if last_start % stride else 1)
+    starts = [min(i * stride, last_start) for i in range(n_chunks)]
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + chunk, n_tokens)))
+    assert covered == set(range(n_tokens))
+    assert starts == sorted(starts)
+    assert len(set(starts)) == len(starts)  # no duplicate windows
+    if n_tokens > chunk:
+        assert starts[-1] + chunk == n_tokens  # clamped final window
+
+
+@given(fraction=st.floats(min_value=0.0, max_value=1.5, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_hex_threshold_total_order(fraction):
+    th = _hex_threshold(fraction)
+    # threshold string compares correctly against any 8-hex bucket
+    assert th == "g" or (len(th) == 8 and int(th, 16) == int(fraction * (1 << 32)))
+    if fraction >= 1.0:
+        assert "ffffffff" < th
