@@ -142,7 +142,16 @@ class Orchestrator:
             plan.status = "Processing"
             try:
                 src = sources[plan.name]
-                target = ParquetTarget(os.path.join(target_root, plan.name))
+                if plan.strategy.buckets:
+                    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+                    target: ParquetTarget = BucketedParquetTarget(
+                        os.path.join(target_root, plan.name),
+                        key=self.engine.config.key,
+                        n_buckets=plan.strategy.buckets,
+                    )
+                else:
+                    target = ParquetTarget(os.path.join(target_root, plan.name))
                 fetcher = Fetcher(
                     self.spark,
                     src,

@@ -42,6 +42,10 @@ class Strategy:
     record_count: int | None = None
     sql_template: str = ""
     use_truncate: bool = False
+    #: engine extension (no reference analog): hash-bucket the target
+    #: into N hive partitions so merges rewrite only affected buckets
+    #: (sinks.BucketedParquetTarget)
+    buckets: int | None = None
 
 
 class StrategyParseError(ValueError):
@@ -61,9 +65,23 @@ def parse_strategy_line(line: str) -> Strategy:
     """One line -> Strategy (ParseStrategyLine, CopyOrchestrator.cs:1692-1763)."""
     working = line.strip()
     use_truncate = False
-    if working.lower().endswith(" -truncate"):
-        use_truncate = True
-        working = working[: -len(" -truncate")].strip()
+    buckets: int | None = None
+    # trailing flags, any order: " -truncate" (reference) and
+    # " -buckets N" (engine extension — partial-rewrite target)
+    while True:
+        m = re.search(r"\s+-truncate$", working, re.IGNORECASE)
+        if m:
+            use_truncate = True
+            working = working[: m.start()].strip()
+            continue
+        m = re.search(r"\s+-buckets\s+(\d+)$", working, re.IGNORECASE)
+        if m:
+            buckets = int(m.group(1))
+            if buckets <= 0:
+                raise StrategyParseError("Invalid format: -buckets must be positive")
+            working = working[: m.start()].strip()
+            continue
+        break
 
     parts = working.split("|")
     if not parts or not parts[0].strip():
@@ -71,11 +89,11 @@ def parse_strategy_line(line: str) -> Strategy:
     table = parts[0].strip()
 
     if len(parts) == 1:
-        return Strategy(table=table, use_truncate=use_truncate)
+        return Strategy(table=table, use_truncate=use_truncate, buckets=buckets)
 
     part1 = parts[1].strip()
     if part1.lower().startswith("sql:"):
-        return _parse_sql(table, part1, None, use_truncate)
+        return _parse_sql(table, part1, None, use_truncate, buckets)
 
     count = try_parse_record_count(part1)
     if count is not None:
@@ -84,16 +102,22 @@ def parse_strategy_line(line: str) -> Strategy:
         if len(parts) >= 3:
             part2 = parts[2].strip()
             if part2.lower().startswith("sql:"):
-                return _parse_sql(table, part2, count, use_truncate)
+                return _parse_sql(table, part2, count, use_truncate, buckets)
             raise StrategyParseError(f"Invalid format: unexpected '{part2}' after record count")
-        return Strategy(table=table, record_count=count, use_truncate=use_truncate)
+        return Strategy(table=table, record_count=count, use_truncate=use_truncate, buckets=buckets)
 
     raise StrategyParseError(
         f"Invalid format: '{part1}' is not a valid strategy (expected number or 'sql:...')"
     )
 
 
-def _parse_sql(table: str, sql_part: str, count: int | None, use_truncate: bool) -> Strategy:
+def _parse_sql(
+    table: str,
+    sql_part: str,
+    count: int | None,
+    use_truncate: bool,
+    buckets: int | None = None,
+) -> Strategy:
     sql = sql_part[4:].strip()
     if not sql:
         raise StrategyParseError("Invalid format: empty SQL statement")
@@ -105,6 +129,7 @@ def _parse_sql(table: str, sql_part: str, count: int | None, use_truncate: bool)
         record_count=count,
         sql_template=sql,
         use_truncate=use_truncate,
+        buckets=buckets,
     )
 
 

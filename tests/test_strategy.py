@@ -112,3 +112,23 @@ def test_compile_fetch_sql_runs(spark):
     rows = out.collect()
     assert len(rows) == 3
     assert [r["RecId"] for r in rows] == [19, 16, 13]
+
+
+def test_parse_buckets_flag():
+    from d365fo_db_sync_spark.strategy import parse_strategy_line
+
+    s = parse_strategy_line("CUSTTABLE|5000 -buckets 64")
+    assert (s.record_count, s.buckets, s.use_truncate) == (5000, 64, False)
+    # flags compose in either order
+    s2 = parse_strategy_line("CUSTTABLE -buckets 32 -truncate")
+    assert (s2.buckets, s2.use_truncate) == (32, True)
+    s3 = parse_strategy_line("CUSTTABLE -truncate -buckets 32")
+    assert (s3.buckets, s3.use_truncate) == (32, True)
+    s4 = parse_strategy_line("T|sql:SELECT * FROM T -buckets 8")
+    assert s4.buckets == 8 and s4.sql_template
+    import pytest as _pytest
+
+    from d365fo_db_sync_spark.strategy import StrategyParseError
+
+    with _pytest.raises(StrategyParseError):
+        parse_strategy_line("T -buckets 0")
