@@ -327,3 +327,42 @@ def test_stream_curation_filter_matches_batch(spark, tmp_path):
     stream_ids = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert stream_ids == batch_ids
     assert 0 < len(batch_ids) < 300
+
+
+def test_cdc_stream_merges_into_bucketed_target(spark, tmp_path):
+    """The streaming CDC pipeline routes each micro-batch through
+    merge_upsert, which auto-selects the partial-rewrite path on a
+    BucketedParquetTarget — stream merges get bucket-scoped rewrites
+    with no pipeline changes."""
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.streaming import CdcStreamPipeline
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    b1 = spark.createDataFrame(
+        [(i, 100 + i, float(i), False) for i in range(30)],
+        "RecId long, SysRowVersion long, AMOUNT double, __deleted boolean",
+    )
+    src_dir = str(tmp_path / "src")
+    b1.write.parquet(src_dir)
+
+    engine = SyncEngine(spark, StateStore(str(tmp_path / "s.json")), SyncConfig())
+    target = BucketedParquetTarget(str(tmp_path / "tgt"), key="RecId", n_buckets=8)
+    pipe = CdcStreamPipeline(engine, "TS", target, str(tmp_path / "cp"))
+    pipe.start(
+        spark.readStream.schema(b1.schema).parquet(src_dir), available_now=True
+    ).awaitTermination(120)
+    assert target.read(spark).count() == 30
+
+    # second micro-batch: one update + one tombstone
+    spark.createDataFrame(
+        [(3, 500, 99.0, False), (7, 501, None, True)], b1.schema
+    ).write.mode("append").parquet(src_dir)
+    pipe.start(
+        spark.readStream.schema(b1.schema).parquet(src_dir), available_now=True
+    ).awaitTermination(120)
+    got = {r["RecId"]: r["AMOUNT"] for r in target.read(spark).collect()}
+    assert got[3] == 99.0 and 7 not in got and len(got) == 29
+    assert "__kb" not in target.read(spark).columns
