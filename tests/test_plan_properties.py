@@ -190,3 +190,43 @@ def test_minhash_signatures_single_exchange(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     ops = physical_operators(minhash_signatures(docs, "doc_id", "text"))
     assert ops.count("Exchange") == 1, ops
+
+
+def test_quantized_topk_broadcasts_queries_not_corpus(spark):
+    """The int8 path must keep the exact path's broadcast discipline:
+    query vectors broadcast, quantized corpus streams."""
+    import re
+
+    from d365fo_db_sync_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+
+    emb = load_table(spark, SF, "embeddings")
+    qz = quantize_embeddings(emb)
+    queries = qz.filter(F.col("vec_id") <= 3).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    plan = explain_formatted(quantized_cosine_topk(qz, queries, k=5))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    m = re.search(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "q_q" in m.group(1) and "c_q" not in m.group(1), m.group(1)
+
+
+def test_bucketed_merge_survivor_scan_partition_prunes(spark, tmp_path):
+    """Inside BucketedParquetTarget.merge the survivor read must prune
+    to the affected buckets at the partition level — a post-scan filter
+    would read every bucket's files."""
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    tgt = BucketedParquetTarget(str(tmp_path / "t"), key="id", n_buckets=8)
+    tgt.overwrite(spark.range(1000).withColumnRenamed("id", "id").selectExpr("id", "id * 2 AS v"))
+    live = spark.read.parquet(tgt.current_path())
+    pruned = live.filter(F.col(tgt.BUCKET_COL).isin([0, 3]))
+    plan = explain_formatted(pruned)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "__kb" in seg, seg
