@@ -344,7 +344,16 @@ class BucketedParquetTarget(ParquetTarget):
         """Replace-or-insert ``upserts`` rows and delete ``doomed_keys``
         rows, rewriting ONLY the buckets their keys hash into. Returns
         the number of rewritten buckets. Falls back to a plain
-        overwrite when no live version exists."""
+        overwrite when no live version exists.
+
+        Crash contract matches ParquetTarget.overwrite: everything
+        stages into a fresh version directory and the pointer swap is
+        the single atomic publish — a failure anywhere before it
+        leaves the previous version live and complete. Single writer
+        per table assumed (the orchestrator's worker-per-table rule,
+        same as StateStore): two concurrent merges could each hardlink
+        from the same old version and the loser's buckets would be
+        silently dropped by the winner's swap."""
         import uuid as _uuid
 
         from pyspark.sql import functions as F

@@ -588,3 +588,38 @@ def test_optimized_path_on_bucketed_target_matches_plain(env, tmp_path):
         st = store.get(name)
         assert st.src_ts == max(x[2] for x in new_rows)
     assert finals["plain"] == finals["bucketed"]
+
+
+def test_bucketed_merge_crash_before_swap_leaves_old_version(env, tmp_path, monkeypatch):
+    # T6 for the partial-rewrite sink: a failure before the pointer
+    # swap must leave the previous version live and complete, and the
+    # engine must not advance state.
+    import os as _os
+
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    spark, store, engine, _ = env
+    tgt = BucketedParquetTarget(str(tmp_path / "c"), key="RecId", n_buckets=4)
+    engine.merge_upsert("TC", df_of(spark, make_rows(30)), tgt)
+    v0 = tgt.current_path()
+    st0 = store.get("TC")
+
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        if dst.endswith("_version"):
+            raise OSError("simulated crash at publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", boom)
+    batch = spark.createDataFrame(
+        [(1003, 4, 900, None, dt.datetime(2024, 3, 1), 1.0)], SCHEMA
+    )
+    with pytest.raises(OSError, match="simulated crash"):
+        engine.merge_upsert("TC", batch, tgt)
+    monkeypatch.undo()
+
+    assert tgt.current_path() == v0  # old version still live
+    got = {r["RecId"]: r["AMOUNT"] for r in tgt.read(spark).collect()}
+    assert got[1003] != 1.0 and len(got) == 30  # pre-merge contents intact
+    assert store.get("TC") == st0  # watermark not advanced
