@@ -71,3 +71,89 @@ class ConfigStore:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(self._data, f, indent=2, sort_keys=True)
         os.replace(tmp, self.path)  # atomic, like the state store
+
+
+def obfuscate_secret(plain: str) -> str:
+    """Base64 obfuscation of a stored secret — EXPLICITLY obfuscation,
+    not security (EncryptionHelper.cs:8-25 carries the same warning):
+    it only keeps credentials out of casual view in config files.
+    Real deployments should use the cluster's secret manager; this
+    exists for config-file parity with the reference."""
+    import base64
+
+    if not plain:
+        return ""
+    return base64.b64encode(plain.encode("utf-8")).decode("ascii")
+
+
+def deobfuscate_secret(obfuscated: str) -> str:
+    """Inverse of :func:`obfuscate_secret`; anything that is not valid
+    base64 is passed through unchanged, so legacy plain-text configs
+    keep working (EncryptionHelper.cs:30-45)."""
+    import base64
+    import binascii
+
+    if not obfuscated:
+        return ""
+    try:
+        return base64.b64decode(obfuscated, validate=True).decode("utf-8")
+    except (binascii.Error, UnicodeDecodeError, ValueError):
+        return obfuscated
+
+
+_SECTION_RE = re.compile(r"^\[(.+)\]$")
+
+
+def read_default_sections(path: str) -> dict[str, str]:
+    """INI-style ``[Section]`` blocks -> {section: content} —
+    case-insensitive section names, leading/trailing blank lines
+    stripped, internal blanks preserved (DefaultValuesHelper.cs:16-48;
+    the reference seeds system-excluded-table lists from such a file).
+    Missing file -> empty dict, like the reference."""
+    if not os.path.exists(path):
+        return {}
+
+    class _CI(dict):
+        def __getitem__(self, k):
+            return super().__getitem__(k.lower())
+
+        def __setitem__(self, k, v):
+            super().__setitem__(k.lower(), v)
+
+        def __contains__(self, k):
+            return super().__contains__(k.lower())
+
+        def get(self, k, default=None):
+            return super().get(k.lower(), default)
+
+    def _join(lines: list[str]) -> str:
+        start = 0
+        while start < len(lines) and not lines[start].strip():
+            start += 1
+        end = len(lines) - 1
+        while end >= start and not lines[end].strip():
+            end -= 1
+        return "\n".join(lines[start : end + 1])
+
+    sections: dict[str, str] = _CI()
+    current: str | None = None
+    buf: list[str] = []
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.rstrip("\n").rstrip("\r")
+            m = _SECTION_RE.match(line.strip())
+            if m:
+                if current is not None:
+                    sections[current] = _join(buf)
+                current = m.group(1)
+                buf = []
+            elif current is not None:
+                buf.append(line.rstrip())
+    if current is not None:
+        sections[current] = _join(buf)
+    return sections
+
+
+def read_default_section(path: str, name: str) -> str | None:
+    """One section's content, or None (DefaultValuesHelper.cs:50-54)."""
+    return read_default_sections(path).get(name)

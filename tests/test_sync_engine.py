@@ -623,3 +623,32 @@ def test_bucketed_merge_crash_before_swap_leaves_old_version(env, tmp_path, monk
     got = {r["RecId"]: r["AMOUNT"] for r in tgt.read(spark).collect()}
     assert got[1003] != 1.0 and len(got) == 30  # pre-merge contents intact
     assert store.get("TC") == st0  # watermark not advanced
+
+
+def test_default_sections_and_secret_obfuscation(tmp_path):
+    from d365fo_db_sync_spark.config import (
+        deobfuscate_secret,
+        obfuscate_secret,
+        read_default_section,
+        read_default_sections,
+    )
+
+    ini = tmp_path / "DefaultValues.ini"
+    ini.write_text(
+        "\n[SystemExcludedTables]\n\nSYSLOG\nBATCHJOB\n\n\n"
+        "[ExcludedFields]\n*.SYSDATAAREAID\nCUSTTABLE.MEMO\n",
+        encoding="utf-8",
+    )
+    sections = read_default_sections(str(ini))
+    # case-insensitive lookup, blank edges stripped, internal preserved
+    assert sections.get("systemexcludedtables") == "SYSLOG\nBATCHJOB"
+    assert read_default_section(str(ini), "EXCLUDEDFIELDS") == (
+        "*.SYSDATAAREAID\nCUSTTABLE.MEMO"
+    )
+    assert read_default_section(str(ini), "missing") is None
+    assert read_default_sections(str(tmp_path / "nope.ini")) == {}
+
+    assert deobfuscate_secret(obfuscate_secret("p@ss w0rd")) == "p@ss w0rd"
+    assert obfuscate_secret("") == ""
+    # non-base64 legacy value passes through
+    assert deobfuscate_secret("plain!password") == "plain!password"
