@@ -156,3 +156,72 @@ class JdbcSource:
         for k, v in self.properties.items():
             r = r.option(k, v)
         return r.load()
+
+
+def parse_connection_string(text: str) -> dict[str, str]:
+    """Connection-string parsing, both reference formats
+    (ConnectionStringHelper.cs:19-95):
+
+    * standard ``Key=Value;...`` pairs (keys case-insensitive,
+      whitespace-tolerant, values may contain '=');
+    * the three-line portal format::
+
+          server.database.windows.net\\db
+          user
+          password
+
+      recognized by newlines-without-'=' and mapped to
+      Server/Database/User Id/Password.
+
+    Returned dict is lowercase-keyed for stable lookups.
+    """
+    out: dict[str, str] = {}
+    if not text or not text.strip():
+        return out
+    if "\n" in text and "=" not in text:
+        lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+        if len(lines) < 3:
+            return out
+        server_db = lines[0]
+        idx = server_db.find("\\")
+        if idx > 0:
+            out["server"] = server_db[:idx].strip()
+            out["database"] = server_db[idx + 1 :].strip()
+        out["user id"] = lines[1]
+        out["password"] = lines[2]
+        return out
+    for part in text.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        eq = part.find("=")
+        if eq > 0:
+            out[part[:eq].strip().lower()] = part[eq + 1 :].strip()
+    return out
+
+
+def to_jdbc(parts: dict[str, str], port: int = 1433) -> tuple[str, dict[str, str]]:
+    """Parsed connection parts -> (JDBC URL, reader options) for
+    ``spark.read.format("jdbc")``. Credentials travel as options, never
+    in the URL (they would leak into plans/logs). Accepts the keys
+    :func:`parse_connection_string` emits plus optional ``encrypt`` /
+    ``trustservercertificate`` passthroughs."""
+    server = parts.get("server") or parts.get("data source") or ""
+    database = parts.get("database") or parts.get("initial catalog") or ""
+    if not server or not database:
+        raise ValueError("connection parts must include server and database")
+    if "," in server:  # Server=host,port form
+        server, p = server.split(",", 1)
+        port = int(p)
+    url = f"jdbc:sqlserver://{server}:{port};databaseName={database}"
+    for flag in ("encrypt", "trustservercertificate"):
+        if flag in parts:
+            url += f";{flag}={parts[flag]}"
+    options: dict[str, str] = {}
+    user = parts.get("user id") or parts.get("uid")
+    pwd = parts.get("password") or parts.get("pwd")
+    if user:
+        options["user"] = user
+    if pwd:
+        options["password"] = pwd
+    return url, options

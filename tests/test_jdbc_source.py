@@ -57,3 +57,37 @@ def test_source_builds_reader_options(spark):
     # enough to validate the option plumbing
     reader = src._reader(spark, jdbc.top_n_sql("T", "RecId", 10))
     assert reader is not None
+
+
+def test_parse_connection_string_both_formats():
+    from d365fo_db_sync_spark.sources.jdbc import parse_connection_string, to_jdbc
+
+    std = parse_connection_string(
+        "Server=host.db.net; Database=axdb ;User Id=u1;Password=p=w;Encrypt=true"
+    )
+    assert std["server"] == "host.db.net" and std["database"] == "axdb"
+    assert std["password"] == "p=w"  # '=' inside the value survives
+
+    three = parse_connection_string("host.db.net\\axdb\nu1\npw\n")
+    assert three == {
+        "server": "host.db.net",
+        "database": "axdb",
+        "user id": "u1",
+        "password": "pw",
+    }
+    assert parse_connection_string("") == {}
+    assert parse_connection_string("only\ntwo") == {}
+
+    url, opts = to_jdbc(std)
+    assert url == "jdbc:sqlserver://host.db.net:1433;databaseName=axdb;encrypt=true"
+    assert opts == {"user": "u1", "password": "p=w"}
+    # credentials never leak into the URL
+    assert "p=w" not in url and "u1" not in url
+
+    url2, _ = to_jdbc({"server": "h,1544", "database": "d"})
+    assert url2.startswith("jdbc:sqlserver://h:1544;")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        to_jdbc({"server": "h"})
