@@ -105,6 +105,29 @@ class ParquetTarget:
         else:
             self.overwrite(df)
 
+    def vacuum(self) -> list[str]:
+        """Remove version directories that are not the live one —
+        staged writes orphaned by a crash BEFORE their pointer swap
+        (the swap's crash contract leaves them behind by design).
+        Returns the removed paths. Safe against concurrent writers the
+        same way the swap is: a writer that has not swapped yet loses
+        its staging to vacuum exactly as it would to its own failure,
+        and re-stages on retry — so run vacuum between cycles, not
+        during one."""
+        live = self.current_path()
+        live_name = os.path.basename(live) if live else None
+        removed = []
+        for entry in os.listdir(self.root):
+            path = os.path.join(self.root, entry)
+            if (
+                entry.startswith("v_")
+                and entry != live_name
+                and os.path.isdir(path)
+            ):
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+        return removed
+
 
 class JdbcSink:
     """JDBC sink config mirroring the reference's physical parameters.

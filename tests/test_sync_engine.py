@@ -652,3 +652,45 @@ def test_default_sections_and_secret_obfuscation(tmp_path):
     assert obfuscate_secret("") == ""
     # non-base64 legacy value passes through
     assert deobfuscate_secret("plain!password") == "plain!password"
+
+
+def test_vacuum_removes_orphaned_stagings(env, tmp_path, monkeypatch):
+    # a crash before the pointer swap leaves its staged version dir
+    # behind; vacuum reclaims it and never touches the live version
+    import os as _os
+
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    spark, store, engine, _ = env
+    tgt = BucketedParquetTarget(str(tmp_path / "v"), key="RecId", n_buckets=4)
+    engine.merge_upsert("TV", df_of(spark, make_rows(20)), tgt)
+    live = tgt.current_path()
+
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        if dst.endswith("_version"):
+            raise OSError("crash at publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", boom)
+    with pytest.raises(OSError):
+        engine.merge_upsert(
+            "TV",
+            spark.createDataFrame(
+                [(1003, 4, 900, None, dt.datetime(2024, 3, 1), 1.0)], SCHEMA
+            ),
+            tgt,
+        )
+    monkeypatch.undo()
+
+    orphans = [
+        d for d in _os.listdir(tgt.root)
+        if d.startswith("v_") and d != _os.path.basename(live)
+    ]
+    assert orphans  # the crash left its staging behind
+    removed = tgt.vacuum()
+    assert len(removed) == len(orphans)
+    assert tgt.current_path() == live
+    assert tgt.read(spark).count() == 20
+    assert tgt.vacuum() == []  # idempotent
