@@ -149,3 +149,51 @@ def chunk_documents(
         F.array_join("__toks", " ").alias("chunk_text"),
         F.size("__toks").alias("n_chunk_tokens"),
     )
+
+
+#: PII patterns kept lookaround-free so the SAME pattern runs under
+#: Java regex (Spark) and RE2 (DuckDB) — RE2 has no backreferences or
+#: lookarounds, and oracle parity requires one pattern text
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (emails / phone numbers / IPv4) —
+    the redaction-or-drop gate of corpus cleaning. Pure regexp_count
+    column expressions: distributes with the scan, zero shuffles."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+            "n_ipv4": F.regexp_count(c, F.lit(IPV4_RE)),
+        }
+    )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition ratios (the Gopher-style quality
+    rules): duplicate-token fraction and duplicate-bigram fraction.
+    Highly repetitive documents (boilerplate, keyword stuffing, decode
+    loops) score high and get filtered before training. All array
+    expressions — no shuffle, no Python."""
+    t = tokens(text_col)
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return df.withColumns(
+        {
+            "dup_token_frac": (
+                (n - F.size(F.array_distinct(t))) / F.greatest(n, F.lit(1))
+            ),
+            "dup_bigram_frac": (
+                (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+                / F.greatest(F.size(bigrams), F.lit(1))
+            ),
+        }
+    )

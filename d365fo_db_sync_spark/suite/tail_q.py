@@ -514,6 +514,79 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic PII spikes appended per doc_id residue so the regex
+#: detectors have real positives to count (the synthetic corpus is
+#: word salad); identical literals in both engines
+_PII_SPIKES = (
+    " reach me at jane.doe+1@mail-host.org or x@y.io",
+    " call (555) 867-5309 or 555-123-4567 now",
+    " server at 10.0.42.7 and 192.168.1.255 ok",
+)
+
+
+def _pii_oracle() -> str:
+    from d365fo_db_sync_spark.operators.text import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    cases = "\n".join(
+        f"      WHEN {i} THEN '{s}'" for i, s in enumerate(_PII_SPIKES)
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text || CASE doc_id % 7
+{cases}
+      ELSE '' END AS text
+      FROM documents),
+    t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM s),
+    b AS (
+      SELECT doc_id, text, toks,
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+               AS bigrams
+      FROM t)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ipv4,
+           ROUND((len(toks) - len(list_distinct(toks)))
+                 / GREATEST(len(toks), 1), 6) AS dup_token_frac,
+           ROUND((len(bigrams) - len(list_distinct(bigrams)))
+                 / GREATEST(len(bigrams), 1), 6) AS dup_bigram_frac
+    FROM b
+    """
+
+
+@register("text_pii_repetition", oracle=_pii_oracle())
+def text_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene scan (operators/text.py pii_counts +
+    repetition_features): per-document email/phone/IPv4 hit counts (the
+    redact-or-drop gate) and Gopher-style duplicate-token/bigram
+    fractions (the boilerplate filter). Everything is regexp_count /
+    array expressions inside whole-stage codegen — distributes with the
+    scan, zero shuffles at any corpus size. PII spikes are injected by
+    doc_id residue in BOTH engines so the detectors' exact match counts
+    verify through the value hash; the patterns are lookaround-free so
+    one pattern text runs identically under Java regex and RE2."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    spike = F.col("doc_id") % 7
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            *[F.when(spike == i, F.lit(s)).otherwise(F.lit("")) for i, s in enumerate(_PII_SPIKES)],
+        ).alias("text"),
+    )
+    out = text_ops.repetition_features(text_ops.pii_counts(spiked), "text")
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ipv4",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+    )
+
+
 @register("similarity_cosine_topk_ivf", oracle=None)
 def similarity_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via an IVF index (k-means cells, probe the 4 nearest of

@@ -134,6 +134,37 @@ def test_language_id_and_quality(spark):
     assert q["stopword_ratio"] > 0.3
 
 
+def test_pii_counts(spark):
+    rows = [
+        (0, "mail a@b.io and c.d+e@f-g.org today"),
+        (1, "call (555) 867-5309 or 555-123-4567"),
+        (2, "hosts 10.0.0.1 192.168.1.255 and not 1.2.3"),
+        (3, "clean text with no contact info"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.pii_counts(df, "text").collect()}
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ipv4"]) == (2, 0, 0)
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ipv4"]) == (0, 2, 0)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ipv4"]) == (0, 0, 2)
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_repetition_features(spark):
+    rows = [
+        (0, "spam spam spam spam"),  # 4 tokens 1 distinct; 3 bigrams 1 distinct
+        (1, "all tokens here differ"),
+        (2, "one"),  # no bigrams -> 0/1
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_features(df, "text").collect()}
+    assert out[0]["dup_token_frac"] == pytest.approx(3 / 4)
+    assert out[0]["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert out[1]["dup_token_frac"] == 0.0 and out[1]["dup_bigram_frac"] == 0.0
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["dup_token_frac"] == 0.0 and out[3]["dup_bigram_frac"] == 0.0
+
+
 def test_multimodal_decode_roundtrip(spark):
     for mt in ("image", "audio", "video"):
         multimodal.register_codec(mt, multimodal.fake_codec)
