@@ -1,0 +1,87 @@
+"""Benchmark decontamination: find and drop training documents whose
+n-grams overlap an evaluation/benchmark set.
+
+The standard pre-training hygiene step (the n-gram overlap rule of the
+public GPT-3/PaLM appendices): an eval item is "contaminated" if its
+word n-grams appear in a training document, and such documents must be
+dropped or flagged before training.
+
+Scale shape: the benchmark side is tiny by construction (eval suites
+are thousands of items; the corpus is billions of documents), so its
+exploded shingle set is BROADCAST — the corpus side streams through a
+map-side broadcast-hash join on the shingle, then ONE shuffle
+aggregates per-(doc, bench-item) match counts. The corpus is never
+re-partitioned by shingle, which at 100 TB would be a full-corpus
+shuffle of every n-gram.
+
+Reuses the codegen shingle builder from operators/dedup.py (posexplode
++ lead window, no higher-order-function interpretation overhead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators.dedup import exploded_shingles
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per (corpus document, benchmark item) n-gram overlap.
+
+    Returns one row per pair sharing >= 1 distinct word n-gram:
+    ``(corpus_id, bench_id, matched_ngrams, bench_ngrams,
+    overlap_frac)`` where ``overlap_frac`` is the fraction of the
+    benchmark item's DISTINCT n-grams found in the document (the
+    direction that defines contamination — a long document trivially
+    contains many n-grams, but only coverage OF THE EVAL ITEM matters).
+
+    Thresholding is the caller's policy; see :func:`decontaminate`.
+    """
+    if corpus_id == bench_id:
+        raise ValueError("corpus_id and bench_id must differ to label the pair")
+    c = exploded_shingles(corpus, corpus_id, corpus_text, n=n, distinct=True)
+    b = exploded_shingles(bench, bench_id, bench_text, n=n, distinct=True)
+    bench_sizes = b.groupBy(bench_id).agg(F.count("*").alias("bench_ngrams"))
+    pairs = (
+        c.join(F.broadcast(b), on="g")
+        .groupBy(corpus_id, bench_id)
+        .agg(F.count("*").alias("matched_ngrams"))
+    )
+    return pairs.join(F.broadcast(bench_sizes), on=bench_id).select(
+        corpus_id,
+        bench_id,
+        "matched_ngrams",
+        "bench_ngrams",
+        (F.col("matched_ngrams") / F.col("bench_ngrams")).alias("overlap_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 3,
+    min_overlap_frac: float = 0.5,
+) -> DataFrame:
+    """Drop every corpus document whose overlap with ANY benchmark item
+    reaches ``min_overlap_frac`` — the flagged-id set stays distributed
+    and removal is a left-anti join (never a collected id list)."""
+    flagged = (
+        benchmark_overlap(corpus, bench, corpus_id, corpus_text, bench_id, bench_text, n)
+        .filter(F.col("overlap_frac") >= min_overlap_frac)
+        .select(corpus_id)
+        .distinct()
+    )
+    return corpus.join(flagged, on=corpus_id, how="left_anti")

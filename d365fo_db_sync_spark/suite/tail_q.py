@@ -587,6 +587,62 @@ def text_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: word-trigram builder over a DuckDB token list column named `{t}`:
+#: distinct n-grams with the short-document rule (< n tokens -> the
+#: whole token stream as one shingle), mirroring dedup.exploded_shingles
+def _ngrams_sql(t: str, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, GREATEST(len({t}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({t}[i:i+{n - 1}], ' ')))"
+    )
+
+
+_DECONTAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    c AS (SELECT doc_id, unnest({_ngrams_sql('toks')}) AS g FROM t),
+    b0 AS (SELECT doc_id AS bench_id, toks[1:12] AS btoks FROM t WHERE doc_id % 97 = 0),
+    cb AS (SELECT bench_id, unnest({_ngrams_sql('btoks')}) AS g FROM b0),
+    bsz AS (SELECT bench_id, COUNT(*) AS bench_ngrams FROM cb GROUP BY bench_id),
+    hits AS (SELECT c.doc_id, cb.bench_id, COUNT(*) AS matched_ngrams
+             FROM c JOIN cb USING (g) GROUP BY c.doc_id, cb.bench_id)
+    SELECT h.doc_id, h.bench_id, h.matched_ngrams, s.bench_ngrams,
+           ROUND(h.matched_ngrams / s.bench_ngrams, 6) AS overlap_frac
+    FROM hits h JOIN bsz s USING (bench_id)
+    WHERE ROUND(h.matched_ngrams / s.bench_ngrams, 6) >= 0.1
+"""
+
+
+@register("decontam_benchmark_overlap", oracle=_DECONTAM_ORACLE)
+def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): per
+    (document, benchmark-item) word-trigram overlap, keeping pairs
+    where >= 10% of the benchmark item's distinct trigrams appear in
+    the document (low threshold on purpose: partial overlaps exercise
+    the fraction arithmetic, not just the planted exact matches). The "benchmark" is a deterministic slice of the
+    corpus itself (every 97th document's first 12 tokens), so each
+    item's source document must surface at overlap 1.0 — planted truth
+    the value hash verifies, alongside every incidental partial
+    overlap. Scale shape: the benchmark shingle set broadcasts; the
+    corpus is never shuffled by shingle; one aggregation shuffle on
+    (doc, bench) pairs."""
+    from d365fo_db_sync_spark.operators.decontam import benchmark_overlap
+    from d365fo_db_sync_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(tokens("text"), 1, 12), " ").alias("text"),
+    )
+    out = benchmark_overlap(docs, bench, n=3)
+    return out.filter(F.round("overlap_frac", 6) >= 0.1).select(
+        "doc_id",
+        "bench_id",
+        "matched_ngrams",
+        "bench_ngrams",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+    )
+
+
 @register("similarity_cosine_topk_ivf", oracle=None)
 def similarity_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via an IVF index (k-means cells, probe the 4 nearest of

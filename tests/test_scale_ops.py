@@ -165,6 +165,49 @@ def test_repetition_features(spark):
     assert out[3]["dup_token_frac"] == 0.0 and out[3]["dup_bigram_frac"] == 0.0
 
 
+def test_decontaminate_drops_contaminated_docs(spark):
+    from d365fo_db_sync_spark.operators.decontam import benchmark_overlap, decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated text about spark query planning"),
+            (2, "prefix words then the quick brown fox jumps over more"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "bench_id long, text string"
+    )
+    overlaps = {
+        (r["doc_id"], r["bench_id"]): r["overlap_frac"]
+        for r in benchmark_overlap(corpus, bench).collect()
+    }
+    # bench has trigrams {the quick brown, quick brown fox, brown fox jumps}
+    assert overlaps[(0, 100)] == pytest.approx(1.0)
+    assert overlaps[(2, 100)] == pytest.approx(1.0)
+    assert (1, 100) not in overlaps
+    clean = decontaminate(corpus, bench, min_overlap_frac=0.5)
+    assert {r["doc_id"] for r in clean.collect()} == {1}
+
+
+def test_snapshot_progress_reporting(spark, tmp_path):
+    from d365fo_db_sync_spark.sinks import ParquetTarget, snapshot
+
+    tgt = ParquetTarget(str(tmp_path / "t"))
+    tgt.overwrite(spark.range(100).toDF("id"))
+    calls = []
+    snapshot(tgt, str(tmp_path / "snaps"), "a", progress=lambda p, e: calls.append(p))
+    assert calls and calls[-1] == 100.0
+    assert all(a <= b for a, b in zip(calls, calls[1:]))
+
+    def boom(p, e):
+        raise RuntimeError("monitoring failure")
+
+    dest = snapshot(tgt, str(tmp_path / "snaps"), "b", progress=boom)
+    assert spark.read.parquet(dest).count() == 100
+
+
 def test_multimodal_decode_roundtrip(spark):
     for mt in ("image", "audio", "video"):
         multimodal.register_codec(mt, multimodal.fake_codec)
