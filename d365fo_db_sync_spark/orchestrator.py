@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import threading
 import traceback
+import uuid
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass, field
 
@@ -135,10 +136,34 @@ class Orchestrator:
         target_root: str,
     ) -> RunResult:
         stop = threading.Event()
+        lock = threading.Lock()
+        active_groups: dict[str, str] = {}  # table -> Spark job-group id
+
+        def cancel_inflight(except_name: str) -> None:
+            # R13: the reference registers its cancellation token to
+            # SqlCommand.Cancel() so blocked work aborts server-side
+            # (Tier2DataService.cs:455-478, AxDbDataService.cs:536-548).
+            # Spark analog: every worker thread runs its table under its
+            # own job group; auto-stop cancels the other groups, which
+            # interrupts their running tasks cluster-side.
+            with lock:
+                doomed = [g for n, g in active_groups.items() if n != except_name]
+            for group in doomed:
+                try:
+                    self.spark.sparkContext.cancelJobGroup(group)
+                except Exception:  # noqa: BLE001 — best-effort, like Cancel()
+                    pass
 
         def run_one(plan: TablePlan) -> None:
             if stop.is_set():
                 return  # stays Pending, like the drained queue on auto-stop
+            sc = self.spark.sparkContext
+            group = f"sync:{plan.name}:{uuid.uuid4().hex[:8]}"
+            # pinned-thread mode makes this thread-local, so each worker
+            # tags exactly its own table's jobs
+            sc.setJobGroup(group, f"sync {plan.name}", interruptOnCancel=True)
+            with lock:
+                active_groups[plan.name] = group
             plan.status = "Processing"
             try:
                 src = sources[plan.name]
@@ -172,10 +197,21 @@ class Orchestrator:
                 )
                 plan.status = "Completed"
             except Exception as e:  # noqa: BLE001 — per-table fault containment (R11)
-                plan.status = "Failed"
-                plan.error = f"{type(e).__name__}: {e}\n{traceback.format_exc(limit=3)}"
-                if self.stop_on_first_failure:
-                    stop.set()
+                if stop.is_set():
+                    # secondary failure after auto-stop = a cancelled
+                    # victim, not the root cause (its target is intact:
+                    # the staged write never swapped its pointer)
+                    plan.status = "Cancelled"
+                    plan.error = f"cancelled after first failure: {type(e).__name__}: {e}"
+                else:
+                    plan.status = "Failed"
+                    plan.error = f"{type(e).__name__}: {e}\n{traceback.format_exc(limit=3)}"
+                    if self.stop_on_first_failure:
+                        stop.set()
+                        cancel_inflight(plan.name)
+            finally:
+                with lock:
+                    active_groups.pop(plan.name, None)
 
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
             futures = [pool.submit(run_one, p) for p in plans]
@@ -191,7 +227,7 @@ class Orchestrator:
     ) -> RunResult:
         """Re-run only failed units (RetryFailedAsync,
         CopyOrchestrator.cs:525-619)."""
-        failed = [p for p in result.plans if p.status in ("Failed", "Pending")]
+        failed = [p for p in result.plans if p.status in ("Failed", "Pending", "Cancelled")]
         for p in failed:
             p.status, p.error = "Pending", ""
         self.process(failed, sources, target_root)

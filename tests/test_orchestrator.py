@@ -88,6 +88,53 @@ def test_failure_containment_and_retry(spark, sources, tmp_path):
     assert all(p.status == "Completed" for p in result.plans)
 
 
+def test_auto_stop_cancels_inflight_job_groups(spark, sources, tmp_path, monkeypatch):
+    """R13 — first failure must cancel the OTHER tables' Spark job
+    groups, not just drain the queue: the slow in-flight table ends
+    Cancelled (its group cancelled cluster-side), and retry_failed
+    picks Cancelled victims back up."""
+    import threading
+
+    engine = SyncEngine(spark, StateStore(str(tmp_path / "state.json")), SyncConfig())
+    orch = Orchestrator(spark, engine, workers=2, stop_on_first_failure=True)
+    plans = orch.prepare(sources, include=["CUSTTABLE", "SALESTABLE"])
+
+    cancelled: list[str] = []
+    cancel_seen = threading.Event()
+    monkeypatch.setattr(
+        spark.sparkContext,
+        "cancelJobGroup",
+        lambda g: (cancelled.append(g), cancel_seen.set()),
+    )
+
+    real_sync = engine.sync_table
+    sales_started = threading.Event()
+
+    def gated_sync(name, src, target, **kw):
+        if name == "CUSTTABLE":
+            # fail only once the peer is registered + in flight, so the
+            # cancellation has a live group to hit (deterministic order)
+            assert sales_started.wait(timeout=30), "peer table never started"
+            raise RuntimeError("source gone")
+        # SALESTABLE: simulate a long-running sync that dies when its
+        # job group is cancelled mid-flight
+        sales_started.set()
+        assert cancel_seen.wait(timeout=30), "auto-stop never cancelled the peer group"
+        raise RuntimeError("job group cancelled")
+
+    monkeypatch.setattr(engine, "sync_table", gated_sync)
+    result = orch.process(plans, sources, str(tmp_path / "targets"))
+    statuses = {p.name: p.status for p in result.plans}
+    assert statuses["CUSTTABLE"] == "Failed"
+    assert statuses["SALESTABLE"] == "Cancelled"
+    assert len(cancelled) == 1 and "SALESTABLE" in cancelled[0]
+
+    # retry heals BOTH the root failure and the cancelled victim
+    monkeypatch.setattr(engine, "sync_table", real_sync)
+    orch.retry_failed(result, sources, str(tmp_path / "targets"))
+    assert all(p.status == "Completed" for p in result.plans)
+
+
 def test_sql_strategy_executes_template(spark, sources, tmp_path):
     """A sql: strategy's template drives the actual fetch — the custom
     WHERE clause must shape the target (U1 three-variant compilation)."""
