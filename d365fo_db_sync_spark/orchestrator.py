@@ -162,6 +162,12 @@ class Orchestrator:
             # pinned-thread mode makes this thread-local, so each worker
             # tags exactly its own table's jobs
             sc.setJobGroup(group, f"sync {plan.name}", interruptOnCancel=True)
+            # R10: each table runs in its own FAIR pool (created on
+            # demand, default weight) so concurrent tables share the
+            # cluster round-robin instead of queueing FIFO behind the
+            # largest one (requires spark.scheduler.mode=FAIR — set by
+            # session.get_spark; a no-op under FIFO)
+            sc.setLocalProperty("spark.scheduler.pool", f"sync-{plan.name}")
             with lock:
                 active_groups[plan.name] = group
             plan.status = "Processing"

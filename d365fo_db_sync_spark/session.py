@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # FAIR mode: concurrent per-table sync jobs (orchestrator worker
+        # pool, R10) round-robin instead of FIFO — one huge table cannot
+        # starve the small ones, matching the reference's N independent
+        # workers each making progress (CopyOrchestrator.cs:440-497)
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -135,6 +135,28 @@ def test_auto_stop_cancels_inflight_job_groups(spark, sources, tmp_path, monkeyp
     assert all(p.status == "Completed" for p in result.plans)
 
 
+def test_workers_pin_fair_pools(spark, sources, tmp_path, monkeypatch):
+    """R10 — each worker thread pins its table to its own FAIR pool so
+    concurrent tables round-robin (scheduler mode itself is set by
+    session.get_spark)."""
+    assert spark.conf.get("spark.scheduler.mode") == "FAIR"
+    pools: set[str] = set()
+    orig = spark.sparkContext.setLocalProperty
+
+    def spy(k, v):
+        if k == "spark.scheduler.pool" and v:
+            pools.add(v)
+        return orig(k, v)
+
+    monkeypatch.setattr(spark.sparkContext, "setLocalProperty", spy)
+    engine = SyncEngine(spark, StateStore(str(tmp_path / "state.json")), SyncConfig())
+    orch = Orchestrator(spark, engine, workers=2)
+    plans = orch.prepare(sources, include=["CUSTTABLE", "SALESTABLE"])
+    result = orch.process(plans, sources, str(tmp_path / "targets"))
+    assert all(p.status == "Completed" for p in result.plans)
+    assert pools == {"sync-CUSTTABLE", "sync-SALESTABLE"}
+
+
 def test_sql_strategy_executes_template(spark, sources, tmp_path):
     """A sql: strategy's template drives the actual fetch — the custom
     WHERE clause must shape the target (U1 three-variant compilation)."""
