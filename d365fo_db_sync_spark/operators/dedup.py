@@ -344,3 +344,47 @@ def _prefix_filter_candidates(sets: DataFrame, id_col: str, threshold: float) ->
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def ingest_batch(
+    spark,
+    batch: DataFrame,
+    index: "object",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental exact dedup for CONTINUOUS corpus ingestion: return
+    the batch rows whose fingerprint is new to the persisted index, and
+    fold those fingerprints into the index.
+
+    ``index`` is a ``sinks.BucketedParquetTarget`` keyed on ``fp_col``
+    holding ``(fp, id)`` rows. The 100 TB shape, mirroring the CDC
+    merge sink:
+
+    * within-batch dedup is one shuffle on the fingerprint;
+    * the membership check reads ONLY the index buckets the batch's
+      fingerprints hash into (``index.probe`` — partition-pruned scan,
+      ~|batch buckets|/n_buckets of the index, never a full scan);
+    * novel fingerprints merge back via the partial-rewrite path
+      (affected buckets rewritten, the rest hardlinked forward);
+    * replaying the same batch is a metadata no-op: zero novel rows ->
+      ``merge`` sees no affected buckets and never stages a version.
+
+    Returns the novel rows (first occurrence per new fingerprint, by
+    lowest ``id_col``).
+    """
+    batch_unique = exact_dedup(batch, cols=[fp_col], key=id_col)
+    if not index.exists():
+        index.overwrite(batch_unique.select(fp_col, id_col))
+        return batch_unique
+    known = index.probe(spark, batch_unique.select(fp_col))
+    novel = batch_unique.join(known.select(fp_col), on=fp_col, how="left_anti")
+    # materialize BEFORE the merge: the anti-join's lineage reads the
+    # index version that existed at probe time, which the merge below
+    # garbage-collects after its pointer swap — a lazy recompute of
+    # `novel` after that would fail (or, with caching, silently see the
+    # post-merge index and return empty). localCheckpoint truncates the
+    # lineage eagerly, so the returned frame is self-contained.
+    novel = novel.localCheckpoint(eager=True)
+    index.merge(spark, novel.select(fp_col, id_col))
+    return novel

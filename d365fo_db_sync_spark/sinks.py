@@ -363,7 +363,29 @@ class BucketedParquetTarget(ParquetTarget):
     def read(self, spark: SparkSession) -> DataFrame:
         return super().read(spark).drop(self.BUCKET_COL)
 
-    def merge(self, spark: SparkSession, upserts: DataFrame, doomed_keys: DataFrame) -> int:
+    def probe(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        """Live rows from ONLY the buckets the given key frame hashes
+        into — a partition-pruned point-lookup window. At 100 TB an
+        existence check for a small batch reads ~|batch-buckets| /
+        n_buckets of the table instead of scanning it all. The affected
+        bucket set is a <= n_buckets int list (tiny driver value)."""
+        from pyspark.sql import functions as F
+
+        affected = sorted(
+            r["b"]
+            for r in keys.select(self._bucket_of(F.col(self.key)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        live = super().read(spark)  # keeps __kb (a partition column)
+        return live.filter(F.col(self.BUCKET_COL).isin(affected)).drop(self.BUCKET_COL)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        upserts: DataFrame,
+        doomed_keys: DataFrame | None = None,
+    ) -> int:
         """Replace-or-insert ``upserts`` rows and delete ``doomed_keys``
         rows, rewriting ONLY the buckets their keys hash into. Returns
         the number of rewritten buckets. Falls back to a plain
@@ -385,7 +407,9 @@ class BucketedParquetTarget(ParquetTarget):
             self.overwrite(upserts)
             return self.n_buckets
 
-        changed = upserts.select(self.key).unionByName(doomed_keys.select(self.key))
+        changed = upserts.select(self.key)
+        if doomed_keys is not None:
+            changed = changed.unionByName(doomed_keys.select(self.key))
         affected = sorted(
             r["b"]
             for r in changed.select(self._bucket_of(F.col(self.key)).alias("b"))

@@ -643,6 +643,46 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-process index workdirs for the incremental-ingestion query
+_INGEST_WORKDIRS: dict[str, str] = {}
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    f AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t)
+    SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion exact dedup (operators/dedup.ingest_batch):
+    two overlapping document batches land on a persisted fingerprint
+    index (BucketedParquetTarget keyed on fp). Each ingest dedups
+    within the batch, probes ONLY the index buckets the batch hashes
+    into (partition-pruned), and folds novel fingerprints back through
+    the partial-rewrite merge. Batch 2 REPLAYS on every invocation —
+    idempotency makes that a metadata no-op. The oracle is the final
+    index state (per fingerprint, the lowest doc_id ever ingested), so
+    the value hash verifies that incremental ingestion converges to
+    exactly the batch-union dedup."""
+    import tempfile
+
+    from d365fo_db_sync_spark.operators.dedup import ingest_batch
+    from d365fo_db_sync_spark.operators.text import fingerprint
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    work = _INGEST_WORKDIRS.setdefault(sf_dir, tempfile.mkdtemp(prefix="ingest_"))
+    idx = BucketedParquetTarget(f"{work}/idx", key="fp", n_buckets=32)
+    if not idx.exists():
+        ingest_batch(spark, docs.filter(F.col("doc_id") < 250), idx, id_col="doc_id")
+    ingest_batch(spark, docs.filter(F.col("doc_id") >= 200), idx, id_col="doc_id")
+    return idx.read(spark)
+
+
 @register("similarity_cosine_topk_ivf", oracle=None)
 def similarity_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via an IVF index (k-means cells, probe the 4 nearest of

@@ -208,6 +208,36 @@ def test_snapshot_progress_reporting(spark, tmp_path):
     assert spark.read.parquet(dest).count() == 100
 
 
+def test_ingest_batch_incremental_dedup(spark, tmp_path):
+    from d365fo_db_sync_spark.operators.dedup import ingest_batch
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, fp string, text string")
+
+    idx = BucketedParquetTarget(str(tmp_path / "idx"), key="fp", n_buckets=8)
+    b1 = mk([(1, "a", "x"), (2, "b", "y"), (3, "a", "x")])  # in-batch dup
+    novel1 = {r["doc_id"] for r in ingest_batch(spark, b1, idx).collect()}
+    assert novel1 == {1, 2}  # fp 'a' keeps lowest id
+
+    b2 = mk([(10, "b", "y"), (11, "c", "z"), (12, "c", "z")])
+    novel2 = {r["doc_id"] for r in ingest_batch(spark, b2, idx).collect()}
+    assert novel2 == {11}  # 'b' known from batch 1, 'c' new once
+
+    # replay of batch 2 is a no-op: zero novel, index version unchanged
+    before = idx.current_path()
+    assert ingest_batch(spark, b2, idx).count() == 0
+    assert idx.current_path() == before
+    assert {(r["fp"], r["doc_id"]) for r in idx.read(spark).collect()} == {
+        ("a", 1), ("b", 2), ("c", 11),
+    }
+
+    # the membership probe is a partition-pruned scan, not a full read
+    plan = explain_formatted(idx.probe(spark, mk([(0, "c", "")]).select("fp")))
+    assert "PartitionFilters" in plan and "__kb" in plan
+
+
 def test_multimodal_decode_roundtrip(spark):
     for mt in ("image", "audio", "video"):
         multimodal.register_codec(mt, multimodal.fake_codec)
