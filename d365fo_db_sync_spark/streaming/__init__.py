@@ -285,3 +285,56 @@ def stateful_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+class DedupStreamPipeline:
+    """Continuous corpus ingestion under Structured Streaming: each
+    micro-batch of documents dedups against the PERSISTED fingerprint
+    index (:func:`operators.dedup.ingest_batch` — partition-pruned
+    probe, partial-rewrite fold-in) and hands only the NOVEL rows to
+    ``on_novel(df, batch_id)``.
+
+    Exactly-once notes: the index update is idempotent (a replayed
+    micro-batch finds its fingerprints already present and is a
+    metadata no-op), so the index converges regardless of restarts.
+    The ``on_novel`` callback, however, sees a replayed batch's novel
+    set as EMPTY — a crash between the index merge and the callback
+    loses that delivery. Downstream corpus materialization should
+    therefore derive from the index (join corpus by fingerprint), or
+    write inside ``on_novel`` idempotently by doc id.
+    """
+
+    def __init__(
+        self,
+        index,  # sinks.BucketedParquetTarget keyed on fp_col
+        checkpoint_dir: str,
+        id_col: str = "doc_id",
+        fp_col: str = "fp",
+        on_novel=None,
+    ) -> None:
+        self.index = index
+        self.checkpoint_dir = checkpoint_dir
+        self.id_col = id_col
+        self.fp_col = fp_col
+        self.on_novel = on_novel
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from d365fo_db_sync_spark.operators.dedup import ingest_batch
+
+        novel = ingest_batch(
+            batch_df.sparkSession, batch_df, self.index, self.id_col, self.fp_col
+        )
+        if self.on_novel is not None:
+            self.on_novel(novel, batch_id)
+
+    def start(self, stream_df: DataFrame, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -366,3 +366,40 @@ def test_cdc_stream_merges_into_bucketed_target(spark, tmp_path):
     got = {r["RecId"]: r["AMOUNT"] for r in target.read(spark).collect()}
     assert got[3] == 99.0 and 7 not in got and len(got) == 29
     assert "__kb" not in target.read(spark).columns
+
+
+def test_dedup_stream_pipeline_cross_batch(spark, tmp_path):
+    """Continuous ingestion dedup: a second micro-batch's duplicates of
+    the first are filtered by the persisted index; only novel rows reach
+    the callback."""
+    import os as _os
+
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.streaming import DedupStreamPipeline
+
+    src_dir = str(tmp_path / "docs_in")
+    _os.makedirs(src_dir)
+    schema = "doc_id long, fp string, text string"
+    idx = BucketedParquetTarget(str(tmp_path / "idx"), key="fp", n_buckets=8)
+    seen: dict[int, set[int]] = {}
+
+    def on_novel(df, batch_id):
+        seen.setdefault(batch_id, set()).update(r["doc_id"] for r in df.collect())
+
+    pipe = DedupStreamPipeline(idx, str(tmp_path / "ckpt"), on_novel=on_novel)
+
+    b1 = spark.createDataFrame([(1, "a", "x"), (2, "b", "y"), (3, "a", "x")], schema)
+    b1.write.mode("append").parquet(src_dir)
+    q = pipe.start(spark.readStream.schema(b1.schema).parquet(src_dir))
+    q.awaitTermination(120)
+
+    b2 = spark.createDataFrame([(10, "b", "y"), (11, "c", "z")], schema)
+    b2.write.mode("append").parquet(src_dir)
+    q2 = pipe.start(spark.readStream.schema(b1.schema).parquet(src_dir))
+    q2.awaitTermination(120)
+
+    novel_all = set().union(*seen.values())
+    assert novel_all == {1, 2, 11}  # 3 = in-batch dup, 10 = cross-batch dup
+    assert {(r["fp"], r["doc_id"]) for r in idx.read(spark).collect()} == {
+        ("a", 1), ("b", 2), ("c", 11),
+    }
