@@ -230,3 +230,39 @@ def test_bucketed_merge_survivor_scan_partition_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert "__kb" in seg, seg
+
+
+def test_decontam_broadcasts_bench_side(spark):
+    """benchmark_overlap must broadcast the BENCHMARK shingles and
+    stream the corpus — re-partitioning the corpus by shingle would
+    shuffle every n-gram of a 100 TB corpus."""
+    from d365fo_db_sync_spark.operators.decontam import benchmark_overlap
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    df = benchmark_overlap(docs, bench)
+    plan = explain_formatted(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # no SortMergeJoin on the shingle: the corpus side must never be
+    # exchange-partitioned by g
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_index_probe_is_partition_pruned(spark, tmp_path):
+    """BucketedParquetTarget.probe must prune to the probed buckets at
+    the partition level — a full index scan defeats incremental
+    ingestion at scale."""
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    idx = BucketedParquetTarget(str(tmp_path / "idx"), key="fp", n_buckets=16)
+    base = spark.createDataFrame(
+        [(i, f"fp{i}") for i in range(200)], "doc_id long, fp string"
+    )
+    idx.overwrite(base)
+    keys = spark.createDataFrame([("fp7",), ("fp8",)], "fp string")
+    plan = explain_formatted(idx.probe(spark, keys))
+    assert "PartitionFilters" in plan and "__kb" in plan, plan
