@@ -145,6 +145,35 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) band-bucket rows — ``bands`` rows per doc,
+    each bucket the hash of that band's minhash tuple. The shared
+    substrate of one-shot LSH (self-join below) and the persisted
+    near-dup index (:func:`ingest_batch_near_dup`)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -159,21 +188,7 @@ def minhash_lsh_candidates(
     hash-tuple matches. The band bucket join shuffles on
     (band, bucket_hash) — collision groups only, never all pairs.
     """
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -388,3 +403,64 @@ def ingest_batch(
     novel = novel.localCheckpoint(eager=True)
     index.merge(spark, novel.select(fp_col, id_col))
     return novel
+
+
+def ingest_batch_near_dup(
+    spark,
+    batch: DataFrame,
+    index: "object",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate check of a new batch against a PERSISTED MinHash
+    band-bucket index — "have we already ingested something like this
+    document?" without recomputing signatures for the historical corpus.
+
+    ``index`` is a ``sinks.BucketedParquetTarget`` keyed on ``bkey``
+    (hash of (band, bucket)) holding ``(bkey, band, bucket, id)`` rows —
+    an inverted index from LSH bucket to member docs. Per batch:
+
+    * signatures + band buckets for the BATCH only (the historical
+      corpus is never re-read, let alone re-hashed);
+    * the probe reads only the index partitions the batch's bucket keys
+      hash into (partition-pruned);
+    * candidates = batch rows joining historical rows in the same
+      bucket (downstream exact verification, e.g. ngram_jaccard on the
+      pair set, is the caller's second stage — same as one-shot LSH);
+    * the batch's NOVEL bucket rows append into the affected partitions
+      via the partial-rewrite path (``merge(replace_keys=False)`` — an
+      inverted index is multi-row-per-key, so upsert semantics would
+      evict the history); replaying a batch appends nothing.
+
+    The index pins (num_hashes, bands, shingle_n): probing with
+    different parameters than it was built with yields garbage — keep
+    them in the caller's config, like the sync key.
+
+    Returns distinct candidate pairs ``(id_col, dup_id)`` — batch doc
+    vs previously-indexed doc. In-batch near-dups are not reported;
+    run :func:`minhash_lsh_candidates` on the batch for those.
+    """
+    bb = minhash_band_buckets(
+        batch, id_col, text_col, num_hashes, bands, shingle_n
+    ).withColumn("bkey", F.xxhash64("band", "bucket"))
+    cols = ["bkey", "band", "bucket", id_col]
+    if not index.exists():
+        index.overwrite(bb.select(*cols))
+        return bb.select(F.col(id_col), F.col(id_col).alias("dup_id")).limit(0)
+    known = index.probe(spark, bb.select("bkey"))
+    candidates = (
+        bb.join(known.select("bkey", F.col(id_col).alias("dup_id")), on="bkey")
+        .filter(F.col("dup_id") != F.col(id_col))
+        .select(id_col, "dup_id")
+        .distinct()
+    )
+    novel = bb.select(*cols).join(known, on=["bkey", id_col], how="left_anti")
+    # materialize before the merge GC's the probed index version (same
+    # lineage hazard as ingest_batch)
+    candidates = candidates.localCheckpoint(eager=True)
+    novel = novel.localCheckpoint(eager=True)
+    index.merge(spark, novel.select(*cols), replace_keys=False)
+    return candidates

@@ -385,6 +385,7 @@ class BucketedParquetTarget(ParquetTarget):
         spark: SparkSession,
         upserts: DataFrame,
         doomed_keys: DataFrame | None = None,
+        replace_keys: bool = True,
     ) -> int:
         """Replace-or-insert ``upserts`` rows and delete ``doomed_keys``
         rows, rewriting ONLY the buckets their keys hash into. Returns
@@ -422,7 +423,15 @@ class BucketedParquetTarget(ParquetTarget):
         live = super().read(spark)  # keeps __kb (a partition column)
         # partition-pruned: only affected buckets' files are scanned
         window = live.filter(F.col(self.BUCKET_COL).isin(affected))
-        survivors = window.join(changed, on=self.key, how="left_anti")
+        # replace_keys=True: upsert semantics (a key's old rows die).
+        # False: multi-row-per-key APPEND into the affected buckets —
+        # the shape of inverted indexes (LSH band buckets) where many
+        # rows legitimately share a key; the caller is responsible for
+        # not appending rows that already exist (replay dedup).
+        if replace_keys:
+            survivors = window.join(changed, on=self.key, how="left_anti")
+        else:
+            survivors = window
         new_rows = survivors.unionByName(self._with_bucket(upserts), allowMissingColumns=False)
 
         name = f"v_{_uuid.uuid4().hex[:12]}"

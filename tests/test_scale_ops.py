@@ -238,6 +238,48 @@ def test_ingest_batch_incremental_dedup(spark, tmp_path):
     assert "PartitionFilters" in plan and "__kb" in plan
 
 
+def test_ingest_batch_near_dup_cross_history(spark, tmp_path):
+    from d365fo_db_sync_spark.operators.dedup import ingest_batch_near_dup
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    idx = BucketedParquetTarget(str(tmp_path / "lsh"), key="bkey", n_buckets=8)
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "entirely different words about query planning engines")],
+        "doc_id long, text string",
+    )
+    assert ingest_batch_near_dup(spark, b1, idx).count() == 0  # first batch seeds
+
+    # batch 2: one near-dup of doc 1 (one word changed), one novel doc
+    b2 = spark.createDataFrame(
+        [(10, base.replace("afternoon", "morning")), (11, "fresh unseen content here")],
+        "doc_id long, text string",
+    )
+    cands = {(r["doc_id"], r["dup_id"]) for r in ingest_batch_near_dup(spark, b2, idx).collect()}
+    assert (10, 1) in cands
+    assert all(d != 11 for d, _ in cands)
+
+    # replay of batch 2: same candidates, but the index gains NOTHING
+    before = idx.num_rows()
+    cands2 = {(r["doc_id"], r["dup_id"]) for r in ingest_batch_near_dup(spark, b2, idx).collect()}
+    assert (10, 1) in cands2
+    assert idx.num_rows() == before
+
+    # the inverted index keeps multi-row buckets: doc 10's shared
+    # buckets coexist with doc 1's (append, not upsert)
+    rows = idx.read(spark)
+    shared = (
+        rows.filter(F.col("doc_id").isin(1, 10))
+        .groupBy("bkey")
+        .count()
+        .filter(F.col("count") == 2)
+    )
+    assert shared.count() > 0
+
+
 def test_multimodal_decode_roundtrip(spark):
     for mt in ("image", "audio", "video"):
         multimodal.register_codec(mt, multimodal.fake_codec)
