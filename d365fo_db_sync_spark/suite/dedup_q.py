@@ -73,9 +73,20 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs >= 0.8. Sub-quadratic: the
     self-join meets only on shared shingles, so disjoint documents never
-    pair; the shuffle key is the shingle string."""
+    pair; the shuffle key is the shingle string.
+
+    The shingle-set frame is consumed three times (prefix candidates +
+    both verify sides); per the operator's caller-owned-caching
+    contract it is persisted here — measured 1.9 s -> 1.2 s at sf0.1
+    (plan-level exchange reuse only dedups part of the recompute).
+    The bench/driver lifecycle (clearCache between runs, one-shot
+    sessions) bounds the cached footprint: set size ~ distinct
+    shingles, far below the corpus itself."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3).persist()
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, sets=sets
+    )
 
 
 @register("dedup_minhash_lsh_verified", oracle=_JACCARD_SQL, bench=True)
