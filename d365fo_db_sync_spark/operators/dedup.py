@@ -126,18 +126,32 @@ def shingle_sets(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, minhash[0..K-1]) — explode shingles once, then K min-aggs in a
     single groupBy (map-side partial mins keep the shuffle tiny: K longs
-    per doc regardless of document size)."""
+    per doc regardless of document size).
+
+    With ``sets`` (from :func:`shingle_sets`, usually persisted by the
+    caller) the shingles come from exploding the prebuilt set arrays
+    instead of re-tokenizing ``df`` — the LSH+verify pipeline then
+    tokenizes the corpus ONCE for both candidate generation and the
+    exact check. min() is duplicate-insensitive, so signatures from the
+    distinct set equal signatures from the raw shingle stream."""
     params = _hash_params(num_hashes)
-    # distinct=False: min() is duplicate-insensitive, so the
-    # dropDuplicates exchange would be pure waste — the groupBy below
-    # reuses the shingle window's doc-id partitioning directly
-    sh = exploded_shingles(df, id_col, text_col, shingle_n, distinct=False).withColumn(
-        "h", F.xxhash64("g").bitwiseAND(F.lit(0xFFFFFFFF))
-    )
+    if sets is not None:
+        sh = sets.select(F.col(id_col), F.explode("sh").alias("g"))
+    else:
+        # distinct=False: min() is duplicate-insensitive, so the
+        # dropDuplicates exchange would be pure waste — the groupBy below
+        # reuses the shingle window's doc-id partitioning directly
+        sh = exploded_shingles(df, id_col, text_col, shingle_n, distinct=False)
+    sh = sh.withColumn("h", F.xxhash64("g").bitwiseAND(F.lit(0xFFFFFFFF)))
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(params)
@@ -152,14 +166,16 @@ def minhash_band_buckets(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bucket) band-bucket rows — ``bands`` rows per doc,
     each bucket the hash of that band's minhash tuple. The shared
     substrate of one-shot LSH (self-join below) and the persisted
-    near-dup index (:func:`ingest_batch_near_dup`)."""
+    near-dup index (:func:`ingest_batch_near_dup`). ``sets`` is passed
+    through to :func:`minhash_signatures`."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, sets=sets)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -181,14 +197,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
 
     rows/band = num_hashes/bands; two docs are candidates if ANY band's
     hash-tuple matches. The band bucket join shuffles on
     (band, bucket_hash) — collision groups only, never all pairs.
+    Pass a persisted ``sets`` to share one tokenize pass with the
+    verify stage (see :func:`minhash_signatures`).
     """
-    buckets = minhash_band_buckets(df, id_col, text_col, num_hashes, bands, shingle_n)
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n, sets=sets
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (

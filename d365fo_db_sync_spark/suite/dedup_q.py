@@ -95,13 +95,19 @@ def dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard — the two-stage near-dup pipeline at scale: banded
     bucket join finds candidates in O(n), the exact check runs only on
     candidates. Recall at 0.8 is 1 - (1-0.64)^32 (certain), so the
-    output equals the exact pair set and the same oracle applies."""
+    output equals the exact pair set and the same oracle applies.
+
+    The persisted shingle-set frame feeds BOTH the minhash signatures
+    (min() is duplicate-insensitive, so distinct-set signatures are
+    identical) and the exact verify — the corpus is tokenized once for
+    the whole pipeline instead of twice."""
     docs = load_table(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3).persist()
     cands = dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", num_hashes=64, bands=32, shingle_n=3
+        docs, "doc_id", "text", num_hashes=64, bands=32, shingle_n=3, sets=sets
     )
     return dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8, candidates=cands
+        docs, "doc_id", "text", n=3, threshold=0.8, candidates=cands, sets=sets
     )
 
 
