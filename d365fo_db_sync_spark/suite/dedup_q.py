@@ -38,16 +38,17 @@ _SHINGLE_CTE = f"""
     e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s)
 """
 
-_JACCARD_SQL = (
-    _SHINGLE_CTE
-    + """
+#: The pair-select body, also embedded as a CTE by the cluster-
+#: resolution oracle in suite.tail_q.
+_JACCARD_PAIRS_SELECT = """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(COUNT(*) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)), 6) AS jaccard
     FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING ROUND(COUNT(*) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)), 6) >= 0.8
     """
-)
+
+_JACCARD_SQL = _SHINGLE_CTE + _JACCARD_PAIRS_SELECT
 
 
 @register(

@@ -1,0 +1,79 @@
+"""connected_components vs a union-find ground truth."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import graph
+
+
+def _union_find(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges: list[tuple[int, int]]):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(df, "src", "dst").collect()
+    }
+    want = set(_union_find(0, edges).items())
+    assert got == want
+
+
+def test_chain_contracts_to_one_component(spark):
+    # a 60-node path is the label-propagation worst case; star rounds
+    # must still converge well inside max_iter
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_disjoint_cliques_and_singleton_edge(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21), (30, 31)]
+    _check(spark, edges)
+
+
+def test_duplicate_reversed_and_self_edges(spark):
+    _check(spark, [(2, 1), (1, 2), (3, 3), (3, 2), (7, 9), (9, 7)])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 80
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(20, 90))
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    _check(spark, edges)
+
+
+def test_near_dup_clusters_survivors(spark):
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (7, 8)], "id_a long, id_b long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in graph.near_dup_clusters(docs, pairs).collect()
+    }
+    assert rows[1] == (1, True) and rows[2] == (1, False) and rows[5] == (1, False)
+    assert rows[7] == (7, True) and rows[8] == (7, False)
+    # untouched docs are singleton survivors
+    assert rows[0] == (0, True) and rows[9] == (9, True)
+    assert len(rows) == 10
