@@ -52,11 +52,22 @@ class CdcStreamPipeline:
         # key; rows carrying a true `__deleted` tombstone delete theirs
         self.engine.merge_upsert(self.table, batch_df, self.target)
 
-    def start(self, stream_df: DataFrame, available_now: bool = True):
+    def start(
+        self,
+        stream_df: DataFrame,
+        available_now: bool = True,
+        trigger_interval: str | None = None,
+    ):
         """Attach to a streaming DataFrame and start the query.
 
         ``available_now=True`` drains what exists and stops — the batch
-        refresh mode; ``False`` runs continuously on the default trigger.
+        refresh mode; with a source-side rate cap (see
+        :func:`cdc_file_source`) the drain still proceeds in bounded
+        micro-batches, so a backlog of staged files cannot produce one
+        giant merge. ``available_now=False`` runs continuously:
+        ``trigger_interval`` (e.g. ``"30 seconds"``) paces the poll the
+        way the reference's worker-loop delay does
+        (CopyOrchestrator.cs:812-939); None means as-fast-as-possible.
         """
         writer = (
             stream_df.writeStream.foreachBatch(self._handle_batch)
@@ -65,7 +76,51 @@ class CdcStreamPipeline:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
+        elif trigger_interval is not None:
+            writer = writer.trigger(processingTime=trigger_interval)
         return writer.start()
+
+
+def cdc_file_source(
+    spark,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: str | None = None,
+    latest_first: bool = False,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
+) -> DataFrame:
+    """File-drop CDC source with backpressure.
+
+    The reference lands change batches as files in a staging area and
+    consumes them in a loop; this is the streaming-native equivalent.
+    Rate limiting is the backpressure mechanism for file sources:
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger`` cap each
+    micro-batch so merge cost (and executor memory for the delta
+    classify) stays bounded no matter how far the backlog has grown —
+    without a cap, a consumer restarted after downtime gets the whole
+    backlog as ONE batch. ``latest_first`` drains newest files first
+    (catch-up mode where fresh data matters most). ``clean_source``
+    ("archive" with ``archive_dir``, or "delete") disposes of consumed
+    files the way the reference clears its staging table after a cycle
+    (AxDbDataService.cs staging cleanup).
+    """
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    if latest_first:
+        reader = reader.option("latestFirst", "true")
+    if clean_source is not None:
+        reader = reader.option("cleanSource", clean_source)
+        if clean_source == "archive":
+            if archive_dir is None:
+                raise ValueError("clean_source='archive' needs archive_dir")
+            reader = reader.option("sourceArchiveDir", archive_dir)
+    return reader.load(path)
 
 
 def stream_tumbling_counts(

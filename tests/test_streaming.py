@@ -403,3 +403,87 @@ def test_dedup_stream_pipeline_cross_batch(spark, tmp_path):
     assert {(r["fp"], r["doc_id"]) for r in idx.read(spark).collect()} == {
         ("a", 1), ("b", 2), ("c", 11),
     }
+
+
+def test_cdc_file_source_rate_limited_drain(spark, tmp_path):
+    """maxFilesPerTrigger=1 must split an availableNow drain into one
+    micro-batch per staged file — the backpressure contract: a backlog
+    never arrives as one giant merge."""
+    from d365fo_db_sync_spark.streaming import cdc_file_source
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    store = StateStore(str(tmp_path / "state.json"))
+    engine = SyncEngine(spark, store, SyncConfig(record_count=1000))
+    target = ParquetTarget(str(tmp_path / "tgt"))
+    pipe = CdcStreamPipeline(engine, "T", target, str(tmp_path / "ckpt"))
+
+    for f in range(4):
+        spark.createDataFrame(
+            [(f * 10 + i, 2, 100 + f * 10 + i, float(i)) for i in range(5)], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    batches = []
+    orig = pipe._handle_batch
+    pipe._handle_batch = lambda df, bid: (batches.append(bid), orig(df, bid))[1]
+
+    stream = cdc_file_source(
+        spark, src_dir, SCHEMA, max_files_per_trigger=1
+    )
+    q = pipe.start(stream, available_now=True)
+    q.awaitTermination(180)
+
+    assert len(batches) >= 4  # one batch per file, not one big batch
+    got = sorted(r["RecId"] for r in target.read(spark).collect())
+    assert got == sorted(f * 10 + i for f in range(4) for i in range(5))
+
+
+def test_cdc_file_source_archives_consumed_files(spark, tmp_path):
+    """cleanSource=archive moves drained files out of the staging dir —
+    the reference's clear-staging-after-cycle behavior."""
+    from d365fo_db_sync_spark.streaming import cdc_file_source
+
+    src_dir = str(tmp_path / "incoming")
+    archive = str(tmp_path / "done")
+    os.makedirs(src_dir)
+    store = StateStore(str(tmp_path / "state.json"))
+    engine = SyncEngine(spark, store, SyncConfig(record_count=1000))
+    target = ParquetTarget(str(tmp_path / "tgt"))
+    pipe = CdcStreamPipeline(engine, "T", target, str(tmp_path / "ckpt"))
+
+    spark.createDataFrame(
+        [(i, 2, 100 + i, float(i)) for i in range(5)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = cdc_file_source(
+        spark, src_dir, SCHEMA, clean_source="archive", archive_dir=archive
+    )
+    q = pipe.start(stream, available_now=True)
+    q.awaitTermination(180)
+    assert len(target.read(spark).collect()) == 5
+
+    # Spark's source cleaner archives a file only on a LATER cycle than
+    # the one that read it — stage a second file and drain again so the
+    # first becomes eligible, then poll (the cleaner thread is async).
+    spark.createDataFrame(
+        [(10 + i, 2, 200 + i, float(i)) for i in range(3)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = pipe.start(
+        cdc_file_source(
+            spark, src_dir, SCHEMA, clean_source="archive", archive_dir=archive
+        ),
+        available_now=True,
+    )
+    q2.awaitTermination(180)
+    assert len(target.read(spark).collect()) == 8
+
+    import glob
+    import time as _time
+
+    archived = []
+    for _ in range(20):
+        archived = glob.glob(f"{archive}/**/*.parquet", recursive=True)
+        if archived:
+            break
+        _time.sleep(0.5)
+    assert archived, "consumed staging file was not archived"
