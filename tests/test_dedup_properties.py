@@ -1,0 +1,113 @@
+"""Property-based invariants for the dedup family.
+
+Two layers: the prefix-filtering inequality that makes
+ngram_jaccard_pairs sub-quadratic is checked pure-Python over arbitrary
+set pairs (hypothesis), and the distributed pipelines are checked
+against a brute-force Python oracle on seeded random corpora designed
+to force shingle collisions.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from d365fo_db_sync_spark.operators import dedup
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),
+    b=st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),
+    t=st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=500, deadline=None)
+def test_prefix_filter_completeness(a, b, t):
+    """The AllPairs bound _prefix_filter_candidates relies on: under ANY
+    global element ordering, two sets with Jaccard >= t must share an
+    element within their first `sz - floor(t*sz) + 1` elements. If this
+    inequality were wrong, the distributed join would silently DROP
+    qualifying pairs — the worst failure mode for a dedup engine."""
+    inter = len(a & b)
+    jac = inter / (len(a) + len(b) - inter)
+    if jac < t:
+        return  # bound only constrains qualifying pairs
+    prefix_a = set(sorted(a)[: len(a) - math.floor(t * len(a)) + 1])
+    prefix_b = set(sorted(b)[: len(b) - math.floor(t * len(b)) + 1])
+    assert prefix_a & prefix_b, (
+        f"qualifying pair (J={jac:.3f} >= {t:.3f}) with disjoint prefixes"
+    )
+
+
+def _random_corpus(seed: int, n_docs: int = 40) -> list[tuple[int, str]]:
+    """Low-entropy corpus: a tiny vocabulary plus near-duplicate pairs
+    made by light token edits, so shingles collide heavily."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(n_docs):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(4, 25))]
+        docs.append((i, " ".join(toks)))
+        if rng.random() < 0.4:  # a near-dup twin with one token changed
+            twin = list(toks)
+            twin[rng.randrange(len(twin))] = rng.choice(vocab)
+            docs.append((n_docs + i, " ".join(twin)))
+    return docs
+
+
+def _brute_force_pairs(
+    docs: list[tuple[int, str]], n: int, threshold: float
+) -> dict[tuple[int, int], float]:
+    def sh(text):
+        toks = text.split()
+        wins = max(len(toks) - n + 1, 1)
+        return {" ".join(toks[i : i + n]) for i in range(wins)}
+
+    sets = {i: sh(t) for i, t in docs}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            inter = len(a & b)
+            jac = round(inter / (len(a) + len(b) - inter), 6)
+            if jac >= threshold:
+                out[(ids[x], ids[y])] = jac
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_jaccard_pairs_match_bruteforce(spark, seed):
+    docs = _random_corpus(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.6
+        ).collect()
+    }
+    assert got == _brute_force_pairs(docs, 3, 0.6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_minhash_verified_equals_exact(spark, seed):
+    """LSH candidates -> exact verify must equal the exact pair set:
+    64 hashes / 32 bands makes the miss probability (1-t^2)^32
+    negligible at t=0.8, and the verify stage removes any false
+    positives, so the pipelines are interchangeable."""
+    docs = _random_corpus(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = dedup.shingle_sets(df, "doc_id", "text", 3)
+    cands = dedup.minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=64, bands=32, shingle_n=3, sets=sets
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.8, candidates=cands, sets=sets
+        ).collect()
+    }
+    assert got == _brute_force_pairs(docs, 3, 0.8)
