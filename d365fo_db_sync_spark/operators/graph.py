@@ -75,7 +75,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id reachable from it.
@@ -104,9 +104,16 @@ def connected_components(
     prev_sig = None
     for i in range(max_iter):
         nxt = _small_star(_large_star(e))
+        # Each star pass references `e` twice, so the LOGICAL plan
+        # doubles per round even though persist caches the data —
+        # without eager lineage truncation the plan tree grows 4^k and
+        # analysis itself OOMs (seen stacking update_components on a
+        # prior result). Eager localCheckpoint rewrites the plan to a
+        # LogicalRDD, bounding plan size to ~4x the checkpointed base.
         if (i + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=False)
-        nxt = nxt.persist()
+            nxt = nxt.localCheckpoint()
+        else:
+            nxt = nxt.persist()
         sig = nxt.agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
@@ -162,3 +169,38 @@ def near_dup_clusters(
         )
         .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def update_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Incrementally fold ``new_edges`` into an existing component map.
+
+    ``labels`` is a previous :func:`connected_components` result
+    (node, component) — a star forest, i.e. an edge list already
+    contracted to depth 1. Running the star algorithm over
+    star-edges ∪ new-edges therefore converges in O(log new-cluster
+    diameter) rounds regardless of how much history the labels
+    summarize: the incremental cost is driven by the BATCH, not the
+    corpus. This pairs with `dedup.ingest_batch_near_dup` (persisted
+    band-bucket index) to keep a continuously-ingested corpus's
+    cluster assignment current without an O(corpus) recompute.
+
+    Component ids stay stable across updates unless a new edge merges
+    two old clusters (the surviving id is the smaller minimum — the
+    same keep-min policy as everywhere else).
+    """
+    star_edges = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("u"), F.col("component").alias("v")
+    )
+    fresh = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    merged = connected_components(star_edges.union(fresh), src="u", dst="v")
+    # isolated nodes (self-labeled, in no old star and no new edge)
+    # drop out of the edge union — restore them as their own component
+    singles = labels.join(merged, on="node", how="left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return merged.union(singles)

@@ -77,3 +77,38 @@ def test_near_dup_clusters_survivors(spark):
     # untouched docs are singleton survivors
     assert rows[0] == (0, True) and rows[9] == (9, True)
     assert len(rows) == 10
+
+
+def test_update_components_matches_full_recompute(spark):
+    rng = random.Random(42)
+    n = 60
+    old = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+    new = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+    old = [e for e in old if e[0] != e[1]]
+    new = [e for e in new if e[0] != e[1]]
+
+    old_df = spark.createDataFrame(old, "src long, dst long")
+    new_df = spark.createDataFrame(new, "src long, dst long")
+    labels = graph.connected_components(old_df, "src", "dst")
+    got = {
+        (r["node"], r["component"])
+        for r in graph.update_components(labels, new_df).collect()
+    }
+    # ground truth: full recompute over the union; nodes only in old
+    # singletons must survive the update too
+    want = set(_union_find(0, old + new).items())
+    old_nodes = {x for e in old for x in e}
+    want |= {(x, x) for x in old_nodes if (x not in {a for a, _ in want})}
+    want = {(n_, c) for n_, c in want}
+    assert got == want
+
+
+def test_update_components_merges_two_old_clusters(spark):
+    old_df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    labels = graph.connected_components(old_df, "src", "dst")
+    bridge = spark.createDataFrame([(3, 10)], "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in graph.update_components(labels, bridge).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
