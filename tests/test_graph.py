@@ -112,3 +112,65 @@ def test_update_components_merges_two_old_clusters(spark):
         for r in graph.update_components(labels, bridge).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+
+
+def test_incremental_cluster_lifecycle(spark, tmp_path):
+    """The full continuous-dedup composition: persisted band-bucket
+    index + in-batch LSH for pairs, exact-Jaccard verify, then
+    update_components — the incremental labels must equal a from-scratch
+    run over the union corpus."""
+    from d365fo_db_sync_spark.operators import dedup
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    def corpus(lo, hi, dup_of=None):
+        rows = []
+        for i in range(lo, hi):
+            base = " ".join(f"tok{i}_{j}" for j in range(12))
+            rows.append((i, base))
+            if dup_of is not None and i % 3 == 0:
+                rows.append((i + 1000, base + " extra"))  # near-dup twin
+        return rows
+
+    v1 = spark.createDataFrame(corpus(0, 12, dup_of=True), "doc_id long, text string")
+    v2 = spark.createDataFrame(
+        corpus(12, 20, dup_of=True)
+        + [(2000, " ".join(f"tok3_{j}" for j in range(12)))],  # dups doc 3
+        "doc_id long, text string",
+    )
+
+    def verified_pairs(df, cands):
+        return dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.7, candidates=cands
+        ).select("id_a", "id_b")
+
+    idx = BucketedParquetTarget(str(tmp_path / "idx"), key="bkey", n_buckets=8)
+
+    # cycle 1: index v1, resolve v1's clusters
+    dedup.ingest_batch_near_dup(spark, v1, idx, num_hashes=64, bands=32, shingle_n=3)
+    p1 = verified_pairs(
+        v1, dedup.minhash_lsh_candidates(v1, "doc_id", "text", 64, 32, 3)
+    )
+    labels = graph.connected_components(p1, "id_a", "id_b")
+
+    # cycle 2: probe the index for cross-batch dups + in-batch dups
+    union = v1.union(v2)
+    cross = dedup.ingest_batch_near_dup(
+        spark, v2, idx, num_hashes=64, bands=32, shingle_n=3
+    ).select(F.col("doc_id").alias("id_a"), F.col("dup_id").alias("id_b"))
+    inb = dedup.minhash_lsh_candidates(v2, "doc_id", "text", 64, 32, 3)
+    p2 = verified_pairs(union, cross.union(inb.select("id_a", "id_b")))
+    updated = {
+        (r["node"], r["component"])
+        for r in graph.update_components(labels, p2, "id_a", "id_b").collect()
+    }
+
+    # ground truth: one-shot pairs + CC over the whole union corpus
+    full = verified_pairs(
+        union, dedup.minhash_lsh_candidates(union, "doc_id", "text", 64, 32, 3)
+    )
+    want = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(full, "id_a", "id_b").collect()
+    }
+    assert updated == want
+    assert want  # the twins guarantee non-trivial clusters
