@@ -38,6 +38,48 @@ def top_n_per_group(
     )
 
 
+def top_n_per_group_salted(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreakers: Sequence[str] = (),
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Hot-group-safe top-N: identical output to :func:`top_n_per_group`
+    but a group's rows never funnel through one task.
+
+    A ranking window moves EVERY row of a group to the task that owns
+    its partition key — a hot group (one tenant, one table id) with
+    10^9 rows at 100 TB stalls the stage on that task. Two stages fix
+    the funnel: (1) rank within (group, salt) — the hot group's rows
+    spread over ``salt_buckets`` tasks, each keeping its local top-N;
+    (2) rank the surviving ≤ salt_buckets × N rows per group globally.
+    The global top-N is contained in the union of per-salt top-Ns, so
+    the result is exact; with ``order_col`` + ``tiebreakers`` unique
+    per group it is deterministic. Cost: a second (tiny) shuffle of
+    N × salt_buckets rows per group — noise next to the stage-1 spread.
+
+    The salt is a hash of the ordering columns, not a random number:
+    reruns and speculative task retries land every row in the same
+    bucket, keeping the operator idempotent.
+    """
+    ordering = [F.desc(order_col) if descending else F.asc(order_col)]
+    ordering += [F.desc(t) if descending else F.asc(t) for t in tiebreakers]
+    salt = F.pmod(F.xxhash64(order_col, *tiebreakers), F.lit(salt_buckets))
+    local_w = Window.partitionBy(*group_cols, "__salt").orderBy(*ordering)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(local_w))
+        .filter(F.col("__rn") <= n)
+        .drop("__salt", "__rn")
+    )
+    return top_n_per_group(
+        survivors, group_cols, order_col, n, descending, tiebreakers
+    )
+
+
 def with_rank(
     df: DataFrame,
     group_cols: Sequence[str],

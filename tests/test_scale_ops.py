@@ -603,3 +603,27 @@ def test_ivf_persisted_index_partition_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1].splitlines()[0]
     assert "cell" in seg, seg
+
+
+def test_salted_topn_matches_plain_on_skew(spark):
+    """top_n_per_group_salted must equal the single-window top-N even
+    when one group holds most rows (the hot-group case it exists for)."""
+    from d365fo_db_sync_spark.operators.windows import (
+        top_n_per_group,
+        top_n_per_group_salted,
+    )
+
+    hot = [(1, i, f"r{i}") for i in range(5000)]
+    cold = [(g, i, f"r{g}_{i}") for g in range(2, 30) for i in range(7)]
+    df = spark.createDataFrame(hot + cold, "grp int, seq long, payload string")
+
+    plain = top_n_per_group(df, ["grp"], "seq", 5, tiebreakers=["payload"])
+    salted = top_n_per_group_salted(
+        df, ["grp"], "seq", 5, tiebreakers=["payload"], salt_buckets=8
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # every group must surface, each capped at N
+    counts = {r["grp"]: r["c"] for r in salted.groupBy("grp").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c")
+    ).collect()}
+    assert counts[1] == 5 and all(v <= 5 for v in counts.values())
