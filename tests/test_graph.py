@@ -174,3 +174,22 @@ def test_incremental_cluster_lifecycle(spark, tmp_path):
     }
     assert updated == want
     assert want  # the twins guarantee non-trivial clusters
+
+
+def test_near_dup_clusters_with_no_pairs(spark):
+    docs = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    rows = graph.near_dup_clusters(docs, pairs).collect()
+    assert len(rows) == 6
+    assert all(r["cluster_id"] == r["doc_id"] and r["is_survivor"] for r in rows)
+
+
+def test_update_components_with_empty_batch(spark):
+    old_df = spark.createDataFrame([(1, 2), (4, 5)], "src long, dst long")
+    labels = graph.connected_components(old_df, "src", "dst")
+    empty = spark.createDataFrame([], "src long, dst long")
+    got = {
+        (r["node"], r["component"])
+        for r in graph.update_components(labels, empty).collect()
+    }
+    assert got == {(1, 1), (2, 1), (4, 4), (5, 4)}
