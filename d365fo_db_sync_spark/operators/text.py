@@ -34,17 +34,26 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+#: Explicit ASCII punctuation class (0x21-0x2F, 0x3A-0x40, 0x5B-0x60,
+#: 0x7B-0x7E spelled out as ranges) + whitespace. Deliberately avoids
+#: ``\p{Punct}`` / ``[:punct:]`` aliases and lookarounds so the Java and
+#: RE2 (DuckDB oracle) dialects are guaranteed to agree byte-for-byte.
+BPE_SPLIT_CLASS = r"[\s!-/:-@\[-`{-~]+"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
     """A BPE-like proxy: split on whitespace AND punctuation/digit
     boundaries — approximates subword token counts without a tokenizer
-    model (regex stays JVM-side)."""
+    model (regex stays JVM-side).
+
+    Digit/letter boundaries are materialized as inserted spaces in two
+    staged ``regexp_replace`` passes (the same left-to-right scan in
+    every regex engine), then the split uses :data:`BPE_SPLIT_CLASS` —
+    the oracle SQL mirrors this construction token for token."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(
-        F.filter(
-            F.split(F.lower(c), r"[\s\p{Punct}]+|(?<=\D)(?=\d)|(?<=\d)(?=\D)"),
-            lambda t: t != "",
-        )
-    )
+    c = F.regexp_replace(F.lower(c), r"([0-9])([^0-9])", r"$1 $2")
+    c = F.regexp_replace(c, r"([^0-9])([0-9])", r"$1 $2")
+    return F.size(F.filter(F.split(c, BPE_SPLIT_CLASS), lambda t: t != ""))
 
 
 def punct_count(col: Column | str) -> Column:

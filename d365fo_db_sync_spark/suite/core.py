@@ -66,13 +66,11 @@ def watermark_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/T1 — watermark + key-floor incremental fetch
     (Tier2DataService.cs:381-434); both range predicates push to the scan.
 
-    The ts threshold is applied twice: semantically on the converted
-    timestamp, and as a redundant range predicate on the raw nanos
-    column — the latter is what the parquet reader can push (the
-    converted ts is a computed column; see SCALE.md)."""
-    events = load_table(spark, sf_dir, "events").filter(
-        F.col("ts_nanos") >= F.lit(1705708800000000000)  # 2024-01-20 UTC
-    )
+    ``events.ts`` is a native parquet timestamp, so the ``ts >=``
+    watermark and the ``event_id >=`` key floor both reach the reader as
+    PushedFilters (row-group min/max skipping) — pinned by
+    tests/test_plan_properties.py."""
+    events = load_table(spark, sf_dir, "events")
     return scans.watermark_scan(
         events,
         version_threshold="2024-01-20 00:00:00",

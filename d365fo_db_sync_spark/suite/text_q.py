@@ -103,7 +103,7 @@ def text_language_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    regexp_replace(regexp_replace(lower(text),
                        '([0-9])([^0-9])', '\\1 \\2', 'g'),
                        '([^0-9])([0-9])', '\\1 \\2', 'g'),
-                   '[\\s[:punct:]]+'), x -> x <> '')) AS n_bpe
+                   '[\\s!-/:-@\\[-`{{-~]+'), x -> x <> '')) AS n_bpe
       FROM documents)
     SELECT source, COUNT(*) AS n_docs,
            SUM(n_ws) AS total_tokens, SUM(n_bpe) AS total_bpe_tokens
@@ -113,8 +113,11 @@ def text_language_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per source: whitespace tokens and the
     BPE-ish subword proxy (splits on punctuation + digit/letter
-    boundaries). The Java lookaround regex is mirrored in RE2-limited
-    DuckDB by inserting boundary spaces first."""
+    boundaries). Both engines run the SAME staged construction — two
+    digit-boundary space insertions, then a split on one explicit ASCII
+    class (text.BPE_SPLIT_CLASS) — no lookarounds, no \\p{Punct} or
+    [:punct:] dialect aliases, so regex-engine versions cannot
+    disagree."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -28,9 +28,10 @@ def test_topn_is_distributed_topk_with_pruned_scan(spark):
 
 
 def test_watermark_predicates_reach_scan(spark):
-    events = load_table(spark, SF, "events").filter(
-        F.col("ts_nanos") >= F.lit(1705708800000000000)
-    )
+    """events.ts is a native parquet timestamp[us], so the semantic
+    ``ts >=`` watermark pushes straight to the reader — no conversion
+    layer, no redundant raw-value predicate needed."""
+    events = load_table(spark, SF, "events")
     df = scans.watermark_scan(
         events, version_threshold="2024-01-20 00:00:00", min_key=500,
         key="event_id", version="ts",
