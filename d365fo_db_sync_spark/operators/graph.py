@@ -76,6 +76,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint_every: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id reachable from it.
@@ -89,6 +90,10 @@ def connected_components(
     64-bit hash XOR in the same run (negligible, and the fixed point
     is verified by construction: a stable signature on stars stays
     stable).
+
+    Pass ``stats={}`` to receive ``stats["rounds"]`` — the number of
+    star rounds executed; the convergence property test pins this ≪
+    ``max_iter`` on the worst-case (long-path) topology.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -121,6 +126,8 @@ def connected_components(
         cur_sig = (sig["n"], sig["h"])
         e.unpersist()
         e = nxt
+        if stats is not None:
+            stats["rounds"] = i + 1
         if cur_sig == prev_sig:
             break
         prev_sig = cur_sig

@@ -25,6 +25,7 @@ Scenario derivation (Spark and SQL in lockstep):
 from __future__ import annotations
 
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,6 +101,15 @@ def sync_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.read(spark).select("RecId", "SysRowVersion", "amount", "status")
 
 
+#: Side-channel for bench.py: per-cycle wall times of the most recent
+#: sync_noop_fastpath run. The reference's headline claim is that a
+#: no-change resync is ~15x cheaper than a first sync
+#: (TESTING_GUIDE.md:331-333); the oracled query times the WHOLE
+#: two-cycle harness, so bench reports these sub-timings separately to
+#: give that claim a direct number.
+NOOP_CYCLE_TIMINGS: dict[str, float] = {}
+
+
 @register(
     "sync_noop_fastpath",
     oracle=f"""
@@ -118,8 +128,13 @@ def sync_noop_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = StateStore(f"{work}/state.json")
     engine = SyncEngine(spark, store, SyncConfig(record_count=_N))
     target = ParquetTarget(f"{work}/orders_tgt")
+    t0 = time.time()
     engine.sync_table("orders", _v1(orders), target)
+    t1 = time.time()
     rpt = engine.sync_table("orders", _v1(orders), target)
+    t2 = time.time()
+    NOOP_CYCLE_TIMINGS["first_sync"] = round(t1 - t0, 3)
+    NOOP_CYCLE_TIMINGS["noop_cycle"] = round(t2 - t1, 3)
     n = target.read(spark).count()
     return spark.createDataFrame([(rpt.mode, n)], "mode string, tgt_rows long")
 

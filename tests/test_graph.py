@@ -63,6 +63,27 @@ def test_random_graphs_match_union_find(spark, seed):
     _check(spark, edges)
 
 
+def test_long_path_converges_far_below_max_iter(spark):
+    """Adversarial convergence guard: a pure path graph is the worst
+    case for star contraction (label propagation would need O(n)
+    rounds). Kiveris et al. bound large-star/small-star at O(log^2 n);
+    pin the observed round count ≪ the max_iter=50 RuntimeError guard
+    at 10^4 nodes so a contraction regression fails here, not as a
+    surprise RuntimeError on a production corpus.
+
+    On a real cluster swap localCheckpoint for checkpoint() + a
+    checkpoint dir (executor loss tolerance) — see graph.py header.
+    """
+    n = 10_000
+    edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    stats: dict = {}
+    labels = graph.connected_components(edges, "src", "dst", stats=stats)
+    distinct = labels.select("component").distinct().collect()
+    assert [r["component"] for r in distinct] == [0]
+    assert labels.count() == n
+    assert stats["rounds"] <= 15, stats
+
+
 def test_near_dup_clusters_survivors(spark):
     docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
     pairs = spark.createDataFrame(
