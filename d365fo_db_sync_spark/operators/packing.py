@@ -1,0 +1,181 @@
+"""Sequence packing for LLM training pipelines.
+
+The standard pretraining data layout concatenates documents in a fixed
+order into one virtual token stream and cuts it every ``budget`` tokens
+into training sequences ("packs"); a document may straddle a cut. The
+operator computes, per document, its offset in the stream and the range
+of packs it lands in — the metadata a loader needs to materialize any
+pack by fetching only the documents that intersect it.
+
+Scale design — the naive expression is a global cumulative sum
+(``SUM() OVER (ORDER BY doc_id)``), which Catalyst executes as a
+SINGLE-partition window: a non-starter at 100 TB. Instead the prefix
+sum is computed in two stages, the classic distributed scan:
+
+1. documents are range-bucketed on the order key
+   (``bucket = doc_id div bucket_span`` — id-range buckets preserve the
+   global order across buckets, unlike hash buckets);
+2. a per-bucket token cumsum runs as a window PARTITIONED by bucket
+   (one shuffle, all buckets in parallel);
+3. per-bucket totals (one tiny aggregate, |buckets| rows) are
+   prefix-summed on a single partition — safe because the frame is
+   ~n_docs/bucket_span rows, metadata-sized by construction — and
+   broadcast-joined back.
+
+Total cost: one shuffle of (id, n_tokens) pairs + one broadcast of
+bucket offsets. No full-corpus single-partition stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_count: Column,
+    budget: int,
+    id_col: str = "doc_id",
+    bucket_span: int = 100_000,
+) -> DataFrame:
+    """Assign every document its global token offset and pack range.
+
+    Returns ``id_col, n_tokens, g_start, first_pack, last_pack,
+    n_packs`` where ``g_start`` is the document's offset in the
+    concatenated token stream (order = ascending ``id_col``),
+    ``first_pack``/``last_pack`` the budget-sized sequences it
+    intersects, and ``n_packs`` how many it spans. Zero-token documents
+    are dropped (they occupy no stream positions).
+
+    ``bucket_span`` sets the id range per prefix-sum bucket; at corpus
+    scale pick it so ``max_id / bucket_span`` stays metadata-sized
+    (~10^5 buckets for 10^11 docs at the default).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    sized = (
+        docs.select(
+            F.col(id_col),
+            token_count.cast("long").alias("n_tokens"),
+            (F.col(id_col).cast("long") / F.lit(bucket_span))
+            .cast("long")
+            .alias("_pk_bucket"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    # stage 2: in-bucket running total (parallel across buckets)
+    in_bucket = Window.partitionBy("_pk_bucket").orderBy(id_col)
+    local = sized.withColumn(
+        "_local_end", F.sum("n_tokens").over(in_bucket)
+    )
+    # stage 3: bucket totals -> exclusive prefix; |buckets| rows only,
+    # so the unpartitioned window is driver-small by construction
+    totals = sized.groupBy("_pk_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    bucket_order = Window.orderBy("_pk_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pk_bucket",
+        F.coalesce(F.sum("_tot").over(bucket_order), F.lit(0)).alias("_bucket_off"),
+    )
+    g_start = (F.col("_bucket_off") + F.col("_local_end") - F.col("n_tokens")).alias(
+        "g_start"
+    )
+    packed = local.join(F.broadcast(offsets), on="_pk_bucket").select(
+        id_col,
+        "n_tokens",
+        g_start,
+    )
+    first = F.expr(f"g_start div {budget}")
+    last = F.expr(f"(g_start + n_tokens - 1) div {budget}")
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "g_start",
+        first.alias("first_pack"),
+        last.alias("last_pack"),
+        (last - first + 1).alias("n_packs"),
+    )
+
+
+def pack_manifest(packed: DataFrame, budget: int) -> DataFrame:
+    """Invert :func:`pack_sequences` into a per-pack manifest:
+    ``pack_id, n_docs, tok_start, tok_end`` — the loader-side view
+    (which documents to fetch to build each training sequence).
+
+    The explode is bounded: a document spanning k packs emits k rows,
+    and sum(k) = total_tokens/budget + n_docs — linear in the corpus,
+    never quadratic.
+    """
+    spans = packed.select(
+        packed.columns[0],
+        F.explode(F.sequence("first_pack", "last_pack")).alias("pack_id"),
+    )
+    return (
+        spans.groupBy("pack_id")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("tok_start", F.col("pack_id") * budget)
+        .withColumn("tok_end", (F.col("pack_id") + 1) * budget - 1)
+    )
+
+
+def pack_sequences_ffd(
+    docs: DataFrame,
+    token_count: Column,
+    budget: int,
+    id_col: str = "doc_id",
+    bucket_span: int = 100_000,
+) -> DataFrame:
+    """First-fit-decreasing packing WITHOUT document straddling: every
+    document lands wholly inside one pack (the discipline for
+    finetuning/eval sets, where truncating a document mid-sequence is
+    wrong). Returns ``id_col, n_tokens, bucket, pack_in_bucket``.
+
+    Bin packing is inherently sequential-stateful, so this is the
+    Pandas-UDF tier (applyInPandas), not a composition of built-ins:
+    documents are range-bucketed on the id (same bucketing as
+    :func:`pack_sequences`), and each bucket runs classic FFD — sort by
+    token count descending (id ascending as the deterministic
+    tiebreak), place each doc in the first open pack with room, open a
+    new pack otherwise. Buckets pack independently and in parallel;
+    per-task state is one bucket's (count, remaining-capacity) lists,
+    bounded by ``bucket_span`` regardless of corpus size. A document
+    larger than ``budget`` gets a pack of its own (never silently
+    dropped). The inner first-fit scan is O(docs x open-packs) per
+    bucket — fine at bucket granularity; swap in a capacity-indexed
+    tree if buckets are sized toward 10^6 docs.
+
+    Packing quality vs the straddling layout: FFD wastes at most the
+    classic (11/9 OPT + 1) bound per bucket, while
+    :func:`pack_sequences` wastes zero tokens but cuts documents.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    import pandas as pd
+
+    sized = docs.select(
+        F.col(id_col),
+        token_count.cast("long").alias("n_tokens"),
+        (F.col(id_col).cast("long") / F.lit(bucket_span)).cast("long").alias("bucket"),
+    ).filter(F.col("n_tokens") > 0)
+
+    schema = f"{id_col} long, n_tokens long, bucket long, pack_in_bucket long"
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["n_tokens", id_col], ascending=[False, True])
+        remaining: list[int] = []
+        assign: list[int] = []
+        for t in pdf["n_tokens"]:
+            for j, rem in enumerate(remaining):
+                if t <= rem:
+                    remaining[j] = rem - t
+                    assign.append(j)
+                    break
+            else:
+                remaining.append(max(budget - t, 0))
+                assign.append(len(remaining) - 1)
+        pdf = pdf.assign(pack_in_bucket=assign)
+        return pdf[[id_col, "n_tokens", "bucket", "pack_in_bucket"]]
+
+    return sized.groupBy("bucket").applyInPandas(ffd, schema=schema)

@@ -42,16 +42,45 @@ def topn_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "control_scan_orders",
+    "scan_control_recency_family",
     oracle="""
-    SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey DESC LIMIT 2000
+    SELECT 'control' AS variant, o_orderkey AS key1,
+           CAST(NULL AS BIGINT) AS key2, o_orderdate AS ver
+    FROM (SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 2000)
+    UNION ALL
+    SELECT 'recency', l_orderkey, CAST(l_linenumber AS BIGINT), l_shipdate
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '2001-09-01 00:00:00' - INTERVAL 90 DAY
     """,
 )
-def control_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 — 2-column control sidecar (Tier2DataService.cs:336-376);
-    the 99%-transfer-cut is the pruned ReadSchema."""
+def scan_control_recency_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the two sidecar scan shapes:
+
+    * ``control`` — S6, the 2-column (key, version) control sidecar
+      (Tier2DataService.cs:336-376); the 99%-transfer-cut is the pruned
+      ReadSchema, pinned in test_plan_properties.
+    * ``recency`` — S8, the modified-in-last-N-days filter
+      (Tier2DataService.cs:291-311); fixed anchor for determinism.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return scans.control_scan(orders, key="o_orderkey", version="o_orderdate", n=2000)
+    control = scans.control_scan(
+        orders, key="o_orderkey", version="o_orderdate", n=2000
+    ).select(
+        F.lit("control").alias("variant"),
+        F.col("o_orderkey").alias("key1"),
+        F.lit(None).cast("long").alias("key2"),
+        F.col("o_orderdate").alias("ver"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    recency = scans.recency_scan(
+        li, days=90, now="2001-09-01 00:00:00", ts_col="l_shipdate"
+    ).select(
+        F.lit("recency").alias("variant"),
+        F.col("l_orderkey").alias("key1"),
+        F.col("l_linenumber").cast("long").alias("key2"),
+        F.col("l_shipdate").alias("ver"),
+    )
+    return control.unionByName(recency)
 
 
 @register(
@@ -79,22 +108,6 @@ def watermark_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         version="ts",
         fields=["event_id", "ts", "user_id", "event_type"],
         n=2000,
-    )
-
-
-@register(
-    "recency_scan_lineitem",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
-    WHERE l_shipdate > TIMESTAMP '2001-09-01 00:00:00' - INTERVAL 90 DAY
-    """,
-)
-def recency_scan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S8 — modified-in-last-N-days filter (Tier2DataService.cs:291-311);
-    fixed anchor for determinism."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return scans.recency_scan(li, days=90, now="2001-09-01 00:00:00", ts_col="l_shipdate").select(
-        "l_orderkey", "l_linenumber", "l_shipdate"
     )
 
 

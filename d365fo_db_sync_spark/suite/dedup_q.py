@@ -112,5 +112,93 @@ def dedup_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-process index workdirs for the incremental-ingestion query
+_INGEST_WORKDIRS: dict[str, str] = {}
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    f AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t)
+    SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp
+    """,
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion exact dedup (operators/dedup.ingest_batch):
+    two overlapping document batches land on a persisted fingerprint
+    index (BucketedParquetTarget keyed on fp). Each ingest dedups
+    within the batch, probes ONLY the index buckets the batch hashes
+    into (partition-pruned), and folds novel fingerprints back through
+    the partial-rewrite merge. Batch 2 REPLAYS on every invocation —
+    idempotency makes that a metadata no-op. The oracle is the final
+    index state (per fingerprint, the lowest doc_id ever ingested), so
+    the value hash verifies that incremental ingestion converges to
+    exactly the batch-union dedup."""
+    import tempfile
+
+    from d365fo_db_sync_spark.operators.dedup import ingest_batch
+    from d365fo_db_sync_spark.operators.text import fingerprint
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    work = _INGEST_WORKDIRS.setdefault(sf_dir, tempfile.mkdtemp(prefix="ingest_"))
+    idx = BucketedParquetTarget(f"{work}/idx", key="fp", n_buckets=32)
+    if not idx.exists():
+        ingest_batch(spark, docs.filter(F.col("doc_id") < 250), idx, id_col="doc_id")
+    ingest_batch(spark, docs.filter(F.col("doc_id") >= 200), idx, id_col="doc_id")
+    return idx.read(spark)
+
+
+def _clusters_oracle() -> str:
+    return (
+        _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + f""",
+    pairs AS ({_JACCARD_PAIRS_SELECT}),
+    ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT reach.node, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(comp.component, d.doc_id) AS cluster_id,
+           COALESCE(comp.component, d.doc_id) = d.doc_id AS is_survivor
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    """
+    )
+
+
+@register("dedup_near_dup_clusters", oracle=_clusters_oracle())
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH candidates -> exact Jaccard
+    pairs -> large-star/small-star connected components -> keep-min
+    survivor per cluster (operators/graph.py). This is the step the
+    pair queries stop short of: `filter(is_survivor)` IS the
+    deduplicated corpus. The oracle resolves the same pairs with a
+    recursive CTE (min reachable id == component min), so the cluster
+    assignment is value-checked cross-engine, not just counted.
+
+    Not in the bench set: at toy scale the wall-clock is per-round job
+    scheduling on near-empty edge frames (the O(log n) CC rounds cost
+    ~0.5 s each regardless of data); at real scale those same rounds
+    amortize over billions of edges."""
+    from d365fo_db_sync_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3).persist()
+    cands = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=32, shingle_n=3, sets=sets
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, candidates=cands, sets=sets
+    )
+    return graph.near_dup_clusters(docs, pairs.select("id_a", "id_b"))
+
+
 # dedup_simhash_candidates (rows-only) lives in suite.tail_q so the
 # oracled queries stay contiguous at the head of registration order.

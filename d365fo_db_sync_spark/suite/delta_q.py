@@ -74,49 +74,58 @@ _SNAPSHOT_CTES = """
 
 
 @register(
-    "delta_classify_4way",
+    "delta_classify_family",
     oracle=_SNAPSHOT_CTES
     + """
-    SELECT COALESCE(s.RecId, t.RecId) AS RecId,
-           CASE WHEN t.RecId IS NULL THEN 'new'
-                WHEN s.RecId IS NULL THEN 'deleted'
-                WHEN s.RECVERSION = t.RECVERSION
-                     AND s.CREATEDDATETIME IS NOT DISTINCT FROM t.CREATEDDATETIME
-                     AND s.MODIFIEDDATETIME IS NOT DISTINCT FROM t.MODIFIEDDATETIME
-                THEN 'unchanged' ELSE 'modified' END AS change_type
-    FROM src s FULL OUTER JOIN tgt t ON s.RecId = t.RecId
-    """,
-    bench=True,
-)
-def delta_classify_4way(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/F16/F17 — the full-outer 4-way change classification
-    (CompareRecords, AxDbDataService.cs:765-867) as ONE distributed join;
-    eqNullSafe reproduces ValuesEqual's NULL semantics (:872-886)."""
-    orders = load_table(spark, sf_dir, "orders")
-    return delta.classify_changes(_src_snapshot(orders), _tgt_snapshot(orders), key="RecId")
-
-
-@register(
-    "delta_change_counts",
-    oracle=_SNAPSHOT_CTES
-    + """
-    SELECT change_type, COUNT(*) AS cnt FROM (
-      SELECT CASE WHEN t.RecId IS NULL THEN 'new'
+    , c AS (
+      SELECT COALESCE(s.RecId, t.RecId) AS RecId,
+             CASE WHEN t.RecId IS NULL THEN 'new'
                   WHEN s.RecId IS NULL THEN 'deleted'
                   WHEN s.RECVERSION = t.RECVERSION
                        AND s.CREATEDDATETIME IS NOT DISTINCT FROM t.CREATEDDATETIME
                        AND s.MODIFIEDDATETIME IS NOT DISTINCT FROM t.MODIFIEDDATETIME
                   THEN 'unchanged' ELSE 'modified' END AS change_type
       FROM src s FULL OUTER JOIN tgt t ON s.RecId = t.RecId
-    ) GROUP BY change_type
+    )
+    SELECT 'classify' AS variant, RecId, change_type,
+           CAST(NULL AS BIGINT) AS cnt
+    FROM c
+    UNION ALL
+    SELECT 'counts', CAST(NULL AS BIGINT), change_type, COUNT(*)
+    FROM c GROUP BY change_type
     """,
+    bench=True,
 )
-def delta_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6-analog over the classification — the four counts the reference
-    logs per table (AxDbDataService.cs:246-248)."""
+def delta_classify_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the classification and its logged rollup:
+
+    * ``classify`` — J1/F16/F17, the full-outer 4-way change
+      classification (CompareRecords, AxDbDataService.cs:765-867) as
+      ONE distributed join; eqNullSafe reproduces ValuesEqual's NULL
+      semantics (:872-886).
+    * ``counts`` — A6-analog over the classification, the four counts
+      the reference logs per table (AxDbDataService.cs:246-248).
+
+    Both branches share the classified frame, so the SMJ subtree is
+    planned once and the counts branch reuses its exchange.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    classified = delta.classify_changes(_src_snapshot(orders), _tgt_snapshot(orders), key="RecId")
-    return delta.change_counts(classified)
+    classified = delta.classify_changes(
+        _src_snapshot(orders), _tgt_snapshot(orders), key="RecId"
+    )
+    a = classified.select(
+        F.lit("classify").alias("variant"),
+        "RecId",
+        "change_type",
+        F.lit(None).cast("long").alias("cnt"),
+    )
+    b = delta.change_counts(classified).select(
+        F.lit("counts").alias("variant"),
+        F.lit(None).cast("long").alias("RecId"),
+        "change_type",
+        F.col("cnt"),
+    )
+    return a.unionByName(b)
 
 
 @register(
