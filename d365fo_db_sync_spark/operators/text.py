@@ -206,3 +206,41 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6, out_col: str = "zlib_ratio"
+) -> DataFrame:
+    """Entropy-proxy quality signal: deflate(text)/len(text) per document.
+
+    Highly repetitive or templated text (boilerplate, navigation spam,
+    generation loops) compresses far below natural prose, so a low
+    ratio is the classic cheap filter the n-gram repetition fractions
+    miss (long-range repeats beyond the bigram window). No compression
+    codec exists as a Spark SQL expression, so this is the Arrow tier:
+    ``mapInPandas`` with one zlib pass per document inside each batch —
+    one Python round-trip per Arrow batch, never per row, and the
+    output is deterministic for a fixed zlib level.
+
+    Empty documents get ratio 0.0 (nothing to compress, nothing to
+    flag).
+    """
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # copy, don't .add() on df.schema: that mutates the DataFrame's
+    # CACHED schema object in place and corrupts later resolution
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def batches(it):
+        for pdf in it:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            pdf[out_col] = [
+                len(zlib.compress(b, level)) / len(b) if b else 0.0 for b in raw
+            ]
+            yield pdf
+
+    return df.mapInPandas(batches, schema)

@@ -106,8 +106,13 @@ def delta_classify_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``counts`` — A6-analog over the classification, the four counts
       the reference logs per table (AxDbDataService.cs:246-248).
 
-    Both branches share the classified frame, so the SMJ subtree is
-    planned once and the counts branch reuses its exchange.
+    Both branches derive from the same classified frame; the shared
+    join subtree's shuffle stages deduplicate via exchange reuse
+    (explicit ``ReusedExchange`` with AQE off, runtime stage-cache
+    reuse with AQE on), so the scans and shuffle writes happen once —
+    only the merge-read of the counts branch is re-executed. The
+    engine's production path never pays even that: sync.py computes
+    its change counts inside the fused single-pass premerge metrics.
     """
     orders = load_table(spark, sf_dir, "orders")
     classified = delta.classify_changes(

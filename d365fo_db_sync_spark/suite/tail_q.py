@@ -697,3 +697,56 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, text.token_count("text"), budget=256, bucket_span=100
     )
+
+
+@register(
+    "string_connstring_roundtrip",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             'Server=' || c_name || ';Database=db' || CAST(c_nationkey AS VARCHAR)
+               || ';Segment=' || c_mktsegment AS conn
+      FROM customer)
+    SELECT c_custkey, conn,
+           str_split(conn, ';')[1] AS server_part,
+           regexp_extract(conn, 'Database=([^;]+)', 1) AS database_name,
+           regexp_extract(conn, 'Segment=([^;]+)', 1) AS segment
+    FROM c
+    """,
+)
+def string_connstring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 in the data plane: build connection-string-shaped
+    'key=value;...' strings from customer columns (concat, F2), then
+    parse them back with split + regexp_extract (split-parse, F3) —
+    the same concat/split semantics the strategy parser applies
+    driver-side to real connection strings (strategy.py
+    parse_connection_string, ConnectionStringParser.cs:15-74), here
+    value-checked cross-engine at table cardinality."""
+    cust = load_table(spark, sf_dir, "customer")
+    conn = F.concat(
+        F.lit("Server="), F.col("c_name"),
+        F.lit(";Database=db"), F.col("c_nationkey").cast("string"),
+        F.lit(";Segment="), F.col("c_mktsegment"),
+    )
+    return cust.select(F.col("c_custkey"), conn.alias("conn")).select(
+        "c_custkey",
+        "conn",
+        F.split("conn", ";").getItem(0).alias("server_part"),
+        F.regexp_extract("conn", r"Database=([^;]+)", 1).alias("database_name"),
+        F.regexp_extract("conn", r"Segment=([^;]+)", 1).alias("segment"),
+    )
+
+
+@register("text_compression_quality", oracle=None)
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-proxy quality signal (operators/text.compression_ratio):
+    per-document deflate ratio via mapInPandas over Arrow batches —
+    the long-range-repetition filter the bigram fractions miss.
+    Rows-only: DuckDB has no deflate expression, so the semantic
+    contract (repetitive text compresses below prose, determinism,
+    empty-doc handling) is pinned by tests/test_text_quality.py."""
+    from d365fo_db_sync_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.compression_ratio(docs.select("doc_id", "text"))
+    return out.select("doc_id", F.round("zlib_ratio", 4).alias("zlib_ratio"))
