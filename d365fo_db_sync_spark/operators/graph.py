@@ -101,38 +101,71 @@ def connected_components(
         .distinct()
         .persist()
     )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    prev_sig = None
-    for i in range(max_iter):
-        nxt = _small_star(_large_star(e))
-        # Each star pass references `e` twice, so the LOGICAL plan
-        # doubles per round even though persist caches the data —
-        # without eager lineage truncation the plan tree grows 4^k and
-        # analysis itself OOMs (seen stacking update_components on a
-        # prior result). Eager localCheckpoint rewrites the plan to a
-        # LogicalRDD, bounding plan size to ~4x the checkpointed base.
-        if (i + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint()
+    # Adapt the per-round shuffle width to the OBSERVED edge count
+    # (the materializing count here, then each round's convergence
+    # signature): star rounds are several exchanges over a frame that
+    # shrinks toward star-forest size, and on a default session
+    # (shuffle.partitions=200) they otherwise degenerate into hundreds
+    # of near-empty tasks per round. ~1M edge rows (two longs) per
+    # partition; capped at the session's configured width, so at
+    # corpus scale the early rounds keep full parallelism.
+    # Session-conf scoped and restored (single writer per session
+    # assumed, as elsewhere).
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    conf_n = int(spark.conf.get(conf_key))
+    rows_per_partition = 1_000_000
+
+    def _width(n_rows: int) -> int:
+        return min(conf_n, max(1, -(-n_rows // rows_per_partition)))
+
+    try:
+        spark.conf.set(conf_key, str(_width(e.count())))  # materializes cache
+        # Materialize the node set EAGERLY while `e` is cached: the
+        # final roots anti-join reads it, and e's cache is released
+        # inside the loop — without this checkpoint the whole upstream
+        # pipeline (e.g. the MinHash/Jaccard pair generation)
+        # re-executes a second time at the caller's first action
+        # (measured: ~2x the query).
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        prev_sig = None
+        for i in range(max_iter):
+            nxt = _small_star(_large_star(e))
+            # Each star pass references `e` twice, so the LOGICAL plan
+            # doubles per round even though persist caches the data —
+            # without eager lineage truncation the plan tree grows 4^k
+            # and analysis itself OOMs (seen stacking update_components
+            # on a prior result). Eager localCheckpoint rewrites the
+            # plan to a LogicalRDD, bounding plan size to ~4x the
+            # checkpointed base.
+            if (i + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint()
+            else:
+                nxt = nxt.persist()
+            sig = nxt.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).first()
+            cur_sig = (sig["n"], sig["h"])
+            e.unpersist()
+            e = nxt
+            if stats is not None:
+                stats["rounds"] = i + 1
+            if cur_sig == prev_sig:
+                break
+            prev_sig = cur_sig
+            spark.conf.set(conf_key, str(_width(sig["n"])))
         else:
-            nxt = nxt.persist()
-        sig = nxt.agg(
-            F.count("*").alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).first()
-        cur_sig = (sig["n"], sig["h"])
-        e.unpersist()
-        e = nxt
-        if stats is not None:
-            stats["rounds"] = i + 1
-        if cur_sig == prev_sig:
-            break
-        prev_sig = cur_sig
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds"
+            )
+    finally:
+        spark.conf.set(conf_key, str(conf_n))
     # At the fixpoint, edges are stars: (member, component_min) for
     # every non-root member. Roots label themselves.
     # The final star frame stays persisted: the returned plan reads it
