@@ -78,10 +78,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shingle-set frame is consumed three times (prefix candidates +
     both verify sides); per the operator's caller-owned-caching
-    contract it is persisted here — measured 1.9 s -> 1.2 s at sf0.1
-    (plan-level exchange reuse only dedups part of the recompute).
-    The bench/driver lifecycle (clearCache between runs, one-shot
-    sessions) bounds the cached footprint: set size ~ distinct
+    contract it is persisted here. r4's controlled A/B (SCALE.md bench
+    section) measured persist vs recompute within noise at sf0.1 —
+    plan-level exchange reuse covers much of the sharing — but the
+    persist is kept: its benefit grows with consumer count and corpus
+    size, and the bench/driver lifecycle (clearCache between runs,
+    one-shot sessions) bounds the cached footprint to ~distinct
     shingles, far below the corpus itself."""
     docs = load_table(spark, sf_dir, "documents")
     sets = dedup.shingle_sets(docs, "doc_id", "text", 3).persist()
@@ -123,6 +125,7 @@ _INGEST_WORKDIRS: dict[str, str] = {}
     f AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t)
     SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp
     """,
+    bench=True,
 )
 def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingestion exact dedup (operators/dedup.ingest_batch):

@@ -679,6 +679,7 @@ def similarity_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            (g_start + n_tokens - 1) // 256 - g_start // 256 + 1 AS n_packs
     FROM s
     """,
+    bench=True,
 )
 def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): concatenate
