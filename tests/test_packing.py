@@ -127,3 +127,61 @@ def test_ffd_is_partitioning_invariant(spark):
         df.repartition(13), F.col("n_tokens"), 31, bucket_span=50
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# -- hypothesis property suite ------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+doc_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400),  # doc_id (dups dropped below)
+        st.integers(min_value=0, max_value=90),  # n_tokens (0 => dropped)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=doc_st, budget=st.integers(min_value=1, max_value=50),
+       span=st.sampled_from([1, 7, 50, 1000]))
+def test_pack_sequences_property(spark, rows, budget, span):
+    rows = list({i: (i, t) for i, t in rows}.values())  # unique ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["g_start"], r["first_pack"], r["last_pack"], r["n_packs"]
+        )
+        for r in pack_sequences(
+            df, F.col("n_tokens"), budget=budget, bucket_span=span
+        ).collect()
+    }
+    assert got == _brute(rows, budget)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=doc_st, budget=st.integers(min_value=1, max_value=50))
+def test_ffd_property_single_bucket(spark, rows, budget):
+    from d365fo_db_sync_spark.operators.packing import pack_sequences_ffd
+
+    rows = list({i: (i, t) for i, t in rows}.values())
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = pack_sequences_ffd(
+        df, F.col("n_tokens"), budget=budget, bucket_span=10_000
+    ).collect()
+    assert {r["doc_id"]: r["pack_in_bucket"] for r in got} == _ffd_brute(rows, budget)
+    packs: dict[int, list[int]] = {}
+    for r in got:
+        packs.setdefault(r["pack_in_bucket"], []).append(r["n_tokens"])
+    for members in packs.values():
+        assert sum(members) <= budget or len(members) == 1
