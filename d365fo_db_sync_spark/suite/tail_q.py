@@ -460,7 +460,9 @@ def sampling_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
 
-_CURATION_ORACLE = f"""
+#: shared CTE prefix for the composed-pipeline oracles: quality gate ->
+#: exact dedup -> per-doc split hash (threshold applied by each consumer)
+_CURATION_CTES = f"""
     WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
     q AS (
       SELECT doc_id, toks, len(toks) AS n_tokens,
@@ -475,7 +477,10 @@ _CURATION_ORACLE = f"""
     u AS (SELECT f.doc_id, f.n_tokens FROM f JOIN d ON f.fp = d.fp AND f.doc_id = d.keep_id),
     b AS (SELECT doc_id, n_tokens,
                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM u)
-    SELECT CASE WHEN h < '{{t1}}' THEN 'train' ELSE 'eval' END AS split,
+"""
+
+_CURATION_ORACLE = _CURATION_CTES + """
+    SELECT CASE WHEN h < '{t1}' THEN 'train' ELSE 'eval' END AS split,
            COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
            SUM(doc_id) AS id_checksum
     FROM b GROUP BY split ORDER BY split
@@ -751,3 +756,45 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = text.compression_ratio(docs.select("doc_id", "text"))
     return out.select("doc_id", F.round("zlib_ratio", 4).alias("zlib_ratio"))
+
+
+@register(
+    "pipeline_pretraining_e2e",
+    oracle=_CURATION_CTES + """
+    , tr AS (SELECT doc_id, n_tokens FROM b WHERE h < '{t1}'),
+    s AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g_start
+      FROM tr)
+    SELECT doc_id, n_tokens, g_start,
+           g_start // 256 AS first_pack,
+           (g_start + n_tokens - 1) // 256 AS last_pack,
+           (g_start + n_tokens - 1) // 256 - g_start // 256 + 1 AS n_packs
+    FROM s
+    """.format(t1=_hexth(0.9)),
+)
+def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition — the full pretraining-data pipeline as
+    ONE lazy plan: quality gate (token band + punctuation ratio) ->
+    exact dedup (md5 fingerprint, keep-min) -> deterministic 90% train
+    split (content-hash membership) -> GPT-style sequence packing of
+    the train split (two-stage distributed prefix sum, budget 256).
+    Three shuffles end-to-end at any scale (fingerprint groupBy,
+    packing bucket window, broadcast of bucket offsets is shuffle-free)
+    and every stage's operator is reused verbatim from its module —
+    the oracle value-checks the composed result per document, so a
+    semantic drift in ANY stage breaks the hash."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.packing import pack_sequences
+    from d365fo_db_sync_spark.operators.sampling import train_eval_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(docs, "text")
+    kept = feats.filter(
+        F.col("n_tokens").between(30, 95) & (F.col("punct_ratio") <= 0.3)
+    ).select("doc_id", "n_tokens", text_ops.fingerprint("text").alias("fp"))
+    unique = dedup.exact_dedup(kept, cols=["fp"], key="doc_id")
+    split = train_eval_split(unique, ["doc_id"], {"train": 0.9, "eval": 0.1})
+    train = split.filter(F.col("split") == "train")
+    return pack_sequences(train, F.col("n_tokens"), budget=256, bucket_span=100)
