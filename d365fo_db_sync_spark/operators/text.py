@@ -40,16 +40,38 @@ def token_count(col: Column | str) -> Column:
 #: RE2 (DuckDB oracle) dialects are guaranteed to agree byte-for-byte.
 BPE_SPLIT_CLASS = r"[\s!-/:-@\[-`{-~]+"
 
+#: A BPE-ish token is either a maximal digit run OR a maximal run of
+#: characters that are not digits, whitespace, or ASCII punctuation.
+#: The two alternatives match disjoint character sets, so
+#: leftmost-first (Java) and leftmost-longest (RE2) semantics produce
+#: identical token streams — ONE pattern text shared verbatim by the
+#: engine and the DuckDB oracle, with no replacement-string dialect
+#: ($1 vs \1) anywhere.
+BPE_TOKEN_RE = r"[0-9]+|[^0-9\s!-/:-@\[-`{-~]+"
+
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """A BPE-like proxy: split on whitespace AND punctuation/digit
-    boundaries — approximates subword token counts without a tokenizer
-    model (regex stays JVM-side).
+    """A BPE-like proxy: count tokens split on whitespace AND
+    punctuation/digit boundaries — approximates subword token counts
+    without a tokenizer model (regex stays JVM-side).
 
-    Digit/letter boundaries are materialized as inserted spaces in two
-    staged ``regexp_replace`` passes (the same left-to-right scan in
-    every regex engine), then the split uses :data:`BPE_SPLIT_CLASS` —
-    the oracle SQL mirrors this construction token for token."""
+    Implemented as direct token *extraction* with the single shared
+    pattern :data:`BPE_TOKEN_RE` (no staged replacements), so the
+    DuckDB oracle can run the byte-identical pattern via
+    ``len(regexp_extract_all(...))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def bpe_ish_token_count_staged(col: Column | str) -> Column:
+    """The original staged construction of :func:`bpe_ish_token_count`:
+    materialize digit/letter boundaries as inserted spaces in two
+    ``regexp_replace`` passes, then split on :data:`BPE_SPLIT_CLASS`.
+
+    Kept (and pinned equivalent by ``tests/test_text_quality.py``) as
+    the semantic anchor for the extraction rewrite — it needs
+    engine-specific replacement syntax (``$1`` vs ``\\1``), which made
+    it unsuitable for a cross-engine oracle."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(F.lower(c), r"([0-9])([^0-9])", r"$1 $2")
     c = F.regexp_replace(c, r"([^0-9])([0-9])", r"$1 $2")

@@ -30,8 +30,8 @@ from d365fo_db_sync_spark.suite import register
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
              AS media_type,
            n AS n_bytes,
-           CASE WHEN doc_id % 3 = 0 THEN (h % 640) + 1 END AS width,
-           CASE WHEN doc_id % 3 = 0 THEN ((h // 7) % 480) + 1 END AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN (h % 640) + 1 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN ((h // 7) % 480) + 1 END AS BIGINT) AS height,
            CASE WHEN doc_id % 3 <> 0 THEN n * 10 END AS duration_ms
     FROM t
     """,

@@ -249,7 +249,7 @@ def sampling_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN h < '{t1}' THEN 'train'
                 WHEN h < '{t2}' THEN 'val'
                 ELSE 'test' END AS split,
-           COUNT(*) AS cnt, SUM(doc_id) AS id_checksum
+           COUNT(*) AS cnt, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM b GROUP BY split ORDER BY split
     """.format(t1=_hexth(0.8), t2=_hexth(0.9)),
 )
@@ -481,8 +481,8 @@ _CURATION_CTES = f"""
 
 _CURATION_ORACLE = _CURATION_CTES + """
     SELECT CASE WHEN h < '{t1}' THEN 'train' ELSE 'eval' END AS split,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
-           SUM(doc_id) AS id_checksum
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM b GROUP BY split ORDER BY split
 """.format(t1=_hexth(0.9))
 
@@ -678,10 +678,10 @@ def similarity_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g_start
       FROM t WHERE n_tokens > 0)
-    SELECT doc_id, n_tokens, g_start,
-           g_start // 256 AS first_pack,
-           (g_start + n_tokens - 1) // 256 AS last_pack,
-           (g_start + n_tokens - 1) // 256 - g_start // 256 + 1 AS n_packs
+    SELECT doc_id, n_tokens, CAST(g_start AS BIGINT) AS g_start,
+           CAST(g_start // 256 AS BIGINT) AS first_pack,
+           CAST((g_start + n_tokens - 1) // 256 AS BIGINT) AS last_pack,
+           CAST((g_start + n_tokens - 1) // 256 - g_start // 256 + 1 AS BIGINT) AS n_packs
     FROM s
     """,
     bench=True,
@@ -767,10 +767,10 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g_start
       FROM tr)
-    SELECT doc_id, n_tokens, g_start,
-           g_start // 256 AS first_pack,
-           (g_start + n_tokens - 1) // 256 AS last_pack,
-           (g_start + n_tokens - 1) // 256 - g_start // 256 + 1 AS n_packs
+    SELECT doc_id, n_tokens, CAST(g_start AS BIGINT) AS g_start,
+           CAST(g_start // 256 AS BIGINT) AS first_pack,
+           CAST((g_start + n_tokens - 1) // 256 AS BIGINT) AS last_pack,
+           CAST((g_start + n_tokens - 1) // 256 - g_start // 256 + 1 AS BIGINT) AS n_packs
     FROM s
     """.format(t1=_hexth(0.9)),
 )

@@ -93,31 +93,35 @@ def text_language_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the BPE-ish token pattern embedded VERBATIM in the oracle SQL —
+#: built from the same constant the engine compiles, so the two regex
+#: texts cannot drift (DuckDB standard string literals do not process
+#: backslash escapes, so the bytes reach RE2 unchanged)
+_BPE_RE_SQL = text.BPE_TOKEN_RE.replace("'", "''")
+
+
 @register(
     "text_token_count_rollup",
     oracle=f"""
     WITH t AS (
       SELECT source,
              len({_TOKS}) AS n_ws,
-             len(list_filter(regexp_split_to_array(
-                   regexp_replace(regexp_replace(lower(text),
-                       '([0-9])([^0-9])', '\\1 \\2', 'g'),
-                       '([^0-9])([0-9])', '\\1 \\2', 'g'),
-                   '[\\s!-/:-@\\[-`{{-~]+'), x -> x <> '')) AS n_bpe
+             len(regexp_extract_all(lower(text), '{_BPE_RE_SQL}')) AS n_bpe
       FROM documents)
     SELECT source, COUNT(*) AS n_docs,
-           SUM(n_ws) AS total_tokens, SUM(n_bpe) AS total_bpe_tokens
+           CAST(SUM(n_ws) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens
     FROM t GROUP BY source
     """,
 )
 def text_token_count_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per source: whitespace tokens and the
-    BPE-ish subword proxy (splits on punctuation + digit/letter
-    boundaries). Both engines run the SAME staged construction — two
-    digit-boundary space insertions, then a split on one explicit ASCII
-    class (text.BPE_SPLIT_CLASS) — no lookarounds, no \\p{Punct} or
-    [:punct:] dialect aliases, so regex-engine versions cannot
-    disagree."""
+    BPE-ish subword proxy (tokens = digit runs | runs clear of digits/
+    whitespace/ASCII punctuation). Both engines EXTRACT tokens with the
+    byte-identical pattern text.BPE_TOKEN_RE — no replacement-string
+    dialects ($1 vs \\1), no lookarounds, no \\p{Punct}/[:punct:]
+    aliases — and the oracle CASTs its SUMs to BIGINT so DuckDB's
+    default HUGEINT sums can't perturb the value hash."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),

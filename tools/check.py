@@ -67,6 +67,13 @@ def main() -> int:
     oracles = oracle_sql()
     names = args.names or list(qs)
 
+    import pyspark
+
+    # environment canary: "passes locally, fails at the driver" bugs are
+    # usually version-sensitive oracles — make the stack visible in every
+    # check log so a divergence can be attributed immediately
+    print(f"duckdb {duckdb.__version__} / pyspark {pyspark.__version__}")
+
     spark = get_spark("check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in (
@@ -96,15 +103,22 @@ def main() -> int:
             passed += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = [str(t) for t in rel.types]
+            d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
             failed += 1
             continue
 
         problems = []
+        # int128-typed oracle columns (DuckDB defaults SUM(BIGINT) to
+        # HUGEINT) hash differently on some driver stacks — ban them so
+        # the hazard fails HERE, not only at the driver
+        huge = [f"{c}:{t}" for c, t in zip(d_cols, d_types) if "HUGEINT" in t.upper()]
+        if huge:
+            problems.append(f"HUGEINT-typed oracle column(s) {huge} — CAST to BIGINT")
         if len(s_rows) != len(d_rows):
             problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
         if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
