@@ -35,6 +35,7 @@ def main() -> None:
     total = 0.0
     for name, fn in qs.items():
         best = float("inf")
+        sub_best: dict[str, float] = {}
         for _ in range(2):
             # isolate runs: operators that cache intermediates would
             # otherwise accumulate blocks across invocations and skew
@@ -43,16 +44,20 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            if name == "sync_noop_fastpath":
+                # split out the two cycles of the harness so the no-change
+                # fast path (the reference's 15x headline claim) has its
+                # own number; min per key ACROSS repeats keeps the pair
+                # consistent with the best-of-n headline next to it.
+                # Sub-timings don't add to the suite total.
+                from d365fo_db_sync_spark.suite.sync_q import NOOP_CYCLE_TIMINGS
+
+                for k, v in NOOP_CYCLE_TIMINGS.items():
+                    sub_best[k] = min(v, sub_best.get(k, float("inf")))
         timings[name] = round(best, 3)
         total += best
-        if name == "sync_noop_fastpath":
-            # split out the two cycles of the harness so the no-change
-            # fast path (the reference's 15x headline claim) has its own
-            # number; sub-timings don't add to the suite total
-            from d365fo_db_sync_spark.suite.sync_q import NOOP_CYCLE_TIMINGS
-
-            for k, v in NOOP_CYCLE_TIMINGS.items():
-                timings[f"sync_noop_fastpath:{k}"] = v
+        for k, v in sub_best.items():
+            timings[f"sync_noop_fastpath:{k}"] = v
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -37,6 +37,12 @@ class ParquetTarget:
         """
         self.root = root
         self.partition_by = list(partition_by or [])
+        #: per-version-path schema memo: a version directory is
+        #: immutable once the pointer names it, so its schema never
+        #: changes — later reads skip Spark's schema-inference pass
+        #: (a driver round trip per read that dominates small no-op
+        #: sync cycles and adds up across CDC micro-batches)
+        self._schema_cache: dict[str, object] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- read ---------------------------------------------------------------
@@ -59,7 +65,12 @@ class ParquetTarget:
         path = self.current_path()
         if path is None:
             raise FileNotFoundError(f"no live version under {self.root}")
-        return spark.read.parquet(path)
+        schema = self._schema_cache.get(path)
+        if schema is not None:
+            return spark.read.schema(schema).parquet(path)
+        df = spark.read.parquet(path)
+        self._schema_cache = {path: df.schema}
+        return df
 
     def num_rows(self) -> int:
         """Row count of the live version from parquet footers — no Spark
@@ -94,6 +105,22 @@ class ParquetTarget:
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(name)
         os.replace(tmp, self._pointer())
+        # seed the schema memo with what we just wrote (parquet always
+        # stores top-level fields nullable, so relax nullability to
+        # match what inference would have returned). Partitioned
+        # layouts are excluded: inference reorders/re-types partition
+        # columns, so their first read re-infers and memoizes that.
+        from pyspark.sql.types import StructField, StructType
+
+        self._schema_cache = (
+            {}
+            if self.partition_by
+            else {
+                staged: StructType(
+                    [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+                )
+            }
+        )
         if old and os.path.abspath(old) != os.path.abspath(staged):
             shutil.rmtree(old, ignore_errors=True)
 

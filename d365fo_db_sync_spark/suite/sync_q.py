@@ -40,6 +40,28 @@ _N = 5000
 _BUMP = 2_000_000_000
 
 
+#: payload columns carried through the sync rows untouched — the sync
+#: scenario must move REAL row widths (the reference's no-change claim
+#: is exactly "2-column control scan vs full-row transfer",
+#: README.md:234), so the harness rows keep the rest of the orders row
+#: plus a comment-sized derived string instead of an unrealistically
+#: narrow 4-column projection. The oracles are unaffected: every
+#: oracle-checked query projects the 4 core columns, and column pruning
+#: keeps the payload out of the control scan — which is the point.
+def _payload() -> list:
+    return [
+        F.col("o_custkey"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+        F.concat_ws(
+            " ",
+            F.md5(F.col("o_orderkey").cast("string")),
+            F.col("o_orderpriority"),
+            F.md5(F.col("o_custkey").cast("string")),
+        ).alias("o_comment"),
+    ]
+
+
 def _v1(orders: DataFrame) -> DataFrame:
     k = F.col("o_orderkey")
     return orders.filter(F.pmod(k, 89) != 0).select(
@@ -47,6 +69,7 @@ def _v1(orders: DataFrame) -> DataFrame:
         (k * 2).alias("SysRowVersion"),
         F.col("o_totalprice").alias("amount"),
         F.col("o_orderstatus").alias("status"),
+        *_payload(),
     )
 
 
@@ -60,6 +83,7 @@ def _v2(orders: DataFrame) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("amount"),
         F.col("o_orderstatus").alias("status"),
+        *_payload(),
     )
 
 

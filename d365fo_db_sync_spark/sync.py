@@ -273,15 +273,36 @@ class SyncEngine:
         key, ver = cfg.key, cfg.version
 
         # S6: 2-column control scan of the sync window (strategy-aware:
-        # SQL templates get their star rewritten to (key, version))
-        control = fetcher.control().select(key, ver).cache()
+        # SQL templates get their star rewritten to (key, version)).
+        # NOT cached yet: the no-change and truncate branches read it
+        # exactly once, so materializing a cache there is pure overhead;
+        # the incremental branch caches before its multi-join reuse.
+        control = fetcher.control().select(key, ver)
         tgt_df = target.read(self.spark)
 
-        row = self._premerge_metrics(control, tgt_df, state).first()
+        # R6 probe: counts + dual key checksums, ZERO shuffle (the
+        # common resync cycle is "nothing changed" — it must cost two
+        # pruned scans with partial aggs, never an exchange)
+        row = self._fastpath_metrics(control, tgt_df, state).first()
         control_rows, src_changed = row["control_rows"], row["src_changed"]
         min_key, max_key, max_ver = row["min_key"], row["max_key"], row["max_ver"]
         tgt_total, tgt_changed = row["tgt_total"], row["tgt_changed"]
-        missing, survivors_cnt = row["missing"], row["survivors"]
+
+        # R6: perfect-sync fast path (CopyOrchestrator.cs:998-1051).
+        # Equal counts + no row above either watermark + equal key-set
+        # checksums (two independent 64-bit hashes summed exactly —
+        # collision odds ~2^-128, non-adversarial keys) ⟺ the old
+        # per-key missing==0 check, without paying its shuffle.
+        if (
+            src_changed == 0
+            and tgt_changed == 0
+            and tgt_total == control_rows
+            and row["c_sum1"] == row["t_sum1"]
+            and row["c_sum2"] == row["t_sum2"]
+        ):
+            return SyncReport(
+                table=name, mode=NO_CHANGE, src_changed=0, tgt_changed=0, missing=0
+            )
 
         metrics = delta.change_metrics(src_changed, tgt_changed, control_rows, tgt_total)
         report = SyncReport(
@@ -289,18 +310,13 @@ class SyncEngine:
             mode=INCREMENTAL,
             src_changed=src_changed,
             tgt_changed=tgt_changed,
-            missing=missing,
             change_percent=metrics["change_percent"],
             excess_percent=metrics["excess_percent"],
         )
 
-        # R6: perfect-sync fast path (CopyOrchestrator.cs:998-1051)
-        if src_changed == 0 and tgt_changed == 0 and missing == 0 and tgt_total == control_rows:
-            report.mode = NO_CHANGE
-            control.unpersist()
-            return report
-
-        # R5/T2: cost-based fallback to full refresh (CopyOrchestrator.cs:884-914)
+        # R5/T2: cost-based fallback to full refresh
+        # (CopyOrchestrator.cs:884-914) — decided from counts alone, so
+        # the truncate path never pays the per-key pairing pass either
         if (
             report.change_percent >= cfg.truncate_threshold_percent
             or report.excess_percent >= cfg.truncate_threshold_percent
@@ -308,8 +324,19 @@ class SyncEngine:
             report.mode = TRUNCATE
             fetched = fetcher.full()
             report.inserted = self._overwrite_and_commit(name, fetched, target, max_key, max_ver)
-            control.unpersist()
             return report
+
+        # INCREMENTAL: pay the per-key pairing pass for the merge bounds
+        # (missing keys, T4 widening floor, survivor accounting). The
+        # merge below runs several jobs anyway, so the map-only probe
+        # above is noise here — while the no-change cycle (the path the
+        # reference's 15x headline is about) never reaches this shuffle.
+        # Cache control now: the pairing pass + changed_keys + merge
+        # joins all re-read it.
+        control = control.cache()
+        row = self._premerge_metrics(control, tgt_df, state).first()
+        missing, survivors_cnt = row["missing"], row["survivors"]
+        report.missing = missing
 
         # T4: late-data widening — rows older than the watermark but absent
         # from the target must still be recovered (CopyOrchestrator.cs:1106-1123)
@@ -364,34 +391,104 @@ class SyncEngine:
         control.unpersist()
         return report
 
+    def _fastpath_metrics(
+        self, control: DataFrame, tgt_df: DataFrame, state: TableState
+    ) -> DataFrame:
+        """The R6 no-change probe: A6/A7 counts, window bounds, and a
+        key-SET equality witness, all in ONE map-only aggregation over
+        the tagged union — ZERO exchanges before the final singleton.
+
+        Set equality without pairing: both sides are unique on the key,
+        so equal counts + equal exact sums of two independent 64-bit key
+        hashes (xxhash64 with distinct salts, summed as DECIMAL(38) so
+        no overflow wraps) certify control-keys == target-keys with
+        collision odds ~2^-128 for non-adversarial keys. This is what
+        lets the no-change resync cycle — the reference's 15x headline
+        (TESTING_GUIDE.md:331-333) — cost two column-pruned scans and
+        nothing else at ANY scale; the per-key pairing pass
+        (_premerge_metrics) runs only once something actually changed."""
+        key = self.config.key
+        ver = self.config.version
+        c = control.select(
+            F.col(key), F.col(ver).alias("__v"), F.lit(1).alias("__c"), F.lit(0).alias("__t")
+        )
+        t = tgt_df.select(
+            F.col(key), F.col(ver).alias("__v"), F.lit(0).alias("__c"), F.lit(1).alias("__t")
+        )
+        on_ctl = F.col("__c") == 1
+        on_tgt = F.col("__t") == 1
+        h1 = F.xxhash64(F.col(key)).cast("decimal(38,0)")
+        h2 = F.xxhash64(F.col(key), F.lit(0x5EED)).cast("decimal(38,0)")
+        return c.unionByName(t).agg(
+            F.count(F.when(on_ctl, 1)).alias("control_rows"),
+            F.count(F.when(on_ctl & (F.col("__v") > F.lit(state.src_ts)), 1)).alias(
+                "src_changed"
+            ),
+            F.min(F.when(on_ctl, F.col(key))).alias("min_key"),
+            F.max(F.when(on_ctl, F.col(key))).alias("max_key"),
+            F.max(F.when(on_ctl, F.col("__v"))).alias("max_ver"),
+            F.count(F.when(on_tgt, 1)).alias("tgt_total"),
+            F.count(F.when(on_tgt & (F.col("__v") > F.lit(state.tgt_ts)), 1)).alias(
+                "tgt_changed"
+            ),
+            F.sum(F.when(on_ctl, h1)).alias("c_sum1"),
+            F.sum(F.when(on_tgt, h1)).alias("t_sum1"),
+            F.sum(F.when(on_ctl, h2)).alias("c_sum2"),
+            F.sum(F.when(on_tgt, h2)).alias("t_sum2"),
+        )
+
     def _premerge_metrics(
         self, control: DataFrame, tgt_df: DataFrame, state: TableState
     ) -> DataFrame:
-        """A6/A7 + J2 + T4 bounds + survivor count, FUSED: one full-outer
-        join on the key feeds ONE aggregation — a single driver round
-        trip where the naive plan pays four (control agg, target agg,
-        missing-keys agg, pre-write survivors count). The join shuffles
-        only (key, version) pairs, ~16 B/row. Returns a 1-row frame;
-        plan-property tests pin the single-join shape."""
-        key, ver = self.config.key, self.config.version
-        c = control.select(F.col(key), F.col(ver).alias("__sv"), F.lit(1).alias("__c"))
-        t = tgt_df.select(F.col(key), F.col(ver).alias("__tv"), F.lit(1).alias("__t"))
-        on_ctl = F.col("__c").isNotNull()
-        is_missing = on_ctl & F.col("__t").isNull()
+        """A6/A7 + J2 + T4 bounds + survivor count, FUSED: one pass feeds
+        ONE aggregation — a single driver round trip where the naive plan
+        pays four (control agg, target agg, missing-keys agg, pre-write
+        survivors count).
+
+        Physically a tagged UNION + groupBy(key) instead of a full-outer
+        join: both sides are unique on the key (the target is the keyed
+        table, the control is the top-N window of one), so per-key max
+        over the tagged rows reconstructs the exact (control, target)
+        pairing with ONE hash-partition exchange — a full-outer equi-join
+        cannot broadcast and costs two exchanges plus two sorts. Only
+        (key, version) pairs move, ~16 B/row. This is the entire cost of
+        the reference's no-change fast path (R6), so its plan shape is
+        the engine's headline number; plan-property tests pin
+        zero-join/single-exchange."""
+        key = self.config.key
+        ver = self.config.version
+        c = control.select(
+            F.col(key), F.col(ver).alias("__v"), F.lit(1).alias("__c"), F.lit(0).alias("__t")
+        )
+        t = tgt_df.select(
+            F.col(key), F.col(ver).alias("__v"), F.lit(0).alias("__c"), F.lit(1).alias("__t")
+        )
+        per_key = (
+            c.unionByName(t)
+            .groupBy(key)
+            .agg(
+                F.max(F.when(F.col("__c") == 1, F.col("__v"))).alias("__sv"),
+                F.max(F.when(F.col("__t") == 1, F.col("__v"))).alias("__tv"),
+                F.max("__c").alias("__on_c"),
+                F.max("__t").alias("__on_t"),
+            )
+        )
+        on_ctl = F.col("__on_c") == 1
+        is_missing = on_ctl & (F.col("__on_t") == 0)
         # survivor = target row whose key is in the window and not marked
         # changed — the complement of the J4/J5 delete set
         is_survivor = (
-            F.col("__t").isNotNull()
+            (F.col("__on_t") == 1)
             & on_ctl
             & ~F.coalesce(F.col("__sv") > F.lit(state.tgt_ts), F.lit(False))
         )
-        return c.join(t, on=key, how="full_outer").agg(
-            F.count("__c").alias("control_rows"),
+        return per_key.agg(
+            F.count(F.when(on_ctl, 1)).alias("control_rows"),
             F.count(F.when(F.col("__sv") > F.lit(state.src_ts), 1)).alias("src_changed"),
             F.min(F.when(on_ctl, F.col(key))).alias("min_key"),
             F.max(F.when(on_ctl, F.col(key))).alias("max_key"),
             F.max("__sv").alias("max_ver"),
-            F.count("__t").alias("tgt_total"),
+            F.count(F.when(F.col("__on_t") == 1, 1)).alias("tgt_total"),
             F.count(F.when(F.col("__tv") > F.lit(state.tgt_ts), 1)).alias("tgt_changed"),
             F.count(F.when(is_missing, 1)).alias("missing"),
             F.min(F.when(is_missing, F.col("__sv"))).alias("min_missing_ver"),

@@ -139,10 +139,13 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     assert uses(df, "HashJoin") or uses(df, "SortMergeJoin"), ops
 
 
-def test_fused_sync_metrics_single_join(spark):
-    """The optimized sync path's metric pass must stay ONE join feeding
-    ONE aggregate — a regression to per-metric passes multiplies driver
-    round-trips at cluster latencies."""
+def test_fused_sync_metrics_no_join_single_exchange(spark):
+    """The optimized sync path's metric pass must stay ONE fused pass —
+    zero joins (the tagged-union rewrite replaced the full-outer SMJ)
+    and exactly one hash-partition exchange on the key plus the final
+    singleton: this plan IS the no-change fast path's entire cost, so a
+    regression to join-or-per-metric passes shows up directly in the
+    reference's headline no-op number."""
     from d365fo_db_sync_spark.state import TableState
     from d365fo_db_sync_spark.sync import SyncEngine, SyncConfig
     from d365fo_db_sync_spark.state import StateStore
@@ -161,10 +164,60 @@ def test_fused_sync_metrics_single_join(spark):
     )
     ops = physical_operators(metrics)
     joins = [o for o in ops if "Join" in o]
-    assert len(joins) == 1, ops  # all metrics from a single join pass
+    assert not joins, ops  # tagged union + groupBy, never a join
+    assert ops.count("Exchange") <= 2, ops  # key shuffle + final singleton
     row = metrics.first()
     assert row["control_rows"] == row["tgt_total"] == row["survivors"]
     assert row["missing"] == 0
+
+
+def test_noop_fastpath_probe_zero_shuffle(spark):
+    """The R6 no-change probe must be map-only: no joins, and no
+    Exchange other than the final singleton gather. This plan is the
+    ENTIRE per-cycle cost of a no-change resync — the reference's 15x
+    headline (TESTING_GUIDE.md:331-333) — so any shuffle creeping in
+    here is a direct scale regression."""
+    from d365fo_db_sync_spark.state import TableState, StateStore
+    from d365fo_db_sync_spark.sync import SyncEngine, SyncConfig
+    import tempfile
+
+    orders = load_table(spark, SF, "orders")
+    k = F.col("o_orderkey")
+    src = orders.select(k.alias("RecId"), (k * 2).alias("SysRowVersion"))
+    engine = SyncEngine(
+        spark, StateStore(tempfile.mktemp(suffix=".json")), SyncConfig()
+    )
+    probe = engine._fastpath_metrics(src, src, TableState(src_ts=10**12, tgt_ts=10**12))
+    ops = physical_operators(probe)
+    assert not [o for o in ops if "Join" in o], ops
+    assert ops.count("Exchange") <= 1, ops  # only the final singleton
+    row = probe.first()
+    assert row["control_rows"] == row["tgt_total"]
+    assert row["src_changed"] == 0 and row["tgt_changed"] == 0
+    assert row["c_sum1"] == row["t_sum1"] and row["c_sum2"] == row["t_sum2"]
+
+
+def test_noop_fastpath_checksum_catches_swapped_keys(spark):
+    """Equal counts + equal changed-counts but DIFFERENT key sets must
+    NOT look like a no-op: the checksum witness is what replaces the
+    per-key missing==0 check, so pin that it actually discriminates."""
+    from d365fo_db_sync_spark.state import TableState, StateStore
+    from d365fo_db_sync_spark.sync import SyncEngine, SyncConfig
+    import tempfile
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("RecId"), F.lit(1).cast("long").alias("SysRowVersion")
+    )
+    b = spark.range(500, 1500).select(  # same count, shifted key set
+        F.col("id").alias("RecId"), F.lit(1).cast("long").alias("SysRowVersion")
+    )
+    engine = SyncEngine(
+        spark, StateStore(tempfile.mktemp(suffix=".json")), SyncConfig()
+    )
+    row = engine._fastpath_metrics(a, b, TableState(src_ts=10**12, tgt_ts=10**12)).first()
+    assert row["control_rows"] == row["tgt_total"]
+    assert row["c_sum1"] != row["t_sum1"]
+    assert row["c_sum2"] != row["t_sum2"]
 
 
 def test_shingle_sets_single_exchange(spark):
