@@ -150,6 +150,94 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_bruteforce_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query — the Arrow/numpy scale
+    path for the same contract as :func:`cosine_topk_bruteforce`.
+
+    Why it exists: Spark evaluates higher-order functions (zip_with +
+    aggregate) INTERPRETED, outside whole-stage codegen — measured at
+    sf0.1 with a 10x query fan-out (100 queries x 2000 vectors x 64
+    dims), this GEMM formulation is 3.8x faster with identical
+    rankings (SCALE.md). Two structural wins over the HOF/BNLJ shape:
+
+    * the corpus streams through ``mapInPandas`` in Arrow batches and
+      each batch scores against the whole query matrix as ONE numpy
+      matmul (BLAS, cache-friendly) instead of |batch| x |queries|
+      interpreted folds;
+    * each batch emits only its per-query top-k (exact under the
+      (cosine desc, id asc) total order), a map-side combine the rank
+      window cannot express — the final shuffle moves k x |queries| x
+      n_batches rows, never |corpus| x |queries|.
+
+    The query side is collected to the driver and shipped in the UDF
+    closure — queries are small by construction (a top-k request ships
+    a handful of vectors), the same contract that lets the HOF path
+    broadcast them. The HOF variant remains the cross-engine oracle
+    anchor; both are exact, and float accumulation-order differences
+    live at ~1e-16, far below ranking gaps."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    id_field = corpus.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[query_id_col].dataType),
+            StructField("neighbor_id", id_field),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            scores = (cmat @ qmat.T) / np.outer(cnorm, qnorm)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                col = scores[:, j]
+                mask = ids != qids[j]
+                cand_ids, cand_cos = ids[mask], col[mask]
+                kk = min(k, len(cand_ids))
+                if kk == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand_cos))[:kk]
+                out_q.append(np.full(kk, qids[j]))
+                out_n.append(cand_ids[order])
+                out_c.append(cand_cos[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "rnk", "neighbor_id", "cosine")
+    )
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     threshold: float,

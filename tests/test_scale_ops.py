@@ -91,6 +91,30 @@ def test_cosine_topk_bruteforce(spark, vectors):
     assert res[0]["cosine"] == pytest.approx(1.0)
 
 
+def test_cosine_topk_np_matches_hof(spark):
+    """The numpy-GEMM scale path must produce the SAME ranked neighbor
+    slots as the HOF oracle anchor on the real corpus (float
+    accumulation-order noise lives ~1e-16, below every ranking gap),
+    and cosines must agree to high precision."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hof = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    npv = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk_bruteforce_np(emb, q, k=5).collect()
+    }
+    assert set(hof) == set(npv)
+    for slot, (nid, cos) in hof.items():
+        nid2, cos2 = npv[slot]
+        assert nid == nid2, (slot, nid, nid2)
+        assert cos == pytest.approx(cos2, abs=1e-12)
+
+
 def test_embedding_near_duplicates_exact_pair(spark, vectors):
     pairs = {
         (r["id_a"], r["id_b"]): r["cosine"]
