@@ -113,7 +113,14 @@ def connected_components(
     # assumed, as elsewhere).
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
-    conf_n = int(spark.conf.get(conf_key))
+    conf_orig = spark.conf.get(conf_key)
+    try:
+        conf_n = int(conf_orig)
+    except (TypeError, ValueError):
+        # some platforms set a non-numeric value (e.g. "auto"); fall
+        # back to Spark's default ceiling and restore the ORIGINAL
+        # string afterwards
+        conf_n = 200
     rows_per_partition = 1_000_000
 
     def _width(n_rows: int) -> int:
@@ -165,7 +172,7 @@ def connected_components(
                 f"connected_components: no fixpoint in {max_iter} rounds"
             )
     finally:
-        spark.conf.set(conf_key, str(conf_n))
+        spark.conf.set(conf_key, conf_orig)
     # At the fixpoint, edges are stars: (member, component_min) for
     # every non-root member. Roots label themselves.
     # The final star frame stays persisted: the returned plan reads it

@@ -58,22 +58,37 @@ def pack_sequences(
         docs.select(
             F.col(id_col),
             token_count.cast("long").alias("n_tokens"),
-            (F.col(id_col).cast("long") / F.lit(bucket_span))
-            .cast("long")
-            .alias("_pk_bucket"),
+            # integer div, not double division then cast: doubles lose
+            # exactness past 2^53 (synthetic/composite ids can exceed
+            # it) and truncate instead of flooring for negative ids
+            F.expr(f"cast({id_col} as bigint) div {bucket_span}").alias("_pk_bucket"),
         )
         .filter(F.col("n_tokens") > 0)
     )
-    # stage 2: in-bucket running total (parallel across buckets)
-    in_bucket = Window.partitionBy("_pk_bucket").orderBy(id_col)
+    # stage 2: in-bucket running total (parallel across buckets).
+    # id_col must be UNIQUE — it is the stream order key, so the layout
+    # is only well-defined when it is; the explicit ROWS frame keeps the
+    # sum row-bounded (the default RANGE frame gives every duplicate id
+    # the inclusive sum of all its peers).
+    in_bucket = (
+        Window.partitionBy("_pk_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = sized.withColumn(
         "_local_end", F.sum("n_tokens").over(in_bucket)
     )
     # stage 3: bucket totals -> exclusive prefix; |buckets| rows only,
-    # so the unpartitioned window is driver-small by construction
+    # so the single-partition window is driver-small by construction.
+    # The partition key pmod(bucket, 1) is constantly 0 — it makes the
+    # one-partition choice EXPLICIT so WindowExec stops warning about
+    # an undefined partition (the frame is metadata-sized, not a scale
+    # hazard). A foldable literal would not survive the optimizer.
     totals = sized.groupBy("_pk_bucket").agg(F.sum("n_tokens").alias("_tot"))
-    bucket_order = Window.orderBy("_pk_bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    bucket_order = (
+        Window.partitionBy(F.pmod(F.col("_pk_bucket"), F.lit(1)))
+        .orderBy("_pk_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
         "_pk_bucket",
@@ -157,7 +172,9 @@ def pack_sequences_ffd(
     sized = docs.select(
         F.col(id_col),
         token_count.cast("long").alias("n_tokens"),
-        (F.col(id_col).cast("long") / F.lit(bucket_span)).cast("long").alias("bucket"),
+        # integer div (see pack_sequences): exact past 2^53, floors
+        # negatives
+        F.expr(f"cast({id_col} as bigint) div {bucket_span}").alias("bucket"),
     ).filter(F.col("n_tokens") > 0)
 
     schema = f"{id_col} long, n_tokens long, bucket long, pack_in_bucket long"

@@ -52,6 +52,20 @@ _SUITE_MODULES = (
 )
 
 
+def scratch_dir(prefix: str) -> str:
+    """A temp workdir that is actually cleaned up: registered with
+    atexit so long-lived processes (bench loops, check runs, REPLs)
+    don't accumulate orphaned index/target directories across
+    invocations."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def register(name: str, oracle: str | None = None, bench: bool = False):
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the suite."""
 

