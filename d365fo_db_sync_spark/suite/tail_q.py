@@ -794,6 +794,10 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every stage's operator is reused verbatim from its module —
     the oracle value-checks the composed result per document, so a
     semantic drift in ANY stage breaks the hash."""
+    return _pretraining_packed(spark, sf_dir)
+
+
+def _pretraining_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d365fo_db_sync_spark.operators import text as text_ops
     from d365fo_db_sync_spark.operators.packing import pack_sequences
     from d365fo_db_sync_spark.operators.sampling import train_eval_split
@@ -807,6 +811,113 @@ def pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = train_eval_split(unique, ["doc_id"], {"train": 0.9, "eval": 0.1})
     train = split.filter(F.col("split") == "train")
     return pack_sequences(train, F.col("n_tokens"), budget=256, bucket_span=100)
+
+
+#: staged CDC batch files, built once per (process, sf_dir) — the bench
+#: times the STREAM (drain + merges), not the staging setup
+_CDC_STREAM_STAGED: dict[str, str] = {}
+
+#: side-channel for bench.py: stats of the most recent
+#: cdc_stream_throughput run (rows/sec across the drained micro-batches)
+CDC_STREAM_STATS: dict[str, float] = {}
+
+_CDC_STREAM_BATCHES = 4
+
+
+@register("cdc_stream_throughput", oracle=None, bench=True)
+def cdc_stream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming CDC end-to-end, benched: the events table is
+    staged as 4 delta files, drained through cdc_file_source with
+    maxFilesPerTrigger=1 (4 bounded micro-batches — the backpressure
+    contract), and each batch merges into a BucketedParquetTarget via
+    CdcStreamPipeline/merge_upsert (partial bucket rewrite + watermark
+    commit per batch). Rows-only: wall time is the tracked number
+    (BENCH `cdc_stream_throughput`, rows/sec sub-key); the merge
+    SEMANTICS are oracle-checked elsewhere (sync_bucketed_cdc_merge)
+    and pytest covers tombstones/compaction (tests/test_streaming.py).
+    Returns (n_batches, n_rows) — the deterministic final state."""
+    import time as _time
+
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.streaming import CdcStreamPipeline, cdc_file_source
+    from d365fo_db_sync_spark.suite import scratch_dir
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    staged = _CDC_STREAM_STAGED.get(sf_dir)
+    if staged is None:
+        staged = _CDC_STREAM_STAGED[sf_dir] = scratch_dir("cdcstream_")
+        events = load_table(spark, sf_dir, "events")
+        cdc = events.select(
+            F.col("event_id").alias("RecId"),
+            F.col("event_id").alias("SysRowVersion"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+        # one file per residue class = 8 arrival batches
+        for b in range(_CDC_STREAM_BATCHES):
+            cdc.filter(F.pmod("RecId", F.lit(_CDC_STREAM_BATCHES)) == b).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{staged}/in/b{b}")
+    schema = (
+        "RecId long, SysRowVersion long, user_id long, event_type string, value double"
+    )
+    # fresh target + checkpoint per invocation: the bench must re-drain
+    # all 8 batches every repeat, not hit the checkpoint's file ledger
+    run_dir = scratch_dir("cdcrun_")
+    engine = SyncEngine(spark, StateStore(f"{run_dir}/state.json"), SyncConfig())
+    target = BucketedParquetTarget(f"{run_dir}/tgt", key="RecId", n_buckets=32)
+    stream = cdc_file_source(
+        spark, f"{staged}/in/*", schema, max_files_per_trigger=1
+    )
+    t0 = _time.time()
+    q = CdcStreamPipeline(engine, "events_cdc", target, f"{run_dir}/ckpt").start(
+        stream, available_now=True
+    )
+    q.awaitTermination()
+    wall = _time.time() - t0
+    n = target.num_rows()
+    CDC_STREAM_STATS["rows_per_sec"] = round(n / wall, 1) if wall > 0 else 0.0
+    CDC_STREAM_STATS["micro_batches"] = float(_CDC_STREAM_BATCHES)
+    return spark.createDataFrame(
+        [(_CDC_STREAM_BATCHES, n)], "n_batches int, n_rows long"
+    )
+
+
+@register(
+    "pipeline_pack_manifest",
+    oracle=_CURATION_CTES + """
+    , tr AS (SELECT doc_id, n_tokens FROM b WHERE h < '{t1}'),
+    s AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g_start
+      FROM tr),
+    spans AS (
+      SELECT doc_id,
+             unnest(generate_series(CAST(g_start // 256 AS BIGINT),
+                                    CAST((g_start + n_tokens - 1) // 256 AS BIGINT)))
+               AS pack_id
+      FROM s)
+    SELECT pack_id, COUNT(*) AS n_docs,
+           CAST(pack_id * 256 AS BIGINT) AS tok_start,
+           CAST((pack_id + 1) * 256 - 1 AS BIGINT) AS tok_end
+    FROM spans GROUP BY pack_id
+    """.format(t1=_hexth(0.9)),
+)
+def pipeline_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOADER-side view of the capstone: pack_manifest inverts the
+    packed per-document ranges into per-pack rows (pack_id, n_docs,
+    token range) — which documents to fetch to materialize each
+    training sequence. Composed on top of the full gate -> dedup ->
+    split -> pack pipeline, and the DuckDB oracle rebuilds the same
+    manifest with generate_series over the naive global-cumsum pack
+    ranges — so the inversion is value-checked in composition, not
+    just unit-tested."""
+    from d365fo_db_sync_spark.operators.packing import pack_manifest
+
+    return pack_manifest(_pretraining_packed(spark, sf_dir), budget=256)
 
 
 @register(
