@@ -57,6 +57,10 @@ class RunResult:
     def failed(self) -> list[TablePlan]:
         return [p for p in self.plans if p.status == "Failed"]
 
+    @property
+    def completed(self) -> list[TablePlan]:
+        return [p for p in self.plans if p.status == "Completed"]
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         """The run-report grid (TableInfo's status columns) as a DataFrame."""
         rows = [
@@ -273,3 +277,34 @@ def run_action_chain(result: RunResult, actions: list) -> list[str]:
         action(result)
         ran.append(getattr(action, "__name__", repr(action)))
     return ran
+
+
+def process_action(command: list[str], arg_template: str | None = None):
+    """A chain action that spawns a REAL external process — the
+    PowerShell hook's engine equivalent (PowerShellService.cs:16-102:
+    the reference launches `powershell -File script -BackupFilePath X`
+    after a successful run and fails the chain on a non-zero exit).
+
+    ``command`` is the argv list; ``arg_template`` (e.g.
+    ``"-Tables={tables}"``) is appended with ``{tables}`` expanded to a
+    comma-joined list of the run's completed table names — the analog
+    of the reference passing the backup path. Stdout is captured onto
+    the returned action (``action.last_stdout``) for the caller's log;
+    a non-zero exit raises, stopping the chain exactly like the
+    reference's exit-code check."""
+    import subprocess
+
+    def run_process(result: RunResult) -> None:
+        argv = list(command)
+        if arg_template is not None:
+            tables = ",".join(p.name for p in result.completed)
+            argv.append(arg_template.format(tables=tables))
+        proc = subprocess.run(argv, capture_output=True, text=True)
+        run_process.last_stdout = proc.stdout
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"process action {argv!r} exited {proc.returncode}: {proc.stderr.strip()}"
+            )
+
+    run_process.__name__ = f"process:{command[0]}"
+    return run_process

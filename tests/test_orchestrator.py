@@ -239,6 +239,33 @@ def test_action_chain_gated_on_success(spark):
     assert calls == []
 
 
+def test_process_action_spawns_real_subprocess(spark):
+    """U3's external hook as a REAL process (the reference's PowerShell
+    launch with -BackupFilePath): argv expansion with the completed
+    table list, stdout capture, chain-stopping non-zero exit."""
+    from d365fo_db_sync_spark.orchestrator import (
+        RunResult,
+        TablePlan,
+        process_action,
+        run_action_chain,
+    )
+    from d365fo_db_sync_spark.strategy import Strategy
+
+    ok = RunResult(
+        plans=[
+            TablePlan("T1", Strategy("T1"), ["A"], status="Completed"),
+            TablePlan("T2", Strategy("T2"), ["A"], status="Completed"),
+        ]
+    )
+    echo = process_action(["/bin/echo", "done"], arg_template="-Tables={tables}")
+    assert run_action_chain(ok, [echo]) == ["process:/bin/echo"]
+    assert echo.last_stdout.strip() == "done -Tables=T1,T2"
+
+    boom = process_action(["/bin/sh", "-c", "echo oops >&2; exit 3"])
+    with pytest.raises(RuntimeError, match="exited 3: oops"):
+        run_action_chain(ok, [boom])
+
+
 def test_orchestrator_buckets_flag_uses_partial_rewrite_target(spark, tmp_path):
     import os
 
