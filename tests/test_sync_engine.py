@@ -694,3 +694,56 @@ def test_vacuum_removes_orphaned_stagings(env, tmp_path, monkeypatch):
     assert tgt.current_path() == live
     assert tgt.read(spark).count() == 20
     assert tgt.vacuum() == []  # idempotent
+
+
+def test_fastpath_decision_matches_logical_condition(env):
+    """Property: the checksum-based no-change decision must equal the
+    logical condition (no row above either watermark AND identical key
+    sets) on adversarial shapes — equal counts with swapped keys,
+    supersets, empty sides, boundary watermarks. Spark-job-per-case, so
+    the cases are enumerated rather than hypothesis-driven."""
+    spark, store, engine, target = env
+
+    ts = 100
+
+    def decide(ctl: dict, tgt: dict) -> bool:
+        c = spark.createDataFrame(
+            [(k, v) for k, v in ctl.items()] or [(None, None)],
+            "RecId long, SysRowVersion long",
+        ).filter("RecId IS NOT NULL")
+        t = spark.createDataFrame(
+            [(k, v) for k, v in tgt.items()] or [(None, None)],
+            "RecId long, SysRowVersion long",
+        ).filter("RecId IS NOT NULL")
+        row = engine._fastpath_metrics(c, t, TableState(src_ts=ts, tgt_ts=ts)).first()
+        return (
+            row["src_changed"] == 0
+            and row["tgt_changed"] == 0
+            and row["tgt_total"] == row["control_rows"]
+            and row["c_sum1"] == row["t_sum1"]
+            and row["c_sum2"] == row["t_sum2"]
+        )
+
+    def logical(ctl: dict, tgt: dict) -> bool:
+        return (
+            all(v is None or v <= ts for v in ctl.values())
+            and all(v is None or v <= ts for v in tgt.values())
+            and set(ctl) == set(tgt)
+        )
+
+    cases = [
+        ({1: 50, 2: 60}, {1: 50, 2: 60}),          # identical -> no-op
+        ({1: 50, 2: 60}, {1: 50, 2: 61}),          # same keys, both below -> no-op
+        ({1: 50, 2: 101}, {1: 50, 2: 60}),         # source above watermark
+        ({1: 50, 2: 60}, {1: 50, 2: 101}),         # target above watermark
+        ({1: 50, 2: 60}, {1: 50, 3: 60}),          # equal counts, swapped key
+        ({1: 50}, {1: 50, 2: 60}),                 # target superset
+        ({1: 50, 2: 60}, {1: 50}),                 # control superset
+        ({}, {}),                                  # both empty -> vacuous no-op
+        ({}, {1: 50}),                              # empty control
+        ({1: 100}, {1: 100}),                      # exactly AT watermark (not above)
+        ({1: None}, {1: None}),                    # NULL versions, same keys
+        ({1: None, 2: 50}, {1: 50, 2: None}),      # NULLs crossed, same keys
+    ]
+    for ctl, tgt in cases:
+        assert decide(ctl, tgt) == logical(ctl, tgt), (ctl, tgt)
