@@ -185,3 +185,29 @@ def test_ffd_property_single_bucket(spark, rows, budget):
         packs.setdefault(r["pack_in_bucket"], []).append(r["n_tokens"])
     for members in packs.values():
         assert sum(members) <= budget or len(members) == 1
+
+
+def test_pack_sequences_duplicate_ids_row_bounded_not_peer_inclusive(spark):
+    """The in-bucket cumsum uses an explicit ROWS frame: duplicate ids
+    (a documented contract violation — the id is the stream order key)
+    must each get a row-bounded offset, never the RANGE-frame behavior
+    where every peer receives the inclusive sum of ALL peers. Pinned so
+    the frame spec can't silently regress: total stream length must
+    equal the token sum, and per-duplicate offsets must be distinct."""
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.packing import pack_sequences
+
+    rows = [(1, 10), (2, 7), (2, 5), (3, 4)]  # id 2 duplicated
+    df = spark.createDataFrame(rows, "doc_id long, n int")
+    out = pack_sequences(df, F.col("n"), budget=8, bucket_span=100).collect()
+    assert len(out) == 4
+    # ROWS frame: offsets strictly increase through the duplicates;
+    # stream is gapless and exactly sum(n) long
+    ends = sorted((r["g_start"], r["g_start"] + r["n_tokens"]) for r in out)
+    assert ends[0][0] == 0
+    for (s1, e1), (s2, e2) in zip(ends, ends[1:]):
+        assert s2 == e1  # gapless
+    assert ends[-1][1] == sum(n for _, n in rows)
+    dup_starts = [r["g_start"] for r in out if r["doc_id"] == 2]
+    assert len(set(dup_starts)) == 2
