@@ -214,3 +214,39 @@ def test_update_components_with_empty_batch(spark):
         for r in graph.update_components(labels, empty).collect()
     }
     assert got == {(1, 1), (2, 1), (4, 4), (5, 4)}
+
+
+def test_connected_components_tolerates_non_numeric_shuffle_conf(spark, monkeypatch):
+    """Some platforms report spark.sql.shuffle.partitions as a
+    non-numeric value (e.g. 'auto' — vanilla Spark rejects SETTING it,
+    so the read path is mocked): the adaptive-width clamp must fall
+    back to a default instead of raising, and must restore the
+    ORIGINAL string verbatim."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    from d365fo_db_sync_spark.operators.graph import connected_components
+
+    key = "spark.sql.shuffle.partitions"
+    real_get, real_set = RuntimeConfig.get, RuntimeConfig.set
+    restored = []
+
+    def fake_get(self, k, *args, **kwargs):
+        if k == key:
+            return "auto"
+        return real_get(self, k, *args, **kwargs)
+
+    def fake_set(self, k, v):
+        if k == key:
+            restored.append(v)
+            return  # 'auto' would raise in vanilla Spark; swallow
+        real_set(self, k, v)
+
+    monkeypatch.setattr(RuntimeConfig, "get", fake_get)
+    monkeypatch.setattr(RuntimeConfig, "set", fake_set)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, src="id_a", dst="id_b").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert restored[-1] == "auto"  # original string restored verbatim
