@@ -490,3 +490,218 @@ class BucketedParquetTarget(ParquetTarget):
         if old and os.path.abspath(old) != os.path.abspath(staged):
             shutil.rmtree(old, ignore_errors=True)
         return len(affected)
+
+
+class ManifestParquetTarget(BucketedParquetTarget):
+    """The object-store-native variant of :class:`BucketedParquetTarget`:
+    versions carry untouched buckets forward BY REFERENCE, not by
+    hardlink.
+
+    Hardlinks are a POSIX-filesystem trick — S3/GCS/ABFS have none, and
+    copying untouched buckets would reintroduce the write amplification
+    the bucketed sink exists to remove. The table-format answer
+    (Iceberg/Delta manifests, public designs) is metadata: each version
+    directory publishes ``_manifest.json`` mapping every bucket to the
+    parquet files that hold it — newly rewritten buckets point into the
+    new version, untouched buckets point into whichever prior version
+    last wrote them. Readers plan from the manifest (a driver-side file
+    list — no directory listing, and bucket pruning becomes an exact
+    file-list cut rather than directory globbing); the pointer swap
+    stays the single atomic publish. Prior versions therefore cannot be
+    deleted at swap time — :meth:`vacuum_unreferenced` removes version
+    directories once no live-manifest file references them (the GC
+    model of every manifest-based table format).
+
+    The bucket id is materialized as a DATA column (``__kb_data``)
+    inside every file: explicit-file-list reads do not perform hive
+    partition discovery, so the value must travel in the data, not the
+    directory name.
+    """
+
+    MANIFEST = "_manifest.json"
+    DATA_BUCKET_COL = "__kb_data"
+
+    # -- manifest io --------------------------------------------------------
+    def _load_manifest(self) -> dict | None:
+        import json
+
+        path = self.current_path()
+        if path is None:
+            return None
+        with open(os.path.join(path, self.MANIFEST), encoding="utf-8") as f:
+            raw = json.load(f)
+        return {
+            "schema": raw["schema"],
+            "buckets": {int(k): v for k, v in raw["buckets"].items()},
+        }
+
+    def _write_version(
+        self, df: DataFrame, carried: dict[int, list[str]]
+    ) -> None:
+        """Stage ``df`` (bucketed rows) into a fresh version dir, merge
+        its freshly-written bucket files with the ``carried``
+        references, publish manifest + pointer atomically."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        if self.BUCKET_COL not in df.columns:
+            df = self._with_bucket(df)
+        name = f"v_{uuid.uuid4().hex[:12]}"
+        staged = os.path.join(self.root, name)
+        out = df.withColumn(self.DATA_BUCKET_COL, F.col(self.BUCKET_COL))
+        (
+            out.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(staged)
+        )
+        buckets: dict[int, list[str]] = dict(carried)
+        for entry in sorted(os.listdir(staged)):
+            if not entry.startswith(f"{self.BUCKET_COL}="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            files = sorted(
+                os.path.join(staged, entry, fn)
+                for fn in os.listdir(os.path.join(staged, entry))
+                if fn.endswith(".parquet")
+            )
+            buckets[b] = files
+        # manifest schema = the FILE schema (data cols + __kb_data):
+        # explicit-file reads get it verbatim, so empty tables and
+        # empty buckets read with the exact same shape
+        schema_json = out.drop(self.BUCKET_COL).schema.json()
+        manifest = {"schema": schema_json, "buckets": {str(k): v for k, v in buckets.items()}}
+        with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(name)
+        os.replace(tmp, self._pointer())
+        # NOTE: prior versions are NOT deleted here — their files may be
+        # referenced by the manifest just published. vacuum_unreferenced()
+        # is the GC.
+
+    def _read_files(self, spark: SparkSession, files: list[str], schema_json: str) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(__import__("json").loads(schema_json))
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    # -- public surface (same contracts as BucketedParquetTarget) ----------
+    def overwrite(self, df: DataFrame) -> None:
+        self._write_version(df, carried={})
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        m = self._load_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no live version under {self.root}")
+        files = [f for fs in m["buckets"].values() for f in fs]
+        return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+
+    def probe(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        """Live rows from ONLY the buckets the key frame hashes into —
+        in manifest mode the pruning is an exact driver-side file-list
+        cut: no directory listing, no partition discovery, just the
+        manifest entries of the affected buckets."""
+        from pyspark.sql import functions as F
+
+        m = self._load_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no live version under {self.root}")
+        affected = {
+            r["b"]
+            for r in keys.select(self._bucket_of(F.col(self.key)).alias("b"))
+            .distinct()
+            .collect()
+        }
+        files = [f for b in sorted(affected) for f in m["buckets"].get(b, [])]
+        return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+
+    def num_rows(self) -> int:
+        import pyarrow.parquet as pq
+
+        m = self._load_manifest()
+        if m is None:
+            return 0
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for fs in m["buckets"].values()
+            for f in fs
+        )
+
+    def merge(
+        self,
+        spark: SparkSession,
+        upserts: DataFrame,
+        doomed_keys: DataFrame | None = None,
+        replace_keys: bool = True,
+    ) -> int:
+        from pyspark.sql import functions as F
+
+        if not self.exists():
+            self.overwrite(upserts)
+            return self.n_buckets
+
+        changed = upserts.select(self.key)
+        if doomed_keys is not None:
+            changed = changed.unionByName(doomed_keys.select(self.key))
+        affected = sorted(
+            r["b"]
+            for r in changed.select(self._bucket_of(F.col(self.key)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return 0
+
+        m = self._load_manifest()
+        aff_files = [f for b in affected for f in m["buckets"].get(b, [])]
+        window = self._read_files(spark, aff_files, m["schema"]).withColumnRenamed(
+            self.DATA_BUCKET_COL, self.BUCKET_COL
+        )
+        if replace_keys:
+            survivors = window.join(changed, on=self.key, how="left_anti")
+        else:
+            survivors = window
+        new_rows = survivors.unionByName(
+            self._with_bucket(upserts), allowMissingColumns=False
+        )
+        carried = {
+            b: fs for b, fs in m["buckets"].items() if b not in set(affected)
+        }
+        # an affected bucket emptied by deletes writes no files and must
+        # not carry its old entry: seed empty lists, staged dirs override
+        for b in affected:
+            carried[b] = []
+        self._write_version(new_rows, carried=carried)
+        return len(affected)
+
+    def vacuum_unreferenced(self) -> list[str]:
+        """GC: delete version directories that hold NO file referenced
+        by the live manifest (and are not the live version itself).
+        Safe under the single-writer rule; run between cycles like
+        ParquetTarget.vacuum."""
+        m = self._load_manifest()
+        live = self.current_path()
+        if m is None or live is None:
+            return []
+        referenced_dirs = {
+            os.path.dirname(os.path.dirname(f))  # strip __kb=N/file.parquet
+            for fs in m["buckets"].values()
+            for f in fs
+        }
+        referenced_dirs.add(os.path.abspath(live))
+        removed = []
+        for entry in os.listdir(self.root):
+            path = os.path.abspath(os.path.join(self.root, entry))
+            if (
+                entry.startswith("v_")
+                and os.path.isdir(path)
+                and path not in {os.path.abspath(d) for d in referenced_dirs}
+            ):
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+        return removed

@@ -216,6 +216,68 @@ def sync_bucketed_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.read(spark)
 
 
+@register(
+    "sync_manifest_cdc_merge",
+    oracle=f"""
+    SELECT o_orderkey AS RecId,
+           o_orderkey * 2
+             + CASE WHEN o_orderkey % 4001 = 0 THEN {_CDC_BUMP} ELSE 0 END
+             AS SysRowVersion,
+           CASE WHEN o_orderkey % 4001 = 0 THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS amount,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 4003 <> 0
+    """,
+)
+def sync_manifest_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME CDC scenario as sync_bucketed_cdc_merge, against the
+    OBJECT-STORE-NATIVE sink (sinks.ManifestParquetTarget): untouched
+    buckets carry forward by _manifest.json REFERENCE instead of
+    hardlinks — the Iceberg/Delta model for stores with no link
+    primitive — and old versions are GC'd by vacuum_unreferenced once
+    nothing references them. Identical oracle: the final state must be
+    byte-for-byte what the logical merge produces, proving the
+    metadata-only carry-forward loses/duplicates nothing."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.suite import scratch_dir
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("RecId"),
+        (k * 2).alias("SysRowVersion"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    work = _CDC_WORKDIRS.get(f"manifest:{sf_dir}")
+    if work is None:
+        work = _CDC_WORKDIRS[f"manifest:{sf_dir}"] = scratch_dir("syncm_")
+    engine = SyncEngine(spark, StateStore(f"{work}/state.json"), SyncConfig())
+    target = ManifestParquetTarget(f"{work}/tgt", key="RecId", n_buckets=64)
+    if not target.exists():
+        engine.merge_upsert("orders_m", base, target)
+
+    upd = base.filter(F.pmod("RecId", F.lit(4001)) == 0).select(
+        "RecId",
+        (F.col("SysRowVersion") + _CDC_BUMP).alias("SysRowVersion"),
+        (F.col("amount") + 500.0).alias("amount"),
+        "status",
+        F.lit(False).alias("__deleted"),
+    )
+    dead = base.filter(F.pmod("RecId", F.lit(4003)) == 0).select(
+        "RecId",
+        (F.col("SysRowVersion") + _CDC_BUMP).alias("SysRowVersion"),
+        F.lit(None).cast("double").alias("amount"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(True).alias("__deleted"),
+    )
+    engine.merge_upsert("orders_m", upd.unionByName(dead), target)
+    target.vacuum_unreferenced()
+    return target.read(spark)
+
+
 def _hexth(fraction: float) -> str:
     from d365fo_db_sync_spark.operators.sampling import _hex_threshold
 

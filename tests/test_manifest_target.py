@@ -1,0 +1,143 @@
+"""ManifestParquetTarget — the object-store-native bucketed sink:
+carry-forward by manifest REFERENCE (no hardlinks), reference-walking
+GC, exact file-list bucket pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+
+
+def _base(spark, n=2000):
+    return spark.range(0, n).select(
+        F.col("id").alias("RecId"),
+        (F.col("id") * 2).alias("SysRowVersion"),
+        (F.col("id") * 1.5).alias("amount"),
+    )
+
+
+def _batch(spark):
+    """Updates for keys 0..3 plus inserts 9000..9001 — six keys, so at
+    most six affected buckets."""
+    ups = spark.range(0, 4).select(
+        F.col("id").alias("RecId"),
+        (F.col("id") * 2 + 1000).alias("SysRowVersion"),
+        F.lit(9.9).alias("amount"),
+    )
+    ins = spark.range(9000, 9002).select(
+        F.col("id").alias("RecId"),
+        (F.col("id") * 2).alias("SysRowVersion"),
+        F.lit(1.1).alias("amount"),
+    )
+    return ups.unionByName(ins)
+
+
+def test_merge_matches_logical_rewrite(spark, tmp_path):
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=16)
+    base = _base(spark)
+    t.overwrite(base)
+    doomed = spark.createDataFrame([(5,), (2,)], "RecId long")
+    n_rewritten = t.merge(spark, _batch(spark), doomed_keys=doomed)
+    assert 0 < n_rewritten <= 16
+
+    # contract (same as BucketedParquetTarget): doomed keys are dropped
+    # from the old state, then upserts replace-or-insert — a key both
+    # doomed and upserted keeps its upsert row (upsert wins)
+    changed = _batch(spark).select("RecId").unionByName(doomed)
+    expected = base.join(changed, on="RecId", how="left_anti").unionByName(
+        _batch(spark)
+    )
+    got = sorted(map(tuple, t.read(spark).collect()))
+    want = sorted(map(tuple, expected.collect()))
+    assert got == want
+    assert t.num_rows() == len(want)
+
+
+def test_untouched_buckets_carry_forward_by_reference(spark, tmp_path):
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=64)
+    t.overwrite(_base(spark))
+    v0 = t.current_path()
+    t.merge(spark, _batch(spark))
+    v1 = t.current_path()
+    assert v1 != v0
+
+    m = t._load_manifest()
+    locations = {
+        b: {os.path.dirname(os.path.dirname(f)) for f in fs}
+        for b, fs in m["buckets"].items()
+        if fs
+    }
+    in_old = [b for b, dirs in locations.items() if dirs == {v0}]
+    in_new = [b for b, dirs in locations.items() if dirs == {v1}]
+    # most buckets must still point INTO THE OLD VERSION (metadata-only
+    # carry-forward, zero data copied), only the affected few are new
+    assert len(in_new) >= 1
+    assert len(in_old) > len(in_new)
+    assert len(in_old) + len(in_new) == len(locations)
+    # and the old version's referenced files still exist (not GC'd)
+    assert os.path.isdir(v0)
+
+
+def test_vacuum_unreferenced_keeps_referenced_versions(spark, tmp_path):
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=16)
+    t.overwrite(_base(spark))
+    v0 = t.current_path()
+    t.merge(spark, _batch(spark))  # v1 references v0
+    removed = t.vacuum_unreferenced()
+    assert removed == []  # v0 still referenced by the live manifest
+    before = sorted(map(tuple, t.read(spark).collect()))
+
+    t.overwrite(_base(spark, n=50))  # full rewrite: nothing references v0/v1
+    removed = t.vacuum_unreferenced()
+    assert len(removed) == 2
+    assert not os.path.exists(v0)
+    assert t.num_rows() == 50
+    assert len(sorted(map(tuple, t.read(spark).collect()))) == 50
+    assert before  # sanity: pre-vacuum read had worked
+
+
+def test_bucket_emptied_by_deletes_drops_its_entry(spark, tmp_path):
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
+    small = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 30, 3.0)],
+        "RecId long, SysRowVersion long, amount double",
+    )
+    t.overwrite(small)
+    # delete EVERY row (all buckets affected, no upserts survive)
+    doomed = small.select("RecId")
+    empty_ups = small.limit(0)
+    t.merge(spark, empty_ups, doomed_keys=doomed)
+    assert t.num_rows() == 0
+    assert t.read(spark).count() == 0  # empty read keeps the schema
+    assert t.read(spark).columns == ["RecId", "SysRowVersion", "amount"]
+
+
+def test_replay_idempotent_with_sync_engine(spark, tmp_path):
+    """The engine's CDC merge path accepts the manifest target
+    transparently (isinstance BucketedParquetTarget) and replays are
+    metadata no-ops on the final state."""
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    engine = SyncEngine(
+        spark, StateStore(str(tmp_path / "s.json")), SyncConfig()
+    )
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+    t.overwrite(_base(spark, n=500))
+    batch = spark.createDataFrame(
+        [(1, 5000, 7.7, False), (499, 5001, 8.8, False), (10, None, None, True)],
+        "RecId long, SysRowVersion long, amount double, __deleted boolean",
+    )
+    r1 = engine.merge_upsert("m", batch, t)
+    state1 = sorted(map(tuple, t.read(spark).collect()))
+    r2 = engine.merge_upsert("m", batch, t)  # replay
+    state2 = sorted(map(tuple, t.read(spark).collect()))
+    assert state1 == state2
+    assert r1.mode == r2.mode == "INCREMENTAL"
+    keys = {row[0] for row in state1}
+    assert 10 not in keys and 1 in keys and 499 in keys
+    assert t.num_rows() == 499
