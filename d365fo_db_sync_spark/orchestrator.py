@@ -178,9 +178,17 @@ class Orchestrator:
             try:
                 src = sources[plan.name]
                 if plan.strategy.buckets:
-                    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+                    from d365fo_db_sync_spark.sinks import (
+                        BucketedParquetTarget,
+                        ManifestParquetTarget,
+                    )
 
-                    target: ParquetTarget = BucketedParquetTarget(
+                    sink_cls = (
+                        ManifestParquetTarget
+                        if plan.strategy.manifest
+                        else BucketedParquetTarget
+                    )
+                    target: ParquetTarget = sink_cls(
                         os.path.join(target_root, plan.name),
                         key=self.engine.config.key,
                         n_buckets=plan.strategy.buckets,

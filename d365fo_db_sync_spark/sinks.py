@@ -578,9 +578,11 @@ class ManifestParquetTarget(BucketedParquetTarget):
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(name)
         os.replace(tmp, self._pointer())
-        # NOTE: prior versions are NOT deleted here — their files may be
-        # referenced by the manifest just published. vacuum_unreferenced()
-        # is the GC.
+        # prior versions may still be referenced by the manifest just
+        # published, so deletion is reference-walking GC, not rmtree:
+        # auto-vacuum keeps parity with ParquetTarget's delete-on-swap
+        # for whatever is now orphaned (single writer, same contract)
+        self.vacuum_unreferenced()
 
     def _read_files(self, spark: SparkSession, files: list[str], schema_json: str) -> DataFrame:
         from pyspark.sql.types import StructType

@@ -7,6 +7,8 @@ Grammar (ParseStrategyLine, CopyOrchestrator.cs:1691-1801):
     TABLE|sql:SELECT ... * ... FROM ...    -> SQL template strategy
     TABLE|N|sql:...                        -> SQL with explicit count
     any of the above + " -truncate"        -> force full-refresh mode
+    + " -buckets N" (engine ext.)          -> partial-rewrite bucketed sink
+    + " -buckets N -manifest" (engine ext.)-> object-store manifest sink
 
 SQL templates must contain ``*`` (expanded to the copyable field list)
 and may use ``@recordCount`` and ``@sysRowVersionFilter`` — the latter is
@@ -46,6 +48,10 @@ class Strategy:
     #: into N hive partitions so merges rewrite only affected buckets
     #: (sinks.BucketedParquetTarget)
     buckets: int | None = None
+    #: engine extension: with -buckets, select the object-store-native
+    #: manifest sink (sinks.ManifestParquetTarget) — carry-forward by
+    #: manifest reference instead of hardlinks
+    manifest: bool = False
 
 
 class StrategyParseError(ValueError):
@@ -66,8 +72,10 @@ def parse_strategy_line(line: str) -> Strategy:
     working = line.strip()
     use_truncate = False
     buckets: int | None = None
-    # trailing flags, any order: " -truncate" (reference) and
-    # " -buckets N" (engine extension — partial-rewrite target)
+    manifest = False
+    # trailing flags, any order: " -truncate" (reference), " -buckets N"
+    # (engine extension — partial-rewrite target), " -manifest" (engine
+    # extension — object-store manifest carry-forward; requires -buckets)
     while True:
         m = re.search(r"\s+-truncate$", working, re.IGNORECASE)
         if m:
@@ -81,7 +89,14 @@ def parse_strategy_line(line: str) -> Strategy:
                 raise StrategyParseError("Invalid format: -buckets must be positive")
             working = working[: m.start()].strip()
             continue
+        m = re.search(r"\s+-manifest$", working, re.IGNORECASE)
+        if m:
+            manifest = True
+            working = working[: m.start()].strip()
+            continue
         break
+    if manifest and buckets is None:
+        raise StrategyParseError("Invalid format: -manifest requires -buckets N")
 
     parts = working.split("|")
     if not parts or not parts[0].strip():
@@ -89,11 +104,11 @@ def parse_strategy_line(line: str) -> Strategy:
     table = parts[0].strip()
 
     if len(parts) == 1:
-        return Strategy(table=table, use_truncate=use_truncate, buckets=buckets)
+        return Strategy(table=table, use_truncate=use_truncate, buckets=buckets, manifest=manifest)
 
     part1 = parts[1].strip()
     if part1.lower().startswith("sql:"):
-        return _parse_sql(table, part1, None, use_truncate, buckets)
+        return _parse_sql(table, part1, None, use_truncate, buckets, manifest)
 
     count = try_parse_record_count(part1)
     if count is not None:
@@ -102,9 +117,9 @@ def parse_strategy_line(line: str) -> Strategy:
         if len(parts) >= 3:
             part2 = parts[2].strip()
             if part2.lower().startswith("sql:"):
-                return _parse_sql(table, part2, count, use_truncate, buckets)
+                return _parse_sql(table, part2, count, use_truncate, buckets, manifest)
             raise StrategyParseError(f"Invalid format: unexpected '{part2}' after record count")
-        return Strategy(table=table, record_count=count, use_truncate=use_truncate, buckets=buckets)
+        return Strategy(table=table, record_count=count, use_truncate=use_truncate, buckets=buckets, manifest=manifest)
 
     raise StrategyParseError(
         f"Invalid format: '{part1}' is not a valid strategy (expected number or 'sql:...')"
@@ -117,6 +132,7 @@ def _parse_sql(
     count: int | None,
     use_truncate: bool,
     buckets: int | None = None,
+    manifest: bool = False,
 ) -> Strategy:
     sql = sql_part[4:].strip()
     if not sql:
@@ -130,6 +146,7 @@ def _parse_sql(
         sql_template=sql,
         use_truncate=use_truncate,
         buckets=buckets,
+        manifest=manifest,
     )
 
 

@@ -293,3 +293,33 @@ def test_orchestrator_buckets_flag_uses_partial_rewrite_target(spark, tmp_path):
     assert any(e.startswith("__kb=") for e in entries)
     got = spark.read.parquet(os.path.join(live, version_dir[0]))
     assert got.count() == 40
+
+
+def test_orchestrator_manifest_flag_uses_manifest_target(spark, tmp_path):
+    import os
+
+    from d365fo_db_sync_spark.orchestrator import Orchestrator
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    rows = [(i, 1, 100 + i, float(i)) for i in range(40)]
+    src = spark.createDataFrame(
+        rows, "RecId long, RECVERSION int, SysRowVersion long, AMOUNT double"
+    )
+    store = StateStore(str(tmp_path / "s.json"))
+    engine = SyncEngine(spark, store, SyncConfig(record_count=100))
+    orch = Orchestrator(spark, engine)
+    plans = orch.prepare({"T1": src}, strategy_text="T1|100 -buckets 8 -manifest")
+    res = orch.process(plans, {"T1": src}, str(tmp_path / "tgt"))
+    assert res.plans[0].status == "Completed", res.plans[0].error
+    live = os.path.join(str(tmp_path / "tgt"), "T1")
+    version_dirs = [d for d in os.listdir(live) if d.startswith("v_")]
+    assert version_dirs
+    # the manifest file proves the manifest sink was selected
+    assert any(
+        os.path.exists(os.path.join(live, v, "_manifest.json")) for v in version_dirs
+    )
+    t = ManifestParquetTarget(live, key="RecId", n_buckets=8)
+    assert t.num_rows() == 40
+    assert t.read(spark).count() == 40

@@ -132,3 +132,22 @@ def test_parse_buckets_flag():
 
     with _pytest.raises(StrategyParseError):
         parse_strategy_line("T -buckets 0")
+
+
+def test_parse_manifest_flag():
+    import pytest as _pytest
+
+    from d365fo_db_sync_spark.strategy import StrategyParseError, parse_strategy_line
+
+    s = parse_strategy_line("CUSTTABLE|5000 -buckets 64 -manifest")
+    assert (s.buckets, s.manifest) == (64, True)
+    # flag order free; composes with -truncate
+    s2 = parse_strategy_line("CUSTTABLE -manifest -buckets 8 -truncate")
+    assert (s2.buckets, s2.manifest, s2.use_truncate) == (8, True, True)
+    s3 = parse_strategy_line("T|sql:SELECT * FROM T -manifest -buckets 4")
+    assert s3.manifest and s3.buckets == 4 and s3.sql_template
+    # -manifest without -buckets is a hard parse error
+    with _pytest.raises(StrategyParseError, match="-manifest requires -buckets"):
+        parse_strategy_line("T -manifest")
+    # plain -buckets stays non-manifest
+    assert parse_strategy_line("T -buckets 4").manifest is False
