@@ -232,15 +232,17 @@ def test_snapshot_progress_reporting(spark, tmp_path):
     assert spark.read.parquet(dest).count() == 100
 
 
-def test_ingest_batch_incremental_dedup(spark, tmp_path):
+@pytest.mark.parametrize("sink_kind", ["bucketed", "manifest"])
+def test_ingest_batch_incremental_dedup(spark, tmp_path, sink_kind):
     from d365fo_db_sync_spark.operators.dedup import ingest_batch
     from d365fo_db_sync_spark.plans.audit import explain_formatted
-    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget, ManifestParquetTarget
 
     def mk(rows):
         return spark.createDataFrame(rows, "doc_id long, fp string, text string")
 
-    idx = BucketedParquetTarget(str(tmp_path / "idx"), key="fp", n_buckets=8)
+    sink_cls = BucketedParquetTarget if sink_kind == "bucketed" else ManifestParquetTarget
+    idx = sink_cls(str(tmp_path / "idx"), key="fp", n_buckets=8)
     b1 = mk([(1, "a", "x"), (2, "b", "y"), (3, "a", "x")])  # in-batch dup
     novel1 = {r["doc_id"] for r in ingest_batch(spark, b1, idx).collect()}
     assert novel1 == {1, 2}  # fp 'a' keeps lowest id
@@ -257,9 +259,18 @@ def test_ingest_batch_incremental_dedup(spark, tmp_path):
         ("a", 1), ("b", 2), ("c", 11),
     }
 
-    # the membership probe is a partition-pruned scan, not a full read
-    plan = explain_formatted(idx.probe(spark, mk([(0, "c", "")]).select("fp")))
-    assert "PartitionFilters" in plan and "__kb" in plan
+    # the membership probe never reads the whole index: hive partition
+    # pruning on the bucketed sink, an exact manifest file-list cut on
+    # the manifest sink (no partition discovery to prune — the plan
+    # scans only the probed buckets' files by construction)
+    probe = idx.probe(spark, mk([(0, "c", "")]).select("fp"))
+    if sink_kind == "bucketed":
+        plan = explain_formatted(probe)
+        assert "PartitionFilters" in plan and "__kb" in plan
+    else:
+        m = idx._load_manifest()
+        total_files = sum(len(fs) for fs in m["buckets"].values())
+        assert 0 < len(probe.inputFiles()) < total_files
 
 
 def test_ingest_batch_near_dup_cross_history(spark, tmp_path):
