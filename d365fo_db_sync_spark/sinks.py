@@ -681,6 +681,14 @@ class ManifestParquetTarget(BucketedParquetTarget):
         self._write_version(new_rows, carried=carried)
         return len(affected)
 
+    def vacuum(self) -> list[str]:
+        """Override the base 'delete every non-live version' vacuum:
+        on a manifest target prior versions may still be REFERENCED by
+        the live manifest, so the only safe GC is reference-walking —
+        delegate to :meth:`vacuum_unreferenced` (inheriting the base
+        behavior here would destroy carried-forward data)."""
+        return self.vacuum_unreferenced()
+
     def vacuum_unreferenced(self) -> list[str]:
         """GC: delete version directories that hold NO file referenced
         by the live manifest (and are not the live version itself).

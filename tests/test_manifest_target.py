@@ -141,3 +141,16 @@ def test_replay_idempotent_with_sync_engine(spark, tmp_path):
     keys = {row[0] for row in state1}
     assert 10 not in keys and 1 in keys and 499 in keys
     assert t.num_rows() == 499
+
+
+def test_base_vacuum_is_safe_on_manifest_target(spark, tmp_path):
+    """The inherited ParquetTarget.vacuum contract ('delete every
+    non-live version') would destroy carried-forward data on a manifest
+    target — the override must keep referenced versions alive."""
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=64)
+    t.overwrite(_base(spark))
+    v0 = t.current_path()
+    t.merge(spark, _batch(spark))  # live manifest references v0
+    assert t.vacuum() == []  # the UNSAFE base behavior would remove v0
+    assert os.path.isdir(v0)
+    assert t.read(spark).count() == t.num_rows() > 0
