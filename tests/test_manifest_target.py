@@ -154,3 +154,42 @@ def test_base_vacuum_is_safe_on_manifest_target(spark, tmp_path):
     assert t.vacuum() == []  # the UNSAFE base behavior would remove v0
     assert os.path.isdir(v0)
     assert t.read(spark).count() == t.num_rows() > 0
+
+
+def test_random_merge_sequence_matches_model(spark, tmp_path):
+    """Five randomized CDC batches (upserts + deletes, fixed seed)
+    applied through the manifest merge must equal a plain dict model —
+    the sequential-consistency check across version chains, GC, and
+    carried references."""
+    import random
+
+    rng = random.Random(42)
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+    model: dict[int, tuple] = {}
+
+    base_rows = [(k, k * 2, float(k)) for k in range(200)]
+    model.update({k: (k, k * 2, float(k)) for k, *_ in [(r[0],) for r in base_rows]})
+    model = {r[0]: r for r in base_rows}
+    t.overwrite(
+        spark.createDataFrame(base_rows, "RecId long, SysRowVersion long, amount double")
+    )
+
+    for step in range(5):
+        ups = {
+            k: (k, 10_000 + step * 100 + k, rng.random())
+            for k in rng.sample(range(400), 12)
+        }
+        dead = set(rng.sample(range(250), 6))
+        up_df = spark.createDataFrame(
+            list(ups.values()), "RecId long, SysRowVersion long, amount double"
+        )
+        dead_df = spark.createDataFrame([(k,) for k in dead], "RecId long")
+        t.merge(spark, up_df, doomed_keys=dead_df)
+        for k in dead:
+            model.pop(k, None)
+        model.update(ups)  # upsert wins over a same-batch delete
+
+    got = sorted(map(tuple, t.read(spark).collect()))
+    want = sorted(model.values())
+    assert got == want
+    assert t.num_rows() == len(want)
