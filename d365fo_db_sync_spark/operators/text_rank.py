@@ -1,0 +1,150 @@
+"""Corpus relevance ranking: TF-IDF / BM25 over the `documents` table.
+
+A training-data pipeline needs keyword relevance for targeted corpus
+slicing (pull the docs about X for a domain mixture, rank candidates
+for inspection, build weak labels). Classic BM25 (Robertson/Sparck
+Jones probabilistic relevance framework — public literature) maps onto
+Spark as TWO corpus passes and ZERO wide shuffles:
+
+1. **stats pass** — one scalar aggregate row: corpus size ``N``, total
+   document length (for ``avgdl``), and per-query-term document
+   frequencies ``df(t)``. Per-term tf columns are pure map-side
+   expressions (``size(filter(tokens, t = term))``), so the DF counts
+   ride the same partial-aggregate reduction as ``count(*)`` — the
+   shuffle ships ONE row per partition.
+2. **score pass** — the 1-row stats frame is broadcast (crossJoin) and
+   every document scores map-side:
+   ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+   with ``idf(t) = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+At 100 TB the stats pass amortizes: corpus-level ``N``/``avgdl``/``df``
+live in a maintained sidecar (the same discipline as the IVF centroid
+sidecar in operators/similarity.py), so steady-state queries are the
+map-side score pass plus a TakeOrderedAndProject top-k — no shuffle at
+all. Everything is JVM codegen; no Python in the hot path.
+
+``avgdl`` is exposed as exact-integer ``SUM(dl)`` divided once in
+double precision, so an ANSI-SQL oracle reproduces the score
+bit-for-bit (modulo a final 6 dp display round, which both engines
+apply to the same double).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import text
+
+
+def _tf(term: str) -> Column:
+    # token-equality count, not substring: size(filter(toks, x = term));
+    # single-arg lambda — a second parameter would make PySpark bind the
+    # (element, index) filter variant
+    return F.size(F.filter(F.col("toks"), lambda t: t == F.lit(term)))
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against a bag of query terms with BM25.
+
+    Returns (id_col, dl, bm25) for documents matching at least one
+    term. ``bm25`` is the raw double — callers round for display. The
+    plan is: map-side tf columns -> one scalar-row aggregate ->
+    broadcast stats -> map-side score; the corpus is never shuffled.
+    """
+    if not terms:
+        raise ValueError("bm25_score needs at least one query term")
+    base = (
+        docs.select(F.col(id_col), text.tokens(text_col).alias("toks"))
+        .withColumn("dl", F.size("toks"))
+        .withColumns({f"tf_{i}": _tf(t) for i, t in enumerate(terms)})
+        .drop("toks")
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # 1-row stats frame broadcast over the corpus: the scale-correct
+    # shape (the alternative — collecting to the driver — would make
+    # the builder eager and put a Python float in the score path)
+    joined = base.join(F.broadcast(stats), F.lit(True))
+    # exact-integer sum / count, ONE double division — oracle-reproducible
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = 1.0 - b + b * (F.col("dl").cast("double") / avgdl)
+    score = F.lit(0.0)
+    matched = F.lit(False)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs").cast("double") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        score = score + idf * (tf * (k1 + 1.0)) / (tf + k1 * norm)
+        matched = matched | (F.col(f"tf_{i}") > 0)
+    return joined.filter(matched).select(
+        F.col(id_col), F.col("dl"), score.alias("bm25")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 documents — orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heap + single merge), never a
+    global sort. Ties break on the id column for determinism."""
+    id_col = kwargs.get("id_col", "doc_id")
+    scored = bm25_score(docs, terms, **kwargs)
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    vocab: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense TF-IDF vectors over a FIXED vocabulary (the corpus-slicing
+    / weak-labeling shape: vocab is curated and small, documents are the
+    100 TB side). Returns (id_col, tfidf array<double>) with
+    ``tf·ln(1 + N/df)`` weights; same two-pass zero-wide-shuffle plan
+    as :func:`bm25_score`."""
+    if not vocab:
+        raise ValueError("tfidf_vectors needs a non-empty vocabulary")
+    base = (
+        docs.select(F.col(id_col), text.tokens(text_col).alias("toks"))
+        .withColumns({f"tf_{i}": _tf(t) for i, t in enumerate(vocab)})
+        .drop("toks")
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(vocab))
+        ],
+    )
+    joined = base.join(F.broadcast(stats), F.lit(True))
+    weights = [
+        F.col(f"tf_{i}").cast("double")
+        * F.log(
+            1.0 + F.col("n_docs").cast("double") / F.greatest(F.col(f"df_{i}"), F.lit(1))
+        )
+        for i in range(len(vocab))
+    ]
+    return joined.select(F.col(id_col), F.array(*weights).alias("tfidf"))

@@ -1017,3 +1017,70 @@ def similarity_cosine_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce_np(
         emb, queries, k=5, id_col="vec_id", query_id_col="query_id"
     ).select("query_id", "rnk", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+
+
+_BM25_TERMS = ("spark", "merge", "vector", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle() -> str:
+    """Generate the DuckDB oracle from the SAME term list the engine
+    scores, mirroring the operator's float-op ordering exactly (left-
+    assoc sum from 0.0; (1-b) folded to a literal; exact-integer sums
+    divided once in double). Every numeric literal is spelled in
+    scientific notation so DuckDB parses DOUBLE, not DECIMAL — decimal
+    arithmetic would diverge from the engine's IEEE doubles."""
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    one_minus_b = repr(1.0 - _BM25_B)
+    k1p1 = repr(_BM25_K1 + 1.0)
+    norm = (
+        f"({one_minus_b}e0 + {_BM25_B}e0 * "
+        "(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    )
+    score = "0.0e0"
+    for i in range(len(_BM25_TERMS)):
+        idf = (
+            f"ln(1.0e0 + (CAST(n_docs AS DOUBLE) - df_{i} + 0.5e0)"
+            f" / (df_{i} + 0.5e0))"
+        )
+        score = (
+            f"({score} + {idf} * (CAST(tf_{i} AS DOUBLE) * {k1p1}e0)"
+            f" / (CAST(tf_{i} AS DOUBLE) + {_BM25_K1}e0 * {norm}))"
+        )
+    matched = " OR ".join(f"tf_{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    b AS (SELECT doc_id, len(toks) AS dl,
+           {tf_cols}
+          FROM t),
+    s AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+           {df_cols}
+          FROM b)
+    SELECT doc_id, dl, ROUND({score}, 6) AS bm25
+    FROM b, s
+    WHERE {matched}
+    """
+
+
+@register("text_bm25_relevance", oracle=_bm25_oracle(), bench=True)
+def text_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (operators/text_rank.py) — the corpus-slicing / weak-labeling
+    primitive of a training-data pipeline. The plan is two corpus
+    passes and zero wide shuffles: map-side per-term tf columns ride a
+    single-row partial aggregate (N, Σdl, per-term df), the stats row
+    broadcasts back over the corpus, and every document scores inside
+    whole-stage codegen. The oracle reproduces the identical IEEE
+    float-op sequence; both engines round the final double to 6 dp."""
+    from d365fo_db_sync_spark.operators import text_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_rank.bm25_score(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    return scored.select("doc_id", "dl", F.round("bm25", 6).alias("bm25"))

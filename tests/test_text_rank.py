@@ -1,0 +1,86 @@
+"""BM25 / TF-IDF ranking contracts (operators/text_rank.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import text_rank
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark spark spark merge"),
+        (2, "spark merge"),
+        (3, "merge merge merge merge merge merge"),
+        (4, "stream table scan"),
+        (5, "vector"),
+        (6, "table scan filter join"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_reference(corpus: dict[int, list[str]], terms, k1=1.2, b=0.75):
+    """Plain-Python BM25 for cross-checking the distributed plan."""
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df = {t: sum(1 for toks in corpus.values() if t in toks) for t in terms}
+    out = {}
+    for doc, toks in corpus.items():
+        s = 0.0
+        hit = False
+        for t in terms:
+            tf = toks.count(t)
+            hit = hit or tf > 0
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(toks) / avgdl))
+        if hit:
+            out[doc] = s
+    return out
+
+
+def test_bm25_matches_reference(docs):
+    terms = ("spark", "merge", "vector")
+    got = {
+        r["doc_id"]: r["bm25"] for r in text_rank.bm25_score(docs, terms).collect()
+    }
+    corpus = {
+        r["doc_id"]: r["text"].split() for r in docs.collect()
+    }
+    want = _bm25_reference(corpus, terms)
+    assert set(got) == set(want)
+    for doc in want:
+        assert got[doc] == pytest.approx(want[doc], rel=1e-12)
+
+
+def test_bm25_topk_order(docs):
+    top = text_rank.bm25_topk(docs, ("spark",), k=2).collect()
+    # doc 1 has tf=3, doc 2 tf=1: saturation keeps 1 above 2
+    assert [r["doc_id"] for r in top] == [1, 2]
+    assert top[0]["bm25"] > top[1]["bm25"]
+
+
+def test_bm25_requires_terms(docs):
+    with pytest.raises(ValueError):
+        text_rank.bm25_score(docs, ())
+
+
+def test_tfidf_vectors_shape_and_zeroes(docs):
+    vocab = ("spark", "absentterm")
+    rows = {r["doc_id"]: r["tfidf"] for r in text_rank.tfidf_vectors(docs, vocab).collect()}
+    assert all(len(v) == 2 for v in rows.values())
+    # absent term contributes 0 weight everywhere (tf=0)
+    assert all(v[1] == 0.0 for v in rows.values())
+    # tf scaling: doc 1 (tf=3) weight is 3x doc 2 (tf=1)
+    assert rows[1][0] == pytest.approx(3 * rows[2][0], rel=1e-12)
+    assert rows[4][0] == 0.0
+
+
+def test_bm25_stats_row_is_broadcast(docs):
+    plan = text_rank.bm25_score(docs, ("spark",))._jdf.queryExecution().executedPlan().toString()
+    # the 1-row stats frame must be the broadcast side; a shuffled join
+    # here would re-shuffle the whole corpus at scale
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
