@@ -555,3 +555,99 @@ def _probe_cells(
             F.transform(F.slice(F.array_sort(dist_structs), 1, n_probes), lambda s: s["cell"])
         ).alias("cell"),
     )
+
+
+def cosine_pairs_kmeans(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Within-cell cosine pairs (id_a < id_b, cosine >= threshold) over a
+    k-means-partitioned corpus — the candidate generator of SemDeDup-style
+    semantic dedup (Abbas et al. 2023, arXiv:2303.09540 — public paper).
+
+    Each cell's pairwise similarity runs as ONE numpy GEMM inside
+    ``applyInPandas`` (Arrow batches, no per-row Python): the corpus
+    shuffles once on the cell id and nothing else moves. Near-duplicate
+    embeddings land in the same cell with high probability because they
+    are near the same centroid; cross-cell pairs are the recall loss the
+    method trades for never running all-pairs — with n_lists=1 the
+    operator IS the exact O(n^2) baseline (the equivalence anchor in
+    tests/test_similarity_semdedup.py). At 100 TB, pick n_lists so the
+    average cell (corpus/n_lists rows x dim floats) fits an executor's
+    memory; the GEMM is O(cell^2 * dim) but vectorized.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
+        m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[iu, ju][keep]})
+
+    return assigned.select(cell_col, id_col, vec_col).groupBy(cell_col).applyInPandas(
+        pairs_in_cell, schema
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup: cluster embeddings with k-means, find within-cluster
+    cosine near-duplicates, resolve them into connected components, and
+    keep the minimum id per component. Returns (id, cluster_id,
+    is_survivor) over the FULL corpus — ``df.join(result.filter
+    ("is_survivor"), id)`` is the semantically deduplicated set.
+
+    Plan shape: sampled k-means fit, one map-only assignment pass
+    (broadcast centroids), one shuffle on the cell id for the per-cell
+    GEMM, star-contraction on the (tiny) pair set, and a final label
+    join that broadcasts because the paired-node map is tiny next to
+    the corpus."""
+    from d365fo_db_sync_spark.operators import graph
+
+    if n_lists < 2:
+        # degenerate single-cell case = the exact O(n^2) baseline
+        # (Spark ML KMeans requires k >= 2, and there is nothing to fit)
+        assigned = df.select(id_col, vec_col).withColumn("cell", F.lit(0))
+    else:
+        assigned, _model = ivf_index(
+            df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    pairs = cosine_pairs_kmeans(
+        assigned, threshold, id_col=id_col, vec_col=vec_col
+    )
+    return graph.near_dup_clusters(
+        df, pairs, id_col=id_col, a_col="id_a", b_col="id_b"
+    )

@@ -1084,3 +1084,23 @@ def text_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = text_rank.bm25_score(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
     return scored.select("doc_id", "dl", F.round("bm25", 6).alias("bm25"))
+
+
+@register("similarity_semantic_dedup", oracle=None)
+def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings corpus
+    (operators/similarity.semantic_dedup, after Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells -> per-cell numpy-GEMM cosine
+    pairs -> star-contraction components -> keep-min survivors.
+    Rows-only: k-means training is iterative float optimization no
+    ANSI-SQL oracle can reproduce; the semantic contract is pinned by
+    tests/test_similarity_semdedup.py (single-cell == exact O(n^2)
+    baseline, subset/threshold/survivor properties, idempotency)."""
+    from d365fo_db_sync_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = sim.semantic_dedup(emb, threshold=0.4, n_lists=8)
+    return res.groupBy("is_survivor").agg(
+        F.count("*").alias("n_vecs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
