@@ -388,6 +388,7 @@ def ingest_batch(
     index: "object",
     id_col: str = "doc_id",
     fp_col: str = "fp",
+    bloom: "object | None" = None,
 ) -> DataFrame:
     """Incremental exact dedup for CONTINUOUS corpus ingestion: return
     the batch rows whose fingerprint is new to the persisted index, and
@@ -406,6 +407,16 @@ def ingest_batch(
     * replaying the same batch is a metadata no-op: zero novel rows ->
       ``merge`` sees no affected buckets and never stages a version.
 
+    With ``bloom`` (an :class:`operators.bloom.BloomFilter` covering —
+    as a SUPERSET — every fingerprint in the index), rows the bloom
+    rejects skip the index probe and the anti-join entirely: in the
+    common crawl-ingestion regime where most documents are novel, the
+    membership join shrinks to the bloom's false-positive sliver and
+    the probe's key frame (hence its bucket read set) shrinks with it.
+    The caller owns bloom lifecycle: fold the returned novel rows in
+    with ``bloom.update`` after each batch (staleness in the superset
+    direction is safe; missing index keys is not).
+
     Returns the novel rows (first occurrence per new fingerprint, by
     lowest ``id_col``).
     """
@@ -413,8 +424,20 @@ def ingest_batch(
     if not index.exists():
         index.overwrite(batch_unique.select(fp_col, id_col))
         return batch_unique
-    known = index.probe(spark, batch_unique.select(fp_col))
-    novel = batch_unique.join(known.select(fp_col), on=fp_col, how="left_anti")
+    if bloom is not None:
+        from d365fo_db_sync_spark.operators import bloom as bloom_mod
+
+        hit = bloom_mod.might_contain(bloom, fp_col)
+        maybe = batch_unique.filter(hit)
+        known = index.probe(spark, maybe.select(fp_col))
+        # definitely-new rows bypass the join; the two branches reuse
+        # batch_unique's dedup exchange (ReusedExchange in the plan)
+        novel = batch_unique.filter(~hit).unionByName(
+            maybe.join(known.select(fp_col), on=fp_col, how="left_anti")
+        )
+    else:
+        known = index.probe(spark, batch_unique.select(fp_col))
+        novel = batch_unique.join(known.select(fp_col), on=fp_col, how="left_anti")
     # materialize BEFORE the merge: the anti-join's lineage reads the
     # index version that existed at probe time, which the merge below
     # garbage-collects after its pointer swap — a lazy recompute of
