@@ -61,11 +61,28 @@ class ParquetTarget:
     def exists(self) -> bool:
         return self.current_path() is not None
 
+    SCHEMA_SIDECAR = "_schema.json"
+
     def read(self, spark: SparkSession) -> DataFrame:
         path = self.current_path()
         if path is None:
             raise FileNotFoundError(f"no live version under {self.root}")
         schema = self._schema_cache.get(path)
+        if schema is None:
+            # a version published by an evolve_schema merge holds files
+            # of MIXED schemas (carried-forward buckets keep their old
+            # footers); the sidecar pins the unified schema so the read
+            # is deterministic — absent columns in old files surface as
+            # NULL, exactly the evolution semantics the merge promised
+            sidecar = os.path.join(path, self.SCHEMA_SIDECAR)
+            if os.path.exists(sidecar):
+                import json
+
+                from pyspark.sql.types import StructType
+
+                with open(sidecar, encoding="utf-8") as f:
+                    schema = StructType.fromJson(json.load(f))
+                self._schema_cache = {path: schema}
         if schema is not None:
             return spark.read.schema(schema).parquet(path)
         df = spark.read.parquet(path)
@@ -338,6 +355,41 @@ def write_bucketed(
     )
 
 
+def _align_for_evolution(survivors: DataFrame, upserts: DataFrame):
+    """Column-align two frames for a schema-evolving union: the result
+    carries the UNION of columns (survivor order first, then new
+    columns in upsert order), with NULL backfill on whichever side
+    lacks a column — new columns are NULL for history, dropped columns
+    are NULL for new rows and never lose their history. A same-name
+    column with a different type raises: silent type coercion is how
+    lakes corrupt — type changes are a caller-driven migration, not an
+    evolution. Mirrors the reference's schema-intersection discipline
+    (SchemaService.cs) extended to retention semantics on the sink."""
+    from pyspark.sql import functions as F
+
+    s_types = {f.name: f.dataType for f in survivors.schema.fields}
+    u_types = {f.name: f.dataType for f in upserts.schema.fields}
+    conflicts = {
+        c for c in s_types.keys() & u_types.keys() if s_types[c] != u_types[c]
+    }
+    if conflicts:
+        raise ValueError(
+            f"schema evolution cannot change column types: {sorted(conflicts)}"
+        )
+    ordered = list(survivors.columns) + [
+        c for c in upserts.columns if c not in s_types
+    ]
+    s2 = survivors
+    missing_s = {c: t for c, t in u_types.items() if c not in s_types}
+    if missing_s:
+        s2 = s2.withColumns({c: F.lit(None).cast(t) for c, t in missing_s.items()})
+    u2 = upserts
+    missing_u = {c: t for c, t in s_types.items() if c not in u_types}
+    if missing_u:
+        u2 = u2.withColumns({c: F.lit(None).cast(t) for c, t in missing_u.items()})
+    return s2.select(ordered), u2.select(ordered)
+
+
 class BucketedParquetTarget(ParquetTarget):
     """ParquetTarget whose rows are hive-partitioned by a hash bucket
     of the sync key — the partial-rewrite merge sink.
@@ -413,11 +465,22 @@ class BucketedParquetTarget(ParquetTarget):
         upserts: DataFrame,
         doomed_keys: DataFrame | None = None,
         replace_keys: bool = True,
+        evolve_schema: bool = False,
     ) -> int:
         """Replace-or-insert ``upserts`` rows and delete ``doomed_keys``
         rows, rewriting ONLY the buckets their keys hash into. Returns
         the number of rewritten buckets. Falls back to a plain
         overwrite when no live version exists.
+
+        ``evolve_schema=True`` admits upserts whose column set differs
+        from the target's: new columns widen the table (NULL for all
+        historical rows — including untouched carried-forward buckets,
+        whose old-schema files are read through the published unified
+        schema sidecar), and columns missing from the upserts stay,
+        NULL-filled for the new rows. Type changes always raise. The
+        default (False) keeps the strict contract: any column drift is
+        an error, which is what a sync pipeline wants unless a schema
+        migration is explicitly in flight.
 
         Crash contract matches ParquetTarget.overwrite: everything
         stages into a fresh version directory and the pointer swap is
@@ -459,7 +522,10 @@ class BucketedParquetTarget(ParquetTarget):
             survivors = window.join(changed, on=self.key, how="left_anti")
         else:
             survivors = window
-        new_rows = survivors.unionByName(self._with_bucket(upserts), allowMissingColumns=False)
+        up = self._with_bucket(upserts)
+        if evolve_schema:
+            survivors, up = _align_for_evolution(survivors, up)
+        new_rows = survivors.unionByName(up, allowMissingColumns=False)
 
         name = f"v_{_uuid.uuid4().hex[:12]}"
         staged = os.path.join(self.root, name)
@@ -469,6 +535,14 @@ class BucketedParquetTarget(ParquetTarget):
             .partitionBy(self.BUCKET_COL)
             .parquet(staged)
         )
+        # publish the unified schema: carried-forward buckets keep old
+        # footers, so without this pin a later read's schema would
+        # depend on which file Spark sampled. Written on EVERY merge —
+        # once a table has ever evolved, the pin must persist.
+        import json as _json
+
+        with open(os.path.join(staged, self.SCHEMA_SIDECAR), "w", encoding="utf-8") as f:
+            _json.dump(new_rows.schema.jsonValue(), f)
         # carry untouched buckets forward as hardlinks: metadata-only
         old = self.current_path()
         affected_dirs = {f"{self.BUCKET_COL}={b}" for b in affected}
@@ -640,6 +714,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         upserts: DataFrame,
         doomed_keys: DataFrame | None = None,
         replace_keys: bool = True,
+        evolve_schema: bool = False,
     ) -> int:
         from pyspark.sql import functions as F
 
@@ -668,9 +743,14 @@ class ManifestParquetTarget(BucketedParquetTarget):
             survivors = window.join(changed, on=self.key, how="left_anti")
         else:
             survivors = window
-        new_rows = survivors.unionByName(
-            self._with_bucket(upserts), allowMissingColumns=False
-        )
+        up = self._with_bucket(upserts)
+        if evolve_schema:
+            # carried-forward buckets need no rewrite: the manifest's
+            # published schema (derived from the merged frame below)
+            # widens, and _read_files' explicit-schema read surfaces
+            # absent columns in old files as NULL
+            survivors, up = _align_for_evolution(survivors, up)
+        new_rows = survivors.unionByName(up, allowMissingColumns=False)
         carried = {
             b: fs for b, fs in m["buckets"].items() if b not in set(affected)
         }
