@@ -212,6 +212,7 @@ class Orchestrator:
                     # -truncate flag and System strategy force full refresh
                     force_truncate=plan.strategy.use_truncate
                     or plan.strategy.type == StrategyType.SYSTEM,
+                    evolve_schema=plan.strategy.evolve,
                 )
                 plan.status = "Completed"
             except Exception as e:  # noqa: BLE001 — per-table fault containment (R11)

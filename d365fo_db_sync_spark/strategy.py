@@ -9,6 +9,7 @@ Grammar (ParseStrategyLine, CopyOrchestrator.cs:1691-1801):
     any of the above + " -truncate"        -> force full-refresh mode
     + " -buckets N" (engine ext.)          -> partial-rewrite bucketed sink
     + " -buckets N -manifest" (engine ext.)-> object-store manifest sink
+    + " -evolve" (engine ext.)             -> widen-and-retain schema drift
 
 SQL templates must contain ``*`` (expanded to the copyable field list)
 and may use ``@recordCount`` and ``@sysRowVersionFilter`` — the latter is
@@ -52,6 +53,10 @@ class Strategy:
     #: manifest sink (sinks.ManifestParquetTarget) — carry-forward by
     #: manifest reference instead of hardlinks
     manifest: bool = False
+    #: engine extension: admit source schema drift — the target widens
+    #: and retains (NULL backfill) instead of erroring on new/dropped
+    #: columns (sinks merge evolve_schema / SyncEngine rewrite align)
+    evolve: bool = False
 
 
 class StrategyParseError(ValueError):
@@ -73,9 +78,11 @@ def parse_strategy_line(line: str) -> Strategy:
     use_truncate = False
     buckets: int | None = None
     manifest = False
+    evolve = False
     # trailing flags, any order: " -truncate" (reference), " -buckets N"
     # (engine extension — partial-rewrite target), " -manifest" (engine
-    # extension — object-store manifest carry-forward; requires -buckets)
+    # extension — object-store manifest carry-forward; requires -buckets),
+    # " -evolve" (engine extension — widen-and-retain schema drift)
     while True:
         m = re.search(r"\s+-truncate$", working, re.IGNORECASE)
         if m:
@@ -94,6 +101,11 @@ def parse_strategy_line(line: str) -> Strategy:
             manifest = True
             working = working[: m.start()].strip()
             continue
+        m = re.search(r"\s+-evolve$", working, re.IGNORECASE)
+        if m:
+            evolve = True
+            working = working[: m.start()].strip()
+            continue
         break
     if manifest and buckets is None:
         raise StrategyParseError("Invalid format: -manifest requires -buckets N")
@@ -104,11 +116,11 @@ def parse_strategy_line(line: str) -> Strategy:
     table = parts[0].strip()
 
     if len(parts) == 1:
-        return Strategy(table=table, use_truncate=use_truncate, buckets=buckets, manifest=manifest)
+        return Strategy(table=table, use_truncate=use_truncate, buckets=buckets, manifest=manifest, evolve=evolve)
 
     part1 = parts[1].strip()
     if part1.lower().startswith("sql:"):
-        return _parse_sql(table, part1, None, use_truncate, buckets, manifest)
+        return _parse_sql(table, part1, None, use_truncate, buckets, manifest, evolve)
 
     count = try_parse_record_count(part1)
     if count is not None:
@@ -117,9 +129,9 @@ def parse_strategy_line(line: str) -> Strategy:
         if len(parts) >= 3:
             part2 = parts[2].strip()
             if part2.lower().startswith("sql:"):
-                return _parse_sql(table, part2, count, use_truncate, buckets, manifest)
+                return _parse_sql(table, part2, count, use_truncate, buckets, manifest, evolve)
             raise StrategyParseError(f"Invalid format: unexpected '{part2}' after record count")
-        return Strategy(table=table, record_count=count, use_truncate=use_truncate, buckets=buckets, manifest=manifest)
+        return Strategy(table=table, record_count=count, use_truncate=use_truncate, buckets=buckets, manifest=manifest, evolve=evolve)
 
     raise StrategyParseError(
         f"Invalid format: '{part1}' is not a valid strategy (expected number or 'sql:...')"
@@ -133,6 +145,7 @@ def _parse_sql(
     use_truncate: bool,
     buckets: int | None = None,
     manifest: bool = False,
+    evolve: bool = False,
 ) -> Strategy:
     sql = sql_part[4:].strip()
     if not sql:
@@ -147,6 +160,7 @@ def _parse_sql(
         use_truncate=use_truncate,
         buckets=buckets,
         manifest=manifest,
+        evolve=evolve,
     )
 
 

@@ -92,6 +92,7 @@ class SyncEngine:
         target: ParquetTarget,
         fetcher=None,
         force_truncate: bool = False,
+        evolve_schema: bool = False,
     ) -> SyncReport:
         """Make the last N source rows (by key) identical in the target —
         the reference's core promise (README.md:9). Routes to the
@@ -102,7 +103,10 @@ class SyncEngine:
         built from config. ``force_truncate`` is the strategy DSL's
         ``-truncate`` flag / System mode: full refresh, no delta compare
         (ProcessTableStandardModeAsync truncate branch,
-        CopyOrchestrator.cs:1281-1450)."""
+        CopyOrchestrator.cs:1281-1450). ``evolve_schema`` admits source
+        column drift mid-stream: the target widens-and-retains (new
+        columns NULL-backfill history, dropped columns keep history) on
+        every write path — the strategy DSL's ``-evolve`` flag."""
         t0 = time.time()
         cfg = self.config
         if fetcher is None:
@@ -125,9 +129,13 @@ class SyncEngine:
             and state.src_ts is not None
             and target.exists()
         ):
-            report = self._sync_optimized(name, source, target, state, fetcher)
+            report = self._sync_optimized(
+                name, source, target, state, fetcher, evolve_schema=evolve_schema
+            )
         else:
-            report = self._sync_standard(name, source, target, fetcher)
+            report = self._sync_standard(
+                name, source, target, fetcher, evolve_schema=evolve_schema
+            )
         report.duration_sec = time.time() - t0
         return report
 
@@ -152,7 +160,13 @@ class SyncEngine:
     #: true DELETE their key from the target instead of upserting
     TOMBSTONE_COL = "__deleted"
 
-    def merge_upsert(self, name: str, batch: DataFrame, target: ParquetTarget) -> SyncReport:
+    def merge_upsert(
+        self,
+        name: str,
+        batch: DataFrame,
+        target: ParquetTarget,
+        evolve_schema: bool = False,
+    ) -> SyncReport:
         """Delta-batch merge: replace-or-insert by key; delete keys whose
         rows carry a true ``__deleted`` tombstone marker.
 
@@ -200,14 +214,14 @@ class SyncEngine:
                 if tomb in batch.columns
                 else batch.limit(0).select(key)
             )
-            target.merge(self.spark, upserts, tombstoned)
+            target.merge(self.spark, upserts, tombstoned, evolve_schema=evolve_schema)
             self._commit_state(name, row["max_key"], row["max_ver"])
         else:
             if target.exists():
                 tgt_df = target.read(self.spark)
                 doomed = batch.select(key)  # upsert keys ∪ tombstoned keys
                 survivors = tgt_df.join(doomed, on=key, how="left_anti")
-                new_tgt = survivors.unionByName(upserts.select(*survivors.columns))
+                new_tgt = self._union_for_rewrite(survivors, upserts, evolve_schema)
             else:
                 new_tgt = upserts
             self._swap_and_commit(name, new_tgt, target, row["max_key"], row["max_ver"])
@@ -267,7 +281,13 @@ class SyncEngine:
     # -- optimized path (CopyOrchestrator.cs:812-939) -------------------------
 
     def _sync_optimized(
-        self, name: str, source: DataFrame, target: ParquetTarget, state: TableState, fetcher
+        self,
+        name: str,
+        source: DataFrame,
+        target: ParquetTarget,
+        state: TableState,
+        fetcher,
+        evolve_schema: bool = False,
     ) -> SyncReport:
         cfg = self.config
         key, ver = cfg.key, cfg.version
@@ -371,7 +391,10 @@ class SyncEngine:
             # whole-table write.
             excess = tgt_df.join(control.select(key), on=key, how="left_anti").select(key)
             target.merge(
-                self.spark, fetched, excess.unionByName(changed_keys)
+                self.spark,
+                fetched,
+                excess.unionByName(changed_keys),
+                evolve_schema=evolve_schema,
             )
             self._commit_state(name, max_key, max_ver)
         else:
@@ -382,7 +405,7 @@ class SyncEngine:
             )
             # T5: idempotent insert — only rows whose key is absent post-delete
             inserts = fetched.join(survivors.select(key), on=key, how="left_anti")
-            new_tgt = survivors.unionByName(inserts.select(*survivors.columns))
+            new_tgt = self._union_for_rewrite(survivors, inserts, evolve_schema)
             self._swap_and_commit(name, new_tgt, target, max_key, max_ver)
         # accounting from the fused agg + the written footers: zero extra
         # jobs (previously a full recomputation of inserts + survivors)
@@ -499,7 +522,12 @@ class SyncEngine:
     # -- standard path (CopyOrchestrator.cs:1281-1450) ------------------------
 
     def _sync_standard(
-        self, name: str, source: DataFrame, target: ParquetTarget, fetcher
+        self,
+        name: str,
+        source: DataFrame,
+        target: ParquetTarget,
+        fetcher,
+        evolve_schema: bool = False,
     ) -> SyncReport:
         cfg = self.config
         key, ver = cfg.key, cfg.version
@@ -540,7 +568,7 @@ class SyncEngine:
 
         survivors = tgt_df.join(doomed, on=key, how="left_anti")
         inserts = fetched.join(incoming_keys, on=key, how="left_semi")
-        new_tgt = survivors.unionByName(inserts.select(*survivors.columns))
+        new_tgt = self._union_for_rewrite(survivors, inserts, evolve_schema)
 
         report = SyncReport(table=name, mode=STANDARD, classification=counts)
         report.inserted = counts.get(delta.MODIFIED, 0) + counts.get(delta.NEW, 0)
@@ -553,6 +581,22 @@ class SyncEngine:
         return report
 
     # -- commit machinery -----------------------------------------------------
+
+    @staticmethod
+    def _union_for_rewrite(
+        survivors: DataFrame, inserts: DataFrame, evolve_schema: bool
+    ) -> DataFrame:
+        """Survivors ∪ inserts for the full-rewrite paths. Strict mode
+        projects inserts onto the target's columns (any missing column
+        errors — the pre-evolution contract); evolve mode aligns both
+        sides widen-and-retain (sinks._align_for_evolution), the same
+        semantics the partial-rewrite merge applies bucket-locally."""
+        if not evolve_schema:
+            return survivors.unionByName(inserts.select(*survivors.columns))
+        from d365fo_db_sync_spark.sinks import _align_for_evolution
+
+        s2, u2 = _align_for_evolution(survivors, inserts)
+        return s2.unionByName(u2)
 
     def _overwrite_and_commit(
         self, name: str, df: DataFrame, target: ParquetTarget, max_key, max_ver

@@ -115,3 +115,48 @@ def test_evolution_preserves_partial_rewrite(spark, sink_cls):
     )
     n = t.merge(spark, up, evolve_schema=True)
     assert 1 <= n < 8
+
+
+def test_strategy_dsl_parses_evolve():
+    from d365fo_db_sync_spark.strategy import parse_strategy_line
+
+    s = parse_strategy_line("CUSTTABLE|5000 -buckets 16 -evolve")
+    assert s.evolve and s.buckets == 16 and s.record_count == 5000
+    s2 = parse_strategy_line("SALESLINE|sql:SELECT * FROM S -evolve -truncate")
+    assert s2.evolve and s2.use_truncate
+    s3 = parse_strategy_line("INVENTTABLE|1000")
+    assert not s3.evolve
+
+
+def test_sync_engine_evolves_source_drift(spark):
+    """End-to-end: a source that grows a column mid-stream syncs through
+    SyncEngine with evolve_schema — history NULL-backfills, new rows
+    carry the new column; without the flag the same drift errors."""
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    work = scratch_dir("evo_sync_")
+    store = StateStore(work + "/state.json")
+    engine = SyncEngine(
+        spark, store, SyncConfig(key="RecId", version="Ver", record_count=1000)
+    )
+    t = BucketedParquetTarget(work + "/t", key="RecId", n_buckets=4)
+
+    src1 = spark.range(0, 50).select(
+        F.col("id").alias("RecId"), (F.col("id") + 10).alias("Ver")
+    )
+    engine.sync_table("T", src1, t)
+
+    src2 = spark.range(0, 60).select(
+        F.col("id").alias("RecId"),
+        (F.col("id") + 20).alias("Ver"),
+        F.concat(F.lit("x"), F.col("id")).alias("NewCol"),
+    )
+    with pytest.raises(Exception):
+        engine.sync_table("T", src2, t)
+    report = engine.sync_table("T", src2, t, evolve_schema=True)
+    assert report.mode != "NoChange"
+    out = t.read(spark)
+    assert "NewCol" in out.columns
+    assert out.count() == 60
+    assert out.filter(F.col("NewCol").isNull()).count() < 60  # new rows carry it
