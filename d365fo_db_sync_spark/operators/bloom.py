@@ -120,3 +120,42 @@ def might_contain(bloom: BloomFilter, col: Column | str) -> Column:
         bit = _one_shl((pos % 64).cast("int"))
         out = out & (word.bitwiseAND(bit) != 0)
     return out
+
+
+def save(bloom: BloomFilter, path: str) -> None:
+    """Persist a bloom as a JSON sidecar (atomic tmp+rename — same
+    publish discipline as the sink pointers). A bloom is metadata:
+    m/8 bytes of words, driver-sized by construction."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {"m_bits": bloom.m_bits, "seeds": list(bloom.seeds), "words": list(bloom.words)},
+            f,
+        )
+    os.replace(tmp, path)
+
+
+def load(path: str) -> BloomFilter | None:
+    import json
+
+    try:
+        with open(path, encoding="utf-8") as f:
+            raw = json.load(f)
+    except FileNotFoundError:
+        return None
+    return BloomFilter(
+        m_bits=raw["m_bits"], seeds=tuple(raw["seeds"]), words=tuple(raw["words"])
+    )
+
+
+def empty(m_bits: int = 1 << 17, k: int = 5, seed: int = 42) -> BloomFilter:
+    """The no-keys bloom: every membership test answers 'definitely
+    absent' — the correct state for a not-yet-created index."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    return BloomFilter(
+        m_bits=m_bits, seeds=tuple(seed + i for i in range(k)), words=(0,) * (m_bits // 64)
+    )

@@ -366,20 +366,75 @@ class DedupStreamPipeline:
         id_col: str = "doc_id",
         fp_col: str = "fp",
         on_novel=None,
+        use_bloom: bool = False,
+        bloom_m_bits: int = 1 << 17,
+        bloom_k: int = 5,
     ) -> None:
         self.index = index
         self.checkpoint_dir = checkpoint_dir
         self.id_col = id_col
         self.fp_col = fp_col
         self.on_novel = on_novel
+        #: with use_bloom, a driver-held bloom over the index's
+        #: fingerprints pre-gates every probe (operators/bloom.py) and
+        #: persists as a JSON sidecar next to the index so restarts
+        #: skip the rebuild aggregate. Soundness ordering: the bloom is
+        #: updated with the WHOLE batch's fingerprints and persisted
+        #: BEFORE the index merge — a crash in between leaves a
+        #: superset bloom (more false positives, never a missed
+        #: duplicate); the probe itself uses the pre-update bloom,
+        #: which covers exactly the index contents at probe time.
+        self.use_bloom = use_bloom
+        self.bloom_m_bits = bloom_m_bits
+        self.bloom_k = bloom_k
+        self._bloom = None
+
+    def _bloom_path(self) -> str:
+        import os
+
+        return os.path.join(self.index.root, "_bloom.json")
+
+    def _ensure_bloom(self, spark):
+        from d365fo_db_sync_spark.operators import bloom as bloom_mod
+
+        if self._bloom is not None:
+            return self._bloom
+        loaded = bloom_mod.load(self._bloom_path())
+        if loaded is not None:
+            self._bloom = loaded
+        elif self.index.exists():
+            self._bloom = bloom_mod.build(
+                self.index.read(spark), self.fp_col, m_bits=self.bloom_m_bits, k=self.bloom_k
+            )
+        else:
+            self._bloom = bloom_mod.empty(m_bits=self.bloom_m_bits, k=self.bloom_k)
+        return self._bloom
 
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         from d365fo_db_sync_spark.operators.dedup import ingest_batch
 
+        probe_bloom = None
+        if self.use_bloom:
+            from d365fo_db_sync_spark.operators import bloom as bloom_mod
+
+            probe_bloom = self._ensure_bloom(batch_df.sparkSession)
+            # superset-before-merge: fold the whole batch in and persist
+            # FIRST (see __init__ notes) — then probe with the pre-update
+            # bloom, which mirrors the index at probe time
+            updated = bloom_mod.update(
+                probe_bloom, batch_df.select(self.fp_col), self.fp_col
+            )
+            bloom_mod.save(updated, self._bloom_path())
+            self._bloom = updated
         novel = ingest_batch(
-            batch_df.sparkSession, batch_df, self.index, self.id_col, self.fp_col
+            batch_df.sparkSession,
+            batch_df,
+            self.index,
+            self.id_col,
+            self.fp_col,
+            bloom=probe_bloom,
         )
         if self.on_novel is not None:
             self.on_novel(novel, batch_id)

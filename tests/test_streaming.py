@@ -487,3 +487,56 @@ def test_cdc_file_source_archives_consumed_files(spark, tmp_path):
             break
         _time.sleep(0.5)
     assert archived, "consumed staging file was not archived"
+
+
+def test_dedup_stream_with_bloom_matches_plain(spark, tmp_path):
+    """The bloom-gated pipeline must converge the index and report the
+    same novel sets as the plain pipeline, persist its sidecar next to
+    the index, and keep the sidecar a SUPERSET of the index's
+    fingerprints (the soundness contract) across restarts."""
+    import os as _os
+
+    from d365fo_db_sync_spark.operators import bloom as bloom_mod
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.streaming import DedupStreamPipeline
+
+    src_dir = str(tmp_path / "docs_in")
+    _os.makedirs(src_dir)
+    schema = "doc_id long, fp string, text string"
+    idx = BucketedParquetTarget(str(tmp_path / "idx"), key="fp", n_buckets=8)
+    seen: dict[int, set[int]] = {}
+
+    def on_novel(df, batch_id):
+        seen.setdefault(batch_id, set()).update(r["doc_id"] for r in df.collect())
+
+    pipe = DedupStreamPipeline(
+        idx, str(tmp_path / "ckpt"), on_novel=on_novel, use_bloom=True,
+        bloom_m_bits=1 << 12,
+    )
+
+    b1 = spark.createDataFrame([(1, "a", "x"), (2, "b", "y"), (3, "a", "x")], schema)
+    b1.write.mode("append").parquet(src_dir)
+    q = pipe.start(spark.readStream.schema(b1.schema).parquet(src_dir))
+    q.awaitTermination(120)
+
+    # restart with a FRESH pipeline object: the bloom must come back
+    # from the sidecar, not driver memory
+    pipe2 = DedupStreamPipeline(
+        idx, str(tmp_path / "ckpt"), on_novel=on_novel, use_bloom=True,
+        bloom_m_bits=1 << 12,
+    )
+    b2 = spark.createDataFrame([(10, "b", "y"), (11, "c", "z")], schema)
+    b2.write.mode("append").parquet(src_dir)
+    q2 = pipe2.start(spark.readStream.schema(b1.schema).parquet(src_dir))
+    q2.awaitTermination(120)
+
+    novel_all = set().union(*seen.values())
+    assert novel_all == {1, 2, 11}
+    assert {(r["fp"], r["doc_id"]) for r in idx.read(spark).collect()} == {
+        ("a", 1), ("b", 2), ("c", 11),
+    }
+    # sidecar exists and is a superset of the index fingerprints
+    bf = bloom_mod.load(str(tmp_path / "idx" / "_bloom.json"))
+    assert bf is not None
+    hits = idx.read(spark).filter(bloom_mod.might_contain(bf, "fp")).count()
+    assert hits == 3  # zero false negatives over the whole index
