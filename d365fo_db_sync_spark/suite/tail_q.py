@@ -1104,3 +1104,45 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
     )
+
+
+@register(
+    "text_corpus_length_stats",
+    oracle=f"""
+    WITH t AS (SELECT source, len({_TOKS_SQL}) AS dl, n_chars FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(MIN(dl) AS BIGINT) AS min_dl,
+           CAST(MAX(dl) AS BIGINT) AS max_dl,
+           ROUND(quantile_cont(CAST(dl AS DOUBLE), 0.5), 6) AS p50_dl,
+           ROUND(quantile_cont(CAST(dl AS DOUBLE), 0.9), 6) AS p90_dl,
+           ROUND(quantile_cont(CAST(dl AS DOUBLE), 0.99), 6) AS p99_dl,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM t GROUP BY source
+    """,
+)
+def text_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus length distribution — the first report of any
+    corpus audit (mixture sizing, outlier gates, packing-budget
+    choice). One map-side tokenize + one partial-agg shuffle on the
+    source key; the exact `percentile` is the correctness anchor — at
+    100 TB the same query swaps in `approx_percentile` (t-digest, the
+    documented approx_distinct discipline) because exact percentiles
+    need a per-group sort. Spark's exact percentile and DuckDB's
+    quantile_cont share linear interpolation on the sorted values, so
+    the doubles agree to the shared 6 dp round."""
+    from d365fo_db_sync_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", text.token_count("text").alias("dl"), "n_chars"
+    )
+    dl = F.col("dl").cast("double")
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("dl").cast("long").alias("min_dl"),
+        F.max("dl").cast("long").alias("max_dl"),
+        F.round(F.percentile(dl, F.lit(0.5)), 6).alias("p50_dl"),
+        F.round(F.percentile(dl, F.lit(0.9)), 6).alias("p90_dl"),
+        F.round(F.percentile(dl, F.lit(0.99)), 6).alias("p99_dl"),
+        F.sum("n_chars").alias("total_chars"),
+    )
