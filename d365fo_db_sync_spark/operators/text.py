@@ -266,3 +266,60 @@ def compression_ratio(
             yield pdf
 
     return df.mapInPandas(batches, schema)
+
+
+def unigram_vocab(df: DataFrame, text_col: str = "text", top_v: int | None = None):
+    """Corpus unigram counts: (token, cnt) DataFrame plus the total
+    token count — the training pass of the unigram LM quality scorer.
+    One explode + one groupBy shuffle; ``top_v`` keeps the most frequent
+    V tokens (ties break lexicographically for determinism). At corpus
+    scale this is a maintained sidecar, like the BM25/IVF stats."""
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    if top_v is not None:
+        counts = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_v)
+    return counts
+
+
+def unigram_logprob(
+    col: Column | str,
+    vocab: dict[str, int],
+    total: int,
+    floor_logprob: float = -20.0,
+) -> Column:
+    """Mean per-token unigram log-probability under a fixed vocabulary —
+    the classic cheap LM-quality proxy (gibberish and boilerplate score
+    low; KenLM-style scoring without a model artifact). OOV tokens take
+    ``floor_logprob``.
+
+    The vocab rides into the plan as a map literal and the fold is a
+    sequential left-to-right HOF `aggregate` — deterministic float
+    order, reproducible by an oracle that folds the same list the same
+    way. At real scale the literal map becomes a broadcast-join against
+    the vocab sidecar (same scores, one extra broadcast)."""
+    t = tokens(col)
+    if not vocab:
+        raise ValueError("unigram_logprob needs a non-empty vocab")
+    import math
+
+    entries = []
+    for tok in sorted(vocab):
+        entries.append(F.lit(tok))
+        entries.append(F.lit(math.log(vocab[tok] / total)))
+    m = F.create_map(*entries)
+    total_lp = F.aggregate(
+        t,
+        F.lit(0.0),
+        lambda acc, x: acc + F.coalesce(m[x], F.lit(float(floor_logprob))),
+    )
+    return total_lp / F.greatest(F.size(t), F.lit(1))
+
+
+def oov_rate(col: Column | str, vocab: dict[str, int] | list[str]) -> Column:
+    """Fraction of tokens outside a fixed vocabulary — integer-exact
+    (count/count), so the oracle agrees bit-for-bit with no float-fold
+    caveats. High OOV = encoding damage, gibberish, or domain shift."""
+    t = tokens(col)
+    vocab_arr = F.lit(sorted(vocab)).cast("array<string>")
+    in_vocab = F.size(F.filter(t, lambda x: F.array_contains(vocab_arr, x)))
+    return (F.size(t) - in_vocab).cast("double") / F.greatest(F.size(t), F.lit(1))

@@ -1146,3 +1146,63 @@ def text_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(dl, F.lit(0.99)), 6).alias("p99_dl"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_LM_TOP_V = 30
+_LM_FLOOR = -20.0
+
+
+@register(
+    "text_unigram_lm_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    u AS (SELECT unnest(toks) AS tok FROM t),
+    tot AS (SELECT COUNT(*) AS total FROM u),
+    v AS (SELECT tok, COUNT(*) AS cnt FROM u GROUP BY tok
+          ORDER BY cnt DESC, tok LIMIT {_LM_TOP_V}),
+    vm AS (SELECT map(list(tok ORDER BY tok), list(ln(CAST(cnt AS DOUBLE) / total) ORDER BY tok)) AS m
+           FROM v, tot GROUP BY total),
+    scored AS (
+      SELECT doc_id, source,
+             list_sum(list_transform(toks,
+                x -> coalesce(map_extract(m, x)[1], {_LM_FLOOR}e0)))
+               / GREATEST(len(toks), 1) AS mean_lp,
+             CAST(len(list_filter(toks, x -> map_extract(m, x)[1] IS NULL)) AS DOUBLE)
+               / GREATEST(len(toks), 1) AS oov
+      FROM t, vm)
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(ROUND(mean_lp, 6)), 6) AS avg_mean_logprob,
+           ROUND(AVG(ROUND(oov, 6)), 6) AS avg_oov_rate
+    FROM scored GROUP BY source
+    """,
+)
+def text_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring rolled up per source: mean per-token
+    log-probability under the corpus' own top-V vocabulary plus the
+    integer-exact OOV rate (operators/text.unigram_logprob/oov_rate) —
+    the classic cheap LM-quality gate. The vocab 'training' pass is one
+    explode+groupBy (a maintained sidecar at corpus scale); scoring is
+    a map-side sequential HOF fold over each document's token list, the
+    same left-to-right order the oracle's list fold applies. Per-doc
+    scores round to 6 dp BEFORE the rollup average so the final
+    doubles cannot drift past the shared display round."""
+    from d365fo_db_sync_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = text.unigram_vocab(docs, "text")
+    # total over ALL tokens; vocab = top-V (count desc, token asc)
+    total = counts.agg(F.sum("cnt")).first()[0]
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(_LM_TOP_V).collect()
+    vocab = {r["tok"]: r["cnt"] for r in top}
+    scored = docs.select(
+        "source",
+        F.round(text.unigram_logprob("text", vocab, total, _LM_FLOOR), 6).alias(
+            "mean_lp"
+        ),
+        F.round(text.oov_rate("text", vocab), 6).alias("oov"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("mean_lp"), 6).alias("avg_mean_logprob"),
+        F.round(F.avg("oov"), 6).alias("avg_oov_rate"),
+    )
