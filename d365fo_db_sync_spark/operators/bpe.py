@@ -1,0 +1,156 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction.
+
+Training a subword vocabulary ON the corpus is a first-class step of a
+pretraining pipeline (Sennrich et al. 2016, arXiv:1508.07909 — public
+paper). The classic algorithm is inherently iterative — each round
+merges the globally most frequent adjacent symbol pair — and maps onto
+Spark as:
+
+* state = a (word, count) WORD TABLE, not the corpus: BPE statistics
+  factor through word frequencies, so the corpus is touched ONCE
+  (tokenize + groupBy word) and every merge round runs over the
+  distinct-word table (orders of magnitude smaller; Zipf means the
+  head words carry almost all pair mass);
+* each round: explode adjacent symbol pairs weighted by word count →
+  one partial-agg shuffle on the pair → global argmax (a 1-row
+  TakeOrdered, ties broken lexicographically for determinism) → map-
+  side merge of the winning pair inside every word's symbol array
+  (pure column expressions — no Python in the loop);
+* the merged symbol arrays are re-materialized per round with eager
+  localCheckpoint every few rounds — the same lineage-truncation
+  discipline as operators/graph.py (without it, plan depth grows
+  linearly with merges and analysis cost explodes).
+
+At 100 TB the word table for a web corpus is ~10^8 rows (all distinct
+words) — a few GB, comfortably distributed; rounds cost one shuffle
+each, so learning 32k merges is the expensive OFFLINE job it is in any
+framework, run once per tokenizer version. This module exists for the
+pipeline's vocab-induction stage; applying a learned merge table at
+scale is `chunk`/`token_count` territory (operators/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import text
+
+#: end-of-word marker (classic BPE): keeps merges from crossing word
+#: boundaries when the learned vocab is later applied
+EOW = "</w>"
+
+
+def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, syms) — the corpus' distinct-word frequency table
+    with each word pre-split into its initial character symbols (last
+    symbol carries the end-of-word marker). The ONLY pass over the
+    corpus; everything after runs on this table."""
+    words = docs.select(F.explode(text.tokens(text_col)).alias("word"))
+    wt = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    chars = F.split(F.col("word"), "")
+    n = F.size(chars)
+    syms = F.concat(
+        F.slice(chars, 1, n - 1),
+        F.array(F.concat(F.element_at(chars, -1), F.lit(EOW))),
+    )
+    # single-char words: slice(1, 0) is empty, element_at(-1) the char
+    return wt.withColumn("syms", syms)
+
+
+def _pair_counts(wt: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the word table, weighted by word
+    count — posexplode + self-zip (symbols vs their successors), one
+    groupBy shuffle with map-side partial aggregation."""
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        wt.filter(F.size("syms") >= 2)
+        .select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("freq"))
+    )
+
+
+def _merge_pair(syms, a: str, b: str):
+    """Merge every adjacent (a, b) occurrence inside a symbol array —
+    pure column expressions. Left-to-right, non-overlapping (the
+    classic greedy semantics): fold over the array, appending either a
+    merged symbol or the element, tracking whether the previous element
+    was consumed."""
+    # aggregate with state (arr, skip_next) encoded as a struct
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+
+    def step(acc, nxt):
+        out, skip = acc["out"], acc["skip"]
+        prev = F.element_at(out, -1)
+        can_merge = (
+            (~skip)
+            & (F.size(out) > 0)
+            & (prev == F.lit(a))
+            & (nxt == F.lit(b))
+        )
+        merged = F.concat(F.slice(out, 1, F.size(out) - 1), F.array(F.concat(prev, nxt)))
+        return F.struct(
+            F.when(can_merge, merged).otherwise(F.concat(out, F.array(nxt))).alias("out"),
+            can_merge.alias("skip"),
+        )
+
+    return F.aggregate(syms, init, step, lambda acc: acc["out"])
+
+
+def learn_bpe(
+    docs_or_words: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+    is_word_table: bool = False,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, freq)] in
+    merge order. Deterministic: the argmax tie-breaks on (freq desc,
+    a asc, b asc). Stops early when no pair repeats."""
+    wt = docs_or_words if is_word_table else word_table(docs_or_words, text_col)
+    wt = wt.select("cnt", "syms").persist()
+    wt.count()  # materialize before the loop
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(wt)
+            .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["freq"] < 2:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], top[0]["freq"]
+        merges.append((a, b, freq))
+        old = wt
+        wt = old.select("cnt", _merge_pair(F.col("syms"), a, b).alias("syms")).persist()
+        if (i + 1) % checkpoint_every == 0:
+            # truncate lineage: each round nests another fold expression;
+            # without eager checkpoints plan analysis grows superlinearly
+            # (same hazard as graph.connected_components)
+            wt = wt.localCheckpoint(eager=True)
+        else:
+            wt.count()
+        old.unpersist()
+    wt.unpersist()
+    return merges
+
+
+def vocab_from_merges(merges: list[tuple[str, str, int]]) -> list[str]:
+    """The subword units a merge table induces (in creation order)."""
+    return [a + b for a, b, _ in merges]
+
+
+def merge_summary(spark: SparkSession, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Merge table as a DataFrame: (rank, left, right, merged, freq)."""
+    rows = [(i, a, b, a + b, f) for i, (a, b, f) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, freq long"
+    )

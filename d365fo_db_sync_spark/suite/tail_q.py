@@ -1206,3 +1206,20 @@ def text_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mean_lp"), 6).alias("avg_mean_logprob"),
         F.round(F.avg("oov"), 6).alias("avg_oov_rate"),
     )
+
+
+@register("text_bpe_vocab_learn", oracle=None)
+def text_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction over the documents corpus
+    (operators/bpe.py, after Sennrich et al. 2016): one corpus pass
+    builds the distinct-word frequency table; each merge round is one
+    pair-count shuffle + a 1-row argmax + a map-side array fold. Rows-
+    only: the merge loop is an iterative argmax no single SQL statement
+    expresses; the semantics are pinned against a pure-Python reference
+    implementation in tests/test_bpe.py (exact merge-table equality,
+    partitioning-invariance, early stop)."""
+    from d365fo_db_sync_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe(docs, n_merges=10)
+    return bpe.merge_summary(spark, merges)

@@ -1,0 +1,100 @@
+"""Distributed BPE vocabulary induction vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import pytest
+
+from d365fo_db_sync_spark.operators import bpe
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Classic single-machine BPE (Sennrich et al. 2016) with the same
+    determinism contract: argmax ties break (freq desc, a asc, b asc);
+    stop when the best pair's frequency is < 2."""
+    vocab = {
+        tuple(list(w[:-1]) + [w[-1] + bpe.EOW]): c for w, c in word_counts.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (a, b), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if f < 2:
+            break
+        merges.append((a, b, f))
+        merged_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged_vocab[tuple(out)] = merged_vocab.get(tuple(out), 0) + c
+        vocab = merged_vocab
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "new new nest nest lowest",
+]
+
+
+def _word_counts(lines):
+    wc: dict[str, int] = {}
+    for line in lines:
+        for w in line.split():
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([(t,) for t in CORPUS], "text string")
+
+
+def test_learn_bpe_matches_reference(docs):
+    got = bpe.learn_bpe(docs, n_merges=12)
+    want = _ref_bpe(_word_counts(CORPUS), 12)
+    assert got == want
+    assert len(got) >= 8  # the toy corpus supports a real merge chain
+
+
+def test_learn_bpe_deterministic(docs):
+    # re-running on a differently-partitioned copy gives identical merges
+    a = bpe.learn_bpe(docs.repartition(7), n_merges=6)
+    b = bpe.learn_bpe(docs.coalesce(1), n_merges=6)
+    assert a == b
+
+
+def test_learn_bpe_early_stop(spark):
+    # all-unique characters: no pair repeats, so zero merges survive
+    d = spark.createDataFrame([("ab cd",)], "text string")
+    assert bpe.learn_bpe(d, n_merges=5) == []
+
+
+def test_vocab_and_summary(spark, docs):
+    merges = bpe.learn_bpe(docs, n_merges=4)
+    vocab = bpe.vocab_from_merges(merges)
+    assert vocab == [a + b for a, b, _ in merges]
+    df = bpe.merge_summary(spark, merges)
+    rows = df.orderBy("rank").collect()
+    assert [(r["left"], r["right"], r["freq"]) for r in rows] == merges
+    assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_word_table_symbols(spark):
+    wt = bpe.word_table(spark.createDataFrame([("ab a",)], "text string"))
+    syms = {r["word"]: r["syms"] for r in wt.collect()}
+    assert syms["ab"] == ["a", "b" + bpe.EOW]
+    assert syms["a"] == ["a" + bpe.EOW]
