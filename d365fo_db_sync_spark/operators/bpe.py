@@ -24,9 +24,9 @@ Spark as:
 At 100 TB the word table for a web corpus is ~10^8 rows (all distinct
 words) — a few GB, comfortably distributed; rounds cost one shuffle
 each, so learning 32k merges is the expensive OFFLINE job it is in any
-framework, run once per tokenizer version. This module exists for the
-pipeline's vocab-induction stage; applying a learned merge table at
-scale is `chunk`/`token_count` territory (operators/text.py).
+framework, run once per tokenizer version. ``apply_merges`` is the
+encoding side: Arrow-batched rank-greedy BPE with a per-batch word
+cache, pinned equivalent to the trained word-table state.
 """
 
 from __future__ import annotations
@@ -154,3 +154,72 @@ def merge_summary(spark: SparkSession, merges: list[tuple[str, str, int]]) -> Da
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, freq long"
     )
+
+
+def apply_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents with a learned merge table: (id, subwords
+    array<string>, n_subwords). Applying 32k merges is inherently
+    rank-priority iteration per word — not expressible as column
+    expressions — so this is the pipeline's sanctioned Python hot path:
+    `mapInPandas` (Arrow batches), classic rank-greedy BPE encoding with
+    a per-batch word cache (Zipf: a few thousand distinct words cover a
+    batch), no per-row Python round trips. Matches ``learn_bpe``'s
+    training semantics exactly (pinned in tests/test_bpe.py: encoding
+    with the learned table reproduces the trained word table's symbol
+    arrays)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {(a, b): i for i, (a, b, _f) in enumerate(merges)}
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("subwords", ArrayType(StringType())),
+            StructField("n_subwords", IntegerType()),
+        ]
+    )
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word[:-1]) + [word[-1] + EOW] if word else []
+        while len(syms) > 1:
+            best_i, best_rank = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_i, best_rank = i, r
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        cache[word] = syms
+        return syms
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, subs, lens = [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = str(txt).lower().split()
+                out: list[str] = []
+                for w in toks:
+                    out.extend(encode_word(w, cache))
+                ids.append(doc_id)
+                subs.append(out)
+                lens.append(len(out))
+            yield pd.DataFrame({id_col: ids, "subwords": subs, "n_subwords": lens})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)

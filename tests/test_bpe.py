@@ -98,3 +98,74 @@ def test_word_table_symbols(spark):
     syms = {r["word"]: r["syms"] for r in wt.collect()}
     assert syms["ab"] == ["a", "b" + bpe.EOW]
     assert syms["a"] == ["a" + bpe.EOW]
+
+
+def _ref_final_vocab(word_counts: dict[str, int], n_merges: int):
+    """Final symbol arrays after reference training (same loop as
+    _ref_bpe, returning the trained state instead of the merges)."""
+    vocab = {
+        w: tuple(list(w[:-1]) + [w[-1] + bpe.EOW]) for w in word_counts
+    }
+    counts = dict(word_counts)
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + counts[w]
+        if not pairs:
+            break
+        (a, b), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if f < 2:
+            break
+        out_vocab = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            out_vocab[w] = tuple(out)
+        vocab = out_vocab
+    return vocab
+
+
+def test_apply_merges_reproduces_trained_state(spark, docs):
+    """Rank-greedy ENCODING with the learned table must land every word
+    on exactly the symbols TRAINING left it with — the equivalence that
+    makes a BPE vocab portable."""
+    merges = bpe.learn_bpe(docs, n_merges=12)
+    wc = _word_counts(CORPUS)
+    want = _ref_final_vocab(wc, 12)
+    one_word_docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(sorted(wc))], "doc_id long, text string"
+    )
+    enc = bpe.apply_merges(one_word_docs, merges)
+    got = {
+        sorted(wc)[r["doc_id"]]: tuple(r["subwords"]) for r in enc.collect()
+    }
+    assert got == want
+
+
+def test_apply_merges_counts(spark, docs):
+    merges = bpe.learn_bpe(docs, n_merges=8)
+    enc = bpe.apply_merges(docs.selectExpr("monotonically_increasing_id() as doc_id", "text"), merges)
+    rows = enc.collect()
+    assert all(r["n_subwords"] == len(r["subwords"]) for r in rows)
+    assert all(r["n_subwords"] >= len(CORPUS[0].split()) * 0 for r in rows)
+    # every document decodes back to its original text: subwords concat
+    # (dropping the end-of-word markers) == whitespace-joined tokens
+    texts = {r["doc_id"]: r for r in rows}
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in docs.selectExpr(
+            "monotonically_increasing_id() as doc_id", "text"
+        ).collect()
+    }
+    for did, r in texts.items():
+        decoded = "".join(r["subwords"]).replace(bpe.EOW, " ").strip()
+        assert decoded == " ".join(orig[did].lower().split())
