@@ -75,3 +75,44 @@ def schema_diff(src_fields: list[str], tgt_fields: list[str]) -> tuple[list[str]
         [v for k, v in s.items() if k not in t],
         [v for k, v in t.items() if k not in s],
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-level data profile: (column, n_rows, n_nulls, n_distinct,
+    min_str, max_str) — the data-quality sibling of ``discovery_stats``
+    (the reference profiles at table granularity; operations teams
+    profile columns before trusting a sync).
+
+    ONE pass over the table: every column's aggregates compute in the
+    same map-side partial aggregation (count + count(col) + HLL
+    distinct + min/max), and the single wide row unpivots to one row
+    per column with ``stack`` — no per-column jobs, no shuffle beyond
+    the scalar agg. ``n_distinct`` is exact here; at 100 TB swap the
+    `countDistinct` for `approx_count_distinct` (documented HLL
+    discipline) — the plan shape does not change. min/max are cast to
+    string so heterogeneous column types share one output schema (the
+    display shape, like the reference's grid)."""
+    cols = list(cols or df.columns)
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {stack_args}) as (column, n_non_null, n_distinct, min_str, max_str)",
+    ).selectExpr(
+        "column",
+        "n_rows",
+        "cast(n_rows - n_non_null as bigint) as n_nulls",
+        "cast(n_distinct as bigint) as n_distinct",
+        "min_str",
+        "max_str",
+    )

@@ -1223,3 +1223,34 @@ def text_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.learn_bpe(docs, n_merges=10)
     return bpe.merge_summary(spark, merges)
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("catalog_column_profile", oracle=_profile_oracle())
+def catalog_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the orders table
+    (catalog.profile_columns): null counts, exact distincts, min/max —
+    ONE scalar aggregation pass whose wide row unpivots via stack, so
+    profiling N columns costs one job, not N (the approx_count_distinct
+    swap at 100 TB keeps the same plan). Extends the reference's
+    table-granularity discovery stats (S1) downward to columns."""
+    from d365fo_db_sync_spark import catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    prof = catalog.profile_columns(orders, list(_PROFILE_COLS))
+    return prof.withColumnRenamed("column", "col_name")
