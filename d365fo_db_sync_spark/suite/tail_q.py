@@ -1254,3 +1254,46 @@ def catalog_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     prof = catalog.profile_columns(orders, list(_PROFILE_COLS))
     return prof.withColumnRenamed("column", "col_name")
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  CAST(date_trunc('week', e.ts) AS DATE)) / 7)
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    active per subsequent week offset — the classic product-analytics
+    rollup. Plan: one groupBy(user) for cohort assignment, a broadcast-
+    friendly join back (the per-user cohort map is |users| rows — small
+    next to events), one distinct + rollup shuffle. week_offset derives
+    from week-truncated DATES in both engines, so integer parity is
+    exact (no interval/float math)."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = (
+        e.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(wk, F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
