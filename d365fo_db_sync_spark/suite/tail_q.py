@@ -1297,3 +1297,65 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH views AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    converted AS (
+      SELECT v.user_id,
+             MIN(e.ts) AS first_purchase
+      FROM views v JOIN events e
+        ON e.user_id = v.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > v.first_view
+       AND e.ts <= v.first_view + INTERVAL '24 hours'
+      GROUP BY v.user_id)
+    SELECT COUNT(*) AS n_viewers,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN c.first_purchase IS NOT NULL
+                    THEN date_diff('second', v.first_view, c.first_purchase)
+                    ELSE 0 END) AS BIGINT) AS total_secs_to_convert
+    FROM views v LEFT JOIN converted c ON v.user_id = c.user_id
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: view -> purchase within 24 h, per user, rolled
+    up to (viewers, converters, total seconds-to-convert). Two
+    key-partitioned aggregations + one equi-join on user_id — at scale
+    both sides shuffle once on the user key and the rollup is a scalar
+    agg. Latency sums are integer seconds (timestamp difference), so
+    parity is exact."""
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = (
+        views.join(purchases, on="user_id")
+        .filter(
+            (F.col("ts") > F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    per_user = views.join(converted, on="user_id", how="left")
+    return per_user.agg(
+        F.count("*").alias("n_viewers"),
+        F.count("first_purchase").alias("n_converted"),
+        F.sum(
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                # timestampdiff is timezone-independent on TIMESTAMP_NTZ;
+                # unix_timestamp would re-interpret NTZ in session time and
+                # mis-sum across DST transitions
+                F.expr("timestampdiff(SECOND, first_view, first_purchase)"),
+            ).otherwise(F.lit(0))
+        ).alias("total_secs_to_convert"),
+    )
