@@ -1317,7 +1317,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_viewers,
            CAST(COUNT(c.user_id) AS BIGINT) AS n_converted,
            CAST(SUM(CASE WHEN c.first_purchase IS NOT NULL
-                    THEN date_diff('second', v.first_view, c.first_purchase)
+                    THEN CAST(floor(epoch(c.first_purchase - v.first_view)) AS BIGINT)
                     ELSE 0 END) AS BIGINT) AS total_secs_to_convert
     FROM views v LEFT JOIN converted c ON v.user_id = c.user_id
     """,
