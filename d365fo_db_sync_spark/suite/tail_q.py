@@ -1359,3 +1359,30 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("total_secs_to_convert"),
     )
+
+
+@register("pipeline_bpe_packing", oracle=None)
+def pipeline_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-true packing: learn a BPE vocab ON the corpus
+    (operators/bpe.learn_bpe), encode every document with it
+    (apply_merges — Arrow-batched rank-greedy), and pack by the REAL
+    subword counts (operators/packing.pack_sequences) — the pipeline a
+    pretraining run actually executes, where packing budgets are
+    tokenizer tokens, not whitespace tokens. Rows-only: BPE training is
+    iterative argmax; every component is separately pinned (test_bpe
+    reference equality, the packing global-cumsum oracle) and this
+    composition asserts their contract compatibility end-to-end."""
+    from d365fo_db_sync_spark.operators import bpe
+    from d365fo_db_sync_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe(docs, n_merges=8)
+    encoded = bpe.apply_merges(docs, merges)
+    packed = pack_sequences(
+        encoded, F.col("n_subwords"), budget=256, bucket_span=100
+    )
+    return packed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_subwords"),
+        F.max("last_pack").alias("n_packs_minus_1"),
+    )
