@@ -93,17 +93,27 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     string so heterogeneous column types share one output schema (the
     display shape, like the reference's grid)."""
     cols = list(cols or df.columns)
+    # positional internal aliases + escaped label literals: column names
+    # are DATA here (a profiled table can legally have spaces, dots, or
+    # quotes in its names) and must never be spliced into SQL as syntax
+    def ref(c: str):
+        # backtick-quote (with doubling) so dots/spaces/quotes in real
+        # column names resolve as literal names, not nested-field paths
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs: list = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.count(ref(c)).alias(f"__nn_{i}"),
+            F.countDistinct(ref(c)).alias(f"__nd_{i}"),
+            F.min(ref(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(ref(c)).cast("string").alias(f"__mx_{i}"),
         ]
     wide = df.agg(*aggs)
+    labels = {f"__lbl_{i}": F.lit(c) for i, c in enumerate(cols)}
+    wide = wide.withColumns(labels)
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        f"__lbl_{i}, __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}" for i in range(len(cols))
     )
     return wide.selectExpr(
         "__n as n_rows",

@@ -122,23 +122,35 @@ def might_contain(bloom: BloomFilter, col: Column | str) -> Column:
     return out
 
 
-def save(bloom: BloomFilter, path: str) -> None:
+def save(bloom: BloomFilter, path: str, index_version: str | None = None) -> None:
     """Persist a bloom as a JSON sidecar (atomic tmp+rename — same
     publish discipline as the sink pointers). A bloom is metadata:
-    m/8 bytes of words, driver-sized by construction."""
+    m/8 bytes of words, driver-sized by construction.
+
+    ``index_version`` stamps which index version this bloom is known to
+    cover (or the sentinel ``"pending"`` while a merge is in flight);
+    loaders use it to DETECT an index that advanced without bloom
+    maintenance — the staleness that would otherwise silently admit
+    duplicates."""
     import json
     import os
 
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(
-            {"m_bits": bloom.m_bits, "seeds": list(bloom.seeds), "words": list(bloom.words)},
+            {
+                "m_bits": bloom.m_bits,
+                "seeds": list(bloom.seeds),
+                "words": list(bloom.words),
+                "index_version": index_version,
+            },
             f,
         )
     os.replace(tmp, path)
 
 
-def load(path: str) -> BloomFilter | None:
+def load(path: str) -> tuple[BloomFilter, str | None] | None:
+    """Returns (bloom, index_version_stamp) or None if absent."""
     import json
 
     try:
@@ -146,8 +158,11 @@ def load(path: str) -> BloomFilter | None:
             raw = json.load(f)
     except FileNotFoundError:
         return None
-    return BloomFilter(
-        m_bits=raw["m_bits"], seeds=tuple(raw["seeds"]), words=tuple(raw["words"])
+    return (
+        BloomFilter(
+            m_bits=raw["m_bits"], seeds=tuple(raw["seeds"]), words=tuple(raw["words"])
+        ),
+        raw.get("index_version"),
     )
 
 

@@ -130,14 +130,19 @@ def learn_bpe(
         a, b, freq = top[0]["a"], top[0]["b"], top[0]["freq"]
         merges.append((a, b, freq))
         old = wt
-        wt = old.select("cnt", _merge_pair(F.col("syms"), a, b).alias("syms")).persist()
+        nxt = old.select("cnt", _merge_pair(F.col("syms"), a, b).alias("syms")).persist()
         if (i + 1) % checkpoint_every == 0:
             # truncate lineage: each round nests another fold expression;
             # without eager checkpoints plan analysis grows superlinearly
-            # (same hazard as graph.connected_components)
-            wt = wt.localCheckpoint(eager=True)
+            # (same hazard as graph.connected_components). The checkpoint
+            # COPIES the blocks, so the pre-checkpoint cache must be
+            # released or the loop leaks one cached word table per
+            # checkpoint round — ~8000 copies over a 32k-merge run.
+            wt = nxt.localCheckpoint(eager=True)
+            nxt.unpersist()
         else:
-            wt.count()
+            nxt.count()
+            wt = nxt
         old.unpersist()
     wt.unpersist()
     return merges
@@ -208,12 +213,21 @@ def apply_merges(
         cache[word] = syms
         return syms
 
+    import re as _re
+
+    # EXACTLY the training tokenizer: text.tokens splits on Java's \s,
+    # which (without UNICODE_CHARACTER_CLASS) is only [ \t\n\x0b\f\r] —
+    # Python's unicode-aware str.split() would additionally break on
+    # NBSP etc. and silently encode a different word stream than the
+    # vocab was trained on
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
+
     def run(batches):
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             ids, subs, lens = [], [], []
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = str(txt).lower().split()
+                toks = [w for w in ws.split(str(txt).lower()) if w]
                 out: list[str] = []
                 for w in toks:
                     out.extend(encode_word(w, cache))

@@ -394,6 +394,12 @@ class DedupStreamPipeline:
 
         return os.path.join(self.index.root, "_bloom.json")
 
+    def _index_version(self) -> str | None:
+        import os
+
+        path = self.index.current_path()
+        return os.path.basename(path) if path else None
+
     def _ensure_bloom(self, spark):
         from d365fo_db_sync_spark.operators import bloom as bloom_mod
 
@@ -401,8 +407,18 @@ class DedupStreamPipeline:
             return self._bloom
         loaded = bloom_mod.load(self._bloom_path())
         if loaded is not None:
-            self._bloom = loaded
-        elif self.index.exists():
+            bloom, stamp = loaded
+            # trust the sidecar only if it provably covers the live
+            # index: stamp == live version, or stamp == "pending" (a
+            # crash between the superset save and the post-merge
+            # restamp — superset in every crash window). Any OTHER
+            # version means the index advanced without bloom
+            # maintenance (e.g. a use_bloom=False run): a stale bloom
+            # would silently admit duplicates, so rebuild instead.
+            if stamp == "pending" or stamp == self._index_version():
+                self._bloom = bloom
+                return self._bloom
+        if self.index.exists():
             self._bloom = bloom_mod.build(
                 self.index.read(spark), self.fp_col, m_bits=self.bloom_m_bits, k=self.bloom_k
             )
@@ -421,12 +437,13 @@ class DedupStreamPipeline:
 
             probe_bloom = self._ensure_bloom(batch_df.sparkSession)
             # superset-before-merge: fold the whole batch in and persist
-            # FIRST (see __init__ notes) — then probe with the pre-update
-            # bloom, which mirrors the index at probe time
+            # FIRST with the "pending" stamp (see __init__ notes) — then
+            # probe with the pre-update bloom, which mirrors the index
+            # at probe time
             updated = bloom_mod.update(
                 probe_bloom, batch_df.select(self.fp_col), self.fp_col
             )
-            bloom_mod.save(updated, self._bloom_path())
+            bloom_mod.save(updated, self._bloom_path(), index_version="pending")
             self._bloom = updated
         novel = ingest_batch(
             batch_df.sparkSession,
@@ -436,6 +453,12 @@ class DedupStreamPipeline:
             self.fp_col,
             bloom=probe_bloom,
         )
+        if self.use_bloom:
+            # restamp with the post-merge version so a later load can
+            # tell "covered" apart from "index advanced without us"
+            bloom_mod.save(
+                self._bloom, self._bloom_path(), index_version=self._index_version()
+            )
         if self.on_novel is not None:
             self.on_novel(novel, batch_id)
 

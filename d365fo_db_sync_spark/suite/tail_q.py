@@ -1189,10 +1189,13 @@ def text_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d365fo_db_sync_spark.operators import text
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = text.unigram_vocab(docs, "text")
-    # total over ALL tokens; vocab = top-V (count desc, token asc)
+    # one materialized token-count pass feeds BOTH the total and the
+    # top-V selection — without the persist each .collect() would
+    # re-tokenize and re-shuffle the whole corpus
+    counts = text.unigram_vocab(docs, "text").persist()
     total = counts.agg(F.sum("cnt")).first()[0]
     top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(_LM_TOP_V).collect()
+    counts.unpersist()
     vocab = {r["tok"]: r["cnt"] for r in top}
     scored = docs.select(
         "source",

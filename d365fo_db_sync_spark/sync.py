@@ -123,7 +123,9 @@ class SyncEngine:
             )
         state = self.store.get(name)
         if force_truncate:
-            report = self._sync_truncate(name, source, target, fetcher)
+            report = self._sync_truncate(
+                name, source, target, fetcher, evolve_schema=evolve_schema
+            )
         elif (
             cfg.version in source.columns
             and state.src_ts is not None
@@ -140,7 +142,12 @@ class SyncEngine:
         return report
 
     def _sync_truncate(
-        self, name: str, source: DataFrame, target: ParquetTarget, fetcher
+        self,
+        name: str,
+        source: DataFrame,
+        target: ParquetTarget,
+        fetcher,
+        evolve_schema: bool = False,
     ) -> SyncReport:
         cfg = self.config
         key, ver = cfg.key, cfg.version
@@ -151,7 +158,11 @@ class SyncEngine:
         ).first()
         report = SyncReport(table=name, mode=TRUNCATE)
         report.inserted = self._overwrite_and_commit(
-            name, fetched, target, row["max_key"], row["max_ver"]
+            name,
+            self._widen_for_refresh(fetched, target, evolve_schema),
+            target,
+            row["max_key"],
+            row["max_ver"],
         )
         fetched.unpersist()
         return report
@@ -343,7 +354,13 @@ class SyncEngine:
         ):
             report.mode = TRUNCATE
             fetched = fetcher.full()
-            report.inserted = self._overwrite_and_commit(name, fetched, target, max_key, max_ver)
+            report.inserted = self._overwrite_and_commit(
+                name,
+                self._widen_for_refresh(fetched, target, evolve_schema),
+                target,
+                max_key,
+                max_ver,
+            )
             return report
 
         # INCREMENTAL: pay the per-key pairing pass for the merge bounds
@@ -581,6 +598,25 @@ class SyncEngine:
         return report
 
     # -- commit machinery -----------------------------------------------------
+
+    def _widen_for_refresh(
+        self, fetched: DataFrame, target: ParquetTarget, evolve_schema: bool
+    ) -> DataFrame:
+        """Full-refresh frame under the evolution contract. A truncate
+        replaces every ROW, so per-row history cannot survive — but the
+        SCHEMA must: under evolve, columns the target carries that the
+        source has dropped stay present (all-NULL), so the -evolve
+        promise of a stable widened schema does not silently depend on
+        which cycle happened to cross the truncate threshold. Without
+        evolve: the refresh takes the source schema wholesale (the
+        reference's truncate semantics)."""
+        if not evolve_schema or not target.exists():
+            return fetched
+        from d365fo_db_sync_spark.sinks import _align_for_evolution
+
+        tgt_shape = target.read(self.spark).limit(0)
+        _s2, widened = _align_for_evolution(tgt_shape, fetched)
+        return widened
 
     @staticmethod
     def _union_for_rewrite(

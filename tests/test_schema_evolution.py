@@ -160,3 +160,56 @@ def test_sync_engine_evolves_source_drift(spark):
     assert "NewCol" in out.columns
     assert out.count() == 60
     assert out.filter(F.col("NewCol").isNull()).count() < 60  # new rows carry it
+
+
+def test_truncate_fallback_keeps_evolved_schema(spark):
+    """A full refresh (forced truncate) under -evolve must keep the
+    target's widened schema: dropped columns stay present, all-NULL —
+    the promise must not depend on which cycle crossed the truncate
+    threshold."""
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    work = scratch_dir("evo_trunc_")
+    store = StateStore(work + "/state.json")
+    engine = SyncEngine(
+        spark, store, SyncConfig(key="RecId", version="Ver", record_count=1000)
+    )
+    from d365fo_db_sync_spark.sinks import ParquetTarget
+
+    t = ParquetTarget(work + "/t")
+    src1 = spark.range(0, 40).select(
+        F.col("id").alias("RecId"), (F.col("id") + 10).alias("Ver"),
+        F.concat(F.lit("x"), F.col("id")).alias("Legacy"),
+    )
+    engine.sync_table("T", src1, t)
+    assert "Legacy" in t.read(spark).columns
+
+    # source drops Legacy; forced full refresh with evolve keeps it
+    src2 = spark.range(0, 45).select(
+        F.col("id").alias("RecId"), (F.col("id") + 20).alias("Ver")
+    )
+    engine.sync_table("T", src2, t, force_truncate=True, evolve_schema=True)
+    out = t.read(spark)
+    assert set(out.columns) == {"RecId", "Ver", "Legacy"}
+    assert out.count() == 45
+    assert out.filter(F.col("Legacy").isNotNull()).count() == 0
+
+    # without evolve, truncate takes the source schema wholesale
+    engine.sync_table("T", src2, t, force_truncate=True)
+    assert set(t.read(spark).columns) == {"RecId", "Ver"}
+
+
+def test_profile_columns_odd_names(spark):
+    """Column names are data: spaces/dots/quotes must not break the
+    stack unpivot (they are never spliced into SQL as syntax)."""
+    from d365fo_db_sync_spark import catalog
+
+    df = spark.range(0, 10).selectExpr(
+        "id as `order key`", "id * 2 as `it's`", "cast(id as string) as `a.b`"
+    )
+    prof = catalog.profile_columns(df)
+    rows = {r["column"]: r for r in prof.collect()}
+    assert set(rows) == {"order key", "it's", "a.b"}
+    assert rows["order key"]["n_distinct"] == 10
+    assert rows["a.b"]["n_nulls"] == 0

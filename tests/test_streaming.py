@@ -536,7 +536,60 @@ def test_dedup_stream_with_bloom_matches_plain(spark, tmp_path):
         ("a", 1), ("b", 2), ("c", 11),
     }
     # sidecar exists and is a superset of the index fingerprints
-    bf = bloom_mod.load(str(tmp_path / "idx" / "_bloom.json"))
-    assert bf is not None
+    loaded = bloom_mod.load(str(tmp_path / "idx" / "_bloom.json"))
+    assert loaded is not None
+    bf, stamp = loaded
     hits = idx.read(spark).filter(bloom_mod.might_contain(bf, "fp")).count()
     assert hits == 3  # zero false negatives over the whole index
+    # post-merge restamp points at the live index version
+    import os as _os2
+
+    assert stamp == _os2.path.basename(idx.current_path())
+
+
+def test_dedup_stream_bloom_detects_stale_sidecar(spark, tmp_path):
+    """An index advanced WITHOUT bloom maintenance must not be trusted:
+    the version stamp mismatches, the pipeline rebuilds the bloom from
+    the live index, and the cross-batch duplicate is still caught."""
+    import os as _os
+
+    from d365fo_db_sync_spark.operators import dedup as dedup_mod
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.streaming import DedupStreamPipeline
+
+    src_dir = str(tmp_path / "docs_in")
+    _os.makedirs(src_dir)
+    schema = "doc_id long, fp string, text string"
+    idx = BucketedParquetTarget(str(tmp_path / "idx"), key="fp", n_buckets=8)
+    seen: set[int] = set()
+
+    pipe = DedupStreamPipeline(
+        idx, str(tmp_path / "ckpt"),
+        on_novel=lambda df, _b: seen.update(r["doc_id"] for r in df.collect()),
+        use_bloom=True, bloom_m_bits=1 << 12,
+    )
+    b1 = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], schema)
+    b1.write.mode("append").parquet(src_dir)
+    pipe.start(spark.readStream.schema(b1.schema).parquet(src_dir)).awaitTermination(120)
+
+    # advance the index OUT OF BAND (no bloom maintenance): fp "c" lands
+    # in the index while the sidecar still stamps the old version
+    dedup_mod.ingest_batch(
+        spark,
+        spark.createDataFrame([(50, "c", "z")], schema),
+        idx,
+    )
+
+    pipe2 = DedupStreamPipeline(
+        idx, str(tmp_path / "ckpt"),
+        on_novel=lambda df, _b: seen.update(r["doc_id"] for r in df.collect()),
+        use_bloom=True, bloom_m_bits=1 << 12,
+    )
+    # fp "c" again (a duplicate vs the out-of-band row) + a novel "d"
+    b2 = spark.createDataFrame([(60, "c", "z"), (61, "d", "w")], schema)
+    b2.write.mode("append").parquet(src_dir)
+    pipe2.start(spark.readStream.schema(b1.schema).parquet(src_dir)).awaitTermination(120)
+
+    assert 60 not in seen  # the stale-bloom path would have let this through
+    assert 61 in seen
+    assert {r["fp"] for r in idx.read(spark).collect()} == {"a", "b", "c", "d"}
