@@ -323,3 +323,44 @@ def test_orchestrator_manifest_flag_uses_manifest_target(spark, tmp_path):
     t = ManifestParquetTarget(live, key="RecId", n_buckets=8)
     assert t.num_rows() == 40
     assert t.read(spark).count() == 40
+
+
+def test_orchestrator_evolve_flag_end_to_end(spark, tmp_path):
+    """-evolve in the strategy DSL must carry all the way through
+    prepare/process: a source that grows a column between runs widens
+    the target instead of failing the plan."""
+    from d365fo_db_sync_spark.orchestrator import Orchestrator
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    src1 = spark.createDataFrame(
+        [(i, 1, 100 + i, float(i)) for i in range(30)],
+        "RecId long, RECVERSION int, SysRowVersion long, AMOUNT double",
+    )
+    store = StateStore(str(tmp_path / "s.json"))
+    engine = SyncEngine(spark, store, SyncConfig(record_count=100))
+    orch = Orchestrator(spark, engine)
+    tgt_root = str(tmp_path / "tgt")
+
+    plans = orch.prepare({"T1": src1}, strategy_text="T1|100 -buckets 8 -evolve")
+    res = orch.process(plans, {"T1": src1}, tgt_root)
+    assert res.plans[0].status == "Completed", res.plans[0].error
+
+    src2 = src1.withColumn("NEWCOL", src1["RecId"].cast("string"))
+    # bump versions so the optimized path sees changes
+    src2 = src2.withColumn("SysRowVersion", src2["SysRowVersion"] + 1000)
+    plans2 = orch.prepare({"T1": src2}, strategy_text="T1|100 -buckets 8 -evolve")
+    res2 = orch.process(plans2, {"T1": src2}, tgt_root)
+    assert res2.plans[0].status == "Completed", res2.plans[0].error
+
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    import os as _os
+
+    t = BucketedParquetTarget(_os.path.join(tgt_root, "T1"), key="RecId", n_buckets=8)
+    out = t.read(spark)
+    assert "NEWCOL" in out.columns
+    assert out.count() == 30
+    # (strict-mode rejection of the same drift is pinned at engine level
+    # in test_schema_evolution — at orchestrator level a 100%-change
+    # cycle legally routes through the truncate fallback, which takes
+    # the source schema wholesale)
