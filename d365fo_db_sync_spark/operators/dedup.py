@@ -389,6 +389,7 @@ def ingest_batch(
     id_col: str = "doc_id",
     fp_col: str = "fp",
     bloom: "object | None" = None,
+    stage_novel=None,
 ) -> DataFrame:
     """Incremental exact dedup for CONTINUOUS corpus ingestion: return
     the batch rows whose fingerprint is new to the persisted index, and
@@ -417,11 +418,21 @@ def ingest_batch(
     with ``bloom.update`` after each batch (staleness in the superset
     direction is safe; missing index keys is not).
 
+    ``stage_novel(df)``, when given, runs on the materialized novel
+    frame BEFORE the index merge — the hook that makes exactly-once
+    downstream delivery possible: stage idempotently (keyed by batch),
+    then merge; a crash in any window either replays to the same novel
+    set (index unmerged) or finds the staging already present
+    (streaming.DedupStreamPipeline's ``novel_dir`` protocol).
+
     Returns the novel rows (first occurrence per new fingerprint, by
     lowest ``id_col``).
     """
     batch_unique = exact_dedup(batch, cols=[fp_col], key=id_col)
     if not index.exists():
+        batch_unique = batch_unique.localCheckpoint(eager=True)
+        if stage_novel is not None:
+            stage_novel(batch_unique)
         index.overwrite(batch_unique.select(fp_col, id_col))
         return batch_unique
     if bloom is not None:
@@ -445,6 +456,8 @@ def ingest_batch(
     # post-merge index and return empty). localCheckpoint truncates the
     # lineage eagerly, so the returned frame is self-contained.
     novel = novel.localCheckpoint(eager=True)
+    if stage_novel is not None:
+        stage_novel(novel)
     index.merge(spark, novel.select(fp_col, id_col))
     return novel
 

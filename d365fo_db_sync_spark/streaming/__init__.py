@@ -369,6 +369,7 @@ class DedupStreamPipeline:
         use_bloom: bool = False,
         bloom_m_bits: int = 1 << 17,
         bloom_k: int = 5,
+        novel_dir: str | None = None,
     ) -> None:
         self.index = index
         self.checkpoint_dir = checkpoint_dir
@@ -388,6 +389,17 @@ class DedupStreamPipeline:
         self.bloom_m_bits = bloom_m_bits
         self.bloom_k = bloom_k
         self._bloom = None
+        #: exactly-once novel delivery: with novel_dir, each batch's
+        #: novel rows are staged to novel_dir/batch_id=N BEFORE the
+        #: index merge, atomically (write-to-tmp + rename) and
+        #: idempotently (an existing batch dir is never rewritten).
+        #: Crash analysis: before staging -> replay recomputes the SAME
+        #: novel set (index unmerged); after staging, before merge ->
+        #: replay finds the dir and skips, then merges; after merge ->
+        #: replay is a no-op everywhere. Unlike the on_novel callback
+        #: (at-most-once on a crash between merge and callback), the
+        #: file protocol loses nothing. Read back with read_novel().
+        self.novel_dir = novel_dir
 
     def _bloom_path(self) -> str:
         import os
@@ -445,6 +457,24 @@ class DedupStreamPipeline:
             )
             bloom_mod.save(updated, self._bloom_path(), index_version="pending")
             self._bloom = updated
+        stage = None
+        if self.novel_dir is not None:
+            import os
+            import uuid as _uuid
+
+            final = os.path.join(self.novel_dir, f"batch_id={batch_id}")
+
+            def stage(novel_df, _final=final):
+                if os.path.exists(_final):
+                    return  # replayed batch: staging already published
+                # underscore prefix keeps in-flight staging invisible to
+                # Spark's partition discovery over novel_dir
+                tmp = os.path.join(
+                    self.novel_dir, f"_tmp-{_uuid.uuid4().hex[:8]}"
+                )
+                novel_df.write.mode("overwrite").parquet(tmp)
+                os.rename(tmp, _final)
+
         novel = ingest_batch(
             batch_df.sparkSession,
             batch_df,
@@ -452,6 +482,7 @@ class DedupStreamPipeline:
             self.id_col,
             self.fp_col,
             bloom=probe_bloom,
+            stage_novel=stage,
         )
         if self.use_bloom:
             # restamp with the post-merge version so a later load can
@@ -461,6 +492,15 @@ class DedupStreamPipeline:
             )
         if self.on_novel is not None:
             self.on_novel(novel, batch_id)
+
+    def read_novel(self, spark) -> DataFrame:
+        """Every batch's delivered novel rows, with the hive batch_id
+        partition column — the exactly-once downstream view."""
+        if self.novel_dir is None:
+            raise ValueError("pipeline was built without novel_dir")
+        return spark.read.option("basePath", self.novel_dir).parquet(
+            self.novel_dir
+        )
 
     def start(self, stream_df: DataFrame, available_now: bool = True):
         writer = (

@@ -593,3 +593,52 @@ def test_dedup_stream_bloom_detects_stale_sidecar(spark, tmp_path):
     assert 60 not in seen  # the stale-bloom path would have let this through
     assert 61 in seen
     assert {r["fp"] for r in idx.read(spark).collect()} == {"a", "b", "c", "d"}
+
+
+def test_dedup_stream_novel_dir_exactly_once(spark, tmp_path):
+    """The novel_dir file protocol delivers each batch's novel set
+    exactly once: staged before the merge, keyed by batch, idempotent
+    on replay, and readable back as one hive-partitioned frame."""
+    import os as _os
+
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.streaming import DedupStreamPipeline
+
+    src_dir = str(tmp_path / "docs_in")
+    _os.makedirs(src_dir)
+    schema = "doc_id long, fp string, text string"
+    idx = BucketedParquetTarget(str(tmp_path / "idx"), key="fp", n_buckets=8)
+    novel_dir = str(tmp_path / "novel")
+    _os.makedirs(novel_dir)
+
+    pipe = DedupStreamPipeline(
+        idx, str(tmp_path / "ckpt"), novel_dir=novel_dir
+    )
+    b1 = spark.createDataFrame([(1, "a", "x"), (2, "b", "y"), (3, "a", "x")], schema)
+    b1.write.mode("append").parquet(src_dir)
+    pipe.start(spark.readStream.schema(b1.schema).parquet(src_dir)).awaitTermination(120)
+
+    b2 = spark.createDataFrame([(10, "b", "y"), (11, "c", "z")], schema)
+    b2.write.mode("append").parquet(src_dir)
+    pipe.start(spark.readStream.schema(b1.schema).parquet(src_dir)).awaitTermination(120)
+
+    out = pipe.read_novel(spark)
+    rows = {(r["batch_id"], r["doc_id"]) for r in out.collect()}
+    assert rows == {(0, 1), (0, 2), (1, 11)}
+
+    # a replayed/pre-staged batch dir is never rewritten: plant a marker
+    marker = _os.path.join(novel_dir, "batch_id=0", "_marker")
+    open(marker, "w").close()
+
+    def stage_again():
+        # drive _handle_batch directly with batch 0's frame (what a
+        # checkpoint replay does); the existing dir must short-circuit
+        pipe._handle_batch(b1, 0)
+
+    stage_again()
+    assert _os.path.exists(marker)
+    # and nothing doubled
+    out2 = {(r["batch_id"], r["doc_id"]) for r in pipe.read_novel(spark).collect()}
+    assert out2 == rows
+    # no leftover _tmp staging dirs
+    assert not [d for d in _os.listdir(novel_dir) if d.startswith("_tmp-")]
