@@ -110,3 +110,75 @@ def test_stub_resample_unchanged_default(spark):
         _assets(spark, [(1, "image", b"a" * 1000, {})]), width=8, height=8
     ).collect()
     assert out[0]["n_bytes"] == 8  # width*height/8 byte cap
+
+
+def test_pcm16_codec_real_decode(spark):
+    """Raw PCM decodes for real: a pure sine wave's RMS is 1/sqrt(2) of
+    its amplitude and the duration follows the sample count."""
+    import math
+
+    import numpy as np
+
+    from d365fo_db_sync_spark.operators import multimodal
+
+    sr = 16_000
+    t = np.arange(sr)  # exactly one second
+    amp = 0.5
+    wave = (amp * np.sin(2 * math.pi * 440 * t / sr) * 32768).astype("<i2")
+    codec = multimodal.pcm16_audio_codec(sample_rate=sr)
+    out = codec(wave.tobytes(), "audio")
+    assert out["duration_ms"] == 1000
+    assert out["feature"][0] == pytest.approx(amp / math.sqrt(2), rel=1e-3)  # rms
+    assert out["feature"][1] == pytest.approx(amp, rel=1e-3)  # peak
+    # 440 Hz crosses zero ~880 times/s -> zcr ~ 880/16000
+    assert out["feature"][2] == pytest.approx(880 / sr, rel=0.05)
+    assert out["feature"][3] == pytest.approx(0.0, abs=1e-3)  # mean
+    # silence edge case
+    assert codec(b"", "audio")["duration_ms"] == 0
+
+
+def test_ppm_codec_real_decode(spark):
+    """P6 parsing is a real decode: header dims + exact channel means."""
+    import numpy as np
+
+    from d365fo_db_sync_spark.operators import multimodal
+
+    w, h = 4, 2
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[..., 0] = 255  # pure red image
+    payload = b"P6\n# a comment\n4 2\n255\n" + px.tobytes()
+    out = multimodal.ppm_image_codec()(payload, "image")
+    assert (out["width"], out["height"]) == (4, 2)
+    assert out["feature"][0] == pytest.approx(1.0)  # mean R
+    assert out["feature"][1] == pytest.approx(0.0)  # mean G
+    assert out["feature"][2] == pytest.approx(0.0)  # mean B
+    # red luminance 0.2126 lands in bin 1 of 5 ([0.2, 0.4))
+    assert out["feature"][3 + 1] == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        multimodal.ppm_image_codec()(b"JFIF....", "image")
+
+
+def test_real_codecs_through_distributed_decode(spark):
+    """The real codecs run through the same mapInPandas plumbing as the
+    stubs — schema contract unchanged, values now physically meaningful."""
+    import numpy as np
+
+    from d365fo_db_sync_spark.operators import multimodal
+
+    sr = 16_000
+    tone = (0.25 * np.sin(np.linspace(0, 350, sr // 2)) * 32768).astype("<i2")
+    px = np.full((3, 5, 3), 128, dtype=np.uint8)
+    rows = [
+        (1, "audio", bytearray(tone.tobytes()), {}),
+        (2, "image", bytearray(b"P6\n5 3\n255\n" + px.tobytes()), {}),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    multimodal.register_codec("audio", multimodal.pcm16_audio_codec(sr))
+    multimodal.register_codec("image", multimodal.ppm_image_codec())
+    try:
+        out = {r["asset_id"]: r for r in multimodal.decode_features(assets).collect()}
+    finally:
+        multimodal.register_default_codecs(prefer_real=False)
+    assert out[1]["duration_ms"] == 500
+    assert (out[2]["width"], out[2]["height"]) == (5, 3)
+    assert out[2]["feature"][0] == pytest.approx(128 / 255, rel=1e-3)
