@@ -1389,3 +1389,30 @@ def pipeline_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_subwords"),
         F.max("last_pack").alias("n_packs_minus_1"),
     )
+
+
+@register(
+    "fuzzy_part_name_match",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+     AND abs(length(a.p_name) - length(b.p_name)) <= 1
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def fuzzy_part_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching over part names (operators/fuzzy.py):
+    near-identical names within 1 edit, candidates from a
+    (first-char, length-band) block join — per-block |block|² work,
+    never the n² cross join; exact levenshtein (JVM codegen, same
+    function in the oracle) verifies. The blocking is semantically
+    invisible (the result is exactly 'first char equal AND |Δlen| ≤ k
+    AND lev ≤ k'), which is what lets DuckDB value-check it."""
+    from d365fo_db_sync_spark.operators import fuzzy
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy.fuzzy_self_match(part, "p_partkey", "p_name", max_dist=1)
