@@ -1,0 +1,79 @@
+"""Product-quantization ANN contracts (operators/pq.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import pq, similarity
+from d365fo_db_sync_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.pq_train(emb, m=8, k=16, sample_limit=500, iters=8)
+
+
+def test_train_shapes(books):
+    assert books.m == 8 and books.k == 16 and books.dim == 64
+    assert len(books.centroids) == 8
+    assert all(len(c) == 16 and len(c[0]) == 8 for c in books.centroids)
+
+
+def test_encode_codes_valid(emb, books):
+    enc = pq.pq_encode(emb, books)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+
+def test_encode_deterministic(emb, books):
+    a = {r["vec_id"]: tuple(r["codes"]) for r in pq.pq_encode(emb.repartition(7), books).collect()}
+    b = {r["vec_id"]: tuple(r["codes"]) for r in pq.pq_encode(emb.coalesce(1), books).collect()}
+    assert a == b
+
+
+def test_adc_recall_vs_exact(emb, books):
+    """PQ@k recall against the exact cosine top-k: with 8×16 codes on
+    64-dim data this is a coarse quantizer — the pin is that recall is
+    far above chance (random top-10 of 500 would overlap ~2%) and the
+    pipeline ranks by real proximity, not noise."""
+    queries = emb.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    enc = pq.pq_encode(emb, books)
+    approx = pq.pq_topk(enc, queries, books, kk=10)
+    got: dict[int, set] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    assert set(got) == set(truth)
+    hits = sum(len(got[q] & truth[q]) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    recall = hits / total
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+
+def test_adc_ranking_sane(emb, books):
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    enc = pq.pq_encode(emb, books)
+    rows = pq.pq_topk(enc, queries, books, kk=5).orderBy("rnk").collect()
+    assert [r["rnk"] for r in rows] == [1, 2, 3, 4, 5]
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists)
+    assert all(r["neighbor_id"] != 0 for r in rows)
