@@ -212,3 +212,86 @@ def pq_topk(
         .filter(F.col("rnk") <= kk)
         .select(query_id_col, "rnk", "neighbor_id", "adc_dist")
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: PQCodebooks | None = None,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    kk: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """The full billion-scale ANN composition: IVF cells cut the
+    candidate set (only ``n_probes``/``n_lists`` of the corpus is
+    touched per query), PQ codes cut the memory/IO inside each cell
+    (ADC over byte codes), and an EXACT cosine rerank of the ADC top
+    ``rerank_factor × kk`` candidates restores full-precision ranking —
+    the standard IVF-PQ + refine pipeline (Jégou et al. 2011 §V).
+
+    Output: (query_id, rnk, neighbor_id, cosine) — same contract as
+    similarity.cosine_topk_bruteforce, so recall is directly
+    measurable against the exact path. The probed-cell set is the
+    union over queries, collected driver-side (|queries| × n_probes
+    ints — metadata, same discipline as the IVF probe sidecar).
+    """
+    import numpy as np
+
+    from d365fo_db_sync_spark.operators import similarity
+
+    assigned, model = similarity.ivf_index(
+        emb, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    if books is None:
+        books = pq_train(emb, vec_col=vec_col, seed=seed)
+
+    centers = np.array([list(map(float, c)) for c in model.clusterCenters()])
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qmat = _normalize(np.array([list(r[1]) for r in q_rows], dtype=np.float64))
+    # per-query n_probes nearest cells; probed set = union across queries
+    d2 = ((qmat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    probe_cells = sorted({int(c) for row in d2.argsort(axis=1)[:, :n_probes] for c in row})
+
+    window = assigned.filter(F.col("cell").isin(probe_cells))
+    enc = pq_encode(window, books, id_col=id_col, vec_col=vec_col)
+    coarse = pq_topk(
+        enc,
+        queries,
+        books,
+        kk=kk * rerank_factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    # exact rerank: candidates join back to their float vectors (a
+    # kk·rerank_factor·|queries|-row frame — the small side), then the
+    # numpy-GEMM scorer restores exact cosine order
+    cand_vecs = coarse.select(query_id_col, "neighbor_id").join(
+        emb.select(F.col(id_col).alias("neighbor_id"), vec_col), on="neighbor_id"
+    )
+    reranked = similarity.cosine_topk_bruteforce(
+        cand_vecs.select(F.col("neighbor_id").alias(id_col), vec_col).distinct(),
+        queries,
+        k=kk,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    # restrict each query's rerank to ITS OWN candidate set (the
+    # brute-force above scored the union; an id outside a query's
+    # coarse list must not leak into its top-k)
+    own = coarse.select(query_id_col, "neighbor_id")
+    from pyspark.sql import Window
+
+    filtered = reranked.join(own, on=[query_id_col, "neighbor_id"], how="left_semi")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        filtered.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= kk)
+        .select(query_id_col, "rnk", "neighbor_id", "cosine")
+    )
