@@ -1446,3 +1446,58 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = pq.pq_encode(emb, books)
     return pq.pq_topk(enc, queries, books, kk=10)
+
+
+_FUNNEL_ORACLE = _CURATION_CTES + """
+    , stages AS (
+      SELECT 0 AS stage_ord, 'ingested' AS stage, COUNT(*) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM t
+      UNION ALL
+      SELECT 1, 'quality_gated', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM kept
+      UNION ALL
+      SELECT 2, 'deduplicated', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM u
+      UNION ALL
+      SELECT 3, 'train_split', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+      FROM b WHERE h < '{t1}')
+    SELECT stage_ord, stage, n_docs, n_tokens FROM stages
+""".format(t1=_hexth(0.9))
+
+
+@register("pipeline_funnel_report", oracle=_FUNNEL_ORACLE)
+def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: the stage-by-stage survivorship funnel of
+    the curation pipeline (ingested -> quality-gated -> deduplicated ->
+    train split), each stage with doc and token counts — the report a
+    data-pipeline operator reads before trusting a corpus build. The
+    stages share ONE lazy lineage (scan + map filters + the single
+    fingerprint shuffle); each stage rollup is a scalar aggregate over
+    a prefix of it, and the oracle value-checks all four stages of the
+    composition at once."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(docs, "text")
+    kept = feats.filter(
+        F.col("n_tokens").between(30, 95) & (F.col("punct_ratio") <= 0.3)
+    ).select("doc_id", "n_tokens", text_ops.fingerprint("text").alias("fp"))
+    unique = dedup.exact_dedup(kept, cols=["fp"], key="doc_id")
+    train = hash_sample(unique, ["doc_id"], 0.9)
+
+    def stage(df, ord_, name):
+        return df.agg(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).select("stage_ord", "stage", "n_docs", "n_tokens")
+
+    ingested = docs.select(
+        "doc_id", F.size(text_ops.tokens("text")).alias("n_tokens")
+    )
+    return (
+        stage(ingested, 0, "ingested")
+        .unionByName(stage(kept, 1, "quality_gated"))
+        .unionByName(stage(unique, 2, "deduplicated"))
+        .unionByName(stage(train, 3, "train_split"))
+    )
