@@ -163,3 +163,81 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def mixture_by_token_budget(
+    df: DataFrame,
+    group_col: str,
+    token_count: Column,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Assemble a TOKEN-budgeted mixture: per group, admit documents in
+    deterministic hash order until the group's token budget is reached
+    (the document that crosses the line is included, so every budget is
+    met or the group is exhausted). "30 B tokens of web, 10 B of code"
+    is the shape pretraining mixtures are actually specified in — doc
+    fractions (:func:`mixture_fractions`-style) under- or over-shoot
+    whenever per-source document lengths differ.
+
+    Returns (group_col, id_col, n_tokens, tok_before) for admitted
+    documents — ``tok_before`` is the group's running total before this
+    document, so ``tok_before < budget`` IS the admission predicate.
+
+    Scale shape (the packing.pack_sequences discipline, per group): the
+    hash order key's first two hex chars band each group into 256
+    sub-buckets; stage 1 is an in-bucket running sum (parallel across
+    groups × buckets), stage 2 an exclusive prefix over the ≤
+    |groups|·256-row bucket-total frame (metadata-sized, broadcast
+    back). No per-group global window, so one giant source cannot
+    serialize into a single task. Selection order is the md5 hash, so
+    the admitted prefix is an unbiased sample of the group — and the
+    same rows are admitted on every rerun, any partitioning.
+    """
+    from pyspark.sql import Window
+
+    if not budgets:
+        raise ValueError("mixture_by_token_budget needs at least one budget")
+    parts = ([F.lit(salt)] if salt else []) + [F.col(id_col).cast("string")]
+    h = F.md5(F.concat_ws("\x1f", *parts))
+    sized = (
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            token_count.cast("long").alias("n_tokens"),
+            h.alias("_h"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("_hb", F.substring("_h", 1, 2))
+    )
+    in_bucket = (
+        Window.partitionBy(group_col, "_hb")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn("_local_end", F.sum("n_tokens").over(in_bucket))
+    totals = sized.groupBy(group_col, "_hb").agg(F.sum("n_tokens").alias("_tot"))
+    # exclusive prefix across each group's 256 hex bands: the frame is
+    # |groups|*256 rows — metadata-sized, so the per-group window is
+    # explicitly safe
+    band_order = (
+        Window.partitionBy(group_col)
+        .orderBy("_hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "_hb",
+        F.coalesce(F.sum("_tot").over(band_order), F.lit(0)).alias("_off"),
+    )
+    budget_col = F.lit(None).cast("long")
+    for g, b in budgets.items():
+        budget_col = F.when(F.col(group_col) == g, F.lit(int(b))).otherwise(budget_col)
+    return (
+        local.join(F.broadcast(offsets), on=[group_col, "_hb"])
+        .withColumn("tok_before", F.col("_off") + F.col("_local_end") - F.col("n_tokens"))
+        .withColumn("_budget", budget_col)
+        .filter(F.col("_budget").isNotNull() & (F.col("tok_before") < F.col("_budget")))
+        .select(group_col, id_col, "n_tokens", "tok_before")
+    )

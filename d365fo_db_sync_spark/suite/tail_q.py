@@ -1501,3 +1501,50 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(unique, 2, "deduplicated"))
         .unionByName(stage(train, 3, "train_split"))
     )
+
+
+# budgets below each source's total at sf0.01 (~1.2-1.5k tokens per
+# source) AND at sf0.1 (~10x), so the admission boundary is exercised
+# at every scale factor
+_MIX_BUDGETS = {"src1": 700, "src4": 450, "src7": 900}
+
+
+def _mixture_oracle() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {b}" for g, b in _MIX_BUDGETS.items()
+    )
+    return f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_TOKS_SQL}) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE len({_TOKS_SQL}) > 0),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_before,
+             CASE {cases} ELSE NULL END AS b
+      FROM t)
+    SELECT source, doc_id, n_tokens, tok_before
+    FROM c WHERE b IS NOT NULL AND tok_before < b
+    """
+
+
+@register("sampling_mixture_token_budget", oracle=_mixture_oracle())
+def sampling_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture assembly (operators/sampling.py): admit
+    documents per source in deterministic hash order until each
+    source's TOKEN budget fills — how pretraining mixtures are really
+    specified. The oracle is the naive per-group global cumsum; the
+    engine runs the 256-band two-stage prefix sum (no per-group global
+    window), and the value hash proves the banded plan admits exactly
+    the same documents."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.sampling import mixture_by_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_by_token_budget(
+        docs, "source", text_ops.token_count("text"), _MIX_BUDGETS
+    )
+    return out.withColumn("tok_before", F.col("tok_before").cast("long"))

@@ -114,3 +114,68 @@ def test_mixture_sample_rates_and_determinism(spark, docs):
     assert 0.3 < counts["s1"] / n1 < 0.7
     again = sampling.mixture_sample(src.repartition(11), "source", mix, ["doc_id"])
     assert ids(out) == ids(again)
+
+
+class TestMixtureByTokenBudget:
+    def _docs(self, spark):
+        rows = [(i, "a" if i < 50 else "b", (i % 7) + 1) for i in range(100)]
+        return spark.createDataFrame(rows, "doc_id long, src string, toks int")
+
+    def test_budget_met_and_admission_predicate(self, spark):
+        from d365fo_db_sync_spark.operators.sampling import mixture_by_token_budget
+        from pyspark.sql import functions as F
+
+        df = self._docs(spark)
+        out = mixture_by_token_budget(
+            df, "src", F.col("toks"), {"a": 30, "b": 50}
+        ).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["src"], []).append(r)
+        for src, budget in (("a", 30), ("b", 50)):
+            rows = sorted(by_src[src], key=lambda r: r["tok_before"])
+            # contiguous prefix: each row starts where the previous ended
+            pos = 0
+            for r in rows:
+                assert r["tok_before"] == pos
+                pos += r["n_tokens"]
+            # budget met: total >= budget, and dropping the last row dips below
+            assert pos >= budget
+            assert pos - rows[-1]["n_tokens"] < budget
+
+    def test_deterministic_across_partitionings(self, spark):
+        from d365fo_db_sync_spark.operators.sampling import mixture_by_token_budget
+        from pyspark.sql import functions as F
+
+        df = self._docs(spark)
+        a = {
+            (r["src"], r["doc_id"])
+            for r in mixture_by_token_budget(
+                df.repartition(13), "src", F.col("toks"), {"a": 40}
+            ).collect()
+        }
+        b = {
+            (r["src"], r["doc_id"])
+            for r in mixture_by_token_budget(
+                df.coalesce(1), "src", F.col("toks"), {"a": 40}
+            ).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_unlisted_groups_excluded_and_exhaustion(self, spark):
+        from d365fo_db_sync_spark.operators.sampling import mixture_by_token_budget
+        from pyspark.sql import functions as F
+
+        df = self._docs(spark)
+        out = mixture_by_token_budget(
+            df, "src", F.col("toks"), {"a": 10_000_000}
+        ).collect()
+        assert {r["src"] for r in out} == {"a"}  # b unlisted -> excluded
+        assert len(out) == 50  # budget beyond supply admits the whole group
+
+    def test_empty_budgets_raise(self, spark):
+        from d365fo_db_sync_spark.operators.sampling import mixture_by_token_budget
+        from pyspark.sql import functions as F
+
+        with pytest.raises(ValueError):
+            mixture_by_token_budget(self._docs(spark), "src", F.col("toks"), {})
