@@ -135,6 +135,94 @@ def pack_manifest(packed: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def shuffled_shards(
+    docs: DataFrame,
+    token_count: Column,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + token-budgeted shard assignment —
+    the training-export layout step: randomize document order (so
+    consecutive training sequences don't share a source/crawl locality)
+    and cut the shuffled stream into ~``shard_tokens``-token shards for
+    the dataloader. Returns ``id_col, n_tokens, g_start, shard`` where
+    ``g_start`` is the document's offset in the SHUFFLED token stream
+    and ``shard = g_start div shard_tokens`` (a document belongs to the
+    shard its first token lands in, so shards overshoot by at most one
+    document — the usual "~1 GB shards" discipline).
+
+    The shuffle order is ``md5(salt || id)`` — uniform pseudo-random
+    but rerun/partitioning-stable (same reasons as operators/sampling:
+    a backfill reproduces the byte-identical layout) and
+    engine-independent, which is what makes the layout oracle-checkable.
+    Unlike ``df.orderBy(rand())``, membership and position never change
+    under a different cluster size.
+
+    Scale shape — same two-stage distributed prefix sum as
+    :func:`pack_sequences`, but banded on the first two hex chars of
+    the hash (256 uniform bands) because the order key is the hash
+    itself: band-local running sums in parallel, then an exclusive
+    prefix over the 256-row band-total frame, broadcast back. The
+    global sort the naive ``SUM() OVER (ORDER BY h)`` would serialize
+    into one partition never happens.
+    """
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    parts = ([F.lit(salt)] if salt else []) + [F.col(id_col).cast("string")]
+    h = F.md5(F.concat_ws("\x1f", *parts))
+    sized = (
+        docs.select(
+            F.col(id_col),
+            token_count.cast("long").alias("n_tokens"),
+            h.alias("_h"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("_hb", F.substring("_h", 1, 2))
+    )
+    # global order = (_h, id): _hb is a prefix of _h, so ordering bands
+    # ascending and (_h, id) within a band IS the global hash order
+    in_band = (
+        Window.partitionBy("_hb")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn("_local_end", F.sum("n_tokens").over(in_band))
+    totals = sized.groupBy("_hb").agg(F.sum("n_tokens").alias("_tot"))
+    # 256 rows: explicit single-partition exclusive prefix (see
+    # pack_sequences for why pmod(...) makes the choice explicit)
+    band_order = (
+        Window.partitionBy(F.pmod(F.crc32(F.col("_hb")), F.lit(1)))
+        .orderBy("_hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_hb",
+        F.coalesce(F.sum("_tot").over(band_order), F.lit(0)).alias("_band_off"),
+    )
+    g_start = (F.col("_band_off") + F.col("_local_end") - F.col("n_tokens")).alias(
+        "g_start"
+    )
+    return (
+        local.join(F.broadcast(offsets), on="_hb")
+        .select(id_col, "n_tokens", g_start)
+        .withColumn("shard", F.expr(f"g_start div {shard_tokens}"))
+    )
+
+
+def shard_manifest(assigned: DataFrame) -> DataFrame:
+    """Per-shard summary of :func:`shuffled_shards` output:
+    ``shard, n_docs, n_tokens, tok_start, tok_end`` — what an export
+    job needs to size/write each shard file and what a loader needs to
+    address it. One tiny aggregate (|shards| rows)."""
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("g_start").alias("tok_start"),
+        F.max(F.col("g_start") + F.col("n_tokens") - 1).alias("tok_end"),
+    )
+
+
 def pack_sequences_ffd(
     docs: DataFrame,
     token_count: Column,

@@ -118,6 +118,40 @@ def mixture_fractions(
     }
 
 
+def temperature_quotas(
+    counts: dict[str, int], total_out: int, alpha: float = 0.5
+) -> dict[str, int]:
+    """Temperature-scaled mixture quotas (the mT5/XLM-R ``p^alpha``
+    recipe): sample sources proportionally to ``n_s^alpha`` so
+    low-resource sources are upweighted relative to their natural share
+    (alpha=1 keeps natural proportions, alpha=0 is uniform). Returns a
+    per-source DOCUMENT quota summing to ≤ ``total_out``; feed it to
+    :func:`mixture_by_token_budget` with a unit token count to admit
+    exactly the quota per source in deterministic hash order.
+
+    For the default alpha=0.5 the scaled mass is computed as
+    ``math.isqrt(n_s)`` — pure INTEGER arithmetic end-to-end, so an SQL
+    oracle reproduces the quotas bit-exactly (``floor(sqrt(n))`` on a
+    double is exact for n < 2^52 away from the mis-rounding band near
+    perfect squares, which starts mattering only past ~10^15 rows).
+    Other alphas go through float ``pow`` — fine for production use,
+    but not oracle-grade (libm pow is not cross-engine bit-stable).
+    Driver-side arithmetic over |sources| scalars.
+    """
+    if total_out < 0:
+        raise ValueError(f"total_out must be non-negative, got {total_out}")
+    import math
+
+    if alpha == 0.5:
+        mass = {s: math.isqrt(n) for s, n in counts.items() if n > 0}
+    else:
+        mass = {s: int(n**alpha * (1 << 20)) for s, n in counts.items() if n > 0}
+    total_mass = sum(mass.values())
+    if total_mass == 0:
+        return {s: 0 for s in mass}
+    return {s: (total_out * m) // total_mass for s, m in mass.items()}
+
+
 def mixture_sample(
     df: DataFrame,
     source_col: str,

@@ -1548,3 +1548,86 @@ def sampling_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame
         docs, "source", text_ops.token_count("text"), _MIX_BUDGETS
     )
     return out.withColumn("tok_before", F.col("tok_before").cast("long"))
+
+
+_SHARD_TOKENS = 2000
+
+
+@register(
+    "sampling_shuffle_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE len({_TOKS_SQL}) > 0),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS g_start
+      FROM t)
+    SELECT doc_id, n_tokens, g_start, g_start // {_SHARD_TOKENS} AS shard
+    FROM s
+    """,
+)
+def sampling_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + token-budgeted shard export
+    layout (operators/packing.shuffled_shards): document order is
+    md5(doc_id) — uniform pseudo-random, rerun/partitioning-stable —
+    and the shuffled token stream is cut into ~2000-token shards. The
+    oracle is the naive single-partition global cumsum over the hash
+    order; the engine runs the 256-band two-stage prefix sum, and the
+    value hash proves the banded plan reproduces the byte-identical
+    layout (offset AND shard of every document)."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffled_shards(
+        docs, text_ops.token_count("text"), _SHARD_TOKENS
+    )
+
+
+_TEMP_MIX_TOTAL = 250
+
+
+@register(
+    "sampling_temperature_mixture",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS mass
+          FROM c WHERE n > 0),
+    q AS (SELECT source, ({_TEMP_MIX_TOTAL} * mass) // (SELECT SUM(mass) FROM m)
+            AS quota FROM m),
+    r AS (SELECT source, doc_id,
+            row_number() OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+    SELECT r.source, r.doc_id, CAST(rk AS BIGINT) AS admit_rank
+    FROM r JOIN q USING (source) WHERE rk <= q.quota
+    """,
+)
+def sampling_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (operators/sampling.temperature_quotas,
+    the mT5/XLM-R p^alpha recipe at alpha=0.5): per-source document
+    quotas proportional to isqrt(n_s) — INTEGER arithmetic end-to-end,
+    so the DuckDB oracle reproduces the quotas bit-exactly — admitted
+    in deterministic hash order through the same 256-band prefix-sum
+    plan as the token-budget mixture (unit token count ⇒ the admission
+    predicate degenerates to rank ≤ quota; no per-source global
+    window). The per-source counts are one tiny aggregate collected
+    driver-side (|sources| scalars, metadata-sized by construction)."""
+    from d365fo_db_sync_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    quotas = sampling.temperature_quotas(counts, _TEMP_MIX_TOTAL)
+    out = sampling.mixture_by_token_budget(docs, "source", F.lit(1), quotas)
+    return out.select(
+        "source", "doc_id", (F.col("tok_before") + 1).cast("long").alias("admit_rank")
+    )

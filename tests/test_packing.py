@@ -211,3 +211,90 @@ def test_pack_sequences_duplicate_ids_row_bounded_not_peer_inclusive(spark):
     assert ends[-1][1] == sum(n for _, n in rows)
     dup_starts = [r["g_start"] for r in out if r["doc_id"] == 2]
     assert len(set(dup_starts)) == 2
+
+
+# ---------------------------------------------------------------- shards
+
+
+def _brute_shards(rows, shard_tokens):
+    import hashlib
+
+    order = sorted(
+        ((hashlib.md5(str(i).encode()).hexdigest(), i, t) for i, t in rows if t > 0),
+    )
+    acc, exp = 0, {}
+    for _, i, t in order:
+        exp[i] = (t, acc, acc // shard_tokens)
+        acc += t
+    return exp
+
+
+def test_shuffled_shards_matches_bruteforce(spark):
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards
+
+    rows = [(i, (i * 11) % 29 + 1) for i in range(0, 300, 2)] + [(4, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["g_start"], r["shard"])
+        for r in shuffled_shards(df, F.col("n_tokens"), shard_tokens=37).collect()
+    }
+    assert got == _brute_shards(rows, 37)
+
+
+def test_shuffled_shards_partitioning_invariant(spark):
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards
+
+    rows = [(i, i % 5 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = sorted(
+        shuffled_shards(df, F.col("n_tokens"), 50).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        shuffled_shards(df.repartition(13), F.col("n_tokens"), 50).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_shuffled_shards_salt_changes_order_not_membership(spark):
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards
+
+    rows = [(i, 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = {r["doc_id"]: r["g_start"] for r in shuffled_shards(df, F.lit(3), 20).collect()}
+    b = {
+        r["doc_id"]: r["g_start"]
+        for r in shuffled_shards(df, F.lit(3), 20, salt="s2").collect()
+    }
+    assert set(a) == set(b)  # same documents in the stream
+    assert a != b  # at a different position
+
+
+def test_shard_manifest_tiles_the_stream(spark):
+    from d365fo_db_sync_spark.operators.packing import shard_manifest, shuffled_shards
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    assigned = shuffled_shards(df, F.col("n_tokens"), shard_tokens=100)
+    man = sorted(shard_manifest(assigned).collect(), key=lambda r: r["shard"])
+    total = sum(t for _, t in rows)
+    assert sum(r["n_tokens"] for r in man) == total
+    assert sum(r["n_docs"] for r in man) == len(rows)
+    # consecutive shards tile the stream: each starts within shard_tokens
+    # of its nominal boundary and ends where the next begins
+    for prev, cur in zip(man, man[1:]):
+        assert prev["tok_end"] + 1 == cur["tok_start"]
+    assert man[0]["tok_start"] == 0
+    assert man[-1]["tok_end"] == total - 1
+    # a shard's first doc starts inside the shard's nominal token range
+    for r in man:
+        assert r["shard"] * 100 <= r["tok_start"] < (r["shard"] + 1) * 100
+
+
+def test_shuffled_shards_rejects_bad_budget(spark):
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        shuffled_shards(df, F.col("n_tokens"), 0)

@@ -179,3 +179,61 @@ class TestMixtureByTokenBudget:
 
         with pytest.raises(ValueError):
             mixture_by_token_budget(self._docs(spark), "src", F.col("toks"), {})
+
+
+# ------------------------------------------------- temperature mixture
+
+
+def test_temperature_quotas_alpha_half_is_isqrt_proportional():
+    import math
+
+    counts = {"a": 100, "b": 400, "c": 2500}
+    q = sampling.temperature_quotas(counts, 600)
+    mass = {s: math.isqrt(n) for s, n in counts.items()}  # 10, 20, 50
+    sm = sum(mass.values())
+    assert q == {s: (600 * m) // sm for s, m in mass.items()}
+    assert sum(q.values()) <= 600
+    # flatter than natural proportions: the small source's share grows
+    assert q["a"] / 600 > counts["a"] / sum(counts.values())
+
+
+def test_temperature_quotas_edge_cases():
+    assert sampling.temperature_quotas({}, 100) == {}
+    assert sampling.temperature_quotas({"a": 0}, 100) == {}
+    assert sampling.temperature_quotas({"a": 9}, 0) == {"a": 0}
+    with pytest.raises(ValueError):
+        sampling.temperature_quotas({"a": 9}, -1)
+    # alpha=1 keeps natural proportions (float-mass path)
+    q = sampling.temperature_quotas({"a": 100, "b": 300}, 400, alpha=1.0)
+    assert q == {"a": 100, "b": 300}
+
+
+def test_temperature_mixture_admits_exact_quota_in_hash_order(spark, docs):
+    import hashlib
+
+    counts = {
+        r["src"]: r["n"]
+        for r in docs.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    quotas = sampling.temperature_quotas(
+        {str(s): n for s, n in counts.items()}, 700
+    )
+    out = sampling.mixture_by_token_budget(
+        docs.withColumn("src", F.col("src").cast("string")),
+        "src",
+        F.lit(1),
+        quotas,
+        id_col="doc_id",
+    ).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r["doc_id"])
+    for s, quota in quotas.items():
+        n_src = counts[int(s)]
+        assert len(by_src.get(s, [])) == min(quota, n_src)
+        # admitted set = the quota-prefix of the source's hash order
+        expected = sorted(
+            (i for i in range(2000) if i % 7 == int(s)),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:quota]
+        assert sorted(by_src.get(s, [])) == sorted(expected)
