@@ -125,6 +125,36 @@ def shingle_sets(
     )
 
 
+def frequent_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Corpus boilerplate mining: the word n-grams that appear in at
+    least ``min_docs`` DISTINCT documents — headers, footers, license
+    blurbs, template chrome. The output feeds a removal/downweight pass
+    (or a human review list); a threshold (not top-k) keeps the result
+    set tie-stable, so it is value-checkable cross-engine.
+
+    Returns ``(shingle, doc_freq)``. Scale shape: distinct (doc,
+    shingle) pairs from the codegen shingle builder, then ONE groupBy
+    on the shingle string with map-side partial counts; the ``>=``
+    filter runs inside the aggregate's HAVING position, so only the
+    boilerplate tail — vanishingly small next to the corpus — survives
+    the exchange."""
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    ex = exploded_shingles(df, id_col, text_col, n=n, distinct=True)
+    return (
+        ex.groupBy("g")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select(F.col("g").alias("shingle"), "doc_freq")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

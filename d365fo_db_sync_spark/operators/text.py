@@ -204,6 +204,40 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: (placeholder, pattern) in application order: emails first (an email
+#: local part can contain phone-shaped digit runs a later pass would
+#: misread), then phones, then IPs. Placeholders contain no ``$`` or
+#: backslash, so the replacement string needs no dialect translation —
+#: Java regex (Spark) and RE2 (DuckDB) consume it byte-for-byte.
+PII_REDACTIONS: tuple[tuple[str, str], ...] = (
+    ("<EMAIL>", EMAIL_RE),
+    ("<PHONE>", PHONE_RE),
+    ("<IP>", IPV4_RE),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Typed-placeholder PII redaction — the redact half of the
+    redact-or-drop gate (:func:`pii_counts` is the detect half).
+    Adds ``n_redacted`` (total spans replaced) and ``redacted_text``.
+
+    Replacements apply sequentially in :data:`PII_REDACTIONS` order and
+    ``n_redacted`` counts matches at each STAGE (emails on the original
+    text, phones on the email-redacted text, ...), so it is exactly the
+    number of placeholders inserted — counting every pattern on the
+    original would double-count a phone-shaped run inside an email's
+    local part. Pure regexp_replace/regexp_count column expressions:
+    distributes with the scan, zero shuffles at any corpus size."""
+    staged = F.col(text_col)
+    n = F.lit(0)
+    for tag, pat in PII_REDACTIONS:
+        n = n + F.regexp_count(staged, F.lit(pat))
+        staged = F.regexp_replace(staged, pat, tag)
+    return df.withColumns(
+        {"n_redacted": n.cast("long"), "redacted_text": staged}
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition ratios (the Gopher-style quality
     rules): duplicate-token fraction and duplicate-bigram fraction.

@@ -1631,3 +1631,93 @@ def sampling_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", "doc_id", (F.col("tok_before") + 1).cast("long").alias("admit_rank")
     )
+
+
+def _pii_redact_oracle() -> str:
+    from d365fo_db_sync_spark.operators.text import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    cases = "\n".join(
+        f"      WHEN {i} THEN '{s}'" for i, s in enumerate(_PII_SPIKES)
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text || CASE doc_id % 7
+{cases}
+      ELSE '' END AS text
+      FROM documents),
+    r1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{EMAIL_RE}')) AS c1,
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM s),
+    r2 AS (
+      SELECT doc_id, c1,
+             len(regexp_extract_all(t1, '{PHONE_RE}')) AS c2,
+             regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS t2
+      FROM r1)
+    SELECT doc_id,
+           CAST(c1 + c2 + len(regexp_extract_all(t2, '{IPV4_RE}'))
+                AS BIGINT) AS n_redacted,
+           regexp_replace(t2, '{IPV4_RE}', '<IP>', 'g') AS redacted_text
+    FROM r2
+    """
+
+
+@register("text_pii_redaction", oracle=_pii_redact_oracle())
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder PII redaction (operators/text.pii_redact) —
+    the redact half of the redact-or-drop gate, on the same spiked
+    corpus as text_pii_repetition (the detectors need real positives).
+    The value hash checks the REDACTED TEXT of every document
+    byte-for-byte plus the per-stage replacement count, proving the
+    sequential replace discipline (emails, then phones on the
+    email-redacted text, then IPs) matches across regex dialects —
+    possible because patterns are lookaround-free and placeholders
+    contain no replacement-syntax characters. Zero shuffles."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    spike = F.col("doc_id") % 7
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            *[
+                F.when(spike == i, F.lit(s)).otherwise(F.lit(""))
+                for i, s in enumerate(_PII_SPIKES)
+            ],
+        ).alias("text"),
+    )
+    out = text_ops.pii_redact(spiked, "text")
+    return out.select("doc_id", "n_redacted", "redacted_text")
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, GREATEST(len(toks) - 2, 1) + 1)])
+                   AS sh
+          FROM tok),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM s)
+    SELECT g AS shingle, COUNT(*) AS doc_freq FROM e GROUP BY g
+    HAVING COUNT(*) * 100 >= (SELECT COUNT(*) FROM documents)
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate mining (operators/dedup.frequent_shingles):
+    word 3-grams present in >= 1% of distinct documents — the
+    template-chrome/license-blurb detector that feeds a removal pass.
+    The relative threshold keeps the query scale-free; the threshold
+    (not top-k) output keeps it tie-stable, which is what lets DuckDB
+    value-check it. One groupBy on the shingle string with map-side
+    partial counts; the corpus count is a single driver-side scalar."""
+    from d365fo_db_sync_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    return dedup_ops.frequent_shingles(
+        docs, "doc_id", "text", n=3, min_docs=-(-total // 100)
+    )

@@ -85,3 +85,73 @@ def test_input_schema_not_mutated(spark):
     compression_ratio(df)
     assert [f.name for f in df.schema.fields] == ["doc_id", "text"]
     assert df.select("doc_id", "text").count() == 1
+
+
+# --------------------------------------------------------- pii redaction
+
+
+class TestPiiRedact:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_redacts_each_type_with_placeholders(self, spark):
+        from d365fo_db_sync_spark.operators.text import pii_redact
+
+        rows = pii_redact(
+            self._df(
+                spark,
+                [
+                    "mail a@b.io now",
+                    "dial (555) 867-5309 or 555-123-4567",
+                    "host 10.0.0.1 up",
+                    "clean document",
+                ],
+            )
+        ).collect()
+        got = {r["doc_id"]: (r["n_redacted"], r["redacted_text"]) for r in rows}
+        assert got[0] == (1, "mail <EMAIL> now")
+        assert got[1] == (2, "dial <PHONE> or <PHONE>")
+        assert got[2] == (1, "host <IP> up")
+        assert got[3] == (0, "clean document")
+
+    def test_phone_inside_email_counts_once(self, spark):
+        from d365fo_db_sync_spark.operators.text import pii_redact
+
+        # the email's local part is phone-shaped: sequential counting
+        # must see ONE redaction (the email), not two
+        [r] = pii_redact(self._df(spark, ["call 555-123-4567@spam.example ok"])).collect()
+        assert r["redacted_text"] == "call <EMAIL> ok"
+        assert r["n_redacted"] == 1
+
+    def test_placeholder_not_rescanned(self, spark):
+        from d365fo_db_sync_spark.operators.text import pii_redact
+
+        # a document that is ONLY pii: placeholders must not chain-match
+        [r] = pii_redact(self._df(spark, ["a@b.io 10.0.0.1"])).collect()
+        assert r["redacted_text"] == "<EMAIL> <IP>"
+        assert r["n_redacted"] == 2
+
+
+def test_frequent_shingles_counts_distinct_docs(spark):
+    from d365fo_db_sync_spark.operators.dedup import frequent_shingles
+
+    boiler = "all rights reserved"
+    texts = [f"doc {i} body {boiler}" for i in range(4)] + [
+        f"{boiler} {boiler} twice in one doc",  # within-doc repeat: still 1
+        "unrelated content entirely",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["shingle"]: r["doc_freq"]
+        for r in frequent_shingles(df, "doc_id", "text", n=3, min_docs=5).collect()
+    }
+    assert out == {boiler: 5}  # doc frequency, not occurrence count
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        frequent_shingles(df, "doc_id", "text", min_docs=0)
