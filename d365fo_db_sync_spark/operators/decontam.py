@@ -65,6 +65,38 @@ def benchmark_overlap(
     )
 
 
+def exact_contamination(
+    corpus: DataFrame,
+    needles: DataFrame,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    needle_id: str = "bench_id",
+    needle_text: str = "needle",
+) -> DataFrame:
+    """Exact answer-string contamination: one row per (document,
+    benchmark answer) where the answer appears VERBATIM
+    (case-insensitive) in the document — the exact-match rule used for
+    short-answer benchmarks, where n-gram shingle overlap is the wrong
+    tool (a 3-word answer has zero 3-gram context of its own).
+
+    Scale shape: the needle set (benchmark answers — thousands at
+    most) is BROADCAST and the containment predicate runs map-side as
+    a broadcast nested-loop join: every executor scans its corpus
+    slice once against the in-memory needle list, no shuffle of the
+    corpus ever. Cost is O(|needles| x doc length) per document —
+    the distributed shape is right at any corpus size; swap the inner
+    loop for an Aho-Corasick pass (mapInPandas over the same
+    broadcast) only if the needle set grows past ~10^5.
+    Thresholding/removal composes with :func:`decontaminate`'s
+    left-anti discipline."""
+    if corpus_id == needle_id:
+        raise ValueError("corpus_id and needle_id must differ to label the pair")
+    return corpus.join(
+        F.broadcast(needles),
+        F.contains(F.lower(corpus[corpus_text]), F.lower(needles[needle_text])),
+    ).select(corpus_id, needle_id, needle_text)
+
+
 def decontaminate(
     corpus: DataFrame,
     bench: DataFrame,

@@ -106,6 +106,49 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Fixed weights for the linear quality classifier — a stand-in for an
+#: offline-trained fastText/logreg quality model (the ENGINE surface is
+#: the distributed scoring pass; training happens offline on labels the
+#: pipeline doesn't own). Values are exact in binary-friendly decimals
+#: and sized so both classes occur on natural-language text.
+QUALITY_CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "bias": -1.0,
+    "stopword_ratio": 6.0,
+    "punct_ratio": -8.0,
+    "mean_token_len": 0.125,
+    "n_tokens": 0.004,
+}
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality filtering (the CCNet/GPT-3-style learned
+    gate, linearized): score every document with a fixed-weight logistic
+    model over the :func:`quality_features` columns and keep documents
+    scoring above 0. Adds ``quality_logit`` (rounded to 6 decimals) and
+    ``keep``.
+
+    ``keep`` is derived from the ROUNDED logit so the decision is
+    reproducible cross-engine at the same granularity as the reported
+    score (an unrounded comparison could flip on the last ulp of a
+    float sum). The whole pass is map-only column arithmetic inside
+    whole-stage codegen — terms are summed left-to-right in the
+    declaration order of :data:`QUALITY_CLASSIFIER_WEIGHTS`, which an
+    SQL oracle mirrors literally."""
+    w = QUALITY_CLASSIFIER_WEIGHTS
+    feats = quality_features(df, text_col)
+    logit = (
+        F.lit(w["bias"])
+        + F.col("stopword_ratio") * F.lit(w["stopword_ratio"])
+        + F.col("punct_ratio") * F.lit(w["punct_ratio"])
+        + F.col("mean_token_len") * F.lit(w["mean_token_len"])
+        + F.col("n_tokens") * F.lit(w["n_tokens"])
+    )
+    rounded = F.round(logit, 6)
+    return feats.withColumns(
+        {"quality_logit": rounded, "keep": rounded > F.lit(0.0)}
+    )
+
+
 def language_id(col: Column | str, default: str = "unknown") -> Column:
     """Dictionary language-ID: argmax of per-language marker-token hits.
 

@@ -1721,3 +1721,84 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.frequent_shingles(
         docs, "doc_id", "text", n=3, min_docs=-(-total // 100)
     )
+
+
+def _classifier_oracle() -> str:
+    from d365fo_db_sync_spark.operators.text import (
+        QUALITY_CLASSIFIER_WEIGHTS as W,
+        STOPWORDS,
+    )
+
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    logit = (
+        f"{W['bias']!r} + stopword_ratio*{W['stopword_ratio']!r}"
+        f" + punct_ratio*{W['punct_ratio']!r}"
+        f" + mean_token_len*{W['mean_token_len']!r}"
+        f" + n_tokens*{W['n_tokens']!r}"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    f AS (SELECT doc_id,
+           len(toks) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / GREATEST(length(text), 1) AS punct_ratio,
+           len(list_intersect(toks, {stop_sql}))
+             / GREATEST(len(toks), 1) AS stopword_ratio,
+           length(regexp_replace(text, '\\s+', '', 'g'))
+             / GREATEST(len(toks), 1) AS mean_token_len
+          FROM t)
+    SELECT doc_id, ROUND({logit}, 6) AS quality_logit,
+           ROUND({logit}, 6) > 0.0 AS keep
+    FROM f
+    """
+
+
+@register("text_quality_classifier", oracle=_classifier_oracle())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/text.quality_classifier):
+    a fixed-weight logistic scorer over the quality features — the
+    linearized form of the CCNet/GPT-3 learned filter; the engine
+    surface is the distributed map-only scoring pass (training is
+    offline). Terms sum left-to-right in weight-declaration order and
+    the keep decision reads the ROUNDED logit, so the oracle mirrors
+    the float op sequence literally and the value hash checks score
+    AND decision for every document."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.quality_classifier(docs, "text")
+    return out.select("doc_id", "quality_logit", "keep")
+
+
+@register(
+    "decontam_exact_answer",
+    oracle="""
+    WITH needles AS (
+      SELECT doc_id AS bench_id,
+             substring(lower(text), 10, 25) AS needle
+      FROM documents
+      WHERE doc_id % 101 = 0 AND length(text) >= 40)
+    SELECT d.doc_id, n.bench_id, n.needle
+    FROM documents d JOIN needles n ON contains(lower(d.text), n.needle)
+    """,
+)
+def decontam_exact_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact answer-string contamination
+    (operators/decontam.exact_contamination): documents containing a
+    benchmark answer VERBATIM — the exact-match rule for short-answer
+    evals, where n-gram overlap has no context to shingle. The needle
+    set is derived deterministically from the corpus (a 25-char slice
+    of every doc_id % 101 == 0 document) so every needle has at least
+    its origin as a guaranteed hit; both engines compute the identical
+    slice. The needles broadcast and the containment scan is map-side
+    (broadcast nested-loop) — the corpus is never shuffled."""
+    from d365fo_db_sync_spark.operators.decontam import exact_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    needles = docs.filter(
+        (F.pmod("doc_id", F.lit(101)) == 0) & (F.length("text") >= 40)
+    ).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring(F.lower("text"), 10, 25).alias("needle"),
+    )
+    return exact_contamination(docs, needles)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from d365fo_db_sync_spark.operators.text import (
@@ -151,7 +153,84 @@ def test_frequent_shingles_counts_distinct_docs(spark):
     }
     assert out == {boiler: 5}  # doc frequency, not occurrence count
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         frequent_shingles(df, "doc_id", "text", min_docs=0)
+
+
+# ------------------------------------------------- quality classifier
+
+
+def test_quality_classifier_decision_matches_rounded_logit(spark):
+    from d365fo_db_sync_spark.operators.text import quality_classifier
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the mat and the dog is here too"),
+            (1, "x!!! ??? ### $$$ %%%"),
+            (2, "word " * 400),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    for r in rows.values():
+        assert r["keep"] == (r["quality_logit"] > 0)
+    # stopword-rich prose scores above punctuation soup
+    assert rows[0]["quality_logit"] > rows[1]["quality_logit"]
+
+
+def test_quality_classifier_is_map_only(spark):
+    from d365fo_db_sync_spark.operators.text import quality_classifier
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = quality_classifier(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle scoring pass
+
+
+# ------------------------------------------------ exact contamination
+
+
+class TestExactContamination:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (0, "The QUICK brown fox jumps over the lazy dog"),
+                (1, "nothing to see here"),
+                (2, "a quick brown fox appears again"),
+            ],
+            "doc_id long, text string",
+        )
+        needles = spark.createDataFrame(
+            [(100, "quick brown fox")], "bench_id long, needle string"
+        )
+        return corpus, needles
+
+    def test_case_insensitive_containment(self, spark):
+        from d365fo_db_sync_spark.operators.decontam import exact_contamination
+
+        corpus, needles = self._frames(spark)
+        got = sorted(
+            (r["doc_id"], r["bench_id"])
+            for r in exact_contamination(corpus, needles).collect()
+        )
+        assert got == [(0, 100), (2, 100)]
+
+    def test_rejects_colliding_id_columns(self, spark):
+        from d365fo_db_sync_spark.operators.decontam import exact_contamination
+
+        corpus, needles = self._frames(spark)
+        with pytest.raises(ValueError):
+            exact_contamination(
+                corpus, needles.withColumnRenamed("bench_id", "doc_id"),
+                needle_id="doc_id",
+            )
+
+    def test_needles_are_broadcast(self, spark):
+        from d365fo_db_sync_spark.operators.decontam import exact_contamination
+
+        corpus, needles = self._frames(spark)
+        plan = (
+            exact_contamination(corpus, needles)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # corpus never shuffled
