@@ -223,6 +223,34 @@ def shard_manifest(assigned: DataFrame) -> DataFrame:
     )
 
 
+def write_shards(
+    docs: DataFrame,
+    assigned: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the :func:`shuffled_shards` layout as one parquet
+    directory per shard: join the assignment back to the full documents
+    (one equi-join on the id) and write ``partitionBy("shard")`` with
+    rows ordered by ``g_start`` inside each task — the physical export
+    a dataloader consumes shard-by-shard.
+
+    ``repartition("shard")`` first, so each shard is written by exactly
+    ONE task: without it every input task holding rows of shard k opens
+    its own file under ``shard=k/`` and a 1000-executor run shatters
+    each shard into a thousand small files. One hash shuffle on the
+    shard id, whose fan-in also bounds writer memory to a shard's rows.
+    """
+    out = docs.join(assigned.select(id_col, "g_start", "shard"), on=id_col)
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("g_start")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def pack_sequences_ffd(
     docs: DataFrame,
     token_count: Column,

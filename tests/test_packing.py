@@ -298,3 +298,45 @@ def test_shuffled_shards_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         shuffled_shards(df, F.col("n_tokens"), 0)
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards, write_shards
+
+    rows = [(i, f"doc body {i}", (i * 7) % 13 + 1) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_tokens long")
+    assigned = shuffled_shards(docs, F.col("n_tokens"), shard_tokens=200)
+    path = str(tmp_path / "shards")
+    write_shards(docs, assigned, path)
+
+    back = spark.read.parquet(path)
+    # every document lands in exactly the shard the assignment named
+    want = {(r["doc_id"], r["shard"]) for r in assigned.collect()}
+    got = {(r["doc_id"], r["shard"]) for r in back.collect()}
+    assert got == want
+    # full payload carried through
+    assert set(back.columns) >= {"doc_id", "text", "g_start", "shard"}
+    # one file per shard: the pre-write repartition collapses writers
+    import os
+
+    for d in os.listdir(path):
+        if d.startswith("shard="):
+            files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+
+
+def test_shuffled_shards_plan_has_no_global_sort(spark):
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("n_tokens")
+    )
+    plan = (
+        shuffled_shards(df, F.col("n_tokens"), 500)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the layout must come from the banded prefix sum, never a global
+    # order-by (rangepartitioning serializes the corpus through one
+    # sort at scale)
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastExchange" in plan  # band offsets broadcast back
