@@ -1,0 +1,86 @@
+"""Sparse lexical retrieval: feature hashing + inverted-index MIPS.
+
+The hashing trick (Weinberger et al. 2009) turns tokens into a
+fixed-width sparse count vector — bucket = hash(token) mod dims,
+weight = occurrences — with NO vocabulary to build, broadcast, or keep
+consistent across runs: the feature space is defined by the hash
+function alone, so featurization is embarrassingly parallel and
+rerun-stable on any cluster.
+
+Retrieval then scores query·document inner products WITHOUT
+materializing dense vectors: the sparse rows ARE a posting-list
+inverted index, so the dot product is an equi-join on the bucket id
+followed by a sum of weight products — the classic sparse-MIPS shape.
+All arithmetic is integer (counts and products), which is what lets a
+SQL oracle value-check every score exactly; the hash rides md5 hex
+prefixes, reproducible in any engine.
+
+Scale shape at 100 TB: featurization is one groupBy per side keyed on
+(id, bucket) with map-side partial counts; the score join broadcasts
+the QUERY side (queries are thousands of rows against a corpus of
+billions) so the corpus postings stream map-side and the only wide
+shuffle is the per-(query, doc) score aggregation, whose cardinality
+is bounded by matching postings — never |corpus| x |queries|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators.text import tokens
+
+
+def hashed_token_features(
+    df: DataFrame, id_col: str, text_col: str, dims: int = 256
+) -> DataFrame:
+    """Sparse feature-hashing bag-of-words: ``(id, bucket, weight)``
+    rows with ``bucket = md5(token) hex-prefix mod dims`` and
+    ``weight`` the token's occurrence count in the bucket. One groupBy
+    on (id, bucket) — map-side combine does the counting."""
+    if dims <= 0:
+        raise ValueError(f"dims must be positive, got {dims}")
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("__tok"), 1, 4), 16, 10).cast("long") % dims
+    )
+    return ex.groupBy(F.col(id_col), bucket.alias("bucket")).agg(
+        F.count("*").alias("weight")
+    )
+
+
+def mips_topk(
+    corpus_feats: DataFrame,
+    query_feats: DataFrame,
+    k: int = 5,
+    corpus_id: str = "doc_id",
+    query_id: str = "query_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Top-k inner-product retrieval over sparse hashed features.
+
+    ``score(q, d) = sum over shared buckets of weight_q * weight_d`` —
+    an equi-join on the bucket (the inverted-index probe), one
+    aggregation per (query, doc) pair, then a per-query rank window.
+    Ties break on ascending corpus id, making the top-k total-ordered
+    and cross-engine reproducible. ``broadcast_queries`` keeps the
+    corpus postings map-side (right at any realistic query count);
+    disable it only for query sets too large to broadcast."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q = query_feats.select(
+        F.col(query_id), F.col("bucket"), F.col("weight").alias("__qw")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scores = (
+        corpus_feats.join(q, on="bucket")
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum(F.col("weight") * F.col("__qw")).alias("score"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id)
+    )
+    return scores.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -1802,3 +1802,76 @@ def decontam_exact_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.lower("text"), 10, 25).alias("needle"),
     )
     return exact_contamination(docs, needles)
+
+
+_MIPS_BUCKET_SQL = "('0x' || substring(md5(tok), 1, 4))::BIGINT % 256"
+
+
+@register(
+    "pipeline_mips_retrieval",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    p AS (
+      SELECT doc_id, toks, GREATEST(len(toks) - 32, 0) AS last_start FROM t),
+    c AS (
+      SELECT doc_id, toks, last_start,
+             (last_start // 24) + CASE WHEN last_start % 24 > 0 THEN 2 ELSE 1 END
+               AS n_chunks
+      FROM p),
+    e AS (
+      SELECT doc_id, toks, last_start, unnest(range(n_chunks)) AS chunk_idx FROM c),
+    ch AS (
+      SELECT doc_id * 1000 + chunk_idx AS chunk_key,
+             toks[LEAST(chunk_idx * 24, last_start) + 1
+                  : LEAST(chunk_idx * 24, last_start) + 32] AS ctoks
+      FROM e),
+    cf AS (
+      SELECT chunk_key, {_MIPS_BUCKET_SQL} AS bucket, COUNT(*) AS w
+      FROM (SELECT chunk_key, unnest(ctoks) AS tok FROM ch) GROUP BY 1, 2),
+    qf AS (
+      SELECT query_id, {_MIPS_BUCKET_SQL} AS bucket, COUNT(*) AS w
+      FROM (SELECT doc_id AS query_id, unnest(toks) AS tok FROM t
+            WHERE doc_id % 251 = 0) GROUP BY 1, 2),
+    s AS (
+      SELECT qf.query_id, cf.chunk_key, CAST(SUM(cf.w * qf.w) AS BIGINT) AS score
+      FROM cf JOIN qf USING (bucket) GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, chunk_key, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, chunk_key) AS rnk
+      FROM s)
+    SELECT query_id, chunk_key, score, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def pipeline_mips_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-shaped retrieval composition (operators/retrieval.py):
+    chunk the corpus (32-token windows, 8 overlap) -> feature-hash
+    every chunk into a 256-bucket sparse count vector (the hashing
+    trick: no vocabulary to build or broadcast) -> score query
+    documents against all chunks by INTEGER inner product via the
+    posting-list join -> top-5 chunks per query, ties broken on the
+    chunk key. All-integer scores and an md5-prefix hash make the
+    whole composition value-checkable; the query side broadcasts so
+    the chunk postings never shuffle for the join — the only wide
+    exchange is the (query, chunk) score aggregation."""
+    from d365fo_db_sync_spark.operators.retrieval import (
+        hashed_token_features,
+        mips_topk,
+    )
+    from d365fo_db_sync_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+    chunks = chunks.withColumn(
+        "chunk_key", F.col("doc_id") * 1000 + F.col("chunk_idx")
+    )
+    feats = hashed_token_features(chunks, "chunk_key", "chunk_text", dims=256)
+    qdocs = docs.filter(F.pmod("doc_id", F.lit(251)) == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    qfeats = hashed_token_features(qdocs, "query_id", "text", dims=256)
+    return mips_topk(feats, qfeats, k=5, corpus_id="chunk_key", query_id="query_id")
