@@ -73,6 +73,44 @@ def top_frequent_keys(df: DataFrame, key: str, min_count: int) -> DataFrame:
     )
 
 
+def skew_profile(df: DataFrame, key_cols: Sequence[str], top_k: int = 10) -> DataFrame:
+    """Skew advisor: the top-``top_k`` hottest keys with the numbers an
+    operator needs to pick a mitigation — ``cnt``, ``rank``,
+    ``share_bp`` (basis points of all rows, integer) and
+    ``salt_factor`` = ceil(cnt / avg-rows-per-key), the salt width that
+    levels this key back to an average reducer's load (1 = not skewed).
+
+    All integer arithmetic, so the report is value-checkable
+    cross-engine. Scale shape: one groupBy on the key (map-side partial
+    counts); the hot set comes from ``orderBy().limit()`` — Catalyst
+    plans TakeOrderedAndProject, a per-partition top-k + single merge
+    of ``top_k`` rows per partition, never a global sort — and the
+    corpus-wide totals ride a 1-row aggregate broadcast back. The rank
+    window runs AFTER the limit, on a ``top_k``-row frame (the pmod
+    partition key makes the single-partition choice explicit)."""
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    hot = counts.orderBy(F.desc("cnt"), *key_cols).limit(top_k)
+    w = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.desc("cnt"), *key_cols
+    )
+    return (
+        hot.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("share_bp", F.expr("cnt * 10000 div __total"))
+        .withColumn(
+            "salt_factor", F.expr("(cnt * __n_keys + __total - 1) div __total")
+        )
+        .drop("__total", "__n_keys")
+    )
+
+
 def salt_column(num_buckets: int, cols: Sequence[str | Column] = ()) -> Column:
     """Deterministic salt from row content (xxhash64 mod buckets) when
     reproducibility matters more than perfect balance; without content

@@ -1875,3 +1875,40 @@ def pipeline_mips_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qfeats = hashed_token_features(qdocs, "query_id", "text", dims=256)
     return mips_topk(feats, qfeats, k=5, corpus_id="chunk_key", query_id="query_id")
+
+
+@register(
+    "events_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS hot_key,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1),
+    s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM k),
+    h AS (SELECT hot_key, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, hot_key) AS rnk
+          FROM k)
+    SELECT hot_key, cnt, CAST(rnk AS INTEGER) AS rank,
+           cnt * 10000 // total AS share_bp,
+           (cnt * n_keys + total - 1) // total AS salt_factor
+    FROM h, s WHERE rnk <= 10
+    """,
+)
+def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew advisor report (operators/skew.skew_profile): hottest keys
+    with row share and the salt width that levels each back to an
+    average reducer's load — the stats pass behind choosing
+    salted_agg/compact_duplicates factors. The key is deliberately
+    skewed (a third of all events collapse onto key 0) so the report
+    exercises a real hot key. TakeOrderedAndProject for the hot set,
+    1-row totals broadcast, all-integer output."""
+    from d365fo_db_sync_spark.operators.skew import skew_profile
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.withColumn(
+        "hot_key",
+        F.when(F.pmod("event_id", F.lit(3)) == 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    return skew_profile(keyed, ["hot_key"], top_k=10)

@@ -662,3 +662,35 @@ def test_salted_topn_matches_plain_on_skew(spark):
         __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c")
     ).collect()}
     assert counts[1] == 5 and all(v <= 5 for v in counts.values())
+
+
+# ------------------------------------------------------- skew profile
+
+
+def test_skew_profile_numbers_and_plan(spark):
+    from d365fo_db_sync_spark.operators.skew import skew_profile
+
+    # 100 rows on key 0, 10 rows each on keys 1..5 -> total 150, 6 keys
+    rows = [(0,)] * 100 + [(k,) for k in range(1, 6) for _ in range(10)]
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_profile(df, ["k"], top_k=3)
+    got = {r["rank"]: (r["k"], r["cnt"], r["share_bp"], r["salt_factor"]) for r in out.collect()}
+    assert got[1] == (0, 100, 100 * 10000 // 150, (100 * 6 + 149) // 150)  # salt 4
+    assert got[1][3] == 4
+    # rank 2/3: tied cnt=10 -> key ascending
+    assert got[2][0] == 1 and got[3][0] == 2
+    assert got[2][3] == 1  # average keys need no salt
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # hot set is top-k, not a global sort
+    assert "BroadcastExchange" in plan  # 1-row totals broadcast back
+
+
+def test_skew_profile_rejects_bad_topk(spark):
+    from d365fo_db_sync_spark.operators.skew import skew_profile
+
+    df = spark.createDataFrame([(1,)], "k long")
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        skew_profile(df, ["k"], top_k=0)
