@@ -594,20 +594,67 @@ class ManifestParquetTarget(BucketedParquetTarget):
 
     MANIFEST = "_manifest.json"
     DATA_BUCKET_COL = "__kb_data"
+    VERSION_LOG = "_versions.log"
+
+    def __init__(
+        self, root: str, key: str, n_buckets: int = 64, retain_versions: int = 1
+    ) -> None:
+        """``retain_versions`` is the time-travel window: how many
+        published versions (including live) GC must keep readable.
+        The default 1 keeps only the live version — the original
+        delete-on-unreferenced behavior. Raising it makes every
+        retained version a reproducible snapshot: training runs pin
+        the version name they read, and a later backfill can re-read
+        the exact same file set via :meth:`read_version`."""
+        super().__init__(root, key, n_buckets)
+        if retain_versions < 1:
+            raise ValueError(f"retain_versions must be >= 1, got {retain_versions}")
+        self.retain_versions = retain_versions
 
     # -- manifest io --------------------------------------------------------
-    def _load_manifest(self) -> dict | None:
+    def _manifest_at(self, path: str) -> dict:
         import json
 
-        path = self.current_path()
-        if path is None:
-            return None
         with open(os.path.join(path, self.MANIFEST), encoding="utf-8") as f:
             raw = json.load(f)
         return {
             "schema": raw["schema"],
             "buckets": {int(k): v for k, v in raw["buckets"].items()},
         }
+
+    def _load_manifest(self) -> dict | None:
+        path = self.current_path()
+        if path is None:
+            return None
+        return self._manifest_at(path)
+
+    def versions(self) -> list[str]:
+        """Published version names, oldest first, restricted to those
+        still readable (manifest present on disk — GC'd versions drop
+        out). The publish log tolerates dangling entries from a crash
+        between staging and pointer swap."""
+        log = os.path.join(self.root, self.VERSION_LOG)
+        if not os.path.exists(log):
+            return []
+        with open(log, encoding="utf-8") as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        return [
+            n
+            for n in names
+            if os.path.exists(os.path.join(self.root, n, self.MANIFEST))
+        ]
+
+    def read_version(self, spark: SparkSession, name: str) -> DataFrame:
+        """Time-travel read: the table exactly as version ``name``
+        published it — same file set, same schema. Works for any name
+        in :meth:`versions` (GC keeps the last ``retain_versions``
+        readable)."""
+        path = os.path.join(self.root, name)
+        if not os.path.exists(os.path.join(path, self.MANIFEST)):
+            raise FileNotFoundError(f"version {name!r} not readable under {self.root}")
+        m = self._manifest_at(path)
+        files = [f for fs in m["buckets"].values() for f in fs]
+        return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
 
     def _write_version(
         self, df: DataFrame, carried: dict[int, list[str]]
@@ -648,6 +695,11 @@ class ManifestParquetTarget(BucketedParquetTarget):
         manifest = {"schema": schema_json, "buckets": {str(k): v for k, v in buckets.items()}}
         with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
             json.dump(manifest, f)
+        # publish log BEFORE the pointer swap: a crash in between leaves
+        # a dangling log entry, which versions() filters out; the swap
+        # stays the single atomic publish
+        with open(os.path.join(self.root, self.VERSION_LOG), "a", encoding="utf-8") as f:
+            f.write(name + "\n")
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(name)
@@ -771,27 +823,48 @@ class ManifestParquetTarget(BucketedParquetTarget):
 
     def vacuum_unreferenced(self) -> list[str]:
         """GC: delete version directories that hold NO file referenced
-        by the live manifest (and are not the live version itself).
-        Safe under the single-writer rule; run between cycles like
+        by any RETAINED manifest — the live version plus the most
+        recent ``retain_versions - 1`` published before it (the
+        time-travel window). With the default ``retain_versions=1``
+        this is exactly the original live-only reference walk. Safe
+        under the single-writer rule; run between cycles like
         ParquetTarget.vacuum."""
-        m = self._load_manifest()
         live = self.current_path()
-        if m is None or live is None:
+        if self._load_manifest() is None or live is None:
             return []
-        referenced_dirs = {
-            os.path.dirname(os.path.dirname(f))  # strip __kb=N/file.parquet
-            for fs in m["buckets"].values()
-            for f in fs
-        }
-        referenced_dirs.add(os.path.abspath(live))
+        retained_dirs = [os.path.abspath(live)]
+        for name in reversed(self.versions()):
+            path = os.path.abspath(os.path.join(self.root, name))
+            if path not in retained_dirs:
+                retained_dirs.append(path)
+            if len(retained_dirs) >= self.retain_versions:
+                break
+        referenced_dirs = set()
+        for d in retained_dirs:
+            m = self._manifest_at(d)
+            referenced_dirs |= {
+                os.path.dirname(os.path.dirname(f))  # strip __kb=N/file.parquet
+                for fs in m["buckets"].values()
+                for f in fs
+            }
+            referenced_dirs.add(d)
         removed = []
+        referenced = {os.path.abspath(d) for d in referenced_dirs}
+        retained = set(retained_dirs)
         for entry in os.listdir(self.root):
             path = os.path.abspath(os.path.join(self.root, entry))
-            if (
-                entry.startswith("v_")
-                and os.path.isdir(path)
-                and path not in {os.path.abspath(d) for d in referenced_dirs}
-            ):
+            if not entry.startswith("v_") or not os.path.isdir(path):
+                continue
+            if path not in referenced:
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
+            elif path not in retained:
+                # the dir must survive (a retained manifest references
+                # its files) but the VERSION it published has aged out
+                # of the time-travel window: drop its manifest so
+                # versions()/read_version expose exactly the retained
+                # window, not whichever dirs happen to survive
+                manifest = os.path.join(path, self.MANIFEST)
+                if os.path.exists(manifest):
+                    os.remove(manifest)
         return removed
