@@ -620,7 +620,38 @@ class ManifestParquetTarget(BucketedParquetTarget):
         return {
             "schema": raw["schema"],
             "buckets": {int(k): v for k, v in raw["buckets"].items()},
+            # zone maps are additive metadata: manifests written before
+            # they existed read as stats-less (every file conservatively
+            # scanned), so no migration is needed
+            "stats": raw.get("stats", {}),
         }
+
+    def _file_key_stats(self, path: str) -> dict:
+        """Footer-derived zone map for ``self.key`` in one parquet file:
+        ``{"rows": n, "min": x, "max": y}`` — min/max omitted when any
+        row group lacks statistics or the values aren't JSON-scalar
+        (absent zone map = file is always scanned, never wrongly
+        skipped)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = next(
+            (i for i in range(md.num_columns) if md.schema.column(i).name == self.key),
+            None,
+        )
+        out: dict = {"rows": md.num_rows}
+        if idx is None:
+            return out
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return out
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if isinstance(mn, (int, float, str)) and isinstance(mx, (int, float, str)):
+            out["min"], out["max"] = mn, mx
+        return out
 
     def _load_manifest(self) -> dict | None:
         path = self.current_path()
@@ -692,7 +723,23 @@ class ManifestParquetTarget(BucketedParquetTarget):
         # explicit-file reads get it verbatim, so empty tables and
         # empty buckets read with the exact same shape
         schema_json = out.drop(self.BUCKET_COL).schema.json()
-        manifest = {"schema": schema_json, "buckets": {str(k): v for k, v in buckets.items()}}
+        # zone maps: fresh files from their footers (driver-side, only
+        # the files just staged), carried files from the prior manifest
+        # (their footers haven't changed — no re-read)
+        prior = self._load_manifest()
+        prior_stats = prior["stats"] if prior else {}
+        stats: dict[str, dict] = {}
+        for fs in buckets.values():
+            for f in fs:
+                if f.startswith(staged):
+                    stats[f] = self._file_key_stats(f)
+                elif f in prior_stats:
+                    stats[f] = prior_stats[f]
+        manifest = {
+            "schema": schema_json,
+            "buckets": {str(k): v for k, v in buckets.items()},
+            "stats": stats,
+        }
         with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
             json.dump(manifest, f)
         # publish log BEFORE the pointer swap: a crash in between leaves
@@ -747,6 +794,37 @@ class ManifestParquetTarget(BucketedParquetTarget):
         }
         files = [f for b in sorted(affected) for f in m["buckets"].get(b, [])]
         return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+
+    def scan_range(self, spark: SparkSession, lo, hi) -> DataFrame:
+        """Key-range scan with zone-map data skipping (the
+        Iceberg/Delta file-stats cut, public designs): plan only the
+        files whose footer ``[min, max]`` overlaps ``[lo, hi]`` — an
+        exact driver-side file-list decision from the manifest's zone
+        maps, no directory listing, no footer reads at query time.
+        Files without a recorded zone map are conservatively scanned,
+        so skipping can never drop rows; the residual engine filter
+        keeps the result row-exact. Hash bucketing spreads key ranges
+        across buckets, so this is the complementary cut to
+        :meth:`probe`: probe prunes by key SET (equality), scan_range
+        by key ORDER — effective whenever ingestion order correlates
+        with the key (monotonic RecIds), which makes every old file's
+        zone map end below new keys."""
+        from pyspark.sql import functions as F
+
+        m = self._load_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no live version under {self.root}")
+        stats = m["stats"]
+
+        def overlaps(f: str) -> bool:
+            s = stats.get(f)
+            if not s or "min" not in s or "max" not in s:
+                return True
+            return s["max"] >= lo and s["min"] <= hi
+
+        files = [f for fs in m["buckets"].values() for f in fs if overlaps(f)]
+        df = self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+        return df.filter((F.col(self.key) >= F.lit(lo)) & (F.col(self.key) <= F.lit(hi)))
 
     def num_rows(self) -> int:
         import pyarrow.parquet as pq

@@ -248,3 +248,51 @@ def test_default_retention_keeps_live_only(spark, tmp_path):
     assert len(t.versions()) == 1  # prior version GC'd at publish
     with pytest.raises(ValueError):
         ManifestParquetTarget(str(tmp_path / "bad"), key="RecId", retain_versions=0)
+
+
+# ------------------------------------------------------ zone-map skipping
+
+
+def test_scan_range_skips_files_and_stays_exact(spark, tmp_path):
+    t = ManifestParquetTarget(str(tmp_path / "zm"), key="RecId", n_buckets=64)
+    t.overwrite(_base(spark, 2000))  # keys 0..1999
+    ins = spark.range(9000, 9006).select(
+        F.col("id").alias("RecId"),
+        (F.col("id") * 2).alias("SysRowVersion"),
+        F.lit(1.1).alias("amount"),
+    )
+    t.merge(spark, ins)
+
+    m = t._load_manifest()
+    all_files = [f for fs in m["buckets"].values() for f in fs]
+    assert all(f in m["stats"] and "min" in m["stats"][f] for f in all_files)
+
+    # a scan over the inserted range must skip every carried-forward
+    # file whose zone map tops out below 9000
+    got = sorted(r["RecId"] for r in t.scan_range(spark, 9000, 9100).collect())
+    assert got == list(range(9000, 9006))
+    skippable = [f for f in all_files if m["stats"][f]["max"] < 9000]
+    assert skippable  # untouched buckets carried forward with old maxima
+
+    # and a mid-range scan is row-exact against the brute-force filter
+    want = sorted(
+        r["RecId"] for r in t.read(spark).filter("RecId BETWEEN 500 AND 600").collect()
+    )
+    assert sorted(r["RecId"] for r in t.scan_range(spark, 500, 600).collect()) == want
+
+
+def test_scan_range_conservative_without_stats(spark, tmp_path):
+    t = ManifestParquetTarget(str(tmp_path / "nostats"), key="RecId", n_buckets=4)
+    t.overwrite(_base(spark, 100))
+    # simulate a pre-zone-map manifest: strip the stats block in place
+    import json
+
+    live = t.current_path()
+    mp = f"{live}/_manifest.json"
+    with open(mp) as f:
+        raw = json.load(f)
+    raw.pop("stats", None)
+    with open(mp, "w") as f:
+        json.dump(raw, f)
+    got = sorted(r["RecId"] for r in t.scan_range(spark, 10, 20).collect())
+    assert got == list(range(10, 21))  # every file scanned, rows exact
