@@ -45,14 +45,25 @@ class ComparisonContext:
         return not self.has_created and not self.has_modified
 
     @classmethod
-    def from_columns(cls, src_cols: list[str], tgt_cols: list[str]) -> "ComparisonContext":
+    def from_columns(
+        cls,
+        src_cols: list[str],
+        tgt_cols: list[str],
+        recversion: str = "RECVERSION",
+        created: str = "CREATEDDATETIME",
+        modified: str = "MODIFIEDDATETIME",
+    ) -> "ComparisonContext":
+        """Presence test honors the caller's column NAMES — a custom
+        version column (e.g. SysRowVersion) must make has_recversion
+        true, or classify_changes would silently degrade to key-only
+        comparison and report every surviving key unchanged."""
         s = {c.upper() for c in src_cols}
         t = {c.upper() for c in tgt_cols}
         both = s & t
         return cls(
-            has_recversion="RECVERSION" in both,
-            has_created="CREATEDDATETIME" in both,
-            has_modified="MODIFIEDDATETIME" in both,
+            has_recversion=recversion.upper() in both,
+            has_created=created.upper() in both,
+            has_modified=modified.upper() in both,
         )
 
 
@@ -94,7 +105,9 @@ def classify_changes(
     merges the partials per key. Element-wise max is the correct merge
     for replayed/monotone version columns — the latest version wins.
     """
-    context = context or ComparisonContext.from_columns(src.columns, tgt.columns)
+    context = context or ComparisonContext.from_columns(
+        src.columns, tgt.columns, recversion=recversion, created=created, modified=modified
+    )
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         cols = [F.col(key).alias(f"{tag}_{key}")]

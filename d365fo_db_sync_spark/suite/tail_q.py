@@ -1912,3 +1912,79 @@ def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return skew_profile(keyed, ["hot_key"], top_k=10)
+
+
+@register(
+    "sync_snapshot_diff",
+    oracle="""
+    WITH keys AS (SELECT o_orderkey AS RecId FROM orders)
+    SELECT RecId, 'modified' AS change_type FROM keys
+    WHERE RecId % 4001 = 0 AND RecId % 4003 <> 0
+    UNION ALL
+    SELECT RecId, 'deleted' AS change_type FROM keys WHERE RecId % 4003 = 0
+    UNION ALL
+    SELECT RecId + 90000000 AS RecId, 'new' AS change_type FROM keys
+    WHERE RecId % 5003 = 0
+    """,
+)
+def sync_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff via manifest time travel: publish a base version,
+    apply one CDC batch (updates, tombstone deletes, inserts), then
+    diff the PINNED old version (sinks.read_version) against the live
+    table with the 4-way delta classifier — the dataset-versioning
+    audit "what changed between training snapshots". The oracle
+    derives the exact change set from the mutation rules; unchanged
+    keys are filtered engine-side, so every reported (key, change)
+    is value-checked. Reads plan from two manifests' file lists —
+    history costs metadata only (retain_versions=2), no data copies."""
+    from d365fo_db_sync_spark.delta import classify_changes
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.suite import scratch_dir
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("RecId"),
+        (k * 2).alias("SysRowVersion"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    work = scratch_dir("syncsd_")
+    engine = SyncEngine(spark, StateStore(f"{work}/state.json"), SyncConfig())
+    target = ManifestParquetTarget(
+        f"{work}/tgt", key="RecId", n_buckets=64, retain_versions=2
+    )
+    engine.merge_upsert("orders_sd", base, target)
+    v_old = target.versions()[-1]
+
+    upd = base.filter(
+        (F.pmod("RecId", F.lit(4001)) == 0) & (F.pmod("RecId", F.lit(4003)) != 0)
+    ).select(
+        "RecId",
+        (F.col("SysRowVersion") + _CDC_BUMP).alias("SysRowVersion"),
+        (F.col("amount") + 500.0).alias("amount"),
+        "status",
+        F.lit(False).alias("__deleted"),
+    )
+    dead = base.filter(F.pmod("RecId", F.lit(4003)) == 0).select(
+        "RecId",
+        (F.col("SysRowVersion") + _CDC_BUMP).alias("SysRowVersion"),
+        F.lit(None).cast("double").alias("amount"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(True).alias("__deleted"),
+    )
+    ins = base.filter(F.pmod("RecId", F.lit(5003)) == 0).select(
+        (F.col("RecId") + 90_000_000).alias("RecId"),
+        "SysRowVersion",
+        "amount",
+        "status",
+        F.lit(False).alias("__deleted"),
+    )
+    engine.merge_upsert("orders_sd", upd.unionByName(dead).unionByName(ins), target)
+
+    old = target.read_version(spark, v_old)
+    live = target.read(spark)
+    diff = classify_changes(live, old, key="RecId", recversion="SysRowVersion")
+    return diff.filter(F.col("change_type") != "unchanged")

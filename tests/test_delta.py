@@ -134,3 +134,22 @@ def test_compact_duplicates_salted(spark):
     tgt = spark.createDataFrame(tgt_rows, SCHEMA)
     out = delta.classify_changes(src, tgt, compact_duplicates=True, salt=4)
     assert out.count() == 3
+
+
+def test_custom_version_column_name_enables_version_compare(spark):
+    # regression: from_columns used to test only the DEFAULT names, so
+    # classify_changes(recversion="SysRowVersion") silently degraded to
+    # key-only comparison and called every surviving key unchanged
+    from d365fo_db_sync_spark.delta import classify_changes
+
+    src = spark.createDataFrame(
+        [(1, 10), (2, 99)], "RecId long, SysRowVersion long"
+    )
+    tgt = spark.createDataFrame(
+        [(1, 10), (2, 20)], "RecId long, SysRowVersion long"
+    )
+    got = {
+        r["RecId"]: r["change_type"]
+        for r in classify_changes(src, tgt, recversion="SysRowVersion").collect()
+    }
+    assert got == {1: "unchanged", 2: "modified"}
