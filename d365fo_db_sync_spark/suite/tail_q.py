@@ -1555,6 +1555,7 @@ _SHARD_TOKENS = 2000
 
 @register(
     "sampling_shuffle_shards",
+    bench=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,

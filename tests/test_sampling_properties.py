@@ -82,3 +82,63 @@ def test_hex_threshold_total_order(fraction):
     assert th == "g" or (len(th) == 8 and int(th, 16) == int(fraction * (1 << 32)))
     if fraction >= 1.0:
         assert "ffffffff" < th
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(min_size=1, max_size=4), st.integers(min_value=0, max_value=10**12),
+        min_size=0, max_size=8,
+    ),
+    total=st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_temperature_quotas_invariants(counts, total):
+    import math
+
+    from d365fo_db_sync_spark.operators.sampling import temperature_quotas
+
+    q = temperature_quotas(counts, total)
+    # quotas never exceed the requested total and never go negative
+    assert sum(q.values()) <= total
+    assert all(v >= 0 for v in q.values())
+    # empty sources get no quota key at all
+    assert set(q) == {s for s, n in counts.items() if n > 0}
+    # exact integer definition: floor(total * isqrt(n) / sum(isqrt))
+    mass = {s: math.isqrt(n) for s, n in counts.items() if n > 0}
+    sm = sum(mass.values())
+    for s, m in mass.items():
+        assert q[s] == (total * m) // sm if sm else q[s] == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=0, max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    shard_tokens=st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=40, deadline=None)
+def test_shuffled_shards_property_matches_global_cumsum(spark, rows, shard_tokens):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["g_start"], r["shard"])
+        for r in shuffled_shards(df, F.col("n_tokens"), shard_tokens).collect()
+    }
+    order = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i, t) for i, t in rows if t > 0
+    )
+    acc = 0
+    for _, i, t in order:
+        assert got[i] == (acc, acc // shard_tokens)
+        acc += t
+    assert len(got) == len(order)
