@@ -94,7 +94,13 @@ def exact_contamination(
     return corpus.join(
         F.broadcast(needles),
         F.contains(F.lower(corpus[corpus_text]), F.lower(needles[needle_text])),
-    ).select(corpus_id, needle_id, needle_text)
+    ).select(
+        # frame-qualified: corpus and needle frames may legally share
+        # column names (e.g. both call their text column "text")
+        corpus[corpus_id],
+        needles[needle_id],
+        needles[needle_text],
+    )
 
 
 def decontaminate(

@@ -104,10 +104,13 @@ def skew_profile(df: DataFrame, key_cols: Sequence[str], top_k: int = 10) -> Dat
         hot.crossJoin(F.broadcast(stats))
         .withColumn("rank", F.row_number().over(w))
         .withColumn("share_bp", F.expr("cnt * 10000 div __total"))
-        .withColumn(
-            "salt_factor", F.expr("(cnt * __n_keys + __total - 1) div __total")
-        )
-        .drop("__total", "__n_keys")
+        # avg-first, not cnt*n_keys/total: the cross product overflows
+        # BIGINT once total*n_keys passes 2^63 (realistic at 10^11 rows
+        # x 10^8 keys); dividing first keeps every intermediate within
+        # the row count's own magnitude
+        .withColumn("__avg", F.expr("greatest(__total div __n_keys, 1)"))
+        .withColumn("salt_factor", F.expr("(cnt + __avg - 1) div __avg"))
+        .drop("__total", "__n_keys", "__avg")
     )
 
 

@@ -1891,7 +1891,8 @@ def pipeline_mips_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM k)
     SELECT hot_key, cnt, CAST(rnk AS INTEGER) AS rank,
            cnt * 10000 // total AS share_bp,
-           (cnt * n_keys + total - 1) // total AS salt_factor
+           (cnt + GREATEST(total // n_keys, 1) - 1)
+             // GREATEST(total // n_keys, 1) AS salt_factor
     FROM h, s WHERE rnk <= 10
     """,
 )

@@ -675,7 +675,7 @@ def test_skew_profile_numbers_and_plan(spark):
     df = spark.createDataFrame(rows, "k long")
     out = skew_profile(df, ["k"], top_k=3)
     got = {r["rank"]: (r["k"], r["cnt"], r["share_bp"], r["salt_factor"]) for r in out.collect()}
-    assert got[1] == (0, 100, 100 * 10000 // 150, (100 * 6 + 149) // 150)  # salt 4
+    assert got[1] == (0, 100, 100 * 10000 // 150, (100 + 24) // 25)  # salt 4 (avg=25)
     assert got[1][3] == 4
     # rank 2/3: tied cnt=10 -> key ascending
     assert got[2][0] == 1 and got[3][0] == 2
