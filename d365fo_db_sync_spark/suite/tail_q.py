@@ -1990,3 +1990,45 @@ def sync_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = target.read(spark)
     diff = classify_changes(live, old, key="RecId", recversion="SysRowVersion")
     return diff.filter(F.col("change_type") != "unchanged")
+
+
+@register(
+    "pipeline_export_e2e",
+    oracle=_CURATION_CTES
+    + """
+    , s2 AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS hh
+             FROM u WHERE n_tokens > 0),
+    g2 AS (SELECT doc_id,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY hh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS g_start
+           FROM s2)
+    SELECT doc_id, g_start, g_start // 1500 AS shard FROM g2
+    """,
+)
+def pipeline_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL export capstone: quality gate -> exact dedup ->
+    deterministic md5-order shuffle -> token-budgeted shard assignment
+    -> write_shards to parquet (one writer, one file per shard) ->
+    read the shards BACK and report every document's offset and shard.
+    Unlike the other pipeline capstones this one round-trips through
+    disk: the value hash proves the materialized shard layout — what a
+    dataloader would actually open — equals the oracle's composed
+    gate/dedup/cumsum math, so nothing was lost, duplicated, or
+    misplaced by the export. Plan: map-side gate, one fingerprint
+    shuffle, banded prefix sum, one shard-id shuffle for the writers."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards, write_shards
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(docs, "text")
+    kept = feats.filter(
+        F.col("n_tokens").between(30, 95) & (F.col("punct_ratio") <= 0.3)
+    ).select("doc_id", "n_tokens", text_ops.fingerprint("text").alias("fp"))
+    unique = dedup.exact_dedup(kept, cols=["fp"], key="doc_id")
+    assigned = shuffled_shards(unique, F.col("n_tokens"), shard_tokens=1500)
+    path = f"{scratch_dir('exportq_')}/shards"
+    write_shards(unique.select("doc_id", "n_tokens"), assigned, path)
+    back = spark.read.parquet(path)
+    return back.select("doc_id", "g_start", F.col("shard").cast("long").alias("shard"))
