@@ -135,6 +135,60 @@ def pack_manifest(packed: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def hash_banded_prefix_sum(
+    sized: DataFrame,
+    id_col: str,
+    group_cols: tuple[str, ...] = (),
+    hash_col: str = "_h",
+    value_col: str = "n_tokens",
+) -> DataFrame:
+    """The shared banded two-stage prefix-sum discipline: exclusive
+    running total of ``value_col`` in ``(group, hash, id)`` order,
+    banded on the hash's first two hex chars (256 uniform bands per
+    group). Stage 1 is an in-band running sum — parallel across
+    groups x bands; stage 2 an exclusive prefix over the band-total
+    frame (|groups|·256 rows, metadata-sized, broadcast back). Returns
+    the input columns plus ``tok_before``. One operator owns this
+    machinery so the ROWS-frame/tie-order/band-count discipline cannot
+    drift between its consumers (shard layout, token-budget mixtures).
+    ``hash_col`` must order rows uniformly (md5 of the id in practice);
+    with no ``group_cols`` the prefix is global, and the single-
+    partition stage-2 window is made explicit via the constant pmod
+    partition key (the frame is 256 rows by construction)."""
+    banded = sized.withColumn("_hb", F.substring(hash_col, 1, 2))
+    in_band = (
+        Window.partitionBy(*group_cols, "_hb")
+        .orderBy(hash_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = banded.withColumn("_local_end", F.sum(value_col).over(in_band))
+    totals = banded.groupBy(*group_cols, "_hb").agg(F.sum(value_col).alias("_tot"))
+    if group_cols:
+        band_order = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_hb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        band_order = (
+            Window.partitionBy(F.pmod(F.crc32(F.col("_hb")), F.lit(1)))
+            .orderBy("_hb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    offsets = totals.select(
+        *group_cols,
+        "_hb",
+        F.coalesce(F.sum("_tot").over(band_order), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), on=[*group_cols, "_hb"])
+        .withColumn(
+            "tok_before", F.col("_off") + F.col("_local_end") - F.col(value_col)
+        )
+        .drop("_hb", "_local_end", "_off")
+    )
+
+
 def shuffled_shards(
     docs: DataFrame,
     token_count: Column,
@@ -171,41 +225,18 @@ def shuffled_shards(
         raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
     parts = ([F.lit(salt)] if salt else []) + [F.col(id_col).cast("string")]
     h = F.md5(F.concat_ws("\x1f", *parts))
-    sized = (
-        docs.select(
-            F.col(id_col),
-            token_count.cast("long").alias("n_tokens"),
-            h.alias("_h"),
-        )
-        .filter(F.col("n_tokens") > 0)
-        .withColumn("_hb", F.substring("_h", 1, 2))
-    )
-    # global order = (_h, id): _hb is a prefix of _h, so ordering bands
-    # ascending and (_h, id) within a band IS the global hash order
-    in_band = (
-        Window.partitionBy("_hb")
-        .orderBy("_h", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = sized.withColumn("_local_end", F.sum("n_tokens").over(in_band))
-    totals = sized.groupBy("_hb").agg(F.sum("n_tokens").alias("_tot"))
-    # 256 rows: explicit single-partition exclusive prefix (see
-    # pack_sequences for why pmod(...) makes the choice explicit)
-    band_order = (
-        Window.partitionBy(F.pmod(F.crc32(F.col("_hb")), F.lit(1)))
-        .orderBy("_hb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        "_hb",
-        F.coalesce(F.sum("_tot").over(band_order), F.lit(0)).alias("_band_off"),
-    )
-    g_start = (F.col("_band_off") + F.col("_local_end") - F.col("n_tokens")).alias(
-        "g_start"
-    )
+    sized = docs.select(
+        F.col(id_col),
+        token_count.cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    ).filter(F.col("n_tokens") > 0)
+    # global order = (_h, id): the band is a prefix of _h, so ordering
+    # bands ascending and (_h, id) within a band IS the global hash
+    # order — the shared helper owns the two-stage scan
     return (
-        local.join(F.broadcast(offsets), on="_hb")
-        .select(id_col, "n_tokens", g_start)
+        hash_banded_prefix_sum(sized, id_col)
+        .withColumnRenamed("tok_before", "g_start")
+        .select(id_col, "n_tokens", "g_start")
         .withColumn("shard", F.expr(f"g_start div {shard_tokens}"))
     )
 
@@ -243,8 +274,14 @@ def write_shards(
     """
     out = docs.join(assigned.select(id_col, "g_start", "shard"), on=id_col)
     (
+        # sort by (shard, g_start), not g_start alone: the dynamic-
+        # partition writer requires child ordering on the partition
+        # column and would insert its own Sort(shard) — eliminating a
+        # bare g_start sort and leaving in-file row order arbitrary.
+        # Leading with shard satisfies the writer's requirement so the
+        # g_start order actually survives into each shard file.
         out.repartition("shard")
-        .sortWithinPartitions("g_start")
+        .sortWithinPartitions("shard", "g_start")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)

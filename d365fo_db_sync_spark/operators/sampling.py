@@ -229,49 +229,27 @@ def mixture_by_token_budget(
     the admitted prefix is an unbiased sample of the group — and the
     same rows are admitted on every rerun, any partitioning.
     """
-    from pyspark.sql import Window
-
     if not budgets:
         raise ValueError("mixture_by_token_budget needs at least one budget")
+    from d365fo_db_sync_spark.operators.packing import hash_banded_prefix_sum
+
     parts = ([F.lit(salt)] if salt else []) + [F.col(id_col).cast("string")]
     h = F.md5(F.concat_ws("\x1f", *parts))
-    sized = (
-        df.select(
-            F.col(group_col),
-            F.col(id_col),
-            token_count.cast("long").alias("n_tokens"),
-            h.alias("_h"),
-        )
-        .filter(F.col("n_tokens") > 0)
-        .withColumn("_hb", F.substring("_h", 1, 2))
-    )
-    in_bucket = (
-        Window.partitionBy(group_col, "_hb")
-        .orderBy("_h", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = sized.withColumn("_local_end", F.sum("n_tokens").over(in_bucket))
-    totals = sized.groupBy(group_col, "_hb").agg(F.sum("n_tokens").alias("_tot"))
-    # exclusive prefix across each group's 256 hex bands: the frame is
-    # |groups|*256 rows — metadata-sized, so the per-group window is
-    # explicitly safe
-    band_order = (
-        Window.partitionBy(group_col)
-        .orderBy("_hb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        group_col,
-        "_hb",
-        F.coalesce(F.sum("_tot").over(band_order), F.lit(0)).alias("_off"),
-    )
+    sized = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        token_count.cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    ).filter(F.col("n_tokens") > 0)
+    # the shared banded two-stage scan (operators/packing.py) computes
+    # the per-group exclusive running total; admission is then a pure
+    # filter against the group's budget
+    prefixed = hash_banded_prefix_sum(sized, id_col, group_cols=(group_col,))
     budget_col = F.lit(None).cast("long")
     for g, b in budgets.items():
         budget_col = F.when(F.col(group_col) == g, F.lit(int(b))).otherwise(budget_col)
     return (
-        local.join(F.broadcast(offsets), on=[group_col, "_hb"])
-        .withColumn("tok_before", F.col("_off") + F.col("_local_end") - F.col("n_tokens"))
-        .withColumn("_budget", budget_col)
+        prefixed.withColumn("_budget", budget_col)
         .filter(F.col("_budget").isNotNull() & (F.col("tok_before") < F.col("_budget")))
         .select(group_col, id_col, "n_tokens", "tok_before")
     )

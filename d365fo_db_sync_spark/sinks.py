@@ -665,10 +665,21 @@ class ManifestParquetTarget(BucketedParquetTarget):
         out). The publish log tolerates dangling entries from a crash
         between staging and pointer swap."""
         log = os.path.join(self.root, self.VERSION_LOG)
-        if not os.path.exists(log):
-            return []
-        with open(log, encoding="utf-8") as f:
-            names = [ln.strip() for ln in f if ln.strip()]
+        names: list[str] = []
+        if os.path.exists(log):
+            with open(log, encoding="utf-8") as f:
+                names = [ln.strip() for ln in f if ln.strip()]
+        # the pointer is the publish truth: fold the live name in last
+        # so a crash between pointer swap and log append (the one
+        # window the append-after-swap ordering leaves) cannot hide
+        # the live version from the history
+        live = self.current_path()
+        if live is not None:
+            live_name = os.path.basename(live)
+            if live_name in names:
+                names = [n for n in names if n != live_name] + [live_name]
+            else:
+                names.append(live_name)
         return [
             n
             for n in names
@@ -742,15 +753,18 @@ class ManifestParquetTarget(BucketedParquetTarget):
         }
         with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
             json.dump(manifest, f)
-        # publish log BEFORE the pointer swap: a crash in between leaves
-        # a dangling log entry, which versions() filters out; the swap
-        # stays the single atomic publish
-        with open(os.path.join(self.root, self.VERSION_LOG), "a", encoding="utf-8") as f:
-            f.write(name + "\n")
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(name)
         os.replace(tmp, self._pointer())
+        # publish log AFTER the pointer swap: logging first would list a
+        # never-published version (its manifest already exists in the
+        # staged dir, so a manifest-existence filter can't catch it).
+        # A crash between swap and append instead loses only the log
+        # line for the LIVE version — versions() repairs that case by
+        # always folding the pointer's name in last.
+        with open(os.path.join(self.root, self.VERSION_LOG), "a", encoding="utf-8") as f:
+            f.write(name + "\n")
         # prior versions may still be referenced by the manifest just
         # published, so deletion is reference-walking GC, not rmtree:
         # auto-vacuum keeps parity with ParquetTarget's delete-on-swap

@@ -1701,7 +1701,8 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_distinct([array_to_string(toks[i:i+2], ' ')
                                 for i in range(1, GREATEST(len(toks) - 2, 1) + 1)])
                    AS sh
-          FROM tok),
+          FROM tok
+          WHERE len(toks) > 0),
     e AS (SELECT doc_id, unnest(sh) AS g FROM s)
     SELECT g AS shingle, COUNT(*) AS doc_freq FROM e GROUP BY g
     HAVING COUNT(*) * 100 >= (SELECT COUNT(*) FROM documents)

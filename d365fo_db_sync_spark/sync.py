@@ -567,12 +567,19 @@ class SyncEngine:
         # WHERE RecId >= @MinRecId, AxDbDataService.cs:737)
         tgt_window = tgt_df.filter(F.col(key) >= F.lit(min_key))
         state = self.store.get(name)
+        # the engine's version column (cfg.version, default SysRowVersion)
+        # must drive the comparison: with the default D365 names the
+        # context would report has_recversion=False and classification
+        # silently degrades to key-only — modified rows never re-sync
         classified = delta.classify_changes(
             fetched,
             tgt_window,
             key=key,
-            context=delta.ComparisonContext.from_columns(fetched.columns, tgt_df.columns),
+            context=delta.ComparisonContext.from_columns(
+                fetched.columns, tgt_df.columns, recversion=self.config.version
+            ),
             max_transferred_key=state.max_transferred_key,
+            recversion=self.config.version,
         ).cache()
         counts = {r["change_type"]: r["cnt"] for r in delta.change_counts(classified).collect()}
 

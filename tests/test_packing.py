@@ -319,10 +319,17 @@ def test_write_shards_roundtrip(spark, tmp_path):
     # one file per shard: the pre-write repartition collapses writers
     import os
 
+    import pandas as pd
+
     for d in os.listdir(path):
         if d.startswith("shard="):
             files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
             assert len(files) == 1, (d, files)
+            # in-FILE row order is the contract a sequential dataloader
+            # reads: g_start ascending inside each shard file (the
+            # writer's own Sort(shard) must not eliminate it)
+            g = pd.read_parquet(os.path.join(path, d, files[0]))["g_start"].tolist()
+            assert g == sorted(g)
 
 
 def test_shuffled_shards_plan_has_no_global_sort(spark):
