@@ -137,6 +137,66 @@ def pcm16_audio_codec(sample_rate: int = 16_000) -> Codec:
     return codec
 
 
+def wav_audio_codec() -> Codec:
+    """REAL container parse for RIFF/WAVE holding 16-bit PCM — pure
+    byte walking, no audio library: chunks are scanned ("fmt " gives
+    the TRUE sample rate / channel count, "data" the payload, unknown
+    chunks skipped with even padding per the RIFF spec), so duration
+    comes from the file's own header instead of
+    :func:`pcm16_audio_codec`'s assumed rate. Multi-channel audio is
+    mono-mixed (mean across channels) before the same rms/peak/zcr/
+    quartile feature math. Compressed codecs inside WAV (non-PCM
+    wFormatTag) are rejected loudly rather than mis-decoded."""
+    import numpy as np
+
+    def codec(content: bytes, media_type: str) -> dict:
+        buf = content or b""
+        if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        fmt = data = None
+        i = 12
+        while i + 8 <= len(buf):
+            cid = buf[i : i + 4]
+            size = int.from_bytes(buf[i + 4 : i + 8], "little")
+            body = buf[i + 8 : i + 8 + size]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)  # chunks pad to even offsets
+        if fmt is None or len(fmt) < 16 or data is None:
+            raise ValueError("RIFF/WAVE missing fmt or data chunk")
+        wformat = int.from_bytes(fmt[0:2], "little")
+        channels = max(1, int.from_bytes(fmt[2:4], "little"))
+        rate = max(1, int.from_bytes(fmt[4:8], "little"))
+        bits = int.from_bytes(fmt[14:16], "little")
+        if wformat != 1 or bits != 16:
+            raise ValueError(
+                f"unsupported WAV encoding (wFormatTag={wformat}, bits={bits}); "
+                "only 16-bit PCM decodes without a media library"
+            )
+        frame_bytes = 2 * channels
+        usable = len(data) - (len(data) % frame_bytes)
+        x = np.frombuffer(data[:usable], dtype="<i2")
+        if x.size == 0:
+            return {"width": None, "height": None, "duration_ms": 0, "feature": [0.0] * 8}
+        f = (x.astype(np.float64) / 32768.0).reshape(-1, channels).mean(axis=1)
+        rms = float(np.sqrt(np.mean(f * f)))
+        peak = float(np.max(np.abs(f)))
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(f).astype(np.int8)))))
+        mean = float(np.mean(f))
+        qs = np.array_split(f, 4)
+        quart = [float(np.sqrt(np.mean(q * q))) if q.size else 0.0 for q in qs]
+        return {
+            "width": None,
+            "height": None,
+            "duration_ms": int(round(f.size * 1000.0 / rate)),
+            "feature": [rms, peak, zcr, mean, *quart],
+        }
+
+    return codec
+
+
 def ppm_image_codec() -> Codec:
     """REAL image decoder for binary PPM (P6) — pure byte parsing, no
     imaging library: header gives true width/height; the feature is the

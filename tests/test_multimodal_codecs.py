@@ -182,3 +182,81 @@ def test_real_codecs_through_distributed_decode(spark):
     assert out[1]["duration_ms"] == 500
     assert (out[2]["width"], out[2]["height"]) == (5, 3)
     assert out[2]["feature"][0] == pytest.approx(128 / 255, rel=1e-3)
+
+
+# ------------------------------------------------------------ WAV (RIFF)
+
+
+def _make_wav(samples, rate=8000, channels=1):
+    import io
+    import struct
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return bio.getvalue()
+
+
+class TestWavCodec:
+    def test_header_rate_drives_duration(self):
+        from d365fo_db_sync_spark.operators.multimodal import wav_audio_codec
+
+        codec = wav_audio_codec()
+        out = codec(_make_wav([0] * 4000, rate=8000), "audio")
+        assert out["duration_ms"] == 500  # 4000 frames @ 8 kHz
+        out2 = codec(_make_wav([0] * 4000, rate=16000), "audio")
+        assert out2["duration_ms"] == 250  # same frames, true rate honored
+
+    def test_mono_features_match_pcm16_codec(self):
+        from d365fo_db_sync_spark.operators.multimodal import (
+            pcm16_audio_codec,
+            wav_audio_codec,
+        )
+        import struct
+
+        samples = [int(10_000 * ((i % 64) / 32.0 - 1.0)) for i in range(16_000)]
+        wav = wav_audio_codec()(_make_wav(samples, rate=16000), "audio")
+        raw = pcm16_audio_codec(16_000)(
+            struct.pack(f"<{len(samples)}h", *samples), "audio"
+        )
+        assert wav["feature"] == raw["feature"]
+        assert wav["duration_ms"] == raw["duration_ms"]
+
+    def test_stereo_mono_mixes(self):
+        from d365fo_db_sync_spark.operators.multimodal import wav_audio_codec
+
+        # L = +1000, R = -1000 everywhere -> mono mix is exactly zero
+        inter = [1000, -1000] * 2000
+        out = wav_audio_codec()(_make_wav(inter, rate=8000, channels=2), "audio")
+        assert out["feature"][0] == 0.0  # rms of the mix
+        assert out["duration_ms"] == 250  # 2000 frames @ 8 kHz
+
+    def test_rejects_non_wav_and_compressed(self):
+        import pytest
+
+        from d365fo_db_sync_spark.operators.multimodal import wav_audio_codec
+
+        codec = wav_audio_codec()
+        with pytest.raises(ValueError):
+            codec(b"not riff at all", "audio")
+        # wFormatTag=7 (mu-law): loud rejection, not a silent mis-decode
+        bad = bytearray(_make_wav([0] * 100))
+        fmt_at = bad.find(b"fmt ") + 8
+        bad[fmt_at : fmt_at + 2] = (7).to_bytes(2, "little")
+        with pytest.raises(ValueError):
+            codec(bytes(bad), "audio")
+
+    def test_skips_unknown_chunks(self):
+        from d365fo_db_sync_spark.operators.multimodal import wav_audio_codec
+
+        wav = bytearray(_make_wav([100] * 50, rate=8000))
+        # splice an unknown odd-sized chunk between header and fmt
+        extra = b"LIST" + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
+        spliced = wav[:12] + extra + wav[12:]
+        spliced[4:8] = (len(spliced) - 8).to_bytes(4, "little")
+        out = wav_audio_codec()(bytes(spliced), "audio")
+        assert out["duration_ms"] == round(50 * 1000 / 8000)
