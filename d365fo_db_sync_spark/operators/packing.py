@@ -288,6 +288,47 @@ def write_shards(
     )
 
 
+def append_shards(
+    docs: DataFrame,
+    assigned_new: DataFrame,
+    path: str,
+    prev_total_tokens: int,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+) -> int:
+    """Incremental export: place a NEW batch of documents into shards
+    AFTER everything already exported, without touching a single
+    published shard file (shards are immutable once a dataloader may
+    have opened them). ``assigned_new`` is :func:`shuffled_shards`
+    over the new batch alone; its offsets are shifted past the next
+    shard boundary above ``prev_total_tokens`` — the pad (at most
+    ``shard_tokens - 1`` tokens) is the price of immutability, exactly
+    the partial-final-shard waste any append-only shard store accepts.
+    Writes with parquet append (new shard directories only) and
+    returns the new stream total to persist for the next batch.
+
+    Same physics as the full export: one shard-id shuffle, one writer
+    per new shard."""
+    if prev_total_tokens < 0:
+        raise ValueError(f"prev_total_tokens must be >= 0, got {prev_total_tokens}")
+    base = -(-prev_total_tokens // shard_tokens) * shard_tokens
+    shifted = assigned_new.withColumn(
+        "g_start", F.col("g_start") + F.lit(base)
+    ).withColumn("shard", F.expr(f"g_start div {shard_tokens}"))
+    out = docs.join(shifted.select(id_col, "g_start", "shard"), on=id_col)
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("shard", "g_start")
+        .write.partitionBy("shard")
+        .mode("append")
+        .parquet(path)
+    )
+    row = shifted.agg(
+        F.coalesce(F.max(F.col("g_start") + F.col("n_tokens")), F.lit(base))
+    ).first()
+    return int(row[0])
+
+
 def pack_sequences_ffd(
     docs: DataFrame,
     token_count: Column,

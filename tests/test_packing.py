@@ -347,3 +347,71 @@ def test_shuffled_shards_plan_has_no_global_sort(spark):
     # sort at scale)
     assert "rangepartitioning" not in plan.lower()
     assert "BroadcastExchange" in plan  # band offsets broadcast back
+
+
+def test_append_shards_immutable_and_contiguous(spark, tmp_path):
+    from d365fo_db_sync_spark.operators.packing import (
+        append_shards,
+        shuffled_shards,
+        write_shards,
+    )
+
+    docs1 = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    a1 = shuffled_shards(docs1, F.col("n_tokens"), shard_tokens=100)
+    path = str(tmp_path / "inc")
+    write_shards(docs1, a1, path)
+    total1 = sum(r["n_tokens"] for r in a1.collect())
+    # data files only: the writer legitimately refreshes _SUCCESS markers
+    before = {}
+    for root, _, files in __import__("os").walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = f"{root}/{f}"
+                before[p] = __import__("os").stat(p).st_mtime_ns
+
+    docs2 = spark.createDataFrame(
+        [(i, i % 9 + 1) for i in range(1000, 1150)], "doc_id long, n_tokens long"
+    )
+    a2 = shuffled_shards(docs2, F.col("n_tokens"), shard_tokens=100)
+    new_total = append_shards(docs2, a2, path, total1, shard_tokens=100)
+
+    # every pre-existing file is byte-untouched (immutability contract)
+    for p, m in before.items():
+        assert __import__("os").stat(p).st_mtime_ns == m
+    # batch 2 starts at the next shard boundary and is contiguous
+    boundary = -(-total1 // 100) * 100
+    back = spark.read.parquet(path)
+    b2 = sorted(
+        (r["g_start"], r["n_tokens"], r["shard"])
+        for r in back.filter("doc_id >= 1000").collect()
+    )
+    assert b2[0][0] == boundary
+    acc = boundary
+    for g, t, s in b2:
+        assert g == acc and s == g // 100
+        acc += t
+    assert new_total == acc
+    # phase-1 layout byte-identical through the append
+    got1 = sorted(
+        (r["doc_id"], r["g_start"], r["shard"])
+        for r in back.filter("doc_id < 1000").collect()
+    )
+    want1 = sorted(
+        (r["doc_id"], r["g_start"], r["shard"]) for r in a1.collect()
+    )
+    assert got1 == want1
+
+
+def test_append_shards_empty_batch_returns_boundary(spark, tmp_path):
+    from d365fo_db_sync_spark.operators.packing import append_shards, shuffled_shards
+
+    docs = spark.createDataFrame([], "doc_id long, n_tokens long")
+    a = shuffled_shards(docs, F.col("n_tokens"), 50)
+    path = str(tmp_path / "empty")
+    assert append_shards(docs, a, path, 130, shard_tokens=50) == 150
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        append_shards(docs, a, path, -1, shard_tokens=50)
