@@ -288,6 +288,55 @@ def write_shards(
     )
 
 
+def curriculum_shards(
+    docs: DataFrame,
+    token_count: Column,
+    difficulty: Column,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Curriculum export layout: the token stream is ordered by
+    ascending ``difficulty`` bucket FIRST (easy-to-hard training
+    phases), with the deterministic md5 shuffle only WITHIN each bucket
+    — the curriculum-learning counterpart of :func:`shuffled_shards`.
+    Returns ``id_col, difficulty, n_tokens, g_start, shard``.
+
+    Scale shape: the difficulty bucket becomes a GROUP of the shared
+    banded prefix sum (parallel across buckets x 256 hash bands); the
+    per-bucket totals frame (|buckets| rows, metadata by construction —
+    difficulty is a coarse phase label, not a continuous score) is
+    prefix-summed on an explicit single partition and broadcast back.
+    Still no global-order sort anywhere."""
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    parts = ([F.lit(salt)] if salt else []) + [F.col(id_col).cast("string")]
+    h = F.md5(F.concat_ws("\x1f", *parts))
+    sized = docs.select(
+        F.col(id_col),
+        difficulty.cast("long").alias("difficulty"),
+        token_count.cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    ).filter(F.col("n_tokens") > 0)
+    prefixed = hash_banded_prefix_sum(sized, id_col, group_cols=("difficulty",))
+    totals = sized.groupBy("difficulty").agg(F.sum("n_tokens").alias("_tot"))
+    phase_order = (
+        Window.partitionBy(F.pmod(F.col("difficulty"), F.lit(1)))
+        .orderBy("difficulty")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "difficulty",
+        F.coalesce(F.sum("_tot").over(phase_order), F.lit(0)).alias("_phase_off"),
+    )
+    return (
+        prefixed.join(F.broadcast(offsets), on="difficulty")
+        .withColumn("g_start", F.col("_phase_off") + F.col("tok_before"))
+        .select(id_col, "difficulty", "n_tokens", "g_start")
+        .withColumn("shard", F.expr(f"g_start div {shard_tokens}"))
+    )
+
+
 def append_shards(
     docs: DataFrame,
     assigned_new: DataFrame,

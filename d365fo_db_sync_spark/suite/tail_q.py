@@ -2033,3 +2033,44 @@ def pipeline_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_shards(unique.select("doc_id", "n_tokens"), assigned, path)
     back = spark.read.parquet(path)
     return back.select("doc_id", "g_start", F.col("shard").cast("long").alias("shard"))
+
+
+@register(
+    "sampling_curriculum_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE len({_TOKS_SQL}) > 0),
+    d AS (SELECT doc_id, n_tokens, n_tokens // 32 AS difficulty, h FROM t),
+    s AS (
+      SELECT doc_id, difficulty, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY difficulty, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS g_start
+      FROM d)
+    SELECT doc_id, difficulty, n_tokens, g_start,
+           g_start // {_SHARD_TOKENS} AS shard
+    FROM s
+    """,
+)
+def sampling_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum export (operators/packing.curriculum_shards):
+    easy-to-hard phase ordering — here a length curriculum, difficulty
+    = n_tokens div 32 — with the deterministic hash shuffle applied
+    only WITHIN each phase, cut into token-budgeted shards. The
+    difficulty bucket rides the shared banded prefix sum as a group
+    (parallel across phases x bands; no global sort), with the
+    |phases|-row offset frame broadcast back. The oracle's global
+    (difficulty, hash, id) cumsum value-checks every document's offset
+    and shard through the two-level composition."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.packing import curriculum_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = text_ops.token_count("text")
+    # floor == integer div for the non-negative token count
+    return curriculum_shards(
+        docs, n, F.floor(n.cast("long") / F.lit(32)), _SHARD_TOKENS
+    )

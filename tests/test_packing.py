@@ -415,3 +415,36 @@ def test_append_shards_empty_batch_returns_boundary(spark, tmp_path):
 
     with _p.raises(ValueError):
         append_shards(docs, a, path, -1, shard_tokens=50)
+
+
+def test_curriculum_shards_phase_major_hash_within(spark):
+    import hashlib
+
+    from d365fo_db_sync_spark.operators.packing import curriculum_shards
+
+    rows = [(i, (i * 7) % 40 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = curriculum_shards(
+        df, F.col("n_tokens"), F.expr("n_tokens div 10"), shard_tokens=100
+    ).collect()
+    got = {r["doc_id"]: (r["difficulty"], r["g_start"], r["shard"]) for r in out}
+    order = sorted(
+        (t // 10, hashlib.md5(str(i).encode()).hexdigest(), i, t)
+        for i, t in rows
+    )
+    acc = 0
+    for d, _, i, t in order:
+        assert got[i] == (d, acc, acc // 100)
+        acc += t
+    # phase boundaries are monotone: every easy doc precedes every hard one
+    max_easy = max(g for i, (d, g, _) in got.items() if d == 0)
+    min_hard = min(g for i, (d, g, _) in got.items() if d == max(v[0] for v in got.values()))
+    assert max_easy < min_hard
+
+
+def test_curriculum_shards_rejects_bad_budget(spark):
+    from d365fo_db_sync_spark.operators.packing import curriculum_shards
+
+    df = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        curriculum_shards(df, F.col("n_tokens"), F.lit(0), 0)
