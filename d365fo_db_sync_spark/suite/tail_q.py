@@ -2074,3 +2074,52 @@ def sampling_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_shards(
         docs, n, F.floor(n.cast("long") / F.lit(32)), _SHARD_TOKENS
     )
+
+
+@register(
+    "corpus_dataset_card",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, lang, {_TOKS_SQL} AS toks FROM documents),
+    f AS (SELECT doc_id, source, lang, len(toks) AS n_tokens,
+                 md5(array_to_string(toks, ' ')) AS fp
+          FROM t)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT fp) AS distinct_fingerprints,
+           (COUNT(*) - COUNT(DISTINCT fp)) * 10000 // COUNT(*) AS dup_bp,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM f
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card a corpus release ships with: document
+    and token totals, exact-duplicate rate (content fingerprints, in
+    basis points — integer-exact), source and language fan-out, and
+    the token-length envelope. ONE scan + one aggregate; the distinct
+    counts are Spark's two-stage exact distinct (map-side partial,
+    Expand for the multi-distinct), no driver-side work. At corpus
+    scale swap the exact distincts for approx_count_distinct and the
+    card stays one job — the exact form is kept here because it is
+    what the oracle can value-check."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        "lang",
+        text_ops.token_count("text").cast("long").alias("n_tokens"),
+        text_ops.fingerprint("text").alias("fp"),
+    )
+    return f.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("fp").alias("distinct_fingerprints"),
+        F.expr("(count(*) - count(distinct fp)) * 10000 div count(*)").alias("dup_bp"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
