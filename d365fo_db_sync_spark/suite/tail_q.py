@@ -2123,3 +2123,64 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+@register(
+    "sync_scan_range_zonemap",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS RecId, o_orderkey * 2 AS SysRowVersion,
+             o_totalprice AS amount
+      FROM orders),
+    appended AS (
+      SELECT RecId + 90000000 AS RecId, SysRowVersion, amount
+      FROM base WHERE RecId % 1009 = 0),
+    tbl AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+    SELECT RecId, SysRowVersion, amount FROM tbl
+    WHERE RecId BETWEEN 90000000 AND 99999999
+    """,
+)
+def sync_scan_range_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range scan with zone-map data skipping on the manifest sink
+    (sinks.scan_range): the base table's ids are all below the probed
+    range, so after one insert-merge every carried-forward file's
+    footer max ends below the range and the scan plans ONLY the
+    freshly-written files — an exact driver-side file-list cut,
+    asserted here (the query fails loudly if the skip stops working)
+    and value-checked by the oracle for row-exactness. The
+    Iceberg-style complement to the hash-bucket probe."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.suite import scratch_dir
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("RecId"),
+        (k * 2).alias("SysRowVersion"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    work = scratch_dir("synczm_")
+    engine = SyncEngine(spark, StateStore(f"{work}/state.json"), SyncConfig())
+    target = ManifestParquetTarget(f"{work}/tgt", key="RecId", n_buckets=64)
+    engine.merge_upsert("orders_zm", base, target)
+    ins = base.filter(F.pmod("RecId", F.lit(1009)) == 0).select(
+        (F.col("RecId") + 90_000_000).alias("RecId"),
+        "SysRowVersion",
+        "amount",
+        F.lit(False).alias("__deleted"),
+    )
+    engine.merge_upsert("orders_zm", ins, target)
+
+    # the skip must actually happen: every file below the range prunes
+    m = target._load_manifest()
+    all_files = [f for fs in m["buckets"].values() for f in fs]
+    planned = [
+        f
+        for f in all_files
+        if "min" not in m["stats"].get(f, {})
+        or (m["stats"][f]["max"] >= 90_000_000 and m["stats"][f]["min"] <= 99_999_999)
+    ]
+    assert len(planned) < len(all_files), "zone maps pruned nothing"
+    return target.scan_range(spark, 90_000_000, 99_999_999)
