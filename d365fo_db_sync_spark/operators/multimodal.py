@@ -98,6 +98,24 @@ def pillow_image_codec() -> Codec | None:
     return codec
 
 
+def _pcm16_features(f) -> list[float]:
+    """Shared feature math for PCM float arrays: [rms, peak, zcr, mean,
+    4 coarse energy quartiles]. One definition keeps the raw-PCM and
+    WAV codecs numerically identical by construction, not by test."""
+    import numpy as np
+
+    rms = float(np.sqrt(np.mean(f * f)))
+    peak = float(np.max(np.abs(f)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(f).astype(np.int8)))))
+    mean = float(np.mean(f))
+    qs = np.array_split(f, 4)
+    quart = [float(np.sqrt(np.mean(q * q))) if q.size else 0.0 for q in qs]
+    return [rms, peak, zcr, mean, *quart]
+
+
+_EMPTY_AUDIO = {"width": None, "height": None, "duration_ms": 0, "feature": [0.0] * 8}
+
+
 def pcm16_audio_codec(sample_rate: int = 16_000) -> Codec:
     """REAL audio decoder for raw mono 16-bit little-endian PCM — no
     audio library needed (numpy reinterprets the bytes), so unlike the
@@ -114,24 +132,13 @@ def pcm16_audio_codec(sample_rate: int = 16_000) -> Codec:
         buf = content or b""
         x = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
         if x.size == 0:
-            return {
-                "width": None,
-                "height": None,
-                "duration_ms": 0,
-                "feature": [0.0] * 8,
-            }
+            return dict(_EMPTY_AUDIO)
         f = x.astype(np.float64) / 32768.0
-        rms = float(np.sqrt(np.mean(f * f)))
-        peak = float(np.max(np.abs(f)))
-        zcr = float(np.mean(np.abs(np.diff(np.signbit(f).astype(np.int8)))))
-        mean = float(np.mean(f))
-        qs = np.array_split(f, 4)
-        quart = [float(np.sqrt(np.mean(q * q))) if q.size else 0.0 for q in qs]
         return {
             "width": None,
             "height": None,
             "duration_ms": int(round(x.size * 1000.0 / sample_rate)),
-            "feature": [rms, peak, zcr, mean, *quart],
+            "feature": _pcm16_features(f),
         }
 
     return codec
@@ -170,6 +177,14 @@ def wav_audio_codec() -> Codec:
         channels = max(1, int.from_bytes(fmt[2:4], "little"))
         rate = max(1, int.from_bytes(fmt[4:8], "little"))
         bits = int.from_bytes(fmt[14:16], "little")
+        if wformat == 0xFFFE and len(fmt) >= 26:
+            # WAVE_FORMAT_EXTENSIBLE: common pro-audio/multichannel
+            # container (ffmpeg emits it for >2 channels, Windows APIs
+            # even for plain stereo). The SubFormat GUID's leading
+            # format tag says what's inside — plain PCM decodes here
+            # byte-identically, so only genuinely compressed SubFormats
+            # are rejected.
+            wformat = int.from_bytes(fmt[24:26], "little")
         if wformat != 1 or bits != 16:
             raise ValueError(
                 f"unsupported WAV encoding (wFormatTag={wformat}, bits={bits}); "
@@ -179,19 +194,13 @@ def wav_audio_codec() -> Codec:
         usable = len(data) - (len(data) % frame_bytes)
         x = np.frombuffer(data[:usable], dtype="<i2")
         if x.size == 0:
-            return {"width": None, "height": None, "duration_ms": 0, "feature": [0.0] * 8}
+            return dict(_EMPTY_AUDIO)
         f = (x.astype(np.float64) / 32768.0).reshape(-1, channels).mean(axis=1)
-        rms = float(np.sqrt(np.mean(f * f)))
-        peak = float(np.max(np.abs(f)))
-        zcr = float(np.mean(np.abs(np.diff(np.signbit(f).astype(np.int8)))))
-        mean = float(np.mean(f))
-        qs = np.array_split(f, 4)
-        quart = [float(np.sqrt(np.mean(q * q))) if q.size else 0.0 for q in qs]
         return {
             "width": None,
             "height": None,
             "duration_ms": int(round(f.size * 1000.0 / rate)),
-            "feature": [rms, peak, zcr, mean, *quart],
+            "feature": _pcm16_features(f),
         }
 
     return codec

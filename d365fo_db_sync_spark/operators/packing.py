@@ -141,7 +141,8 @@ def hash_banded_prefix_sum(
     group_cols: tuple[str, ...] = (),
     hash_col: str = "_h",
     value_col: str = "n_tokens",
-) -> DataFrame:
+    return_band_totals: bool = False,
+):
     """The shared banded two-stage prefix-sum discipline: exclusive
     running total of ``value_col`` in ``(group, hash, id)`` order,
     banded on the hash's first two hex chars (256 uniform bands per
@@ -180,13 +181,19 @@ def hash_banded_prefix_sum(
         "_hb",
         F.coalesce(F.sum("_tot").over(band_order), F.lit(0)).alias("_off"),
     )
-    return (
+    prefixed = (
         local.join(F.broadcast(offsets), on=[*group_cols, "_hb"])
         .withColumn(
             "tok_before", F.col("_off") + F.col("_local_end") - F.col(value_col)
         )
         .drop("_hb", "_local_end", "_off")
     )
+    if return_band_totals:
+        # the (group x band) totals frame is metadata-sized and already
+        # computed — callers that need per-group totals (phase offsets)
+        # sum THIS instead of re-aggregating the full corpus
+        return prefixed, totals
+    return prefixed
 
 
 def shuffled_shards(
@@ -318,8 +325,12 @@ def curriculum_shards(
         token_count.cast("long").alias("n_tokens"),
         h.alias("_h"),
     ).filter(F.col("n_tokens") > 0)
-    prefixed = hash_banded_prefix_sum(sized, id_col, group_cols=("difficulty",))
-    totals = sized.groupBy("difficulty").agg(F.sum("n_tokens").alias("_tot"))
+    prefixed, band_totals = hash_banded_prefix_sum(
+        sized, id_col, group_cols=("difficulty",), return_band_totals=True
+    )
+    # phase totals from the helper's band-total frame (|phases|·256
+    # rows, metadata) — never a second full-corpus aggregate
+    totals = band_totals.groupBy("difficulty").agg(F.sum("_tot").alias("_tot"))
     phase_order = (
         Window.partitionBy(F.pmod(F.col("difficulty"), F.lit(1)))
         .orderBy("difficulty")
@@ -360,22 +371,34 @@ def append_shards(
     per new shard."""
     if prev_total_tokens < 0:
         raise ValueError(f"prev_total_tokens must be >= 0, got {prev_total_tokens}")
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
     base = -(-prev_total_tokens // shard_tokens) * shard_tokens
-    shifted = assigned_new.withColumn(
-        "g_start", F.col("g_start") + F.lit(base)
-    ).withColumn("shard", F.expr(f"g_start div {shard_tokens}"))
-    out = docs.join(shifted.select(id_col, "g_start", "shard"), on=id_col)
-    (
-        out.repartition("shard")
-        .sortWithinPartitions("shard", "g_start")
-        .write.partitionBy("shard")
-        .mode("append")
-        .parquet(path)
+    # persist: the assignment lineage (two window stages + broadcast
+    # join) feeds BOTH the write and the new-total aggregate below —
+    # without it the whole prefix sum re-executes for a single scalar
+    shifted = (
+        assigned_new.withColumn("g_start", F.col("g_start") + F.lit(base))
+        .withColumn("shard", F.expr(f"g_start div {shard_tokens}"))
+        .persist()
     )
-    row = shifted.agg(
-        F.coalesce(F.max(F.col("g_start") + F.col("n_tokens")), F.lit(base))
-    ).first()
-    return int(row[0])
+    try:
+        out = docs.join(shifted.select(id_col, "g_start", "shard"), on=id_col)
+        (
+            out.repartition("shard")
+            .sortWithinPartitions("shard", "g_start")
+            .write.partitionBy("shard")
+            .mode("append")
+            .parquet(path)
+        )
+        # the shifted stream is contiguous from base, so the new total
+        # is base + batch tokens — one cheap sum over the cached rows
+        row = shifted.agg(
+            (F.lit(base) + F.coalesce(F.sum("n_tokens"), F.lit(0))).alias("t")
+        ).first()
+        return int(row["t"])
+    finally:
+        shifted.unpersist()
 
 
 def pack_sequences_ffd(

@@ -753,6 +753,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         }
         with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
             json.dump(manifest, f)
+        prior_live = self.current_path()
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(name)
@@ -760,10 +761,21 @@ class ManifestParquetTarget(BucketedParquetTarget):
         # publish log AFTER the pointer swap: logging first would list a
         # never-published version (its manifest already exists in the
         # staged dir, so a manifest-existence filter can't catch it).
-        # A crash between swap and append instead loses only the log
-        # line for the LIVE version — versions() repairs that case by
-        # always folding the pointer's name in last.
-        with open(os.path.join(self.root, self.VERSION_LOG), "a", encoding="utf-8") as f:
+        # A crash between swap and append loses only the LIVE version's
+        # log line; versions() repairs that while it stays live, and the
+        # next publish heals it DURABLY here — the prior live name is
+        # re-appended if a crash ever kept it out of the log, so history
+        # cannot lose a published version permanently.
+        log_path = os.path.join(self.root, self.VERSION_LOG)
+        logged: set[str] = set()
+        if os.path.exists(log_path):
+            with open(log_path, encoding="utf-8") as f:
+                logged = {ln.strip() for ln in f if ln.strip()}
+        with open(log_path, "a", encoding="utf-8") as f:
+            if prior_live is not None:
+                prior_name = os.path.basename(prior_live)
+                if prior_name not in logged:
+                    f.write(prior_name + "\n")
             f.write(name + "\n")
         # prior versions may still be referenced by the manifest just
         # published, so deletion is reference-walking GC, not rmtree:

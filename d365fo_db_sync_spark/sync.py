@@ -575,9 +575,6 @@ class SyncEngine:
             fetched,
             tgt_window,
             key=key,
-            context=delta.ComparisonContext.from_columns(
-                fetched.columns, tgt_df.columns, recversion=self.config.version
-            ),
             max_transferred_key=state.max_transferred_key,
             recversion=self.config.version,
         ).cache()

@@ -296,3 +296,33 @@ def test_scan_range_conservative_without_stats(spark, tmp_path):
         json.dump(raw, f)
     got = sorted(r["RecId"] for r in t.scan_range(spark, 10, 20).collect())
     assert got == list(range(10, 21))  # every file scanned, rows exact
+
+
+def test_publish_heals_a_lost_log_entry(spark, tmp_path):
+    import os
+
+    t = ManifestParquetTarget(
+        str(tmp_path / "heal"), key="RecId", n_buckets=8, retain_versions=3
+    )
+    t.overwrite(_base(spark, 40))
+    t.merge(spark, _batch(spark))
+    v2 = t.versions()[-1]
+    # simulate the crash window: v2 published (pointer set) but its log
+    # line lost
+    log = os.path.join(t.root, t.VERSION_LOG)
+    with open(log) as f:
+        lines = [ln for ln in f if ln.strip() and ln.strip() != v2]
+    with open(log, "w") as f:
+        f.writelines(lines)
+    assert t.versions()[-1] == v2  # repaired in-memory while live
+    # the NEXT publish must heal the log durably, not lose v2 forever
+    ins = spark.range(9500, 9502).select(
+        F.col("id").alias("RecId"),
+        (F.col("id") * 2).alias("SysRowVersion"),
+        F.lit(0.1).alias("amount"),
+    )
+    t.merge(spark, ins)
+    with open(log) as f:
+        logged = [ln.strip() for ln in f if ln.strip()]
+    assert v2 in logged
+    assert v2 in t.versions()  # still readable inside the window

@@ -260,3 +260,33 @@ class TestWavCodec:
         spliced[4:8] = (len(spliced) - 8).to_bytes(4, "little")
         out = wav_audio_codec()(bytes(spliced), "audio")
         assert out["duration_ms"] == round(50 * 1000 / 8000)
+
+    def test_extensible_pcm_accepted(self):
+        from d365fo_db_sync_spark.operators.multimodal import wav_audio_codec
+
+        wav = bytearray(_make_wav([500] * 400, rate=8000))
+        fmt_at = wav.find(b"fmt ")
+        size_at = fmt_at + 4
+        old_size = int.from_bytes(wav[size_at : size_at + 4], "little")
+        # rebuild as WAVE_FORMAT_EXTENSIBLE: tag 0xFFFE, cbSize=22,
+        # SubFormat leading tag = 1 (PCM)
+        body = bytearray(wav[fmt_at + 8 : fmt_at + 8 + old_size])
+        body[0:2] = (0xFFFE).to_bytes(2, "little")
+        ext = (22).to_bytes(2, "little")
+        ext += (16).to_bytes(2, "little")  # valid bits
+        ext += (0).to_bytes(4, "little")  # channel mask
+        ext += (1).to_bytes(2, "little") + bytes(14)  # SubFormat GUID: PCM
+        new_body = bytes(body[:16]) + ext
+        rebuilt = (
+            bytes(wav[:size_at])
+            + len(new_body).to_bytes(4, "little")
+            + new_body
+            + bytes(wav[fmt_at + 8 + old_size :])
+        )
+        rebuilt = bytearray(rebuilt)
+        rebuilt[4:8] = (len(rebuilt) - 8).to_bytes(4, "little")
+        out = wav_audio_codec()(bytes(rebuilt), "audio")
+        assert out["duration_ms"] == round(400 * 1000 / 8000)
+        # features equal the plain-PCM parse of the same samples
+        plain = wav_audio_codec()(_make_wav([500] * 400, rate=8000), "audio")
+        assert out["feature"] == plain["feature"]
