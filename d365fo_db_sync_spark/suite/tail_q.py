@@ -2184,3 +2184,48 @@ def sync_scan_range_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     assert len(planned) < len(all_files), "zone maps pruned nothing"
     return target.scan_range(spark, 90_000_000, 99_999_999)
+
+
+@register(
+    "events_trending_decay",
+    oracle="""
+    WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+    d AS (SELECT event_type,
+                 datediff('day', CAST(ts AS DATE), mx) AS age
+          FROM events, m),
+    w AS (SELECT event_type,
+                 CASE WHEN age <= 40 THEN CAST(1 AS BIGINT) << (40 - age)
+                      ELSE CAST(0 AS BIGINT) END AS wt
+          FROM d)
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(wt) AS BIGINT) AS decayed_score
+    FROM w GROUP BY event_type
+    """,
+)
+def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending rollup with exponential time decay (half-life = 1 day):
+    recent activity dominates without a hard cutoff window — the
+    trending-topics primitive. The decayed score is kept in INTEGER
+    units of 2^-40 (weight = 1 << (40 - age_days), ages past 40
+    half-lives contribute 0), so the sum is order-independent and
+    value-checkable cross-engine — a float exp()-weighted sum would
+    round differently under different aggregation orders. The
+    reference date is the corpus max day (one 1-row aggregate,
+    broadcast); scoring is map-side, one rollup shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.to_date("ts")).alias("mx"))
+    aged = events.crossJoin(F.broadcast(mx)).withColumn(
+        "age", F.datediff("mx", F.to_date("ts"))
+    )
+    wt = (
+        F.when(
+            F.col("age") <= 40,
+            F.expr("shiftleft(cast(1 as bigint), cast(40 - age as int))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return aged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(wt).alias("decayed_score"),
+    )
