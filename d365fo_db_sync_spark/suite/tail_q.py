@@ -2229,3 +2229,57 @@ def events_trending_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(wt).alias("decayed_score"),
     )
+
+
+@register(
+    "sampling_split_leakage",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 23 = 0),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM c),
+    f AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp,
+                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        < '{_hexth(0.5)}'
+                      THEN 'train' ELSE 'eval' END AS split
+          FROM t),
+    tr AS (SELECT DISTINCT fp FROM f WHERE split = 'train')
+    SELECT e.doc_id, e.fp
+    FROM f e JOIN tr ON e.fp = tr.fp
+    WHERE e.split = 'eval'
+    """,
+)
+def sampling_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: eval documents whose CONTENT
+    fingerprint also appears in train — the contamination a key-hash
+    split cannot prevent (duplicate text under different ids lands on
+    both sides). This is the check every training pipeline should run
+    after splitting and before reporting eval numbers; the flagged
+    frame feeds the same left-anti removal as decontaminate(). One
+    fingerprint-keyed shuffle: the train fingerprint SET stays
+    distributed (never collected), eval probes it with an equi-join.
+    The synthetic corpus has no exact duplicates, so the audit clones
+    a deterministic slice under new ids (both engines identically) —
+    the clones straddle the 50/50 split and the value hash checks the
+    audit catches exactly the straddling pairs."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.sampling import train_eval_split
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = base.filter(F.pmod("doc_id", F.lit(23)) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(clones)
+    f = train_eval_split(
+        docs.select("doc_id", text_ops.fingerprint("text").alias("fp")),
+        ["doc_id"],
+        {"train": 0.5, "eval": 0.5},
+    )
+    train_fps = f.filter(F.col("split") == "train").select("fp").distinct()
+    return (
+        f.filter(F.col("split") == "eval")
+        .join(train_fps, on="fp", how="left_semi")
+        .select("doc_id", "fp")
+    )
