@@ -2283,3 +2283,55 @@ def sampling_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(train_fps, on="fp", how="left_semi")
         .select("doc_id", "fp")
     )
+
+
+def _near_leak_oracle() -> str:
+    from d365fo_db_sync_spark.suite.dedup_q import (
+        _JACCARD_PAIRS_SELECT,
+        _SHINGLE_CTE,
+    )
+
+    return (
+        _SHINGLE_CTE
+        + f""", p AS ({_JACCARD_PAIRS_SELECT}),
+    l AS (SELECT doc_id,
+                 CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        < '{_hexth(0.5)}'
+                      THEN 'train' ELSE 'eval' END AS split
+          FROM documents)
+    SELECT CASE WHEN la.split = 'eval' THEN p.id_a ELSE p.id_b END AS eval_doc,
+           CASE WHEN la.split = 'eval' THEN p.id_b ELSE p.id_a END AS train_doc,
+           p.jaccard
+    FROM p
+    JOIN l la ON la.doc_id = p.id_a
+    JOIN l lb ON lb.doc_id = p.id_b
+    WHERE la.split <> lb.split
+    """
+    )
+
+
+@register("sampling_split_leakage_near", oracle=_near_leak_oracle())
+def sampling_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate train/eval leakage — the real-world version of
+    the exact audit: eval documents within 0.8 word-3-gram Jaccard of
+    any train document leak eval signal even though no fingerprint
+    matches. Pairs come from the existing sub-quadratic prefix-filter
+    machinery (never all-pairs); split labels join on, and only
+    cross-split pairs survive, normalized to (eval_doc, train_doc).
+    The corpus' natural near-dup families straddle the 50/50 hash
+    split, so the audit reports real leaks the exact check misses."""
+    from d365fo_db_sync_spark.operators.sampling import split_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    labels = docs.select(
+        "doc_id", split_column(["doc_id"], {"train": 0.5, "eval": 0.5}).alias("split")
+    )
+    la = labels.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    lb = labels.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    j = pairs.join(la, on="id_a").join(lb, on="id_b").filter(F.col("_sa") != F.col("_sb"))
+    return j.select(
+        F.when(F.col("_sa") == "eval", F.col("id_a")).otherwise(F.col("id_b")).alias("eval_doc"),
+        F.when(F.col("_sa") == "eval", F.col("id_b")).otherwise(F.col("id_a")).alias("train_doc"),
+        "jaccard",
+    )
