@@ -113,7 +113,11 @@ def _pcm16_features(f) -> list[float]:
     return [rms, peak, zcr, mean, *quart]
 
 
-_EMPTY_AUDIO = {"width": None, "height": None, "duration_ms": 0, "feature": [0.0] * 8}
+def _empty_audio() -> dict:
+    """Fresh dict AND fresh feature list per call — a shared module
+    constant would let one consumer's in-place mutation corrupt every
+    later empty-payload decode."""
+    return {"width": None, "height": None, "duration_ms": 0, "feature": [0.0] * 8}
 
 
 def pcm16_audio_codec(sample_rate: int = 16_000) -> Codec:
@@ -132,7 +136,7 @@ def pcm16_audio_codec(sample_rate: int = 16_000) -> Codec:
         buf = content or b""
         x = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
         if x.size == 0:
-            return dict(_EMPTY_AUDIO)
+            return _empty_audio()
         f = x.astype(np.float64) / 32768.0
         return {
             "width": None,
@@ -194,7 +198,7 @@ def wav_audio_codec() -> Codec:
         usable = len(data) - (len(data) % frame_bytes)
         x = np.frombuffer(data[:usable], dtype="<i2")
         if x.size == 0:
-            return dict(_EMPTY_AUDIO)
+            return _empty_audio()
         f = (x.astype(np.float64) / 32768.0).reshape(-1, channels).mean(axis=1)
         return {
             "width": None,

@@ -141,8 +141,7 @@ def hash_banded_prefix_sum(
     group_cols: tuple[str, ...] = (),
     hash_col: str = "_h",
     value_col: str = "n_tokens",
-    return_band_totals: bool = False,
-):
+) -> tuple[DataFrame, DataFrame]:
     """The shared banded two-stage prefix-sum discipline: exclusive
     running total of ``value_col`` in ``(group, hash, id)`` order,
     banded on the hash's first two hex chars (256 uniform bands per
@@ -188,12 +187,11 @@ def hash_banded_prefix_sum(
         )
         .drop("_hb", "_local_end", "_off")
     )
-    if return_band_totals:
-        # the (group x band) totals frame is metadata-sized and already
-        # computed — callers that need per-group totals (phase offsets)
-        # sum THIS instead of re-aggregating the full corpus
-        return prefixed, totals
-    return prefixed
+    # the (group x band) totals frame is metadata-sized and already
+    # computed — callers that need per-group totals (phase offsets) sum
+    # it instead of re-aggregating the full corpus. One return shape:
+    # a flag-dependent DataFrame-or-tuple would fail only at runtime.
+    return prefixed, totals
 
 
 def shuffled_shards(
@@ -240,8 +238,9 @@ def shuffled_shards(
     # global order = (_h, id): the band is a prefix of _h, so ordering
     # bands ascending and (_h, id) within a band IS the global hash
     # order — the shared helper owns the two-stage scan
+    prefixed, _ = hash_banded_prefix_sum(sized, id_col)
     return (
-        hash_banded_prefix_sum(sized, id_col)
+        prefixed
         .withColumnRenamed("tok_before", "g_start")
         .select(id_col, "n_tokens", "g_start")
         .withColumn("shard", F.expr(f"g_start div {shard_tokens}"))
@@ -326,7 +325,7 @@ def curriculum_shards(
         h.alias("_h"),
     ).filter(F.col("n_tokens") > 0)
     prefixed, band_totals = hash_banded_prefix_sum(
-        sized, id_col, group_cols=("difficulty",), return_band_totals=True
+        sized, id_col, group_cols=("difficulty",)
     )
     # phase totals from the helper's band-total frame (|phases|·256
     # rows, metadata) — never a second full-corpus aggregate

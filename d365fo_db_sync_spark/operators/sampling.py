@@ -244,7 +244,7 @@ def mixture_by_token_budget(
     # the shared banded two-stage scan (operators/packing.py) computes
     # the per-group exclusive running total; admission is then a pure
     # filter against the group's budget
-    prefixed = hash_banded_prefix_sum(sized, id_col, group_cols=(group_col,))
+    prefixed, _ = hash_banded_prefix_sum(sized, id_col, group_cols=(group_col,))
     budget_col = F.lit(None).cast("long")
     for g, b in budgets.items():
         budget_col = F.when(F.col(group_col) == g, F.lit(int(b))).otherwise(budget_col)
