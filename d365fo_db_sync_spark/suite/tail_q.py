@@ -2335,3 +2335,39 @@ def sampling_split_leakage_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("_sa") == "eval", F.col("id_b")).otherwise(F.col("id_a")).alias("train_doc"),
         "jaccard",
     )
+
+
+@register(
+    "events_category_index",
+    oracle="""
+    WITH c AS (SELECT event_type, COUNT(*) AS freq FROM events GROUP BY 1),
+    r AS (SELECT event_type, freq,
+                 CAST(row_number() OVER (ORDER BY freq DESC, event_type) - 1
+                      AS BIGINT) AS category_index
+          FROM c)
+    SELECT e.event_id, e.event_type, r.category_index
+    FROM events e JOIN r USING (event_type)
+    """,
+)
+def events_category_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-rank dictionary encoding (the StringIndexer idea,
+    Spark-first and oracle-checkable): categories get dense integer
+    ids by descending frequency with a name tie-break, then the tiny
+    dictionary broadcasts back onto the fact rows — the standard prep
+    for categorical features feeding a trainer. The dictionary build
+    is one groupBy over |categories| results; the rank window runs on
+    that metadata-sized frame (explicit single partition), never on
+    the fact table; the encode join is broadcast, zero fact shuffles."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy(F.pmod(F.col("freq"), F.lit(1))).orderBy(
+        F.desc("freq"), F.asc("event_type")
+    )
+    dictionary = counts.withColumn(
+        "category_index", (F.row_number().over(w) - 1).cast("long")
+    ).select("event_type", "category_index")
+    return events.join(F.broadcast(dictionary), on="event_type").select(
+        "event_id", "event_type", "category_index"
+    )

@@ -448,3 +448,17 @@ def test_curriculum_shards_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 2)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError):
         curriculum_shards(df, F.col("n_tokens"), F.lit(0), 0)
+
+
+def test_curriculum_shards_plan_has_no_global_sort(spark):
+    from d365fo_db_sync_spark.operators.packing import curriculum_shards
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("n_tokens")
+    )
+    plan = (
+        curriculum_shards(df, F.col("n_tokens"), F.expr("n_tokens div 3"), 500)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastExchange" in plan  # band + phase offsets broadcast
