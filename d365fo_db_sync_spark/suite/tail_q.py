@@ -2371,3 +2371,57 @@ def events_category_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.join(F.broadcast(dictionary), on="event_type").select(
         "event_id", "event_type", "category_index"
     )
+
+
+@register(
+    "pipeline_platform_e2e",
+    oracle=_CURATION_CTES
+    + """
+    , s3 AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS hh
+             FROM u WHERE n_tokens > 0),
+    g3 AS (SELECT doc_id,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY hh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS g_start
+           FROM s3)
+    SELECT doc_id, g_start, g_start // 1500 AS shard FROM g3
+    """,
+)
+def pipeline_platform_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE engine in one loop: the corpus is INGESTED through the
+    replication half (merge_upsert into the object-store manifest sink,
+    watermark committed) and the curation half then reads the SYNCED
+    TARGET — manifest file list, not the original source — through
+    gate -> exact dedup -> deterministic shuffle -> token shards. The
+    oracle is the curation math over the raw corpus, so the value hash
+    simultaneously proves the ingest was lossless (identity through
+    the bucketed merge + manifest round trip) and the curation on top
+    of it exact. This is the composition a platform actually runs:
+    CDC-sync the lake copy, curate training data from the lake."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.packing import shuffled_shards
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.suite import scratch_dir
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("RecId"),
+        (F.col("doc_id") * 2).alias("SysRowVersion"),
+        "text",
+        "source",
+    )
+    work = scratch_dir("platq_")
+    engine = SyncEngine(spark, StateStore(f"{work}/state.json"), SyncConfig())
+    target = ManifestParquetTarget(f"{work}/docs", key="RecId", n_buckets=32)
+    engine.merge_upsert("docs_platform", src, target)
+
+    lake = target.read(spark).select(F.col("RecId").alias("doc_id"), "text")
+    feats = text_ops.quality_features(lake, "text")
+    kept = feats.filter(
+        F.col("n_tokens").between(30, 95) & (F.col("punct_ratio") <= 0.3)
+    ).select("doc_id", "n_tokens", text_ops.fingerprint("text").alias("fp"))
+    unique = dedup.exact_dedup(kept, cols=["fp"], key="doc_id")
+    return shuffled_shards(unique, F.col("n_tokens"), shard_tokens=1500).select(
+        "doc_id", "g_start", F.col("shard")
+    )
