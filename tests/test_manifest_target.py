@@ -326,3 +326,31 @@ def test_publish_heals_a_lost_log_entry(spark, tmp_path):
         logged = [ln.strip() for ln in f if ln.strip()]
     assert v2 in logged
     assert v2 in t.versions()  # still readable inside the window
+
+
+def test_scan_range_string_keys(spark, tmp_path):
+    # zone maps must work for lexicographic string keys too (min/max
+    # from footer stats are strings; overlap comparison is string order)
+    t = ManifestParquetTarget(str(tmp_path / "strk"), key="k", n_buckets=4)
+    df = spark.createDataFrame(
+        [(f"key_{i:04d}", i) for i in range(500)], "k string, v long"
+    )
+    t.overwrite(df)
+    got = sorted(r["k"] for r in t.scan_range(spark, "key_0100", "key_0110").collect())
+    assert got == [f"key_{i:04d}" for i in range(100, 111)]
+
+
+def test_versions_ignores_dangling_log_entry(spark, tmp_path):
+    import os
+
+    t = ManifestParquetTarget(str(tmp_path / "dang"), key="RecId", n_buckets=4)
+    t.overwrite(_base(spark, 30))
+    live = t.versions()[-1]
+    # simulate a crash BEFORE the pointer swap in a legacy log-first
+    # layout: a logged name whose directory/manifest never materialized
+    with open(os.path.join(t.root, t.VERSION_LOG), "a") as f:
+        f.write("v_neverpublished\n")
+    assert t.versions() == [live]
+    # and GC remains safe with the dangling entry present
+    t.merge(spark, _batch(spark))
+    assert t.read(spark).count() > 0
