@@ -2425,3 +2425,57 @@ def pipeline_platform_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffled_shards(unique, F.col("n_tokens"), shard_tokens=1500).select(
         "doc_id", "g_start", F.col("shard")
     )
+
+
+_DATE_PART_DIRS: dict[str, str] = {}
+
+
+@register(
+    "events_date_partition_prune",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DECIMAL(18, 2)) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1, 2
+    """,
+)
+def events_date_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse's most common physical layout, exercised
+    end-to-end: events re-materialized hive-partitioned by event_date
+    (the daily-batch layout every 100 TB event store uses), then a
+    one-week rollup whose date predicate must resolve at PLANNING time
+    — the query asserts `PartitionFilters` carries the range and that
+    unselected days' files are never read (7 of ~30 partitions). Sums
+    route through DECIMAL(18,2) so the engine and oracle agree
+    bit-for-bit. The partitioned copy is built once per (process,
+    corpus) and reused across bench repeats."""
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    work = _DATE_PART_DIRS.get(sf_dir)
+    if work is None:
+        work = _DATE_PART_DIRS[sf_dir] = scratch_dir("evdate_")
+        events = load_table(spark, sf_dir, "events")
+        (
+            events.withColumn("event_date", F.to_date("ts"))
+            .repartition("event_date")
+            .write.partitionBy("event_date")
+            .mode("overwrite")
+            .parquet(f"{work}/events_by_date")
+        )
+    part = spark.read.parquet(f"{work}/events_by_date")
+    lo, hi = "2024-01-08", "2024-01-14"
+    out = (
+        part.filter(F.col("event_date").between(F.lit(lo), F.lit(hi)))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan, plan
+    return out
