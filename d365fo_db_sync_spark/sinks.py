@@ -699,11 +699,13 @@ class ManifestParquetTarget(BucketedParquetTarget):
         return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
 
     def _write_version(
-        self, df: DataFrame, carried: dict[int, list[str]]
+        self, df: DataFrame, carried: dict[int, list[str]], append: bool = False
     ) -> None:
         """Stage ``df`` (bucketed rows) into a fresh version dir, merge
         its freshly-written bucket files with the ``carried``
-        references, publish manifest + pointer atomically."""
+        references, publish manifest + pointer atomically. With
+        ``append`` the staged files EXTEND a bucket's carried list
+        instead of replacing it (the insert-only fast path)."""
         import json
 
         from pyspark.sql import functions as F
@@ -729,7 +731,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
                 for fn in os.listdir(os.path.join(staged, entry))
                 if fn.endswith(".parquet")
             )
-            buckets[b] = files
+            buckets[b] = (carried.get(b, []) + files) if append else files
         # manifest schema = the FILE schema (data cols + __kb_data):
         # explicit-file reads get it verbatim, so empty tables and
         # empty buckets read with the exact same shape
@@ -924,6 +926,61 @@ class ManifestParquetTarget(BucketedParquetTarget):
         delegate to :meth:`vacuum_unreferenced` (inheriting the base
         behavior here would destroy carried-forward data)."""
         return self.vacuum_unreferenced()
+
+    def append_rows(self, spark: SparkSession, inserts: DataFrame) -> None:
+        """Insert-only fast path: stage the batch's bucket files and
+        publish a version whose touched buckets reference old files AND
+        the new ones — no existing bucket is ever read or rewritten, so
+        the cycle costs O(batch), not O(touched-bucket data). This is
+        the right path for high-volume insert streams (event ingestion,
+        log shipping) where the merge path's survivor rewrite is pure
+        write amplification.
+
+        Caller contract: keys in ``inserts`` must be NEW (gate with
+        :meth:`probe` or the Bloom pre-filter upstream) — existing keys
+        would surface as duplicate rows until a merge touches their
+        bucket. Each batch accretes one file per touched bucket; run
+        :meth:`compact` periodically to restore one file per bucket."""
+        if not self.exists():
+            self.overwrite(inserts)
+            return
+        m = self._load_manifest()
+        self._write_version(inserts, carried=dict(m["buckets"]), append=True)
+
+    def compact(self, spark: SparkSession, max_files_per_bucket: int = 1) -> int:
+        """Small-file maintenance (the lakehouse OPTIMIZE): buckets
+        whose manifest references more than ``max_files_per_bucket``
+        files are read back and rewritten as one file each; untouched
+        buckets carry forward by reference as usual and the rewrite
+        publishes atomically as a new version. Incremental merges and
+        appends accrete a file per cycle per touched bucket — at 10^5
+        buckets x daily cycles that is the classic small-file problem
+        (open/seek costs dominate scans); periodic compaction restores
+        ~one file per bucket without ever blocking readers (pointer
+        swap) or copying untouched buckets. Returns the number of
+        buckets compacted; 0 leaves the table untouched (no empty
+        version is published)."""
+        if max_files_per_bucket < 1:
+            raise ValueError(
+                f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
+            )
+        m = self._load_manifest()
+        if m is None:
+            return 0
+        fat = sorted(
+            b for b, fs in m["buckets"].items() if len(fs) > max_files_per_bucket
+        )
+        if not fat:
+            return 0
+        fat_files = [f for b in fat for f in m["buckets"][b]]
+        window = self._read_files(spark, fat_files, m["schema"]).withColumnRenamed(
+            self.DATA_BUCKET_COL, self.BUCKET_COL
+        )
+        carried = {b: fs for b, fs in m["buckets"].items() if b not in set(fat)}
+        for b in fat:
+            carried[b] = []  # staged dirs repopulate the compacted buckets
+        self._write_version(window, carried=carried)
+        return len(fat)
 
     def vacuum_unreferenced(self) -> list[str]:
         """GC: delete version directories that hold NO file referenced

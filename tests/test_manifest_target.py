@@ -354,3 +354,68 @@ def test_versions_ignores_dangling_log_entry(spark, tmp_path):
     # and GC remains safe with the dangling entry present
     t.merge(spark, _batch(spark))
     assert t.read(spark).count() > 0
+
+
+def test_compact_collapses_small_files_losslessly(spark, tmp_path):
+    t = ManifestParquetTarget(str(tmp_path / "opt"), key="RecId", n_buckets=4)
+    t.overwrite(_base(spark, 400))
+    # three insert-only fast-path cycles accrete a file per touched
+    # bucket each (append-by-reference: no existing bucket rewritten)
+    for start in (9000, 9100, 9200):
+        ins = spark.range(start, start + 40).select(
+            F.col("id").alias("RecId"),
+            (F.col("id") * 2).alias("SysRowVersion"),
+            F.lit(2.5).alias("amount"),
+        )
+        t.append_rows(spark, ins)
+    before = {(r["RecId"], r["SysRowVersion"]) for r in t.read(spark).collect()}
+    m = t._load_manifest()
+    assert any(len(fs) > 1 for fs in m["buckets"].values())  # small files exist
+
+    n = t.compact(spark)
+    assert n >= 1
+    m2 = t._load_manifest()
+    assert all(len(fs) <= 1 for fs in m2["buckets"].values())
+    after = {(r["RecId"], r["SysRowVersion"]) for r in t.read(spark).collect()}
+    assert after == before  # lossless
+    # zone maps regenerated for the compacted files
+    assert all(
+        "min" in m2["stats"][f] for fs in m2["buckets"].values() for f in fs
+    )
+    # idempotent: nothing left to compact, no empty version published
+    live = t.current_path()
+    assert t.compact(spark) == 0
+    assert t.current_path() == live
+
+    with pytest.raises(ValueError):
+        t.compact(spark, max_files_per_bucket=0)
+
+
+def test_append_rows_never_rewrites_existing_buckets(spark, tmp_path):
+    import os
+
+    t = ManifestParquetTarget(str(tmp_path / "apnd"), key="RecId", n_buckets=4)
+    t.overwrite(_base(spark, 200))
+    m1 = t._load_manifest()
+    old_files = {f for fs in m1["buckets"].values() for f in fs}
+    mtimes = {f: os.stat(f).st_mtime_ns for f in old_files}
+
+    ins = spark.range(9000, 9050).select(
+        F.col("id").alias("RecId"),
+        (F.col("id") * 2).alias("SysRowVersion"),
+        F.lit(7.5).alias("amount"),
+    )
+    t.append_rows(spark, ins)
+
+    m2 = t._load_manifest()
+    new_files = {f for fs in m2["buckets"].values() for f in fs}
+    # every old file carried forward byte-untouched, new files added
+    assert old_files <= new_files
+    for f in old_files:
+        assert os.stat(f).st_mtime_ns == mtimes[f]
+    # data = union, and the appended rows are probe-visible
+    got = {r["RecId"] for r in t.read(spark).collect()}
+    assert got == set(range(200)) | set(range(9000, 9050))
+    # merge still works on top of the appended state
+    t.merge(spark, _batch(spark))
+    assert {r["RecId"] for r in t.read(spark).collect()} >= {9000, 9001}
