@@ -2479,3 +2479,55 @@ def events_date_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "event_date" in plan, plan
     return out
+
+
+@register(
+    "sync_append_compact",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS RecId, o_orderkey * 2 AS SysRowVersion,
+             o_totalprice AS amount
+      FROM orders),
+    b1 AS (SELECT RecId + 90000000 AS RecId, SysRowVersion, amount
+           FROM base WHERE RecId % 1013 = 0),
+    b2 AS (SELECT RecId + 91000000 AS RecId, SysRowVersion, amount
+           FROM base WHERE RecId % 1019 = 0)
+    SELECT RecId, SysRowVersion, amount FROM base
+    UNION ALL SELECT * FROM b1
+    UNION ALL SELECT * FROM b2
+    """,
+)
+def sync_append_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-maintenance loop on the manifest sink, suite-visible:
+    two insert-only append_rows cycles (append-by-reference — nothing
+    existing read or rewritten, O(batch) each) followed by compact()
+    (the OPTIMIZE: multi-file buckets republished as one file each).
+    The query asserts the appends accreted files, that compact
+    restored ≤1 file per bucket, and the oracle value-checks the final
+    state row-for-row — proving the O(batch) path and the maintenance
+    rewrite both lossless through the manifest round trip."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("RecId"),
+        (k * 2).alias("SysRowVersion"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    work = scratch_dir("syncac_")
+    target = ManifestParquetTarget(f"{work}/tgt", key="RecId", n_buckets=32)
+    target.overwrite(base)
+    for off, mod in ((90_000_000, 1013), (91_000_000, 1019)):
+        batch = base.filter(F.pmod("RecId", F.lit(mod)) == 0).select(
+            (F.col("RecId") + off).alias("RecId"), "SysRowVersion", "amount"
+        )
+        target.append_rows(spark, batch)
+    m = target._load_manifest()
+    assert any(len(fs) > 1 for fs in m["buckets"].values()), "appends accreted nothing"
+    n = target.compact(spark)
+    assert n >= 1
+    m2 = target._load_manifest()
+    assert all(len(fs) <= 1 for fs in m2["buckets"].values())
+    return target.read(spark)
