@@ -37,36 +37,53 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "near_dup_clusters"]
 
 
-def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every neighbor larger than u to min(N(u) ∪ {u})."""
+def _large_star(e: DataFrame, width: int) -> DataFrame:
+    """Connect every neighbor larger than u to min(N(u) ∪ {u}).
+
+    ``width`` pins every shuffle in the pass via explicit
+    ``repartition(width, keys)``: HashPartitioning on the window /
+    distinct keys satisfies their required ClusteredDistribution, so
+    EnsureRequirements inserts no second exchange — the repartition
+    IS the shuffle the operator needed, just at a chosen width,
+    without touching session-global ``spark.sql.shuffle.partitions``
+    (which would race concurrent queries under the orchestrator's
+    FAIR-scheduler worker pool)."""
     bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     w = Window.partitionBy("u")
-    with_min = bidir.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    with_min = bidir.repartition(width, "u").withColumn(
+        "m", F.least(F.min("v").over(w), F.col("u"))
+    )
     return (
         with_min.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
+        .repartition(width, "u", "v")
+        .dropDuplicates()
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, width: int) -> DataFrame:
     """Direct edges large→small, connect all small neighbors (and u
-    itself) to the minimum small neighbor."""
+    itself) to the minimum small neighbor. Shuffle widths pinned the
+    same way as :func:`_large_star`."""
     directed = (
         e.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        .distinct()
+        .repartition(width, "u", "v")
+        .dropDuplicates()
     )
     w = Window.partitionBy("u")
-    with_min = directed.withColumn("m", F.min("v").over(w))
+    with_min = directed.repartition(width, "u").withColumn(
+        "m", F.min("v").over(w)
+    )
     return (
         with_min.filter(F.col("v") != F.col("m"))
         .select(F.col("v").alias("n"), "m")
         .union(with_min.select(F.col("u").alias("n"), "m"))
         .select(F.col("n").alias("u"), F.col("m").alias("v"))
-        .distinct()
+        .repartition(width, "u", "v")
+        .dropDuplicates()
     )
 
 
@@ -109,70 +126,67 @@ def connected_components(
     # of near-empty tasks per round. ~1M edge rows (two longs) per
     # partition; capped at the session's configured width, so at
     # corpus scale the early rounds keep full parallelism.
-    # Session-conf scoped and restored (single writer per session
-    # assumed, as elsewhere).
+    # The width is applied via explicit repartition(width, keys) on
+    # the per-round frames — session conf is READ as a ceiling but
+    # never written, so concurrent queries in the same session (the
+    # orchestrator's FAIR-scheduler pool is the in-repo example) are
+    # unaffected.
     spark = edges.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    conf_orig = spark.conf.get(conf_key)
     try:
-        conf_n = int(conf_orig)
+        conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
-        # some platforms set a non-numeric value (e.g. "auto"); fall
-        # back to Spark's default ceiling and restore the ORIGINAL
-        # string afterwards
+        # some platforms report a non-numeric value (e.g. "auto");
+        # fall back to Spark's default ceiling
         conf_n = 200
     rows_per_partition = 1_000_000
 
     def _width(n_rows: int) -> int:
         return min(conf_n, max(1, -(-n_rows // rows_per_partition)))
 
-    try:
-        spark.conf.set(conf_key, str(_width(e.count())))  # materializes cache
-        # Materialize the node set EAGERLY while `e` is cached: the
-        # final roots anti-join reads it, and e's cache is released
-        # inside the loop — without this checkpoint the whole upstream
-        # pipeline (e.g. the MinHash/Jaccard pair generation)
-        # re-executes a second time at the caller's first action
-        # (measured: ~2x the query).
-        nodes = (
-            e.select(F.col("u").alias("node"))
-            .union(e.select(F.col("v").alias("node")))
-            .distinct()
-            .localCheckpoint()
-        )
-        prev_sig = None
-        for i in range(max_iter):
-            nxt = _small_star(_large_star(e))
-            # Each star pass references `e` twice, so the LOGICAL plan
-            # doubles per round even though persist caches the data —
-            # without eager lineage truncation the plan tree grows 4^k
-            # and analysis itself OOMs (seen stacking update_components
-            # on a prior result). Eager localCheckpoint rewrites the
-            # plan to a LogicalRDD, bounding plan size to ~4x the
-            # checkpointed base.
-            if (i + 1) % checkpoint_every == 0:
-                nxt = nxt.localCheckpoint()
-            else:
-                nxt = nxt.persist()
-            sig = nxt.agg(
-                F.count("*").alias("n"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-            ).first()
-            cur_sig = (sig["n"], sig["h"])
-            e.unpersist()
-            e = nxt
-            if stats is not None:
-                stats["rounds"] = i + 1
-            if cur_sig == prev_sig:
-                break
-            prev_sig = cur_sig
-            spark.conf.set(conf_key, str(_width(sig["n"])))
+    width = _width(e.count())  # materializes cache
+    # Materialize the node set EAGERLY while `e` is cached: the
+    # final roots anti-join reads it, and e's cache is released
+    # inside the loop — without this checkpoint the whole upstream
+    # pipeline (e.g. the MinHash/Jaccard pair generation)
+    # re-executes a second time at the caller's first action
+    # (measured: ~2x the query).
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for i in range(max_iter):
+        nxt = _small_star(_large_star(e, width), width)
+        # Each star pass references `e` twice, so the LOGICAL plan
+        # doubles per round even though persist caches the data —
+        # without eager lineage truncation the plan tree grows 4^k
+        # and analysis itself OOMs (seen stacking update_components
+        # on a prior result). Eager localCheckpoint rewrites the
+        # plan to a LogicalRDD, bounding plan size to ~4x the
+        # checkpointed base.
+        if (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()
         else:
-            raise RuntimeError(
-                f"connected_components: no fixpoint in {max_iter} rounds"
-            )
-    finally:
-        spark.conf.set(conf_key, conf_orig)
+            nxt = nxt.persist()
+        sig = nxt.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        cur_sig = (sig["n"], sig["h"])
+        e.unpersist()
+        e = nxt
+        if stats is not None:
+            stats["rounds"] = i + 1
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+        width = _width(sig["n"])
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds"
+        )
     # At the fixpoint, edges are stars: (member, component_min) for
     # every non-root member. Roots label themselves.
     # The final star frame stays persisted: the returned plan reads it

@@ -216,19 +216,21 @@ def test_update_components_with_empty_batch(spark):
     assert got == {(1, 1), (2, 1), (4, 4), (5, 4)}
 
 
-def test_connected_components_tolerates_non_numeric_shuffle_conf(spark, monkeypatch):
-    """Some platforms report spark.sql.shuffle.partitions as a
-    non-numeric value (e.g. 'auto' — vanilla Spark rejects SETTING it,
-    so the read path is mocked): the adaptive-width clamp must fall
-    back to a default instead of raising, and must restore the
-    ORIGINAL string verbatim."""
+def test_connected_components_never_writes_session_conf(spark, monkeypatch):
+    """The adaptive shuffle-width clamp is applied via explicit
+    repartition(width, keys), NOT by mutating session-global
+    spark.sql.shuffle.partitions (which would race concurrent queries
+    under the orchestrator's FAIR-scheduler pool). Pin both halves:
+    (a) a non-numeric conf read (e.g. 'auto' on some platforms) falls
+    back to a default instead of raising; (b) conf.set is never called
+    on the shuffle-partitions key at all."""
     from pyspark.sql.conf import RuntimeConfig
 
     from d365fo_db_sync_spark.operators.graph import connected_components
 
     key = "spark.sql.shuffle.partitions"
     real_get, real_set = RuntimeConfig.get, RuntimeConfig.set
-    restored = []
+    writes = []
 
     def fake_get(self, k, *args, **kwargs):
         if k == key:
@@ -237,8 +239,8 @@ def test_connected_components_tolerates_non_numeric_shuffle_conf(spark, monkeypa
 
     def fake_set(self, k, v):
         if k == key:
-            restored.append(v)
-            return  # 'auto' would raise in vanilla Spark; swallow
+            writes.append(v)
+            return
         real_set(self, k, v)
 
     monkeypatch.setattr(RuntimeConfig, "get", fake_get)
@@ -249,4 +251,4 @@ def test_connected_components_tolerates_non_numeric_shuffle_conf(spark, monkeypa
         for r in connected_components(edges, src="id_a", dst="id_b").collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
-    assert restored[-1] == "auto"  # original string restored verbatim
+    assert writes == []  # session conf untouched
