@@ -86,7 +86,12 @@ def pq_train(
         init_idx = rng.permutation(n)[:k]
         c = sub[init_idx].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2; the ||s||^2 term
+            # is constant per row, so the argmin is unchanged when it
+            # is dropped. The naive broadcast form materializes an
+            # (n, k, d_sub) intermediate — ~1.6 GB at sample_limit=100k,
+            # k=256, d_sub=8 — where this GEMM form is O(n*k).
+            d2 = -2.0 * sub @ c.T + (c**2).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
             for ci in range(k):
                 mask = assign == ci

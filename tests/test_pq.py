@@ -27,6 +27,38 @@ def test_train_shapes(books):
     assert all(len(c) == 16 and len(c[0]) == 8 for c in books.centroids)
 
 
+def test_train_gemm_matches_naive_distances(emb, books):
+    """pq_train assigns with the GEMM identity ||s-c||^2 ~ -2 s.c + ||c||^2
+    (the ||s||^2 row constant dropped) to avoid the O(n*k*d_sub)
+    broadcast intermediate (~1.6 GB at sample_limit=100k, k=256). Pin
+    that the fitted codebooks are identical to a naive full-distance
+    Lloyd's reference run on the same sample and seed."""
+    import numpy as np
+
+    from d365fo_db_sync_spark.operators.pq import _normalize
+
+    rows = emb.select("embedding").limit(500).collect()
+    x = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
+    n, dim = x.shape
+    m, k, iters = 8, 16, 8
+    d_sub = dim // m
+    rng = np.random.default_rng(42)
+    for j in range(m):
+        sub = x[:, j * d_sub : (j + 1) * d_sub]
+        init_idx = rng.permutation(n)[:k]
+        c = sub[init_idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    c[ci] = sub[mask].mean(axis=0)
+        np.testing.assert_allclose(
+            np.array(books.centroids[j]), c, rtol=1e-9, atol=1e-12
+        )
+
+
 def test_encode_codes_valid(emb, books):
     enc = pq.pq_encode(emb, books)
     rows = enc.collect()
