@@ -23,8 +23,11 @@ Spark as:
 
 At 100 TB the word table for a web corpus is ~10^8 rows (all distinct
 words) — a few GB, comfortably distributed; rounds cost one shuffle
-each, so learning 32k merges is the expensive OFFLINE job it is in any
-framework, run once per tokenizer version. ``apply_merges`` is the
+each. ``batch_size=M`` selects the top-M symbol-disjoint pairs per
+round (the standard parallel-BPE approximation — disjoint merges
+commute), cutting a 32k-merge vocab from ~64k Spark jobs to ~1k;
+``batch_size=1`` keeps the exact classic algorithm and is
+reference-equality-pinned in tests. ``apply_merges`` is the
 encoding side: Arrow-batched rank-greedy BPE with a per-batch word
 cache, pinned equivalent to the trained word-table state.
 """
@@ -75,12 +78,23 @@ def _pair_counts(wt: DataFrame) -> DataFrame:
     )
 
 
-def _merge_pair(syms, a: str, b: str):
-    """Merge every adjacent (a, b) occurrence inside a symbol array —
-    pure column expressions. Left-to-right, non-overlapping (the
-    classic greedy semantics): fold over the array, appending either a
-    merged symbol or the element, tracking whether the previous element
-    was consumed."""
+def _merge_pairs(syms, pairs: list[tuple[str, str]]):
+    """Merge every adjacent occurrence of each (a, b) in ``pairs``
+    inside a symbol array — pure column expressions. Left-to-right,
+    non-overlapping (the classic greedy semantics): fold over the
+    array, appending either a merged symbol or the element, tracking
+    whether the previous element was consumed.
+
+    With ONE pair this is exactly the classic merge step. With several
+    SYMBOL-DISJOINT pairs (no raw symbol shared between pairs — the
+    invariant :func:`learn_bpe`'s batch selector enforces) a single
+    fold equals applying the pairs sequentially in selection order:
+    the skip flag stops a just-created symbol from merging again in
+    the same pass, so every pair only consumes occurrences that
+    existed at round start, and disjoint pairs' occurrences cannot
+    overlap."""
+    keys = [a + "\x00" + b for a, b in pairs]
+    keyset = F.array(*[F.lit(k) for k in keys])
     # aggregate with state (arr, skip_next) encoded as a struct
     init = F.struct(
         F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
@@ -92,8 +106,7 @@ def _merge_pair(syms, a: str, b: str):
         can_merge = (
             (~skip)
             & (F.size(out) > 0)
-            & (prev == F.lit(a))
-            & (nxt == F.lit(b))
+            & F.array_contains(keyset, F.concat(prev, F.lit("\x00"), nxt))
         )
         merged = F.concat(F.slice(out, 1, F.size(out) - 1), F.array(F.concat(prev, nxt)))
         return F.struct(
@@ -104,34 +117,82 @@ def _merge_pair(syms, a: str, b: str):
     return F.aggregate(syms, init, step, lambda acc: acc["out"])
 
 
+def _merge_pair(syms, a: str, b: str):
+    """Single-pair merge step (classic BPE round)."""
+    return _merge_pairs(syms, [(a, b)])
+
+
 def learn_bpe(
     docs_or_words: DataFrame,
     n_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 4,
     is_word_table: bool = False,
+    batch_size: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, freq)] in
     merge order. Deterministic: the argmax tie-breaks on (freq desc,
-    a asc, b asc). Stops early when no pair repeats."""
+    a asc, b asc). Stops early when no pair repeats.
+
+    ``batch_size=1`` is exact classic BPE: one pair-count shuffle +
+    1-row argmax per merge — fine for vocab bootstraps, but a
+    32k-merge production vocab would be ~64k Spark jobs. With
+    ``batch_size=M`` each round collects the top candidates and
+    greedily keeps up to M pairs that are pairwise SYMBOL-DISJOINT
+    (no raw symbol, and no just-merged symbol, shared) — the standard
+    parallel-BPE approximation: disjoint merges commute, so applying
+    the batch in one pass equals applying them sequentially in rank
+    order; the approximation is only that a merge CREATED mid-batch
+    cannot be selected until the next round. Job count drops from
+    O(n_merges) to O(n_merges / M). Pass ``stats={}`` to receive
+    ``stats["rounds"]`` (Spark rounds executed)."""
     wt = docs_or_words if is_word_table else word_table(docs_or_words, text_col)
     wt = wt.select("cnt", "syms").persist()
     wt.count()  # materialize before the loop
     merges: list[tuple[str, str, int]] = []
-    for i in range(n_merges):
+    i = 0  # checkpoint cadence counter (rounds, not merges)
+    while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
+        # over-collect so the disjointness filter can still fill the
+        # batch when top candidates share symbols (freq-equal runs
+        # from the same word region conflict heavily)
+        cand_limit = 1 if want == 1 else max(4 * want, 16)
         top = (
             _pair_counts(wt)
             .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(cand_limit)
             .collect()
         )
-        if not top or top[0]["freq"] < 2:
+        top = [r for r in top if r["freq"] >= 2]
+        if not top:
             break
-        a, b, freq = top[0]["a"], top[0]["b"], top[0]["freq"]
-        merges.append((a, b, freq))
+        selected: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            if len(selected) == want:
+                break
+            a, b = r["a"], r["b"]
+            # a pair conflicts if it shares a raw symbol with an
+            # already-selected pair OR touches a symbol equal to one
+            # a selected pair is about to create (keeps the one-pass
+            # fold equal to sequential rank-order application)
+            if a in used or b in used or (a + b) in used:
+                continue
+            selected.append((a, b, r["freq"]))
+            used.update({a, b, a + b})
+        merges.extend(selected)
+        i += 1
+        if stats is not None:
+            stats["rounds"] = i
         old = wt
-        nxt = old.select("cnt", _merge_pair(F.col("syms"), a, b).alias("syms")).persist()
-        if (i + 1) % checkpoint_every == 0:
+        nxt = old.select(
+            "cnt",
+            _merge_pairs(F.col("syms"), [(a, b) for a, b, _f in selected]).alias(
+                "syms"
+            ),
+        ).persist()
+        if i % checkpoint_every == 0:
             # truncate lineage: each round nests another fold expression;
             # without eager checkpoints plan analysis grows superlinearly
             # (same hazard as graph.connected_components). The checkpoint
