@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side machinery here is real and tested — schema contract,
-Arrow-batched mapInPandas pipelines, partition sizing — while the actual
-media decoding is STUBBED (image/audio libraries are not available in
-this environment): ``decode`` raises NotImplementedError unless a codec
-is registered, and :func:`fake_codec` provides a deterministic stand-in
-so the distributed plumbing is testable end-to-end.
+Arrow-batched mapInPandas pipelines, partition sizing — and the
+formats decodable without media libraries decode for REAL: PNG
+(stdlib zlib + filter reconstruction), binary PPM, raw PCM16, and
+RIFF/WAVE all have genuine codecs here. Remaining compressed formats
+(JPEG, MP3, ...) are STUBBED: ``decode`` raises NotImplementedError
+unless a codec is registered, :func:`fake_codec` provides a
+deterministic stand-in, and Pillow is picked up automatically when
+importable — so the distributed plumbing is testable end-to-end
+either way.
 
 Design for scale: media bytes ride in the same rows as metadata (binary
 column), so a 100 TB corpus partitions by size
@@ -255,14 +259,163 @@ def ppm_image_codec() -> Codec:
     return codec
 
 
-def register_default_codecs(prefer_real: bool = True) -> dict[str, str]:
-    """Register a codec for every media type: the real Pillow decoder
-    for images when importable (and ``prefer_real``), the deterministic
-    stub otherwise. Returns {media_type: "pillow" | "stub"} so callers
-    can log which path is live."""
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def png_image_codec() -> Codec:
+    """REAL PNG decoder in pure stdlib (``zlib`` + byte walking) — no
+    imaging library: chunk walk (IHDR dims, concatenated IDAT inflate,
+    PLTE for palette images), then per-scanline filter reconstruction
+    (None/Sub/Up/Average/Paeth exactly per the PNG spec, byte
+    arithmetic mod 256 with bytes-per-pixel offsets). Supports bit
+    depth 8 in all five color types (gray, RGB, palette, gray+alpha,
+    RGBA), non-interlaced; Adam7 / 1-2-4-16-bit payloads are rejected
+    loudly rather than mis-decoded (register Pillow for those). The
+    feature is the same contract as :func:`pillow_image_codec`: an
+    8-bin normalized luminance histogram (ITU-R 601-2 integer weights,
+    Pillow's own L-mode formula) — so where both run they agree in
+    kind, and this one actually runs in this environment."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def codec(content: bytes, media_type: str) -> dict:
+        buf = content or b""
+        if buf[:8] != PNG_SIGNATURE:
+            raise ValueError("not a PNG payload")
+        ihdr = None
+        idat: list[bytes] = []
+        plte = None
+        i = 8
+        while i + 8 <= len(buf):
+            ln = int.from_bytes(buf[i : i + 4], "big")
+            typ = buf[i + 4 : i + 8]
+            data = buf[i + 8 : i + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = data
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"PLTE":
+                plte = data
+            elif typ == b"IEND":
+                break
+            i += 12 + ln  # length + type + data + CRC
+        if ihdr is None or len(ihdr) < 13 or not idat:
+            raise ValueError("PNG missing IHDR or IDAT")
+        w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr[:13]
+        )
+        if interlace != 0:
+            raise ValueError("Adam7-interlaced PNG unsupported without Pillow")
+        if depth != 8:
+            raise ValueError(f"PNG bit depth {depth} unsupported without Pillow")
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            raise ValueError(f"unknown PNG color type {color_type}")
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * channels
+        bpp = channels  # bytes per pixel at depth 8
+        if len(raw) < h * (stride + 1):
+            raise ValueError("PNG scanline data truncated")
+        recon = np.zeros((h, stride), dtype=np.int32)
+        pos = 0
+        for y in range(h):
+            ft = raw[pos]
+            pos += 1
+            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+                np.int32
+            )
+            pos += stride
+            prior = recon[y - 1] if y else np.zeros(stride, dtype=np.int32)
+            if ft == 0:  # None
+                cur = line
+            elif ft == 2:  # Up
+                cur = (line + prior) & 0xFF
+            elif ft == 1:  # Sub — sequential along x, per the spec
+                cur = line.copy()
+                for x in range(bpp, stride):
+                    cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            elif ft == 3:  # Average
+                cur = line.copy()
+                for x in range(stride):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    cur[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                cur = line.copy()
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = int(prior[x])
+                    c = int(prior[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"invalid PNG filter type {ft}")
+            recon[y] = cur
+        px = recon.reshape(h, w, channels).astype(np.uint8)
+        if color_type == 3:  # palette lookup
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            pal = np.frombuffer(plte, dtype=np.uint8)
+            pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+            rgb = pal[px[..., 0]]
+        elif color_type in (0, 4):  # gray (+alpha): replicate the gray
+            rgb = np.repeat(px[..., :1], 3, axis=2)
+        else:  # RGB / RGBA: drop alpha
+            rgb = px[..., :3]
+        r, g, b = (rgb[..., k].astype(np.int64) for k in range(3))
+        lum = (r * 299 + g * 587 + b * 114) // 1000  # Pillow's L formula
+        hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+        total = float(lum.size) or 1.0
+        return {
+            "width": int(w),
+            "height": int(h),
+            "duration_ms": None,
+            "feature": (hist / total).tolist(),
+        }
+
+    return codec
+
+
+def auto_image_codec(prefer_real: bool = True) -> Codec:
+    """Signature-sniffing image codec: PNG and binary-PPM payloads take
+    the REAL stdlib decoders above; anything else falls through to
+    Pillow when importable (and ``prefer_real``), else the
+    deterministic stub. One registered callable, so the mapInPandas
+    plan is identical regardless of which decoder a given row hits."""
     pil = pillow_image_codec() if prefer_real else None
-    register_codec("image", pil or fake_codec)
-    chosen = {"image": "pillow" if pil else "stub"}
+    png = png_image_codec()
+    ppm = ppm_image_codec()
+
+    def codec(content: bytes, media_type: str) -> dict:
+        buf = content or b""
+        if buf[:8] == PNG_SIGNATURE:
+            return png(buf, media_type)
+        if buf[:2] == b"P6":
+            return ppm(buf, media_type)
+        if pil is not None:
+            return pil(buf, media_type)
+        return fake_codec(buf, media_type)
+
+    return codec
+
+
+def register_default_codecs(prefer_real: bool = True) -> dict[str, str]:
+    """Register a codec for every media type: for images a sniffing
+    codec that really decodes PNG/PPM via stdlib and routes the rest to
+    Pillow when importable (stub otherwise); pure stub when
+    ``prefer_real=False``. Returns a {media_type: label} report
+    ("pillow+raw-formats" | "raw-formats+stub" | "stub") so callers can
+    log which path is live."""
+    if prefer_real:
+        pil = pillow_image_codec()
+        register_codec("image", auto_image_codec(prefer_real=True))
+        chosen = {"image": "pillow+raw-formats" if pil else "raw-formats+stub"}
+    else:
+        register_codec("image", fake_codec)
+        chosen = {"image": "stub"}
     for mt in ("audio", "video"):
         register_codec(mt, fake_codec)
         chosen[mt] = "stub"
