@@ -55,14 +55,15 @@ def main() -> None:
                 for k, v in NOOP_CYCLE_TIMINGS.items():
                     sub_best[k] = min(v, sub_best.get(k, float("inf")))
             elif name == "cdc_stream_throughput":
-                # rows/sec across the drained micro-batches: best (max)
+                # rows/sec of the backpressure-shaped drain AND the
+                # single-micro-batch steady-state pass: best (max)
                 # across repeats, same discipline as the headline min
                 from d365fo_db_sync_spark.suite.tail_q import CDC_STREAM_STATS
 
-                sub_best["rows_per_sec"] = max(
-                    CDC_STREAM_STATS.get("rows_per_sec", 0.0),
-                    sub_best.get("rows_per_sec", 0.0),
-                )
+                for k in ("rows_per_sec", "steady_rows_per_sec"):
+                    sub_best[k] = max(
+                        CDC_STREAM_STATS.get(k, 0.0), sub_best.get(k, 0.0)
+                    )
         timings[name] = round(best, 3)
         total += best
         for k, v in sub_best.items():

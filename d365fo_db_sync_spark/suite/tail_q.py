@@ -942,6 +942,29 @@ def cdc_stream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = target.num_rows()
     CDC_STREAM_STATS["rows_per_sec"] = round(n / wall, 1) if wall > 0 else 0.0
     CDC_STREAM_STATS["micro_batches"] = float(_CDC_STREAM_BATCHES)
+
+    # STEADY-STATE pass: the 4x1-file drain above mostly measures the
+    # fixed per-micro-batch cost (~1.4 s/batch of planning + commit),
+    # understating throughput. Re-drain the same staged files as ONE
+    # micro-batch (per-batch fixed cost paid once) — that rows/sec is
+    # the number that extrapolates to production batch sizes, reported
+    # alongside the backpressure-shaped drain, not instead of it.
+    run_dir2 = scratch_dir("cdcrun_")
+    engine2 = SyncEngine(spark, StateStore(f"{run_dir2}/state.json"), SyncConfig())
+    target2 = BucketedParquetTarget(f"{run_dir2}/tgt", key="RecId", n_buckets=32)
+    stream2 = cdc_file_source(
+        spark, f"{staged}/in/*", schema, max_files_per_trigger=_CDC_STREAM_BATCHES
+    )
+    t1 = _time.time()
+    q2 = CdcStreamPipeline(
+        engine2, "events_cdc", target2, f"{run_dir2}/ckpt"
+    ).start(stream2, available_now=True)
+    q2.awaitTermination()
+    wall2 = _time.time() - t1
+    n2 = target2.num_rows()
+    CDC_STREAM_STATS["steady_rows_per_sec"] = (
+        round(n2 / wall2, 1) if wall2 > 0 else 0.0
+    )
     return spark.createDataFrame(
         [(_CDC_STREAM_BATCHES, n)], "n_batches int, n_rows long"
     )
@@ -2386,6 +2409,7 @@ def events_category_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM s3)
     SELECT doc_id, g_start, g_start // 1500 AS shard FROM g3
     """,
+    bench=True,
 )
 def pipeline_platform_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE engine in one loop: the corpus is INGESTED through the
