@@ -2555,3 +2555,24 @@ def sync_append_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = target._load_manifest()
     assert all(len(fs) <= 1 for fs in m2["buckets"].values())
     return target.read(spark)
+
+
+@register("text_bpe_vocab_batched", oracle=None)
+def text_bpe_vocab_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-BPE vocabulary induction (operators/bpe.py,
+    batch_size>1): each round collects the top pair candidates once
+    and applies the best symbol-disjoint subset in a single fold pass
+    — the standard parallel-BPE approximation that cuts a 32k-merge
+    production vocab from ~64k Spark jobs to ~1k rounds. The query
+    learns 5x the merges of text_bpe_vocab_learn in a bounded round
+    count (asserted in-plan) and returns the merge table. Rows-only:
+    iterative argmax; the M=1 path's exact reference equality, the
+    disjointness invariant, and the <=20-rounds-for-1000-merges scale
+    pin live in tests/test_bpe.py."""
+    from d365fo_db_sync_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats: dict = {}
+    merges = bpe.learn_bpe(docs, n_merges=50, batch_size=10, stats=stats)
+    assert stats["rounds"] <= 10, stats  # genuinely batched, not degraded to M=1
+    return bpe.merge_summary(spark, merges)
