@@ -61,6 +61,39 @@ def hash_sample(
     return df.filter(_bucket_hex(key_cols, salt) < F.lit(_hex_threshold(fraction)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with probability ``weight`` (a per-row column in
+    [0, 1]), deterministically by key content — the quality-weighted
+    corpus reweighting step (CCNet-style: admit a document with
+    probability tied to its quality score, so "resampling toward the
+    head" is a pure filter, not an RNG pass).
+
+    Same machinery as :func:`hash_sample` — md5 bucket compared
+    lexicographically — except the threshold is computed PER ROW from
+    the weight: ``floor(weight * 2^32)`` rendered as 8 lowercase hex
+    chars (format parity between Spark's ``format_string`` and
+    DuckDB's ``printf`` keeps it oracle-checkable). Weights ≥ 1 admit
+    unconditionally (the 9-char "100000000" would otherwise compare
+    LOWER than 8-char buckets — same hazard :func:`_hex_threshold`
+    documents); weights ≤ 0 never admit. Membership is monotone in the
+    weight: raising a row's weight can only keep it, never drop it —
+    the property that makes threshold sweeps reproducible subsets.
+    Pure map-side predicate, zero shuffles."""
+    bucket = _bucket_hex(key_cols, salt)
+    # clamp below: a negative weight would floor to a negative long
+    # whose %08x rendering is 16 chars of two's complement — which
+    # compares HIGHER than every 8-char bucket and admits everything
+    w = F.greatest(F.lit(0.0), weight)
+    thr = F.format_string("%08x", F.floor(w * F.lit(float(_HEX_SPACE))).cast("long"))
+    keep = F.when(w >= 1.0, F.lit(True)).otherwise(bucket < thr)
+    return df.filter(keep)
+
+
 def split_column(
     key_cols: Sequence[str],
     splits: dict[str, float],

@@ -2576,3 +2576,36 @@ def text_bpe_vocab_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.learn_bpe(docs, n_merges=50, batch_size=10, stats=stats)
     assert stats["rounds"] <= 10, stats  # genuinely batched, not degraded to M=1
     return bpe.merge_summary(spark, merges)
+
+
+@register(
+    "sampling_weighted_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents)
+    SELECT doc_id, n_tokens FROM t
+    WHERE n_tokens / 80.0 >= 1.0
+       OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < printf('%08x', CAST(floor((n_tokens / 80.0) * 4294967296.0) AS BIGINT))
+    """,
+)
+def sampling_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus reweighting (operators/sampling.
+    weighted_sample, r6): each document is admitted with probability
+    proportional to a quality proxy (token count / 80, clamped) — the
+    CCNet-style resample-toward-the-head step as a PURE deterministic
+    map-side filter: membership is a function of (doc_id, weight), so
+    reruns, repartitions, and backfills admit the identical set, and
+    raising a weight can only ADD a document (nested threshold
+    sweeps). The per-row hex threshold (floor(w*2^32) via %08x) is
+    format-identical between Spark's format_string and DuckDB's
+    printf, so the oracle value-checks every admission decision."""
+    from d365fo_db_sync_spark.operators import sampling
+    from d365fo_db_sync_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_ops.token_count("text").alias("n_tokens")
+    )
+    w = F.col("n_tokens") / F.lit(80.0)
+    return sampling.weighted_sample(docs, ["doc_id"], w).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )

@@ -237,3 +237,52 @@ def test_temperature_mixture_admits_exact_quota_in_hash_order(spark, docs):
             key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
         )[:quota]
         assert sorted(by_src.get(s, [])) == sorted(expected)
+
+
+class TestWeightedSample:
+    """Per-row weighted admission: deterministic, monotone in weight,
+    rate tracks the mean weight, degenerate weights exact."""
+
+    def test_degenerate_weights(self, spark, docs):
+        kept0 = sampling.weighted_sample(docs, ["doc_id"], F.lit(0.0))
+        kept1 = sampling.weighted_sample(docs, ["doc_id"], F.lit(1.0))
+        assert kept0.count() == 0
+        assert kept1.count() == 2000
+        # negative / >1 weights clamp to the same outcomes
+        assert sampling.weighted_sample(docs, ["doc_id"], F.lit(-0.5)).count() == 0
+        assert sampling.weighted_sample(docs, ["doc_id"], F.lit(2.5)).count() == 2000
+
+    def test_constant_weight_equals_hash_sample(self, spark, docs):
+        """A constant weight must admit exactly the hash_sample set —
+        same hash coordinate, same threshold math."""
+        w = ids(sampling.weighted_sample(docs, ["doc_id"], F.lit(0.3)))
+        h = ids(sampling.hash_sample(docs, ["doc_id"], 0.3))
+        assert w == h
+
+    def test_rate_tracks_mean_weight_and_partitioning_invariance(self, spark, docs):
+        w = (F.col("doc_id") % 10) / 10.0  # mean 0.45
+        a = ids(sampling.weighted_sample(docs, ["doc_id"], w))
+        b = ids(sampling.weighted_sample(docs.repartition(13, "src"), ["doc_id"], w))
+        assert a == b
+        assert 0.35 < len(a) / 2000 < 0.55
+
+    def test_membership_monotone_in_weight(self, spark, docs):
+        """Raising weights can only ADD rows — threshold sweeps yield
+        nested subsets (the reproducibility property RNG sampling
+        lacks)."""
+        lo = set(ids(sampling.weighted_sample(docs, ["doc_id"], F.lit(0.2))))
+        mid = set(ids(sampling.weighted_sample(docs, ["doc_id"], F.lit(0.5))))
+        hi = set(ids(sampling.weighted_sample(docs, ["doc_id"], F.lit(0.8))))
+        assert lo <= mid <= hi
+        # and per-row: a varying weight admits the union of each row's
+        # own constant-weight decision
+        w = (F.col("doc_id") % 2) * 0.5  # 0.0 for even ids, 0.5 for odd
+        mixed = set(ids(sampling.weighted_sample(docs, ["doc_id"], w)))
+        assert mixed == {i for i in mid if i % 2 == 1}
+
+    def test_salt_decorrelates(self, spark, docs):
+        a = set(ids(sampling.weighted_sample(docs, ["doc_id"], F.lit(0.5), salt="x")))
+        b = set(ids(sampling.weighted_sample(docs, ["doc_id"], F.lit(0.5), salt="y")))
+        assert a != b
+        overlap = len(a & b) / max(1, len(a))
+        assert 0.3 < overlap < 0.7  # ~independent draws
