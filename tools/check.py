@@ -13,6 +13,7 @@ import argparse
 import datetime as dt
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -79,9 +80,13 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+        # the driver corpora are flat files; derived scale-curve corpora
+        # (tools/gen_scaled_sf.py) are Spark-written DIRECTORIES of part
+        # files — glob those so DuckDB sees the same rows Spark reads
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     passed = failed = 0
     for name in names:
