@@ -2157,7 +2157,7 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders),
     appended AS (
       SELECT RecId + 90000000 AS RecId, SysRowVersion, amount
-      FROM base WHERE RecId % 1009 = 0),
+      FROM base WHERE RecId <= 100),
     tbl AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
     SELECT RecId, SysRowVersion, amount FROM tbl
     WHERE RecId BETWEEN 90000000 AND 99999999
@@ -2188,7 +2188,13 @@ def sync_scan_range_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine = SyncEngine(spark, StateStore(f"{work}/state.json"), SyncConfig())
     target = ManifestParquetTarget(f"{work}/tgt", key="RecId", n_buckets=64)
     engine.merge_upsert("orders_zm", base, target)
-    ins = base.filter(F.pmod("RecId", F.lit(1009)) == 0).select(
+    # a FIXED low-key slice (101 keys at every scale factor), not a
+    # modulus: the insert count must stay well under n_buckets so some
+    # buckets carry forward untouched — a corpus-proportional insert
+    # set eventually touches all 64 buckets and leaves nothing
+    # prunable (found at sf1: ~1,500 inserts -> every file rewritten
+    # with a >=90M max, assert fired)
+    ins = base.filter(F.col("RecId") <= 100).select(
         (F.col("RecId") + 90_000_000).alias("RecId"),
         "SysRowVersion",
         "amount",

@@ -135,3 +135,17 @@ def test_strides_clear_base_id_ranges(spark):
     for fam, mx in maxima.items():
         # x1000 headroom: the strides must still clear ids at sf0.1
         assert STRIDES[fam] > mx, (fam, mx)
+
+
+def test_scaled_keys_clear_synthetic_offset_space(spark):
+    """Several sync suite queries manufacture keys at RecId + 90M and
+    probe [90M, 100M); scaled orderkeys must stay below that space or
+    synthetic inserts collide with real copies (found the hard way:
+    sync_snapshot_diff hash-mismatched on a 10M-stride sf1 corpus)."""
+    from gen_scaled_sf import _SYNTHETIC_OFFSET_FLOOR
+
+    base = _load(spark, "orders")
+    top = scaled_copy(base, "orders", 9)  # the highest copy at x10
+    assert (
+        top.agg(F.max("o_orderkey")).first()[0] < _SYNTHETIC_OFFSET_FLOOR
+    )

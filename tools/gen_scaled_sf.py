@@ -39,9 +39,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-#: per-key-family shift strides: comfortably above any sf0.1 max id
+#: per-key-family shift strides: comfortably above any sf0.1 max id.
+#: The orderkey stride must ALSO keep every scaled key below the
+#: suite's synthetic-offset space: several sync queries manufacture
+#: insert/append keys at RecId + 90,000,000 (and probe
+#: [90M, 99,999,999] for zone-map pruning), so scaled orderkeys must
+#: stay under 90M or those inserts collide with real copies — at
+#: 10 copies, 9 * 8M + max_base(~150k) = 72.15M clears it.
 STRIDES = {
-    "orderkey": 10_000_000,
+    "orderkey": 8_000_000,
     "custkey": 1_000_000,
     "partkey": 1_000_000,
     "suppkey": 1_000_000,
@@ -50,6 +56,10 @@ STRIDES = {
     "doc_id": 1_000_000,
     "vec_id": 1_000_000,
 }
+
+#: keys the suite synthesizes at RecId + 90M (see sync_snapshot_diff,
+#: sync_scan_range_zonemap, sync_append_compact)
+_SYNTHETIC_OFFSET_FLOOR = 90_000_000
 
 #: which columns of each table belong to which key family
 TABLE_KEYS = {
@@ -104,6 +114,13 @@ def main() -> None:
     ap.add_argument("--dst", default="/tmp/sfgen/sf1")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
+
+    if (args.copies - 1) * STRIDES["orderkey"] + 1_000_000 >= _SYNTHETIC_OFFSET_FLOOR:
+        raise SystemExit(
+            f"--copies {args.copies} would push scaled orderkeys into the "
+            "suite's synthetic +90M key space (see STRIDES comment); use "
+            "fewer copies or rework the strides"
+        )
 
     from d365fo_db_sync_spark.session import get_spark
 
