@@ -551,3 +551,80 @@ def ingest_batch_near_dup(
     novel = novel.localCheckpoint(eager=True)
     index.merge(spark, novel.select(*cols), replace_keys=False)
     return candidates
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 16,
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (the MassiveText/RefinedWeb
+    intra-corpus pass): documents are cut into fixed ``para_tokens``
+    non-overlapping token windows ("paragraphs" — the corpus has no
+    structural delimiters, so windows stand in for them; swap the
+    splitter for \\n\\n on corpora that have real paragraphs), every
+    repeated paragraph keeps only its FIRST occurrence corpus-wide
+    (ordered by (doc id, position) — deterministic), and each
+    document's surviving paragraphs are reassembled in order.
+
+    Returns (id, kept_text, n_kept, n_dropped): ``kept_text`` is the
+    space-joined surviving token windows (token-normalized — original
+    whitespace is not preserved), empty when every paragraph of a doc
+    was seen earlier.
+
+    Scale shape: paragraph construction is all-codegen array ops
+    (transform over a sequence of slices); the keep-first decision is
+    ONE shuffle keyed by the paragraph fingerprint (a row_number
+    window — md5 + doc/pos ride it, text stays with the row);
+    reassembly is one groupBy on the doc id. Two shuffles total, the
+    honest cost of paragraph-granularity dedup — this is the operator
+    that removes boilerplate headers/footers shared across millions of
+    pages without dropping whole documents.
+    """
+    toks = tokens(text_col)
+    n_paras = F.ceil(F.size(toks) / F.lit(para_tokens)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_paras - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * para_tokens + 1, para_tokens)
+        ),
+    )
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(paras).alias("pidx", "para"))
+        .filter(F.col("para") != "")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("para")).orderBy(id_col, "pidx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1)
+    dropped_counts = (
+        ranked.filter(F.col("rn") > 1)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                    lambda s: s["para"],
+                ),
+            ).alias("kept_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .join(dropped_counts, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

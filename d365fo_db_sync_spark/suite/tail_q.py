@@ -2615,3 +2615,51 @@ def sampling_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample(docs, ["doc_id"], w).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
     )
+
+
+@register(
+    "dedup_paragraph_keepfirst",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    p AS (
+      SELECT doc_id, i AS pidx,
+             array_to_string(ts[(i * 16 + 1):(i * 16 + 16)], ' ') AS para
+      FROM t, unnest(generate_series(0,
+             GREATEST(CAST(ceil(len(ts) / 16.0) AS BIGINT) - 1, 0))) AS g(i)
+      WHERE array_to_string(ts[(i * 16 + 1):(i * 16 + 16)], ' ') <> ''),
+    r AS (
+      SELECT doc_id, pidx, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pidx) AS rn
+      FROM p),
+    kept AS (
+      SELECT doc_id,
+             string_agg(para, ' ' ORDER BY pidx) AS kept_text,
+             COUNT(*) AS n_kept
+      FROM r WHERE rn = 1 GROUP BY doc_id),
+    dropped AS (
+      SELECT doc_id, COUNT(*) AS n_dropped FROM r WHERE rn > 1 GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(k.kept_text, '') AS kept_text,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(dr.n_dropped, 0) AS n_dropped
+    FROM documents d
+    LEFT JOIN kept k ON d.doc_id = k.doc_id
+    LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    """,
+)
+def dedup_paragraph_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level corpus dedup (operators/dedup.paragraph_dedup,
+    r6 — the MassiveText/RefinedWeb intra-corpus pass): documents cut
+    into 16-token windows, every repeated window keeps only its first
+    corpus-wide occurrence (ordered by doc id, position), documents
+    reassembled from their surviving windows. Removes boilerplate
+    shared across documents without dropping whole documents — the
+    granularity exact-dedup cannot reach. Two shuffles (fingerprint
+    window + doc reassembly); the oracle rebuilds every document's
+    surviving TEXT byte-for-byte, so window construction, keep-first
+    ordering, and reassembly are all value-checked."""
+    from d365fo_db_sync_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(docs, "doc_id", "text", para_tokens=16)

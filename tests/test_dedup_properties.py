@@ -111,3 +111,75 @@ def test_minhash_verified_equals_exact(spark, seed):
         ).collect()
     }
     assert got == _brute_force_pairs(docs, 3, 0.8)
+
+
+class TestParagraphDedup:
+    """Corpus-wide keep-first paragraph dedup: window construction,
+    first-occurrence ordering, reassembly, and edge cases."""
+
+    def _dd(self, spark, rows, para_tokens=4):
+        from d365fo_db_sync_spark.operators import dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["kept_text"], r["n_kept"], r["n_dropped"])
+            for r in dedup.paragraph_dedup(
+                df, "doc_id", "text", para_tokens=para_tokens
+            ).collect()
+        }
+
+    def test_repeated_paragraph_keeps_first_occurrence(self, spark):
+        boiler = "subscribe to our newsletter now"  # 5 tokens
+        rows = [
+            (1, f"{boiler} unique one content here"),
+            (2, f"{boiler} totally different body text"),
+            (3, f"{boiler} third document payload words"),
+        ]
+        out = self._dd(spark, rows, para_tokens=5)
+        # para 0 of each doc is the shared boilerplate; only doc 1 keeps it
+        assert out[1][0].startswith(boiler)
+        assert not out[2][0].startswith(boiler)
+        assert not out[3][0].startswith(boiler)
+        assert out[2][2] == 1 and out[3][2] == 1  # one dropped each
+        # the unique tails all survive
+        assert "unique one content here" in out[1][0]
+        assert "totally different body text" in out[2][0]
+        assert "third document payload words" in out[3][0]
+
+    def test_duplicate_inside_one_document(self, spark):
+        rows = [(7, "a b c d a b c d e f g h")]
+        out = self._dd(spark, rows, para_tokens=4)
+        kept, n_kept, n_dropped = out[7]
+        assert kept == "a b c d e f g h"
+        assert (n_kept, n_dropped) == (2, 1)
+
+    def test_unique_corpus_is_identity_modulo_whitespace(self, spark):
+        rows = [(1, "alpha beta gamma delta"), (2, "eps zeta eta theta iota")]
+        out = self._dd(spark, rows, para_tokens=4)
+        assert out[1] == ("alpha beta gamma delta", 1, 0)
+        assert out[2] == ("eps zeta eta theta iota", 2, 0)
+
+    def test_empty_and_whitespace_docs_survive_with_empty_text(self, spark):
+        rows = [(1, ""), (2, "   "), (3, "real words here")]
+        out = self._dd(spark, rows, para_tokens=4)
+        assert out[1] == ("", 0, 0)
+        assert out[2] == ("", 0, 0)
+        assert out[3] == ("real words here", 1, 0)
+
+    def test_partitioning_invariant(self, spark):
+        from d365fo_db_sync_spark.operators import dedup
+
+        rows = [(i, f"tok{i % 5} w x y z common suffix block") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            map(tuple, dedup.paragraph_dedup(df, para_tokens=4).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup.paragraph_dedup(
+                    df.repartition(11, "doc_id"), para_tokens=4
+                ).collect(),
+            )
+        )
+        assert a == b
