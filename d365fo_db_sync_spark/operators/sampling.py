@@ -61,6 +61,29 @@ def hash_sample(
     return df.filter(_bucket_hex(key_cols, salt) < F.lit(_hex_threshold(fraction)))
 
 
+def exact_k_sample(
+    df: DataFrame, key_cols: Sequence[str], k: int, salt: str = ""
+) -> DataFrame:
+    """EXACTLY ``k`` rows (fewer only if the input is smaller),
+    deterministically: the k lowest rows in (md5 bucket, keys) order —
+    a uniform sample with a guaranteed size, for fixed-size eval sets
+    and golden subsets where :func:`hash_sample`'s ±binomial jitter is
+    unacceptable. The full 32-hex digest (not the 8-char prefix)
+    breaks bucket ties before the keys do, so the order is total and
+    collision-free.
+
+    Plan shape: ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition top-k heap plus one
+    driver-side merge of k rows per partition, never a global sort.
+    Growing k later yields a SUPERSET of the earlier sample (same
+    order, longer prefix) — golden sets can be extended without
+    invalidating the old one."""
+    parts = [F.lit(salt)] if salt else []
+    parts += [F.col(c).cast("string") for c in key_cols]
+    order = [F.md5(F.concat_ws("\x1f", *parts))] + [F.col(c) for c in key_cols]
+    return df.orderBy(*order).limit(k)
+
+
 def weighted_sample(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -2663,3 +2663,27 @@ def dedup_paragraph_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup.paragraph_dedup(docs, "doc_id", "text", para_tokens=16)
+
+
+@register(
+    "sampling_exact_k_eval",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 200
+    """,
+)
+def sampling_exact_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size golden eval set (operators/sampling.exact_k_sample,
+    r6): EXACTLY 200 documents — the k lowest in (md5, id) order — for
+    eval sets where hash_sample's binomial size jitter is
+    unacceptable. Deterministic across reruns/partitionings, and
+    growing k later yields a superset (golden sets extend without
+    invalidating). Compiles to TakeOrderedAndProject (plan-pinned in
+    tests): per-partition top-k heaps, one k-row merge, never a
+    global sort. The oracle is the same ORDER BY md5 LIMIT k."""
+    from d365fo_db_sync_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.exact_k_sample(docs, ["doc_id"], 200)

@@ -286,3 +286,35 @@ class TestWeightedSample:
         assert a != b
         overlap = len(a & b) / max(1, len(a))
         assert 0.3 < overlap < 0.7  # ~independent draws
+
+
+class TestExactKSample:
+    def test_exact_size_and_determinism(self, spark, docs):
+        a = ids(sampling.exact_k_sample(docs, ["doc_id"], 100))
+        b = ids(sampling.exact_k_sample(docs.repartition(9, "src"), ["doc_id"], 100))
+        assert len(a) == 100 and a == b
+
+    def test_growing_k_is_a_superset(self, spark, docs):
+        small = set(ids(sampling.exact_k_sample(docs, ["doc_id"], 50)))
+        big = set(ids(sampling.exact_k_sample(docs, ["doc_id"], 200)))
+        assert small < big
+
+    def test_k_larger_than_input(self, spark, docs):
+        assert len(ids(sampling.exact_k_sample(docs, ["doc_id"], 99_999))) == 2000
+
+    def test_matches_python_reference_order(self, spark, docs):
+        import hashlib
+
+        got = ids(sampling.exact_k_sample(docs, ["doc_id"], 25))
+        want = sorted(
+            range(2000),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:25]
+        assert got == sorted(want)
+
+    def test_plan_is_take_ordered(self, spark, docs):
+        from d365fo_db_sync_spark.plans.audit import uses
+
+        assert uses(
+            sampling.exact_k_sample(docs, ["doc_id"], 10), "TakeOrderedAndProject"
+        )
