@@ -1,0 +1,115 @@
+"""Regular-grid resampling with gap filling for event streams.
+
+Event tables are irregular; downstream consumers (dashboards, feature
+pipelines, anomaly detectors) want a REGULAR grid — one row per
+(key, interval) even when nothing happened — with carried-forward
+values over the gaps. The classic warehouse recipe, Spark-first:
+
+1. bucket each event to its interval start (all-codegen
+   timestampdiff/timestampadd arithmetic against a fixed NTZ epoch —
+   deliberately NOT unix_timestamp, which reads TIMESTAMP_NTZ through
+   the SESSION timezone and would shift bucket boundaries under
+   TZ=America/New_York) and aggregate per (key, bucket) — one shuffle;
+2. build each key's date spine as a ``sequence()`` ARRAY from its own
+   min to the global max bucket, exploded executor-side — never a
+   driver-side date loop, never a cross join against a spine table;
+3. left-join observations onto the spine (same (key, bucket)
+   partitioning) and forward-fill with ``last(value,
+   ignorenulls=True)`` over an UNBOUNDED PRECEDING window per key —
+   one more shuffle, ordered by bucket.
+
+Scale shape: 2 shuffles; the spine explode multiplies rows only by
+the grid density (bounded, chosen by the caller via ``interval``),
+and every expression stays in whole-stage codegen.
+
+Reference stake: the reference engine has no time-series stage; this
+belongs to the analytics extension surface (the events table's
+consumers), same tier as the as-of and interval joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["interval_bucket", "resample_ffill"]
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def interval_bucket(ts_col: str, interval_seconds: int) -> Column:
+    """Floor a timestamp column to its interval start, timezone-free:
+    seconds measured against a fixed NTZ epoch via timestampdiff, so
+    TIMESTAMP_NTZ inputs bucket identically under every session
+    timezone (unix_timestamp would not)."""
+    n = int(interval_seconds)
+    return F.expr(
+        f"timestampadd(SECOND, "
+        f"CAST(floor(timestampdiff(SECOND, {_EPOCH}, "
+        f"CAST({ts_col} AS TIMESTAMP_NTZ)) / {n}) AS BIGINT) * {n}, {_EPOCH})"
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    agg: dict[str, Column],
+    interval_seconds: int = 86_400,
+    fill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Aggregate ``df`` onto a regular time grid and fill the gaps.
+
+    Returns one row per (keys, bucket_ts) from each key's FIRST
+    observation to the GLOBAL last bucket. ``agg`` maps output column
+    name -> aggregate expression (evaluated per (keys, bucket));
+    ``fill_cols`` (default: all agg outputs) are forward-filled from
+    the key's most recent observed bucket. ``is_observed`` marks real
+    vs gap rows (a dedicated sentinel, so aggregates that are
+    legitimately NULL on observed buckets don't misclassify).
+    Aggregates NOT forward-filled keep NULL on gap rows (callers
+    COALESCE to taste, e.g. counts to 0).
+    """
+    if not agg:
+        raise ValueError("agg must name at least one aggregate")
+    fill_cols = list(agg) if fill_cols is None else fill_cols
+    obs = (
+        df.withColumn("bucket_ts", interval_bucket(ts_col, interval_seconds))
+        .groupBy(*key_cols, "bucket_ts")
+        .agg(
+            *[expr.alias(name) for name, expr in agg.items()],
+            F.lit(True).alias("__obs"),
+        )
+    )
+    # per-key spine: first observed bucket .. global max bucket. The
+    # global bound stays IN-PLAN as a broadcast 1-row aggregate (a
+    # collected datetime would re-enter through F.lit as a session-tz
+    # TIMESTAMP literal and shift under non-UTC sessions — caught by
+    # the timezone-independence test); the per-key sequence is an
+    # array built and exploded on the executors.
+    hi = obs.agg(F.max("bucket_ts").alias("hi"))
+    spine = (
+        obs.groupBy(*key_cols)
+        .agg(F.min("bucket_ts").alias("lo"))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(
+                    F.col("lo"),
+                    F.col("hi"),
+                    F.expr(f"INTERVAL {int(interval_seconds)} SECOND"),
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    joined = spine.join(obs, on=[*key_cols, "bucket_ts"], how="left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined.withColumn("is_observed", F.coalesce("__obs", F.lit(False)))
+    for c in fill_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.drop("__obs")

@@ -2687,3 +2687,72 @@ def sampling_exact_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return sampling.exact_k_sample(docs, ["doc_id"], 200)
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400)
+               AS bucket_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+               AS sum_value,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(bucket_ts) AS lo FROM obs GROUP BY 1),
+    gmax AS (SELECT MAX(bucket_ts) AS hi FROM obs),
+    spine AS (
+      SELECT b.event_type,
+             unnest(generate_series(b.lo, g.hi, INTERVAL 1 DAY)) AS bucket_ts
+      FROM bounds b, gmax g),
+    j AS (
+      SELECT s.event_type, s.bucket_ts, o.sum_value, o.n_events,
+             o.bucket_ts IS NOT NULL AS is_observed
+      FROM spine s LEFT JOIN obs o
+        ON s.event_type = o.event_type AND s.bucket_ts = o.bucket_ts)
+    SELECT event_type, bucket_ts,
+           CAST(LAST_VALUE(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18, 2)) AS sum_value,
+           n_events, is_observed
+    FROM j
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid daily resample + gap fill per event type
+    (operators/timeseries.resample_ffill, r6): one row per
+    (type, day) from each type's first observation to the global last
+    day, the daily value sum forward-filled across silent days
+    (``last(ignorenulls)`` window), counts left NULL on gap rows, and
+    ``is_observed`` flagging real vs filled. Bucket math is
+    timestampdiff against a fixed NTZ epoch — session-timezone-free
+    (pinned by test) — and sums route through DECIMAL(18,2) for
+    cross-engine bit parity. Two shuffles: the (type, day) aggregate
+    and the per-type fill window; the spine is an executor-side
+    sequence explode, never a driver date loop."""
+    from d365fo_db_sync_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events")
+    out = timeseries.resample_ffill(
+        events,
+        ["event_type"],
+        "ts",
+        {
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")).cast(
+                "decimal(18,2)"
+            ),
+            "n_events": F.count("*"),
+        },
+        interval_seconds=86_400,
+        fill_cols=["sum_value"],
+    )
+    return out.select(
+        "event_type",
+        "bucket_ts",
+        F.col("sum_value").cast("decimal(18,2)").alias("sum_value"),
+        "n_events",
+        "is_observed",
+    )
