@@ -22,6 +22,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published a version between this writer's
+    manifest read and its publish attempt — the optimistic-concurrency
+    conflict every manifest-based table format (Delta/Iceberg, public
+    designs) surfaces instead of silently losing the other writer's
+    commit. Retry by re-reading the live manifest and re-deriving the
+    change."""
+
+
 class ParquetTarget:
     """A versioned parquet table with atomic overwrite.
 
@@ -698,14 +707,73 @@ class ManifestParquetTarget(BucketedParquetTarget):
         files = [f for fs in m["buckets"].values() for f in fs]
         return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
 
+    #: sentinel: "no concurrency check" (overwrite semantics)
+    _UNCHECKED = object()
+
+    def _publish_lock(self):
+        """Short exclusive lock over check-pointer + swap + log: an
+        O_CREAT|O_EXCL lock file (the portable local/NFS mutex; on a
+        real object store the swap itself becomes a conditional PUT —
+        if-match — and this lock disappears). Held for metadata writes
+        only, microseconds; a crashed holder's lock goes stale, so
+        acquisition breaks locks older than ``_LOCK_TTL`` seconds."""
+        import contextlib
+        import time
+
+        lock = self._pointer() + ".lock"
+
+        @contextlib.contextmanager
+        def _held():
+            deadline = time.monotonic() + 10.0
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(lock) > self._LOCK_TTL:
+                            os.unlink(lock)  # break a stale lock
+                            continue
+                    except OSError:
+                        pass  # raced: re-check
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(f"publish lock busy: {lock}")
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                with contextlib.suppress(OSError):
+                    os.unlink(lock)
+
+        return _held()
+
+    _LOCK_TTL = 60.0
+
     def _write_version(
-        self, df: DataFrame, carried: dict[int, list[str]], append: bool = False
+        self,
+        df: DataFrame,
+        carried: dict[int, list[str]],
+        append: bool = False,
+        expected_parent: str | None | object = _UNCHECKED,
     ) -> None:
         """Stage ``df`` (bucketed rows) into a fresh version dir, merge
         its freshly-written bucket files with the ``carried``
         references, publish manifest + pointer atomically. With
         ``append`` the staged files EXTEND a bucket's carried list
-        instead of replacing it (the insert-only fast path)."""
+        instead of replacing it (the insert-only fast path).
+
+        ``expected_parent`` is the optimistic-concurrency token: the
+        version name whose manifest the caller derived ``carried``
+        from (None for "table did not exist"). The publish takes a
+        short exclusive lock on the pointer, and if the live version
+        no longer matches, raises :class:`ConcurrentWriteError`
+        instead of clobbering the interloper's commit — carried
+        references derived from a stale manifest would resurrect
+        deleted rows and drop the other writer's changes. Overwrite
+        keeps last-writer-wins (the sentinel skips the check). A
+        conflict leaves the staged dir unpublished; the next
+        successful publish's vacuum collects it."""
         import json
 
         from pyspark.sql import functions as F
@@ -755,30 +823,41 @@ class ManifestParquetTarget(BucketedParquetTarget):
         }
         with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
             json.dump(manifest, f)
-        prior_live = self.current_path()
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(name)
-        os.replace(tmp, self._pointer())
-        # publish log AFTER the pointer swap: logging first would list a
-        # never-published version (its manifest already exists in the
-        # staged dir, so a manifest-existence filter can't catch it).
-        # A crash between swap and append loses only the LIVE version's
-        # log line; versions() repairs that while it stays live, and the
-        # next publish heals it DURABLY here — the prior live name is
-        # re-appended if a crash ever kept it out of the log, so history
-        # cannot lose a published version permanently.
-        log_path = os.path.join(self.root, self.VERSION_LOG)
-        logged: set[str] = set()
-        if os.path.exists(log_path):
-            with open(log_path, encoding="utf-8") as f:
-                logged = {ln.strip() for ln in f if ln.strip()}
-        with open(log_path, "a", encoding="utf-8") as f:
-            if prior_live is not None:
-                prior_name = os.path.basename(prior_live)
-                if prior_name not in logged:
-                    f.write(prior_name + "\n")
-            f.write(name + "\n")
+        with self._publish_lock():
+            prior_live = self.current_path()
+            if expected_parent is not self._UNCHECKED:
+                live_name = (
+                    os.path.basename(prior_live) if prior_live is not None else None
+                )
+                if live_name != expected_parent:
+                    raise ConcurrentWriteError(
+                        f"live version is {live_name!r}, but this write was "
+                        f"derived from {expected_parent!r} — another writer "
+                        "published in between; re-read and retry"
+                    )
+            tmp = self._pointer() + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(name)
+            os.replace(tmp, self._pointer())
+            # publish log AFTER the pointer swap: logging first would list a
+            # never-published version (its manifest already exists in the
+            # staged dir, so a manifest-existence filter can't catch it).
+            # A crash between swap and append loses only the LIVE version's
+            # log line; versions() repairs that while it stays live, and the
+            # next publish heals it DURABLY here — the prior live name is
+            # re-appended if a crash ever kept it out of the log, so history
+            # cannot lose a published version permanently.
+            log_path = os.path.join(self.root, self.VERSION_LOG)
+            logged: set[str] = set()
+            if os.path.exists(log_path):
+                with open(log_path, encoding="utf-8") as f:
+                    logged = {ln.strip() for ln in f if ln.strip()}
+            with open(log_path, "a", encoding="utf-8") as f:
+                if prior_live is not None:
+                    prior_name = os.path.basename(prior_live)
+                    if prior_name not in logged:
+                        f.write(prior_name + "\n")
+                f.write(name + "\n")
         # prior versions may still be referenced by the manifest just
         # published, so deletion is reference-walking GC, not rmtree:
         # auto-vacuum keeps parity with ParquetTarget's delete-on-swap
@@ -892,6 +971,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         if not affected:
             return 0
 
+        parent = os.path.basename(self.current_path())
         m = self._load_manifest()
         aff_files = [f for b in affected for f in m["buckets"].get(b, [])]
         window = self._read_files(spark, aff_files, m["schema"]).withColumnRenamed(
@@ -916,7 +996,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         # not carry its old entry: seed empty lists, staged dirs override
         for b in affected:
             carried[b] = []
-        self._write_version(new_rows, carried=carried)
+        self._write_version(new_rows, carried=carried, expected_parent=parent)
         return len(affected)
 
     def vacuum(self) -> list[str]:
@@ -944,8 +1024,11 @@ class ManifestParquetTarget(BucketedParquetTarget):
         if not self.exists():
             self.overwrite(inserts)
             return
+        parent = os.path.basename(self.current_path())
         m = self._load_manifest()
-        self._write_version(inserts, carried=dict(m["buckets"]), append=True)
+        self._write_version(
+            inserts, carried=dict(m["buckets"]), append=True, expected_parent=parent
+        )
 
     def compact(self, spark: SparkSession, max_files_per_bucket: int = 1) -> int:
         """Small-file maintenance (the lakehouse OPTIMIZE): buckets
@@ -967,6 +1050,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         m = self._load_manifest()
         if m is None:
             return 0
+        parent = os.path.basename(self.current_path())
         fat = sorted(
             b for b, fs in m["buckets"].items() if len(fs) > max_files_per_bucket
         )
@@ -979,7 +1063,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         carried = {b: fs for b, fs in m["buckets"].items() if b not in set(fat)}
         for b in fat:
             carried[b] = []  # staged dirs repopulate the compacted buckets
-        self._write_version(window, carried=carried)
+        self._write_version(window, carried=carried, expected_parent=parent)
         return len(fat)
 
     def vacuum_unreferenced(self) -> list[str]:

@@ -419,3 +419,67 @@ def test_append_rows_never_rewrites_existing_buckets(spark, tmp_path):
     # merge still works on top of the appended state
     t.merge(spark, _batch(spark))
     assert {r["RecId"] for r in t.read(spark).collect()} >= {9000, 9001}
+
+
+class TestOptimisticConcurrency:
+    """CAS-on-parent-version publish: a writer whose carried references
+    were derived from a stale manifest must fail with
+    ConcurrentWriteError, never clobber the interloper's commit."""
+
+    def test_stale_parent_raises_and_preserves_live(self, spark, tmp_path):
+        from d365fo_db_sync_spark.sinks import ConcurrentWriteError
+
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+        t.overwrite(_base(spark, 100))
+        v1 = os.path.basename(t.current_path())
+
+        # interloper publishes on top of v1
+        t.merge(spark, _batch(spark))
+        v2 = os.path.basename(t.current_path())
+        assert v2 != v1
+        live_rows = {r["RecId"]: r["SysRowVersion"] for r in t.read(spark).collect()}
+
+        # a writer still holding v1 as its parent must be rejected
+        stale = spark.range(50, 52).select(
+            F.col("id").alias("RecId"),
+            F.lit(777).alias("SysRowVersion"),
+            F.lit(0.0).alias("amount"),
+        )
+        with pytest.raises(ConcurrentWriteError, match="another writer"):
+            t._write_version(stale, carried={}, expected_parent=v1)
+
+        # the live table is exactly the interloper's commit, untouched
+        assert t.current_path().endswith(v2)
+        assert {
+            r["RecId"]: r["SysRowVersion"] for r in t.read(spark).collect()
+        } == live_rows
+
+    def test_sequential_writers_pass_the_check(self, spark, tmp_path):
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+        t.overwrite(_base(spark, 100))
+        t.merge(spark, _batch(spark))  # parent captured + verified internally
+        t.append_rows(
+            spark,
+            spark.range(9100, 9105).select(
+                F.col("id").alias("RecId"),
+                (F.col("id") * 2).alias("SysRowVersion"),
+                F.lit(1.0).alias("amount"),
+            ),
+        )
+        assert t.compact(spark) >= 1
+        got = {r["RecId"] for r in t.read(spark).collect()}
+        assert got >= {9000, 9001} | set(range(9100, 9105))
+
+    def test_publish_lock_is_released_and_stale_locks_break(self, spark, tmp_path):
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+        t.overwrite(_base(spark, 50))
+        lock = t._pointer() + ".lock"
+        assert not os.path.exists(lock)  # released after publish
+        # simulate a crashed holder: pre-create the lock, age it out
+        with open(lock, "w", encoding="utf-8"):
+            pass
+        old = os.path.getmtime(lock) - (t._LOCK_TTL + 5)
+        os.utime(lock, (old, old))
+        t.merge(spark, _batch(spark))  # breaks the stale lock and publishes
+        assert not os.path.exists(lock)
+        assert {r["RecId"] for r in t.read(spark).collect()} >= {9000, 9001}
