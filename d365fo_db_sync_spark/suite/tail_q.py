@@ -2756,3 +2756,54 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "is_observed",
     )
+
+
+@register(
+    "events_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT event_id AS view_event, user_id, ts AS view_ts FROM events
+          WHERE event_type = 'view'),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts, v.view_event, v.view_ts
+      FROM p ASOF LEFT JOIN v
+        ON p.user_id = v.user_id AND p.ts >= v.view_ts)
+    SELECT event_id, user_id, ts,
+           CASE WHEN view_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(view_ts) <= 1800000000
+                THEN view_event END AS view_event,
+           CASE WHEN view_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(view_ts) <= 1800000000
+                THEN view_ts END AS view_ts
+    FROM m
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join (operators/asof.py,
+    tolerance_seconds — r6): last-touch attribution where a view older
+    than 30 minutes no longer counts — the pandas merge_asof
+    tolerance contract that keeps day-old context from silently
+    enriching fresh events. Same single key-shuffle union+window plan;
+    the matched timestamp rides the window and a codegen conditional
+    nulls out-of-range matches (timestampdiff, session-timezone-free —
+    unix_timestamp would drift an hour across DST). Oracle: DuckDB
+    ASOF JOIN with the identical staleness null-out."""
+    from d365fo_db_sync_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "view_event", "ts": "view_ts"},
+        tolerance_seconds=1800,
+    )

@@ -694,3 +694,59 @@ def test_skew_profile_rejects_bad_topk(spark):
 
     with _p.raises(ValueError):
         skew_profile(df, ["k"], top_k=0)
+
+
+def test_asof_join_forward_direction(spark):
+    import datetime as dt
+
+    from d365fo_db_sync_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(10)), (2, 10, t(5)), (3, 20, t(32)), (4, 10, t(40))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(5)), (101, 10, t(9)), (102, 10, t(20)), (103, 20, t(30))],
+        "rid long, k long, ts timestamp",
+    )
+    out = {
+        r["id"]: r["match"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", {"rid": "match"}, direction="forward"
+        ).collect()
+    }
+    assert out[1] == 102  # earliest later
+    assert out[2] == 100  # equal ts matches (inclusive)
+    assert out[3] is None  # no later right row for k=20
+    assert out[4] is None  # nothing after t(40)
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from d365fo_db_sync_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(10)), (2, 10, t(30)), (3, 10, t(9))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(9))], "rid long, k long, ts timestamp"
+    )
+    out = {
+        r["id"]: r["match"]
+        for r in asof_join(
+            left,
+            right,
+            "k",
+            "ts",
+            "ts",
+            {"rid": "match"},
+            tolerance_seconds=300,
+        ).collect()
+    }
+    assert out[1] == 100  # 60 s stale, within 5 min
+    assert out[2] is None  # 21 min stale -> nulled
+    assert out[3] == 100  # exact match, gap 0
