@@ -575,12 +575,15 @@ def paragraph_dedup(
 
     Scale shape: paragraph construction is all-codegen array ops
     (transform over a sequence of slices); the keep-first decision is
-    ONE shuffle keyed by the paragraph fingerprint (a row_number
-    window — md5 + doc/pos ride it, text stays with the row);
-    reassembly is one groupBy on the doc id. Two shuffles total, the
-    honest cost of paragraph-granularity dedup — this is the operator
-    that removes boilerplate headers/footers shared across millions of
-    pages without dropping whole documents.
+    a fingerprint-keyed ``min(struct(doc, pos))`` AGGREGATE — NOT a
+    row_number window: a boilerplate paragraph shared by millions of
+    documents would land every copy in one window partition (the
+    classic hot-key trap), while min() combines map-side so the hot
+    fingerprint ships one row per input partition. The keeper set
+    (fingerprint, doc, pos — no text) then semi-joins back; reassembly
+    is one groupBy on the doc id. This is the operator that removes
+    boilerplate headers/footers shared across millions of pages
+    without dropping whole documents.
     """
     toks = tokens(text_col)
     n_paras = F.ceil(F.size(toks) / F.lit(para_tokens)).cast("int")
@@ -593,17 +596,17 @@ def paragraph_dedup(
     exploded = (
         df.select(F.col(id_col), F.posexplode(paras).alias("pidx", "para"))
         .filter(F.col("para") != "")
+        .withColumn("__fp", F.md5("para"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.md5("para")).orderBy(id_col, "pidx")
-    ranked = exploded.withColumn("rn", F.row_number().over(w))
-    kept = ranked.filter(F.col("rn") == 1)
-    dropped_counts = (
-        ranked.filter(F.col("rn") > 1)
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_dropped"))
+    keepers = exploded.groupBy("__fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("pidx"))).alias("first")
+    ).select(
+        "__fp",
+        F.col(f"first.{id_col}").alias(id_col),
+        F.col("first.pidx").alias("pidx"),
     )
+    kept = exploded.join(keepers, on=["__fp", id_col, "pidx"], how="left_semi")
+    per_doc_total = exploded.groupBy(id_col).agg(F.count("*").alias("__n_all"))
     rebuilt = (
         kept.groupBy(id_col)
         .agg(
@@ -620,11 +623,13 @@ def paragraph_dedup(
     return (
         df.select(id_col)
         .join(rebuilt, on=id_col, how="left")
-        .join(dropped_counts, on=id_col, how="left")
+        .join(per_doc_total, on=id_col, how="left")
         .select(
             id_col,
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            (
+                F.coalesce("__n_all", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_dropped"),
         )
     )
