@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["interval_bucket", "resample_ffill"]
+__all__ = ["interval_bucket", "resample_ffill", "sessionize"]
 
 _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
@@ -113,3 +113,49 @@ def resample_ffill(
     for c in fill_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out.drop("__obs")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_cols: list[str] | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Per-EVENT session labels: a new session starts when the gap from
+    the key's previous event exceeds ``gap_seconds`` (exclusive — a
+    gap of exactly the threshold stays in-session, matching
+    ``session_window``'s semantics). ``session_col`` is the key-scoped
+    session ordinal (1, 2, ...), so (keys, session_id) identifies a
+    session. The batch complement of the streaming
+    ``stateful_sessionize``: that one emits per-session aggregates as
+    state expires; this labels every ROW for downstream joins (funnel
+    steps, per-session features).
+
+    ``tiebreak_cols`` extend the ordering past the timestamp — pass a
+    unique column (event id) whenever timestamps can collide, or the
+    lag/cumsum order (and thus labels at the collision) is
+    tie-ambiguous.
+
+    Plan: one shuffle+sort on (keys, ts, tiebreaks); the lag and the
+    running new-session count ride the SAME window spec, so Spark
+    reuses one sort. Gap math is timestampdiff(MICROSECOND) —
+    session-timezone-free on NTZ inputs, exact at the boundary.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    with_prev = df.withColumn("__prev_ts", prev)
+    gap_us = F.expr(f"timestampdiff(MICROSECOND, __prev_ts, {ts_col})")
+    is_new = (
+        F.col("__prev_ts").isNull() | (gap_us > F.lit(int(gap_seconds) * 1_000_000))
+    ).cast("int")
+    run = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_prev.withColumn(session_col, F.sum(is_new).over(run)).drop(
+        "__prev_ts"
+    )

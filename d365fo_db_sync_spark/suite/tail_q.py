@@ -2807,3 +2807,41 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols={"event_id": "view_event", "ts": "view_ts"},
         tolerance_seconds=1800,
     )
+
+
+@register(
+    "events_sessionize_ids",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_id
+    FROM o
+    """,
+)
+def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session labels (operators/timeseries.sessionize, r6):
+    every event gets its user-scoped session ordinal (30-minute gap,
+    inclusive boundary — verified equal to Spark's own session_window
+    segmentation in tests), so (user, session_id) keys downstream
+    funnel/feature joins — the batch complement of the streaming
+    stateful_sessionize, which emits only per-session aggregates. One
+    shuffle+sort on (user, ts, event_id); the lag and the running
+    new-session count share the window sort. Gap math is
+    timestampdiff(MICROSECOND) — exact and session-timezone-free. The
+    oracle is the identical lag/cumsum in DuckDB, value-checking every
+    event's label."""
+    from d365fo_db_sync_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return timeseries.sessionize(
+        events, ["user_id"], "ts", gap_seconds=1800, tiebreak_cols=["event_id"]
+    )

@@ -107,3 +107,72 @@ def test_buckets_are_session_timezone_independent(spark):
 def test_empty_agg_raises(spark):
     with pytest.raises(ValueError):
         timeseries.resample_ffill(_events(spark, []), ["key"], "ts", {})
+
+
+class TestSessionize:
+    def _label(self, spark, rows, gap=600, tiebreaks=None):
+        out = timeseries.sessionize(
+            _events(spark, rows), ["key"], "ts", gap_seconds=gap,
+            tiebreak_cols=tiebreaks,
+        )
+        return {
+            (r["key"], r["ts"].isoformat()): r["session_id"] for r in out.collect()
+        }
+
+    def test_gap_splits_sessions(self, spark):
+        g = self._label(
+            spark,
+            [
+                ("a", "2024-01-01T00:00:00", 1.0),
+                ("a", "2024-01-01T00:05:00", 1.0),
+                ("a", "2024-01-01T00:30:00", 1.0),  # 25 min gap > 10 min
+                ("b", "2024-01-01T00:00:00", 1.0),
+            ],
+        )
+        assert g[("a", "2024-01-01T00:00:00")] == 1
+        assert g[("a", "2024-01-01T00:05:00")] == 1
+        assert g[("a", "2024-01-01T00:30:00")] == 2
+        assert g[("b", "2024-01-01T00:00:00")] == 1  # per-key ordinals
+
+    def test_boundary_gap_stays_in_session(self, spark):
+        g = self._label(
+            spark,
+            [
+                ("a", "2024-01-01T00:00:00", 1.0),
+                ("a", "2024-01-01T00:10:00", 1.0),  # exactly 600 s
+            ],
+        )
+        assert set(g.values()) == {1}
+
+    def test_matches_session_window_boundaries(self, spark):
+        """The per-event labels must induce the same session count per
+        key as Spark's own session_window aggregation."""
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        base = 0
+        for k in ("a", "b", "c"):
+            base = 0
+            for _ in range(40):
+                base += rng.choice([60, 120, 1200])
+                rows.append(
+                    (k, f"2024-01-01T{base // 3600:02d}:{(base % 3600) // 60:02d}:{base % 60:02d}", 1.0)
+                )
+        df = _events(spark, rows)
+        labeled = timeseries.sessionize(df, ["key"], "ts", gap_seconds=600)
+        ours = {
+            r["key"]: r["n"]
+            for r in labeled.groupBy("key")
+            .agg(F.countDistinct("session_id").alias("n"))
+            .collect()
+        }
+        spark_native = {
+            r["key"]: r["n"]
+            for r in df.groupBy("key", F.session_window("ts", "10 minutes"))
+            .count()
+            .groupBy("key")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert ours == spark_native
