@@ -159,3 +159,40 @@ def sessionize(
     return with_prev.withColumn(session_col, F.sum(is_new).over(run)).drop(
         "__prev_ts"
     )
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    window_seconds: int,
+) -> DataFrame:
+    """Trailing time-window aggregates per key: every row gets each
+    aggregate computed over the key's rows with ``ts`` in the half-open
+    window ``(row_ts - window_seconds, row_ts]`` — the 7-day rolling
+    sum / 24-hour rolling count shape.
+
+    Implemented as a RANGE frame over a MICROSECOND epoch ordinal
+    (timestampdiff against the fixed NTZ epoch — session-timezone-free
+    and DST-safe, where ordering by unix_timestamp would not be;
+    microseconds, not seconds, so sub-second timestamps don't alias
+    onto the same ordinal and the window bound is exact). One
+    shuffle+sort per key; all aggregates share the frame, so Spark
+    evaluates them in one window pass.
+    """
+    if window_seconds < 1:
+        raise ValueError(f"window_seconds must be >= 1, got {window_seconds}")
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, {_EPOCH}, CAST({ts_col} AS TIMESTAMP_NTZ))"
+    )
+    lo = -(int(window_seconds) * 1_000_000 - 1)
+    out = df.withColumn("__us", us)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__us")
+        .rangeBetween(lo, Window.currentRow)
+    )
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out.drop("__us")

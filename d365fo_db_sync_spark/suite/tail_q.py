@@ -2845,3 +2845,55 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.sessionize(
         events, ["user_id"], "ts", gap_seconds=1800, tiebreak_cols=["event_id"]
     )
+
+
+@register(
+    "events_rolling_time_window",
+    oracle="""
+    WITH o AS (SELECT event_id, user_id, ts, value, epoch_us(ts) AS us
+               FROM events)
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18, 2)) AS day_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS day_n
+    FROM o
+    """,
+)
+def events_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour rolling aggregates per user
+    (operators/timeseries.rolling_time_agg, r6): every event carries
+    the user's value sum and event count over the half-open trailing
+    day — the per-entity velocity features (rate limits, anomaly
+    scores) every event consumer derives. RANGE frame over a
+    MICROSECOND epoch ordinal (timestampdiff vs the fixed NTZ epoch —
+    timezone/DST-safe, exact at the window edge); both aggregates
+    share one window pass and one key shuffle. Sums route through
+    DECIMAL(18,2); the oracle is the identical RANGE window in
+    DuckDB, value-checking every row."""
+    from d365fo_db_sync_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = timeseries.rolling_time_agg(
+        events,
+        ["user_id"],
+        "ts",
+        {
+            "day_sum": F.sum(F.col("value").cast("decimal(18,2)")),
+            "day_n": F.count("*"),
+        },
+        window_seconds=86_400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("day_sum").cast("decimal(18,2)").alias("day_sum"),
+        F.col("day_n").cast("long").alias("day_n"),
+    )

@@ -176,3 +176,87 @@ class TestSessionize:
             .collect()
         }
         assert ours == spark_native
+
+
+class TestRollingTimeAgg:
+    def _roll(self, spark, rows, window=600):
+        out = timeseries.rolling_time_agg(
+            _events(spark, rows),
+            ["key"],
+            "ts",
+            {"w_sum": F.sum("value"), "w_n": F.count("*")},
+            window_seconds=window,
+        )
+        return {
+            (r["key"], r["ts"].isoformat()): (r["w_sum"], r["w_n"])
+            for r in out.collect()
+        }
+
+    def test_trailing_window_contents(self, spark):
+        g = self._roll(
+            spark,
+            [
+                ("a", "2024-01-01T00:00:00", 1.0),
+                ("a", "2024-01-01T00:05:00", 2.0),
+                ("a", "2024-01-01T00:20:00", 4.0),  # 15 min after the 2nd
+                ("b", "2024-01-01T00:01:00", 8.0),
+            ],
+        )
+        assert g[("a", "2024-01-01T00:00:00")] == (1.0, 1)
+        assert g[("a", "2024-01-01T00:05:00")] == (3.0, 2)
+        assert g[("a", "2024-01-01T00:20:00")] == (4.0, 1)  # both earlier aged out? no: 00:05 is 15min < 10min? 15min > 10min -> aged
+        assert g[("b", "2024-01-01T00:01:00")] == (8.0, 1)
+
+    def test_window_is_half_open_at_the_far_edge(self, spark):
+        # an event exactly window_seconds older is EXCLUDED
+        g = self._roll(
+            spark,
+            [
+                ("a", "2024-01-01T00:00:00", 1.0),
+                ("a", "2024-01-01T00:10:00", 2.0),  # exactly 600 s later
+            ],
+        )
+        assert g[("a", "2024-01-01T00:10:00")] == (2.0, 1)
+        # but one microsecond inside is included
+        g2 = self._roll(
+            spark,
+            [
+                ("a", "2024-01-01T00:00:00.000001", 1.0),
+                ("a", "2024-01-01T00:10:00", 2.0),
+            ],
+        )
+        assert g2[("a", "2024-01-01T00:10:00")] == (3.0, 2)
+
+    def test_matches_naive_python(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        for k in ("a", "b"):
+            t0 = 0
+            for _ in range(60):
+                t0 += rng.randrange(30, 900)
+                rows.append(
+                    (k, f"2024-01-01T{t0 // 3600:02d}:{(t0 % 3600) // 60:02d}:{t0 % 60:02d}", float(rng.randrange(1, 9)))
+                )
+        got = self._roll(spark, rows, window=1200)
+        import datetime as dt
+
+        by_key: dict[str, list] = {}
+        for k, t, v in rows:
+            by_key.setdefault(k, []).append((dt.datetime.fromisoformat(t), v))
+        for k, evs in by_key.items():
+            for t, _v in evs:
+                want_n = sum(
+                    1 for t2, _ in evs if t2 <= t and (t - t2).total_seconds() < 1200
+                )
+                want_sum = sum(
+                    v2 for t2, v2 in evs if t2 <= t and (t - t2).total_seconds() < 1200
+                )
+                assert got[(k, t.isoformat())] == (want_sum, want_n)
+
+    def test_bad_window_raises(self, spark):
+        with pytest.raises(ValueError):
+            timeseries.rolling_time_agg(
+                _events(spark, []), ["key"], "ts", {"n": F.count("*")}, 0
+            )
