@@ -225,7 +225,25 @@ class SyncEngine:
                 if tomb in batch.columns
                 else batch.limit(0).select(key)
             )
-            target.merge(self.spark, upserts, tombstoned, evolve_schema=evolve_schema)
+            # retry on optimistic-concurrency conflict: merge() re-reads
+            # the live manifest on every call, so a retry re-derives the
+            # carried references from the interloper's commit — the
+            # standard OCC loop. The merge itself is idempotent on the
+            # same batch (T5), so a retry after a conflicting publish is
+            # semantically a fresh merge of the same delta. Bounded: a
+            # writer that keeps losing the race after 3 attempts gives
+            # up loudly rather than spinning against a hot table.
+            from d365fo_db_sync_spark.sinks import ConcurrentWriteError
+
+            for attempt in range(3):
+                try:
+                    target.merge(
+                        self.spark, upserts, tombstoned, evolve_schema=evolve_schema
+                    )
+                    break
+                except ConcurrentWriteError:
+                    if attempt == 2:
+                        raise
             self._commit_state(name, row["max_key"], row["max_ver"])
         else:
             if target.exists():

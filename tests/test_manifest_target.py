@@ -483,3 +483,45 @@ class TestOptimisticConcurrency:
         t.merge(spark, _batch(spark))  # breaks the stale lock and publishes
         assert not os.path.exists(lock)
         assert {r["RecId"] for r in t.read(spark).collect()} >= {9000, 9001}
+
+
+def test_engine_retries_merge_on_conflict(spark, tmp_path, monkeypatch):
+    """SyncEngine.merge_upsert re-derives and retries when the sink
+    reports an optimistic-concurrency conflict — and gives up loudly
+    after bounded attempts."""
+    from d365fo_db_sync_spark.sinks import ConcurrentWriteError
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+    t.overwrite(_base(spark, 100))
+    engine = SyncEngine(
+        spark, StateStore(str(tmp_path / "state.json")), SyncConfig()
+    )
+
+    real_merge = ManifestParquetTarget.merge
+    calls = {"n": 0}
+
+    def flaky_merge(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentWriteError("simulated interloper")
+        return real_merge(self, *a, **kw)
+
+    monkeypatch.setattr(ManifestParquetTarget, "merge", flaky_merge)
+    rep = engine.merge_upsert("t", _batch(spark), t)
+    assert calls["n"] == 2  # one conflict, one successful retry
+    assert rep.inserted > 0
+    assert {r["RecId"] for r in t.read(spark).collect()} >= {9000, 9001}
+
+    # permanent conflict: bounded retries then raise
+    calls["n"] = 0
+
+    def always_conflict(self, *a, **kw):
+        calls["n"] += 1
+        raise ConcurrentWriteError("hot table")
+
+    monkeypatch.setattr(ManifestParquetTarget, "merge", always_conflict)
+    with pytest.raises(ConcurrentWriteError):
+        engine.merge_upsert("t", _batch(spark), t)
+    assert calls["n"] == 3
