@@ -1113,3 +1113,61 @@ class ManifestParquetTarget(BucketedParquetTarget):
                 if os.path.exists(manifest):
                     os.remove(manifest)
         return removed
+
+    def export_version(self, name: str, dest_root: str) -> "ManifestParquetTarget":
+        """Materialize version ``name`` as a STANDALONE table at
+        ``dest_root`` — the dataset-release step: a training snapshot
+        published to a location whose lifecycle is independent of the
+        source table's GC/retention window.
+
+        The export copies exactly the files the pinned manifest
+        references (no Spark job — a driver-side byte copy here; an
+        object-store deployment swaps in server-side copies of the
+        same file list) into a fresh single-version layout, rewrites
+        the manifest to the new paths carrying the zone maps along,
+        and publishes it with the same pointer discipline. The result
+        is a fully functional ManifestParquetTarget: readable,
+        probe/scan_range-prunable, even mergeable — a fork, not a
+        symlink; later writes to either side cannot corrupt the other.
+        """
+        src_path = os.path.join(self.root, name)
+        if not os.path.exists(os.path.join(src_path, self.MANIFEST)):
+            raise FileNotFoundError(f"version {name!r} not readable under {self.root}")
+        import json
+
+        m = self._manifest_at(src_path)
+        dest = ManifestParquetTarget(
+            dest_root, key=self.key, n_buckets=self.n_buckets
+        )
+        out_name = f"v_{uuid.uuid4().hex[:12]}"
+        staged = os.path.join(dest_root, out_name)
+        new_buckets: dict[int, list[str]] = {}
+        new_stats: dict[str, dict] = {}
+        for b, fs in m["buckets"].items():
+            outs = []
+            for i, f in enumerate(sorted(fs)):
+                rel = os.path.join(f"{self.BUCKET_COL}={b}", f"part-{i:05d}.parquet")
+                out = os.path.join(staged, rel)
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                shutil.copy2(f, out)
+                outs.append(out)
+                if f in m["stats"]:
+                    new_stats[out] = m["stats"][f]
+            new_buckets[b] = outs
+        manifest = {
+            "schema": m["schema"],
+            "buckets": {str(k): v for k, v in new_buckets.items()},
+            "stats": new_stats,
+        }
+        os.makedirs(staged, exist_ok=True)
+        with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        tmp = dest._pointer() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(out_name)
+        os.replace(tmp, dest._pointer())
+        with open(
+            os.path.join(dest_root, self.VERSION_LOG), "a", encoding="utf-8"
+        ) as f:
+            f.write(out_name + "\n")
+        return dest

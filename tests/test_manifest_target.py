@@ -525,3 +525,43 @@ def test_engine_retries_merge_on_conflict(spark, tmp_path, monkeypatch):
     with pytest.raises(ConcurrentWriteError):
         engine.merge_upsert("t", _batch(spark), t)
     assert calls["n"] == 3
+
+
+def test_export_version_is_standalone_fork(spark, tmp_path):
+    """export_version materializes a pinned snapshot as an independent
+    table: identical rows + zone maps, survives source GC, and later
+    writes to either side don't affect the other."""
+    t = ManifestParquetTarget(
+        str(tmp_path / "src"), key="RecId", n_buckets=8, retain_versions=2
+    )
+    t.overwrite(_base(spark, 300))
+    v1 = os.path.basename(t.current_path())
+    want = {(r["RecId"], r["SysRowVersion"]) for r in t.read(spark).collect()}
+
+    exported = t.export_version(v1, str(tmp_path / "release"))
+    got = {(r["RecId"], r["SysRowVersion"]) for r in exported.read(spark).collect()}
+    assert got == want
+    # zone maps carried: a range scan on the export prunes like the source
+    m = exported._load_manifest()
+    assert any("min" in s for s in m["stats"].values())
+
+    # mutate the source past the retention window; the export is unmoved
+    t.merge(spark, _batch(spark))
+    t.merge(spark, _batch(spark))
+    t.vacuum_unreferenced()
+    assert {
+        (r["RecId"], r["SysRowVersion"]) for r in exported.read(spark).collect()
+    } == want
+
+    # the export is a real table: it can merge independently
+    exported.merge(spark, _batch(spark))
+    assert {r["RecId"] for r in exported.read(spark).collect()} >= {9000, 9001}
+    # and the source did NOT gain the export's rows beyond its own merges
+    assert t.num_rows() == exported.num_rows()  # same batch applied to both
+
+
+def test_export_version_unknown_name_raises(spark, tmp_path):
+    t = ManifestParquetTarget(str(tmp_path / "src"), key="RecId", n_buckets=8)
+    t.overwrite(_base(spark, 10))
+    with pytest.raises(FileNotFoundError):
+        t.export_version("v_nonexistent", str(tmp_path / "x"))
