@@ -2897,3 +2897,75 @@ def events_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_sum").cast("decimal(18,2)").alias("day_sum"),
         F.col("day_n").cast("long").alias("day_n"),
     )
+
+
+@register(
+    "events_session_funnel",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    s AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM o),
+    f AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+      FROM s GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(has_view) AS BIGINT) AS n_with_view,
+           CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN has_view = 1 AND has_purchase = 1
+                    THEN 1 ELSE 0 END) * 10000
+             // GREATEST(SUM(has_view), 1) AS BIGINT) AS conversion_bp
+    FROM f
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-scoped funnel — the composition the per-event session
+    labels exist for: sessionize (30-min gap) -> per-session
+    view/purchase flags -> corpus conversion rate among sessions that
+    saw a view, in integer basis points (order-independent,
+    cross-engine exact). Unlike the 24h-window funnel
+    (events_funnel_conversion), attribution here is bounded by the
+    session, not a fixed horizon. Plan: the sessionize window shuffle,
+    one (user, session) aggregate, one 1-row rollup. The oracle
+    recomputes the identical lag/cumsum/flag math."""
+    from d365fo_db_sync_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    labeled = timeseries.sessionize(
+        events, ["user_id"], "ts", gap_seconds=1800, tiebreak_cols=["event_id"]
+    )
+    flags = labeled.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "has_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    converted = F.when(
+        (F.col("has_view") == 1) & (F.col("has_purchase") == 1), 1
+    ).otherwise(0)
+    return flags.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("n_with_view"),
+        F.sum(converted).cast("long").alias("n_converted"),
+        F.floor(
+            F.sum(converted) * 10000 / F.greatest(F.sum("has_view"), F.lit(1))
+        ).cast("long").alias("conversion_bp"),
+    )
