@@ -633,3 +633,69 @@ def paragraph_dedup(
             ).cast("long").alias("n_dropped"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT above ``threshold``: directed pairs
+    (id_a, id_b, containment) where |A∩B| / |A| >= t — the asymmetric
+    near-dup relation symmetric Jaccard structurally misses (a short
+    document quoted whole inside a long one has Jaccard ≈ |A|/|B| →
+    tiny, containment = 1.0). Self-pairs and A=B id collisions are
+    excluded; both directions are reported when both clear the bar.
+
+    Candidates come from the containment prefix filter: if
+    |A∩B| >= t*|A|, at most |A| - ceil(t*|A|) of A's shingles are
+    unshared, so ANY prefix of length |A| - floor(t*|A|) + 1 must
+    contain a shared shingle (floor >= canonical ceil bound —
+    complete). The probe side explodes only that prefix under the
+    rarest-first global ordering (hot shingles pushed out of
+    prefixes); the CONTAINER side cannot be prefix-limited (the
+    relation is asymmetric), so prefixes join the full posting list —
+    the published AllPairs containment variant. Verification is one
+    ``array_intersect`` per candidate, exact.
+    """
+    from pyspark.sql import Window
+
+    if sets is None:
+        sets = shingle_sets(df, id_col, text_col, n)
+    tok = sets.select(id_col, "set_size", F.explode("sh").alias("g"))
+    freq = tok.groupBy("g").agg(F.count("*").alias("df_g"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("df_g"), F.asc("g"))
+    prefix_len = F.col("set_size") - F.floor(
+        F.lit(threshold) * F.col("set_size")
+    ) + 1
+    prefix = (
+        tok.join(freq, on="g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col(id_col).alias("id_a"), "g")
+    )
+    postings = tok.select(F.col(id_col).alias("id_b"), "g")
+    cand = (
+        prefix.join(postings, on="g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    cont = F.col("common") / F.col("size_a")
+    return verified.select(
+        "id_a", "id_b", F.round(cont, 6).alias("containment")
+    ).filter(F.col("containment") >= threshold)

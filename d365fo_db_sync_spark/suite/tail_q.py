@@ -2969,3 +2969,35 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(converted) * 10000 / F.greatest(F.sum("has_view"), F.lit(1))
         ).cast("long").alias("conversion_bp"),
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS sh
+      FROM tok),
+    e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(COUNT(*) / ANY_VALUE(a.sz), 6) AS containment
+    FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+    HAVING ROUND(COUNT(*) / ANY_VALUE(a.sz), 6) >= 0.7
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection (operators/dedup.containment_pairs,
+    r6): directed pairs where >=70% of A's shingles appear in B — the
+    quoted-whole/doc-contains-doc relation symmetric Jaccard
+    structurally misses (a short document inside a long one has
+    Jaccard ~ |A|/|B|). Candidates via the containment prefix filter
+    (probe-side rarest-first prefixes vs the full posting list — the
+    AllPairs containment variant, complete by pigeonhole), verified
+    exactly with one array_intersect per candidate. The oracle is the
+    naive all-shared-shingles join, so prefix-filter completeness is
+    value-checked, not assumed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.7)

@@ -183,3 +183,63 @@ class TestParagraphDedup:
             )
         )
         assert a == b
+
+
+class TestContainmentPairs:
+    def test_quoted_document_detected_despite_tiny_jaccard(self, spark):
+        from d365fo_db_sync_spark.operators import dedup
+
+        short = " ".join(f"q{i}" for i in range(8))
+        long = short + " " + " ".join(f"body{i}" for i in range(80))
+        df = spark.createDataFrame(
+            [(1, short), (2, long), (3, "totally unrelated words here")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(
+                df, "doc_id", "text", n=3, threshold=0.9
+            ).collect()
+        }
+        assert got.get((1, 2)) == 1.0  # short fully contained in long
+        assert (2, 1) not in got  # the reverse direction is far below t
+        assert not any(3 in k for k in got)
+        # and symmetric jaccard would have missed it
+        jac = dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+        assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac)
+
+    def test_matches_bruteforce(self, spark):
+        import itertools
+        import random
+
+        from d365fo_db_sync_spark.operators import dedup
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(6, 30))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        t = 0.6
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+
+        def sh(text):
+            toks = text.split()
+            k = max(len(toks) - 2, 1)
+            return {" ".join(toks[i : i + 3]) for i in range(k)}
+
+        want = {}
+        for (ia, ta), (ib, tb) in itertools.permutations(rows, 2):
+            sa, sb = sh(ta), sh(tb)
+            c = round(len(sa & sb) / len(sa), 6)
+            if c >= t:
+                want[(ia, ib)] = c
+        assert got == want
