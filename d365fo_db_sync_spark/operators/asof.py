@@ -19,6 +19,16 @@ sparse keys. At equal timestamps the right row sorts first, so the
 left row sees it (inclusive match in both directions). Tolerance adds
 no shuffle: the matched timestamp rides the same window and a codegen
 conditional nulls out-of-range matches.
+
+The carry is ONE struct holding the matched right row's timestamp AND
+all its value columns, filled by a single ``last(ignorenulls=True)``.
+Filling each value column independently would be wrong: a NULL field
+in the nearest right row would make ``last`` skip to an OLDER right
+row for that column only, mixing (ts, value) across rows and letting
+an out-of-tolerance stale value through the tolerance gate. A struct
+with NULL fields is itself non-NULL, so the single fill pins every
+output to the one matched row — pandas ``merge_asof`` / DuckDB
+``ASOF JOIN`` row semantics.
 """
 
 from __future__ import annotations
@@ -72,15 +82,28 @@ def asof_join(
         .orderBy(t_order, F.col("__is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    match_ts = F.when(F.col("__is_right") == 1, F.col("__t"))
+    # One struct per right row (NULL on left rows) so a single
+    # ignorenulls fill carries ts + every value from the SAME matched
+    # row; per-column fills would skip NULL fields to older rows.
+    match_row = F.when(
+        F.col("__is_right") == 1,
+        F.struct(
+            F.col("__t").alias("__rt"),
+            *[F.col(dst).alias(dst) for dst in out_aliases],
+        ),
+    )
     filled = unioned.select(
         "__is_right",
         "__left",
         F.col("__t").alias("__lt"),
-        F.last(match_ts, ignorenulls=True).over(w).alias("__mt"),
-        *[F.last(dst, ignorenulls=True).over(w).alias(dst) for dst in out_aliases],
+        F.last(match_row, ignorenulls=True).over(w).alias("__m"),
     )
-    rows = filled.filter(F.col("__is_right") == 0)
+    rows = filled.filter(F.col("__is_right") == 0).select(
+        "__left",
+        F.col("__lt").alias("__lt"),
+        F.col("__m.__rt").alias("__mt"),
+        *[F.col(f"__m.{dst}").alias(dst) for dst in out_aliases],
+    )
     if tolerance_seconds is not None:
         # timestampdiff, NOT unix_timestamp: the latter reads
         # TIMESTAMP_NTZ through the session timezone, and two wall

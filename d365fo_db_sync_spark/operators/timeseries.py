@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["interval_bucket", "resample_ffill", "sessionize"]
+__all__ = ["interval_bucket", "resample_ffill", "sessionize", "rolling_time_agg"]
 
 _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
@@ -57,11 +57,13 @@ def resample_ffill(
     agg: dict[str, Column],
     interval_seconds: int = 86_400,
     fill_cols: list[str] | None = None,
+    until: str = "global_max",
+    max_gap_intervals: int | None = None,
 ) -> DataFrame:
     """Aggregate ``df`` onto a regular time grid and fill the gaps.
 
     Returns one row per (keys, bucket_ts) from each key's FIRST
-    observation to the GLOBAL last bucket. ``agg`` maps output column
+    observation to a per-key horizon. ``agg`` maps output column
     name -> aggregate expression (evaluated per (keys, bucket));
     ``fill_cols`` (default: all agg outputs) are forward-filled from
     the key's most recent observed bucket. ``is_observed`` marks real
@@ -69,9 +71,26 @@ def resample_ffill(
     legitimately NULL on observed buckets don't misclassify).
     Aggregates NOT forward-filled keep NULL on gap rows (callers
     COALESCE to taste, e.g. counts to 0).
+
+    The horizon bounds the spine explode — the scale lever at 100×:
+
+    - ``until="global_max"`` (default): every key runs to the corpus's
+      last bucket, the dense-grid contract dashboards expect. At
+      millions of keys × a multi-year horizon this lets a key observed
+      once on day 1 emit a gap row per interval to the end of time.
+    - ``until="key_max"``: each key stops at its OWN last observed
+      bucket — dead keys generate zero tail rows.
+    - ``max_gap_intervals=N`` (with ``until="global_max"``): each key
+      runs at most N intervals past its own last observation,
+      ``min(global_max, key_max + N*interval)`` — the carry-forward
+      stays fresh-bounded while live keys still reach the horizon.
     """
     if not agg:
         raise ValueError("agg must name at least one aggregate")
+    if until not in ("global_max", "key_max"):
+        raise ValueError(f"until must be global_max|key_max, got {until!r}")
+    if max_gap_intervals is not None and max_gap_intervals < 0:
+        raise ValueError(f"max_gap_intervals must be >= 0, got {max_gap_intervals}")
     fill_cols = list(agg) if fill_cols is None else fill_cols
     obs = (
         df.withColumn("bucket_ts", interval_bucket(ts_col, interval_seconds))
@@ -81,17 +100,30 @@ def resample_ffill(
             F.lit(True).alias("__obs"),
         )
     )
-    # per-key spine: first observed bucket .. global max bucket. The
+    # per-key spine: first observed bucket .. per-key horizon. The
     # global bound stays IN-PLAN as a broadcast 1-row aggregate (a
     # collected datetime would re-enter through F.lit as a session-tz
     # TIMESTAMP literal and shift under non-UTC sessions — caught by
     # the timezone-independence test); the per-key sequence is an
     # array built and exploded on the executors.
-    hi = obs.agg(F.max("bucket_ts").alias("hi"))
+    bounds = obs.groupBy(*key_cols).agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("__key_hi")
+    )
+    if until == "key_max":
+        bounds = bounds.withColumn("hi", F.col("__key_hi"))
+    else:
+        hi = obs.agg(F.max("bucket_ts").alias("__global_hi"))
+        bounds = bounds.crossJoin(F.broadcast(hi))
+        if max_gap_intervals is None:
+            bounds = bounds.withColumn("hi", F.col("__global_hi"))
+        else:
+            capped = F.expr(
+                f"timestampadd(SECOND, "
+                f"{int(max_gap_intervals) * int(interval_seconds)}, __key_hi)"
+            )
+            bounds = bounds.withColumn("hi", F.least(F.col("__global_hi"), capped))
     spine = (
-        obs.groupBy(*key_cols)
-        .agg(F.min("bucket_ts").alias("lo"))
-        .crossJoin(F.broadcast(hi))
+        bounds
         .select(
             *key_cols,
             F.explode(

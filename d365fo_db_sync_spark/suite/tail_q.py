@@ -917,7 +917,7 @@ def cdc_stream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type"),
             F.col("value"),
         )
-        # one file per residue class = 8 arrival batches
+        # one file per residue class = _CDC_STREAM_BATCHES arrival batches
         for b in range(_CDC_STREAM_BATCHES):
             cdc.filter(F.pmod("RecId", F.lit(_CDC_STREAM_BATCHES)) == b).coalesce(
                 1
@@ -926,7 +926,7 @@ def cdc_stream_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RecId long, SysRowVersion long, user_id long, event_type string, value double"
     )
     # fresh target + checkpoint per invocation: the bench must re-drain
-    # all 8 batches every repeat, not hit the checkpoint's file ledger
+    # every batch each repeat, not hit the checkpoint's file ledger
     run_dir = scratch_dir("cdcrun_")
     engine = SyncEngine(spark, StateStore(f"{run_dir}/state.json"), SyncConfig())
     target = BucketedParquetTarget(f"{run_dir}/tgt", key="RecId", n_buckets=32)

@@ -750,3 +750,39 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert out[1] == 100  # 60 s stale, within 5 min
     assert out[2] is None  # 21 min stale -> nulled
     assert out[3] == 100  # exact match, gap 0
+
+
+def test_asof_join_null_value_field_stays_with_matched_row(spark):
+    """A NULL value in the MATCHED right row must come through as NULL.
+
+    Per-column ignorenulls fills would skip to an older right row for
+    that column only — mixing (ts, value) across rows and, with
+    tolerance, admitting a stale value the gate should reject. The
+    single-struct carry pins every output to the one matched row.
+    """
+    import datetime as dt
+
+    from d365fo_db_sync_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(10))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, 7.5, 10, t(1)), (101, None, 10, t(9))],
+        "rid long, px double, k long, ts timestamp",
+    )
+    # Nearest match is rid=101 whose px is NULL: px must be NULL, and
+    # rid must be 101 — never (rid=101, px=7.5) mixed across rows.
+    row = asof_join(
+        left, right, "k", "ts", "ts", {"rid": "m_rid", "px": "m_px"}
+    ).collect()[0]
+    assert row["m_rid"] == 101 and row["m_px"] is None
+
+    # With a 5-min tolerance the nearest row (1 min stale) matches but
+    # its NULL px must NOT fall back to the 9-min-stale rid=100 value.
+    row = asof_join(
+        left, right, "k", "ts", "ts", {"rid": "m_rid", "px": "m_px"},
+        tolerance_seconds=300,
+    ).collect()[0]
+    assert row["m_rid"] == 101 and row["m_px"] is None

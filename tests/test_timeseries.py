@@ -109,6 +109,75 @@ def test_empty_agg_raises(spark):
         timeseries.resample_ffill(_events(spark, []), ["key"], "ts", {})
 
 
+def _bounded_grid(spark, rows, **kw):
+    out = timeseries.resample_ffill(
+        _events(spark, rows),
+        ["key"],
+        "ts",
+        {"v": F.sum("value")},
+        interval_seconds=86_400,
+        **kw,
+    )
+    return {(r["key"], r["bucket_ts"].isoformat()) for r in out.collect()}
+
+
+_SPARSE = [
+    # key "dead" fires once on day 1 of a 10-day corpus; key "live"
+    # spans the whole range. Unbounded, "dead" would fill 10 rows.
+    ("dead", "2024-01-01T06:00:00", 1.0),
+    ("live", "2024-01-01T06:00:00", 1.0),
+    ("live", "2024-01-10T06:00:00", 2.0),
+]
+
+
+def test_until_key_max_stops_dead_keys(spark):
+    g = _bounded_grid(spark, _SPARSE, until="key_max")
+    dead = {b for k, b in g if k == "dead"}
+    live = {b for k, b in g if k == "live"}
+    assert dead == {"2024-01-01T00:00:00"}  # zero tail rows
+    assert len(live) == 10  # its own max IS the global max
+    assert len(g) == 11
+
+
+def test_max_gap_intervals_caps_the_tail(spark):
+    g = _bounded_grid(spark, _SPARSE, max_gap_intervals=2)
+    dead = sorted(b for k, b in g if k == "dead")
+    # day 1 observed + at most 2 gap intervals past its last observation
+    assert dead == [
+        "2024-01-01T00:00:00",
+        "2024-01-02T00:00:00",
+        "2024-01-03T00:00:00",
+    ]
+    # live keys still reach the global horizon (cap never extends past it)
+    assert len([b for k, b in g if k == "live"]) == 10
+
+
+def test_max_gap_zero_equals_key_max(spark):
+    assert _bounded_grid(spark, _SPARSE, max_gap_intervals=0) == _bounded_grid(
+        spark, _SPARSE, until="key_max"
+    )
+
+
+def test_default_horizon_unchanged(spark):
+    g = _bounded_grid(spark, _SPARSE)
+    assert len([b for k, b in g if k == "dead"]) == 10  # global_max default
+
+
+def test_bad_until_raises(spark):
+    with pytest.raises(ValueError):
+        timeseries.resample_ffill(
+            _events(spark, []), ["key"], "ts", {"v": F.sum("value")}, until="nope"
+        )
+    with pytest.raises(ValueError):
+        timeseries.resample_ffill(
+            _events(spark, []),
+            ["key"],
+            "ts",
+            {"v": F.sum("value")},
+            max_gap_intervals=-1,
+        )
+
+
 class TestSessionize:
     def _label(self, spark, rows, gap=600, tiebreaks=None):
         out = timeseries.sessionize(
