@@ -77,7 +77,15 @@ def exact_k_sample(
     driver-side merge of k rows per partition, never a global sort.
     Growing k later yields a SUPERSET of the earlier sample (same
     order, longer prefix) — golden sets can be extended without
-    invalidating the old one."""
+    invalidating the old one.
+
+    PRECONDITION: ``key_cols`` must uniquely identify rows. Rows
+    duplicated on the keys are TIED in (md5, keys) order, so which
+    duplicate crosses the limit-k boundary is partitioning-dependent —
+    both determinism and the grow-k superset guarantee then hold only
+    up to that tie. Pass a unique column (row id) in ``key_cols``
+    whenever duplicates are possible, the same discipline as
+    ``sessionize``'s tiebreak_cols."""
     parts = [F.lit(salt)] if salt else []
     parts += [F.col(c).cast("string") for c in key_cols]
     order = [F.md5(F.concat_ws("\x1f", *parts))] + [F.col(c) for c in key_cols]

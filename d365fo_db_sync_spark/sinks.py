@@ -711,44 +711,43 @@ class ManifestParquetTarget(BucketedParquetTarget):
     _UNCHECKED = object()
 
     def _publish_lock(self):
-        """Short exclusive lock over check-pointer + swap + log: an
-        O_CREAT|O_EXCL lock file (the portable local/NFS mutex; on a
-        real object store the swap itself becomes a conditional PUT —
-        if-match — and this lock disappears). Held for metadata writes
-        only, microseconds; a crashed holder's lock goes stale, so
-        acquisition breaks locks older than ``_LOCK_TTL`` seconds."""
+        """Short exclusive lock over check-pointer + swap + log:
+        ``flock(LOCK_EX)`` on a persistent lock file (the local-disk
+        mutex; on a real object store the swap itself becomes a
+        conditional PUT — if-match — and this lock disappears). Held
+        for metadata writes only, microseconds. The kernel releases a
+        crashed holder's flock automatically, so there is no staleness
+        heuristic to race on — the earlier O_EXCL + mtime-TTL scheme
+        let two waiters both judge a lock stale and one unlink the
+        other breaker's fresh lock (TOCTOU), defeating the OCC check
+        it guards. The lock file is deliberately never unlinked:
+        removing it would let a late waiter (blocked on the old inode)
+        and a fresh opener (new inode at the same path) hold "the"
+        lock simultaneously."""
         import contextlib
+        import fcntl
         import time
 
         lock = self._pointer() + ".lock"
 
         @contextlib.contextmanager
         def _held():
+            fd = os.open(lock, os.O_CREAT | os.O_RDWR)
             deadline = time.monotonic() + 10.0
-            while True:
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    break
-                except FileExistsError:
-                    try:
-                        if time.time() - os.path.getmtime(lock) > self._LOCK_TTL:
-                            os.unlink(lock)  # break a stale lock
-                            continue
-                    except OSError:
-                        pass  # raced: re-check
-                    if time.monotonic() > deadline:
-                        raise TimeoutError(f"publish lock busy: {lock}")
-                    time.sleep(0.05)
             try:
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        if time.monotonic() > deadline:
+                            raise TimeoutError(f"publish lock busy: {lock}")
+                        time.sleep(0.05)
                 yield
             finally:
-                os.close(fd)
-                with contextlib.suppress(OSError):
-                    os.unlink(lock)
+                os.close(fd)  # close releases the flock
 
         return _held()
-
-    _LOCK_TTL = 60.0
 
     def _write_version(
         self,
@@ -772,8 +771,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
         references derived from a stale manifest would resurrect
         deleted rows and drop the other writer's changes. Overwrite
         keeps last-writer-wins (the sentinel skips the check). A
-        conflict leaves the staged dir unpublished; the next
-        successful publish's vacuum collects it."""
+        conflict leaves the staged dir unpublished; vacuum collects it
+        once it ages past ``_STAGING_TTL`` (never sooner — a fresh
+        unpublished dir may be another writer's in-flight staging)."""
         import json
 
         from pyspark.sql import functions as F
@@ -1066,17 +1066,40 @@ class ManifestParquetTarget(BucketedParquetTarget):
         self._write_version(window, carried=carried, expected_parent=parent)
         return len(fat)
 
+    #: grace period before an unreferenced, never-published ``v_*``
+    #: dir (a concurrent writer's in-flight staging, or a
+    #: conflict-abandoned one) may be GC'd — the Delta/Iceberg
+    #: retention-horizon model. Without it, writer B's post-publish
+    #: vacuum could rmtree writer A's freshly staged files while A's
+    #: expected_parent check still passes (live unchanged since A read
+    #: it), letting A publish a manifest referencing deleted files.
+    _STAGING_TTL = 3600.0
+
     def vacuum_unreferenced(self) -> list[str]:
         """GC: delete version directories that hold NO file referenced
         by any RETAINED manifest — the live version plus the most
         recent ``retain_versions - 1`` published before it (the
         time-travel window). With the default ``retain_versions=1``
-        this is exactly the original live-only reference walk. Safe
-        under the single-writer rule; run between cycles like
-        ParquetTarget.vacuum."""
+        this is exactly the original live-only reference walk.
+
+        Concurrency-safe under OCC writers: PUBLISHED dirs (in the
+        version log or the live pointer) are deleted as soon as they
+        age out — any writer still deriving from them fails its
+        ``expected_parent`` check rather than reading deleted files.
+        A ``v_*`` dir that was never published is a concurrent
+        writer's staging (or a conflict's abandonment): it is skipped
+        until its mtime exceeds ``_STAGING_TTL``, so GC cannot shoot
+        an in-flight publish."""
+        import time
+
         live = self.current_path()
         if self._load_manifest() is None or live is None:
             return []
+        published = {os.path.basename(live)}
+        log = os.path.join(self.root, self.VERSION_LOG)
+        if os.path.exists(log):
+            with open(log, encoding="utf-8") as f:
+                published |= {ln.strip() for ln in f if ln.strip()}
         retained_dirs = [os.path.abspath(live)]
         for name in reversed(self.versions()):
             path = os.path.abspath(os.path.join(self.root, name))
@@ -1101,6 +1124,15 @@ class ManifestParquetTarget(BucketedParquetTarget):
             if not entry.startswith("v_") or not os.path.isdir(path):
                 continue
             if path not in referenced:
+                if entry not in published:
+                    # never published: a concurrent writer may be
+                    # mid-staging here — only GC past the TTL horizon
+                    try:
+                        age = time.time() - os.path.getmtime(path)
+                    except OSError:
+                        continue  # raced with its publisher/another GC
+                    if age <= self._STAGING_TTL:
+                        continue
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
             elif path not in retained:
@@ -1129,6 +1161,13 @@ class ManifestParquetTarget(BucketedParquetTarget):
         is a fully functional ManifestParquetTarget: readable,
         probe/scan_range-prunable, even mergeable — a fork, not a
         symlink; later writes to either side cannot corrupt the other.
+
+        ``dest_root`` must not already host a table: every other
+        publish path in this class goes through the pointer lock + OCC
+        check, and silently re-pointing an existing table's pointer
+        here would clobber it (and orphan its log history). Exporting
+        onto a live table raises ``FileExistsError`` — pick a fresh
+        root, or merge into the existing table instead.
         """
         src_path = os.path.join(self.root, name)
         if not os.path.exists(os.path.join(src_path, self.MANIFEST)):
@@ -1139,6 +1178,11 @@ class ManifestParquetTarget(BucketedParquetTarget):
         dest = ManifestParquetTarget(
             dest_root, key=self.key, n_buckets=self.n_buckets
         )
+        if os.path.exists(dest._pointer()):
+            raise FileExistsError(
+                f"{dest_root!r} already hosts a live table — export_version "
+                "refuses to clobber its pointer; use a fresh dest_root"
+            )
         out_name = f"v_{uuid.uuid4().hex[:12]}"
         staged = os.path.join(dest_root, out_name)
         new_buckets: dict[int, list[str]] = {}

@@ -100,6 +100,61 @@ def test_vacuum_unreferenced_keeps_referenced_versions(spark, tmp_path):
     assert before  # sanity: pre-vacuum read had worked
 
 
+def test_vacuum_spares_fresh_unpublished_staging(spark, tmp_path):
+    """A v_* dir that never made the version log / pointer is a
+    concurrent writer's in-flight staging (or a conflict's leftovers):
+    vacuum must skip it until it ages past _STAGING_TTL, else
+    post-publish GC can delete files another writer is about to
+    publish a manifest against."""
+    import json
+    import time
+
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+    t.overwrite(_base(spark, 50))
+    # fake another writer's staging: unpublished dir with a manifest
+    staged = os.path.join(t.root, "v_deadbeef0001")
+    os.makedirs(staged)
+    with open(os.path.join(staged, t.MANIFEST), "w", encoding="utf-8") as f:
+        json.dump({"schema": "{}", "buckets": {}, "stats": {}}, f)
+
+    assert t.vacuum_unreferenced() == []  # fresh -> spared
+    t.merge(spark, _batch(spark))  # publish auto-vacuums -> still spared
+    assert os.path.isdir(staged)
+
+    # age it past the horizon: now it's abandoned garbage, collected
+    old = time.time() - (t._STAGING_TTL + 10)
+    os.utime(staged, (old, old))
+    assert t.vacuum_unreferenced() == [os.path.abspath(staged)]
+    assert not os.path.exists(staged)
+
+
+def test_vacuum_still_collects_published_orphans_immediately(spark, tmp_path):
+    """PUBLISHED versions that age out of the retention window are
+    GC'd without any TTL wait — OCC (expected_parent) protects writers
+    that derived from them, so there is nothing to grace-period."""
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+    t.overwrite(_base(spark, 50))
+    v0 = t.current_path()
+    t.overwrite(_base(spark, 60))  # full rewrite: v0 unreferenced
+    assert not os.path.exists(v0)  # auto-vacuum took it at once
+
+
+def test_export_version_refuses_live_dest(spark, tmp_path):
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
+    t.overwrite(_base(spark, 20))
+    name = os.path.basename(t.current_path())
+    other = ManifestParquetTarget(str(tmp_path / "o"), key="RecId", n_buckets=4)
+    other.overwrite(_base(spark, 5))
+    before = sorted(map(tuple, other.read(spark).collect()))
+    with pytest.raises(FileExistsError, match="already hosts a live table"):
+        t.export_version(name, str(tmp_path / "o"))
+    # the existing table is untouched
+    assert sorted(map(tuple, other.read(spark).collect())) == before
+    # a fresh root still works
+    exp = t.export_version(name, str(tmp_path / "fresh"))
+    assert exp.read(spark).count() == 20
+
+
 def test_bucket_emptied_by_deletes_drops_its_entry(spark, tmp_path):
     t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
     small = spark.createDataFrame(
@@ -470,19 +525,106 @@ class TestOptimisticConcurrency:
         got = {r["RecId"] for r in t.read(spark).collect()}
         assert got >= {9000, 9001} | set(range(9100, 9105))
 
-    def test_publish_lock_is_released_and_stale_locks_break(self, spark, tmp_path):
+    def test_publish_lock_is_released_and_crashed_holder_is_harmless(
+        self, spark, tmp_path
+    ):
+        """flock is released by the kernel when its holder dies, so a
+        leftover lock FILE (crashed holder) never blocks acquisition —
+        no staleness heuristic, no TTL, no break-the-lock TOCTOU."""
+        import fcntl
+
         t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
         t.overwrite(_base(spark, 50))
         lock = t._pointer() + ".lock"
-        assert not os.path.exists(lock)  # released after publish
-        # simulate a crashed holder: pre-create the lock, age it out
-        with open(lock, "w", encoding="utf-8"):
-            pass
-        old = os.path.getmtime(lock) - (t._LOCK_TTL + 5)
-        os.utime(lock, (old, old))
-        t.merge(spark, _batch(spark))  # breaks the stale lock and publishes
-        assert not os.path.exists(lock)
+        # the lock file persists (unlinking it would split waiters
+        # across two inodes) but must not be HELD after publish
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # not held
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+        t.merge(spark, _batch(spark))  # leftover file is no obstacle
         assert {r["RecId"] for r in t.read(spark).collect()} >= {9000, 9001}
+
+    def test_publish_times_out_while_lock_is_held(self, spark, tmp_path):
+        import fcntl
+
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+        t.overwrite(_base(spark, 50))
+        fd = os.open(t._pointer() + ".lock", os.O_CREAT | os.O_RDWR)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        try:
+            with pytest.raises(TimeoutError, match="publish lock busy"):
+                with t._publish_lock():
+                    pass  # pragma: no cover
+        finally:
+            os.close(fd)
+        t.merge(spark, _batch(spark))  # released -> publish proceeds
+
+    def test_two_writers_race_one_wins_and_retry_converges(self, spark, tmp_path):
+        """TRUE two-writer race: two threads stage + publish against one
+        manifest concurrently. A barrier pins the contended interleaving
+        (both derive from the same parent before either publishes), the
+        real flock + expected_parent check arbitrates: exactly one
+        publish wins, the loser raises ConcurrentWriteError, and the
+        standard OCC retry (re-derive, re-merge) converges losslessly."""
+        import threading
+
+        from d365fo_db_sync_spark.sinks import ConcurrentWriteError
+
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+        t.overwrite(_base(spark, 100))
+
+        both_derived = threading.Barrier(2, timeout=120)
+        real_write = ManifestParquetTarget._write_version
+        first_pass = threading.local()
+
+        def gated_write(self, *a, **kw):
+            if getattr(first_pass, "armed", True):
+                first_pass.armed = False
+                both_derived.wait()  # both carried-derivations done
+            return real_write(self, *a, **kw)
+
+        def batch(lo):
+            return spark.range(lo, lo + 5).select(
+                F.col("id").alias("RecId"),
+                F.lit(9_999).alias("SysRowVersion"),
+                F.lit(1.5).alias("amount"),
+            )
+
+        results: dict[int, str] = {}
+
+        def writer(i):
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"w{i}")
+            try:
+                t.merge(spark, batch(1000 * (i + 1)))
+                results[i] = "won"
+            except ConcurrentWriteError:
+                t.merge(spark, batch(1000 * (i + 1)))  # OCC retry: re-derive
+                results[i] = "retried"
+
+        orig = ManifestParquetTarget._write_version
+        ManifestParquetTarget._write_version = gated_write
+        try:
+            threads = [threading.Thread(target=writer, args=(i,)) for i in (0, 1)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=300)
+                assert not th.is_alive()
+        finally:
+            ManifestParquetTarget._write_version = orig
+
+        assert sorted(results.values()) == ["retried", "won"]  # exactly one each
+        rows = {r["RecId"]: (r["SysRowVersion"], r["amount"])
+                for r in t.read(spark).collect()}
+        # lossless: base rows plus BOTH writers' batches, value-exact
+        assert set(rows) == set(range(100)) | set(range(1000, 1005)) | set(
+            range(2000, 2005)
+        )
+        for k in (*range(1000, 1005), *range(2000, 2005)):
+            assert rows[k] == (9_999, 1.5)
 
 
 def test_engine_retries_merge_on_conflict(spark, tmp_path, monkeypatch):
