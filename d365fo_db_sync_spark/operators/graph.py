@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dup_clusters"]
+__all__ = ["connected_components", "near_dup_clusters", "containment_dedup"]
 
 
 def _large_star(e: DataFrame, width: int) -> DataFrame:
@@ -229,6 +229,55 @@ def near_dup_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster_id"),
         )
         .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def containment_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "__size",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Resolve asymmetric containment ``pairs`` (dedup.containment_pairs)
+    into clusters with a KEEP-LONGEST survivor: (id, cluster_id,
+    is_survivor). The containment relation is directed (A quoted whole
+    inside B), so the natural survivor is the CONTAINER — the largest
+    ``size_col`` in each transitive cluster, min id on ties — unlike
+    :func:`near_dup_clusters`' keep-min-id, which for containment would
+    routinely keep the contained fragment and drop the superset
+    document. ``docs.filter(is_survivor)`` is the deduplicated corpus.
+
+    Same scale discipline as :func:`near_dup_clusters`: components are
+    computed only over the paired-node set (tiny next to the corpus),
+    the argmax-by-size runs on that same tiny set, and the corpus is
+    labeled via broadcast-sized joins — never shuffled.
+    """
+    comp = connected_components(
+        pairs.select(a_col, b_col), src=a_col, dst=b_col
+    ).withColumnRenamed("node", id_col)
+    paired = docs.select(id_col, F.col(size_col).alias("__sz")).join(
+        F.broadcast(comp), on=id_col
+    )
+    best = paired.groupBy("component").agg(F.max("__sz").alias("__best_sz"))
+    winners = (
+        paired.join(best, on="component")
+        .filter(F.col("__sz") == F.col("__best_sz"))
+        .groupBy("component")
+        .agg(F.min(id_col).alias("__winner"))
+    )
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(comp), on=id_col, how="left")
+        .join(F.broadcast(winners), on="component", how="left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+            (
+                F.col("component").isNull() | (F.col(id_col) == F.col("__winner"))
+            ).alias("is_survivor"),
+        )
     )
 
 

@@ -3001,3 +3001,65 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, not assumed."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+
+
+@register(
+    "dedup_containment_dedup",
+    oracle=f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, GREATEST(len(toks) - 2, 1) + 1)]) AS sh
+      FROM tok),
+    e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+      HAVING ROUND(COUNT(*) / ANY_VALUE(a.sz), 6) >= 0.7
+    ),
+    ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT reach.node, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    sz AS (SELECT doc_id, LENGTH(text) AS s FROM documents),
+    best AS (
+      SELECT c.component, MAX(z.s) AS best_s
+      FROM comp c JOIN sz z ON c.node = z.doc_id GROUP BY 1
+    ),
+    win AS (
+      SELECT c.component, MIN(c.node) AS winner
+      FROM comp c JOIN sz z ON c.node = z.doc_id
+      JOIN best b ON b.component = c.component AND z.s = b.best_s
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           (c.component IS NULL OR d.doc_id = w.winner) AS is_survivor
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.node
+    LEFT JOIN win w ON c.component = w.component
+    """,
+)
+def dedup_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the containment loop (r6 found the pairs, nothing removed
+    them): containment edges -> large-star/small-star components ->
+    KEEP-LONGEST survivor per cluster (operators/graph.containment_dedup)
+    — the container survives, contained fragments drop, the asymmetric
+    complement of dedup_near_dup_clusters' keep-min rule.
+    `filter(is_survivor)` is the containment-deduplicated corpus. The
+    oracle recomputes pairs naively, resolves clusters with a recursive
+    CTE, and picks max-LENGTH(text)/min-id winners — survivor choice is
+    value-checked cross-engine, not just counted."""
+    from d365fo_db_sync_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__size", F.length("text").cast("long")
+    )
+    pairs = dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    return graph.containment_dedup(docs, pairs, "doc_id", "__size")

@@ -252,3 +252,31 @@ def test_connected_components_never_writes_session_conf(spark, monkeypatch):
     }
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert writes == []  # session conf untouched
+
+
+def test_containment_dedup_keeps_longest(spark):
+    """Keep-longest survivor: the container (max size) survives each
+    transitive cluster, min id breaks size ties, singletons survive."""
+    from d365fo_db_sync_spark.operators.graph import containment_dedup
+
+    docs = spark.createDataFrame(
+        # cluster {1,2,3}: 3 is longest; cluster {10,11}: tie -> min id 10;
+        # 99 is a singleton
+        [(1, 10), (2, 20), (3, 30), (10, 7), (11, 7), (99, 5)],
+        "doc_id long, __size long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (11, 10)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in containment_dedup(docs, pairs).collect()
+    }
+    assert out == {
+        1: (1, False),
+        2: (1, False),
+        3: (1, True),   # longest in cluster
+        10: (10, True),  # size tie -> min id
+        11: (10, False),
+        99: (99, True),  # singleton
+    }
