@@ -379,20 +379,185 @@ def png_image_codec() -> Codec:
     return codec
 
 
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: codes packed LSB-first, width starts at
+    ``min_code_size + 1`` and grows to 12 bits as the table fills;
+    CLEAR resets the table, END terminates. Returns the pixel index
+    stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    init_width = min_code_size + 1
+    literals: list[list[int] | None] = [[i] for i in range(clear)] + [None, None]
+    table = list(literals)
+    width = init_width
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + width <= nbits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(literals)
+            width = init_width
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+            if entry is None:
+                raise ValueError("corrupt GIF LZW stream")
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+#: GIF interlace passes: (first row, row step), per the GIF89a spec
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_image_codec() -> Codec:
+    """REAL GIF decoder in pure stdlib — no imaging library: header +
+    logical-screen parse, global/local color tables, full LZW decode
+    (variable code width 3..12 bits LSB-first, CLEAR/END, the KwKwK
+    case), GIF89a extension-block walking, and Adam-style 4-pass
+    interlace reordering. The FIRST frame is decoded to pixels; later
+    frames are structurally walked (not decoded) to count frames and
+    sum Graphic Control delays, so animated GIFs report a true
+    ``duration_ms`` (delay units are 1/100 s per the spec) while
+    stills report None. The feature is the same 8-bin normalized
+    luminance histogram contract as :func:`png_image_codec`, computed
+    over the first frame through its active palette."""
+    import struct
+
+    import numpy as np
+
+    def codec(content: bytes, media_type: str) -> dict:
+        buf = content or b""
+        if buf[:6] not in GIF_SIGNATURES:
+            raise ValueError("not a GIF payload")
+        if len(buf) < 13:
+            raise ValueError("GIF header truncated")
+        w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", buf[6:13])
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            gct = buf[i : i + n]
+            i += n
+        frames = 0
+        total_delay_ms = 0
+        first: tuple | None = None
+        while i < len(buf):
+            b0 = buf[i]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label, then length-prefixed sub-blocks
+                label = buf[i + 1]
+                i += 2
+                while i < len(buf):
+                    sz = buf[i]
+                    if sz == 0:
+                        i += 1
+                        break
+                    if label == 0xF9 and sz >= 4:  # Graphic Control
+                        total_delay_ms += (
+                            int.from_bytes(buf[i + 2 : i + 4], "little") * 10
+                        )
+                    i += 1 + sz
+            elif b0 == 0x2C:  # image descriptor
+                _left, _top, lw, lh, lp = struct.unpack("<HHHHB", buf[i + 1 : i + 10])
+                i += 10
+                table = gct
+                if lp & 0x80:
+                    n = 3 * (2 << (lp & 0x07))
+                    table = buf[i : i + n]
+                    i += n
+                mcs = buf[i]
+                i += 1
+                data = bytearray()
+                while i < len(buf):
+                    sz = buf[i]
+                    if sz == 0:
+                        i += 1
+                        break
+                    data += buf[i + 1 : i + 1 + sz]
+                    i += 1 + sz
+                frames += 1
+                if first is None:
+                    first = (bytes(data), mcs, lw, lh, bool(lp & 0x40), table)
+            else:
+                raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        if first is None:
+            raise ValueError("GIF contains no image data")
+        data, mcs, lw, lh, interlaced, table = first
+        if table is None:
+            raise ValueError("GIF frame has neither local nor global color table")
+        idx = _gif_lzw_decode(data, mcs)
+        if len(idx) < lw * lh:
+            raise ValueError("GIF pixel data truncated")
+        arr = np.asarray(idx[: lw * lh], dtype=np.int64).reshape(lh, lw)
+        if interlaced:
+            order = [
+                r
+                for start, step in _GIF_INTERLACE_PASSES
+                for r in range(start, lh, step)
+            ]
+            deinter = np.empty_like(arr)
+            deinter[order] = arr  # stored rows are in pass order
+            arr = deinter
+        pal = np.frombuffer(table, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        if pal.size == 0 or int(arr.max()) >= len(pal):
+            raise ValueError("GIF pixel index outside color table")
+        rgb = pal[arr]
+        r, g, b = (rgb[..., k].astype(np.int64) for k in range(3))
+        lum = (r * 299 + g * 587 + b * 114) // 1000  # Pillow's L formula
+        hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+        total = float(lum.size) or 1.0
+        return {
+            "width": int(w),
+            "height": int(h),
+            "duration_ms": int(total_delay_ms) if frames > 1 else None,
+            "feature": (hist / total).tolist(),
+        }
+
+    return codec
+
+
 def auto_image_codec(prefer_real: bool = True) -> Codec:
-    """Signature-sniffing image codec: PNG and binary-PPM payloads take
-    the REAL stdlib decoders above; anything else falls through to
-    Pillow when importable (and ``prefer_real``), else the
+    """Signature-sniffing image codec: PNG, GIF, and binary-PPM
+    payloads take the REAL stdlib decoders above; anything else falls
+    through to Pillow when importable (and ``prefer_real``), else the
     deterministic stub. One registered callable, so the mapInPandas
     plan is identical regardless of which decoder a given row hits."""
     pil = pillow_image_codec() if prefer_real else None
     png = png_image_codec()
     ppm = ppm_image_codec()
+    gif = gif_image_codec()
 
     def codec(content: bytes, media_type: str) -> dict:
         buf = content or b""
         if buf[:8] == PNG_SIGNATURE:
             return png(buf, media_type)
+        if buf[:6] in GIF_SIGNATURES:
+            return gif(buf, media_type)
         if buf[:2] == b"P6":
             return ppm(buf, media_type)
         if pil is not None:
@@ -404,8 +569,8 @@ def auto_image_codec(prefer_real: bool = True) -> Codec:
 
 def register_default_codecs(prefer_real: bool = True) -> dict[str, str]:
     """Register a codec for every media type: for images a sniffing
-    codec that really decodes PNG/PPM via stdlib and routes the rest to
-    Pillow when importable (stub otherwise); pure stub when
+    codec that really decodes PNG/GIF/PPM via stdlib and routes the
+    rest to Pillow when importable (stub otherwise); pure stub when
     ``prefer_real=False``. Returns a {media_type: label} report
     ("pillow+raw-formats" | "raw-formats+stub" | "stub") so callers can
     log which path is live."""
