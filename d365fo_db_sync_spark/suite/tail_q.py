@@ -3063,3 +3063,187 @@ def dedup_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
     return graph.containment_dedup(docs, pairs, "doc_id", "__size")
+
+
+def _cluster_split_oracle() -> str:
+    from d365fo_db_sync_spark.suite.dedup_q import (
+        _JACCARD_PAIRS_SELECT,
+        _SHINGLE_CTE,
+    )
+    from d365fo_db_sync_spark.suite.tail_q import _hexth
+
+    return (
+        _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + f""",
+    pairs AS ({_JACCARD_PAIRS_SELECT}),
+    ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT reach.node, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+                     < '{_hexth(0.9)}'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM lab
+    """
+    )
+
+
+@register("sampling_cluster_safe_split", oracle=_cluster_split_oracle())
+def sampling_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split (operators/sampling.
+    cluster_safe_split, r7): the md5 split membership is computed on
+    the CLUSTER id (connected components over the exact-Jaccard pairs,
+    the same edge set as dedup_near_dup_clusters), so every member of
+    a near-dup cluster lands on the SAME side — the constructive fix
+    for the train/eval contamination the split-leakage audit detects.
+    Components cover only the paired-node set; the corpus is labeled
+    by a broadcast join and the split is pure map-side codegen. The
+    oracle re-derives clusters with a recursive CTE and re-computes
+    the identical md5 range per cluster, so cluster assignment AND
+    split co-travel are value-checked per document cross-engine."""
+    from d365fo_db_sync_spark.operators.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3).persist()
+    cands = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=32, shingle_n=3, sets=sets
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, candidates=cands, sets=sets
+    )
+    out = cluster_safe_split(
+        docs, pairs.select("id_a", "id_b"), {"train": 0.9, "eval": 0.1}
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+_BUDGET_HEAD_TOKENS = 20_000
+
+
+def _budget_head_oracle() -> str:
+    from d365fo_db_sync_spark.operators import text as _text
+
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in _text.STOPWORDS) + "]"
+    return f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_intersect(toks, {stop_sql})) * 1000
+             - (length(text)
+                - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS score
+      FROM t WHERE len(toks) > 0),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) - n_tokens AS tok_before
+      FROM s)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tok_before AS BIGINT) AS tok_before
+    FROM c WHERE tok_before < {_BUDGET_HEAD_TOKENS}
+    """
+
+
+@register("text_token_budget_head", oracle=_budget_head_oracle())
+def text_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget selection (operators/sampling.
+    ordered_budget_head, r7): admit documents best-first — an integer
+    quality score (stopword_count*1000 - punct_count, exact in both
+    engines) descending, doc_id tiebreak — until the 20k-token budget
+    is crossed; "fill the budget with the best documents", the
+    quality-ordered complement of the unbiased hash-ordered
+    mixture_by_token_budget. The running total is the banded two-stage
+    prefix sum generalized to a caller-chosen order (bands = fixed
+    1000-point score buckets, a monotone coarsening of the order key);
+    the oracle is the naive global window cumsum, so the banded plan
+    is proven EXACT per admitted document, never a single-partition
+    window on the engine side."""
+    from d365fo_db_sync_spark.operators import text as _text
+    from d365fo_db_sync_spark.operators.sampling import ordered_budget_head
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = (
+        _text.stopword_count("text") * F.lit(1000) - _text.punct_count("text")
+    ).cast("long")
+    return ordered_budget_head(
+        docs,
+        order_key=-score,
+        band=F.lit(255)
+        - F.least(F.lit(255), F.greatest(F.lit(0), F.floor(score / F.lit(1000)))),
+        token_count=F.size(_text.tokens("text")),
+        budget=_BUDGET_HEAD_TOKENS,
+    )
+
+
+@register(
+    "events_resample_keymax",
+    oracle="""
+    WITH src AS (
+      SELECT * FROM events
+      WHERE NOT (event_type IN ('purchase', 'signup')
+                 AND ts >= TIMESTAMP '2024-01-10 00:00:00')),
+    obs AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400)
+               AS bucket_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DECIMAL(18, 2))
+               AS sum_value
+      FROM src GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+               FROM obs GROUP BY 1),
+    spine AS (
+      SELECT b.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS bucket_ts
+      FROM bounds b),
+    j AS (
+      SELECT s.event_type, s.bucket_ts, o.sum_value,
+             o.bucket_ts IS NOT NULL AS is_observed
+      FROM spine s LEFT JOIN obs o
+        ON s.event_type = o.event_type AND s.bucket_ts = o.bucket_ts)
+    SELECT event_type, bucket_ts,
+           CAST(LAST_VALUE(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18, 2)) AS sum_value,
+           is_observed
+    FROM j
+    """,
+)
+def events_resample_keymax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7 spine bound exercised cross-engine: purchase/signup
+    events are cut off after Jan 9 (differing per-key horizons), and
+    ``until="key_max"`` stops each type's grid at its OWN last
+    observed day — the dead keys emit zero tail rows instead of gap
+    rows to the global horizon (the 100x-scale hazard the r6 audit
+    named in resample_ffill). The oracle builds each key's
+    generate_series spine to its own max, so the bounded row set and
+    every forward-filled value are value-checked."""
+    from d365fo_db_sync_spark.operators import timeseries
+
+    events = load_table(spark, sf_dir, "events").filter(
+        ~(
+            F.col("event_type").isin("purchase", "signup")
+            & (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-10 00:00:00'"))
+        )
+    )
+    out = timeseries.resample_ffill(
+        events,
+        ["event_type"],
+        "ts",
+        {
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")).cast(
+                "decimal(18,2)"
+            )
+        },
+        interval_seconds=86_400,
+        until="key_max",
+    )
+    return out.select("event_type", "bucket_ts", "sum_value", "is_observed")

@@ -318,3 +318,75 @@ class TestExactKSample:
         assert uses(
             sampling.exact_k_sample(docs, ["doc_id"], 10), "TakeOrderedAndProject"
         )
+
+
+def test_cluster_safe_split_co_travels(spark):
+    """All members of a near-dup cluster get the SAME split label —
+    the leakage-proof property per-doc hashing does not have."""
+    from d365fo_db_sync_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    # three clusters: {0,1,2}, {10,11}, {20,21,22,23}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    out = cluster_safe_split(docs, pairs, {"train": 0.5, "eval": 0.5})
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert len(rows) == 40
+    for members in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
+        labels = {rows[m] for m in members}
+        assert len(labels) == 1  # one (cluster, split) for the whole cluster
+    # splits are exhaustive and deterministic across reruns
+    rows2 = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in cluster_safe_split(
+            docs, pairs, {"train": 0.5, "eval": 0.5}
+        ).collect()
+    }
+    assert rows == rows2
+    assert {s for _, s in rows.values()} <= {"train", "eval"}
+
+
+def test_ordered_budget_head_matches_naive(spark):
+    from d365fo_db_sync_spark.operators.sampling import ordered_budget_head
+
+    import random
+
+    rng = random.Random(7)
+    data = [(i, rng.randint(0, 9), rng.randint(1, 50)) for i in range(200)]
+    data += [(900, 5, 0)]  # zero-token row: dropped
+    df = spark.createDataFrame(data, "doc_id long, q long, n long")
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["tok_before"])
+        for r in ordered_budget_head(
+            df,
+            order_key=-F.col("q"),
+            band=F.lit(9) - F.col("q"),  # exact coarsening: one band per q
+            token_count=F.col("n"),
+            budget=1_000,
+        ).collect()
+    }
+    # naive: admit in (q desc, id) order until the budget line is crossed
+    run = 0
+    expect = {}
+    for i, q, n in sorted((r for r in data if r[2] > 0), key=lambda r: (-r[1], r[0])):
+        if run < 1_000:
+            expect[i] = (n, run)
+        run += n
+    assert out == expect
+    # the crossing row is included: the last admitted tok_before < 1000
+    # but its end may exceed the budget
+    last = max(expect.values(), key=lambda v: v[1])
+    assert last[1] < 1_000 <= last[1] + last[0] or sum(
+        n for n, _ in expect.values()
+    ) < 1_000
+
+
+def test_ordered_budget_head_bad_budget_raises(spark):
+    from d365fo_db_sync_spark.operators.sampling import ordered_budget_head
+
+    df = spark.createDataFrame([(1, 1, 1)], "doc_id long, q long, n long")
+    with pytest.raises(ValueError):
+        ordered_budget_head(df, F.col("q"), F.col("q"), F.col("n"), 0)
