@@ -238,6 +238,109 @@ def cosine_topk_bruteforce_np(
     )
 
 
+def fit_whitener(
+    emb: DataFrame, vec_col: str = "embedding", eps: float = 1e-6
+) -> tuple["object", "object"]:
+    """Fit a ZCA whitening transform over an embedding column in ONE
+    distributed pass: per-Arrow-batch partial moments (n, Σx, XᵀX as a
+    single GEMM) stream out of ``mapInPandas`` as one metadata-sized
+    row per batch, the driver sums them and eigendecomposes the d×d
+    covariance (d² doubles — 32 KB at d=64; driver-side by design,
+    like the PQ codebook fit). Returns ``(mean, W)`` numpy arrays with
+    ``W = U diag(1/sqrt(λ+eps)) Uᵀ`` — the symmetric (ZCA) whitener,
+    so whitened embeddings stay in the original basis.
+
+    Why it belongs in the retrieval tier: embedding corpora routinely
+    carry dominant directions (anisotropy) that crush cosine contrast;
+    whitening before ANN/semantic-dedup restores it. Scale shape: the
+    corpus is read once, never shuffled; the collected frame is
+    #batches rows of d+d²+1 doubles, independent of corpus size."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("xtx", ArrayType(DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "xtx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = emb.select(vec_col).mapInPandas(partials, schema).collect()
+    if not rows:
+        raise ValueError("fit_whitener needs a non-empty embedding frame")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    xtx = np.sum([np.asarray(r["xtx"]) for r in rows], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = xtx.reshape(d, d) / n - np.outer(mean, mean)
+    lam, u = np.linalg.eigh(cov)
+    w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ u.T
+    return mean, w
+
+
+def whiten_embeddings(
+    emb: DataFrame,
+    model: tuple,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply a fitted whitener: ``(x - mean) @ W`` per Arrow batch as
+    one GEMM (the model ships in the UDF closure — d² doubles, far
+    under broadcast thresholds). All other columns pass through;
+    ``out_col`` defaults to replacing ``vec_col`` (as array<double>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    mean, w = (np.asarray(model[0]), np.asarray(model[1]))
+    out_col = out_col or vec_col
+    fields = []
+    for f in emb.schema.fields:
+        if f.name == out_col:
+            fields.append(StructField(out_col, ArrayType(DoubleType())))
+        else:
+            fields.append(f)
+    if out_col not in emb.columns:
+        fields.append(StructField(out_col, ArrayType(DoubleType())))
+    schema = StructType(fields)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            white = (x - mean) @ w
+            out = pdf.copy()
+            out[out_col] = pd.Series(list(white), index=pdf.index).map(
+                lambda a: a.tolist()
+            )
+            yield out[[f.name for f in fields]]
+
+    return emb.mapInPandas(run, schema)
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     threshold: float,

@@ -3247,3 +3247,27 @@ def events_resample_keymax(spark: SparkSession, sf_dir: str) -> DataFrame:
         until="key_max",
     )
     return out.select("event_type", "bucket_ts", "sum_value", "is_observed")
+
+
+@register("similarity_whitened_topk", oracle=None)
+def similarity_whitened_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy-corrected retrieval (operators/similarity.
+    fit_whitener + whiten_embeddings, r7): ZCA-whiten the embedding
+    corpus — one streaming pass of per-Arrow-batch GEMM moments, a
+    driver-side d×d eigh (32 KB at d=64, the PQ-codebook discipline) —
+    then exact cosine top-k over the whitened vectors via the
+    numpy-GEMM path. Rows-only by design: an eigendecomposition is not
+    SQL-expressible cross-engine; the whitener's math is pinned
+    in tests/test_whitening.py (numpy-reference equality, whitened
+    covariance ≈ I, partitioning invariance), and the top-k machinery
+    it feeds is the oracle-anchored cosine_topk contract."""
+    from d365fo_db_sync_spark.operators.similarity import (
+        cosine_topk_bruteforce_np,
+        fit_whitener,
+        whiten_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_whitener(emb)
+    white = whiten_embeddings(emb, model)
+    return cosine_topk_bruteforce_np(white, _queries_frame(white), k=_K)
