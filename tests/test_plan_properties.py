@@ -320,3 +320,46 @@ def test_index_probe_is_partition_pruned(spark, tmp_path):
     keys = spark.createDataFrame([("fp7",), ("fp8",)], "fp string")
     plan = explain_formatted(idx.probe(spark, keys))
     assert "PartitionFilters" in plan and "__kb" in plan, plan
+
+
+def test_cluster_safe_split_labels_corpus_by_broadcast(spark):
+    """The split must never shuffle the corpus: the component map and
+    the split predicate attach via BroadcastHashJoin + codegen — the
+    only exchanges in the plan belong to the component computation on
+    the (tiny) pair set, not to the docs frame."""
+    from d365fo_db_sync_spark.operators.sampling import cluster_safe_split
+
+    docs = load_table(spark, SF, "documents")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3)], "id_a long, id_b long"
+    )
+    df = cluster_safe_split(docs, pairs, {"train": 0.9, "eval": 0.1})
+    assert uses(df, "BroadcastHashJoin"), physical_operators(df)
+    assert not uses(df, "SortMergeJoin"), physical_operators(df)
+
+
+def test_ordered_budget_head_has_no_global_window(spark):
+    """The running total must stay banded: every Window in the plan is
+    keyed (stage 1 by _band, stage 2 by the constant pmod key) — a
+    refactor that reintroduces the naive global cumsum would plan an
+    unpartitioned Window over the corpus and single-thread it."""
+    from d365fo_db_sync_spark.operators.sampling import ordered_budget_head
+
+    docs = load_table(spark, SF, "documents")
+    from d365fo_db_sync_spark.operators import text
+
+    score = (text.stopword_count("text") * F.lit(1000)).cast("long")
+    df = ordered_budget_head(
+        docs,
+        order_key=-score,
+        band=F.least(F.lit(255), score / F.lit(1000)).cast("long"),
+        token_count=F.size(text.tokens("text")),
+        budget=10_000,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # an unpartitioned window plans `Exchange SinglePartition` over its
+    # whole input (verified rendering on this Spark version); both
+    # stages here key their windows (_band / the pmod constant), so the
+    # plan must carry NO SinglePartition exchange at all
+    assert "Exchange SinglePartition" not in plan, plan
+    assert uses(df, "Window"), physical_operators(df)
