@@ -1126,9 +1126,23 @@ class ManifestParquetTarget(BucketedParquetTarget):
             if path not in referenced:
                 if entry not in published:
                     # never published: a concurrent writer may be
-                    # mid-staging here — only GC past the TTL horizon
+                    # mid-staging here — only GC past the TTL horizon.
+                    # Age = newest mtime across the dir and its shallow
+                    # subdirs, NOT the top dir alone: during a long
+                    # Spark stage the files land inside _temporary/ and
+                    # bucket subdirs, so the top-level mtime can go
+                    # stale while the write is very much alive.
                     try:
-                        age = time.time() - os.path.getmtime(path)
+                        mtimes = [os.path.getmtime(path)]
+                        for sub in os.listdir(path):
+                            sp = os.path.join(path, sub)
+                            mtimes.append(os.path.getmtime(sp))
+                            if os.path.isdir(sp):
+                                mtimes += [
+                                    os.path.getmtime(os.path.join(sp, s2))
+                                    for s2 in os.listdir(sp)
+                                ]
+                        age = time.time() - max(mtimes)
                     except OSError:
                         continue  # raced with its publisher/another GC
                     if age <= self._STAGING_TTL:

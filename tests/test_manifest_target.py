@@ -121,8 +121,23 @@ def test_vacuum_spares_fresh_unpublished_staging(spark, tmp_path):
     t.merge(spark, _batch(spark))  # publish auto-vacuums -> still spared
     assert os.path.isdir(staged)
 
-    # age it past the horizon: now it's abandoned garbage, collected
+    # age the TOP dir past the horizon but leave a fresh file deep
+    # inside (a long Spark stage writes into subdirs without touching
+    # the top-level mtime): still alive, must be spared
     old = time.time() - (t._STAGING_TTL + 10)
+    os.utime(staged, (old, old))
+    sub = os.path.join(staged, "_temporary")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-0"), "w", encoding="utf-8"):
+        pass
+    os.utime(sub, (old, old))  # subdir old too; only the FILE is fresh
+    assert t.vacuum_unreferenced() == []
+    assert os.path.isdir(staged)
+
+    # age everything: now it's abandoned garbage, collected
+    for root, dirs, files in os.walk(staged):
+        for name in dirs + files:
+            os.utime(os.path.join(root, name), (old, old))
     os.utime(staged, (old, old))
     assert t.vacuum_unreferenced() == [os.path.abspath(staged)]
     assert not os.path.exists(staged)
