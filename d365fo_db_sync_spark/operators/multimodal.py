@@ -410,9 +410,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
         if code == end:
             break
         if prev is None:
-            entry = table[code]
-            if entry is None:
+            if code >= len(table) or table[code] is None:
                 raise ValueError("corrupt GIF LZW stream")
+            entry = table[code]
         elif code < len(table) and table[code] is not None:
             entry = table[code]
         elif code == len(table):

@@ -274,16 +274,25 @@ def fit_whitener(
     )
 
     def partials(batches):
+        # accumulate across ALL of the partition's Arrow batches and
+        # emit ONE row per partition: the collected frame is then
+        # |partitions| x (1 + d + d^2) doubles — ~32 KB/row at d=64,
+        # bounded by the partition count, not the corpus row count
+        # (per-batch rows would collect corpus_rows/batch_size rows)
+        n = 0
+        s = None
+        xtx = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            n += len(x)
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            xtx = g if xtx is None else xtx + g
+        if n:
             yield pd.DataFrame(
-                {
-                    "n": [len(x)],
-                    "s": [x.sum(axis=0).tolist()],
-                    "xtx": [(x.T @ x).ravel().tolist()],
-                }
+                {"n": [n], "s": [s.tolist()], "xtx": [xtx.ravel().tolist()]}
             )
 
     rows = emb.select(vec_col).mapInPandas(partials, schema).collect()

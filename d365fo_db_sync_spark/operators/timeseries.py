@@ -91,6 +91,11 @@ def resample_ffill(
         raise ValueError(f"until must be global_max|key_max, got {until!r}")
     if max_gap_intervals is not None and max_gap_intervals < 0:
         raise ValueError(f"max_gap_intervals must be >= 0, got {max_gap_intervals}")
+    if until == "key_max" and max_gap_intervals is not None:
+        raise ValueError(
+            "max_gap_intervals only applies with until='global_max' "
+            "(key_max already stops at each key's last observation)"
+        )
     fill_cols = list(agg) if fill_cols is None else fill_cols
     obs = (
         df.withColumn("bucket_ts", interval_bucket(ts_col, interval_seconds))

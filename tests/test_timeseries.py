@@ -329,3 +329,15 @@ class TestRollingTimeAgg:
             timeseries.rolling_time_agg(
                 _events(spark, []), ["key"], "ts", {"n": F.count("*")}, 0
             )
+
+
+def test_key_max_with_max_gap_raises(spark):
+    with pytest.raises(ValueError, match="only applies"):
+        timeseries.resample_ffill(
+            _events(spark, []),
+            ["key"],
+            "ts",
+            {"v": F.sum("value")},
+            until="key_max",
+            max_gap_intervals=3,
+        )
