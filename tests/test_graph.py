@@ -280,3 +280,54 @@ def test_containment_dedup_keeps_longest(spark):
         11: (10, False),
         99: (99, True),  # singleton
     }
+
+
+def test_containment_dedup_matches_union_find_model(spark):
+    """Randomized model check: survivor choice must equal a plain
+    union-find + keep-longest/min-id reference on arbitrary graphs
+    (chains, stars, size ties, isolated nodes)."""
+    import random
+
+    from d365fo_db_sync_spark.operators.graph import containment_dedup
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 30
+        sizes = {i: rng.randint(1, 6) for i in range(n)}
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(5, 25))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        clusters: dict[int, list[int]] = {}
+        for i in range(n):
+            clusters.setdefault(find(i), []).append(i)
+        expect = {}
+        for root, members in clusters.items():
+            best = min(members, key=lambda m: (-sizes[m], m))
+            for m in members:
+                expect[m] = (root, m == best)
+
+        docs = spark.createDataFrame(
+            [(i, sizes[i]) for i in range(n)], "doc_id long, __size long"
+        )
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+            for r in containment_dedup(docs, pairs).collect()
+        }
+        assert got == expect, f"seed={seed}"

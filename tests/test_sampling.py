@@ -390,3 +390,33 @@ def test_ordered_budget_head_bad_budget_raises(spark):
     df = spark.createDataFrame([(1, 1, 1)], "doc_id long, q long, n long")
     with pytest.raises(ValueError):
         ordered_budget_head(df, F.col("q"), F.col("q"), F.col("n"), 0)
+
+
+def test_ordered_budget_head_with_coarse_bands(spark):
+    """Bands that group MANY order-key values (a realistic quantile
+    coarsening) must still reproduce the naive global order exactly —
+    the band is a plan hint, never a semantic boundary."""
+    import random
+
+    from d365fo_db_sync_spark.operators.sampling import ordered_budget_head
+
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        data = [(i, rng.randint(0, 99), rng.randint(1, 30)) for i in range(300)]
+        df = spark.createDataFrame(data, "doc_id long, q long, n long")
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["tok_before"])
+            for r in ordered_budget_head(
+                df,
+                order_key=-F.col("q"),
+                band=(F.lit(99) - F.col("q")) / F.lit(25),  # 4 coarse bands
+                token_count=F.col("n"),
+                budget=800,
+            ).collect()
+        }
+        run, expect = 0, {}
+        for i, q, n in sorted(data, key=lambda r: (-r[1], r[0])):
+            if run < 800:
+                expect[i] = (n, run)
+            run += n
+        assert out == expect, f"seed={seed}"
