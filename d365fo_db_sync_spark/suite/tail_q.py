@@ -3070,7 +3070,6 @@ def _cluster_split_oracle() -> str:
         _JACCARD_PAIRS_SELECT,
         _SHINGLE_CTE,
     )
-    from d365fo_db_sync_spark.suite.tail_q import _hexth
 
     return (
         _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
