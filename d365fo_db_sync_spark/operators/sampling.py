@@ -365,6 +365,45 @@ def ordered_budget_head(
     )
 
 
+def quantile_bands(
+    df: DataFrame,
+    order_key: Column,
+    n_bands: int = 256,
+    relative_error: float = 0.001,
+) -> Column:
+    """Build a balanced band expression for :func:`ordered_budget_head`
+    from the observed distribution of ``order_key``: one
+    ``approxQuantile`` pass computes ``n_bands - 1`` edges, and the
+    returned column maps each row to its quantile bucket via a
+    compiled comparison chain (whole-stage codegen, no UDF). The
+    result is monotone non-decreasing in ``order_key`` by
+    construction — the band contract — and because the operator's
+    output is invariant to WHERE band edges fall (bands are a plan
+    hint, not a semantic boundary), the approximation error only
+    shifts work between bands, never results.
+
+    Cost: one extra pass over ``order_key`` (Greenwald-Khanna sketch,
+    driver merge of per-partition summaries). At corpus scale run it
+    on a :func:`hash_sample` of the input instead — quantile edges
+    from a 1% sample keep bands balanced within the sampling error."""
+    if n_bands < 2:
+        raise ValueError(f"n_bands must be >= 2, got {n_bands}")
+    probs = [i / n_bands for i in range(1, n_bands)]
+    edges = (
+        df.select(order_key.cast("double").alias("_q"))
+        .na.drop()
+        .approxQuantile("_q", probs, relative_error)
+    )
+    expr: Column = F.lit(0)
+    key = order_key.cast("double")
+    # wrap ascending so the OUTERMOST when tests the largest edge:
+    # the largest satisfied edge wins, band i+1 means
+    # order_key >= edges[i] — monotone by construction
+    for i in range(len(edges)):
+        expr = F.when(key >= F.lit(edges[i]), F.lit(i + 1)).otherwise(expr)
+    return expr
+
+
 def mixture_by_token_budget(
     df: DataFrame,
     group_col: str,

@@ -420,3 +420,47 @@ def test_ordered_budget_head_with_coarse_bands(spark):
                 expect[i] = (n, run)
             run += n
         assert out == expect, f"seed={seed}"
+
+
+def test_quantile_bands_feed_budget_head(spark):
+    """approxQuantile-derived bands satisfy the monotone contract and
+    leave ordered_budget_head's result identical to the naive order —
+    band placement must never change semantics."""
+    import random
+
+    from d365fo_db_sync_spark.operators.sampling import (
+        ordered_budget_head,
+        quantile_bands,
+    )
+
+    rng = random.Random(21)
+    data = [(i, rng.gauss(0, 100), rng.randint(1, 20)) for i in range(400)]
+    df = spark.createDataFrame(data, "doc_id long, q double, n long")
+    band = quantile_bands(df, F.col("q"), n_bands=16)
+    # monotone: banding the sorted q values never decreases
+    got_bands = [
+        r["b"] for r in df.select(band.alias("b"), "q").orderBy("q").collect()
+    ]
+    assert got_bands == sorted(got_bands)
+    assert len(set(got_bands)) > 4  # actually spreads across bands
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["tok_before"])
+        for r in ordered_budget_head(
+            df, F.col("q"), band, F.col("n"), budget=900
+        ).collect()
+    }
+    run, expect = 0, {}
+    for i, q, n in sorted(data, key=lambda r: (r[1], r[0])):
+        if run < 900:
+            expect[i] = (n, run)
+        run += n
+    assert out == expect
+
+
+def test_quantile_bands_validates(spark):
+    from d365fo_db_sync_spark.operators.sampling import quantile_bands
+
+    df = spark.createDataFrame([(1.0,)], "q double")
+    with pytest.raises(ValueError):
+        quantile_bands(df, F.col("q"), n_bands=1)
