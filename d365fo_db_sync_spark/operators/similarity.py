@@ -596,6 +596,136 @@ def ivf_read(spark, root: str) -> tuple[DataFrame, list[list[float]]]:
     return assigned, centers
 
 
+def ivf_write_incremental(
+    assigned: DataFrame, model, root: str, n_buckets: int | None = None
+) -> str:
+    """Persist an IVF index on the MANIFEST sink — the maintainable
+    variant of :func:`ivf_write`: vectors land in a
+    ``ManifestParquetTarget`` keyed on the cell id, so later batches
+    join the index via :func:`ivf_append_incremental` as O(batch)
+    append-by-reference commits (no full rewrite, OCC-protected,
+    time-travelable like every manifest table), and a probe's read is
+    an exact driver-side file-list cut over the probed cells' buckets.
+    Centroids stay a tiny sidecar. Cell→bucket is many-to-one
+    (xxhash), so ``n_buckets`` defaults to 2× the cell count to keep
+    bucket collisions — and thus probe over-read — low."""
+    import os
+
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget, ParquetTarget
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    spark = assigned.sparkSession
+    target = ManifestParquetTarget(
+        os.path.join(root, "vectors"),
+        key="cell",
+        n_buckets=n_buckets or max(2 * len(centers), 8),
+    )
+    target.overwrite(assigned)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, centroid array<double>"
+    )
+    ParquetTarget(os.path.join(root, "centroids")).overwrite(cent_df.coalesce(1))
+    return root
+
+
+def _incremental_target(root: str, n_centers: int, n_buckets: int | None):
+    import os
+
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+
+    return ManifestParquetTarget(
+        os.path.join(root, "vectors"),
+        key="cell",
+        n_buckets=n_buckets or max(2 * n_centers, 8),
+    )
+
+
+def _read_centers(spark, root: str) -> list[list[float]]:
+    import os
+
+    from d365fo_db_sync_spark.sinks import ParquetTarget
+
+    rows = ParquetTarget(os.path.join(root, "centroids")).read(spark).collect()
+    return [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cell"])]
+
+
+def ivf_append_incremental(
+    spark,
+    root: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int | None = None,
+) -> int:
+    """Fold a new vector batch into a persisted incremental IVF index:
+    assign each vector to its nearest EXISTING centroid (broadcast
+    centroid literals, pure column expressions — no refit, the
+    standard IVF maintenance contract; recentre by rebuilding when
+    drift warrants), then ``append_rows`` — an O(batch) manifest
+    commit touching only the buckets the batch's cells hash into.
+    Returns the number of vectors appended."""
+    centers = _read_centers(spark, root)
+    assigned = (
+        _probe_cells(new_df, centers, 1, vec_col=vec_col, query_id_col=id_col)
+        .withColumnRenamed(id_col, "__id")
+        .join(
+            with_norm(new_df.select(id_col, vec_col), vec_col, "norm"),
+            F.col("__id") == F.col(id_col),
+        )
+        .select(id_col, vec_col, "norm", "cell")
+    )
+    target = _incremental_target(root, len(centers), n_buckets)
+    n = assigned.count()
+    target.append_rows(spark, assigned)
+    return n
+
+
+def ivf_topk_incremental(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """ANN top-k against the incremental index: probe cells resolve to
+    an exact manifest file-list cut (``target.probe`` reads only the
+    buckets the probed cells hash into — no directory listing), then
+    exact cosine re-rank inside, the :func:`ivf_topk` contract. Rows
+    appended after the base build are first-class: same cells, same
+    files-by-reference read path."""
+    centers = _read_centers(spark, root)
+    target = _incremental_target(root, len(centers), n_buckets)
+    q_cells = _probe_cells(
+        queries, centers, n_probes, vec_col=vec_col, query_id_col=query_id_col
+    )
+    q = q_cells.join(
+        with_norm(
+            queries.select(query_id_col, F.col(vec_col).alias("q_vec")),
+            "q_vec",
+            "q_norm",
+        ),
+        on=query_id_col,
+    )
+    rows = target.probe(spark, q_cells.select("cell").distinct())
+    pairs = q.join(rows, on="cell")
+    cos = _dot(F.col("q_vec"), F.col(vec_col)) / (F.col("q_norm") * F.col("norm"))
+    scored = pairs.select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        cos.alias("cosine"),
+    ).filter(F.col(query_id_col) != F.col("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, "rnk", "neighbor_id", "cosine")
+    )
+
+
 def ivf_topk_on_disk(
     spark,
     root: str,

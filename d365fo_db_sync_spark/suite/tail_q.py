@@ -3270,3 +3270,41 @@ def similarity_whitened_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = fit_whitener(emb)
     white = whiten_embeddings(emb, model)
     return cosine_topk_bruteforce_np(white, _queries_frame(white), k=_K)
+
+
+@register("similarity_ivf_append_topk", oracle=None)
+def similarity_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance end-to-end (operators/similarity.
+    ivf_write_incremental / ivf_append_incremental /
+    ivf_topk_incremental, r7): the first 80% of the embeddings table
+    builds a manifest-backed IVF index (vectors keyed on cell —
+    probes plan from the manifest's exact file list), the last 20%
+    arrives LATER as an O(batch) append-by-reference commit (nearest
+    EXISTING centroid, no refit, base files byte-untouched), and the
+    final top-k probes the appended index. Rows-only by design (IVF
+    cell assignment is KMeans-dependent); the contracts are pinned in
+    tests/test_ivf_incremental.py — parity with the in-memory IVF
+    path, by-reference append with full-probe == brute-force recall
+    over the unioned corpus, and bucket-pruned probe reads. A fresh
+    scratch root per invocation keeps the run replay-safe (append is
+    deliberately NOT idempotent — it is the ingestion primitive)."""
+    from d365fo_db_sync_spark.operators.similarity import (
+        ivf_append_incremental,
+        ivf_index,
+        ivf_topk_incremental,
+        ivf_write_incremental,
+    )
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = emb.approxQuantile("vec_id", [0.8], 0.001)[0]
+    base, late = emb.filter(F.col("vec_id") <= cut), emb.filter(
+        F.col("vec_id") > cut
+    )
+    assigned, model = ivf_index(base, n_lists=16)
+    root = scratch_dir("ivfinc_")
+    ivf_write_incremental(assigned, model, root)
+    ivf_append_incremental(spark, root, late)
+    return ivf_topk_incremental(
+        spark, root, _queries_frame(emb), k=_K, n_probes=4
+    )
