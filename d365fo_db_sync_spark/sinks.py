@@ -999,6 +999,68 @@ class ManifestParquetTarget(BucketedParquetTarget):
         self._write_version(new_rows, carried=carried, expected_parent=parent)
         return len(affected)
 
+    def delete_range(self, spark: SparkSession, lo, hi) -> dict:
+        """``DELETE WHERE lo <= key <= hi`` planned from the zone maps
+        — the lakehouse metadata-delete: files whose key range lies
+        WHOLLY inside [lo, hi] drop from the manifest without being
+        read or rewritten (a pure metadata commit, the Delta/Iceberg
+        delete-file-skipping model); files straddling a boundary are
+        rewritten filtered; files wholly outside carry forward by
+        reference, byte-untouched. Files without zone-map stats are
+        conservatively rewritten, never wrongly dropped. Publishes one
+        new version under the usual OCC check; returns
+        ``{"dropped_files", "rewritten_files", "untouched_files",
+        "deleted_rows"}``.
+
+        At 100 TB this is the retention/GDPR workhorse: deleting a
+        day's range from a key-clustered corpus touches two boundary
+        files' worth of IO regardless of how many TB the range spans.
+        """
+        from pyspark.sql import functions as F
+
+        m = self._load_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no live version under {self.root}")
+        parent = os.path.basename(self.current_path())
+        carried: dict[int, list[str]] = {}
+        rewrite: list[str] = []
+        n_drop = n_keep = 0
+        dropped_rows = 0
+        for b, fs in m["buckets"].items():
+            kept: list[str] = []
+            for f in fs:
+                st = m["stats"].get(f, {})
+                mn, mx = st.get("min"), st.get("max")
+                if mn is None or mx is None:
+                    rewrite.append(f)  # no stats: must look inside
+                elif mx < lo or mn > hi:
+                    kept.append(f)  # wholly outside: carry by reference
+                    n_keep += 1
+                elif lo <= mn and mx <= hi:
+                    n_drop += 1  # wholly covered: metadata-only drop
+                    dropped_rows += st.get("rows", 0)
+                else:
+                    rewrite.append(f)
+            if kept:
+                carried[b] = kept
+        window = self._read_files(spark, rewrite, m["schema"]).withColumnRenamed(
+            self.DATA_BUCKET_COL, self.BUCKET_COL
+        )
+        key = F.col(self.key)
+        survivors = window.filter((key < F.lit(lo)) | (key > F.lit(hi)))
+        deleted_in_rewrite = window.count() - survivors.count() if rewrite else 0
+        # append-mode publish: staged survivor files EXTEND each
+        # bucket's carried (untouched) list instead of replacing it
+        self._write_version(
+            survivors, carried=carried, append=True, expected_parent=parent
+        )
+        return {
+            "dropped_files": n_drop,
+            "rewritten_files": len(rewrite),
+            "untouched_files": n_keep,
+            "deleted_rows": dropped_rows + deleted_in_rewrite,
+        }
+
     def vacuum(self) -> list[str]:
         """Override the base 'delete every non-live version' vacuum:
         on a manifest target prior versions may still be REFERENCED by

@@ -3308,3 +3308,57 @@ def similarity_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_incremental(
         spark, root, _queries_frame(emb), k=_K, n_probes=4
     )
+
+
+@register(
+    "sync_delete_range",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS RecId,
+           CAST(o_orderkey * 2 AS BIGINT) AS SysRowVersion,
+           o_totalprice AS amount
+    FROM orders, n
+    WHERE o_orderkey < CAST(FLOOR(n.c / 8.0) AS BIGINT)
+       OR o_orderkey > CAST(FLOOR(5 * n.c / 8.0) AS BIGINT)
+    """,
+)
+def sync_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-planned range delete (ManifestParquetTarget.
+    delete_range, r7): DELETE WHERE key BETWEEN n/8 AND 5n/8 over a
+    range-clustered layout (four sorted key slabs appended in turn —
+    the shape a daily ingest naturally produces). Files wholly inside
+    the range drop from the manifest WITHOUT being read
+    (metadata-only, the Delta/Iceberg delete-file-skipping model),
+    boundary-slab files rewrite filtered, and the slab wholly outside
+    carries by reference byte-untouched. The query asserts the plan
+    split exactly that way, and the oracle value-checks the surviving
+    state row-for-row against the plain NOT-BETWEEN filter — the
+    IO-saving path must be semantically invisible."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("RecId"),
+        (k * 2).alias("SysRowVersion"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    cnt = orders.count()
+    cuts = [cnt // 4, cnt // 2, 3 * cnt // 4]
+    rid = F.col("RecId")
+    target = ManifestParquetTarget(
+        f"{scratch_dir('syncdr_')}/tgt", key="RecId", n_buckets=16
+    )
+    target.overwrite(base.filter(rid < cuts[0]))
+    for lo_c, hi_c in ((cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)):
+        slab = base.filter(rid >= lo_c)
+        if hi_c is not None:
+            slab = slab.filter(rid < hi_c)
+        target.append_rows(spark, slab)
+    rep = target.delete_range(spark, cnt // 8, 5 * cnt // 8)
+    assert rep["dropped_files"] >= 1, rep  # the second slab went by metadata
+    assert rep["rewritten_files"] >= 1, rep  # only the boundary slabs
+    assert rep["untouched_files"] >= 1, rep  # the last slab never touched
+    assert rep["deleted_rows"] == cnt - (cnt // 8) - (cnt - (5 * cnt // 8) - 1), rep
+    return target.read(spark)

@@ -722,3 +722,83 @@ def test_export_version_unknown_name_raises(spark, tmp_path):
     t.overwrite(_base(spark, 10))
     with pytest.raises(FileNotFoundError):
         t.export_version("v_nonexistent", str(tmp_path / "x"))
+
+
+class TestDeleteRange:
+    def _table(self, spark, tmp_path, rows_per_file=50):
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
+        # several appends -> several files per bucket with disjoint key
+        # ranges, so zone maps can classify files decisively
+        t.overwrite(_base(spark, rows_per_file))
+        for lo in (1000, 2000, 3000):
+            t.append_rows(
+                spark,
+                spark.range(lo, lo + rows_per_file).select(
+                    F.col("id").alias("RecId"),
+                    (F.col("id") * 2).alias("SysRowVersion"),
+                    F.lit(0.5).alias("amount"),
+                ),
+            )
+        return t
+
+    def test_state_matches_filter_semantics(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        before = {r["RecId"] for r in t.read(spark).collect()}
+        rep = t.delete_range(spark, 1990, 3010)
+        got = {r["RecId"] for r in t.read(spark).collect()}
+        assert got == {k for k in before if not (1990 <= k <= 3010)}
+        assert rep["deleted_rows"] == len(before) - len(got)
+
+    def test_covered_files_drop_metadata_only(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        m = t._load_manifest()
+        files = {f for fs in m["buckets"].values() for f in fs}
+        mtimes = {f: os.stat(f).st_mtime_ns for f in files}
+        # the 2000-2049 slice lives wholly inside its own files:
+        # deleting exactly that range must drop those files from the
+        # manifest WITHOUT rewriting anything
+        rep = t.delete_range(spark, 2000, 2049)
+        assert rep["rewritten_files"] == 0
+        assert rep["dropped_files"] >= 1
+        assert rep["deleted_rows"] == 50
+        after = t._load_manifest()
+        survivors = {f for fs in after["buckets"].values() for f in fs}
+        # every surviving file is an original, byte-untouched
+        assert survivors <= files
+        for f in survivors:
+            assert os.stat(f).st_mtime_ns == mtimes[f]
+        assert {r["RecId"] for r in t.read(spark).collect()} == {
+            r for r in range(50)
+        } | set(range(1000, 1050)) | set(range(3000, 3050))
+
+    def test_boundary_files_rewrite_filtered(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        rep = t.delete_range(spark, 2025, 2049)  # half of one slice
+        assert rep["dropped_files"] == 0  # no file wholly covered
+        assert rep["rewritten_files"] >= 1
+        got = {r["RecId"] for r in t.read(spark).collect()}
+        assert set(range(2000, 2025)) <= got
+        assert not (got & set(range(2025, 2050)))
+
+    def test_occ_protects_delete(self, spark, tmp_path, monkeypatch):
+        from d365fo_db_sync_spark.sinks import ConcurrentWriteError
+
+        t = self._table(spark, tmp_path)
+        real = ManifestParquetTarget._write_version
+
+        def interloped(self, *a, **kw):
+            # another writer publishes between plan and publish
+            monkeypatch.setattr(ManifestParquetTarget, "_write_version", real)
+            t.append_rows(
+                spark,
+                spark.range(9000, 9001).select(
+                    F.col("id").alias("RecId"),
+                    F.col("id").alias("SysRowVersion"),
+                    F.lit(1.0).alias("amount"),
+                ),
+            )
+            return real(self, *a, **kw)
+
+        monkeypatch.setattr(ManifestParquetTarget, "_write_version", interloped)
+        with pytest.raises(ConcurrentWriteError):
+            t.delete_range(spark, 0, 10)
