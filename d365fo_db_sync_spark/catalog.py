@@ -126,3 +126,70 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+
+def profile_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-column drift between two :func:`profile_columns` outputs —
+    the snapshot-over-snapshot data-quality monitor (run it on
+    yesterday's vs today's table version before trusting a sync, the
+    operational sibling of the reference's pre-sync table checks).
+
+    Emits one row per column present in EITHER profile:
+    ``status`` = added | removed | changed | stable, the raw
+    old/new row counts, null rates in integer basis points (exact
+    integer division — no float drift in the monitor itself),
+    ``distinct_ratio_bp`` (new/old distinct count, bp; NULL when the
+    column is new or previously empty), and ``range_changed`` (either
+    bound moved). Pure DataFrame composition over two metadata-sized
+    profile frames — cost is the two profile passes, the diff itself
+    is free."""
+    o = old.select(
+        "column",
+        F.col("n_rows").alias("old_rows"),
+        F.col("n_nulls").alias("old_nulls"),
+        F.col("n_distinct").alias("old_distinct"),
+        F.col("min_str").alias("old_min"),
+        F.col("max_str").alias("old_max"),
+    )
+    n = new.select(
+        "column",
+        F.col("n_rows").alias("new_rows"),
+        F.col("n_nulls").alias("new_nulls"),
+        F.col("n_distinct").alias("new_distinct"),
+        F.col("min_str").alias("new_min"),
+        F.col("max_str").alias("new_max"),
+    )
+    j = o.join(n, on="column", how="full_outer")
+    bp = lambda nulls, rows: F.when(  # noqa: E731
+        F.col(rows) > 0, F.expr(f"{nulls} * 10000 DIV {rows}")
+    )
+    range_changed = ~(
+        F.col("old_min").eqNullSafe(F.col("new_min"))
+        & F.col("old_max").eqNullSafe(F.col("new_max"))
+    )
+    changed = (
+        range_changed
+        | (F.col("old_distinct") != F.col("new_distinct"))
+        | (F.col("old_nulls") != F.col("new_nulls"))
+        | (F.col("old_rows") != F.col("new_rows"))
+    )
+    status = (
+        F.when(F.col("old_rows").isNull(), F.lit("added"))
+        .when(F.col("new_rows").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("stable"))
+    )
+    ratio = F.when(
+        (F.col("old_distinct") > 0) & F.col("new_distinct").isNotNull(),
+        F.expr("new_distinct * 10000 DIV old_distinct"),
+    )
+    return j.select(
+        "column",
+        status.alias("status"),
+        "old_rows",
+        "new_rows",
+        bp("old_nulls", "old_rows").alias("old_null_bp"),
+        bp("new_nulls", "new_rows").alias("new_null_bp"),
+        ratio.cast("long").alias("distinct_ratio_bp"),
+        range_changed.alias("range_changed"),
+    )

@@ -3362,3 +3362,66 @@ def sync_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert rep["untouched_files"] >= 1, rep  # the last slab never touched
     assert rep["deleted_rows"] == cnt - (cnt // 8) - (cnt - (5 * cnt // 8) - 1), rep
     return target.read(spark)
+
+
+def _profile_drift_oracle() -> str:
+    old_cols = _PROFILE_COLS[:4]  # o_orderdate only exists in NEW
+    def prof(cols, src):
+        return "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM {src}"""
+            for c in cols
+        )
+
+    return f"""
+    WITH cutoff AS (SELECT CAST(FLOOR(COUNT(*) * 4 / 5.0) AS BIGINT) AS v
+                    FROM orders),
+    older AS (SELECT o.* FROM orders o, cutoff WHERE o.o_orderkey < cutoff.v),
+    p_old AS ({prof(old_cols, "older")}),
+    p_new AS ({prof(_PROFILE_COLS, "orders")})
+    SELECT COALESCE(o.column, n.column) AS column,
+           CASE WHEN o.column IS NULL THEN 'added'
+                WHEN n.column IS NULL THEN 'removed'
+                WHEN o.min_str IS DISTINCT FROM n.min_str
+                  OR o.max_str IS DISTINCT FROM n.max_str
+                  OR o.n_distinct <> n.n_distinct
+                  OR o.n_nulls <> n.n_nulls
+                  OR o.n_rows <> n.n_rows THEN 'changed'
+                ELSE 'stable' END AS status,
+           o.n_rows AS old_rows, n.n_rows AS new_rows,
+           CASE WHEN o.n_rows > 0 THEN o.n_nulls * 10000 // o.n_rows END
+             AS old_null_bp,
+           CASE WHEN n.n_rows > 0 THEN n.n_nulls * 10000 // n.n_rows END
+             AS new_null_bp,
+           CAST(CASE WHEN o.n_distinct > 0 AND n.n_distinct IS NOT NULL
+                THEN n.n_distinct * 10000 // o.n_distinct END AS BIGINT)
+             AS distinct_ratio_bp,
+           NOT (o.min_str IS NOT DISTINCT FROM n.min_str
+                AND o.max_str IS NOT DISTINCT FROM n.max_str)
+             AS range_changed
+    FROM p_old o FULL OUTER JOIN p_new n ON o.column = n.column
+    """
+
+
+@register("catalog_profile_drift", oracle=_profile_drift_oracle())
+def catalog_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot data-quality drift (catalog.profile_drift,
+    r7): profile yesterday's table (the first 80% of orders, one column
+    fewer) and today's, then diff per column — added/removed/changed
+    status, null rates in exact integer basis points, distinct-count
+    ratio, range movement. The monitor an operations team runs between
+    sync cycles before trusting the target; two one-pass profiles, the
+    diff itself is a metadata-sized join. Every drift metric is
+    integer/string, so the oracle match is exact."""
+    from d365fo_db_sync_spark import catalog
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = orders.count() * 4 // 5
+    older = orders.filter(F.col("o_orderkey") < cutoff)
+    p_old = catalog.profile_columns(older, list(_PROFILE_COLS[:4]))
+    p_new = catalog.profile_columns(orders, list(_PROFILE_COLS))
+    return catalog.profile_drift(p_old, p_new)
