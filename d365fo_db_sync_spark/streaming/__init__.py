@@ -39,18 +39,29 @@ class CdcStreamPipeline:
         table: str,
         target: ParquetTarget,
         checkpoint_dir: str,
+        evolve_schema: bool = False,
     ) -> None:
+        """``evolve_schema=True`` lets each merged batch widen the
+        target (new columns NULL-backfilled across carried buckets —
+        the merge sinks' evolve contract). A streaming query's OWN
+        schema is fixed at start; the scenario this serves is the
+        RESTART after an upstream schema change: the new query reads
+        the widened files and its first merge evolves the target in
+        place — no backfill rewrite, no manual migration."""
         self.engine = engine
         self.table = table
         self.target = target
         self.checkpoint_dir = checkpoint_dir
+        self.evolve_schema = evolve_schema
 
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         # a micro-batch is a DELTA, not a snapshot window — upsert by
         # key; rows carrying a true `__deleted` tombstone delete theirs
-        self.engine.merge_upsert(self.table, batch_df, self.target)
+        self.engine.merge_upsert(
+            self.table, batch_df, self.target, evolve_schema=self.evolve_schema
+        )
 
     def start(
         self,

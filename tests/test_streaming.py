@@ -642,3 +642,53 @@ def test_dedup_stream_novel_dir_exactly_once(spark, tmp_path):
     assert out2 == rows
     # no leftover _tmp staging dirs
     assert not [d for d in _os.listdir(novel_dir) if d.startswith("_tmp-")]
+
+
+def test_cdc_stream_restart_evolves_schema(spark, tmp_path):
+    """The restart-after-upstream-schema-change story: a stream built
+    on schema A populates the target; the upstream adds a column, the
+    query restarts with the widened schema and evolve_schema=True, and
+    the first merged batch widens the target in place — pre-existing
+    rows read the new column as NULL, no backfill rewrite."""
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.state import StateStore
+    from d365fo_db_sync_spark.streaming import CdcStreamPipeline
+    from d365fo_db_sync_spark.sync import SyncConfig, SyncEngine
+
+    v1 = spark.createDataFrame(
+        [(i, 100 + i, float(i), False) for i in range(20)],
+        "RecId long, SysRowVersion long, AMOUNT double, __deleted boolean",
+    )
+    src_v1, src_v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    v1.write.parquet(src_v1)
+
+    engine = SyncEngine(spark, StateStore(str(tmp_path / "s.json")), SyncConfig())
+    target = BucketedParquetTarget(str(tmp_path / "tgt"), key="RecId", n_buckets=4)
+    pipe = CdcStreamPipeline(
+        engine, "TS", target, str(tmp_path / "cp1"), evolve_schema=True
+    )
+    pipe.start(
+        spark.readStream.schema(v1.schema).parquet(src_v1), available_now=True
+    ).awaitTermination(120)
+    assert target.read(spark).columns == ["RecId", "SysRowVersion", "AMOUNT"]
+
+    # upstream widens: CURRENCY arrives; the restarted query reads v2
+    v2 = spark.createDataFrame(
+        [(3, 500, 9.9, "EUR", False), (100, 501, 1.0, "USD", False)],
+        "RecId long, SysRowVersion long, AMOUNT double, CURRENCY string,"
+        " __deleted boolean",
+    )
+    v2.write.parquet(src_v2)
+    pipe2 = CdcStreamPipeline(
+        engine, "TS", target, str(tmp_path / "cp2"), evolve_schema=True
+    )
+    pipe2.start(
+        spark.readStream.schema(v2.schema).parquet(src_v2), available_now=True
+    ).awaitTermination(120)
+
+    rows = {r["RecId"]: r for r in target.read(spark).collect()}
+    assert "CURRENCY" in target.read(spark).columns
+    assert rows[3]["CURRENCY"] == "EUR" and rows[3]["AMOUNT"] == 9.9
+    assert rows[100]["CURRENCY"] == "USD"
+    assert rows[5]["CURRENCY"] is None  # old row NULL-backfilled
+    assert len(rows) == 21
