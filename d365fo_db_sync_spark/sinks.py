@@ -1018,6 +1018,26 @@ class ManifestParquetTarget(BucketedParquetTarget):
         """
         from pyspark.sql import functions as F
 
+        plan = self._range_removal_plan(spark, lo, hi)
+        # append-mode publish: staged survivor files EXTEND each
+        # bucket's carried (untouched) list instead of replacing it
+        self._write_version(
+            plan["survivors"],
+            carried=plan["carried"],
+            append=True,
+            expected_parent=plan["parent"],
+        )
+        return {k: plan[k] for k in (
+            "dropped_files", "rewritten_files", "untouched_files", "deleted_rows"
+        )}
+
+    def _range_removal_plan(self, spark: SparkSession, lo, hi) -> dict:
+        """Shared zone-map planning for delete_range / replace_range:
+        classify every manifest file against [lo, hi] and build the
+        carried map plus the filtered survivor frame for the boundary
+        files."""
+        from pyspark.sql import functions as F
+
         m = self._load_manifest()
         if m is None:
             raise FileNotFoundError(f"no live version under {self.root}")
@@ -1049,16 +1069,49 @@ class ManifestParquetTarget(BucketedParquetTarget):
         key = F.col(self.key)
         survivors = window.filter((key < F.lit(lo)) | (key > F.lit(hi)))
         deleted_in_rewrite = window.count() - survivors.count() if rewrite else 0
-        # append-mode publish: staged survivor files EXTEND each
-        # bucket's carried (untouched) list instead of replacing it
-        self._write_version(
-            survivors, carried=carried, append=True, expected_parent=parent
-        )
         return {
+            "parent": parent,
+            "carried": carried,
+            "survivors": survivors,
             "dropped_files": n_drop,
             "rewritten_files": len(rewrite),
             "untouched_files": n_keep,
             "deleted_rows": dropped_rows + deleted_in_rewrite,
+        }
+
+    def replace_range(self, spark: SparkSession, lo, hi, rows: DataFrame) -> dict:
+        """Atomic range restatement — ``DELETE WHERE key BETWEEN lo AND
+        hi`` and insert ``rows`` in ONE version commit (the daily-
+        partition reload: restate yesterday without a window where
+        readers see the range deleted but not yet replaced). Planning
+        is the same zone-map split as :meth:`delete_range`; the staged
+        write is the boundary survivors plus the replacement rows,
+        published under one OCC check. ``rows`` whose key falls
+        OUTSIDE [lo, hi] raise — they would silently coexist with the
+        live copies of the same keys."""
+        from pyspark.sql import functions as F
+
+        key = F.col(self.key)
+        n_outside = rows.filter((key < F.lit(lo)) | (key > F.lit(hi))).count()
+        if n_outside:
+            raise ValueError(
+                f"{n_outside} replacement rows have {self.key} outside "
+                f"[{lo!r}, {hi!r}] — replace_range only restates the range"
+            )
+        plan = self._range_removal_plan(spark, lo, hi)
+        staged = plan["survivors"].unionByName(
+            self._with_bucket(rows), allowMissingColumns=False
+        )
+        self._write_version(
+            staged, carried=plan["carried"], append=True,
+            expected_parent=plan["parent"],
+        )
+        return {
+            **{k: plan[k] for k in (
+                "dropped_files", "rewritten_files", "untouched_files",
+                "deleted_rows",
+            )},
+            "inserted_rows": rows.count(),
         }
 
     def vacuum(self) -> list[str]:

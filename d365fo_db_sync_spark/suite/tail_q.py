@@ -3425,3 +3425,66 @@ def catalog_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_old = catalog.profile_columns(older, list(_PROFILE_COLS[:4]))
     p_new = catalog.profile_columns(orders, list(_PROFILE_COLS))
     return catalog.profile_drift(p_old, p_new)
+
+
+@register(
+    "sync_replace_range",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS RecId,
+           CAST(o_orderkey * 2 AS BIGINT) AS SysRowVersion,
+           o_totalprice AS amount
+    FROM orders, n
+    WHERE o_orderkey < CAST(FLOOR(n.c / 4.0) AS BIGINT)
+       OR o_orderkey >= CAST(FLOOR(n.c / 2.0) AS BIGINT)
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT) AS RecId,
+           CAST(9999999 AS BIGINT) AS SysRowVersion,
+           CAST(o_totalprice * 2 AS DOUBLE) AS amount
+    FROM orders, n
+    WHERE o_orderkey >= CAST(FLOOR(n.c / 4.0) AS BIGINT)
+      AND o_orderkey < CAST(FLOOR(n.c / 2.0) AS BIGINT)
+      AND o_orderkey % 2 = 0
+    """,
+)
+def sync_replace_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic range restatement (ManifestParquetTarget.replace_range,
+    r7): the second quarter of the key space is RESTATED — old rows in
+    [n/4, n/2) deleted, a corrected half-density batch (even keys,
+    doubled amounts, bumped rowversion) inserted — in ONE version
+    commit, so readers never observe the deleted-but-not-yet-replaced
+    gap a delete+append pair would expose. Planning reuses the
+    zone-map split (wholly-covered files drop metadata-only over the
+    range-clustered layout); the oracle is the NOT-BETWEEN survivors
+    unioned with the restatement, value-checked row-for-row."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("RecId"),
+        (k * 2).alias("SysRowVersion"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    cnt = orders.count()
+    lo, hi = cnt // 4, cnt // 2 - 1
+    rid = F.col("RecId")
+    target = ManifestParquetTarget(
+        f"{scratch_dir('syncrr_')}/tgt", key="RecId", n_buckets=16
+    )
+    # range-clustered slabs so the zone-map split has decisive files
+    target.overwrite(base.filter(rid < lo))
+    target.append_rows(spark, base.filter((rid >= lo) & (rid <= hi)))
+    target.append_rows(spark, base.filter(rid > hi))
+    restated = base.filter(
+        (rid >= lo) & (rid <= hi) & (rid % 2 == 0)
+    ).select(
+        "RecId",
+        F.lit(9_999_999).alias("SysRowVersion"),
+        (F.col("amount") * 2).alias("amount"),
+    )
+    rep = target.replace_range(spark, lo, hi, restated)
+    assert rep["dropped_files"] >= 1, rep  # the middle slab went by metadata
+    assert rep["inserted_rows"] > 0, rep
+    return target.read(spark)

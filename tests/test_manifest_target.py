@@ -802,3 +802,44 @@ class TestDeleteRange:
         monkeypatch.setattr(ManifestParquetTarget, "_write_version", interloped)
         with pytest.raises(ConcurrentWriteError):
             t.delete_range(spark, 0, 10)
+
+
+class TestReplaceRange:
+    def test_atomic_restatement(self, spark, tmp_path):
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
+        t.overwrite(_base(spark, 100).sort("RecId"))
+        t.append_rows(
+            spark,
+            spark.range(1000, 1100).select(
+                F.col("id").alias("RecId"),
+                (F.col("id") * 2).alias("SysRowVersion"),
+                F.lit(0.5).alias("amount"),
+            ).sort("RecId"),
+        )
+        versions_before = len(t.versions())
+        restated = spark.range(1000, 1050).select(
+            F.col("id").alias("RecId"),
+            F.lit(777).alias("SysRowVersion"),
+            F.lit(9.0).alias("amount"),
+        )
+        rep = t.replace_range(spark, 1000, 1099, restated)
+        assert rep["inserted_rows"] == 50
+        assert rep["deleted_rows"] == 100
+        # ONE new version for the whole restatement
+        assert len(t.versions()) <= versions_before + 1
+        rows = {r["RecId"]: r["SysRowVersion"] for r in t.read(spark).collect()}
+        assert set(rows) == set(range(100)) | set(range(1000, 1050))
+        assert all(rows[k] == 777 for k in range(1000, 1050))
+
+    def test_out_of_range_rows_raise(self, spark, tmp_path):
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
+        t.overwrite(_base(spark, 50))
+        bad = spark.range(10, 60).select(
+            F.col("id").alias("RecId"),
+            F.lit(1).alias("SysRowVersion"),
+            F.lit(1.0).alias("amount"),
+        )
+        before = sorted(map(tuple, t.read(spark).collect()))
+        with pytest.raises(ValueError, match="outside"):
+            t.replace_range(spark, 10, 40, bad)  # keys 41..59 outside
+        assert sorted(map(tuple, t.read(spark).collect())) == before
