@@ -606,7 +606,12 @@ class ManifestParquetTarget(BucketedParquetTarget):
     VERSION_LOG = "_versions.log"
 
     def __init__(
-        self, root: str, key: str, n_buckets: int = 64, retain_versions: int = 1
+        self,
+        root: str,
+        key: str,
+        n_buckets: int = 64,
+        retain_versions: int = 1,
+        stats_cols: list[str] | None = None,
     ) -> None:
         """``retain_versions`` is the time-travel window: how many
         published versions (including live) GC must keep readable.
@@ -614,11 +619,21 @@ class ManifestParquetTarget(BucketedParquetTarget):
         delete-on-unreferenced behavior. Raising it makes every
         retained version a reproducible snapshot: training runs pin
         the version name they read, and a later backfill can re-read
-        the exact same file set via :meth:`read_version`."""
+        the exact same file set via :meth:`read_version`.
+
+        ``stats_cols`` zone-maps ADDITIONAL columns beyond the key
+        (footer min/max per file, recorded under the manifest's
+        ``stats[f]["cols"]``): a change-tracking column here (e.g.
+        SysRowVersion) turns :meth:`scan_range` watermark reads into
+        file-skipping scans — CDC FROM a manifest table reads only the
+        files whose version range crosses the watermark, the Delta/
+        Iceberg incremental-read shape. Files written before a column
+        was tracked simply lack its entry and scan conservatively."""
         super().__init__(root, key, n_buckets)
         if retain_versions < 1:
             raise ValueError(f"retain_versions must be >= 1, got {retain_versions}")
         self.retain_versions = retain_versions
+        self.stats_cols = [c for c in (stats_cols or []) if c != key]
 
     # -- manifest io --------------------------------------------------------
     def _manifest_at(self, path: str) -> dict:
@@ -644,22 +659,34 @@ class ManifestParquetTarget(BucketedParquetTarget):
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
-        idx = next(
-            (i for i in range(md.num_columns) if md.schema.column(i).name == self.key),
-            None,
-        )
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+
+        def minmax(col: str):
+            idx = names.get(col)
+            if idx is None:
+                return None
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if isinstance(mn, (int, float, str)) and isinstance(mx, (int, float, str)):
+                return mn, mx
+            return None
+
         out: dict = {"rows": md.num_rows}
-        if idx is None:
-            return out
-        mn = mx = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return out
-            mn = st.min if mn is None else min(mn, st.min)
-            mx = st.max if mx is None else max(mx, st.max)
-        if isinstance(mn, (int, float, str)) and isinstance(mx, (int, float, str)):
-            out["min"], out["max"] = mn, mx
+        key_mm = minmax(self.key)
+        if key_mm is not None:
+            out["min"], out["max"] = key_mm
+        cols = {}
+        for c in self.stats_cols:
+            mm = minmax(c)
+            if mm is not None:
+                cols[c] = {"min": mm[0], "max": mm[1]}
+        if cols:
+            out["cols"] = cols
         return out
 
     def _load_manifest(self) -> dict | None:
@@ -902,7 +929,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         files = [f for b in sorted(affected) for f in m["buckets"].get(b, [])]
         return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
 
-    def scan_range(self, spark: SparkSession, lo, hi) -> DataFrame:
+    def scan_range(self, spark: SparkSession, lo, hi, col: str | None = None) -> DataFrame:
         """Key-range scan with zone-map data skipping (the
         Iceberg/Delta file-stats cut, public designs): plan only the
         files whose footer ``[min, max]`` overlaps ``[lo, hi]`` — an
@@ -915,23 +942,40 @@ class ManifestParquetTarget(BucketedParquetTarget):
         :meth:`probe`: probe prunes by key SET (equality), scan_range
         by key ORDER — effective whenever ingestion order correlates
         with the key (monotonic RecIds), which makes every old file's
-        zone map end below new keys."""
+        zone map end below new keys. ``col`` redirects the cut to any
+        column named in ``stats_cols`` (e.g. a rowversion watermark
+        scan — the incremental-read-from-lakehouse shape); columns
+        without recorded stats scan conservatively, never skip."""
         from pyspark.sql import functions as F
 
         m = self._load_manifest()
         if m is None:
             raise FileNotFoundError(f"no live version under {self.root}")
         stats = m["stats"]
+        col = col or self.key
+
+        def bounds(s: dict):
+            if col == self.key:
+                if "min" in s and "max" in s:
+                    return s["min"], s["max"]
+            else:
+                cs = s.get("cols", {}).get(col)
+                if cs is not None:
+                    return cs["min"], cs["max"]
+            return None
 
         def overlaps(f: str) -> bool:
             s = stats.get(f)
-            if not s or "min" not in s or "max" not in s:
+            if not s:
                 return True
-            return s["max"] >= lo and s["min"] <= hi
+            b = bounds(s)
+            if b is None:
+                return True  # untracked column / no stats: never skip
+            return b[1] >= lo and b[0] <= hi
 
         files = [f for fs in m["buckets"].values() for f in fs if overlaps(f)]
         df = self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
-        return df.filter((F.col(self.key) >= F.lit(lo)) & (F.col(self.key) <= F.lit(hi)))
+        return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     def num_rows(self) -> int:
         import pyarrow.parquet as pq

@@ -3488,3 +3488,59 @@ def sync_replace_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert rep["dropped_files"] >= 1, rep  # the middle slab went by metadata
     assert rep["inserted_rows"] > 0, rep
     return target.read(spark)
+
+
+@register(
+    "sync_scan_version_watermark",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS RecId,
+           CAST(o_orderkey + 2000000 AS BIGINT) AS SysRowVersion,
+           o_totalprice AS amount
+    FROM orders, n
+    WHERE o_orderkey >= CAST(FLOOR(2 * n.c / 3.0) AS BIGINT)
+    """,
+)
+def sync_scan_version_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read FROM a lakehouse table (r7: stats_cols +
+    scan_range(col=...)): the manifest tracks SysRowVersion zone maps
+    alongside the key, three ingest epochs land with disjoint version
+    ranges, and the watermark scan `SysRowVersion >= w` plans only the
+    newest epoch's files — older epochs skip entirely by metadata (the
+    Delta/Iceberg CDC-from-table shape, where a downstream sync reads
+    a manifest table as its SOURCE). File skipping is asserted; the
+    oracle value-checks the watermarked rows exactly."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    # rowversion = key + 1M per epoch: epochs own disjoint version bands
+    cnt = orders.count()
+    cut1, cut2 = cnt // 3, 2 * cnt // 3
+    target = ManifestParquetTarget(
+        f"{scratch_dir('syncvw_')}/tgt",
+        key="RecId",
+        n_buckets=16,
+        stats_cols=["SysRowVersion"],
+    )
+
+    def epoch(lo, hi, ver_off):
+        sl = orders.filter((k >= lo) & (k < hi)) if hi else orders.filter(k >= lo)
+        return sl.select(
+            k.alias("RecId"),
+            (k + ver_off).alias("SysRowVersion"),
+            F.col("o_totalprice").alias("amount"),
+        )
+
+    target.overwrite(epoch(0, cut1, 0))
+    target.append_rows(spark, epoch(cut1, cut2, 1_000_000))
+    target.append_rows(spark, epoch(cut2, None, 2_000_000))
+
+    watermark = cut2 + 2_000_000
+    out = target.scan_range(spark, watermark, 10_000_000, col="SysRowVersion")
+    m = target._load_manifest()
+    n_all = sum(len(fs) for fs in m["buckets"].values())
+    n_scanned = len(out.inputFiles())
+    assert 0 < n_scanned < n_all, (n_scanned, n_all)  # epochs 1-2 skipped
+    return out

@@ -843,3 +843,41 @@ class TestReplaceRange:
         with pytest.raises(ValueError, match="outside"):
             t.replace_range(spark, 10, 40, bad)  # keys 41..59 outside
         assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
+def test_scan_range_on_secondary_stats_col(spark, tmp_path):
+    """stats_cols zone-maps a change-tracking column: a watermark scan
+    on SysRowVersion plans only the files whose version range crosses
+    the watermark — the incremental-read-from-lakehouse cut — while
+    untracked columns still scan conservatively and row-exact."""
+    t = ManifestParquetTarget(
+        str(tmp_path / "t"), key="RecId", n_buckets=4,
+        stats_cols=["SysRowVersion"],
+    )
+    # three ingest slabs with disjoint rowversion epochs
+    def slab(keys, ver_base):
+        return spark.createDataFrame(
+            [(k, ver_base + i, float(k)) for i, k in enumerate(keys)],
+            "RecId long, SysRowVersion long, amount double",
+        )
+
+    t.overwrite(slab(range(0, 100), 1_000))
+    t.append_rows(spark, slab(range(100, 200), 5_000))
+    t.append_rows(spark, slab(range(200, 300), 9_000))
+    m = t._load_manifest()
+    all_files = {os.path.basename(f) for fs in m["buckets"].values() for f in fs}
+
+    # watermark: only the NEWEST epoch
+    got = t.scan_range(spark, 9_000, 10_000, col="SysRowVersion")
+    assert {r["RecId"] for r in got.collect()} == set(range(200, 300))
+    scanned = {os.path.basename(f) for f in got.inputFiles()}
+    assert scanned < all_files  # older epochs' files skipped entirely
+
+    # key-column scans keep their original behavior
+    got_k = t.scan_range(spark, 50, 120)
+    assert {r["RecId"] for r in got_k.collect()} == set(range(50, 121))
+
+    # untracked column: conservative full read, still row-exact
+    got_u = t.scan_range(spark, 10.0, 20.0, col="amount")
+    assert {r["RecId"] for r in got_u.collect()} == set(range(10, 21))
+    assert {os.path.basename(f) for f in got_u.inputFiles()} == all_files
