@@ -3310,16 +3310,31 @@ def similarity_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _key_at_rank(base, rank: int):
+    """The rank-th smallest RecId (1-based) — TakeOrderedAndProject of
+    rank rows + a 1-row max, so rank-defined slabs work on ANY key
+    distribution (dense sf0.01 keys or the sf1 corpus's sparse
+    shifted-copy offsets)."""
+    from pyspark.sql import functions as F
+
+    return (
+        base.select("RecId").orderBy("RecId").limit(int(rank))
+        .agg(F.max("RecId")).collect()[0][0]
+    )
+
+
 @register(
     "sync_delete_range",
     oracle="""
-    WITH n AS (SELECT COUNT(*) AS c FROM orders)
+    WITH r AS (SELECT o_orderkey,
+                      ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+                      COUNT(*) OVER () AS c
+               FROM orders)
     SELECT CAST(o_orderkey AS BIGINT) AS RecId,
            CAST(o_orderkey * 2 AS BIGINT) AS SysRowVersion,
-           o_totalprice AS amount
-    FROM orders, n
-    WHERE o_orderkey < CAST(FLOOR(n.c / 8.0) AS BIGINT)
-       OR o_orderkey > CAST(FLOOR(5 * n.c / 8.0) AS BIGINT)
+           o.o_totalprice AS amount
+    FROM r JOIN orders o USING (o_orderkey)
+    WHERE rn <= c // 8 OR rn > 5 * c // 8
     """,
 )
 def sync_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3345,22 +3360,27 @@ def sync_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("amount"),
     )
     cnt = orders.count()
-    cuts = [cnt // 4, cnt // 2, 3 * cnt // 4]
+    # rank-based bounds (k-th smallest key): key VALUES need not be
+    # dense — the sf1 derived corpus shifts copies to sparse offsets,
+    # where count-based literals would miss every key
     rid = F.col("RecId")
+    cuts = [_key_at_rank(base, r) for r in (cnt // 4, cnt // 2, 3 * cnt // 4)]
     target = ManifestParquetTarget(
         f"{scratch_dir('syncdr_')}/tgt", key="RecId", n_buckets=16
     )
-    target.overwrite(base.filter(rid < cuts[0]))
+    target.overwrite(base.filter(rid <= cuts[0]))
     for lo_c, hi_c in ((cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)):
-        slab = base.filter(rid >= lo_c)
+        slab = base.filter(rid > lo_c)
         if hi_c is not None:
-            slab = slab.filter(rid < hi_c)
+            slab = slab.filter(rid <= hi_c)
         target.append_rows(spark, slab)
-    rep = target.delete_range(spark, cnt // 8, 5 * cnt // 8)
+    lo_key = _key_at_rank(base, cnt // 8 + 1)
+    hi_key = _key_at_rank(base, 5 * cnt // 8)
+    rep = target.delete_range(spark, lo_key, hi_key)
     assert rep["dropped_files"] >= 1, rep  # the second slab went by metadata
     assert rep["rewritten_files"] >= 1, rep  # only the boundary slabs
     assert rep["untouched_files"] >= 1, rep  # the last slab never touched
-    assert rep["deleted_rows"] == cnt - (cnt // 8) - (cnt - (5 * cnt // 8) - 1), rep
+    assert rep["deleted_rows"] == 5 * cnt // 8 - cnt // 8, rep
     return target.read(spark)
 
 
@@ -3430,21 +3450,21 @@ def catalog_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sync_replace_range",
     oracle="""
-    WITH n AS (SELECT COUNT(*) AS c FROM orders)
+    WITH r AS (SELECT o_orderkey,
+                      ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+                      COUNT(*) OVER () AS c
+               FROM orders)
     SELECT CAST(o_orderkey AS BIGINT) AS RecId,
            CAST(o_orderkey * 2 AS BIGINT) AS SysRowVersion,
-           o_totalprice AS amount
-    FROM orders, n
-    WHERE o_orderkey < CAST(FLOOR(n.c / 4.0) AS BIGINT)
-       OR o_orderkey >= CAST(FLOOR(n.c / 2.0) AS BIGINT)
+           o.o_totalprice AS amount
+    FROM r JOIN orders o USING (o_orderkey)
+    WHERE rn <= c // 4 OR rn > c // 2
     UNION ALL
     SELECT CAST(o_orderkey AS BIGINT) AS RecId,
            CAST(9999999 AS BIGINT) AS SysRowVersion,
-           CAST(o_totalprice * 2 AS DOUBLE) AS amount
-    FROM orders, n
-    WHERE o_orderkey >= CAST(FLOOR(n.c / 4.0) AS BIGINT)
-      AND o_orderkey < CAST(FLOOR(n.c / 2.0) AS BIGINT)
-      AND o_orderkey % 2 = 0
+           CAST(o.o_totalprice * 2 AS DOUBLE) AS amount
+    FROM r JOIN orders o USING (o_orderkey)
+    WHERE rn > c // 4 AND rn <= c // 2 AND o_orderkey % 2 = 0
     """,
 )
 def sync_replace_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3468,7 +3488,9 @@ def sync_replace_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("amount"),
     )
     cnt = orders.count()
-    lo, hi = cnt // 4, cnt // 2 - 1
+    # rank-based bounds: sparse sf1 keys break count-derived literals
+    lo = _key_at_rank(base, cnt // 4 + 1)
+    hi = _key_at_rank(base, cnt // 2)
     rid = F.col("RecId")
     target = ManifestParquetTarget(
         f"{scratch_dir('syncrr_')}/tgt", key="RecId", n_buckets=16
@@ -3493,12 +3515,15 @@ def sync_replace_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sync_scan_version_watermark",
     oracle="""
-    WITH n AS (SELECT COUNT(*) AS c FROM orders)
+    WITH r AS (SELECT o_orderkey,
+                      ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+                      COUNT(*) OVER () AS c
+               FROM orders)
     SELECT CAST(o_orderkey AS BIGINT) AS RecId,
-           CAST(o_orderkey + 2000000 AS BIGINT) AS SysRowVersion,
-           o_totalprice AS amount
-    FROM orders, n
-    WHERE o_orderkey >= CAST(FLOOR(2 * n.c / 3.0) AS BIGINT)
+           CAST(o_orderkey + 2000000000000 AS BIGINT) AS SysRowVersion,
+           o.o_totalprice AS amount
+    FROM r JOIN orders o USING (o_orderkey)
+    WHERE rn > 2 * c // 3
     """,
 )
 def sync_scan_version_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3515,30 +3540,34 @@ def sync_scan_version_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    # rowversion = key + 1M per epoch: epochs own disjoint version bands
+    base = orders.select(k.alias("RecId"), F.col("o_totalprice").alias("amount"))
+    # rank-based epoch cuts (sparse sf1 keys break count-derived
+    # literals); version = epoch * 1e12 + key gives epochs disjoint
+    # version bands at any key magnitude
     cnt = orders.count()
-    cut1, cut2 = cnt // 3, 2 * cnt // 3
+    cut1 = _key_at_rank(base, cnt // 3)
+    cut2 = _key_at_rank(base, 2 * cnt // 3)
     target = ManifestParquetTarget(
         f"{scratch_dir('syncvw_')}/tgt",
         key="RecId",
         n_buckets=16,
         stats_cols=["SysRowVersion"],
     )
+    _EPOCH = 1_000_000_000_000
+    rid = F.col("RecId")
 
-    def epoch(lo, hi, ver_off):
-        sl = orders.filter((k >= lo) & (k < hi)) if hi else orders.filter(k >= lo)
-        return sl.select(
-            k.alias("RecId"),
-            (k + ver_off).alias("SysRowVersion"),
-            F.col("o_totalprice").alias("amount"),
+    def epoch(pred, ver_off):
+        return base.filter(pred).select(
+            "RecId",
+            (rid + ver_off).alias("SysRowVersion"),
+            "amount",
         )
 
-    target.overwrite(epoch(0, cut1, 0))
-    target.append_rows(spark, epoch(cut1, cut2, 1_000_000))
-    target.append_rows(spark, epoch(cut2, None, 2_000_000))
+    target.overwrite(epoch(rid <= cut1, 0))
+    target.append_rows(spark, epoch((rid > cut1) & (rid <= cut2), _EPOCH))
+    target.append_rows(spark, epoch(rid > cut2, 2 * _EPOCH))
 
-    watermark = cut2 + 2_000_000
-    out = target.scan_range(spark, watermark, 10_000_000, col="SysRowVersion")
+    out = target.scan_range(spark, 2 * _EPOCH, 4 * _EPOCH, col="SysRowVersion")
     m = target._load_manifest()
     n_all = sum(len(fs) for fs in m["buckets"].values())
     n_scanned = len(out.inputFiles())
