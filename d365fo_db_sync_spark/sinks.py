@@ -782,6 +782,8 @@ class ManifestParquetTarget(BucketedParquetTarget):
         carried: dict[int, list[str]],
         append: bool = False,
         expected_parent: str | None | object = _UNCHECKED,
+        sort_by_key: bool = False,
+        max_records_per_file: int | None = None,
     ) -> None:
         """Stage ``df`` (bucketed rows) into a fresh version dir, merge
         its freshly-written bucket files with the ``carried``
@@ -810,12 +812,20 @@ class ManifestParquetTarget(BucketedParquetTarget):
         name = f"v_{uuid.uuid4().hex[:12]}"
         staged = os.path.join(self.root, name)
         out = df.withColumn(self.DATA_BUCKET_COL, F.col(self.BUCKET_COL))
-        (
-            out.repartition(self.n_buckets, F.col(self.BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(self.BUCKET_COL)
-            .parquet(staged)
-        )
+        shaped = out.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+        if sort_by_key:
+            # key-clustered layout: rows sorted within each bucket task,
+            # so maxRecordsPerFile splits yield files owning CONTIGUOUS
+            # key ranges — per-file zone maps go from bucket-wide to
+            # range-tight, and scan_range/delete_range prune INSIDE a
+            # bucket instead of only across buckets
+            shaped = shaped.sortWithinPartitions(
+                F.col(self.BUCKET_COL), F.col(self.key)
+            )
+        writer = shaped.write.mode("overwrite")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.partitionBy(self.BUCKET_COL).parquet(staged)
         buckets: dict[int, list[str]] = dict(carried)
         for entry in sorted(os.listdir(staged)):
             if not entry.startswith(f"{self.BUCKET_COL}="):
@@ -1189,7 +1199,13 @@ class ManifestParquetTarget(BucketedParquetTarget):
             inserts, carried=dict(m["buckets"]), append=True, expected_parent=parent
         )
 
-    def compact(self, spark: SparkSession, max_files_per_bucket: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 1,
+        cluster_by_key: bool = False,
+        target_rows_per_file: int | None = None,
+    ) -> int:
         """Small-file maintenance (the lakehouse OPTIMIZE): buckets
         whose manifest references more than ``max_files_per_bucket``
         files are read back and rewritten as one file each; untouched
@@ -1201,7 +1217,17 @@ class ManifestParquetTarget(BucketedParquetTarget):
         ~one file per bucket without ever blocking readers (pointer
         swap) or copying untouched buckets. Returns the number of
         buckets compacted; 0 leaves the table untouched (no empty
-        version is published)."""
+        version is published).
+
+        ``cluster_by_key=True`` is the OPTIMIZE-with-clustering
+        variant: EVERY non-empty bucket rewrites with rows sorted by
+        the key, and ``target_rows_per_file`` caps file size so the
+        sorted stream splits into files owning contiguous key ranges —
+        after which zone maps prune ranges INSIDE buckets (scan_range
+        reads ~range/bucket_span files instead of every file, and
+        delete_range's metadata-only drops apply mid-bucket). The
+        full-rewrite cost is the same deliberate trade Delta's
+        OPTIMIZE ZORDER makes; run it at maintenance cadence."""
         if max_files_per_bucket < 1:
             raise ValueError(
                 f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
@@ -1210,9 +1236,12 @@ class ManifestParquetTarget(BucketedParquetTarget):
         if m is None:
             return 0
         parent = os.path.basename(self.current_path())
-        fat = sorted(
-            b for b, fs in m["buckets"].items() if len(fs) > max_files_per_bucket
-        )
+        if cluster_by_key:
+            fat = sorted(b for b, fs in m["buckets"].items() if fs)
+        else:
+            fat = sorted(
+                b for b, fs in m["buckets"].items() if len(fs) > max_files_per_bucket
+            )
         if not fat:
             return 0
         fat_files = [f for b in fat for f in m["buckets"][b]]
@@ -1222,7 +1251,13 @@ class ManifestParquetTarget(BucketedParquetTarget):
         carried = {b: fs for b, fs in m["buckets"].items() if b not in set(fat)}
         for b in fat:
             carried[b] = []  # staged dirs repopulate the compacted buckets
-        self._write_version(window, carried=carried, expected_parent=parent)
+        self._write_version(
+            window,
+            carried=carried,
+            expected_parent=parent,
+            sort_by_key=cluster_by_key,
+            max_records_per_file=target_rows_per_file,
+        )
         return len(fat)
 
     #: grace period before an unreferenced, never-published ``v_*``

@@ -881,3 +881,45 @@ def test_scan_range_on_secondary_stats_col(spark, tmp_path):
     got_u = t.scan_range(spark, 10.0, 20.0, col="amount")
     assert {r["RecId"] for r in got_u.collect()} == set(range(10, 21))
     assert {os.path.basename(f) for f in got_u.inputFiles()} == all_files
+
+
+def test_clustered_compact_tightens_zone_maps(spark, tmp_path):
+    """cluster_by_key compaction sorts each bucket by key and splits at
+    target_rows_per_file, so files own contiguous key ranges: a narrow
+    scan_range afterwards reads FEWER files than before, with identical
+    rows — and mid-bucket metadata-only range deletes become possible."""
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=2)
+    # interleaved appends: every file's zone map spans ~the whole
+    # keyspace, so range scans cannot prune at all
+    evens = spark.range(0, 2000, 2).select(
+        F.col("id").alias("RecId"),
+        (F.col("id") * 2).alias("SysRowVersion"),
+        F.lit(1.0).alias("amount"),
+    )
+    odds = spark.range(1, 2000, 2).select(
+        F.col("id").alias("RecId"),
+        (F.col("id") * 2).alias("SysRowVersion"),
+        F.lit(2.0).alias("amount"),
+    )
+    t.overwrite(evens)
+    t.append_rows(spark, odds)
+    want = sorted(map(tuple, t.read(spark).collect()))
+
+    before = t.scan_range(spark, 100, 140)
+    n_before = len(before.inputFiles())
+
+    n = t.compact(spark, cluster_by_key=True, target_rows_per_file=200)
+    assert n == 2  # every non-empty bucket re-clustered
+    m = t._load_manifest()
+    assert all(len(fs) >= 4 for fs in m["buckets"].values())  # split files
+    assert sorted(map(tuple, t.read(spark).collect())) == want  # lossless
+
+    after = t.scan_range(spark, 100, 140)
+    assert sorted(r["RecId"] for r in after.collect()) == list(range(100, 141))
+    assert len(after.inputFiles()) < n_before  # zone maps now prune
+
+    # mid-bucket metadata-only delete: a range covering interior files
+    rep = t.delete_range(spark, 400, 1500)
+    assert rep["dropped_files"] >= 1
+    got = {r["RecId"] for r in t.read(spark).collect()}
+    assert got == {k for k in range(2000) if not (400 <= k <= 1500)}
