@@ -183,16 +183,20 @@ class Orchestrator:
                         ManifestParquetTarget,
                     )
 
-                    sink_cls = (
-                        ManifestParquetTarget
-                        if plan.strategy.manifest
-                        else BucketedParquetTarget
-                    )
-                    target: ParquetTarget = sink_cls(
-                        os.path.join(target_root, plan.name),
-                        key=self.engine.config.key,
-                        n_buckets=plan.strategy.buckets,
-                    )
+                    if plan.strategy.manifest:
+                        target: ParquetTarget = ManifestParquetTarget(
+                            os.path.join(target_root, plan.name),
+                            key=self.engine.config.key,
+                            n_buckets=plan.strategy.buckets,
+                            retain_versions=plan.strategy.retain or 1,
+                            stats_cols=list(plan.strategy.stats_cols),
+                        )
+                    else:
+                        target = BucketedParquetTarget(
+                            os.path.join(target_root, plan.name),
+                            key=self.engine.config.key,
+                            n_buckets=plan.strategy.buckets,
+                        )
                 else:
                     target = ParquetTarget(os.path.join(target_root, plan.name))
                 fetcher = Fetcher(

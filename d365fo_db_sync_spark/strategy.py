@@ -10,6 +10,8 @@ Grammar (ParseStrategyLine, CopyOrchestrator.cs:1691-1801):
     + " -buckets N" (engine ext.)          -> partial-rewrite bucketed sink
     + " -buckets N -manifest" (engine ext.)-> object-store manifest sink
     + " -evolve" (engine ext.)             -> widen-and-retain schema drift
+    + " -retain N" (engine ext.)           -> manifest time-travel window
+    + " -statscols a,b" (engine ext.)      -> extra zone-mapped columns
 
 SQL templates must contain ``*`` (expanded to the copyable field list)
 and may use ``@recordCount`` and ``@sysRowVersionFilter`` — the latter is
@@ -57,6 +59,13 @@ class Strategy:
     #: and retains (NULL backfill) instead of erroring on new/dropped
     #: columns (sinks merge evolve_schema / SyncEngine rewrite align)
     evolve: bool = False
+    #: engine extension: with -manifest, the time-travel window
+    #: (sinks.ManifestParquetTarget retain_versions)
+    retain: int | None = None
+    #: engine extension: with -manifest, extra zone-mapped columns
+    #: (sinks.ManifestParquetTarget stats_cols) — e.g. the rowversion
+    #: column for file-skipping watermark scans
+    stats_cols: tuple[str, ...] = ()
 
 
 class StrategyParseError(ValueError):
@@ -79,6 +88,8 @@ def parse_strategy_line(line: str) -> Strategy:
     buckets: int | None = None
     manifest = False
     evolve = False
+    retain: int | None = None
+    stats_cols: tuple[str, ...] = ()
     # trailing flags, any order: " -truncate" (reference), " -buckets N"
     # (engine extension — partial-rewrite target), " -manifest" (engine
     # extension — object-store manifest carry-forward; requires -buckets),
@@ -106,9 +117,34 @@ def parse_strategy_line(line: str) -> Strategy:
             evolve = True
             working = working[: m.start()].strip()
             continue
+        m = re.search(r"\s+-retain\s+(\d+)$", working, re.IGNORECASE)
+        if m:
+            retain = int(m.group(1))
+            if retain < 1:
+                raise StrategyParseError("Invalid format: -retain must be >= 1")
+            working = working[: m.start()].strip()
+            continue
+        m = re.search(r"\s+-statscols\s+([\w,]+)$", working, re.IGNORECASE)
+        if m:
+            stats_cols = tuple(c for c in m.group(1).split(",") if c)
+            if not stats_cols:
+                raise StrategyParseError(
+                    "Invalid format: -statscols needs column names"
+                )
+            working = working[: m.start()].strip()
+            continue
         break
     if manifest and buckets is None:
         raise StrategyParseError("Invalid format: -manifest requires -buckets N")
+    if (retain is not None or stats_cols) and not manifest:
+        raise StrategyParseError(
+            "Invalid format: -retain/-statscols require -manifest"
+        )
+
+    def _finish(st: Strategy) -> Strategy:
+        st.retain = retain
+        st.stats_cols = stats_cols
+        return st
 
     parts = working.split("|")
     if not parts or not parts[0].strip():
@@ -116,11 +152,11 @@ def parse_strategy_line(line: str) -> Strategy:
     table = parts[0].strip()
 
     if len(parts) == 1:
-        return Strategy(table=table, use_truncate=use_truncate, buckets=buckets, manifest=manifest, evolve=evolve)
+        return _finish(Strategy(table=table, use_truncate=use_truncate, buckets=buckets, manifest=manifest, evolve=evolve))
 
     part1 = parts[1].strip()
     if part1.lower().startswith("sql:"):
-        return _parse_sql(table, part1, None, use_truncate, buckets, manifest, evolve)
+        return _finish(_parse_sql(table, part1, None, use_truncate, buckets, manifest, evolve))
 
     count = try_parse_record_count(part1)
     if count is not None:
@@ -129,9 +165,9 @@ def parse_strategy_line(line: str) -> Strategy:
         if len(parts) >= 3:
             part2 = parts[2].strip()
             if part2.lower().startswith("sql:"):
-                return _parse_sql(table, part2, count, use_truncate, buckets, manifest, evolve)
+                return _finish(_parse_sql(table, part2, count, use_truncate, buckets, manifest, evolve))
             raise StrategyParseError(f"Invalid format: unexpected '{part2}' after record count")
-        return Strategy(table=table, record_count=count, use_truncate=use_truncate, buckets=buckets, manifest=manifest, evolve=evolve)
+        return _finish(Strategy(table=table, record_count=count, use_truncate=use_truncate, buckets=buckets, manifest=manifest, evolve=evolve))
 
     raise StrategyParseError(
         f"Invalid format: '{part1}' is not a valid strategy (expected number or 'sql:...')"

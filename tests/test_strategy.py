@@ -151,3 +151,35 @@ def test_parse_manifest_flag():
         parse_strategy_line("T -manifest")
     # plain -buckets stays non-manifest
     assert parse_strategy_line("T -buckets 4").manifest is False
+
+
+def test_retain_and_statscols_flags():
+    from d365fo_db_sync_spark.strategy import parse_strategy_line
+
+    st = parse_strategy_line(
+        "CUSTTABLE|10m -buckets 32 -manifest -retain 3 -statscols SysRowVersion,ts"
+    )
+    assert st.buckets == 32 and st.manifest
+    assert st.retain == 3
+    assert st.stats_cols == ("SysRowVersion", "ts")
+    # order-independent with other flags
+    st2 = parse_strategy_line(
+        "T|sql:select * from T -statscols v -retain 2 -manifest -buckets 8"
+    )
+    assert st2.retain == 2 and st2.stats_cols == ("v",) and st2.sql_template
+
+
+def test_retain_statscols_require_manifest():
+    import pytest as _p
+
+    from d365fo_db_sync_spark.strategy import (
+        StrategyParseError,
+        parse_strategy_line,
+    )
+
+    with _p.raises(StrategyParseError, match="require -manifest"):
+        parse_strategy_line("T|100 -buckets 8 -retain 2")
+    with _p.raises(StrategyParseError, match="require -manifest"):
+        parse_strategy_line("T|100 -statscols v")
+    with _p.raises(StrategyParseError, match="-retain"):
+        parse_strategy_line("T|100 -buckets 8 -manifest -retain 0")
