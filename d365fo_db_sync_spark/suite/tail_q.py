@@ -3573,3 +3573,51 @@ def sync_scan_version_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_scanned = len(out.inputFiles())
     assert 0 < n_scanned < n_all, (n_scanned, n_all)  # epochs 1-2 skipped
     return out
+
+
+def _incremental_clusters_oracle() -> str:
+    from d365fo_db_sync_spark.suite.dedup_q import _clusters_oracle
+
+    return _clusters_oracle()
+
+
+@register("dedup_incremental_clusters", oracle=_incremental_clusters_oracle())
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (graph.update_components,
+    suite-visible in r7): the corpus's near-dup pairs are split into a
+    HISTORY batch (both endpoints in the ~80% old slice) and an
+    ARRIVAL batch (any endpoint new); components are computed over
+    history, then the arrivals fold in via update_components — star
+    edges from the old labels plus only the new batch, so the
+    incremental cost tracks the batch, not the corpus. The oracle is
+    the FULL recompute (the same recursive-CTE cluster oracle as
+    dedup_near_dup_clusters), so 'incremental == from-scratch' is
+    value-checked per document cross-engine, including the case where
+    an arrival edge merges two old clusters."""
+    from d365fo_db_sync_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = dedup.shingle_sets(docs, "doc_id", "text", 3).persist()
+    cands = dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=32, shingle_n=3, sets=sets
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, candidates=cands, sets=sets
+    ).select("id_a", "id_b")
+    # membership split is hash-free and distribution-agnostic (sf1
+    # shifts ids): ~80% "old", the rest "new arrivals"
+    is_new = lambda c: F.pmod(F.col(c), F.lit(5)) == 0  # noqa: E731
+    old_pairs = pairs.filter(~is_new("id_a") & ~is_new("id_b"))
+    new_pairs = pairs.filter(is_new("id_a") | is_new("id_b"))
+    labels0 = graph.connected_components(old_pairs, src="id_a", dst="id_b")
+    merged = graph.update_components(labels0, new_pairs, src="id_a", dst="id_b")
+    comp = merged.withColumnRenamed("node", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_id"))
+    )
