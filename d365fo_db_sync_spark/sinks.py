@@ -651,11 +651,21 @@ class ManifestParquetTarget(BucketedParquetTarget):
         }
 
     def _file_key_stats(self, path: str) -> dict:
-        """Footer-derived zone map for ``self.key`` in one parquet file:
-        ``{"rows": n, "min": x, "max": y}`` — min/max omitted when any
-        row group lacks statistics or the values aren't JSON-scalar
-        (absent zone map = file is always scanned, never wrongly
-        skipped)."""
+        """Footer-derived zone map for ``self.key`` (plus
+        ``stats_cols``) in one parquet file: ``{"rows": n, "min": x,
+        "max": y, "cols": {...}}`` — min/max omitted when any row group
+        lacks statistics or the values aren't JSON-scalar (absent zone
+        map = file is always scanned, never wrongly skipped).
+
+        String-stats safety note: parquet writers may TRUNCATE long
+        binary min/max statistics, but the spec-compliant truncation
+        keeps them valid bounds (min rounded down, max rounded UP by
+        incrementing the last byte; oversized stats are omitted
+        entirely → has_min_max False here). Valid-but-loose bounds
+        only make the range classifications MORE conservative —
+        "wholly outside" and "wholly covered" can never become wrongly
+        true — so delete_range/scan_range stay row-exact under
+        truncation."""
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
