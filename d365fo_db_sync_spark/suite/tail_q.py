@@ -3621,3 +3621,61 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_survivor", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+@register(
+    "approx_quantile_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_extendedprice, 0.5) AS DECIMAL(18, 2))
+             AS exact_p50,
+           CAST(quantile_disc(l_extendedprice, 0.95) AS DECIMAL(18, 2))
+             AS exact_p95,
+           TRUE AS p50_within, TRUE AS p95_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch verification (r7), the percentile sibling of
+    approx_distinct_bounds: percentile_approx's Greenwald-Khanna
+    sketch is engine-specific, so the oracle-facing columns are the
+    EXACT discrete percentiles (actual data values — interpolation-free,
+    so DECIMAL-routed bit parity with DuckDB's quantile_disc holds) plus booleans asserting the sketch landed
+    within the rank-error band — checked in-engine as a RANK bound
+    (the sketch's actual contract: its result sits within eps*n ranks
+    of the true percentile), not a value band, so skewed price gaps
+    can't produce spurious failures. At 100 TB the sketch replaces the
+    full-sort exact percentile — single-pass, mergeable, bounded
+    memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10_000  # percentile_approx accuracy: eps = 1/acc rank error
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("ex50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").alias("ex95"),
+        F.expr(f"percentile_approx(l_extendedprice, 0.5, {acc})").alias("ap50"),
+        F.expr(f"percentile_approx(l_extendedprice, 0.95, {acc})").alias("ap95"),
+        F.count("*").alias("n"),
+    )
+    # rank the sketch values in a second pass (a sketch can't nest
+    # inside another aggregate): the 3-row group frame broadcasts back
+    ranks = (
+        li.join(F.broadcast(agg), on="l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum((F.col("l_extendedprice") <= F.col("ap50")).cast("long")).alias(
+                "rank50"
+            ),
+            F.sum((F.col("l_extendedprice") <= F.col("ap95")).cast("long")).alias(
+                "rank95"
+            ),
+        )
+    )
+    out = agg.join(ranks, on="l_returnflag")
+    eps_slack = F.col("n") / acc + 1  # eps*n ranks + discreteness
+    return out.select(
+        "l_returnflag",
+        F.col("ex50").cast("decimal(18,2)").alias("exact_p50"),
+        F.col("ex95").cast("decimal(18,2)").alias("exact_p95"),
+        (F.abs(F.col("rank50") - 0.5 * F.col("n")) <= eps_slack).alias("p50_within"),
+        (F.abs(F.col("rank95") - 0.95 * F.col("n")) <= eps_slack).alias("p95_within"),
+    )
