@@ -1364,6 +1364,59 @@ class ManifestParquetTarget(BucketedParquetTarget):
                     os.remove(manifest)
         return removed
 
+    def layout_report(self, small_file_rows: int = 10_000) -> dict:
+        """Metadata-only layout health check — the input to a
+        maintenance decision, computed entirely from the live manifest
+        (no file IO, no Spark job):
+
+        * ``n_files`` / ``files_per_bucket_max`` / ``small_files``
+          (files under ``small_file_rows``) — small-file pressure, the
+          signal for :meth:`compact`;
+        * ``zone_overlap_frac`` — of the buckets with ≥2 zone-mapped
+          files, the fraction of file pairs whose key ranges OVERLAP:
+          ~0 on a range-clustered layout (scan_range/delete_range
+          prune well), ~1 after interleaved appends — the signal for
+          ``compact(cluster_by_key=True)``;
+        * ``recommendations`` — the derived action list ("compact",
+          "cluster"), empty when the layout is healthy.
+        """
+        m = self._load_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no live version under {self.root}")
+        stats = m["stats"]
+        n_files = small = 0
+        per_bucket: list[int] = []
+        pairs = overlapping = 0
+        for fs in m["buckets"].values():
+            per_bucket.append(len(fs))
+            n_files += len(fs)
+            zoned = []
+            for f in fs:
+                st = stats.get(f, {})
+                if st.get("rows", small_file_rows) < small_file_rows:
+                    small += 1
+                if "min" in st and "max" in st:
+                    zoned.append((st["min"], st["max"]))
+            for i in range(len(zoned)):
+                for j in range(i + 1, len(zoned)):
+                    pairs += 1
+                    if zoned[i][0] <= zoned[j][1] and zoned[j][0] <= zoned[i][1]:
+                        overlapping += 1
+        overlap = (overlapping / pairs) if pairs else 0.0
+        recs = []
+        if per_bucket and max(per_bucket) > 4:
+            recs.append("compact")
+        if overlap > 0.5:
+            recs.append("cluster")
+        return {
+            "n_buckets_used": sum(1 for n in per_bucket if n),
+            "n_files": n_files,
+            "files_per_bucket_max": max(per_bucket) if per_bucket else 0,
+            "small_files": small,
+            "zone_overlap_frac": round(overlap, 4),
+            "recommendations": recs,
+        }
+
     def export_version(self, name: str, dest_root: str) -> "ManifestParquetTarget":
         """Materialize version ``name`` as a STANDALONE table at
         ``dest_root`` — the dataset-release step: a training snapshot

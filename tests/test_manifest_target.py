@@ -923,3 +923,40 @@ def test_clustered_compact_tightens_zone_maps(spark, tmp_path):
     assert rep["dropped_files"] >= 1
     got = {r["RecId"] for r in t.read(spark).collect()}
     assert got == {k for k in range(2000) if not (400 <= k <= 1500)}
+
+
+def test_layout_report_drives_maintenance(spark, tmp_path):
+    """The layout advisor reads ONLY the manifest: interleaved appends
+    raise zone_overlap_frac and the file counts until it recommends
+    cluster/compact; after clustered compaction the report is clean."""
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=2)
+    t.overwrite(
+        spark.range(0, 1000, 2).select(
+            F.col("id").alias("RecId"),
+            F.col("id").alias("SysRowVersion"),
+            F.lit(1.0).alias("amount"),
+        )
+    )
+    for k in range(5):  # interleaved appends: full-span files pile up
+        t.append_rows(
+            spark,
+            spark.range(1 + k, 1000, 10).select(
+                F.col("id").alias("RecId"),
+                F.col("id").alias("SysRowVersion"),
+                F.lit(2.0).alias("amount"),
+            ),
+        )
+    rep = t.layout_report(small_file_rows=10_000)
+    assert rep["files_per_bucket_max"] > 4
+    assert rep["zone_overlap_frac"] > 0.5
+    assert set(rep["recommendations"]) == {"compact", "cluster"}
+    assert rep["small_files"] == rep["n_files"]  # all tiny here
+
+    t.compact(spark, cluster_by_key=True, target_rows_per_file=400)
+    rep2 = t.layout_report(small_file_rows=10)
+    # clustered: ranges nearly disjoint (a duplicate key straddling a
+    # file split still counts — both files must be read for that key,
+    # so the metric is honestly conservative)
+    assert rep2["zone_overlap_frac"] <= 0.5 < rep["zone_overlap_frac"]
+    assert rep2["recommendations"] == []
+    assert rep2["small_files"] == 0
