@@ -960,3 +960,29 @@ def test_layout_report_drives_maintenance(spark, tmp_path):
     assert rep2["zone_overlap_frac"] <= 0.5 < rep["zone_overlap_frac"]
     assert rep2["recommendations"] == []
     assert rep2["small_files"] == 0
+
+
+def test_crashed_process_lock_released_by_kernel(spark, tmp_path):
+    """A subprocess takes the publish flock and DIES holding it; the
+    kernel releases the lock with the process, so the next publish
+    proceeds immediately — the exact crash scenario the old
+    mtime-TTL break heuristic existed for, now handled for free."""
+    import subprocess
+    import sys
+
+    t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
+    t.overwrite(_base(spark, 20))
+    lock = t._pointer() + ".lock"
+    code = (
+        "import fcntl, os, sys\n"
+        f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+        "print('locked', flush=True)\n"
+        "os._exit(1)  # die WITHOUT unlocking\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=60
+    )
+    assert "locked" in out.stdout
+    t.merge(spark, _batch(spark))  # must not wait for any TTL
+    assert {r["RecId"] for r in t.read(spark).collect()} >= {9000, 9001}
