@@ -257,9 +257,13 @@ def containment_dedup(
     comp = connected_components(
         pairs.select(a_col, b_col), src=a_col, dst=b_col
     ).withColumnRenamed("node", id_col)
-    paired = docs.select(id_col, F.col(size_col).alias("__sz")).join(
-        F.broadcast(comp), on=id_col
-    )
+    # NULL sizes coalesce to -inf so an all-NULL cluster still elects a
+    # winner (min id) instead of a NULL __winner that would make
+    # is_survivor NULL for every member and filter() drop the cluster
+    paired = docs.select(
+        id_col,
+        F.coalesce(F.col(size_col).cast("long"), F.lit(-(1 << 62))).alias("__sz"),
+    ).join(F.broadcast(comp), on=id_col)
     best = paired.groupBy("component").agg(F.max("__sz").alias("__best_sz"))
     winners = (
         paired.join(best, on="component")
@@ -275,7 +279,8 @@ def containment_dedup(
             id_col,
             F.coalesce("component", F.col(id_col)).alias("cluster_id"),
             (
-                F.col("component").isNull() | (F.col(id_col) == F.col("__winner"))
+                F.col("component").isNull()
+                | F.col(id_col).eqNullSafe(F.col("__winner"))
             ).alias("is_survivor"),
         )
     )

@@ -609,17 +609,21 @@ def ivf_write_incremental(
     Centroids stay a tiny sidecar. Cell→bucket is many-to-one
     (xxhash), so ``n_buckets`` defaults to 2× the cell count to keep
     bucket collisions — and thus probe over-read — low."""
+    import json
     import os
 
-    from d365fo_db_sync_spark.sinks import ManifestParquetTarget, ParquetTarget
+    from d365fo_db_sync_spark.sinks import ParquetTarget
 
     centers = [list(map(float, c)) for c in model.clusterCenters()]
     spark = assigned.sparkSession
-    target = ManifestParquetTarget(
-        os.path.join(root, "vectors"),
-        key="cell",
-        n_buckets=n_buckets or max(2 * len(centers), 8),
-    )
+    used_buckets = n_buckets or max(2 * len(centers), 8)
+    # persist the bucket count: append/probe MUST hash cell->bucket
+    # with the same modulus the writer used — a reader defaulting
+    # differently would prune the wrong buckets and silently lose rows
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_ivf_meta.json"), "w", encoding="utf-8") as f:
+        json.dump({"n_buckets": used_buckets}, f)
+    target = _incremental_target(root, len(centers), used_buckets)
     target.overwrite(assigned)
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "cell int, centroid array<double>"
@@ -629,10 +633,16 @@ def ivf_write_incremental(
 
 
 def _incremental_target(root: str, n_centers: int, n_buckets: int | None):
+    import json
     import os
 
     from d365fo_db_sync_spark.sinks import ManifestParquetTarget
 
+    if n_buckets is None:
+        meta = os.path.join(root, "_ivf_meta.json")
+        if os.path.exists(meta):
+            with open(meta, encoding="utf-8") as f:
+                n_buckets = int(json.load(f)["n_buckets"])
     return ManifestParquetTarget(
         os.path.join(root, "vectors"),
         key="cell",
@@ -675,8 +685,14 @@ def ivf_append_incremental(
         .select(id_col, vec_col, "norm", "cell")
     )
     target = _incremental_target(root, len(centers), n_buckets)
-    n = assigned.count()
-    target.append_rows(spark, assigned)
+    # one materialization: the count and the staged write must see the
+    # same rows, and the assignment join should not run twice
+    assigned = assigned.persist()
+    try:
+        n = assigned.count()
+        target.append_rows(spark, assigned)
+    finally:
+        assigned.unpersist()
     return n
 
 

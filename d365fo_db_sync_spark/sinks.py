@@ -705,6 +705,18 @@ class ManifestParquetTarget(BucketedParquetTarget):
             return None
         return self._manifest_at(path)
 
+    def _live_snapshot(self) -> tuple[str, dict]:
+        """(parent name, manifest) from ONE pointer resolution — every
+        publishing path must derive its plan AND its expected_parent
+        from the same version. Reading them separately leaves a window
+        where an interloper's publish lands between the two reads: the
+        plan is stale but the parent is fresh, so the OCC check PASSES
+        and the publish silently drops the interloper's files."""
+        path = self.current_path()
+        if path is None:
+            raise FileNotFoundError(f"no live version under {self.root}")
+        return os.path.basename(path), self._manifest_at(path)
+
     def versions(self) -> list[str]:
         """Published version names, oldest first, restricted to those
         still readable (manifest present on disk — GC'd versions drop
@@ -1035,8 +1047,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         if not affected:
             return 0
 
-        parent = os.path.basename(self.current_path())
-        m = self._load_manifest()
+        parent, m = self._live_snapshot()
         aff_files = [f for b in affected for f in m["buckets"].get(b, [])]
         window = self._read_files(spark, aff_files, m["schema"]).withColumnRenamed(
             self.DATA_BUCKET_COL, self.BUCKET_COL
@@ -1102,10 +1113,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         files."""
         from pyspark.sql import functions as F
 
-        m = self._load_manifest()
-        if m is None:
-            raise FileNotFoundError(f"no live version under {self.root}")
-        parent = os.path.basename(self.current_path())
+        parent, m = self._live_snapshot()
         carried: dict[int, list[str]] = {}
         rewrite: list[str] = []
         n_drop = n_keep = 0
@@ -1132,7 +1140,10 @@ class ManifestParquetTarget(BucketedParquetTarget):
         )
         key = F.col(self.key)
         survivors = window.filter((key < F.lit(lo)) | (key > F.lit(hi)))
-        deleted_in_rewrite = window.count() - survivors.count() if rewrite else 0
+        # rewrite-set row total comes from the manifest stats ("rows"
+        # is recorded unconditionally per file) — no extra data scan
+        rewrite_rows = sum(m["stats"].get(f, {}).get("rows", 0) for f in rewrite)
+        deleted_in_rewrite = rewrite_rows - survivors.count() if rewrite else 0
         return {
             "parent": parent,
             "carried": carried,
@@ -1156,26 +1167,39 @@ class ManifestParquetTarget(BucketedParquetTarget):
         from pyspark.sql import functions as F
 
         key = F.col(self.key)
-        n_outside = rows.filter((key < F.lit(lo)) | (key > F.lit(hi))).count()
-        if n_outside:
-            raise ValueError(
-                f"{n_outside} replacement rows have {self.key} outside "
-                f"[{lo!r}, {hi!r}] — replace_range only restates the range"
+        # pin ONE materialization of the caller's frame: a
+        # nondeterministic input re-evaluated per job could pass the
+        # range validation yet stage different rows
+        rows = rows.persist()
+        try:
+            counts = rows.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    ((key < F.lit(lo)) | (key > F.lit(hi))).cast("long")
+                ).alias("n_outside"),
+            ).collect()[0]
+            if counts["n_outside"]:
+                raise ValueError(
+                    f"{counts['n_outside']} replacement rows have {self.key} "
+                    f"outside [{lo!r}, {hi!r}] — replace_range only restates "
+                    "the range"
+                )
+            plan = self._range_removal_plan(spark, lo, hi)
+            staged = plan["survivors"].unionByName(
+                self._with_bucket(rows), allowMissingColumns=False
             )
-        plan = self._range_removal_plan(spark, lo, hi)
-        staged = plan["survivors"].unionByName(
-            self._with_bucket(rows), allowMissingColumns=False
-        )
-        self._write_version(
-            staged, carried=plan["carried"], append=True,
-            expected_parent=plan["parent"],
-        )
+            self._write_version(
+                staged, carried=plan["carried"], append=True,
+                expected_parent=plan["parent"],
+            )
+        finally:
+            rows.unpersist()
         return {
             **{k: plan[k] for k in (
                 "dropped_files", "rewritten_files", "untouched_files",
                 "deleted_rows",
             )},
-            "inserted_rows": rows.count(),
+            "inserted_rows": int(counts["n"]),
         }
 
     def vacuum(self) -> list[str]:
@@ -1203,8 +1227,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         if not self.exists():
             self.overwrite(inserts)
             return
-        parent = os.path.basename(self.current_path())
-        m = self._load_manifest()
+        parent, m = self._live_snapshot()
         self._write_version(
             inserts, carried=dict(m["buckets"]), append=True, expected_parent=parent
         )
@@ -1242,10 +1265,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
             raise ValueError(
                 f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
             )
-        m = self._load_manifest()
-        if m is None:
+        if not self.exists():
             return 0
-        parent = os.path.basename(self.current_path())
+        parent, m = self._live_snapshot()
         if cluster_by_key:
             fat = sorted(b for b, fs in m["buckets"].items() if fs)
         else:
@@ -1337,15 +1359,19 @@ class ManifestParquetTarget(BucketedParquetTarget):
                     # bucket subdirs, so the top-level mtime can go
                     # stale while the write is very much alive.
                     try:
+                        # FULL tree walk: an in-flight Spark write's
+                        # activity lives arbitrarily deep
+                        # (v_x/_temporary/<job>/.../attempt_*/part-...),
+                        # so shallow sampling would judge a live
+                        # long-running stage stale. A staged dir is
+                        # bounded (buckets + the task-attempt tree), so
+                        # the walk is cheap for a GC pass.
                         mtimes = [os.path.getmtime(path)]
-                        for sub in os.listdir(path):
-                            sp = os.path.join(path, sub)
-                            mtimes.append(os.path.getmtime(sp))
-                            if os.path.isdir(sp):
-                                mtimes += [
-                                    os.path.getmtime(os.path.join(sp, s2))
-                                    for s2 in os.listdir(sp)
-                                ]
+                        for root_d, dirs, files in os.walk(path):
+                            for name in dirs + files:
+                                mtimes.append(
+                                    os.path.getmtime(os.path.join(root_d, name))
+                                )
                         age = time.time() - max(mtimes)
                     except OSError:
                         continue  # raced with its publisher/another GC

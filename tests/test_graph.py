@@ -331,3 +331,18 @@ def test_containment_dedup_matches_union_find_model(spark):
             for r in containment_dedup(docs, pairs).collect()
         }
         assert got == expect, f"seed={seed}"
+
+
+def test_containment_dedup_all_null_sizes_still_elects_winner(spark):
+    from d365fo_db_sync_spark.operators.graph import containment_dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (9, 4)], "doc_id long, __size long"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: r["is_survivor"]
+        for r in containment_dedup(docs, pairs).collect()
+    }
+    # NULL sizes: min-id wins, is_survivor is never NULL
+    assert out == {1: True, 2: False, 9: True}

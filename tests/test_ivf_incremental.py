@@ -123,3 +123,28 @@ def test_probe_reads_only_probed_buckets(spark, tmp_path):
     assert 0 < len(scan) < len(full)
     # and cell 0's rows are all present in the probed read
     assert probed.filter("cell = 0").count() == assigned.filter("cell = 0").count()
+
+
+def test_nondefault_bucket_count_persists_in_meta(spark, tmp_path):
+    """A writer's n_buckets is recorded in _ivf_meta.json; appenders
+    and probes that omit the parameter recover it instead of hashing
+    cell->bucket with a different modulus and pruning wrong buckets."""
+    base = _vecs(spark, 200)
+    assigned, model = ivf_index(base, n_lists=8)
+    root = str(tmp_path / "ivf")
+    ivf_write_incremental(assigned, model, root, n_buckets=100)  # non-default
+
+    new = _vecs(spark, 20, seed=77, id_start=5_000)
+    assert ivf_append_incremental(spark, root, new) == 20  # no n_buckets arg
+
+    q = new.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    got = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in ivf_topk_incremental(spark, root, q, k=3, n_probes=8).collect()
+    }
+    union = base.unionByName(new)
+    want = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(union, q, k=3).collect()
+    }
+    assert got == want and len(got) == 6
