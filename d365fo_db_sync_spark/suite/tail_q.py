@@ -3679,3 +3679,83 @@ def approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("rank50") - 0.5 * F.col("n")) <= eps_slack).alias("p50_within"),
         (F.abs(F.col("rank95") - 0.95 * F.col("n")) <= eps_slack).alias("p95_within"),
     )
+
+
+@register(
+    "pipeline_lakehouse_maintenance_e2e",
+    oracle="""
+    WITH r AS (SELECT o_orderkey,
+                      ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+                      COUNT(*) OVER () AS c
+               FROM orders)
+    SELECT CAST(o_orderkey AS BIGINT) AS RecId,
+           CAST(o_orderkey * 2 AS BIGINT) AS SysRowVersion,
+           o.o_totalprice AS amount
+    FROM r JOIN orders o USING (o_orderkey)
+    WHERE rn <= c // 3 OR rn > 2 * c // 3
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT) AS RecId,
+           CAST(8888888 AS BIGINT) AS SysRowVersion,
+           CAST(o.o_totalprice + 1 AS DOUBLE) AS amount
+    FROM r JOIN orders o USING (o_orderkey)
+    WHERE rn > c // 3 AND rn <= 2 * c // 3 AND o_orderkey % 3 = 0
+    """,
+)
+def pipeline_lakehouse_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7 lakehouse maintenance lifecycle as ONE oracled story:
+    interleaved half-corpus appends degrade the layout (advisor reports
+    high zone overlap, recommends cluster); clustered compaction
+    restores range-tight files (advisor clean, overlap drops); then the
+    middle key-tertile is ATOMICALLY restated via replace_range — and
+    because clustering made files range-tight, part of the deletion
+    goes metadata-only even though ingestion was interleaved. Every
+    stage's precondition is asserted in-query (advisor verdicts, the
+    metadata-drop count) and the oracle value-checks the final state
+    row-for-row: survivors outside the tertile plus the restated
+    every-third-key batch."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("RecId"),
+        (k * 2).alias("SysRowVersion"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    cnt = orders.count()
+    rid = F.col("RecId")
+    target = ManifestParquetTarget(
+        f"{scratch_dir('synclm_')}/tgt", key="RecId", n_buckets=8
+    )
+    # interleaved ingest: parity halves land in separate commits, so
+    # every file's zone map spans ~the whole keyspace
+    target.overwrite(base.filter(rid % 2 == 0))
+    target.append_rows(spark, base.filter(rid % 2 == 1))
+    rep = target.layout_report()
+    assert rep["zone_overlap_frac"] > 0.5, rep  # degraded, as built
+    assert "cluster" in rep["recommendations"], rep
+
+    # ~8 files per bucket: file spans ~1/8 of each bucket's keyspace,
+    # narrow enough that the middle-third deletion wholly covers
+    # interior files (4-file splits only make quartiles, which always
+    # straddle the tertile bounds)
+    rows_per_file = max(cnt // 64, 50)
+    target.compact(spark, cluster_by_key=True, target_rows_per_file=rows_per_file)
+    rep2 = target.layout_report()
+    assert rep2["zone_overlap_frac"] < rep["zone_overlap_frac"], (rep, rep2)
+
+    lo = _key_at_rank(base, cnt // 3 + 1)
+    hi = _key_at_rank(base, 2 * cnt // 3)
+    restated = base.filter((rid >= lo) & (rid <= hi) & (rid % 3 == 0)).select(
+        "RecId",
+        F.lit(8_888_888).alias("SysRowVersion"),
+        (F.col("amount") + 1).alias("amount"),
+    )
+    rep3 = target.replace_range(spark, lo, hi, restated)
+    if cnt >= 5_000:
+        # clustering earned metadata-only drops despite interleaved
+        # ingest (tiny corpora produce one file per bucket — nothing
+        # interior to drop — so the assert gates on size)
+        assert rep3["dropped_files"] >= 1, rep3
+    return target.read(spark)
