@@ -103,6 +103,77 @@ def exact_contamination(
     )
 
 
+def semantic_contamination(
+    corpus_vecs: DataFrame,
+    needle_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    needle_id_col: str = "bench_id",
+) -> DataFrame:
+    """Embedding-space contamination scores: for every corpus vector,
+    the max cosine similarity against ANY benchmark needle vector and
+    which needle achieved it — the third leg of the decontamination
+    family (n-gram :func:`benchmark_overlap`, verbatim
+    :func:`exact_contamination`, and this semantic variant, the
+    paraphrase-robust rule n-grams miss).
+
+    Returns one row per corpus vector: ``(id_col, best_needle,
+    max_cos)`` with ``max_cos`` at full float64 precision (callers
+    round/threshold; see the suite query). ``best_needle`` is the
+    argmax at full precision with needle-id ascending as tie-break, so
+    the result is deterministic and partitioning-invariant.
+
+    Scale shape: mirrors :func:`exact_contamination` — the needle side
+    (an eval suite: thousands of vectors at most) is collected once and
+    shipped in the UDF closure; the corpus streams through
+    ``mapInPandas`` in Arrow batches and each batch scores against the
+    whole needle matrix as ONE float64 GEMM (BLAS), emitting exactly
+    one row per corpus vector. The corpus is never shuffled and no
+    |corpus| x |needles| pair set ever materializes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    n_rows = sorted(
+        needle_vecs.select(needle_id_col, vec_col).collect(),
+        key=lambda r: r[needle_id_col],
+    )
+    if not n_rows:
+        raise ValueError("needle_vecs is empty — nothing to screen against")
+    nids = np.array([r[needle_id_col] for r in n_rows], dtype=np.int64)
+    nmat = np.array([list(r[vec_col]) for r in n_rows], dtype=np.float64)
+    nnorm = np.linalg.norm(nmat, axis=1)
+
+    schema = StructType(
+        [
+            StructField(id_col, corpus_vecs.schema[id_col].dataType),
+            StructField("best_needle", needle_vecs.schema[needle_id_col].dataType),
+            StructField("max_cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            scores = (cmat @ nmat.T) / np.outer(cnorm, nnorm)
+            # argmax at full precision; needles are sorted by id so
+            # np.argmax's first-max rule IS the id-ascending tie-break
+            best = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "best_needle": nids[best],
+                    "max_cos": scores[np.arange(len(ids)), best],
+                }
+            )
+
+    return corpus_vecs.select(id_col, vec_col).mapInPandas(score, schema)
+
+
 def decontaminate(
     corpus: DataFrame,
     bench: DataFrame,

@@ -3759,3 +3759,49 @@ def pipeline_lakehouse_maintenance_e2e(spark: SparkSession, sf_dir: str) -> Data
         # interior to drop — so the assert gates on size)
         assert rep3["dropped_files"] >= 1, rep3
     return target.read(spark)
+
+
+@register(
+    "decontam_semantic_flags",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id AS bench_id, e AS ne FROM v WHERE vec_id % 37 = 0),
+    c AS (SELECT vec_id, e AS ce FROM v WHERE vec_id % 37 <> 0),
+    scored AS (
+      SELECT c.vec_id, n.bench_id,
+             list_cosine_similarity(c.ce, n.ne) AS cos
+      FROM c, n),
+    ranked AS (
+      SELECT vec_id, bench_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, bench_id) AS rnk
+      FROM scored)
+    SELECT vec_id, bench_id AS best_needle, ROUND(cos, 6) AS max_cos
+    FROM ranked WHERE rnk = 1 AND ROUND(cos, 6) >= 0.25
+    """,
+)
+def decontam_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the third leg of the decontam family
+    (n-gram overlap, verbatim answer match, and now embedding cosine,
+    the paraphrase-robust rule the other two miss). Needles are the
+    vec_id % 37 slice standing in for a benchmark's embedded eval
+    items; every other vector is corpus. The operator
+    (operators/decontam.semantic_contamination) ships the needle
+    matrix in the UDF closure and streams the corpus through ONE
+    float64 GEMM per Arrow batch — one output row per corpus vector,
+    no |corpus| x |needles| pair set, no corpus shuffle. The oracle
+    recomputes every pairwise cosine in DuckDB and value-checks the
+    argmax needle AND the rounded max score of every flagged vector;
+    argmax ties break by needle id at full precision on both sides."""
+    from d365fo_db_sync_spark.operators.decontam import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    needles = emb.filter(vid % 37 == 0).select(
+        vid.alias("bench_id"), "embedding"
+    )
+    corpus = emb.filter(vid % 37 != 0)
+    flags = semantic_contamination(corpus, needles)
+    return flags.select(
+        "vec_id", "best_needle", F.round("max_cos", 6).alias("max_cos")
+    ).filter(F.col("max_cos") >= 0.25)

@@ -215,6 +215,51 @@ def test_decontaminate_drops_contaminated_docs(spark):
     assert {r["doc_id"] for r in clean.collect()} == {1}
 
 
+def test_semantic_contamination_argmax_and_ties(spark):
+    """semantic_contamination: hand-computable cosines, deterministic
+    id-ascending tie-break, one output row per corpus vector, and the
+    empty-needle guard."""
+    import pytest as _pytest
+
+    from d365fo_db_sync_spark.operators.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),  # exactly along needle 10 AND needle 30
+            (1, [0.0, 1.0]),  # exactly along needle 20
+            (2, [1.0, 1.0]),  # cos 1/sqrt(2) to both axes -> tie
+            (3, [-1.0, 0.0]),  # anti-aligned with the x needles
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    needles = spark.createDataFrame(
+        # 10 and 30 are the SAME direction: every x-aligned corpus row
+        # ties between them and must report the smaller id (10)
+        [(20, [0.0, 1.0]), (10, [1.0, 0.0]), (30, [2.0, 0.0])],
+        "bench_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["best_needle"], r["max_cos"])
+        for r in semantic_contamination(corpus, needles).collect()
+    }
+    assert len(out) == 4  # one row per corpus vector, flagged or not
+    assert out[0] == (10, pytest.approx(1.0))
+    assert out[1] == (20, pytest.approx(1.0))
+    assert out[2][0] == 10 and out[2][1] == pytest.approx(2**-0.5)
+    assert out[3][0] == 20 and out[3][1] == pytest.approx(0.0)
+
+    # determinism under repartitioning: same rows, same argmaxes
+    re = {
+        r["vec_id"]: (r["best_needle"], r["max_cos"])
+        for r in semantic_contamination(corpus.repartition(3), needles).collect()
+    }
+    assert re == out
+
+    empty = spark.createDataFrame([], "bench_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        semantic_contamination(corpus, empty)
+
+
 def test_snapshot_progress_reporting(spark, tmp_path):
     from d365fo_db_sync_spark.sinks import ParquetTarget, snapshot
 
