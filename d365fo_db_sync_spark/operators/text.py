@@ -400,3 +400,88 @@ def oov_rate(col: Column | str, vocab: dict[str, int] | list[str]) -> Column:
     vocab_arr = F.lit(sorted(vocab)).cast("array<string>")
     in_vocab = F.size(F.filter(t, lambda x: F.array_contains(vocab_arr, x)))
     return (F.size(t) - in_vocab).cast("double") / F.greatest(F.size(t), F.lit(1))
+
+
+def heavy_hitters_exact(
+    df: DataFrame, text_col: str = "text", k: int = 60
+) -> DataFrame:
+    """EXACT phi-heavy hitters — every token whose global count strictly
+    exceeds N/k (N = total tokens) — in two scans that never shuffle
+    the full token multiset.
+
+    Pass 1 (candidates): each partition counts its own token slice
+    locally (vectorized ``value_counts`` inside ``mapInPandas``) and
+    emits only tokens whose LOCAL count ``c_p`` satisfies
+    ``c_p * k > n_p`` (n_p = the partition's token total) — at most
+    k-1 rows per partition, plus one NULL-token sentinel row carrying
+    n_p. Pigeonhole guarantee: if a token's global count exceeds N/k
+    then in >= 1 partition its local count exceeds that partition's
+    n_p/k (the local shares cannot ALL sit at or below their quota
+    when the global total is above it), so the union of emissions is
+    a SUPERSET of the true heavy hitters. This is the mergeable
+    local-candidates shape of Misra-Gries-style summaries, with exact
+    local counts instead of a decrementing sketch: memory is bounded
+    by per-partition distinct tokens (fine for ~128 MB text splits; a
+    constant-memory SpaceSaving summary is a drop-in if partitions
+    were adversarial).
+
+    Pass 2 (exact verify): candidates stay a DataFrame and are
+    BROADCAST into a left-semi join that drops every non-candidate
+    token map-side BEFORE the groupBy — partial aggregation then
+    collapses each partition to <= |candidates| rows, so the only
+    shuffle in the whole operator carries candidate partials, never
+    the token stream. N rides along as an in-plan 1-row broadcast
+    (no driver collect), and the final ``cnt * k > N`` filter makes
+    the result EXACT — which is why this operator, unlike a sketch,
+    oracles against plain GROUP BY SQL.
+
+    Returns ``(token, cnt, n_total)`` for each heavy hitter.
+    """
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def partition_summary(batches):
+        counts: dict[str, int] = {}
+        n_p = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat = pdf["toks"].explode().dropna()
+            n_p += len(flat)
+            for tok, c in flat.value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+        if n_p == 0:
+            return
+        cand = {t: c for t, c in counts.items() if c * k > n_p}
+        yield pd.DataFrame(
+            {
+                "token": [None] + list(cand.keys()),
+                "cnt": [n_p] + list(cand.values()),
+            }
+        )
+
+    # cached: the summary (<= k rows + 1 sentinel per partition) feeds
+    # both the candidate set and the token total — without it the
+    # pass-1 scan would run once per consumer
+    summ = (
+        df.select(tokens(text_col).alias("toks"))
+        .mapInPandas(partition_summary, "token string, cnt long")
+        .cache()
+    )
+    cands = summ.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = summ.filter(F.col("token").isNull()).agg(
+        F.sum("cnt").alias("n_total")
+    )
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .select("token", "cnt", "n_total")
+    )

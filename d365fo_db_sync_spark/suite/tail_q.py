@@ -3805,3 +3805,33 @@ def decontam_semantic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.select(
         "vec_id", "best_needle", F.round("max_cos", 6).alias("max_cos")
     ).filter(F.col("max_cos") >= 0.25)
+
+
+@register(
+    "text_heavy_hitters_exact",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                t -> t <> '')) AS token
+      FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, tot.n_total
+    FROM toks, tot
+    GROUP BY token, tot.n_total
+    HAVING COUNT(*) * 60 > tot.n_total
+    """,
+)
+def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (count > N/60) via the two-scan
+    local-candidates plan (operators/text.heavy_hitters_exact): each
+    partition emits only tokens over its LOCAL 1/60 quota (pigeonhole
+    superset guarantee, <= 59 rows/partition), then ONE broadcast
+    left-semi join + partial-agg count verifies candidates exactly —
+    the token stream itself is never shuffled, which is the difference
+    between this and a naive GROUP BY at 100 TB (where the shuffle
+    would carry every token occurrence's hash partition write). The
+    result is exact, so the oracle is the naive GROUP BY itself."""
+    from d365fo_db_sync_spark.operators.text import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_exact(docs, "text", k=60)

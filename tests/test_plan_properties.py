@@ -363,3 +363,18 @@ def test_ordered_budget_head_has_no_global_window(spark):
     # plan must carry NO SinglePartition exchange at all
     assert "Exchange SinglePartition" not in plan, plan
     assert uses(df, "Window"), physical_operators(df)
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    """heavy_hitters_exact's verify pass must BROADCAST the candidate
+    set into a left-semi join (map-side drop of non-candidates before
+    the partial agg) — a sort-merge join on token would shuffle the
+    whole token stream, the exact cost the two-scan plan exists to
+    avoid."""
+    from d365fo_db_sync_spark.operators.text import heavy_hitters_exact
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+
+    docs = load_table(spark, SF, "documents")
+    plan = explain_formatted(heavy_hitters_exact(docs, "text", k=60))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -234,3 +234,56 @@ class TestExactContamination:
         )
         assert "BroadcastNestedLoopJoin" in plan
         assert "Exchange hashpartitioning" not in plan  # corpus never shuffled
+
+
+def test_heavy_hitters_exact_matches_naive(spark):
+    """heavy_hitters_exact == naive groupBy-and-threshold on a corpus
+    engineered so candidates differ per partition, and the result is
+    invariant to partitioning (the pigeonhole superset guarantee)."""
+    import pytest
+
+    from d365fo_db_sync_spark.operators.text import heavy_hitters_exact, tokens
+
+    rows = []
+    # "alpha" globally heavy; "beta" heavy only in a few rows; long
+    # tail of singletons that no partition should emit
+    for i in range(40):
+        rows.append((i, "alpha alpha beta tail%d" % i))
+    for i in range(40, 50):
+        rows.append((i, "beta beta beta alpha x%d y%d" % (i, i)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def naive(frame, k):
+        from pyspark.sql import functions as F
+
+        toks = frame.select(F.explode(tokens("text")).alias("token"))
+        n = toks.count()
+        return {
+            (r["token"], r["cnt"], r["n_total"])
+            for r in toks.groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("n_total", F.lit(n))
+            .filter(F.col("cnt") * k > F.col("n_total"))
+            .collect()
+        }
+
+    for k in (5, 20, 60):
+        expected = naive(df, k)
+        got = {
+            (r["token"], r["cnt"], r["n_total"])
+            for r in heavy_hitters_exact(df, "text", k=k).collect()
+        }
+        assert got == expected, (k, got, expected)
+        # partitioning-invariant: skewed single-partition layout and a
+        # wide shuffle produce the identical exact answer
+        for parts in (1, 7):
+            rep = {
+                (r["token"], r["cnt"], r["n_total"])
+                for r in heavy_hitters_exact(
+                    df.repartition(parts), "text", k=k
+                ).collect()
+            }
+            assert rep == expected, (k, parts)
+
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters_exact(df, "text", k=1)
