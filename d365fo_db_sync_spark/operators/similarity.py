@@ -909,3 +909,119 @@ def semantic_dedup(
     return graph.near_dup_clusters(
         df, pairs, id_col=id_col, a_col="id_a", b_col="id_b"
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily select k results per query maximizing
+    ``lam * rel(d) - (1 - lam) * max cosine(d, already-selected)`` —
+    the standard rerank that keeps a retrieval set from collapsing
+    onto near-duplicate passages (the failure mode of pure top-k over
+    a deduplicated-but-still-clumpy corpus).
+
+    Exactness contract: greedy MMR over the ``shortlist``-deep exact
+    cosine pool per query. With ``shortlist >= |corpus|`` this IS full
+    MMR (pinned in tests against an independent naive implementation);
+    smaller shortlists are the standard rerank-pool approximation.
+
+    Scale shape — fully distributed, nothing ever reaches the driver:
+
+    * stage 1: the exact GEMM shortlist (:func:`cosine_topk_bruteforce_np`
+      — per-Arrow-batch matmul + per-batch partial top-k);
+    * stage 2: pool vectors rejoin by BROADCASTING the pool (|queries|
+      x shortlist rows, tiny by construction) so the corpus streams
+      map-side;
+    * stage 3: ONE shuffle of pool rows on the query id, then the
+      greedy runs per query group in ``applyInPandas`` as an
+      O(k x C x d) numpy loop over C = shortlist candidates — bounded
+      per group, embarrassingly parallel across queries.
+
+    The iterative argmax (each step depends on the selected set) is
+    what makes this non-SQL-expressible; determinism comes from full-
+    precision float64 scoring with candidate-id ascending tie-breaks.
+    Returns ``(query_id, rnk, neighbor_id, relevance, mmr_score)``
+    with rnk = selection order (rnk 1 = pure top relevance, by
+    definition of the greedy)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+
+    pool = cosine_topk_bruteforce_np(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, "neighbor_id", F.col("cosine").alias("relevance"))
+    pool_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), vec_col
+    ).join(F.broadcast(pool), on="neighbor_id")
+
+    schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[query_id_col].dataType),
+            StructField("rnk", IntegerType()),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("relevance", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # id-ascending input order makes every argmax tie-break
+        # deterministic (np.argmax returns the FIRST max)
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["relevance"].to_numpy(dtype=np.float64)
+        mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T  # C x C, C = shortlist: bounded, tiny
+        n = len(ids)
+        taken = np.zeros(n, dtype=bool)
+        # penalty = max cosine to the selected set, which is EMPTY at
+        # step 0 (score is pure relevance) and can be NEGATIVE later —
+        # seeding a running max with 0 would silently clamp
+        # anti-aligned candidates' penalties to zero
+        max_sim_to_sel = None
+        out_rnk, out_idx, out_score = [], [], []
+        for step in range(min(k, n)):
+            if max_sim_to_sel is None:
+                score = lam * rel
+            else:
+                score = lam * rel - (1.0 - lam) * max_sim_to_sel
+            score[taken] = -np.inf
+            pick = int(np.argmax(score))
+            taken[pick] = True
+            out_rnk.append(step + 1)
+            out_idx.append(pick)
+            out_score.append(float(score[pick]))
+            col = sims[:, pick]
+            max_sim_to_sel = (
+                col.copy()
+                if max_sim_to_sel is None
+                else np.maximum(max_sim_to_sel, col)
+            )
+        return pd.DataFrame(
+            {
+                query_id_col: pdf[query_id_col].iloc[out_idx].to_numpy(),
+                "rnk": out_rnk,
+                "neighbor_id": ids[out_idx],
+                "relevance": rel[out_idx],
+                "mmr_score": out_score,
+            }
+        )
+
+    return pool_vecs.groupBy(query_id_col).applyInPandas(greedy, schema)

@@ -3835,3 +3835,30 @@ def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitters_exact(docs, "text", k=60)
+
+
+@register("retrieval_mmr_rerank", oracle=None)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k retrieval (operators/similarity.mmr_rerank):
+    exact GEMM shortlist per query, pool rejoin by broadcasting the
+    (|queries| x shortlist)-row pool, then the Carbonell-Goldstein
+    greedy per query group in applyInPandas — fully distributed, no
+    driver materialization. Rows-only by design: each greedy step's
+    argmax depends on the previously selected set, which no SQL
+    recursion DuckDB allows can express (recursive CTEs forbid
+    LIMIT/aggregates in the recursive term); the semantics are pinned
+    instead by tests/test_retrieval.py::
+    test_mmr_rerank_matches_naive_full_mmr — full-MMR equality against
+    an independent pure-Python implementation across lambdas, plus the
+    near-duplicate diversity property that motivates the operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.mmr_rerank(
+        emb, _queries_frame(emb), k=_K, lam=0.7, shortlist=32
+    )
+    return out.select(
+        "query_id",
+        "rnk",
+        "neighbor_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -93,3 +93,96 @@ def test_retrieval_validates_args(spark, corpus):
     feats = hashed_token_features(corpus, "doc_id", "text")
     with pytest.raises(ValueError):
         mips_topk(feats, feats, k=0)
+
+
+def _naive_mmr(qvec, cand, k, lam):
+    """Independent pure-Python full MMR (no numpy, no shortlist):
+    cand = {id: vector}; returns [(rnk, id, relevance, mmr_score)]."""
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    rel = {i: cos(qvec, v) for i, v in cand.items()}
+    selected, out = [], []
+    remaining = sorted(cand)
+    for step in range(min(k, len(cand))):
+        best, best_score = None, None
+        for i in remaining:  # ascending id = tie-break
+            pen = max((cos(cand[i], cand[s]) for s in selected), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * pen
+            if best is None or score > best_score:
+                best, best_score = i, score
+        selected.append(best)
+        remaining.remove(best)
+        out.append((step + 1, best, rel[best], best_score))
+    return out
+
+
+def test_mmr_rerank_matches_naive_full_mmr(spark):
+    """With shortlist >= |corpus|, mmr_rerank IS full MMR: selection
+    order, relevance, and mmr_score all match an independent naive
+    implementation, across lambdas, k, queries, and partitionings."""
+    import random
+
+    import pytest
+
+    from d365fo_db_sync_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(7)
+    n, dim = 24, 6
+    cand = {
+        i: [rng.gauss(0, 1) for _ in range(dim)] for i in range(n)
+    }
+    # plant a near-duplicate pair at high relevance to exercise the
+    # diversity penalty: 100 and 101 are almost identical directions
+    base = [1.0, 0.9, 0.1, 0.0, 0.2, 0.1]
+    cand[100] = base
+    cand[101] = [x * 1.001 + 1e-4 for x in base]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in cand.items()], "vec_id long, embedding array<double>"
+    )
+    qvecs = {-1: [1.0, 1.0, 0.0, 0.0, 0.0, 0.0], -2: [0.0, 0.0, 1.0, 1.0, 0.0, 0.0]}
+    queries = spark.createDataFrame(
+        [(q, v) for q, v in qvecs.items()], "query_id long, embedding array<double>"
+    )
+
+    for lam in (1.0, 0.7, 0.4):
+        got = mmr_rerank(
+            corpus.repartition(5), queries, k=6, lam=lam, shortlist=n + 2
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rnk"], r["neighbor_id"], r["relevance"], r["mmr_score"])
+            )
+        for q, qvec in qvecs.items():
+            expected = _naive_mmr(qvec, cand, k=6, lam=lam)
+            rows = sorted(by_q[q])
+            assert [x[:2] for x in rows] == [x[:2] for x in expected], (lam, q)
+            for g, e in zip(rows, expected):
+                assert g[2] == pytest.approx(e[2], abs=1e-12)
+                assert g[3] == pytest.approx(e[3], abs=1e-12)
+
+    # the diversity property itself: pure relevance (lam=1) takes both
+    # planted near-duplicates back to back; lam=0.5 must not
+    top_lam1 = [
+        r["neighbor_id"]
+        for r in mmr_rerank(corpus, queries, k=2, lam=1.0, shortlist=n + 2)
+        .filter("query_id = -1").orderBy("rnk").collect()
+    ]
+    assert set(top_lam1) == {100, 101}
+    top_div = [
+        r["neighbor_id"]
+        for r in mmr_rerank(corpus, queries, k=2, lam=0.5, shortlist=n + 2)
+        .filter("query_id = -1").orderBy("rnk").collect()
+    ]
+    assert len(set(top_div) & {100, 101}) == 1, top_div
+
+    with pytest.raises(ValueError, match="shortlist"):
+        mmr_rerank(corpus, queries, k=10, shortlist=5)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(corpus, queries, k=2, lam=1.5)
