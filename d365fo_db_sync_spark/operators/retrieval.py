@@ -84,3 +84,62 @@ def mips_topk(
     return scores.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    query_id: str = "query_id",
+    item_id: str = "item_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009):
+    ``score(q, d) = sum over lists L of 1 / (k_rrf + rank_L(q, d))`` —
+    the standard score-free way to combine heterogeneous retrievers
+    (dense cosine + sparse lexical being THE hybrid-search pairing),
+    robust precisely because it ignores incomparable raw scores and
+    uses only ranks.
+
+    Each input frame carries ``(query_id, item_id, rnk)`` — already a
+    bounded top-k-per-query list, so everything downstream is
+    metadata-scale regardless of corpus size: the union of per-list
+    contributions holds <= |queries| x k_list x n_lists rows, ONE
+    groupBy sums them per (query, item), and a rank window cuts the
+    fused top-k with item-id tie-breaks. Items missing from a list
+    simply contribute nothing (the union IS the full-outer merge,
+    without n-way join plumbing).
+
+    Determinism: with two lists the fused sum is a single IEEE
+    addition (order-free); for three or more the groupBy sum order is
+    partition-dependent at ~1e-16 — round fused scores before
+    hash-comparing across engines (contributions are ~1/k_rrf scale,
+    so 6 dp absorbs association noise). Returns ``(query_id, rnk,
+    item_id, n_lists, rrf_score)``."""
+    from functools import reduce
+
+    if not ranked_lists:
+        raise ValueError("need at least one ranked list to fuse")
+    if k <= 0 or k_rrf <= 0:
+        raise ValueError(f"k and k_rrf must be positive, got k={k}, k_rrf={k_rrf}")
+    contribs = reduce(
+        DataFrame.unionByName,
+        [
+            frame.select(
+                F.col(query_id),
+                F.col(item_id),
+                (F.lit(1.0) / (F.lit(k_rrf) + F.col("rnk"))).alias("__c"),
+            )
+            for frame in ranked_lists
+        ],
+    )
+    fused = contribs.groupBy(query_id, item_id).agg(
+        F.sum("__c").alias("rrf_score"), F.count("*").alias("n_lists")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("rrf_score").desc(), F.col(item_id)
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, "rnk", item_id, "n_lists", "rrf_score")
+    )

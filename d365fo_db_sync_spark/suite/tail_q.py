@@ -3862,3 +3862,112 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("relevance", 6).alias("relevance"),
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 125 = 0),
+    dscore AS (
+      SELECT q.query_id, v.vec_id AS item_id,
+             list_cosine_similarity(q.qe, v.e) AS c
+      FROM q JOIN v ON q.query_id <> v.vec_id),
+    dense AS (
+      SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, item_id) AS rnk
+      FROM dscore),
+    t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    cf AS (
+      SELECT doc_id, {_MIPS_BUCKET_SQL} AS bucket, COUNT(*) AS w
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+    qf AS (
+      SELECT doc_id AS query_id, {_MIPS_BUCKET_SQL} AS bucket, COUNT(*) AS w
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t
+            WHERE doc_id % 125 = 0
+              AND doc_id IN (SELECT vec_id FROM embeddings)) GROUP BY 1, 2),
+    sscore AS (
+      SELECT qf.query_id, cf.doc_id AS item_id, SUM(cf.w * qf.w) AS score
+      FROM cf JOIN qf USING (bucket)
+      WHERE cf.doc_id <> qf.query_id GROUP BY 1, 2),
+    sparse AS (
+      SELECT query_id, item_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, item_id) AS rnk
+      FROM sscore),
+    contrib AS (
+      SELECT query_id, item_id, 1.0 / (60 + rnk) AS c
+      FROM dense WHERE rnk <= 10
+      UNION ALL
+      SELECT query_id, item_id, 1.0 / (60 + rnk) AS c
+      FROM sparse WHERE rnk <= 10),
+    fused AS (
+      SELECT query_id, item_id, SUM(c) AS rrf,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM contrib GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, item_id, rrf, n_lists,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, item_id) AS rnk
+      FROM fused)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, item_id, n_lists,
+           ROUND(rrf, 6) AS rrf_score
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: dense cosine top-10 (the GEMM shortlist) fused
+    with sparse lexical MIPS top-10 (feature hashing + posting-list
+    join) by Reciprocal Rank Fusion (operators/retrieval.rrf_fuse) —
+    THE standard two-retriever combination, score-free so the
+    incomparable cosine and integer-inner-product scales never touch.
+    Query set: every 125th embedded document, used as BOTH its dense
+    query vector and its sparse query text; self-matches excluded on
+    both sides. Both legs keep their scale shapes (per-batch partial
+    top-k; broadcast query postings) and the fusion itself is
+    metadata-scale — bounded top-k lists unioned, one groupBy sum,
+    one rank window. With two lists the fused sum is a single IEEE
+    addition, so the oracle value-checks every fused score exactly
+    (rounded 6 dp), plus the per-item list count."""
+    from d365fo_db_sync_spark.operators.retrieval import (
+        hashed_token_features,
+        mips_topk,
+        rrf_fuse,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    vid = F.col("vec_id")
+    queries = emb.filter(vid % 125 == 0).select(
+        vid.alias("query_id"), "embedding"
+    )
+    dense = similarity.cosine_topk_bruteforce_np(
+        emb, queries, k=10, id_col="vec_id", query_id_col="query_id"
+    ).select("query_id", F.col("neighbor_id").alias("item_id"), "rnk")
+
+    qdocs = docs.join(
+        queries.select(F.col("query_id").alias("doc_id")), on="doc_id", how="left_semi"
+    ).select(F.col("doc_id").alias("query_id"), "text")
+    cfeats = hashed_token_features(docs, "doc_id", "text", dims=256)
+    qfeats = hashed_token_features(qdocs, "query_id", "text", dims=256)
+    # mips with self-exclusion: k+1 deep, drop self, re-rank densely
+    raw = mips_topk(
+        cfeats, qfeats, k=11, corpus_id="doc_id", query_id="query_id"
+    ).filter(F.col("doc_id") != F.col("query_id"))
+    from pyspark.sql import Window as W
+
+    rw = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    sparse = (
+        raw.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", F.col("doc_id").alias("item_id"), "rnk")
+    )
+    out = rrf_fuse([dense, sparse], k=10, k_rrf=60)
+    return out.select(
+        "query_id", "rnk", "item_id", "n_lists",
+        F.round("rrf_score", 6).alias("rrf_score"),
+    )

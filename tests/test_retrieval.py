@@ -186,3 +186,47 @@ def test_mmr_rerank_matches_naive_full_mmr(spark):
         mmr_rerank(corpus, queries, k=10, shortlist=5)
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(corpus, queries, k=2, lam=1.5)
+
+
+def test_rrf_fuse_scores_and_outer_merge(spark):
+    """rrf_fuse: exact 1/(k_rrf+rank) sums, items present in only one
+    list still fuse (the union IS the outer merge), ties break on
+    ascending item id, and bad args raise."""
+    import pytest
+
+    from d365fo_db_sync_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, item_id long, rnk int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, item_id long, rnk int",
+    )
+    out = {
+        r["item_id"]: (r["rnk"], r["n_lists"], r["rrf_score"])
+        for r in rrf_fuse([a, b], k=10, k_rrf=60).collect()
+    }
+    assert out[11] == (1, 2, pytest.approx(1 / 62 + 1 / 61))
+    assert out[10] == (2, 1, pytest.approx(1 / 61))
+    assert out[13] == (3, 1, pytest.approx(1 / 62))
+    assert out[12] == (4, 1, pytest.approx(1 / 63))
+
+    # exact tie (same single-list rank) -> ascending item id wins
+    c = spark.createDataFrame(
+        [(2, 7, 1)], "query_id long, item_id long, rnk int"
+    )
+    d = spark.createDataFrame(
+        [(2, 5, 1)], "query_id long, item_id long, rnk int"
+    )
+    tied = [
+        (r["rnk"], r["item_id"])
+        for r in rrf_fuse([c, d], k=10).orderBy("rnk").collect()
+    ]
+    assert tied == [(1, 5), (2, 7)]
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="positive"):
+        rrf_fuse([a], k=0)
