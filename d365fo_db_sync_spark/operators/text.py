@@ -485,3 +485,102 @@ def heavy_hitters_exact(
         .filter(F.col("cnt") * k > F.col("n_total"))
         .select("token", "cnt", "n_total")
     )
+
+
+UNK = "<unk>"
+
+
+def vocab_mapped_tokens(col: Column | str, vocab: "list[str]", unk: str = UNK) -> Column:
+    """Token stream with everything outside ``vocab`` collapsed to the
+    ``unk`` symbol — the closed-vocabulary preprocessing every n-gram
+    LM shares. Pure codegen (transform + array_contains on an array
+    literal)."""
+    varr = F.lit(sorted(vocab)).cast("array<string>")
+    return F.transform(
+        tokens(col),
+        lambda x: F.when(F.array_contains(varr, x), x).otherwise(F.lit(unk)),
+    )
+
+
+def bigram_pairs(mapped: Column) -> Column:
+    """Adjacent-pair strings ("w1 w2") from a mapped token array —
+    tokens cannot contain whitespace (the tokenizer split on it), so
+    the space join is collision-free. zip_with against the tail pads
+    the final element with NULL, which the filter drops; empty and
+    single-token docs yield an empty list."""
+    shifted = F.slice(mapped, 2, F.greatest(F.size(mapped), F.lit(1)))
+    pairs = F.zip_with(
+        mapped,
+        shifted,
+        lambda x, y: F.when(y.isNull(), F.lit(None)).otherwise(
+            F.concat_ws(" ", x, y)
+        ),
+    )
+    return F.filter(pairs, lambda p: p.isNotNull())
+
+
+def bigram_vocab(
+    df: DataFrame, text_col: str, vocab: "list[str]", unk: str = UNK
+) -> DataFrame:
+    """Bigram counts over the vocab-mapped token stream: one explode +
+    groupBy (map-side partial counts). With a closed top-V vocabulary
+    the result is <= (V+1)^2 rows — a sidecar, not a corpus-scale
+    table."""
+    mapped = vocab_mapped_tokens(text_col, vocab, unk)
+    return (
+        df.select(F.explode(bigram_pairs(mapped)).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bigram_logprob(
+    col: Column | str,
+    bigram_lp: "dict[str, float]",
+    fallback_lp: "dict[str, float]",
+    vocab: "list[str]",
+    unk: str = UNK,
+) -> Column:
+    """Mean per-bigram log-probability under an add-one-smoothed
+    bigram LM: ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V + 1)``, with
+    unseen-pair fallback ``ln(1 / (c(w1) + V + 1))`` carried per w1 in
+    ``fallback_lp``, and a final ``ln(1 / (V + 1))`` tier (c(w1) = 0)
+    for a w1 the training stream never produced — e.g. held-out text
+    containing OOV when training had none, so ``fallback_lp`` lacks
+    the unk key. ``bigram_lp`` maps "w1 w2" -> ln P. Both maps ship as
+    two-array literals (``map_from_arrays`` keeps the plan small at
+    ~V^2 entries); at real scale they become a broadcast join against
+    the bigram sidecar, same scores. The fold is the sequential
+    left-to-right HOF ``aggregate`` — deterministic float order, the
+    same order an oracle's list fold applies. Empty/single-token
+    documents score 0.0 over a denominator clamped to 1."""
+    if not fallback_lp:
+        raise ValueError("fallback_lp must cover the vocab (plus unk)")
+    mapped = vocab_mapped_tokens(col, vocab, unk)
+    bigs = bigram_pairs(mapped)
+    bkeys = sorted(bigram_lp)
+    bm = (
+        F.map_from_arrays(
+            F.lit(bkeys).cast("array<string>"),
+            F.lit([float(bigram_lp[k]) for k in bkeys]).cast("array<double>"),
+        )
+        if bigram_lp
+        else F.map_from_arrays(
+            F.lit([]).cast("array<string>"), F.lit([]).cast("array<double>")
+        )
+    )
+    fkeys = sorted(fallback_lp)
+    fm = F.map_from_arrays(
+        F.lit(fkeys).cast("array<string>"),
+        F.lit([float(fallback_lp[k]) for k in fkeys]).cast("array<double>"),
+    )
+    import math
+
+    unseen_w1_lp = -math.log(len(set(vocab)) + 1)
+    total_lp = F.aggregate(
+        bigs,
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.coalesce(bm[b], fm[F.split(b, " ")[0]], F.lit(unseen_w1_lp)),
+    )
+    return total_lp / F.greatest(F.size(bigs), F.lit(1))

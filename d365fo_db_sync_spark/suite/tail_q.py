@@ -3971,3 +3971,96 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rnk", "item_id", "n_lists",
         F.round("rrf_score", 6).alias("rrf_score"),
     )
+
+
+@register(
+    "text_bigram_lm_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+    u0 AS (SELECT unnest(toks) AS tok FROM t),
+    v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM u0 GROUP BY tok
+                           ORDER BY cnt DESC, tok LIMIT {{top_v}}) ),
+    vl AS (SELECT list(tok) AS l, COUNT(*) + 1 AS z FROM v),
+    mt AS (SELECT doc_id, source,
+             list_transform(toks,
+               x -> CASE WHEN list_contains(vl.l, x) THEN x ELSE '<unk>' END) AS m
+           FROM t, vl),
+    uc AS (SELECT tok, COUNT(*) AS c
+           FROM (SELECT unnest(m) AS tok FROM mt) GROUP BY tok),
+    bg AS (SELECT unnest(list_transform(range(greatest(len(m) - 1, 0)),
+                                        i -> m[i+1] || ' ' || m[i+2])) AS b
+           FROM mt),
+    bc AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+    bmv AS (SELECT bc.b,
+                   ln((bc.c + 1) / CAST(uc.c + vl.z AS DOUBLE)) AS lp
+            FROM bc CROSS JOIN vl
+            JOIN uc ON uc.tok = string_split(bc.b, ' ')[1]),
+    bm AS (SELECT map(list(b ORDER BY b), list(lp ORDER BY b)) AS m FROM bmv),
+    fm AS (SELECT map(list(uc.tok ORDER BY uc.tok),
+                      list(-ln(CAST(uc.c + vl.z AS DOUBLE)) ORDER BY uc.tok)) AS m
+           FROM uc CROSS JOIN vl),
+    sc AS (SELECT doc_id, source,
+             list_transform(
+               list_transform(range(greatest(len(mt.m) - 1, 0)),
+                              i -> mt.m[i+1] || ' ' || mt.m[i+2]),
+               b -> coalesce(map_extract(bm.m, b)[1],
+                             map_extract(fm.m, string_split(b, ' ')[1])[1])) AS lps
+           FROM mt, bm, fm),
+    scored AS (SELECT source,
+                 coalesce(list_sum(lps), 0) / greatest(len(lps), 1) AS blp
+               FROM sc)
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(ROUND(blp, 6)), 6) AS avg_bigram_logprob
+    FROM scored GROUP BY source
+    """.replace("{top_v}", str(_LM_TOP_V)),
+)
+def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring per source — the sequence-aware step
+    up from text_unigram_lm_scores: add-one-smoothed
+    P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V+1) over the corpus' own top-V
+    vocabulary with OOV collapsed to <unk>
+    (operators/text.bigram_logprob). Training is two sidecar passes
+    (unigram counts for the vocab + one bigram explode/groupBy, <=
+    (V+1)^2 rows); the learned log-probs ship as two-array map
+    literals (map_from_arrays — at 100 TB these become a broadcast
+    join against the sidecar, same scores). Scoring is one map-side
+    HOF fold per document, same left-to-right order as the oracle's
+    list fold; per-doc scores round to 6 dp before the rollup so the
+    cross-engine ln ulps cannot accumulate past the display round.
+    Scoring the training corpus means every bigram is seen, so the
+    per-w1 fallback branch never fires here (it is exercised on
+    held-out text in tests/test_text_quality.py)."""
+    import math
+
+    from d365fo_db_sync_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = text.unigram_vocab(docs, "text", top_v=_LM_TOP_V).collect()
+    vocab = sorted(r["tok"] for r in top)
+    v1 = len(vocab) + 1
+
+    mapped = text.vocab_mapped_tokens("text", vocab)
+    uc = {
+        r["tok"]: r["c"]
+        for r in docs.select(F.explode(mapped).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    bc = {
+        r["b"]: r["cnt"] for r in text.bigram_vocab(docs, "text", vocab).collect()
+    }
+    fallback_lp = {w: -math.log(c + v1) for w, c in uc.items()}
+    bigram_lp = {
+        b: math.log((c + 1) / (uc[b.split(" ")[0]] + v1)) for b, c in bc.items()
+    }
+    scored = docs.select(
+        "source",
+        F.round(
+            text.bigram_logprob("text", bigram_lp, fallback_lp, vocab), 6
+        ).alias("blp"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("blp"), 6).alias("avg_bigram_logprob"),
+    )

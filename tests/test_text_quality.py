@@ -287,3 +287,61 @@ def test_heavy_hitters_exact_matches_naive(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters_exact(df, "text", k=1)
+
+
+def test_bigram_logprob_heldout_and_fallback_tiers(spark):
+    """bigram_logprob on held-out text: hand-computed add-one values,
+    the per-w1 fallback for unseen pairs, and the final ln(1/(V+1))
+    tier when training never produced the w1 symbol at all."""
+    import math
+
+    import pytest
+
+    from d365fo_db_sync_spark.operators import text
+
+    train = spark.createDataFrame(
+        [(0, "a b a"), (1, "b b")], "doc_id long, text string"
+    )
+    vocab = ["a", "b"]
+    v1 = 3  # |vocab| + 1
+    uc = {
+        r["tok"]: r["c"]
+        for r in train.select(
+            F.explode(text.vocab_mapped_tokens("text", vocab)).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert uc == {"a": 2, "b": 3}
+    bc = {
+        r["b"]: r["cnt"] for r in text.bigram_vocab(train, "text", vocab).collect()
+    }
+    assert bc == {"a b": 1, "b a": 1, "b b": 1}
+    blp = {b: math.log((c + 1) / (uc[b.split(" ")[0]] + v1)) for b, c in bc.items()}
+    flp = {w: -math.log(c + v1) for w, c in uc.items()}
+
+    held = spark.createDataFrame(
+        [
+            (0, "a b b a"),  # all bigrams seen
+            (1, "a z b"),    # "a <unk>" -> fm[a]; "<unk> b" -> ln(1/(V+1))
+            (2, "a"),        # no bigrams -> 0.0
+            (3, ""),         # empty -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in held.select(
+            "doc_id",
+            text.bigram_logprob("text", blp, flp, vocab).alias("s"),
+        ).collect()
+    }
+    exp0 = (math.log(2 / 5) + math.log(2 / 6) + math.log(2 / 6)) / 3
+    exp1 = (-math.log(5) + -math.log(3)) / 2
+    assert out[0] == pytest.approx(exp0, abs=1e-12)
+    assert out[1] == pytest.approx(exp1, abs=1e-12)
+    assert out[2] == 0.0 and out[3] == 0.0
+
+    with pytest.raises(ValueError, match="fallback_lp"):
+        text.bigram_logprob("text", blp, {}, vocab)
