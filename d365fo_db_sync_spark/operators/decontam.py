@@ -121,7 +121,10 @@ def semantic_contamination(
     max_cos)`` with ``max_cos`` at full float64 precision (callers
     round/threshold; see the suite query). ``best_needle`` is the
     argmax at full precision with needle-id ascending as tie-break, so
-    the result is deterministic and partitioning-invariant.
+    the result is deterministic and partitioning-invariant. All-zero
+    vectors score cosine 0.0 on every pair (no direction — see
+    ``similarity.vec_matrix_np``) instead of emitting NaN rows that
+    would silently vanish from threshold filters.
 
     Scale shape: mirrors :func:`exact_contamination` — the needle side
     (an eval suite: thousands of vectors at most) is collected once and
@@ -134,15 +137,18 @@ def semantic_contamination(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    from d365fo_db_sync_spark.operators.similarity import vec_matrix_np
+
     n_rows = sorted(
         needle_vecs.select(needle_id_col, vec_col).collect(),
         key=lambda r: r[needle_id_col],
     )
     if not n_rows:
         raise ValueError("needle_vecs is empty — nothing to screen against")
-    nids = np.array([r[needle_id_col] for r in n_rows], dtype=np.int64)
-    nmat = np.array([list(r[vec_col]) for r in n_rows], dtype=np.float64)
-    nnorm = np.linalg.norm(nmat, axis=1)
+    # dtype inferred, not coerced: the declared schema promises the
+    # caller's id types back (string/int32 ids pass straight through)
+    nids = np.array([r[needle_id_col] for r in n_rows])
+    nmat, nnorm = vec_matrix_np(r[vec_col] for r in n_rows)
 
     schema = StructType(
         [
@@ -156,9 +162,8 @@ def semantic_contamination(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            cnorm = np.linalg.norm(cmat, axis=1)
+            ids = pdf[id_col].to_numpy()
+            cmat, cnorm = vec_matrix_np(pdf[vec_col])
             scores = (cmat @ nmat.T) / np.outer(cnorm, nnorm)
             # argmax at full precision; needles are sorted by id so
             # np.argmax's first-max rule IS the id-ascending tie-break

@@ -100,9 +100,14 @@ def rrf_fuse(
     robust precisely because it ignores incomparable raw scores and
     uses only ranks.
 
-    Each input frame carries ``(query_id, item_id, rnk)`` — already a
-    bounded top-k-per-query list, so everything downstream is
-    metadata-scale regardless of corpus size: the union of per-list
+    PRECONDITION: each input frame carries ``(query_id, item_id,
+    rnk)`` with (query_id, item_id) UNIQUE per frame — i.e. a ranked
+    top-k list, the thing every retriever here emits. Duplicate rows
+    would double-count into the fused sum and inflate ``n_lists``
+    past ``len(ranked_lists)`` (an n_lists cap is the cheap caller-
+    side sanity check). Because each list is already bounded
+    top-k-per-query, everything downstream is metadata-scale
+    regardless of corpus size: the union of per-list
     contributions holds <= |queries| x k_list x n_lists rows, ONE
     groupBy sums them per (query, item), and a rank window cuts the
     fused top-k with item-id tie-breaks. Items missing from a list

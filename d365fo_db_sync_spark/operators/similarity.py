@@ -35,6 +35,21 @@ def _norm(a):
     )
 
 
+def vec_matrix_np(values):
+    """Iterable of array<float/double> cells -> (float64 matrix,
+    zero-safe L2 norms). An all-zero vector has no direction, so its
+    cosine to anything is defined as 0.0 — the zero norm is replaced
+    by 1.0 before dividing. Dividing by the raw norm would yield NaN,
+    which silently vanishes from ``>= threshold`` filters and, worse,
+    WINS argmaxes (numpy sorts NaN as maximal). Shared by the
+    GEMM-batch scorers (semantic contamination, MMR)."""
+    import numpy as np
+
+    mat = np.array([list(v) for v in values], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    return mat, np.where(norms == 0.0, 1.0, norms)
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
     """Precompute L2 norms once — at scale this column is written with the
     embeddings so cosine needs only the dot product."""
@@ -986,8 +1001,8 @@ def mmr_rerank(
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
         ids = pdf["neighbor_id"].to_numpy()
         rel = pdf["relevance"].to_numpy(dtype=np.float64)
-        mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat, norms = vec_matrix_np(pdf[vec_col])
+        mat = mat / norms[:, None]
         sims = mat @ mat.T  # C x C, C = shortlist: bounded, tiny
         n = len(ids)
         taken = np.zeros(n, dtype=bool)

@@ -219,8 +219,6 @@ def test_semantic_contamination_argmax_and_ties(spark):
     """semantic_contamination: hand-computable cosines, deterministic
     id-ascending tie-break, one output row per corpus vector, and the
     empty-needle guard."""
-    import pytest as _pytest
-
     from d365fo_db_sync_spark.operators.decontam import semantic_contamination
 
     corpus = spark.createDataFrame(
@@ -229,6 +227,7 @@ def test_semantic_contamination_argmax_and_ties(spark):
             (1, [0.0, 1.0]),  # exactly along needle 20
             (2, [1.0, 1.0]),  # cos 1/sqrt(2) to both axes -> tie
             (3, [-1.0, 0.0]),  # anti-aligned with the x needles
+            (4, [0.0, 0.0]),  # zero vector: defined-as-0 cosine, not NaN
         ],
         "vec_id long, embedding array<double>",
     )
@@ -242,11 +241,13 @@ def test_semantic_contamination_argmax_and_ties(spark):
         r["vec_id"]: (r["best_needle"], r["max_cos"])
         for r in semantic_contamination(corpus, needles).collect()
     }
-    assert len(out) == 4  # one row per corpus vector, flagged or not
+    assert len(out) == 5  # one row per corpus vector, flagged or not
     assert out[0] == (10, pytest.approx(1.0))
     assert out[1] == (20, pytest.approx(1.0))
     assert out[2][0] == 10 and out[2][1] == pytest.approx(2**-0.5)
     assert out[3][0] == 20 and out[3][1] == pytest.approx(0.0)
+    # zero vector scores 0.0 everywhere and ties to the lowest needle id
+    assert out[4] == (10, 0.0)
 
     # determinism under repartitioning: same rows, same argmaxes
     re = {
@@ -256,7 +257,7 @@ def test_semantic_contamination_argmax_and_ties(spark):
     assert re == out
 
     empty = spark.createDataFrame([], "bench_id long, embedding array<double>")
-    with _pytest.raises(ValueError, match="empty"):
+    with pytest.raises(ValueError, match="empty"):
         semantic_contamination(corpus, empty)
 
 
