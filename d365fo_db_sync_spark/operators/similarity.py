@@ -1040,3 +1040,60 @@ def mmr_rerank(
         )
 
     return pool_vecs.groupBy(query_id_col).applyInPandas(greedy, schema)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neg: int = 5,
+    rank_lo: int = 10,
+    rank_hi: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: per
+    query, pick ``k_neg`` negatives from the cosine-rank band
+    ``(rank_lo, rank_hi]`` — similar enough to be informative, far
+    enough to be (presumed) non-positives, the standard band heuristic
+    (after DPR/ANCE-style mining; the top ranks are skipped as likely
+    true positives). The pick WITHIN the band is a deterministic
+    pseudo-random md5 order over (query, candidate), so a re-run, a
+    different partitioning, or a grown corpus with the same band
+    contents selects the same negatives.
+
+    Scale shape: ranks come from the per-batch-partial-top-k GEMM
+    shortlist at depth ``rank_hi`` (never a corpus-wide rank), the
+    band filter and md5 ordering are codegen expressions over <=
+    |queries| x rank_hi rows, and the final per-query window sorts
+    metadata-sized groups. Returns ``(query_id, pick, neighbor_id,
+    rank, cosine)`` with pick = 1..k_neg in md5 order."""
+    if not 0 <= rank_lo < rank_hi:
+        raise ValueError(f"need 0 <= rank_lo < rank_hi, got ({rank_lo}, {rank_hi})")
+    if k_neg <= 0:
+        raise ValueError(f"k_neg must be positive, got {k_neg}")
+    shortlist = cosine_topk_bruteforce_np(
+        corpus, queries, k=rank_hi, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    band = shortlist.filter(
+        (F.col("rnk") > rank_lo) & (F.col("rnk") <= rank_hi)
+    ).withColumn(
+        "__pick_key",
+        F.md5(
+            F.concat_ws(":", F.col(query_id_col).cast("string"),
+                        F.col("neighbor_id").cast("string"))
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("__pick_key", "neighbor_id")
+    return (
+        band.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= k_neg)
+        .select(
+            query_id_col,
+            "pick",
+            "neighbor_id",
+            F.col("rnk").alias("rank"),
+            "cosine",
+        )
+    )

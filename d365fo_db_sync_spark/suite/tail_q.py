@@ -4064,3 +4064,53 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.avg("blp"), 6).alias("avg_bigram_logprob"),
     )
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qe, v.e) AS c
+      FROM q JOIN v ON q.query_id <> v.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, neighbor_id) AS rnk
+      FROM scored),
+    band AS (
+      SELECT query_id, neighbor_id, c, rnk,
+             md5(query_id::VARCHAR || ':' || neighbor_id::VARCHAR) AS pk
+      FROM ranked WHERE rnk > 10 AND rnk <= 30),
+    picked AS (
+      SELECT query_id, neighbor_id, c, rnk,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY pk, neighbor_id) AS pick
+      FROM band)
+    SELECT query_id, CAST(pick AS INTEGER) AS pick, neighbor_id,
+           CAST(rnk AS INTEGER) AS rank, ROUND(c, 6) AS cosine
+    FROM picked WHERE pick <= 5
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.hard_negatives): per query, 5 negatives from
+    the cosine-rank band (10, 30] — informative but presumed
+    non-positive, the DPR/ANCE band heuristic — picked in
+    deterministic md5(query:candidate) order so reruns and
+    repartitionings mine identical negatives. Ranks come from the
+    GEMM shortlist at depth 30 (per-batch partial top-k, never a
+    corpus-wide rank window); everything after the shortlist is
+    codegen over <= |queries| x 30 rows. The oracle replays the full
+    ranking, band, and md5 pick in DuckDB and value-checks every
+    picked negative's rank and rounded cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.hard_negatives(
+        emb, _queries_frame(emb), k_neg=5, rank_lo=10, rank_hi=30
+    )
+    return out.select(
+        "query_id", "pick", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )

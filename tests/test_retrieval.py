@@ -230,3 +230,45 @@ def test_rrf_fuse_scores_and_outer_merge(spark):
         rrf_fuse([])
     with pytest.raises(ValueError, match="positive"):
         rrf_fuse([a], k=0)
+
+
+def test_hard_negatives_band_and_determinism(spark):
+    """hard_negatives: picks live strictly inside the rank band, are
+    deterministic across partitionings, and respect k_neg; bad bands
+    raise."""
+    import pytest
+
+    from conftest import SF_SMOKE
+    from d365fo_db_sync_spark.operators.similarity import (
+        cosine_topk_bruteforce_np,
+        hard_negatives,
+    )
+    from d365fo_db_sync_spark.sources import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id % 100 = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = hard_negatives(emb, queries, k_neg=4, rank_lo=5, rank_hi=15).collect()
+    ranks = cosine_topk_bruteforce_np(emb, queries, k=15).collect()
+    true_rank = {(r["query_id"], r["neighbor_id"]): r["rnk"] for r in ranks}
+    per_q = {}
+    for r in out:
+        assert 5 < r["rank"] <= 15
+        # the reported rank IS the true exact cosine rank
+        assert true_rank[(r["query_id"], r["neighbor_id"])] == r["rank"]
+        per_q.setdefault(r["query_id"], []).append((r["pick"], r["neighbor_id"]))
+    for q, picks in per_q.items():
+        assert sorted(p for p, _ in picks) == [1, 2, 3, 4], (q, picks)
+
+    again = hard_negatives(
+        emb.repartition(7), queries, k_neg=4, rank_lo=5, rank_hi=15
+    ).collect()
+    assert {(r["query_id"], r["pick"], r["neighbor_id"]) for r in again} == {
+        (r["query_id"], r["pick"], r["neighbor_id"]) for r in out
+    }
+
+    with pytest.raises(ValueError, match="rank_lo"):
+        hard_negatives(emb, queries, rank_lo=10, rank_hi=10)
+    with pytest.raises(ValueError, match="k_neg"):
+        hard_negatives(emb, queries, k_neg=0)
