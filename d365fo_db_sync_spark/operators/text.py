@@ -8,7 +8,7 @@ reference-tool counterpart (BASELINE.json north-star extension).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword marker sets for the n-gram/stopword
@@ -584,3 +584,59 @@ def bigram_logprob(
         + F.coalesce(bm[b], fm[F.split(b, " ")[0]], F.lit(unseen_w1_lp)),
     )
     return total_lp / F.greatest(F.size(bigs), F.lit(1))
+
+
+def winsorized_group_stats(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    tiebreak_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Group-wise winsorization report — the outlier-robust
+    normalization step before thresholding a quality score whose tails
+    are garbage (boilerplate scoring absurdly high, binary-damage docs
+    absurdly low): per group, the DISCRETE lo/hi quantile bounds
+    (value at rank ceil(q*n) in ascending score order — integer-rank
+    exact, where interpolated percentiles can differ between engines
+    in the last ulp), clip counts on each side, and the mean of the
+    clipped score.
+
+    Returns one row per group: ``(group, n_docs, p_lo, p_hi,
+    clipped_lo, clipped_hi, avg_winsorized)``.
+
+    Plan shape: ONE window sort per group computes rank and group
+    size together; the two bound rows per group collapse via a
+    conditional aggregate into a |groups|-row frame that BROADCASTS
+    back onto the scores; clip counts are integer-exact and the mean
+    rounds per-row before the rollup (cross-engine float discipline).
+    No driver materialization, two shuffles total (the sort, the
+    final group agg)."""
+    if not 0.0 < lo_q < hi_q <= 1.0:
+        raise ValueError(f"need 0 < lo_q < hi_q <= 1, got ({lo_q}, {hi_q})")
+    s = F.col(score_col)
+    w = Window.partitionBy(group_col).orderBy(score_col, *tiebreak_cols)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(group_col, score_col, *tiebreak_cols).withColumns(
+        {"__rn": F.row_number().over(w), "__n": F.count("*").over(wn)}
+    )
+    r_lo = F.greatest(F.ceil(F.lit(lo_q) * F.col("__n")), F.lit(1))
+    r_hi = F.ceil(F.lit(hi_q) * F.col("__n"))
+    bounds = ranked.groupBy(group_col).agg(
+        F.max(F.when(F.col("__rn") == r_lo, s)).alias("p_lo"),
+        F.max(F.when(F.col("__rn") == r_hi, s)).alias("p_hi"),
+    )
+    joined = df.select(group_col, score_col).join(
+        F.broadcast(bounds), on=group_col
+    )
+    clipped = F.least(F.greatest(s, F.col("p_lo")), F.col("p_hi"))
+    return joined.groupBy(group_col, "p_lo", "p_hi").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((s < F.col("p_lo")).cast("long")).alias("clipped_lo"),
+        F.sum((s > F.col("p_hi")).cast("long")).alias("clipped_hi"),
+        F.round(F.avg(F.round(clipped, 6)), 6).alias("avg_winsorized"),
+    ).select(
+        group_col, "n_docs", "p_lo", "p_hi",
+        "clipped_lo", "clipped_hi", "avg_winsorized",
+    )

@@ -4114,3 +4114,75 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "pick", "neighbor_id", "rank",
         F.round("cosine", 6).alias("cosine"),
     )
+
+
+def _winsorize_oracle() -> str:
+    from d365fo_db_sync_spark.operators.text import (
+        QUALITY_CLASSIFIER_WEIGHTS as W,
+        STOPWORDS,
+    )
+
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    logit = (
+        f"{W['bias']!r} + stopword_ratio*{W['stopword_ratio']!r}"
+        f" + punct_ratio*{W['punct_ratio']!r}"
+        f" + mean_token_len*{W['mean_token_len']!r}"
+        f" + n_tokens*{W['n_tokens']!r}"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source, text, {_TOKS_SQL} AS toks FROM documents),
+    f AS (SELECT doc_id, source,
+           len(toks) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / GREATEST(length(text), 1) AS punct_ratio,
+           len(list_intersect(toks, {stop_sql}))
+             / GREATEST(len(toks), 1) AS stopword_ratio,
+           length(regexp_replace(text, '\\s+', '', 'g'))
+             / GREATEST(len(toks), 1) AS mean_token_len
+          FROM t),
+    s AS (SELECT doc_id, source, ROUND({logit}, 6) AS q FROM f),
+    r AS (SELECT source, q,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY q, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM s),
+    b AS (SELECT source,
+                 MAX(CASE WHEN rn = GREATEST(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                          THEN q END) AS p_lo,
+                 MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                          THEN q END) AS p_hi
+          FROM r GROUP BY source)
+    SELECT s.source, COUNT(*) AS n_docs, b.p_lo, b.p_hi,
+           CAST(SUM(CASE WHEN q < b.p_lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS clipped_lo,
+           CAST(SUM(CASE WHEN q > b.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS clipped_hi,
+           ROUND(AVG(ROUND(LEAST(GREATEST(q, b.p_lo), b.p_hi), 6)), 6)
+             AS avg_winsorized
+    FROM s JOIN b USING (source)
+    GROUP BY s.source, b.p_lo, b.p_hi
+    """
+
+
+@register("text_quality_winsorized", oracle=_winsorize_oracle())
+def text_quality_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust quality normalization per source
+    (operators/text.winsorized_group_stats over the classifier logit):
+    discrete rank-based p05/p95 bounds (value at rank ceil(q*n) —
+    integer-exact where interpolated percentiles can differ between
+    engines in the last ulp), integer clip counts each side, and the
+    winsorized mean — the report a curation pipeline reads before
+    turning a raw score distribution into thresholds. One window sort
+    per source computes rank and group size together; the two bound
+    rows collapse to a |sources|-row broadcast frame; clip decisions
+    compare 6-dp-rounded logits against exact data values, so every
+    column is value-checked cross-engine."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.quality_classifier(docs, "text").select(
+        "doc_id", "source", F.col("quality_logit").alias("q")
+    )
+    return text_ops.winsorized_group_stats(
+        scored, "source", "q", lo_q=0.05, hi_q=0.95, tiebreak_cols=("doc_id",)
+    )

@@ -345,3 +345,58 @@ def test_bigram_logprob_heldout_and_fallback_tiers(spark):
 
     with pytest.raises(ValueError, match="fallback_lp"):
         text.bigram_logprob("text", blp, {}, vocab)
+
+
+def test_winsorized_group_stats_matches_reference(spark):
+    """winsorized_group_stats vs an independent Python reference on a
+    skewed two-group corpus: discrete rank bounds, clip counts, and
+    the winsorized mean; partitioning-invariant; bad quantiles raise."""
+    import math
+
+    import pytest
+
+    from d365fo_db_sync_spark.operators.text import winsorized_group_stats
+
+    ga = [float(i) for i in range(1, 41)]  # 1..40, clean
+    gb = [-500.0, 900.0] + [float(i) for i in range(2, 40)]  # wild tails
+    rows = [("a", i, v) for i, v in enumerate(ga)] + [
+        ("b", i, v) for i, v in enumerate(gb)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, q double")
+
+    def reference(vals, lo_q=0.05, hi_q=0.95):
+        s = sorted(vals)
+        n = len(s)
+        r_lo = max(math.ceil(lo_q * n), 1)
+        r_hi = math.ceil(hi_q * n)
+        p_lo, p_hi = s[r_lo - 1], s[r_hi - 1]
+        clipped = [min(max(v, p_lo), p_hi) for v in vals]
+        return (
+            n,
+            p_lo,
+            p_hi,
+            sum(v < p_lo for v in vals),
+            sum(v > p_hi for v in vals),
+            round(sum(round(c, 6) for c in clipped) / n, 6),
+        )
+
+    for parts in (1, 7):
+        got = {
+            r["src"]: (
+                r["n_docs"], r["p_lo"], r["p_hi"],
+                r["clipped_lo"], r["clipped_hi"], r["avg_winsorized"],
+            )
+            for r in winsorized_group_stats(
+                df.repartition(parts), "src", "q", tiebreak_cols=("doc_id",)
+            ).collect()
+        }
+        for src, vals in (("a", ga), ("b", gb)):
+            n, p_lo, p_hi, clo, chi, avg = reference(vals)
+            gn, gp_lo, gp_hi, gclo, gchi, gavg = got[src]
+            assert (gn, gp_lo, gp_hi, gclo, gchi) == (n, p_lo, p_hi, clo, chi)
+            assert gavg == pytest.approx(avg, abs=1e-9)
+        # the wild tails actually clip (the scenario the operator is for)
+        assert got["b"][3] >= 1 and got["b"][4] >= 1
+
+    with pytest.raises(ValueError, match="lo_q"):
+        winsorized_group_stats(df, "src", "q", lo_q=0.9, hi_q=0.5)
