@@ -202,9 +202,6 @@ def cosine_topk_bruteforce_np(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     q_rows = queries.select(query_id_col, vec_col).collect()
-    qids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
-    qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
 
     id_field = corpus.schema[id_col].dataType
     schema = StructType(
@@ -214,6 +211,18 @@ def cosine_topk_bruteforce_np(
             StructField("cosine", DoubleType()),
         ]
     )
+    if not q_rows:
+        # an empty query set legitimately retrieves nothing — return an
+        # empty frame with the contract schema (+rnk) instead of letting
+        # a 0-row matrix blow up the axis-1 norm inside the UDF (hit in
+        # composition when an upstream screen filters every candidate)
+        empty = corpus.sparkSession.createDataFrame([], schema)
+        return empty.withColumn("rnk", F.lit(1)).select(
+            query_id_col, "rnk", "neighbor_id", "cosine"
+        )
+    qids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
+    qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
 
     def score(batches):
         for pdf in batches:

@@ -4186,3 +4186,115 @@ def text_quality_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.winsorized_group_stats(
         scored, "source", "q", lo_q=0.05, hi_q=0.95, tiebreak_cols=("doc_id",)
     )
+
+
+@register(
+    "pipeline_contrastive_triples",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id AS bench_id, e AS ne FROM v WHERE vec_id % 37 = 0),
+    c AS (SELECT vec_id, e AS ce FROM v WHERE vec_id % 37 <> 0),
+    contam AS (
+      SELECT c.vec_id, MAX(list_cosine_similarity(c.ce, n.ne)) AS mc
+      FROM c, n GROUP BY c.vec_id),
+    clean AS (
+      SELECT c.vec_id, c.ce FROM c JOIN contam USING (vec_id)
+      WHERE ROUND(contam.mc, 6) < 0.25),
+    q AS (SELECT vec_id AS query_id, ce AS qe FROM clean
+          WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, clean.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qe, clean.ce) AS cos
+      FROM q JOIN clean ON q.query_id <> clean.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored),
+    pos AS (SELECT query_id, neighbor_id AS pos_id,
+                   ROUND(cos, 6) AS pos_cos
+            FROM ranked WHERE rnk = 1),
+    band AS (
+      SELECT query_id, neighbor_id, cos, rnk,
+             md5(query_id::VARCHAR || ':' || neighbor_id::VARCHAR) AS pk
+      FROM ranked WHERE rnk > 5 AND rnk <= 15),
+    negs AS (
+      SELECT query_id, neighbor_id, cos, rnk,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY pk, neighbor_id) AS pick
+      FROM band)
+    SELECT p.query_id, p.pos_id, p.pos_cos,
+           CAST(g.pick AS INTEGER) AS pick, g.neighbor_id AS neg_id,
+           CAST(g.rnk AS INTEGER) AS neg_rank, ROUND(g.cos, 6) AS neg_cos
+    FROM pos p JOIN negs g USING (query_id) WHERE g.pick <= 3
+    """,
+)
+def pipeline_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-training data-prep capstone, composing this
+    round's operators end-to-end: semantic decontamination screens the
+    corpus against the benchmark needle slice (flagged vectors DROP),
+    then each query mines its positive (the exact rank-1 clean
+    neighbor) and 3 hard negatives from the (5, 15] rank band in
+    deterministic md5 pick order — the (anchor, positive, negatives)
+    triples a contrastive trainer consumes. ONE GEMM shortlist pass
+    serves both the positive and the negatives (hard_negatives'
+    internal shortlist is inlined so the corpus is read once); the
+    decontam screen is the one-row-per-vector closure GEMM; everything
+    downstream is codegen over <= |queries| x 15 rows. The oracle
+    replays screen, ranking, band, and pick, value-checking every
+    triple's ids, ranks, and rounded cosines."""
+    from d365fo_db_sync_spark.operators.decontam import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    needles = emb.filter(vid % 37 == 0).select(vid.alias("bench_id"), "embedding")
+    corpus = emb.filter(vid % 37 != 0)
+    flags = semantic_contamination(corpus, needles)
+    clean = corpus.join(
+        F.broadcast(
+            flags.filter(F.round("max_cos", 6) >= 0.25).select("vec_id")
+        ),
+        on="vec_id",
+        how="left_anti",
+    )
+    # the %25 query convention: dense enough that clean queries
+    # survive the screen at every corpus size (the sparser %125 slice
+    # is wiped out entirely by the flag rate at sf0.1's needle count)
+    queries = clean.filter(vid % 25 == 0).select(
+        vid.alias("query_id"), "embedding"
+    )
+    shortlist = similarity.cosine_topk_bruteforce_np(
+        clean, queries, k=15, id_col="vec_id", query_id_col="query_id"
+    )
+    pos = shortlist.filter(F.col("rnk") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("pos_id"),
+        F.round("cosine", 6).alias("pos_cos"),
+    )
+    band = shortlist.filter((F.col("rnk") > 5) & (F.col("rnk") <= 15)).withColumn(
+        "__pk",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("query_id").cast("string"),
+                F.col("neighbor_id").cast("string"),
+            )
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    pw = W.partitionBy("query_id").orderBy("__pk", "neighbor_id")
+    negs = (
+        band.withColumn("pick", F.row_number().over(pw))
+        .filter(F.col("pick") <= 3)
+        .select(
+            "query_id",
+            "pick",
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("rnk").alias("neg_rank"),
+            F.round("cosine", 6).alias("neg_cos"),
+        )
+    )
+    return pos.join(negs, on="query_id").select(
+        "query_id", "pos_id", "pos_cos", "pick", "neg_id", "neg_rank", "neg_cos"
+    )

@@ -272,3 +272,20 @@ def test_hard_negatives_band_and_determinism(spark):
         hard_negatives(emb, queries, rank_lo=10, rank_hi=10)
     with pytest.raises(ValueError, match="k_neg"):
         hard_negatives(emb, queries, k_neg=0)
+
+
+def test_cosine_topk_np_empty_query_set_returns_empty(spark):
+    """An upstream screen can filter every query candidate — the GEMM
+    shortlist must return an empty frame with the contract schema, not
+    blow up on a 0-row matrix."""
+    from d365fo_db_sync_spark.operators.similarity import cosine_topk_bruteforce_np
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty_q = corpus.filter("vec_id < 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = cosine_topk_bruteforce_np(corpus, empty_q, k=3)
+    assert out.columns == ["query_id", "rnk", "neighbor_id", "cosine"]
+    assert out.count() == 0
