@@ -142,3 +142,87 @@ def test_shuffled_shards_property_matches_global_cumsum(spark, rows, shard_token
         assert got[i] == (acc, acc // shard_tokens)
         acc += t
     assert len(got) == len(order)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "zz", "q1"]),
+            min_size=0, max_size=30,
+        ),
+        min_size=0, max_size=25,
+    ),
+    k=st.integers(min_value=2, max_value=12),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=30, deadline=None)
+def test_heavy_hitters_model_check(spark, docs, k, parts):
+    """Model check: heavy_hitters_exact == the naive threshold count on
+    random tiny-vocab corpora across random k and partitionings — the
+    pigeonhole candidate pass must never lose a true heavy hitter."""
+    from collections import Counter
+
+    from d365fo_db_sync_spark.operators.text import heavy_hitters_exact
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    all_toks = [t for toks in docs for t in toks]
+    n = len(all_toks)
+    cnt = Counter(all_toks)
+    expected = {
+        (tok, c, n) for tok, c in cnt.items() if c * k > n
+    }
+    got = {
+        (r["token"], r["cnt"], r["n_total"])
+        for r in heavy_hitters_exact(df.repartition(parts), "text", k=k).collect()
+    }
+    assert got == expected
+
+
+@given(
+    list_a=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=0, max_size=10,
+        unique=True,
+    ),
+    list_b=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=0, max_size=10,
+        unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=12),
+    k_rrf=st.integers(min_value=1, max_value=80),
+)
+@settings(max_examples=30, deadline=None)
+def test_rrf_fuse_model_check(spark, list_a, list_b, k, k_rrf):
+    """Model check: rrf_fuse == the naive dict-merge reference on random
+    ranked lists (rank = position), including one-sided items, fused
+    ordering with id tie-breaks, and the top-k cut."""
+    from d365fo_db_sync_spark.operators.retrieval import rrf_fuse
+
+    def frame(items):
+        return spark.createDataFrame(
+            [(1, it, r + 1) for r, it in enumerate(items)],
+            "query_id long, item_id long, rnk int",
+        )
+
+    scores: dict[int, float] = {}
+    lists_n: dict[int, int] = {}
+    for items in (list_a, list_b):
+        for r, it in enumerate(items):
+            scores[it] = scores.get(it, 0.0) + 1.0 / (k_rrf + r + 1)
+            lists_n[it] = lists_n.get(it, 0) + 1
+    order = sorted(scores, key=lambda it: (-scores[it], it))[:k]
+    expected = {
+        it: (rank + 1, lists_n[it], scores[it])
+        for rank, it in enumerate(order)
+    }
+
+    got = {
+        r["item_id"]: (r["rnk"], r["n_lists"], r["rrf_score"])
+        for r in rrf_fuse([frame(list_a), frame(list_b)], k=k, k_rrf=k_rrf).collect()
+    }
+    assert got.keys() == expected.keys()
+    for it, (rk, nl, sc) in expected.items():
+        grk, gnl, gsc = got[it]
+        assert (grk, gnl) == (rk, nl), (it, got[it], expected[it])
+        assert abs(gsc - sc) < 1e-12
