@@ -437,6 +437,30 @@ def heavy_hitters_exact(
 
     Returns ``(token, cnt, n_total)`` for each heavy hitter.
     """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    # cached: the summary (<= k rows + 1 sentinel per partition) feeds
+    # both the candidate set and the token total — without it the
+    # pass-1 scan would run once per consumer
+    summ = candidate_summary(df, text_col, k).cache()
+    cands = summ.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = summ.filter(F.col("token").isNull()).agg(
+        F.sum("cnt").alias("n_total")
+    )
+    return verify_candidates(df, cands, text_col, k, total=total)
+
+
+def candidate_summary(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Pass 1 of :func:`heavy_hitters_exact`, exposed for mergeable use
+    (the streaming pipeline appends one of these per micro-batch):
+    per-partition over-quota candidates plus one NULL-token sentinel
+    row carrying the slice's token total. ``slice_id`` labels each
+    partition summary so a merger can join emissions back to their
+    slice's quota (the bound math needs to know which slices did NOT
+    emit a token). Output: ``(slice_id, token, cnt)``, <= k rows + 1
+    sentinel per non-empty partition."""
+    import uuid
+
     import pandas as pd
 
     if k < 2:
@@ -455,28 +479,48 @@ def heavy_hitters_exact(
         if n_p == 0:
             return
         cand = {t: c for t, c in counts.items() if c * k > n_p}
+        sid = uuid.uuid4().hex
         yield pd.DataFrame(
             {
+                "slice_id": sid,
                 "token": [None] + list(cand.keys()),
                 "cnt": [n_p] + list(cand.values()),
             }
         )
 
-    # cached: the summary (<= k rows + 1 sentinel per partition) feeds
-    # both the candidate set and the token total — without it the
-    # pass-1 scan would run once per consumer
-    summ = (
-        df.select(tokens(text_col).alias("toks"))
-        .mapInPandas(partition_summary, "token string, cnt long")
-        .cache()
+    return df.select(tokens(text_col).alias("toks")).mapInPandas(
+        partition_summary, "slice_id string, token string, cnt long"
     )
-    cands = summ.filter(F.col("token").isNotNull()).select("token").distinct()
-    total = summ.filter(F.col("token").isNull()).agg(
-        F.sum("cnt").alias("n_total")
-    )
+
+
+def verify_candidates(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str,
+    k: int,
+    total: DataFrame | None = None,
+) -> DataFrame:
+    """Pass 2 of :func:`heavy_hitters_exact`, exposed for mergeable
+    use: given ANY candidate SUPERSET frame (a single ``token``
+    column), count only candidate tokens over ``df`` — broadcast
+    left-semi drop before the groupBy, so the only shuffle carries
+    candidate partials — and keep those with ``cnt * k > N``. Exact
+    whenever ``cands`` really is a superset of the true heavy hitters
+    (the pigeonhole guarantee of :func:`candidate_summary`, which
+    also holds for a UNION of summaries over disjoint slices of the
+    corpus — the streaming case). ``total`` is an optional 1-row
+    ``n_total`` frame (e.g. the summed sentinels, already known);
+    without it the token total is counted from ``df`` in one scalar
+    aggregate."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if total is None:
+        total = df.agg(
+            F.sum(token_count(text_col)).cast("long").alias("n_total")
+        )
     toks = df.select(F.explode(tokens(text_col)).alias("token"))
     counts = (
-        toks.join(F.broadcast(cands), "token", "left_semi")
+        toks.join(F.broadcast(cands.select("token").distinct()), "token", "left_semi")
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )

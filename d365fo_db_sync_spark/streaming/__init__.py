@@ -522,3 +522,129 @@ class DedupStreamPipeline:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class HeavyHitterStreamPipeline:
+    """Streaming heavy-hitter maintenance: each micro-batch appends its
+    candidate summary (operators/text.candidate_summary — per-partition
+    over-quota tokens + one sentinel per slice, <= k+1 rows per slice)
+    to a hive-partitioned summary table. The pigeonhole guarantee
+    composes across slices of the whole stream, so the UNION of
+    per-batch candidates is a superset of every token whose total
+    count exceeds N/k over everything ingested so far — maintained at
+    O(k x partitions) rows per batch, never the token stream.
+
+    Two read paths:
+
+    * :meth:`bounds` answers from the summary ALONE, no corpus scan:
+      per candidate, ``lower`` = the summed emitted counts, ``upper``
+      = lower + the quota mass (floor(n_slice/k)) of every slice that
+      did NOT emit it — a non-emitting slice can hide at most its
+      quota. ``status`` is ``confirmed`` (lower*k > N: heavy for
+      sure), ``ruled_out`` (upper*k <= N), or ``possible``.
+    * :meth:`exact` resolves exactly with ONE scan of the persisted
+      corpus (operators/text.verify_candidates) — the summary supplies
+      both the candidate superset and the token total, so the batch
+      operator's pass-1 scan is never re-paid over history.
+
+    Idempotency: the per-batch summary stages to a tmp dir and renames
+    into ``summary_dir/batch_id=N`` only if absent — a replayed
+    micro-batch is a no-op, so restarts never double-count a slice.
+    """
+
+    def __init__(
+        self,
+        summary_dir: str,
+        checkpoint_dir: str,
+        text_col: str = "text",
+        k: int = 60,
+    ) -> None:
+        if k < 2:
+            raise ValueError(f"k must be >= 2, got {k}")
+        self.summary_dir = summary_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.text_col = text_col
+        self.k = k
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import uuid as _uuid
+
+        if batch_df.isEmpty():
+            return
+        from d365fo_db_sync_spark.operators.text import candidate_summary
+
+        final = os.path.join(self.summary_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replayed batch: summary already published
+        summ = candidate_summary(batch_df, self.text_col, self.k)
+        tmp = os.path.join(self.summary_dir, f"_tmp-{_uuid.uuid4().hex[:8]}")
+        summ.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def summary(self, spark) -> DataFrame:
+        """All published per-batch summaries with the hive batch_id
+        column: ``(slice_id, token, cnt, batch_id)``."""
+        return spark.read.option("basePath", self.summary_dir).parquet(
+            self.summary_dir
+        )
+
+    def bounds(self, spark) -> DataFrame:
+        """Candidate bound report from the summary alone (no corpus
+        scan): ``(token, lower, upper, n_total, status)``. Only
+        candidates appear — by the superset guarantee, a token never
+        emitted anywhere cannot be heavy."""
+        summ = self.summary(spark)
+        slices = summ.filter(F.col("token").isNull()).select(
+            "slice_id",
+            F.col("cnt").alias("n_slice"),
+            F.floor(F.col("cnt") / self.k).alias("quota"),
+        )
+        totals = slices.agg(
+            F.sum("n_slice").alias("n_total"),
+            F.sum("quota").alias("total_quota"),
+        )
+        per_token = (
+            summ.filter(F.col("token").isNotNull())
+            .join(slices, on="slice_id")
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("lower"), F.sum("quota").alias("covered"))
+        )
+        k = self.k
+        upper = F.col("lower") + F.col("total_quota") - F.col("covered")
+        return per_token.crossJoin(F.broadcast(totals)).select(
+            "token",
+            "lower",
+            upper.alias("upper"),
+            "n_total",
+            F.when(F.col("lower") * k > F.col("n_total"), F.lit("confirmed"))
+            .when(upper * k <= F.col("n_total"), F.lit("ruled_out"))
+            .otherwise(F.lit("possible"))
+            .alias("status"),
+        )
+
+    def exact(self, spark, corpus: DataFrame) -> DataFrame:
+        """Exact heavy hitters of the ingested stream, resolved with
+        ONE scan of ``corpus`` (the persisted stream content): the
+        summary supplies the candidate superset and the token total."""
+        from d365fo_db_sync_spark.operators.text import verify_candidates
+
+        summ = self.summary(spark)
+        cands = summ.filter(F.col("token").isNotNull()).select("token").distinct()
+        total = summ.filter(F.col("token").isNull()).agg(
+            F.sum("cnt").alias("n_total")
+        )
+        return verify_candidates(corpus, cands, self.text_col, self.k, total=total)
+
+    def start(self, stream_df: DataFrame, available_now: bool = True):
+        import os
+
+        os.makedirs(self.summary_dir, exist_ok=True)
+        writer = (
+            stream_df.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

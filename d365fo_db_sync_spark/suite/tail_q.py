@@ -4298,3 +4298,53 @@ def pipeline_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(negs, on="query_id").select(
         "query_id", "pos_id", "pos_cos", "pick", "neg_id", "neg_rank", "neg_cos"
     )
+
+
+@register(
+    "text_heavy_hitters_stream",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                t -> t <> '')) AS token
+      FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt, tot.n_total
+    FROM toks, tot
+    GROUP BY token, tot.n_total
+    HAVING COUNT(*) * 60 > tot.n_total
+    """,
+)
+def text_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path to the same exact answer as
+    text_heavy_hitters_exact: the documents corpus drains through
+    Structured Streaming in 4 micro-batches, each appending only its
+    O(k x partitions)-row candidate summary
+    (streaming.HeavyHitterStreamPipeline — idempotent per-batch
+    publish, superset guarantee composed across slices), and exact()
+    then resolves with ONE corpus scan, the summary supplying both the
+    candidate set and the token total. Because the maintained
+    candidates are a provable superset, the streaming pipeline's
+    answer is EXACT and shares the batch query's naive GROUP BY
+    oracle — an approximate-sketch stream could not be oracled this
+    way."""
+    from d365fo_db_sync_spark.streaming import HeavyHitterStreamPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    run_dir = scratch_dir("hhstream_")
+    src = f"{run_dir}/in"
+    for b in range(4):
+        docs.filter(F.pmod("doc_id", F.lit(4)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{b}")
+    pipe = HeavyHitterStreamPipeline(
+        f"{run_dir}/summ", f"{run_dir}/ckpt", text_col="text", k=60
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = pipe.start(stream, available_now=True)
+    q.awaitTermination(300)
+    return pipe.exact(spark, docs)

@@ -692,3 +692,90 @@ def test_cdc_stream_restart_evolves_schema(spark, tmp_path):
     assert rows[100]["CURRENCY"] == "USD"
     assert rows[5]["CURRENCY"] is None  # old row NULL-backfilled
     assert len(rows) == 21
+
+
+def test_heavy_hitter_stream_matches_batch_and_bounds(spark, tmp_path):
+    """HeavyHitterStreamPipeline: after draining micro-batches, exact()
+    equals the batch operator on the full corpus; bounds() brackets
+    every true count and never rules out a true heavy hitter; a
+    replayed batch is a summary no-op."""
+    import os
+
+    from d365fo_db_sync_spark.operators.text import heavy_hitters_exact, tokens
+    from d365fo_db_sync_spark.streaming import HeavyHitterStreamPipeline
+
+    src_dir = str(tmp_path / "docs_in")
+    os.makedirs(src_dir)
+    rows = []
+    # "alpha" heavy overall; "beta" heavy only in the second wave; a
+    # long singleton tail no slice should emit
+    for i in range(30):
+        rows.append((i, "alpha alpha tail%d" % i))
+    for i in range(30, 45):
+        rows.append((i, "beta beta beta alpha w%d" % i))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.filter("doc_id < 30").coalesce(1).write.mode("append").parquet(src_dir)
+    docs.filter("doc_id >= 30").coalesce(1).write.mode("append").parquet(src_dir)
+
+    k = 8
+    pipe = HeavyHitterStreamPipeline(
+        str(tmp_path / "summ"), str(tmp_path / "ckpt"), text_col="text", k=k
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = pipe.start(stream, available_now=True)
+    q.awaitTermination(120)
+
+    want = {
+        (r["token"], r["cnt"], r["n_total"])
+        for r in heavy_hitters_exact(docs, "text", k=k).collect()
+    }
+    got = {
+        (r["token"], r["cnt"], r["n_total"])
+        for r in pipe.exact(spark, docs).collect()
+    }
+    assert got == want and any(t == "alpha" for t, _, _ in got)
+
+    from pyspark.sql import functions as F
+
+    true_counts = {
+        r["token"]: r["cnt"]
+        for r in docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n_total = sum(true_counts.values())
+    bounds = pipe.bounds(spark).collect()
+    heavy = {t for t, _, _ in want}
+    seen_status = {}
+    for r in bounds:
+        assert r["n_total"] == n_total
+        assert r["lower"] <= true_counts[r["token"]] <= r["upper"], r
+        seen_status[r["token"]] = r["status"]
+    for t in heavy:  # a true heavy hitter is never ruled out
+        assert seen_status[t] in ("confirmed", "possible"), (t, seen_status[t])
+    # at least the dominant token is confirmed without any corpus scan
+    assert seen_status["alpha"] == "confirmed"
+
+    # replay idempotency, both layers: a restarted query re-delivering
+    # an already-published batch_id must be a summary no-op (the
+    # batch-dir skip, called directly to bypass the checkpoint ledger),
+    # while a genuinely new batch id still lands
+    n_slices = pipe.summary(spark).count()
+    pipe._handle_batch(docs, 0)  # replayed delivery of batch 0
+    assert pipe.summary(spark).count() == n_slices
+    pipe._handle_batch(docs.limit(3), 99)
+    after_new = pipe.summary(spark).count()
+    assert after_new > n_slices
+    q2 = pipe.start(  # and the checkpoint ledger re-drains nothing
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert pipe.summary(spark).count() == after_new
