@@ -302,3 +302,66 @@ def test_bigram_lm_model_check(spark, train_docs, held_docs, top_v):
     }
     for i, toks in enumerate(held_docs):
         assert abs(got[i] - ref_score(toks)) < 1e-10, (i, toks)
+
+
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=1, max_size=40,
+        ),
+        min_size=1, max_size=3,
+    ),
+    lo_q=st.floats(min_value=0.01, max_value=0.45),
+    hi_q=st.floats(min_value=0.55, max_value=1.0),
+)
+@settings(max_examples=25, deadline=None)
+def test_winsorized_group_stats_model_check(spark, groups, lo_q, hi_q):
+    """Model check: winsorized_group_stats vs a pure-Python reference
+    on random group/value sets and random quantile pairs — discrete
+    rank bounds, clip counts, and the winsorized mean.
+
+    The per-row round emulates Spark's HALF_UP-on-shortest-repr
+    semantics (Python's round() is half-to-even, which differs at
+    exact .5e-6 boundaries); the final mean is compared against the
+    UNROUNDED reference mean with a half-ulp-of-rounding tolerance,
+    because Spark's partition-order float sum can legitimately flip
+    the last rounding step at a knife-edge boundary."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from d365fo_db_sync_spark.operators.text import winsorized_group_stats
+
+    def spark_round6(x):
+        q = Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        return float(q)
+
+    rows = [
+        (src, i, v)
+        for src, vals in groups.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, q double")
+    got = {
+        r["src"]: (
+            r["n_docs"], r["p_lo"], r["p_hi"],
+            r["clipped_lo"], r["clipped_hi"], r["avg_winsorized"],
+        )
+        for r in winsorized_group_stats(
+            df.repartition(3), "src", "q", lo_q=lo_q, hi_q=hi_q,
+            tiebreak_cols=("doc_id",),
+        ).collect()
+    }
+    for src, vals in groups.items():
+        s = sorted(vals)
+        n = len(s)
+        p_lo = s[max(math.ceil(lo_q * n), 1) - 1]
+        p_hi = s[math.ceil(hi_q * n) - 1]
+        clipped = [min(max(v, p_lo), p_hi) for v in vals]
+        avg = sum(spark_round6(c) for c in clipped) / n
+        gn, gp_lo, gp_hi, gclo, gchi, gavg = got[src]
+        assert (gn, gp_lo, gp_hi) == (n, p_lo, p_hi), (src, got[src])
+        assert gclo == sum(v < p_lo for v in vals)
+        assert gchi == sum(v > p_hi for v in vals)
+        assert abs(gavg - avg) <= 5.1e-7 + abs(avg) * 1e-12, (src, gavg, avg)
