@@ -805,6 +805,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         append: bool = False,
         expected_parent: str | None | object = _UNCHECKED,
         sort_by_key: bool = False,
+        sort_exprs: list | None = None,
         max_records_per_file: int | None = None,
     ) -> None:
         """Stage ``df`` (bucketed rows) into a fresh version dir, merge
@@ -835,14 +836,19 @@ class ManifestParquetTarget(BucketedParquetTarget):
         staged = os.path.join(self.root, name)
         out = df.withColumn(self.DATA_BUCKET_COL, F.col(self.BUCKET_COL))
         shaped = out.repartition(self.n_buckets, F.col(self.BUCKET_COL))
-        if sort_by_key:
-            # key-clustered layout: rows sorted within each bucket task,
-            # so maxRecordsPerFile splits yield files owning CONTIGUOUS
-            # key ranges — per-file zone maps go from bucket-wide to
-            # range-tight, and scan_range/delete_range prune INSIDE a
-            # bucket instead of only across buckets
+        if sort_by_key and sort_exprs is None:
+            sort_exprs = [F.col(self.key)]
+        if sort_exprs is not None:
+            # clustered layout: rows sorted within each bucket task, so
+            # maxRecordsPerFile splits yield files owning CONTIGUOUS
+            # sort-order ranges — per-file zone maps go from bucket-wide
+            # to range-tight, and scan_range/scan_box/delete_range prune
+            # INSIDE a bucket instead of only across buckets. The sort
+            # expressions (key, or a Morton z-code) never materialize as
+            # columns — sortWithinPartitions takes raw expressions, so
+            # nothing extra lands in the files
             shaped = shaped.sortWithinPartitions(
-                F.col(self.BUCKET_COL), F.col(self.key)
+                F.col(self.BUCKET_COL), *sort_exprs
             )
         writer = shaped.write.mode("overwrite")
         if max_records_per_file is not None:
@@ -978,36 +984,61 @@ class ManifestParquetTarget(BucketedParquetTarget):
         column named in ``stats_cols`` (e.g. a rowversion watermark
         scan — the incremental-read-from-lakehouse shape); columns
         without recorded stats scan conservatively, never skip."""
+        col = col or self.key
+        return self.scan_box(spark, {col: (lo, hi)})
+
+    def _stat_bounds(self, s: dict, col: str):
+        """Zone-map ``(min, max)`` for ``col`` in one file's manifest
+        stats entry, or None when the column has no recorded stats
+        (untracked column / writer omitted stats — never skip)."""
+        if col == self.key:
+            if "min" in s and "max" in s:
+                return s["min"], s["max"]
+        else:
+            cs = s.get("cols", {}).get(col)
+            if cs is not None:
+                return cs["min"], cs["max"]
+        return None
+
+    def scan_box(self, spark: SparkSession, preds: dict) -> DataFrame:
+        """Multi-column box scan with conjunctive zone-map skipping:
+        ``preds`` maps column name -> inclusive ``(lo, hi)``, and a
+        file is planned only if EVERY predicate's recorded ``[min,
+        max]`` overlaps its range — one provably-disjoint dimension
+        skips the file. Columns without stats are conservatively
+        treated as overlapping (skipping can never drop rows), and the
+        residual engine filter keeps the result row-exact.
+
+        This is the read-side payoff of :meth:`compact_zorder`: after
+        a Morton-clustered rewrite each file covers a small axis-
+        aligned rectangle in the z-ordered column space, so a k-D box
+        predicate prunes on ALL clustered dimensions at once — a
+        single-column clustering can only ever prune its own column
+        (Delta/Iceberg OPTIMIZE ZORDER read path, public designs)."""
         from pyspark.sql import functions as F
 
         m = self._load_manifest()
         if m is None:
             raise FileNotFoundError(f"no live version under {self.root}")
         stats = m["stats"]
-        col = col or self.key
-
-        def bounds(s: dict):
-            if col == self.key:
-                if "min" in s and "max" in s:
-                    return s["min"], s["max"]
-            else:
-                cs = s.get("cols", {}).get(col)
-                if cs is not None:
-                    return cs["min"], cs["max"]
-            return None
 
         def overlaps(f: str) -> bool:
             s = stats.get(f)
             if not s:
                 return True
-            b = bounds(s)
-            if b is None:
-                return True  # untracked column / no stats: never skip
-            return b[1] >= lo and b[0] <= hi
+            for col, (lo, hi) in preds.items():
+                b = self._stat_bounds(s, col)
+                if b is not None and (b[1] < lo or b[0] > hi):
+                    return False
+            return True
 
         files = [f for fs in m["buckets"].values() for f in fs if overlaps(f)]
         df = self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
-        return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        cond = None
+        for col, (lo, hi) in preds.items():
+            c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+            cond = c if cond is None else (cond & c)
+        return df.filter(cond) if cond is not None else df
 
     def num_rows(self) -> int:
         import pyarrow.parquet as pq
@@ -1288,6 +1319,66 @@ class ManifestParquetTarget(BucketedParquetTarget):
             carried=carried,
             expected_parent=parent,
             sort_by_key=cluster_by_key,
+            max_records_per_file=target_rows_per_file,
+        )
+        return len(fat)
+
+    def compact_zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bits: int = 6,
+        target_rows_per_file: int | None = None,
+    ) -> int:
+        """OPTIMIZE ZORDER (Delta/Iceberg public design): full rewrite
+        with every bucket's rows ordered by the Morton interleave of
+        quantile-rank buckets over ``cols``, split at
+        ``target_rows_per_file`` — each output file then covers a
+        small axis-aligned RECTANGLE in the clustered column space, so
+        :meth:`scan_box` prunes k-D box predicates on ALL clustered
+        dimensions at once (a key-clustered layout prunes only the
+        key). Returns the number of buckets rewritten.
+
+        Pipeline (all inside the rewrite's single repartition — no
+        extra shuffle, no UDF, no materialized z-column):
+        quantile cut points per column (driver-side bounded list,
+        ``2**bits - 1`` doubles) -> rank bucket via a literal-array
+        ``aggregate`` -> Morton bit interleave -> the z-code feeds
+        ``sortWithinPartitions`` as a raw expression. Rank buckets
+        (not raw value bits) equalize skewed distributions — the
+        standard Zipf guard.
+
+        Every z-ordered column must be zone-mapped (``stats_cols`` or
+        the key), else the clustering would be write-only: the read
+        path prunes from recorded footer stats."""
+        from .operators.zorder import morton_interleave, quantile_bounds, rank_bucket
+
+        untracked = [c for c in cols if c != self.key and c not in self.stats_cols]
+        if untracked:
+            raise ValueError(
+                f"z-order columns {untracked} are not zone-mapped — add them "
+                "to stats_cols so scan_box can actually prune on them"
+            )
+        if not self.exists():
+            return 0
+        parent, m = self._live_snapshot()
+        fat = sorted(b for b, fs in m["buckets"].items() if fs)
+        if not fat:
+            return 0
+        files = [f for b in fat for f in m["buckets"][b]]
+        window = self._read_files(spark, files, m["schema"]).withColumnRenamed(
+            self.DATA_BUCKET_COL, self.BUCKET_COL
+        )
+        zcode = morton_interleave(
+            [rank_bucket(c, quantile_bounds(window, c, bits=bits)) for c in cols],
+            bits=bits,
+        )
+        carried = {b: [] for b in m["buckets"]}
+        self._write_version(
+            window,
+            carried=carried,
+            expected_parent=parent,
+            sort_exprs=[zcode],
             max_records_per_file=target_rows_per_file,
         )
         return len(fat)

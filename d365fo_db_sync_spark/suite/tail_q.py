@@ -4348,3 +4348,59 @@ def text_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = pipe.start(stream, available_now=True)
     q.awaitTermination(300)
     return pipe.exact(spark, docs)
+
+
+@register(
+    "sync_scan_box_zorder",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(MAX(user_id) / 10.0) AS BIGINT) AS u_hi FROM events)
+    SELECT event_id, user_id, value
+    FROM events, b
+    WHERE user_id BETWEEN 0 AND b.u_hi AND value BETWEEN 20.0 AND 60.0
+    """,
+)
+def sync_scan_box_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER + 2-D box scan on the manifest sink
+    (sinks.compact_zorder -> sinks.scan_box): events are rewritten
+    with rows Morton-ordered over (user_id, value) rank buckets, so
+    every file's footer zone maps cover a small axis-aligned rectangle
+    and a conjunctive (user_id, value) box predicate prunes files on
+    BOTH dimensions — where key clustering (event_id is uncorrelated
+    with either) prunes nothing. The file-list cut is asserted
+    driver-side here (fails loudly if the clustering stops pruning)
+    and the oracle value-checks row-exactness. The box is
+    scale-relative (user_id <= max/10) because the user domain grows
+    with sf; its bounds are a 1-row metadata collect, the same
+    documented exception as the suite's other argmax/count collects."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    n, umax = ev.agg(F.count("*"), F.max("user_id")).first()
+    work = scratch_dir("synczbox_")
+    t = ManifestParquetTarget(
+        f"{work}/tgt", key="event_id", n_buckets=4, stats_cols=["user_id", "value"]
+    )
+    t.overwrite(ev)
+    t.compact_zorder(
+        spark, ["user_id", "value"], bits=6, target_rows_per_file=max(64, n // 48)
+    )
+    box = {"user_id": (0, umax // 10), "value": (20.0, 60.0)}
+
+    # the 2-D cut must actually happen: some file's rectangle is
+    # provably disjoint from the box on at least one dimension
+    m = t._load_manifest()
+    all_files = [f for fs in m["buckets"].values() for f in fs]
+
+    def overlaps(f: str) -> bool:
+        s = m["stats"].get(f, {})
+        for col, (lo, hi) in box.items():
+            cs = s.get("cols", {}).get(col)
+            if cs is not None and (cs["max"] < lo or cs["min"] > hi):
+                return False
+        return True
+
+    planned = [f for f in all_files if overlaps(f)]
+    assert len(planned) < len(all_files), "z-order zone maps pruned nothing"
+    return t.scan_box(spark, box)
