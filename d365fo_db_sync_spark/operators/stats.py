@@ -1,0 +1,128 @@
+"""Group-wise correlation statistics with cross-engine-exact arithmetic.
+
+Corpus curation keeps asking "does metric A track metric B within each
+slice?" — quality score vs document length, price vs quantity, token
+count vs dedup survival. Pearson answers it for linear relationships,
+Spearman for monotone ones (and is the robust choice when either
+metric has heavy tails, which quality scores always do).
+
+Built-in ``F.corr`` is a streaming-moment double aggregate whose
+accumulation order differs across engines (and across runs), so it
+cannot be value-oracled. Both statistics here are instead assembled
+from EXACT integer power sums — order-independent, no float drift —
+with the closed-form ``(n·Sxy - Sx·Sy) / sqrt((n·Sxx - Sx²)(n·Syy -
+Sy²))`` applied once at the end in double precision to identical
+operands (the suite's BM25/packing oracle discipline):
+
+- Spearman uses DOUBLED average ranks, which are always integers:
+  ``2*avg_rank(v) = rank_asc(v) + (n + 1 - rank_desc(v))`` — the
+  min-rank/max-rank identity for ties. Both rank windows partition by
+  the GROUP only (one exchange, sorts reused), where the textbook
+  ``rank + (ties-1)/2`` form would need a per-(group, value) window
+  and a second exchange. The 2x scaling cancels in the quotient.
+- Pearson scales the measures to integers once (``value · 10^scale``
+  as exact DECIMAL) — the 10^scale factor likewise cancels. Power
+  sums accumulate as ``DECIMAL(38,0)``.
+
+Scale shape: ONE exchange on the group key (all four rank windows and
+the final aggregate share it), no joins, no UDFs, no driver
+materialization. Degenerate groups (zero variance on either side)
+yield NULL via ``nullif`` rather than a division error.
+
+Reference: the reference tool exposes only COUNT/MIN/MAX/SUM rollups
+(`/root/reference/DBSyncTool/Services/SqlQueryService.cs` builds plain
+aggregates); correlation is part of this engine's analytics extension
+surface (SURVEY §2.4 extensions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rank_correlation"]
+
+_D38 = "decimal(38,0)"
+
+
+def _corr_from_sums(sx, sy, sxx, syy, sxy, n, out_prec: int) -> Column:
+    """Closed-form correlation from exact power sums. All operands are
+    cast to double FIRST and the expression tree is fixed, so any
+    engine evaluating the same shape produces the identical IEEE
+    result — exactness lives in the sums, not here."""
+    nd = n.cast("double")
+    num = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    var_x = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    var_y = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    return F.round(num / F.nullif(F.sqrt(var_x * var_y), F.lit(0.0)), out_prec)
+
+
+def rank_correlation(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x: str,
+    y: str,
+    value_scale: int = 2,
+    out_prec: int = 6,
+) -> DataFrame:
+    """Per-group Spearman AND Pearson correlation of ``x`` vs ``y``.
+
+    Returns one row per group: ``(*group_cols, n, spearman, pearson)``
+    with both coefficients rounded to ``out_prec`` decimals. NULL
+    measures are excluded pairwise (a row missing either measure
+    carries no rank information); zero-variance groups return NULL.
+    ``value_scale`` is the decimal scale at which the raw measures are
+    exact (Pearson quantizes to ``10^-value_scale`` before the integer
+    power sums — lossless whenever the data has at most that many
+    fractional digits, which is the contract the caller asserts)."""
+    gcols = list(group_cols)
+    base = df.select(*gcols, x, y).na.drop(subset=[x, y])
+    g = Window.partitionBy(*gcols)
+
+    def doubled_rank(col: str):
+        asc = F.rank().over(g.orderBy(F.col(col).asc()))
+        desc = F.rank().over(g.orderBy(F.col(col).desc()))
+        return asc + F.count("*").over(g) + F.lit(1) - desc
+
+    mul = 10**value_scale
+    prec = min(38 - value_scale, 30)
+
+    def as_int(col: str):
+        dec = F.col(col).cast(f"decimal({prec},{value_scale})")
+        return (dec * F.lit(mul)).cast(_D38)
+
+    ranked = base.select(
+        *gcols,
+        doubled_rank(x).cast(_D38).alias("rx"),
+        doubled_rank(y).cast(_D38).alias("ry"),
+        as_int(x).alias("vx"),
+        as_int(y).alias("vy"),
+    )
+
+    def sums(a: str, b: str, tag: str):
+        return [
+            F.sum(F.col(a)).alias(f"s{tag}x"),
+            F.sum(F.col(b)).alias(f"s{tag}y"),
+            F.sum(F.col(a) * F.col(a)).alias(f"s{tag}xx"),
+            F.sum(F.col(b) * F.col(b)).alias(f"s{tag}yy"),
+            F.sum(F.col(a) * F.col(b)).alias(f"s{tag}xy"),
+        ]
+
+    agg = ranked.groupBy(*gcols).agg(
+        F.count("*").alias("n"), *sums("rx", "ry", "r"), *sums("vx", "vy", "v")
+    )
+    n = F.col("n")
+    return agg.select(
+        *gcols,
+        "n",
+        _corr_from_sums(
+            F.col("srx"), F.col("sry"), F.col("srxx"),
+            F.col("sryy"), F.col("srxy"), n, out_prec,
+        ).alias("spearman"),
+        _corr_from_sums(
+            F.col("svx"), F.col("svy"), F.col("svxx"),
+            F.col("svyy"), F.col("svxy"), n, out_prec,
+        ).alias("pearson"),
+    )

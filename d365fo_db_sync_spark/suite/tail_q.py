@@ -4404,3 +4404,76 @@ def sync_scan_box_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned = [f for f in all_files if overlaps(f)]
     assert len(planned) < len(all_files), "z-order zone maps pruned nothing"
     return t.scan_box(spark, box)
+
+
+@register(
+    "stats_rank_correlation",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, n_chars,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_toks
+      FROM documents),
+    r AS (
+      SELECT source, n_chars, n_toks,
+             rank() OVER (PARTITION BY source ORDER BY n_chars ASC)
+               + COUNT(*) OVER (PARTITION BY source) + 1
+               - rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS rx,
+             rank() OVER (PARTITION BY source ORDER BY n_toks ASC)
+               + COUNT(*) OVER (PARTITION BY source) + 1
+               - rank() OVER (PARTITION BY source ORDER BY n_toks DESC) AS ry
+      FROM t),
+    s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(rx AS HUGEINT)) AS srx,
+             SUM(CAST(ry AS HUGEINT)) AS sry,
+             SUM(CAST(rx AS HUGEINT) * rx) AS srxx,
+             SUM(CAST(ry AS HUGEINT) * ry) AS sryy,
+             SUM(CAST(rx AS HUGEINT) * ry) AS srxy,
+             SUM(CAST(n_chars AS HUGEINT)) AS svx,
+             SUM(CAST(n_toks AS HUGEINT)) AS svy,
+             SUM(CAST(n_chars AS HUGEINT) * n_chars) AS svxx,
+             SUM(CAST(n_toks AS HUGEINT) * n_toks) AS svyy,
+             SUM(CAST(n_chars AS HUGEINT) * n_toks) AS svxy
+      FROM r GROUP BY source)
+    SELECT source, n,
+           round((CAST(n AS DOUBLE) * CAST(srxy AS DOUBLE)
+                  - CAST(srx AS DOUBLE) * CAST(sry AS DOUBLE))
+                 / nullif(sqrt((CAST(n AS DOUBLE) * CAST(srxx AS DOUBLE)
+                                - CAST(srx AS DOUBLE) * CAST(srx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(sryy AS DOUBLE)
+                                - CAST(sry AS DOUBLE) * CAST(sry AS DOUBLE))),
+                          0.0), 6) AS spearman,
+           round((CAST(n AS DOUBLE) * CAST(svxy AS DOUBLE)
+                  - CAST(svx AS DOUBLE) * CAST(svy AS DOUBLE))
+                 / nullif(sqrt((CAST(n AS DOUBLE) * CAST(svxx AS DOUBLE)
+                                - CAST(svx AS DOUBLE) * CAST(svx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(svyy AS DOUBLE)
+                                - CAST(svy AS DOUBLE) * CAST(svy AS DOUBLE))),
+                          0.0), 6) AS pearson
+    FROM s
+    """,
+)
+def stats_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman + Pearson correlation of document length in
+    characters vs whitespace-token count (operators/stats.py) — the
+    slice-health statistic a curation pipeline tracks to catch corpus
+    drift (a source whose char/token relationship breaks monotonicity
+    is full of binary damage or boilerplate). Exactness discipline:
+    both coefficients assemble from EXACT integer power sums (doubled
+    average ranks via the min/max-rank identity; the raw measures are
+    already integers) and only the final closed-form quotient runs in
+    double precision, the identical expression tree the oracle runs —
+    built-in F.corr's accumulation order makes it un-oracle-able.
+    One exchange on source; the four rank windows share it."""
+    from d365fo_db_sync_spark.operators.stats import rank_correlation
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).cast("long").alias("n_toks"),
+    )
+    return rank_correlation(toks, ["source"], "n_chars", "n_toks", value_scale=0)

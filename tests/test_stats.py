@@ -1,0 +1,95 @@
+"""rank_correlation: tie handling, degenerate groups, null exclusion,
+and a hypothesis model check against a pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from d365fo_db_sync_spark.operators.stats import rank_correlation
+
+
+def ref_pearson(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+    vx = n * sum(a * a for a in xs) - sx * sx
+    vy = n * sum(b * b for b in ys) - sy * sy
+    d = math.sqrt(vx * vy)
+    return num / d if d > 0 else None
+
+
+def doubled_ranks(vals):
+    """2 * average rank with ties: first_index + last_index + 2 in the
+    sorted order (both 0-based)."""
+    s = sorted(vals)
+    rs = len(s) - 1
+    return [s.index(v) + (rs - s[::-1].index(v)) + 2 for v in vals]
+
+
+def ref_spearman(xs, ys):
+    return ref_pearson(doubled_ranks(xs), doubled_ranks(ys))
+
+
+def _run(spark, rows, value_scale=0):
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    return {
+        r["g"]: (r["n"], r["spearman"], r["pearson"])
+        for r in rank_correlation(
+            df.repartition(3), ["g"], "x", "y", value_scale=value_scale
+        ).collect()
+    }
+
+
+def test_perfect_monotone_nonlinear(spark):
+    """y = x**3 is perfectly monotone but not linear: spearman == 1
+    exactly, pearson < 1."""
+    rows = [("a", float(i), float(i**3)) for i in range(-5, 6)]
+    got = _run(spark, rows)
+    n, sp, pe = got["a"]
+    assert n == 11 and sp == 1.0
+    assert pe is not None and 0.8 < pe < 1.0
+
+
+def test_ties_and_inverse(spark):
+    rows = [("d", float(v), float(-v)) for v in [1, 2, 2, 2, 3, 9]]
+    got = _run(spark, rows)
+    assert got["d"][1] == -1.0  # anti-monotone, ties on both sides align
+
+
+def test_degenerate_and_null_exclusion(spark):
+    rows = [
+        ("c", 5.0, 1.0), ("c", 5.0, 2.0), ("c", 5.0, 3.0),  # zero x-variance
+        ("m", 1.0, 1.0), ("m", 2.0, None), ("m", None, 9.0),
+        ("m", 3.0, 4.0), ("m", 4.0, 6.0),
+    ]
+    got = _run(spark, rows)
+    assert got["c"] == (3, None, None)
+    n, sp, pe = got["m"]  # the two null-bearing pairs drop
+    assert n == 3
+    assert sp == ref_spearman([1, 3, 4], [1, 4, 6])
+    assert abs(pe - ref_pearson([1, 3, 4], [1, 4, 6])) <= 5.1e-7
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(-1000, 1000)),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_rank_correlation_model_check(spark, pts):
+    """Both coefficients match the closed-form reference within the
+    6-dp output round on random integer point sets."""
+    rows = [("g", float(a), float(b)) for a, b in pts]
+    got = _run(spark, rows)
+    n, sp, pe = got["g"]
+    assert n == len(pts)
+    for got_v, want_v in ((sp, ref_spearman(*zip(*pts))), (pe, ref_pearson(*zip(*pts)))):
+        if want_v is None:
+            assert got_v is None
+        else:
+            assert abs(got_v - want_v) <= 5.1e-7, (got_v, want_v)
