@@ -4477,3 +4477,45 @@ def stats_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_toks"),
     )
     return rank_correlation(toks, ["source"], "n_chars", "n_toks", value_scale=0)
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        t -> t <> '')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf,
+             COUNT(*) OVER (PARTITION BY token) AS df,
+             round(CAST(tf AS DOUBLE)
+                   * ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                        / (CAST(COUNT(*) OVER (PARTITION BY token) AS DOUBLE)
+                           + 1.0)), 6) AS tfidf
+      FROM tf, n),
+    ranked AS (
+      SELECT doc_id, token, tf, df, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rnk
+      FROM scored)
+    SELECT doc_id, rnk, token, tf, CAST(df AS BIGINT) AS df, tfidf
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (text_rank.tfidf_keywords) —
+    open-vocabulary doc labeling for corpus inspection, the complement
+    to the fixed-vocab tfidf_vectors. Value-exact cross-engine: tf/df/N
+    are integers, the idf ln runs on identical doubles (the BM25
+    precedent), and ranking orders by the ROUNDED score with a token
+    tiebreak so ties break identically in both engines. Plan: explode
+    -> map-side-combined (doc, token) agg -> df as a count window over
+    token -> broadcast 1-row N -> per-doc row_number top-k; three
+    exchanges, no joins, no UDFs."""
+    from d365fo_db_sync_spark.operators.text_rank import tfidf_keywords
+
+    return tfidf_keywords(load_table(spark, sf_dir, "documents"), k=3)

@@ -84,3 +84,41 @@ def test_bm25_stats_row_is_broadcast(docs):
     # the 1-row stats frame must be the broadcast side; a shuffled join
     # here would re-shuffle the whole corpus at scale
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tfidf_keywords_reference_and_ranking(spark, docs):
+    """Top-k keywords match a plain-Python TF-IDF reference, the
+    distinguishing term outranks the corpus-saturating one, ties break
+    by token text, and k bounds per-doc output."""
+    corpus = {
+        r["doc_id"]: r["text"].split() for r in docs.collect()
+    }
+    n = len(corpus)
+
+    def ref(doc_id):
+        toks = corpus[doc_id]
+        out = []
+        for t in set(toks):
+            tf = toks.count(t)
+            df = sum(1 for v in corpus.values() if t in v)
+            out.append((round(tf * math.log((n + 1) / (df + 1)), 6), t, tf, df))
+        out.sort(key=lambda r: (-r[0], r[1]))
+        return out
+
+    got = text_rank.tfidf_keywords(docs, k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["doc_id"], r["rnk"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        assert len(rows) <= 2
+        want = ref(doc_id)[: len(rows)]
+        for r, (score, tok, tf, df) in zip(rows, want):
+            assert (r["token"], r["tf"], r["df"]) == (tok, tf, df), (doc_id, r)
+            assert r["tfidf"] == pytest.approx(score, abs=1e-9)
+    # doc 1: "spark" (tf=3, df=2) must outrank "merge" (tf=1, df=3)
+    assert by_doc[1][0]["token"] == "spark"
+    # doc 6: all terms tf=1; "filter"/"join" (df=1) tie ahead of
+    # "scan"/"table" (df=2) and break alphabetically
+    assert [r["token"] for r in by_doc[6]] == ["filter", "join"]
+    with pytest.raises(ValueError):
+        text_rank.tfidf_keywords(docs, k=0)
