@@ -1106,3 +1106,41 @@ def hard_negatives(
             "cosine",
         )
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    out_prec: int = 6,
+) -> DataFrame:
+    """Exact per-label centroid components: one row per (label,
+    dimension) with the component count and mean — the diagnostic a
+    curation pipeline runs over labeled/clustered embeddings (class
+    prototypes for nearest-prototype screening, drift checks on a
+    cluster assignment, SemDeDup cell health).
+
+    Cross-engine exactness: each float component casts to double
+    (lossless) then quantizes once to DECIMAL(28,12) — a rounding that
+    can never land on a decimal half-boundary (5e-13 is not a dyadic
+    rational, so no binary float sits exactly on one) — and the sums
+    accumulate as order-independent decimals; only the final
+    mean-divide runs in double. Built-in avg(double) would be
+    partition-order-dependent and un-oracle-able.
+
+    Scale shape: posexplode fans each vector into (label, pos, comp)
+    rows and ONE partially-aggregated groupBy reduces them — the
+    map-side combine collapses to |labels| x dim rows per partition
+    before the shuffle, so the exchange ships sketch-sized partials
+    regardless of corpus size. No joins, no UDFs, no driver work."""
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "comp"),
+    )
+    dec = F.col("comp").cast("double").cast("decimal(28,12)")
+    return e.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(dec).cast("double") / F.count("*").cast("double"), out_prec
+        ).alias("mean_comp"),
+    )

@@ -4519,3 +4519,29 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d365fo_db_sync_spark.operators.text_rank import tfidf_keywords
 
     return tfidf_keywords(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "similarity_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS comp
+      FROM embeddings)
+    SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_comp
+    FROM e GROUP BY label, pos
+    """,
+)
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) exact centroid components over the
+    embeddings table (similarity.label_centroids) — class prototypes /
+    cluster-drift diagnostics. Float discipline: components quantize
+    once to DECIMAL(28,12) (a rounding with no reachable half-
+    boundary) and sum order-independently; built-in avg(double) would
+    hash-drift between engines. One partially-aggregated exchange."""
+    from d365fo_db_sync_spark.operators.similarity import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
