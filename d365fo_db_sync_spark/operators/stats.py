@@ -42,7 +42,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rank_correlation"]
+__all__ = ["group_linregress", "rank_correlation"]
 
 _D38 = "decimal(38,0)"
 
@@ -125,4 +125,68 @@ def rank_correlation(
             F.col("svx"), F.col("svy"), F.col("svxx"),
             F.col("svyy"), F.col("svxy"), n, out_prec,
         ).alias("pearson"),
+    )
+
+
+def group_linregress(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x: str,
+    y: str,
+    value_scale: int = 2,
+    out_prec: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y = slope·x +
+    intercept``: one row per group with ``(n, slope, intercept, r2)``.
+
+    Same exactness machinery as :func:`rank_correlation` — measures
+    quantize once to integers at ``value_scale``, the five power sums
+    accumulate as exact DECIMAL(38,0), and the closed forms
+    ``slope = (n·Sxy - Sx·Sy) / (n·Sxx - Sx²)``,
+    ``intercept = (Sy - slope·Sx) / n``,
+    ``r2 = (n·Sxy - Sx·Sy)² / ((n·Sxx - Sx²)(n·Syy - Sy²))``
+    run once in double precision with a fixed expression tree an
+    ANSI-SQL oracle mirrors. Built-in regr_slope/regr_r2 stream
+    doubles and cannot be value-oracled. The 10^scale factor cancels
+    in slope and r2; the intercept rescales by one final divide.
+    Zero-x-variance groups return NULL (nullif, no division error);
+    r2 is NULL when y has zero variance.
+
+    ONE exchange (the groupBy); no windows, no joins."""
+    gcols = list(group_cols)
+    base = df.select(*gcols, x, y).na.drop(subset=[x, y])
+    mul = 10**value_scale
+    prec = min(38 - value_scale, 30)
+
+    def as_int(col: str):
+        dec = F.col(col).cast(f"decimal({prec},{value_scale})")
+        return (dec * F.lit(mul)).cast(_D38)
+
+    v = base.select(*gcols, as_int(x).alias("vx"), as_int(y).alias("vy"))
+    agg = v.groupBy(*gcols).agg(
+        F.count("*").alias("n"),
+        F.sum("vx").alias("sx"),
+        F.sum("vy").alias("sy"),
+        F.sum(F.col("vx") * F.col("vx")).alias("sxx"),
+        F.sum(F.col("vy") * F.col("vy")).alias("syy"),
+        F.sum(F.col("vx") * F.col("vy")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    slope = num / F.nullif(var_x, F.lit(0.0))
+    intercept = (sy - slope * sx) / nd / F.lit(float(mul))
+    r2 = (num * num) / F.nullif(var_x * var_y, F.lit(0.0))
+    return agg.select(
+        *gcols,
+        "n",
+        F.round(slope, out_prec).alias("slope"),
+        F.round(intercept, out_prec).alias("intercept"),
+        F.round(r2, out_prec).alias("r2"),
     )

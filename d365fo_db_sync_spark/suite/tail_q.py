@@ -4545,3 +4545,55 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d365fo_db_sync_spark.operators.similarity import label_centroids
 
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "stats_group_linregress",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(CAST(l_quantity AS DECIMAL(36,2)) * 100 AS HUGEINT) AS vx,
+             CAST(CAST(l_extendedprice AS DECIMAL(36,2)) * 100 AS HUGEINT) AS vy
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(vx) AS sx, SUM(vy) AS sy,
+             SUM(vx * vx) AS sxx, SUM(vy * vy) AS syy, SUM(vx * vy) AS sxy
+      FROM v GROUP BY 1, 2),
+    f AS (
+      SELECT l_returnflag, l_linestatus, n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM s)
+    SELECT l_returnflag, l_linestatus, n,
+           round(slope, 6) AS slope,
+           round((syd - slope * sxd) / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+           round((num * num) / nullif(var_x * var_y, 0.0), 6) AS r2
+    FROM f
+    """,
+)
+def stats_group_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) OLS fit of extendedprice on
+    quantity (operators/stats.group_linregress) — the slope recovers
+    the average per-unit price, the curation-side sanity regression
+    for a derived measure. Exactness: both measures are 2-dp-exact
+    doubles, quantized once to integer DECIMAL(38,0) power sums; the
+    closed forms run in double with the identical expression tree the
+    oracle evaluates (built-in regr_slope/regr_r2 stream doubles and
+    cannot be value-oracled). One exchange."""
+    from d365fo_db_sync_spark.operators.stats import group_linregress
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_linregress(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice",
+        value_scale=2,
+    )

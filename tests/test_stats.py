@@ -93,3 +93,55 @@ def test_rank_correlation_model_check(spark, pts):
             assert got_v is None
         else:
             assert abs(got_v - want_v) <= 5.1e-7, (got_v, want_v)
+
+
+def ref_linregress(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sx * sy
+    vx = n * sum(a * a for a in xs) - sx * sx
+    vy = n * sum(b * b for b in ys) - sy * sy
+    if vx == 0:
+        return None, None, None
+    slope = num / vx
+    intercept = (sy - slope * sx) / n
+    r2 = (num * num) / (vx * vy) if vy != 0 else None
+    return slope, intercept, r2
+
+
+def test_group_linregress_exact_line(spark):
+    """Points exactly on y = 2.5x - 3: slope/intercept recovered
+    exactly, r2 == 1."""
+    from d365fo_db_sync_spark.operators.stats import group_linregress
+
+    rows = [("a", float(i), 2.5 * i - 3.0) for i in range(10)]
+    rows += [("z", 4.0, 1.0), ("z", 4.0, 9.0)]  # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"], r["r2"])
+        for r in group_linregress(df, ["g"], "x", "y", value_scale=1).collect()
+    }
+    assert got["a"] == (10, 2.5, -3.0, 1.0)
+    assert got["z"] == (2, None, None, None)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(-500, 500), st.integers(-500, 500)),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_group_linregress_model_check(spark, pts):
+    from d365fo_db_sync_spark.operators.stats import group_linregress
+
+    rows = [("g", float(a), float(b)) for a, b in pts]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = group_linregress(df.repartition(3), ["g"], "x", "y", value_scale=0).first()
+    slope, intercept, r2 = ref_linregress(*zip(*pts))
+    for got_v, want_v in ((r["slope"], slope), (r["intercept"], intercept), (r["r2"], r2)):
+        if want_v is None:
+            assert got_v is None
+        else:
+            assert abs(got_v - want_v) <= 5.1e-7, (got_v, want_v)
