@@ -1144,3 +1144,52 @@ def label_centroids(
             F.sum(dec).cast("double") / F.count("*").cast("double"), out_prec
         ).alias("mean_comp"),
     )
+
+
+def prototype_confusion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-prototype confusion matrix: every vector is assigned to
+    the closest :func:`label_centroids` prototype (squared L2), and
+    the result rolls up ``(label, assigned_label, cnt)`` — the
+    label-coherence diagnostic for a clustered/labeled embedding
+    corpus (how separable are the classes under their own centroids?).
+
+    Exactness: centroid components are the 6-dp-rounded exact means;
+    each squared residual quantizes to DECIMAL(38,18) (a double can
+    never sit on a decimal half-boundary) and distances sum
+    order-independently, so the argmin — min over a (dist, label)
+    struct, ties to the smaller label — is deterministic in any
+    engine. No floats are compared that were not derived from
+    identical expression trees.
+
+    Scale shape: the 640-row centroid frame broadcasts onto the
+    posexploded corpus (no shuffle for the join); map-side combine
+    collapses each vector's k x dim residual rows to k partials
+    before the one real exchange; the struct-min and the final
+    confusion rollup reuse the same key prefix. The corpus is read
+    once; nothing collects to the driver."""
+    cents = label_centroids(df, label_col=label_col, vec_col=vec_col).select(
+        F.col("label").alias("c_label"), "pos", "mean_comp"
+    )
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "comp"),
+    )
+    diff = F.col("comp").cast("double") - F.col("mean_comp")
+    d = (
+        e.join(F.broadcast(cents), on="pos")
+        .select("vid", "label", "c_label", (diff * diff).cast("decimal(38,18)").alias("sq"))
+        .groupBy("vid", "label", "c_label")
+        .agg(F.sum("sq").alias("dist"))
+    )
+    assigned = d.groupBy("vid", "label").agg(
+        F.min(F.struct("dist", "c_label")).alias("best")
+    )
+    return assigned.groupBy(
+        "label", F.col("best.c_label").alias("assigned_label")
+    ).agg(F.count("*").alias("cnt"))

@@ -4597,3 +4597,92 @@ def stats_group_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice",
         value_scale=2,
     )
+
+
+@register(
+    "events_ntile_quartiles",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+    SELECT event_type, quartile, CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           round(MAX(pr), 9) AS max_pct_rank,
+           round(MAX(cd), 9) AS max_cume_dist
+    FROM r GROUP BY event_type, quartile
+    """,
+)
+def events_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-rank window family rollup (SURVEY §2.5 extension):
+    ntile(4) quartile binning per event_type plus percent_rank and
+    cume_dist at the quartile boundaries — the remaining standard SQL
+    window ranks the suite's other window queries don't exercise
+    (row_number/rank/lag/lead/sum-over are covered elsewhere). The
+    ordering carries an event_id tiebreak so every rank is total and
+    cross-engine identical; percent_rank/cume_dist are single
+    divisions of identical integers, rounded only for display. One
+    exchange on event_type; all four window functions share the sort."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("cnt"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.max("pr"), 9).alias("max_pct_rank"),
+        F.round(F.max("cd"), 9).alias("max_cume_dist"),
+    )
+
+
+@register(
+    "similarity_prototype_confusion",
+    oracle="""
+    WITH comps AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS comp
+      FROM embeddings),
+    cents AS (
+      SELECT label AS c_label, pos,
+             round(CAST(SUM(CAST(comp AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_comp
+      FROM comps GROUP BY 1, 2),
+    d AS (
+      SELECT comps.vec_id, comps.label, cents.c_label,
+             SUM(CAST((comps.comp - cents.mean_comp)
+                      * (comps.comp - cents.mean_comp)
+                      AS DECIMAL(38,18))) AS dist
+      FROM comps JOIN cents USING (pos)
+      GROUP BY 1, 2, 3),
+    a AS (
+      SELECT vec_id, label, c_label AS assigned_label
+      FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, c_label) = 1)
+    SELECT label, assigned_label, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM a GROUP BY 1, 2
+    """,
+)
+def similarity_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-prototype confusion matrix over the embeddings table
+    (similarity.prototype_confusion): class separability under the
+    classes' own exact centroids. Distances are order-independent
+    DECIMAL(38,18) sums of identically-derived squared residuals, so
+    the per-vector argmin (struct-min with a label tiebreak) is
+    engine-exact end-to-end — a rare fully-oracled nearest-neighbor
+    assignment. Centroids broadcast; one real exchange."""
+    from d365fo_db_sync_spark.operators.similarity import prototype_confusion
+
+    return prototype_confusion(load_table(spark, sf_dir, "embeddings"))

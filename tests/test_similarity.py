@@ -26,3 +26,23 @@ def test_label_centroids_exact(spark):
         assert n == len(vals)
         assert mean == round(sum(vals) / len(vals), 6), (lab, pos)
     assert len(got) == 6
+
+
+def test_prototype_confusion_separable_and_crossover(spark):
+    """Well-separated clusters land on the diagonal; a mislabeled
+    point sitting in the other cluster shows up off-diagonal."""
+    from d365fo_db_sync_spark.operators.similarity import prototype_confusion
+
+    rows = [
+        (1, 0, [0.0, 0.0]), (2, 0, [0.2, 0.0]), (3, 0, [0.0, 0.2]),
+        (4, 1, [10.0, 10.0]), (5, 1, [10.2, 10.0]),
+        (6, 1, [0.1, 0.1]),  # labeled 1, sits in cluster 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {
+        (r["label"], r["assigned_label"]): r["cnt"]
+        for r in prototype_confusion(df.repartition(3)).collect()
+    }
+    # centroid 1 is dragged toward the origin by vec 6, but stays far
+    # from cluster 0; vec 6 itself is nearest centroid 0
+    assert got == {(0, 0): 3, (1, 1): 2, (1, 0): 1}
