@@ -4359,6 +4359,7 @@ def text_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events, b
     WHERE user_id BETWEEN 0 AND b.u_hi AND value BETWEEN 20.0 AND 60.0
     """,
+    bench=True,
 )
 def sync_scan_box_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE ZORDER + 2-D box scan on the manifest sink

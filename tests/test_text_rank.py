@@ -122,3 +122,18 @@ def test_tfidf_keywords_reference_and_ranking(spark, docs):
     assert [r["token"] for r in by_doc[6]] == ["filter", "join"]
     with pytest.raises(ValueError):
         text_rank.tfidf_keywords(docs, k=0)
+
+
+def test_tfidf_keywords_plan_shape(docs):
+    """The 1-row N frame must broadcast (a shuffled join here would
+    re-shuffle the corpus at scale), and no more than three exchanges
+    may appear in the plan (tf agg, token window, doc window)."""
+    plan = (
+        text_rank.tfidf_keywords(docs, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan
