@@ -4687,3 +4687,39 @@ def similarity_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFram
     from d365fo_db_sync_spark.operators.similarity import prototype_confusion
 
     return prototype_confusion(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "source_jsonl_ingest",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def source_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingestion round-trip (sources/textfiles.py): the
+    documents table is exported as line-delimited JSON, three torn
+    lines are injected into the landing directory (what a crawler
+    handoff always contains), and the quarantining reader ingests it
+    back against an EXPLICIT schema — malformed lines are captured
+    with their raw bytes, counted, and asserted (never silently
+    dropped, never a job kill), and the good rows must round-trip
+    BYTE-EXACTLY against the original table, which is precisely what
+    the oracle checks (JSON escaping must preserve arbitrary document
+    text). Schema inference is deliberately absent: on 100 TB it is an
+    extra full pass that silently drifts."""
+    import os
+
+    from d365fo_db_sync_spark.sources.textfiles import read_jsonl, write_jsonl
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    land = scratch_dir("jsonl_") + "/docs"
+    write_jsonl(docs, land)
+    with open(os.path.join(land, "zz_torn.json"), "w", encoding="utf-8") as f:
+        f.write('{"doc_id": 1, "text": "unterminated\n')
+        f.write("not json at all\n")
+        f.write('{"doc_id": "text-where-long-expected", "n_chars": {}}\n')
+    ingest = read_jsonl(spark, land, docs.schema)
+    assert ingest.n_quarantined == 3, ingest.n_quarantined
+    assert ingest.quarantine.count() == 3
+    return ingest.good.select("doc_id", "text", "lang", "source", "n_chars")
