@@ -4723,3 +4723,62 @@ def source_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert ingest.n_quarantined == 3, ingest.n_quarantined
     assert ingest.quarantine.count() == 3
     return ingest.good.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "sync_incremental_rollup",
+    oracle="""
+    WITH base AS (SELECT * FROM events WHERE event_id % 10 < 8),
+    ins AS (SELECT * FROM events WHERE event_id % 10 = 8),
+    final AS (
+      SELECT event_type, value FROM base WHERE event_id % 7 NOT IN (0, 1)
+      UNION ALL
+      SELECT event_type, value + 10.0 AS value FROM base WHERE event_id % 7 = 1
+      UNION ALL
+      SELECT event_type, value FROM ins)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM final GROUP BY event_type
+    """,
+)
+def sync_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): a per-type
+    (count, sum) rollup initialized from the base table is maintained
+    through one CDC cycle of inserts, deletes, AND updates
+    (delete-old + insert-new change rows) by folding an O(batch)
+    delta — the fact table is never re-aggregated. The oracle
+    recomputes the rollup from scratch over the final table state, so
+    a PASS proves the maintained view is bit-identical to a full
+    recompute (measures ride exact DECIMAL sums; the IVM identity for
+    distributive aggregates). The maintenance plan touches only the
+    change batch and the |groups|-row view."""
+    from d365fo_db_sync_spark.operators.ivm import (
+        SIGN_COL,
+        apply_rollup_delta,
+        rollup_delta,
+        rollup_full,
+        signed_update,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = ev.filter(F.pmod("event_id", F.lit(10)) < 8)
+    inserts = ev.filter(F.pmod("event_id", F.lit(10)) == 8)
+    view0 = rollup_full(base, ["event_type"], ["value"])
+
+    deletes = base.filter(F.pmod("event_id", F.lit(7)) == 0)
+    upd_old = base.filter(F.pmod("event_id", F.lit(7)) == 1)
+    upd_new = upd_old.withColumn("value", F.col("value") + F.lit(10.0))
+    changes = (
+        inserts.withColumn(SIGN_COL, F.lit(1))
+        .unionByName(deletes.withColumn(SIGN_COL, F.lit(-1)))
+        .unionByName(signed_update(upd_old, upd_new))
+    )
+    view1 = apply_rollup_delta(
+        view0, rollup_delta(changes, ["event_type"], ["value"]),
+        ["event_type"], ["value"],
+    )
+    return view1.select(
+        "event_type", "cnt", F.col("sum_value").cast("double").alias("sum_value")
+    )
