@@ -4782,3 +4782,54 @@ def sync_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view1.select(
         "event_type", "cnt", F.col("sum_value").cast("double").alias("sum_value")
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, island),
+    per_user AS (
+      SELECT user_id, MAX(len) AS longest,
+             CAST(SUM(len) AS BIGINT) AS active_days
+      FROM streaks GROUP BY user_id)
+    SELECT longest AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(active_days) AS BIGINT) AS total_active_days
+    FROM per_user GROUP BY longest
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (SURVEY §2.5 extension): per-user consecutive-
+    active-day streaks via the rank-difference trick — day minus
+    row_number is constant within a run of consecutive days, so one
+    window sort per user converts runs into group keys with no
+    iteration and no self-join (the textbook islands identity). Rolled
+    up to the longest-streak distribution so the output stays
+    engagement-report-sized. All arithmetic is integer date math —
+    cross-engine exact. One exchange on user_id; the window and both
+    user-level aggregates share it."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "island", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    per_user = streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest"), F.sum("len").alias("active_days")
+    )
+    return per_user.groupBy(F.col("longest").alias("longest_streak")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("active_days").alias("total_active_days"),
+    )
