@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dup_clusters", "containment_dedup"]
+__all__ = [
+    "connected_components",
+    "near_dup_clusters",
+    "containment_dedup",
+    "pagerank",
+]
 
 
 def _large_star(e: DataFrame, width: int) -> DataFrame:
@@ -319,3 +324,79 @@ def update_components(
         "node", F.col("node").alias("component")
     )
     return merged.union(singles)
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    checkpoint_every: int = 4,
+    out_prec: int = 12,
+) -> DataFrame:
+    """PageRank over a directed edge list ``(src, dst)`` for a FIXED
+    number of power iterations (pass both directions for an undirected
+    graph). Returns ``(node, pagerank)`` for every node with at least
+    one out-edge, scores rounded to ``out_prec``.
+
+    Cross-engine exactness (the property that lets a SQL oracle check
+    an iterative algorithm): each iteration's edge contribution
+    ``score/out_deg · damping`` quantizes to DECIMAL(38,18) BEFORE the
+    per-destination sum, so the one order-dependent step — summing a
+    node's inflow — becomes an order-independent decimal aggregate,
+    and every remaining operation is a fixed double expression tree.
+    A fixed ``iters`` unrolls into chained CTEs on the oracle side;
+    no recursive SQL needed.
+
+    Scale shape per iteration: one hash exchange for the
+    contributions groupBy(dst) and a key-reusing left join back onto
+    the (node, out_deg) frame; degrees are computed once. Lineage is
+    truncated with localCheckpoint every ``checkpoint_every``
+    iterations, the same discipline as connected_components. Dangling
+    nodes (no out-edges) are out of scope by contract — an undirected
+    projection never has them; a directed caller handles sinks
+    upstream (standard teleport-mass correction).
+
+    Cited reference scope: the reference engine has no graph stage;
+    PageRank joins connected_components on the pipeline extension
+    surface (SURVEY §2 scale extensions)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+    deg = e.groupBy("s").agg(F.count("*").alias("d"))
+    n_frame = deg.agg(F.count("*").alias("n"))
+    p = (
+        deg.join(F.broadcast(n_frame), F.lit(True))
+        .select(
+            F.col("s").alias("node"),
+            "d",
+            "n",
+            (F.lit(1.0) / F.col("n").cast("double")).alias("score"),
+        )
+        .localCheckpoint()
+    )
+    for i in range(iters):
+        contrib = (
+            e.join(p, e["s"] == p["node"])
+            .select(
+                F.col("t"),
+                (F.col("score") / F.col("d").cast("double") * F.lit(damping))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+            .groupBy("t")
+            .agg(F.sum("c").cast("double").alias("inflow"))
+        )
+        p = p.join(contrib, p["node"] == contrib["t"], "left").select(
+            "node",
+            "d",
+            "n",
+            (
+                F.lit(1.0 - damping) / F.col("n").cast("double")
+                + F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("score"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            p = p.localCheckpoint()
+    return p.select("node", F.round("score", out_prec).alias("pagerank"))

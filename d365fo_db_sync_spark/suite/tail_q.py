@@ -4833,3 +4833,64 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("active_days").alias("total_active_days"),
     )
+
+
+@register(
+    "graph_pagerank_bipartite",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS t FROM lineitem
+      UNION ALL
+      SELECT DISTINCT l_suppkey * 2 + 1 AS s, l_partkey * 2 AS t FROM lineitem),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY s),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    p0 AS (SELECT deg.s AS node, deg.d, nn.n,
+                  1.0 / CAST(nn.n AS DOUBLE) AS score
+           FROM deg, nn),
+    i1 AS (SELECT e.t,
+                  CAST(SUM(CAST(p.score / CAST(p.d AS DOUBLE) * 0.85
+                                AS DECIMAL(38,18))) AS DOUBLE) AS inflow
+           FROM edges e JOIN p0 p ON e.s = p.node GROUP BY e.t),
+    p1 AS (SELECT p.node, p.d, p.n,
+                  (1.0 - 0.85) / CAST(p.n AS DOUBLE)
+                  + coalesce(i1.inflow, 0.0) AS score
+           FROM p0 p LEFT JOIN i1 ON p.node = i1.t),
+    i2 AS (SELECT e.t,
+                  CAST(SUM(CAST(p.score / CAST(p.d AS DOUBLE) * 0.85
+                                AS DECIMAL(38,18))) AS DOUBLE) AS inflow
+           FROM edges e JOIN p1 p ON e.s = p.node GROUP BY e.t),
+    p2 AS (SELECT p.node, p.d, p.n,
+                  (1.0 - 0.85) / CAST(p.n AS DOUBLE)
+                  + coalesce(i2.inflow, 0.0) AS score
+           FROM p1 p LEFT JOIN i2 ON p.node = i2.t),
+    i3 AS (SELECT e.t,
+                  CAST(SUM(CAST(p.score / CAST(p.d AS DOUBLE) * 0.85
+                                AS DECIMAL(38,18))) AS DOUBLE) AS inflow
+           FROM edges e JOIN p2 p ON e.s = p.node GROUP BY e.t),
+    p3 AS (SELECT p.node, p.n,
+                  (1.0 - 0.85) / CAST(p.n AS DOUBLE)
+                  + coalesce(i3.inflow, 0.0) AS score
+           FROM p2 p LEFT JOIN i3 ON p.node = i3.t)
+    SELECT node, round(score, 12) AS pagerank FROM p3
+    """,
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.pagerank), 3 power iterations over
+    the undirected part↔supplier co-supply graph — supply-chain
+    centrality, the iterative-algorithm breadth item next to
+    connected_components. A rare fully-ORACLED iterative algorithm:
+    per-edge contributions quantize to DECIMAL(38,18) before the
+    inflow sum (the only order-dependent step), every other operation
+    is a fixed double expression tree, and the fixed iteration count
+    unrolls into chained CTEs on the DuckDB side. The teleport term is
+    written (1.0 - 0.85) in BOTH engines — the literal 0.15 is a
+    different double. Per iteration: one exchange for the inflow
+    groupBy plus a key-reusing left join; degrees computed once."""
+    from d365fo_db_sync_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (F.col("l_partkey") * 2).alias("src")
+    supp = (F.col("l_suppkey") * 2 + 1).alias("dst")
+    fwd = li.select(part, supp).distinct()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return pagerank(fwd.unionAll(rev), damping=0.85, iters=3)

@@ -346,3 +346,32 @@ def test_containment_dedup_all_null_sizes_still_elects_winner(spark):
     }
     # NULL sizes: min-id wins, is_survivor is never NULL
     assert out == {1: True, 2: False, 9: True}
+
+
+def test_pagerank_model_check(spark):
+    """3-iteration PageRank on a small directed graph equals the
+    plain-Python power iteration; scores sum to ~1 on a graph with no
+    dangling nodes; input validation raises."""
+    import pytest
+
+    from d365fo_db_sync_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pagerank"] for r in pagerank(df, iters=3).collect()}
+
+    nodes = sorted({s for s, _ in edges})
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    score = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(3):
+        inflow = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            inflow[t] += score[s] / deg[s] * 0.85
+        score = {n: (1.0 - 0.85) / len(nodes) + inflow[n] for n in nodes}
+    for n in nodes:
+        assert abs(got[n] - score[n]) < 1e-9, (n, got[n], score[n])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
