@@ -71,15 +71,17 @@ def rank_bucket(col: Column | str, bounds: list[float]) -> Column:
     ``[0, len(bounds)]``. NULLs land in bucket 0 (they sort first, the
     same corner every engine's NULLS FIRST gives them).
 
-    A higher-order ``aggregate`` over the literal bounds array — one
-    codegen expression, no join, no UDF."""
-    c = F.col(col) if isinstance(col, str) else col
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    return F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, b: acc + F.when(c.cast("double") > b, F.lit(1)).otherwise(F.lit(0)),
-    )
+    Deliberately a FLAT sum of comparison terms, not a higher-order
+    ``aggregate`` over a literal array: HOF lambdas are interpreted
+    per element, and a first cut using one took minutes at sf1 where
+    this whole-stage-codegen form takes seconds (found live: the
+    z-code feeds a sort, and an expensive expression there is
+    disastrous — see ``_write_version``'s materialization note)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    out: Column = F.lit(0)
+    for b in bounds:
+        out = out + F.when(c > F.lit(float(b)), F.lit(1)).otherwise(F.lit(0))
+    return out
 
 
 def morton_interleave(dims: list[Column], bits: int = 6) -> Column:

@@ -837,18 +837,32 @@ class ManifestParquetTarget(BucketedParquetTarget):
         out = df.withColumn(self.DATA_BUCKET_COL, F.col(self.BUCKET_COL))
         shaped = out.repartition(self.n_buckets, F.col(self.BUCKET_COL))
         if sort_by_key and sort_exprs is None:
-            sort_exprs = [F.col(self.key)]
-        if sort_exprs is not None:
+            # key clustering sorts on the plain column — no
+            # materialization needed, attribute compares are cheap
+            shaped = shaped.sortWithinPartitions(
+                F.col(self.BUCKET_COL), F.col(self.key)
+            )
+        elif sort_exprs is not None:
             # clustered layout: rows sorted within each bucket task, so
             # maxRecordsPerFile splits yield files owning CONTIGUOUS
             # sort-order ranges — per-file zone maps go from bucket-wide
             # to range-tight, and scan_range/scan_box/delete_range prune
-            # INSIDE a bucket instead of only across buckets. The sort
-            # expressions (key, or a Morton z-code) never materialize as
-            # columns — sortWithinPartitions takes raw expressions, so
-            # nothing extra lands in the files
-            shaped = shaped.sortWithinPartitions(
-                F.col(self.BUCKET_COL), *sort_exprs
+            # INSIDE a bucket instead of only across buckets.
+            # Computed sort expressions (a Morton z-code) MUST be
+            # materialized as temp columns first: Spark's generated
+            # ordering re-evaluates sort expressions on BOTH rows at
+            # EVERY comparison (O(n log n) evaluations — a complex
+            # z-code expression there turned a seconds-long sf1 rewrite
+            # into minutes, found live). The temp columns are dropped
+            # after the sort, before anything reaches the files; the
+            # projection is narrow, so the local sort order survives.
+            tmp = {f"__kb_sort_{i}": e for i, e in enumerate(sort_exprs)}
+            shaped = (
+                shaped.withColumns(tmp)
+                .sortWithinPartitions(
+                    F.col(self.BUCKET_COL), *[F.col(c) for c in tmp]
+                )
+                .drop(*tmp)
             )
         writer = shaped.write.mode("overwrite")
         if max_records_per_file is not None:
