@@ -42,7 +42,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_linregress", "rank_correlation"]
+__all__ = ["group_linregress", "rank_correlation", "zscore_outliers"]
 
 _D38 = "decimal(38,0)"
 
@@ -190,3 +190,55 @@ def group_linregress(
         F.round(intercept, out_prec).alias("intercept"),
         F.round(r2, out_prec).alias("r2"),
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 3,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Flag rows whose value deviates more than ``k`` standard
+    deviations from their GROUP mean — the per-slice anomaly gate a
+    curation pipeline runs on quality scores, event values, or row
+    volumes before trusting a batch.
+
+    The decision is EXACT INTEGER arithmetic, no sqrt, no float:
+    ``z² > k²  ⟺  (n·v - Σv)² > k² · (n·Σv² - (Σv)²)`` after scaling
+    values to integers at ``value_scale`` (both sides are DECIMAL(38,0)
+    products of exact sums), so the flag can never drift between
+    engines or runs — the hazard of the textbook
+    ``abs(v - avg) > k * stddev`` formulation, where avg/stddev are
+    accumulation-order-dependent doubles and a borderline row flips.
+    ``k`` is an integer by contract (k² stays exact).
+
+    Returns the input rows plus ``is_outlier``. Plan: one
+    partially-aggregated groupBy for the three power sums, broadcast
+    back onto the rows (group-cardinality-sized build side), flag in
+    whole-stage codegen. The fact scan happens twice (stats + flag) —
+    at steady state the stats frame lives in a maintained sidecar (the
+    BM25/IVF discipline) and the flag pass is the only scan."""
+    if k < 1:
+        raise ValueError(f"k must be a positive integer, got {k}")
+    gcols = list(group_cols)
+    mul = 10**value_scale
+    prec = min(38 - value_scale, 30)
+    vi = (F.col(value_col).cast(f"decimal({prec},{value_scale})") * F.lit(mul)).cast(
+        _D38
+    )
+    stats = (
+        df.select(*gcols, vi.alias("__v"))
+        .groupBy(*gcols)
+        .agg(
+            F.count("*").cast(_D38).alias("__n"),
+            F.sum("__v").alias("__s"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+        )
+    )
+    joined = df.join(F.broadcast(stats), on=gcols)
+    dev = F.col("__n") * vi - F.col("__s")
+    var_n2 = F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")
+    return joined.withColumn(
+        "is_outlier", dev * dev > F.lit(k * k).cast(_D38) * var_n2
+    ).drop("__n", "__s", "__ss")

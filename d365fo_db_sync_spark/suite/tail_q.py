@@ -4894,3 +4894,51 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = li.select(part, supp).distinct()
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return pagerank(fwd.unionAll(rev), damping=0.85, iters=3)
+
+
+@register(
+    "events_outlier_zscore",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(36,2)) * 100 AS HUGEINT) AS vi,
+             value
+      FROM events),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(vi) AS sv, SUM(vi * vi) AS svv
+      FROM v GROUP BY event_type),
+    flagged AS (
+      SELECT v.event_type, v.value,
+             (s.n * v.vi - s.sv) * (s.n * v.vi - s.sv)
+               > 9 * (s.n * s.svv - s.sv * s.sv) AS is_outlier
+      FROM v JOIN s USING (event_type))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(SUM(CASE WHEN is_outlier
+                         THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+             AS outlier_value_sum
+    FROM flagged GROUP BY event_type
+    """,
+)
+def events_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outlier gate (stats.zscore_outliers): the flag
+    decision is EXACT INTEGER arithmetic — ``(n·v - Σv)² > 9·(n·Σv² -
+    (Σv)²)`` over values scaled to integers — so a borderline row can
+    never flip between engines or runs, unlike the textbook
+    avg/stddev-double formulation. Power sums ride one
+    partially-aggregated exchange and broadcast back onto the rows;
+    the rollup counts and DECIMAL-sums the flagged values per type."""
+    from d365fo_db_sync_spark.operators.stats import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    flagged = zscore_outliers(ev, ["event_type"], "value", k=3, value_scale=2)
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.sum(
+            F.when(F.col("is_outlier"), F.col("value").cast("decimal(28,6)"))
+        ).cast("double").alias("outlier_value_sum"),
+    )

@@ -145,3 +145,52 @@ def test_group_linregress_model_check(spark, pts):
             assert got_v is None
         else:
             assert abs(got_v - want_v) <= 5.1e-7, (got_v, want_v)
+
+
+def test_zscore_outliers_exact_flags(spark):
+    """Integer-exact k-sigma flags match the closed-form inequality on
+    a small set with one gross outlier (k=2: in a sample of n=6 the
+    max attainable z is (n-1)/sqrt(n) ~ 2.04, so 3-sigma can never
+    fire — the finite-sample bound); k validation raises."""
+    import pytest
+
+    from d365fo_db_sync_spark.operators.stats import zscore_outliers
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 100.0]
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v double")
+    got = {
+        r["v"]: r["is_outlier"]
+        for r in zscore_outliers(df, ["g"], "v", k=2, value_scale=1).collect()
+    }
+    n = len(vals)
+    s = sum(int(v * 10) for v in vals)
+    ss = sum(int(v * 10) ** 2 for v in vals)
+    for v in vals:
+        want = (n * int(v * 10) - s) ** 2 > 4 * (n * ss - s * s)
+        assert got[v] == want, v
+    assert got[100.0] and not got[10.0]
+    with pytest.raises(ValueError):
+        zscore_outliers(df, ["g"], "v", k=0)
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+    k=st.integers(1, 4),
+)
+@settings(max_examples=25, deadline=None)
+def test_zscore_outliers_model_check(spark, vals, k):
+    from d365fo_db_sync_spark.operators.stats import zscore_outliers
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(vals)],
+        "g string, i long, v double",
+    )
+    got = {
+        r["i"]: r["is_outlier"]
+        for r in zscore_outliers(
+            df.repartition(3), ["g"], "v", k=k, value_scale=0
+        ).collect()
+    }
+    n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
+    for i, v in enumerate(vals):
+        assert got[i] == ((n * v - s) ** 2 > k * k * (n * ss - s * s)), (i, v)
