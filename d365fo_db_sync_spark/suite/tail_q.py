@@ -4942,3 +4942,57 @@ def events_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_outlier"), F.col("value").cast("decimal(28,6)"))
         ).cast("double").alias("outlier_value_sum"),
     )
+
+
+@register(
+    "approx_distinct_incremental",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained distinct-count sketch sidecar (operators/
+    sketches.py): the events table arrives as three batches, each
+    contributing a per-type HLL sketch; the sidecar folds each batch
+    in by union — with a parquet round-trip of the binary sketch
+    column between cycles to prove the sidecar persists — and the
+    final estimate is read without ever rescanning prior batches.
+    Oracle discipline = approx_distinct_bounds: the raw registers are
+    engine internals, so the oracle-facing columns are the exact
+    per-type distinct count plus a within_bounds boolean
+    (|est - exact| <= 0.05*exact; lg_k=12 is ~1.6% RSE, so 5% is a
+    >3-sigma envelope — and mergeability means the folded estimate is
+    IDENTICAL to the single-pass sketch, which a pytest pins)."""
+    from d365fo_db_sync_spark.operators.sketches import (
+        distinct_sketch,
+        estimate_sketches,
+        merge_sketches,
+    )
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    work = scratch_dir("hllinc_")
+    sidecar = None
+    for b in range(3):
+        batch = ev.filter(F.pmod(F.crc32(F.col("user_id").cast("string")), F.lit(3)) == b)
+        sk = distinct_sketch(batch, ["event_type"], "user_id")
+        sidecar = sk if sidecar is None else merge_sketches(sidecar, sk, ["event_type"])
+        path = f"{work}/sidecar_v{b}"
+        sidecar.write.mode("overwrite").parquet(path)
+        sidecar = spark.read.parquet(path)
+    est = estimate_sketches(sidecar, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    joined = est.join(exact, on="event_type")
+    return joined.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_bounds"),
+    )
