@@ -648,3 +648,111 @@ class HeavyHitterStreamPipeline:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class RollupStreamPipeline:
+    """Streaming incremental view maintenance: each micro-batch folds
+    into a maintained per-group COUNT/SUM rollup via operators/ivm.py
+    — the O(batch) delta merges with the group-cardinality-sized view,
+    and the stream's history is never re-aggregated. The batch-mode
+    identity (maintained view == from-scratch recompute, bit-exact
+    DECIMAL sums) carries over micro-batch by micro-batch, which is
+    what lets the suite ORACLE a streaming query's final state.
+
+    Rows may carry :data:`~d365fo_db_sync_spark.operators.ivm.SIGN_COL`
+    (+1/-1) for CDC streams with retractions; plain append streams
+    default every row to +1.
+
+    Idempotency (the heavy-hitter pipeline's discipline): each batch
+    publishes the UPDATED VIEW SNAPSHOT — group-cardinality-sized, so
+    a full snapshot per batch is cheap — by atomic rename into
+    ``view_dir/batch_id=N``; a replayed micro-batch sees its dir and
+    no-ops, so restarts never double-apply a delta. The current view
+    is the highest published batch id.
+    """
+
+    def __init__(
+        self,
+        view_dir: str,
+        checkpoint_dir: str,
+        group_cols: Sequence[str],
+        measure_cols: Sequence[str],
+    ) -> None:
+        self.view_dir = view_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.group_cols = list(group_cols)
+        self.measure_cols = list(measure_cols)
+
+    def _published(self) -> list[int]:
+        import os
+
+        if not os.path.isdir(self.view_dir):
+            return []
+        out = []
+        for entry in os.listdir(self.view_dir):
+            if entry.startswith("batch_id="):
+                out.append(int(entry.split("=", 1)[1]))
+        return sorted(out)
+
+    def view(self, spark) -> DataFrame | None:
+        """The maintained rollup as of the last published batch, or
+        None before the first publish."""
+        import os
+
+        ids = self._published()
+        if not ids:
+            return None
+        return spark.read.parquet(
+            os.path.join(self.view_dir, f"batch_id={ids[-1]}")
+        )
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import uuid as _uuid
+
+        from d365fo_db_sync_spark.operators.ivm import (
+            SIGN_COL,
+            apply_rollup_delta,
+            rollup_delta,
+            rollup_full,
+        )
+
+        if batch_df.isEmpty():
+            return
+        final = os.path.join(self.view_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replayed batch: this delta is already applied
+        spark = batch_df.sparkSession
+        signed = (
+            batch_df
+            if SIGN_COL in batch_df.columns
+            else batch_df.withColumn(SIGN_COL, F.lit(1))
+        )
+        prior = self.view(spark)
+        if prior is None:
+            empty = rollup_full(
+                signed.drop(SIGN_COL).limit(0), self.group_cols, self.measure_cols
+            )
+            prior = empty
+        updated = apply_rollup_delta(
+            prior,
+            rollup_delta(signed, self.group_cols, self.measure_cols),
+            self.group_cols,
+            self.measure_cols,
+        )
+        tmp = os.path.join(self.view_dir, f"_tmp-{_uuid.uuid4().hex[:8]}")
+        updated.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def start(self, stream_df: DataFrame, available_now: bool = True):
+        import os
+
+        os.makedirs(self.view_dir, exist_ok=True)
+        writer = (
+            stream_df.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -4996,3 +4996,48 @@ def approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("within_bounds"),
     )
+
+
+@register(
+    "stream_incremental_rollup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance
+    (streaming.RollupStreamPipeline + operators/ivm.py): the events
+    table drains through Structured Streaming as 3 micro-batches, each
+    folding an O(batch) DECIMAL delta into the maintained per-type
+    (count, sum) view with an idempotent per-batch snapshot publish —
+    history is never re-aggregated. Because the IVM identity is
+    bit-exact, the FINAL STATE of a streaming query gets a full value
+    oracle: the maintained view must equal DuckDB's from-scratch
+    aggregate of everything ingested."""
+    from d365fo_db_sync_spark.streaming import RollupStreamPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    run = scratch_dir("ivmstream_")
+    src = f"{run}/in"
+    for b in range(3):
+        ev.filter(
+            F.pmod(F.crc32(F.col("value").cast("string")), F.lit(3)) == b
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{b}")
+    pipe = RollupStreamPipeline(
+        f"{run}/view", f"{run}/ckpt", ["event_type"], ["value"]
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = pipe.start(stream, available_now=True)
+    q.awaitTermination(300)
+    view = pipe.view(spark)
+    assert view is not None
+    return view.select(
+        "event_type", "cnt", F.col("sum_value").cast("double").alias("sum_value")
+    )

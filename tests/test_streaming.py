@@ -779,3 +779,39 @@ def test_heavy_hitter_stream_matches_batch_and_bounds(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert pipe.summary(spark).count() == after_new
+
+
+def test_rollup_stream_pipeline_retractions_and_replay(spark, tmp_path):
+    """RollupStreamPipeline: a CDC stream with retraction rows folds
+    exactly (update = -old +new), a replayed batch id is a no-op, and
+    the maintained view matches the from-scratch recompute."""
+    from d365fo_db_sync_spark.operators.ivm import SIGN_COL, rollup_full
+    from d365fo_db_sync_spark.streaming import RollupStreamPipeline
+
+    pipe = RollupStreamPipeline(
+        str(tmp_path / "view"), str(tmp_path / "ckpt"), ["g"], ["v"]
+    )
+    schema = f"g string, v double, {SIGN_COL} int"
+    b0 = spark.createDataFrame(
+        [("a", 1.5, 1), ("a", 2.0, 1), ("b", 4.0, 1)], schema
+    )
+    b1 = spark.createDataFrame(
+        [("a", 1.5, -1), ("a", 10.0, 1), ("b", 4.0, -1)], schema
+    )
+    pipe._handle_batch(b0, 0)
+    pipe._handle_batch(b1, 1)
+    pipe._handle_batch(b1, 1)  # replay: must not double-apply
+
+    got = {
+        r["g"]: (r["cnt"], float(r["sum_v"]))
+        for r in pipe.view(spark).collect()
+    }
+    # b drained to zero count and dropped; a = {2.0, 10.0}
+    assert got == {"a": (2, 12.0)}
+
+    final_rows = spark.createDataFrame([("a", 2.0), ("a", 10.0)], "g string, v double")
+    want = {
+        r["g"]: (r["cnt"], float(r["sum_v"]))
+        for r in rollup_full(final_rows, ["g"], ["v"]).collect()
+    }
+    assert got == want
