@@ -5041,3 +5041,178 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.select(
         "event_type", "cnt", F.col("sum_value").cast("double").alias("sum_value")
     )
+
+
+@register(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star
+    schema: per edge, child row count and orphan count via LEFT ANTI
+    joins — the warehouse data-quality sweep run after every load (the
+    reference trusts SQL Server constraints;
+    `/root/reference/DBSyncTool/Services/AxDbDataService.cs` carries
+    no cross-table checks, so the lakehouse side must). Each anti
+    join's parent side is dimension-sized and broadcasts; the child
+    fact scans once per edge with only the FK column read (column
+    pruning) — at 100 TB the three lineitem edges can share one scan
+    via a multi-FK projection, kept separate here for per-edge
+    clarity."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for child, fk, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).select(fk)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(
+            F.broadcast(p), c[fk] == p[pk], "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        counts = c.agg(F.count("*").alias("n_child"))
+        row = (
+            counts.join(orphans, F.lit(True))
+            .select(
+                F.lit(f"{child}->{parent}").alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@register(
+    "text_cooccurrence_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        t -> t <> '')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt,
+               row_number() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+        FROM toks GROUP BY token)
+      WHERE rnk <= 30),
+    pres AS (
+      SELECT DISTINCT t.doc_id, t.token
+      FROM toks t JOIN vocab v USING (token)),
+    tok_docs AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs FROM pres GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    pairs AS (
+      SELECT a.token AS t1, b.token AS t2, CAST(COUNT(*) AS BIGINT) AS co_docs
+      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token)
+    SELECT p.t1, p.t2, p.co_docs, d1.n_docs AS t1_docs, d2.n_docs AS t2_docs,
+           round(CAST(p.co_docs AS DOUBLE) * CAST(n.n_total AS DOUBLE)
+                 / (CAST(d1.n_docs AS DOUBLE) * CAST(d2.n_docs AS DOUBLE)),
+                 6) AS lift
+    FROM pairs p
+    JOIN tok_docs d1 ON p.t1 = d1.token
+    JOIN tok_docs d2 ON p.t2 = d2.token
+    CROSS JOIN n
+    WHERE p.co_docs >= 3
+    """,
+)
+def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence mining (market-basket over the top-30
+    corpus tokens): document-level pair counts and lift — the
+    association signal a curation pipeline uses to spot boilerplate
+    token cliques and topic clusters. Restricting the pair space to a
+    top-V vocabulary is what makes this tractable at 100 TB: the
+    per-document self-join is bounded by V(V-1)/2 pairs regardless of
+    document or corpus size (an unbounded pair mine is quadratic in
+    vocabulary). Integers end-to-end except the final lift, a fixed
+    double tree rounded for display; the top-V cut is deterministic
+    (count desc, token asc). The presence self-join reuses the doc_id
+    partitioning — one exchange feeds both sides."""
+    from d365fo_db_sync_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    # top-V cut via orderBy+limit -> TakeOrderedAndProject: per-partition
+    # partial top-30 reduced on the driver, NOT a single-partition
+    # global window over the full vocabulary (which is corpus-sized)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(30)
+        .select("token")
+    )
+    pres = toks.join(F.broadcast(vocab), on="token").distinct()
+    tok_docs = pres.groupBy("token").agg(F.count("*").alias("n_docs"))
+    n_total = docs.agg(F.count("*").alias("n_total"))
+    a = pres.select(F.col("doc_id"), F.col("token").alias("t1"))
+    b = pres.select(F.col("doc_id"), F.col("token").alias("t2"))
+    pairs = (
+        a.join(b, on="doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("co_docs"))
+        .filter(F.col("co_docs") >= 3)
+    )
+    d1 = tok_docs.select(F.col("token").alias("t1"), F.col("n_docs").alias("t1_docs"))
+    d2 = tok_docs.select(F.col("token").alias("t2"), F.col("n_docs").alias("t2_docs"))
+    lift = F.round(
+        F.col("co_docs").cast("double") * F.col("n_total").cast("double")
+        / (F.col("t1_docs").cast("double") * F.col("t2_docs").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(d1), on="t1")
+        .join(F.broadcast(d2), on="t2")
+        .join(F.broadcast(n_total), F.lit(True))
+        .select("t1", "t2", "co_docs", "t1_docs", "t2_docs", lift.alias("lift"))
+    )
