@@ -378,3 +378,40 @@ def test_heavy_hitters_broadcasts_candidates(spark):
     plan = explain_formatted(heavy_hitters_exact(docs, "text", k=60))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_zscore_outliers_one_exchange_plus_broadcast(spark):
+    """The power-sum stats frame must come back as a BROADCAST build
+    side, and the whole flag pipeline may carry exactly one hash
+    exchange (the stats groupBy) — a shuffled stats join would
+    re-shuffle the fact table at scale."""
+    from d365fo_db_sync_spark.operators.stats import zscore_outliers
+
+    ev = load_table(spark, SF, "events").select("event_type", "value")
+    df = zscore_outliers(ev, ["event_type"], "value", k=3, value_scale=2)
+    ops = physical_operators(df)
+    assert uses(df, "BroadcastHashJoin"), ops
+    assert ops.count("Exchange") == 1, ops
+
+
+def test_prototype_confusion_broadcasts_centroids(spark):
+    """The (label, dim) centroid frame broadcasts onto the posexploded
+    corpus — the corpus itself must never shuffle for the join."""
+    from d365fo_db_sync_spark.operators.similarity import prototype_confusion
+
+    emb = load_table(spark, SF, "embeddings")
+    df = prototype_confusion(emb)
+    assert uses(df, "BroadcastHashJoin"), physical_operators(df)
+
+
+def test_tfidf_keywords_no_corpus_join(spark):
+    """The 1-row N frame rides a broadcast nested-loop join; the token
+    df comes from a count window, not a join — so the plan has no
+    shuffled join at all."""
+    from d365fo_db_sync_spark.operators.text_rank import tfidf_keywords
+
+    docs = load_table(spark, SF, "documents")
+    df = tfidf_keywords(docs, k=3)
+    ops = physical_operators(df)
+    assert "BroadcastNestedLoopJoin" in ops or "BroadcastExchange" in ops, ops
+    assert "SortMergeJoin" not in ops and "ShuffledHashJoin" not in ops, ops
