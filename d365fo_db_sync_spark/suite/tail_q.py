@@ -5216,3 +5216,191 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_total), F.lit(True))
         .select("t1", "t2", "co_docs", "t1_docs", "t2_docs", lift.alias("lift"))
     )
+
+
+@register(
+    "events_pivot_matrix",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_cnt,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_cnt,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_cnt,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_cnt,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_cnt,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+             AS purchase_value,
+           CAST(SUM(CASE WHEN event_type = 'error'
+                         THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+             AS error_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with an EXPLICIT value list — the §2
+    reshaping operator the reference's grid views imply and Spark
+    executes as one aggregation pass (explicit values skip the extra
+    distinct-discovery job AND keep the output schema static, the only
+    sane contract at 100 TB where a rogue category would otherwise
+    mint a column). Daily event matrix: per-type counts plus
+    DECIMAL-routed value sums for two types. The inverse (wide -> long
+    via stack/unpivot) is covered by the catalog profile queries; the
+    oracle mirrors the pivot as conditional aggregation, which is
+    exactly the plan Spark lowers it to."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        e.select(
+            F.to_date("ts").alias("d"),
+            "event_type",
+            F.col("value").cast("decimal(28,6)").alias("v"),
+        )
+        .groupBy("d")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("val"))
+    )
+    return wide.select(
+        "d",
+        *[
+            F.coalesce(F.col(f"{t}_cnt"), F.lit(0)).alias(f"{t}_cnt")
+            for t in types
+        ],
+        F.col("purchase_val").cast("double").alias("purchase_value"),
+        F.col("error_val").cast("double").alias("error_value"),
+    )
+
+
+def _quality_monitor_oracle() -> str:
+    from d365fo_db_sync_spark.operators.text import (
+        QUALITY_CLASSIFIER_WEIGHTS as W,
+        STOPWORDS,
+    )
+
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    logit = (
+        f"{W['bias']!r} + stopword_ratio*{W['stopword_ratio']!r}"
+        f" + punct_ratio*{W['punct_ratio']!r}"
+        f" + mean_token_len*{W['mean_token_len']!r}"
+        f" + n_tokens*{W['n_tokens']!r}"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source, text, n_chars, {_TOKS_SQL} AS toks
+               FROM documents),
+    f AS (SELECT doc_id, source, n_chars,
+           len(toks) AS n_tokens,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / GREATEST(length(text), 1) AS punct_ratio,
+           len(list_intersect(toks, {stop_sql}))
+             / GREATEST(len(toks), 1) AS stopword_ratio,
+           length(regexp_replace(text, '\\s+', '', 'g'))
+             / GREATEST(len(toks), 1) AS mean_token_len
+          FROM t),
+    s AS (SELECT doc_id, source, n_chars, n_tokens,
+                 ROUND({logit}, 6) AS q FROM f),
+    r AS (SELECT source, q,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY q, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM s),
+    b AS (SELECT source,
+                 MAX(CASE WHEN rn = GREATEST(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                          THEN q END) AS p_lo,
+                 MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                          THEN q END) AS p_hi
+          FROM r GROUP BY source),
+    w AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 ROUND(AVG(ROUND(LEAST(GREATEST(q, b.p_lo), b.p_hi), 6)), 6)
+                   AS avg_winsorized,
+                 CAST(SUM(CASE WHEN q < b.p_lo OR q > b.p_hi
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+          FROM s JOIN b USING (source)
+          GROUP BY s.source),
+    vi AS (SELECT source,
+                  CAST(CAST(q AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS v
+           FROM s),
+    st AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                  SUM(v) AS sv, SUM(v * v) AS svv
+           FROM vi GROUP BY source),
+    o AS (SELECT vi.source,
+                 CAST(SUM(CASE WHEN (st.n * vi.v - st.sv) * (st.n * vi.v - st.sv)
+                                    > 9 * (st.n * st.svv - st.sv * st.sv)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM vi JOIN st USING (source) GROUP BY vi.source),
+    rr AS (SELECT source, n_chars, n_tokens,
+                  rank() OVER (PARTITION BY source ORDER BY n_chars ASC)
+                    + COUNT(*) OVER (PARTITION BY source) + 1
+                    - rank() OVER (PARTITION BY source ORDER BY n_chars DESC)
+                    AS rx,
+                  rank() OVER (PARTITION BY source ORDER BY n_tokens ASC)
+                    + COUNT(*) OVER (PARTITION BY source) + 1
+                    - rank() OVER (PARTITION BY source ORDER BY n_tokens DESC)
+                    AS ry
+           FROM s),
+    cs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                  SUM(CAST(rx AS HUGEINT)) AS srx,
+                  SUM(CAST(ry AS HUGEINT)) AS sry,
+                  SUM(CAST(rx AS HUGEINT) * rx) AS srxx,
+                  SUM(CAST(ry AS HUGEINT) * ry) AS sryy,
+                  SUM(CAST(rx AS HUGEINT) * ry) AS srxy
+           FROM rr GROUP BY source),
+    c AS (SELECT source,
+                 round((CAST(n AS DOUBLE) * CAST(srxy AS DOUBLE)
+                        - CAST(srx AS DOUBLE) * CAST(sry AS DOUBLE))
+                       / nullif(sqrt((CAST(n AS DOUBLE) * CAST(srxx AS DOUBLE)
+                                      - CAST(srx AS DOUBLE) * CAST(srx AS DOUBLE))
+                                   * (CAST(n AS DOUBLE) * CAST(sryy AS DOUBLE)
+                                      - CAST(sry AS DOUBLE) * CAST(sry AS DOUBLE))),
+                                0.0), 6) AS spearman_len_toks
+          FROM cs)
+    SELECT w.source, w.n_docs, w.avg_winsorized, w.n_clipped,
+           o.n_outliers, c.spearman_len_toks
+    FROM w JOIN o USING (source) JOIN c USING (source)
+    """
+
+
+@register("pipeline_quality_monitor", oracle=_quality_monitor_oracle())
+def pipeline_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-close capstone: the per-source corpus HEALTH CARD a
+    curation pipeline publishes each cycle, composing the statistics
+    tier end-to-end — outlier-robust winsorized quality
+    (text.winsorized_group_stats), integer-exact 3-sigma anomaly
+    counts over the same 6-dp logit (stats.zscore_outliers), and the
+    char/token Spearman drift statistic (stats.rank_correlation) —
+    one row per source, every column value-checked cross-engine.
+    The document corpus is scanned a bounded number of times (scoring
+    feeds all three components); every join in the assembly is on the
+    |sources|-sized dimension."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.stats import (
+        rank_correlation,
+        zscore_outliers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.quality_classifier(docs, "text").select(
+        "doc_id", "source", F.col("quality_logit").alias("q")
+    )
+    w = text_ops.winsorized_group_stats(
+        scored, "source", "q", lo_q=0.05, hi_q=0.95, tiebreak_cols=("doc_id",)
+    ).select(
+        "source",
+        "n_docs",
+        "avg_winsorized",
+        (F.col("clipped_lo") + F.col("clipped_hi")).alias("n_clipped"),
+    )
+    o = (
+        zscore_outliers(scored, ["source"], "q", k=3, value_scale=6)
+        .groupBy("source")
+        .agg(F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"))
+    )
+    toks = docs.select(
+        "source",
+        "n_chars",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).cast("long").alias("n_toks"),
+    )
+    c = rank_correlation(
+        toks, ["source"], "n_chars", "n_toks", value_scale=0
+    ).select("source", F.col("spearman").alias("spearman_len_toks"))
+    return w.join(o, on="source").join(c, on="source")
