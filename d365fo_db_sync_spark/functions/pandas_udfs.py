@@ -78,3 +78,34 @@ def grouped_robust_stats(df: DataFrame, group_col: str, value_col: str) -> DataF
         )
 
     return df.groupBy(group_col).applyInPandas(stats, schema=ROBUST_STATS_SCHEMA)
+
+
+def sentence_split_udtf():
+    """User-defined TABLE function (the §2.10 UDTF leg): one input row
+    -> N output rows, here splitting a document into
+    ``(idx, sentence)`` on '.' boundaries. Lazily constructed because
+    the @udtf decorator registers against the active session's config.
+
+    Same contract as the rest of this module: the UDTF is the
+    sanctioned SLOW path for row-expanding logic that genuinely cannot
+    stay in SQL (stateful parsers, ML tokenizers yielding variable
+    rows). THIS example can stay in SQL — ``posexplode(split(...))``
+    is the codegen equivalent, and the pytest suite asserts the two
+    produce identical rows — which is exactly why it is the reference
+    implementation: the equivalence proves the UDTF wiring without
+    smuggling Python into any hot path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for raw in text.split("."):
+                s = raw.strip()
+                if s:
+                    yield idx, s
+                    idx += 1
+
+    return SentenceSplit
