@@ -5358,7 +5358,7 @@ def _quality_monitor_oracle() -> str:
     """
 
 
-@register("pipeline_quality_monitor", oracle=_quality_monitor_oracle())
+@register("pipeline_quality_monitor", oracle=_quality_monitor_oracle(), bench=True)
 def pipeline_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-close capstone: the per-source corpus HEALTH CARD a
     curation pipeline publishes each cycle, composing the statistics
