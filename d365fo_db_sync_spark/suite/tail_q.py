@@ -5404,3 +5404,48 @@ def pipeline_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, ["source"], "n_chars", "n_toks", value_scale=0
     ).select("source", F.col("spearman").alias("spearman_len_toks"))
     return w.join(o, on="source").join(c, on="source")
+
+
+@register(
+    "sql_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text entry path end-to-end (TPC-H Q3 shape): corpus
+    tables registered as temp views, the query submitted verbatim
+    through spark.sql — the API a reference user migrating raw SQL
+    would reach for first; every other suite query exercises the
+    builder API, so this is the representative of the second front
+    door. Catalyst plans it identically to the builder twin (AQE
+    picks the join strategy; the ORDER BY+LIMIT lowers to
+    TakeOrderedAndProject). Float discipline: the per-row revenue
+    product is the same double in both engines (identical expression
+    text), quantized once to DECIMAL(28,8) so the top-10 cut orders by
+    an order-independent exact sum; l_orderkey breaks ties."""
+    for name in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey, o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY l.l_orderkey, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
