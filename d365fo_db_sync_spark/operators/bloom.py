@@ -174,3 +174,76 @@ def empty(m_bits: int = 1 << 17, k: int = 5, seed: int = 42) -> BloomFilter:
     return BloomFilter(
         m_bits=m_bits, seeds=tuple(seed + i for i in range(k)), words=(0,) * (m_bits // 64)
     )
+
+
+def build_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    m_bits: int = 1 << 14,
+    k: int = 5,
+    seed: int = 42,
+) -> dict:
+    """Per-GROUP blooms in one aggregation — the segmented deployment
+    the module docstring describes, built all at once: k positions per
+    key explode map-side, one groupBy(group, word)+bit_or shuffle, and
+    the driver materializes ``|groups| x m/64`` longs (the caller
+    sizes ``m_bits`` so that stays metadata — at the default 2^14
+    bits that is 256 longs per group). NULL keys are not indexed
+    (membership of NULL is not a supported probe).
+
+    Returns ``{group_value: [signed-64 words]}``; combine with
+    :func:`words_or` across batches — bloom union is bitwise OR."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    seeds = tuple(seed + i for i in range(k))
+    pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, seeds))).alias("pos")
+    rows = (
+        df.select(F.col(group_col).alias("__g"), pos)
+        .filter(F.col("pos").isNotNull())
+        .select(
+            "__g",
+            (F.col("pos") / 64).cast("int").alias("word"),
+            _one_shl((F.col("pos") % 64).cast("int")).alias("mask"),
+        )
+        .groupBy("__g", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    out: dict = {}
+    n_words = m_bits // 64
+    for r in rows:
+        words = out.setdefault(r["__g"], [0] * n_words)
+        words[r["word"]] = _signed64(words[r["word"]] | (r["bits"] & _U64))
+    return out
+
+
+def words_or(a: list, b: list) -> list:
+    """Bitwise-OR merge of two word arrays (bloom union)."""
+    if len(a) != len(b):
+        raise ValueError(f"word arrays differ in size: {len(a)} vs {len(b)}")
+    return [_signed64((x & _U64) | (y & _U64)) for x, y in zip(a, b)]
+
+
+def probe_positions(spark, value, dtype, m_bits: int, seeds: tuple) -> list[int]:
+    """The k bit positions a probe value hashes to, computed BY THE
+    ENGINE (xxhash64 is a JVM hash with no Python twin) via one 1-row
+    job — metadata-sized by construction. ``dtype`` must be the stored
+    column's Spark type: xxhash64 hashes the binary encoding, so a
+    long and a string of the same digits hash differently."""
+    exprs = [
+        p.alias(f"p{i}")
+        for i, p in enumerate(
+            _positions(F.lit(value).cast(dtype), m_bits, tuple(seeds))
+        )
+    ]
+    row = spark.range(1).select(*exprs).first()
+    return [row[f"p{i}"] for i in range(len(seeds))]
+
+
+def words_might_contain(words: list, positions: list[int]) -> bool:
+    """Driver-side membership test against a stored word array."""
+    for pos in positions:
+        if not ((words[pos // 64] & _U64) >> (pos % 64)) & 1:
+            return False
+    return True

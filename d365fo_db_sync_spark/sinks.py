@@ -612,6 +612,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
         n_buckets: int = 64,
         retain_versions: int = 1,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 1 << 14,
+        bloom_k: int = 5,
     ) -> None:
         """``retain_versions`` is the time-travel window: how many
         published versions (including live) GC must keep readable.
@@ -628,12 +631,85 @@ class ManifestParquetTarget(BucketedParquetTarget):
         file-skipping scans — CDC FROM a manifest table reads only the
         files whose version range crosses the watermark, the Delta/
         Iceberg incremental-read shape. Files written before a column
-        was tracked simply lack its entry and scan conservatively."""
+        was tracked simply lack its entry and scan conservatively.
+
+        ``bloom_cols`` maintains a PER-BUCKET Bloom filter for each
+        named column in the manifest (``2^bloom_bits`` bits each, k
+        seeded xxhash64 probes — operators/bloom.py): point lookups on
+        a NON-key column (:meth:`probe_value`) then plan only the
+        buckets whose bloom admits the value. Zone maps prune by ORDER
+        and need clustering to bite; blooms prune by MEMBERSHIP and
+        work on hash-scattered values — the complementary cut for
+        "find this user/tenant/doc id" against a table bucketed by a
+        different key. Bloom union is bitwise OR, so append-mode
+        writes fold new rows in without re-reading old files; a bucket
+        whose history predates bloom tracking simply has no entry and
+        scans conservatively."""
         super().__init__(root, key, n_buckets)
         if retain_versions < 1:
             raise ValueError(f"retain_versions must be >= 1, got {retain_versions}")
+        if bloom_bits % 64:
+            raise ValueError(f"bloom_bits must be a multiple of 64, got {bloom_bits}")
         self.retain_versions = retain_versions
         self.stats_cols = [c for c in (stats_cols or []) if c != key]
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
+
+    def _merged_blooms(
+        self,
+        out: DataFrame,
+        staged_buckets: set[int],
+        buckets: dict,
+        carried: dict,
+        prior: dict | None,
+        append: bool,
+    ) -> dict:
+        """Per-bucket bloom maintenance for one staged version: fresh
+        blooms aggregate over ONLY the staged rows (one grouped
+        bit_or pass per tracked column); untouched buckets carry their
+        prior words; append-mode buckets OR fresh into prior (bloom
+        union). The invariant is SUPERSET-or-ABSENT: a bucket gets an
+        entry only when its words provably cover every row in its file
+        list (absent = probe scans it conservatively), so appending
+        onto pre-bloom history yields no entry rather than a filter
+        that would silently drop matches."""
+        from .operators.bloom import build_grouped, words_or
+
+        prior_meta = (prior or {}).get("bloom_meta")
+        if prior_meta is not None and prior_meta.get("m_bits") != self.bloom_bits:
+            raise ValueError(
+                f"bloom_bits {self.bloom_bits} does not match the live "
+                f"manifest's {prior_meta.get('m_bits')} — blooms OR-merge "
+                "across versions and cannot change geometry in place"
+            )
+        prior_blooms = (prior or {}).get("blooms", {})
+        empty_words = [0] * (self.bloom_bits // 64)
+        blooms: dict = {}
+        for col in self.bloom_cols:
+            fresh = build_grouped(
+                out, self.BUCKET_COL, col, m_bits=self.bloom_bits, k=self.bloom_k
+            )
+            prior_col = prior_blooms.get(col, {})
+            colmap: dict = {}
+            for b, fs in buckets.items():
+                if not fs:
+                    continue
+                key = str(b)
+                if b not in staged_buckets:
+                    # untouched: carry the prior words if any
+                    if key in prior_col:
+                        colmap[key] = prior_col[key]
+                    continue
+                fw = fresh.get(b, empty_words)
+                inherited = carried.get(b, []) if append else []
+                if not inherited:
+                    colmap[key] = fw  # bucket is exactly the staged rows
+                elif key in prior_col:
+                    colmap[key] = words_or(prior_col[key], fw)
+                # else: appending onto never-tracked history — no entry
+            blooms[col] = colmap
+        return blooms
 
     # -- manifest io --------------------------------------------------------
     def _manifest_at(self, path: str) -> dict:
@@ -641,7 +717,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
 
         with open(os.path.join(path, self.MANIFEST), encoding="utf-8") as f:
             raw = json.load(f)
-        return {
+        out = {
             "schema": raw["schema"],
             "buckets": {int(k): v for k, v in raw["buckets"].items()},
             # zone maps are additive metadata: manifests written before
@@ -649,6 +725,12 @@ class ManifestParquetTarget(BucketedParquetTarget):
             # scanned), so no migration is needed
             "stats": raw.get("stats", {}),
         }
+        # per-bucket blooms are likewise additive (absent = every
+        # bucket scanned conservatively on probe_value)
+        if "blooms" in raw:
+            out["blooms"] = raw["blooms"]
+            out["bloom_meta"] = raw.get("bloom_meta")
+        return out
 
     def _file_key_stats(self, path: str) -> dict:
         """Footer-derived zone map for ``self.key`` (plus
@@ -869,10 +951,12 @@ class ManifestParquetTarget(BucketedParquetTarget):
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         writer.partitionBy(self.BUCKET_COL).parquet(staged)
         buckets: dict[int, list[str]] = dict(carried)
+        staged_buckets: set[int] = set()
         for entry in sorted(os.listdir(staged)):
             if not entry.startswith(f"{self.BUCKET_COL}="):
                 continue
             b = int(entry.split("=", 1)[1])
+            staged_buckets.add(b)
             files = sorted(
                 os.path.join(staged, entry, fn)
                 for fn in os.listdir(os.path.join(staged, entry))
@@ -900,6 +984,27 @@ class ManifestParquetTarget(BucketedParquetTarget):
             "buckets": {str(k): v for k, v in buckets.items()},
             "stats": stats,
         }
+        if self.bloom_cols:
+            manifest["bloom_meta"] = {
+                "m_bits": self.bloom_bits,
+                "seeds": list(range(42, 42 + self.bloom_k)),
+            }
+            # blooms aggregate over the freshly WRITTEN files read back
+            # (one scan of the staged bytes), not the upstream plan —
+            # re-running a merge/compact plan just to hash its rows
+            # would double the write's compute at scale
+            spark = out.sparkSession
+            if staged_buckets:
+                staged_df = (
+                    spark.read.parquet(staged)
+                    .withColumnRenamed(self.BUCKET_COL, "__kb_hive")
+                    .withColumnRenamed(self.DATA_BUCKET_COL, self.BUCKET_COL)
+                )
+            else:
+                staged_df = out.limit(0)
+            manifest["blooms"] = self._merged_blooms(
+                staged_df, staged_buckets, buckets, carried, prior, append
+            )
         with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
             json.dump(manifest, f)
         with self._publish_lock():
@@ -1053,6 +1158,47 @@ class ManifestParquetTarget(BucketedParquetTarget):
             c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
             cond = c if cond is None else (cond & c)
         return df.filter(cond) if cond is not None else df
+
+    def probe_value(self, spark: SparkSession, col: str, value) -> DataFrame:
+        """Point lookup on a bloom-tracked NON-key column: plan only
+        the buckets whose per-bucket Bloom filter admits ``value``
+        (operators/bloom.py words; a miss is a PROOF of absence, a hit
+        means scan). Buckets without a bloom entry — pre-tracking
+        history — scan conservatively, so the result is always
+        row-exact after the residual ``col == value`` filter.
+
+        This is the membership complement to :meth:`scan_range`'s
+        order cut and :meth:`probe`'s key-hash cut: the probed column
+        hashes into buckets by the TABLE key, so a rare value touches
+        few buckets and the bloom proves which. The probe's k hash
+        positions come from one 1-row engine job (xxhash64 has no
+        Python twin), then the word tests are driver-side bit math."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        from .operators.bloom import probe_positions, words_might_contain
+
+        m = self._load_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no live version under {self.root}")
+        blooms = m.get("blooms", {}).get(col)
+        meta = m.get("bloom_meta")
+        if blooms is None or meta is None:
+            raise ValueError(
+                f"column {col!r} is not bloom-tracked — construct the target "
+                "with bloom_cols and rewrite"
+            )
+        schema = StructType.fromJson(__import__("json").loads(m["schema"]))
+        dtype = schema[col].dataType
+        pos = probe_positions(spark, value, dtype, meta["m_bits"], tuple(meta["seeds"]))
+        files = [
+            f
+            for b, fs in m["buckets"].items()
+            for f in fs
+            if str(b) not in blooms or words_might_contain(blooms[str(b)], pos)
+        ]
+        df = self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+        return df.filter(F.col(col) == F.lit(value))
 
     def num_rows(self) -> int:
         import pyarrow.parquet as pq

@@ -5449,3 +5449,64 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@register(
+    "sync_probe_value_bloom",
+    oracle="""
+    SELECT event_id, user_id, value,
+           md5(CAST(event_id AS VARCHAR)) AS request_id
+    FROM events
+    WHERE md5(CAST(event_id AS VARCHAR)) = md5(CAST(42 AS VARCHAR))
+    """,
+)
+def sync_probe_value_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom point lookup on a NON-key column of the manifest sink
+    (sinks.probe_value): events carry a request_id (md5 surrogate —
+    the request-id/URL/session-token shape every serving log has) and
+    bucket by event_id, so an equality probe on request_id gets
+    nothing from key hashing or zone maps — the per-bucket Bloom
+    filters (operators/bloom.py words persisted in the manifest) prove
+    all but ~one bucket cannot contain it. The filter is sized from
+    the data (~12 bits per row-per-bucket, fpp well under 1% at k=5 —
+    a FIXED size saturates to all-ones once the corpus outgrows it and
+    admits everything, found live at sf1). The bucket cut is asserted
+    driver-side; the residual equality filter keeps the result
+    row-exact, which the oracle value-checks."""
+    from d365fo_db_sync_spark.operators.bloom import (
+        probe_positions,
+        words_might_contain,
+    )
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .withColumn("request_id", F.md5(F.col("event_id").cast("string")))
+    )
+    n = ev.count()
+    n_buckets = 16
+    bits = max(1 << 13, ((12 * n // n_buckets + 63) // 64) * 64)
+    work = scratch_dir("syncbloom_")
+    t = ManifestParquetTarget(
+        f"{work}/tgt", key="event_id", n_buckets=n_buckets,
+        bloom_cols=["request_id"], bloom_bits=bits,
+    )
+    t.overwrite(ev)
+
+    probe = ev.filter(F.col("event_id") == 42).first()["request_id"]
+    m = t._load_manifest()
+    meta = m["bloom_meta"]
+    pos = probe_positions(
+        spark, probe, "string", meta["m_bits"], tuple(meta["seeds"])
+    )
+    admitted = [
+        b for b in m["buckets"]
+        if str(b) in m["blooms"]["request_id"]
+        and words_might_contain(m["blooms"]["request_id"][str(b)], pos)
+    ]
+    # a unique request_id lives in exactly one bucket; fp admissions
+    # are sub-1% per bucket by the sizing above
+    assert len(admitted) <= max(2, len(m["buckets"]) // 4), admitted
+    return t.probe_value(spark, "request_id", probe)
