@@ -155,3 +155,35 @@ def test_compact_zorder_requires_zone_mapped_cols(spark, tmp_path):
     )
     t2.overwrite(_dims_table(spark, n=100))
     assert t2.compact_zorder(spark, ["RecId", "x"], bits=4) == 2
+
+
+def test_scan_box_model_check(spark, tmp_path):
+    """Random 2-D boxes over a z-ordered table: scan_box == naive
+    filter for every box, including empty, full-domain, and
+    single-point boxes."""
+    zt = ManifestParquetTarget(
+        str(tmp_path / "zm"), key="RecId", n_buckets=4, stats_cols=["x", "y"]
+    )
+    df = _dims_table(spark, n=1500)
+    zt.overwrite(df)
+    zt.compact_zorder(spark, ["x", "y"], bits=5, target_rows_per_file=120)
+    rows = [(r["RecId"], r["x"], r["y"]) for r in df.collect()]
+    boxes = [
+        (0, 99, 0, 99),          # full domain
+        (40, 39, 0, 99),         # empty on x
+        (17, 17, 53, 53),        # single cell
+        (0, 9, 90, 99),          # corner
+        (25, 74, 25, 74),        # centre mass
+        (99, 99, 0, 0),          # opposite corner point
+    ]
+    for xlo, xhi, ylo, yhi in boxes:
+        got = sorted(
+            r["RecId"]
+            for r in zt.scan_box(
+                spark, {"x": (xlo, xhi), "y": (ylo, yhi)}
+            ).collect()
+        )
+        want = sorted(
+            k for k, x, y in rows if xlo <= x <= xhi and ylo <= y <= yhi
+        )
+        assert got == want, (xlo, xhi, ylo, yhi)
