@@ -13,10 +13,10 @@ no UDF, no extra shuffle beyond the rewrite's own repartition):
 - :func:`quantile_bounds` — driver-side approximate quantile cut
   points (a bounded ``2**bits - 1``-element list, the only driver
   materialization in the path);
-- :func:`rank_bucket` — value -> rank bucket in ``[0, 2**bits)`` via a
-  higher-order ``aggregate`` over the literal bounds array (rank
-  buckets equalize skewed distributions — raw value bits would put
-  90% of a Zipfian column into one z-column);
+- :func:`rank_bucket` — value -> rank bucket in ``[0, 2**bits)`` as a
+  flat codegen sum of boundary comparisons (rank buckets equalize
+  skewed distributions — raw value bits would put 90% of a Zipfian
+  column into one z-column);
 - :func:`morton_interleave` — bit ``i`` of dimension ``j`` lands at
   position ``i*d + j`` (shift/AND/OR term sum, distinct bit positions
   so plain ``+`` is an OR).
@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantile_bounds", "rank_bucket", "morton_interleave"]
+__all__ = ["morton_interleave", "quantile_bounds", "quantile_bounds_multi", "rank_bucket"]
 
 
 def quantile_bounds(
@@ -105,4 +105,29 @@ def morton_interleave(dims: list[Column], bits: int = 6) -> Column:
     out = terms[0]
     for t in terms[1:]:
         out = out + t
+    return out
+
+
+def quantile_bounds_multi(
+    df: DataFrame, cols: list[str], bits: int = 6, rel_err: float = 0.001
+) -> dict[str, list[float]]:
+    """:func:`quantile_bounds` for several columns in ONE corpus pass —
+    ``approxQuantile`` accepts a column list and runs all GK sketches
+    in the same aggregation, so a k-column z-order pays one scan for
+    its cut points instead of k."""
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    n = (1 << bits) - 1
+    probs = [(i + 1) / (n + 1) for i in range(n)]
+    cast = df.select(
+        *[F.col(c).cast("double").alias(f"__q{i}") for i, c in enumerate(cols)]
+    )
+    per_col = cast.approxQuantile([f"__q{i}" for i in range(len(cols))], probs, rel_err)
+    out: dict[str, list[float]] = {}
+    for c, vals in zip(cols, per_col):
+        b: list[float] = []
+        for v in vals:
+            if v is not None and (not b or v > b[-1]):
+                b.append(float(v))
+        out[c] = b
     return out

@@ -1511,7 +1511,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         Every z-ordered column must be zone-mapped (``stats_cols`` or
         the key), else the clustering would be write-only: the read
         path prunes from recorded footer stats."""
-        from .operators.zorder import morton_interleave, quantile_bounds, rank_bucket
+        from .operators.zorder import morton_interleave, quantile_bounds_multi, rank_bucket
 
         untracked = [c for c in cols if c != self.key and c not in self.stats_cols]
         if untracked:
@@ -1529,9 +1529,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
         window = self._read_files(spark, files, m["schema"]).withColumnRenamed(
             self.DATA_BUCKET_COL, self.BUCKET_COL
         )
+        bounds = quantile_bounds_multi(window, cols, bits=bits)
         zcode = morton_interleave(
-            [rank_bucket(c, quantile_bounds(window, c, bits=bits)) for c in cols],
-            bits=bits,
+            [rank_bucket(c, bounds[c]) for c in cols], bits=bits
         )
         carried = {b: [] for b in m["buckets"]}
         self._write_version(
