@@ -5510,3 +5510,48 @@ def sync_probe_value_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are sub-1% per bucket by the sizing above
     assert len(admitted) <= max(2, len(m["buckets"]) // 4), admitted
     return t.probe_value(spark, "request_id", probe)
+
+
+def _array_family_oracle() -> str:
+    from d365fo_db_sync_spark.operators.text import STOPWORDS
+
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(len(list_intersect(list_distinct(toks), {stop_sql}))
+                AS BIGINT) AS n_stop_distinct,
+           CAST(len(list_filter(list_distinct(toks),
+                                x -> NOT list_contains({stop_sql}, x)))
+                AS BIGINT) AS n_nonstop_distinct,
+           array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3
+    FROM t
+    """
+
+
+@register("text_array_function_family", oracle=_array_family_oracle())
+def text_array_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface family (SURVEY §2.8 extension): the
+    set-algebra and ordering operators over token arrays that the
+    scalar families don't touch — array_distinct, array_intersect /
+    array_except against a literal stoplist, array_sort + slice +
+    array_join. All whole-stage codegen, zero shuffles (a pure per-row
+    projection); DuckDB's list_* twins value-check every cell. Sort
+    collation note: both engines order strings by raw codepoint here,
+    which the lowercase-ASCII token stream keeps unambiguous."""
+    from d365fo_db_sync_spark.operators.text import STOPWORDS, tokens
+
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = F.array_distinct(toks)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(d).cast("long").alias("n_distinct"),
+        F.size(F.array_intersect(d, stop)).cast("long").alias("n_stop_distinct"),
+        F.size(F.array_except(d, stop)).cast("long").alias("n_nonstop_distinct"),
+        F.array_join(F.slice(F.array_sort(d), 1, 3), "|").alias("first3"),
+    )
