@@ -42,7 +42,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_linregress", "rank_correlation", "zscore_outliers"]
+__all__ = ["group_linregress", "rank_correlation", "welch_t_test", "zscore_outliers"]
 
 _D38 = "decimal(38,0)"
 
@@ -242,3 +242,77 @@ def zscore_outliers(
     return joined.withColumn(
         "is_outlier", dev * dev > F.lit(k * k).cast(_D38) * var_n2
     ).drop("__n", "__s", "__ss")
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    value_col: str,
+    value_scale: int = 2,
+    out_prec: int = 6,
+) -> DataFrame:
+    """Per-group Welch's t statistic between the two variants of an
+    A/B split — the experimentation readout every event pipeline ends
+    at. ``variant_col`` must hold exactly two values per group
+    (lexicographically first = A); groups missing a variant or with
+    n < 2 on either side return NULL.
+
+    Same discipline as the rest of this module: per-variant ``n, S,
+    SS`` accumulate as exact integer DECIMALs (order-independent), and
+    ``t = (meanA - meanB) / sqrt(sA²/nA + sB²/nB)`` with the unbiased
+    ``s² = (n·SS - S²) / (n·(n-1))`` evaluates once in double with a
+    fixed expression tree the oracle mirrors. One partially-aggregated
+    exchange on (group, variant), then a tiny self-join on the
+    group-cardinality frame. The 10^scale factor cancels in t."""
+    gcols = list(group_cols)
+    mul = 10**value_scale
+    prec = min(38 - value_scale, 30)
+    vi = (F.col(value_col).cast(f"decimal({prec},{value_scale})") * F.lit(mul)).cast(
+        _D38
+    )
+    per = (
+        df.select(*gcols, F.col(variant_col).alias("__var"), vi.alias("__v"))
+        .groupBy(*gcols, "__var")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__v").alias("s"),
+            F.sum(F.col("__v") * F.col("__v")).alias("ss"),
+        )
+    )
+    a = per.select(
+        *gcols, F.col("__var").alias("va"), F.col("n").alias("na"),
+        F.col("s").alias("sa"), F.col("ss").alias("ssa"),
+    )
+    b = per.select(
+        *gcols, F.col("__var").alias("vb"), F.col("n").alias("nb"),
+        F.col("s").alias("sb"), F.col("ss").alias("ssb"),
+    )
+    pair = a.join(b, on=gcols).filter(F.col("va") < F.col("vb"))
+
+    def mean(s, n):
+        return s.cast("double") / n.cast("double")
+
+    def var(n, s, ss):
+        nd = n.cast("double")
+        return (nd * ss.cast("double") - s.cast("double") * s.cast("double")) / (
+            nd * (nd - F.lit(1.0))
+        )
+
+    na, nb = F.col("na"), F.col("nb")
+    num = mean(F.col("sa"), na) - mean(F.col("sb"), nb)
+    den = F.sqrt(
+        var(na, F.col("sa"), F.col("ssa")) / na.cast("double")
+        + var(nb, F.col("sb"), F.col("ssb")) / nb.cast("double")
+    )
+    t = F.when(
+        (na >= 2) & (nb >= 2), F.round(num / F.nullif(den, F.lit(0.0)), out_prec)
+    )
+    return pair.select(
+        *gcols,
+        F.col("va").alias("variant_a"),
+        F.col("vb").alias("variant_b"),
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        t.alias("welch_t"),
+    )

@@ -5555,3 +5555,61 @@ def text_array_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except(d, stop)).cast("long").alias("n_nonstop_distinct"),
         F.array_join(F.slice(F.array_sort(d), 1, 3), "|").alias("first3"),
     )
+
+
+@register(
+    "events_ab_welch",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS var,
+             CAST(CAST(value AS DECIMAL(36,2)) * 100 AS HUGEINT) AS vi
+      FROM events),
+    per AS (
+      SELECT event_type, var, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(vi) AS s, SUM(vi * vi) AS ss
+      FROM v GROUP BY 1, 2),
+    pair AS (
+      SELECT a.event_type, a.var AS va, b.var AS vb,
+             a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+             a.ss AS ssa, b.ss AS ssb
+      FROM per a JOIN per b
+        ON a.event_type = b.event_type AND a.var < b.var)
+    SELECT event_type, va AS variant_a, vb AS variant_b,
+           na AS n_a, nb AS n_b,
+           CASE WHEN na >= 2 AND nb >= 2 THEN
+             round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   / nullif(sqrt(
+                       ((CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)))
+                       / CAST(na AS DOUBLE)
+                     + ((CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE)
+                         - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                        / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+                       / CAST(nb AS DOUBLE)), 0.0), 6)
+           END AS welch_t
+    FROM pair
+    """,
+)
+def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (stats.welch_t_test): users split by
+    id parity into variants, Welch's t statistic per event_type on the
+    event value — the unequal-variance test every experimentation
+    pipeline ends at, and like the rest of the statistics tier it is
+    value-oracled because the per-variant n/S/SS accumulate as exact
+    integer DECIMALs and the closed form evaluates once in double with
+    the identical expression tree (streaming-moment stddev aggregates
+    cannot be oracled). One partially-aggregated exchange plus a
+    group-cardinality self-join."""
+    from d365fo_db_sync_spark.operators.stats import welch_t_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.pmod("user_id", F.lit(2)) == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("variant"),
+        "value",
+    )
+    return welch_t_test(ev, ["event_type"], "variant", "value", value_scale=2)

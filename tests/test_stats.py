@@ -194,3 +194,33 @@ def test_zscore_outliers_model_check(spark, vals, k):
     n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
     for i, v in enumerate(vals):
         assert got[i] == ((n * v - s) ** 2 > k * k * (n * ss - s * s)), (i, v)
+
+
+def test_welch_t_reference_and_guards(spark):
+    """Welch t on a known two-sample set matches the closed form; a
+    singleton variant yields NULL; missing variant drops the group."""
+    from d365fo_db_sync_spark.operators.stats import welch_t_test
+
+    a_vals = [1.0, 2.0, 3.0, 4.0]
+    b_vals = [6.0, 7.0, 9.0]
+    rows = [("g", "a", v) for v in a_vals] + [("g", "b", v) for v in b_vals]
+    rows += [("tiny", "a", 5.0), ("tiny", "b", 1.0), ("tiny", "b", 2.0)]
+    rows += [("solo", "a", 1.0), ("solo", "a", 2.0)]
+    df = spark.createDataFrame(rows, "g string, variant string, v double")
+    got = {
+        r["g"]: (r["variant_a"], r["variant_b"], r["n_a"], r["n_b"], r["welch_t"])
+        for r in welch_t_test(df, ["g"], "variant", "v", value_scale=1).collect()
+    }
+
+    def ref_t(xs, ys):
+        nx, ny = len(xs), len(ys)
+        mx, my = sum(xs) / nx, sum(ys) / ny
+        vx = sum((x - mx) ** 2 for x in xs) / (nx - 1)
+        vy = sum((y - my) ** 2 for y in ys) / (ny - 1)
+        return (mx - my) / math.sqrt(vx / nx + vy / ny)
+
+    va, vb, na, nb, t = got["g"]
+    assert (va, vb, na, nb) == ("a", "b", 4, 3)
+    assert abs(t - ref_t(a_vals, b_vals)) <= 5.1e-7
+    assert got["tiny"][4] is None  # n_a = 1: variance undefined
+    assert "solo" not in got  # no second variant, no pair row
