@@ -31,6 +31,20 @@ class ConcurrentWriteError(RuntimeError):
     change."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A write staged rows that FAIL a table CHECK constraint (the
+    Delta-style write-side contract): the version is never published —
+    readers cannot observe the bad rows — and the error carries the
+    per-constraint violation counts plus a sample for triage."""
+
+    def __init__(self, counts: dict, sample: list) -> None:
+        self.counts = counts
+        self.sample = sample
+        super().__init__(
+            f"CHECK constraint(s) violated: {counts}; sample rows: {sample!r}"
+        )
+
+
 class ParquetTarget:
     """A versioned parquet table with atomic overwrite.
 
@@ -615,6 +629,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 1 << 14,
         bloom_k: int = 5,
+        constraints: dict[str, str] | None = None,
     ) -> None:
         """``retain_versions`` is the time-travel window: how many
         published versions (including live) GC must keep readable.
@@ -655,6 +670,13 @@ class ManifestParquetTarget(BucketedParquetTarget):
         self.bloom_cols = list(bloom_cols or [])
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
+        #: named CHECK constraints ({name: SQL boolean expr}), enforced
+        #: at the staging choke point on EVERY write path (overwrite,
+        #: merge, append, compact, replace_range) with standard SQL
+        #: semantics — a row violates only when the expression is
+        #: FALSE; NULL/UNKNOWN passes. A violating batch aborts before
+        #: the pointer swap, so readers never observe it.
+        self.constraints = dict(constraints or {})
 
     def _merged_blooms(
         self,
@@ -963,6 +985,36 @@ class ManifestParquetTarget(BucketedParquetTarget):
                 if fn.endswith(".parquet")
             )
             buckets[b] = (carried.get(b, []) + files) if append else files
+        if self.constraints and staged_buckets:
+            # CHECK enforcement at the one choke point every write path
+            # funnels through, over the freshly WRITTEN bytes (no
+            # upstream-plan recompute, the bloom discipline): one scan
+            # counts all constraints together; rows violate only when
+            # the expression is FALSE (NULL passes — standard SQL CHECK)
+            spark = out.sparkSession
+            staged_df = spark.read.parquet(staged)
+            counts_row = staged_df.agg(
+                *[
+                    F.sum((~F.expr(sql)).cast("long")).alias(name)
+                    for name, sql in self.constraints.items()
+                ]
+            ).first()
+            bad = {
+                name: int(counts_row[name] or 0)
+                for name in self.constraints
+                if (counts_row[name] or 0) > 0
+            }
+            if bad:
+                first = next(iter(bad))
+                sample = [
+                    tuple(r)
+                    for r in staged_df.filter(~F.expr(self.constraints[first]))
+                    .drop(self.DATA_BUCKET_COL)
+                    .limit(3)
+                    .collect()
+                ]
+                shutil.rmtree(staged, ignore_errors=True)
+                raise ConstraintViolation(bad, sample)
         # manifest schema = the FILE schema (data cols + __kb_data):
         # explicit-file reads get it verbatim, so empty tables and
         # empty buckets read with the exact same shape

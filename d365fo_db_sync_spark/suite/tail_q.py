@@ -5613,3 +5613,44 @@ def events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return welch_t_test(ev, ["event_type"], "variant", "value", value_scale=2)
+
+
+@register(
+    "sync_check_constraints",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE value >= 0
+    """,
+)
+def sync_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side CHECK constraints on the manifest sink (the
+    Delta-style table contract, sinks.ConstraintViolation): a clean
+    ingest publishes, a subsequent batch carrying negated values is
+    REJECTED at the staging choke point — per-constraint counts +
+    sample surfaced, staged bytes cleaned, pointer untouched — and the
+    final table state the oracle checks is exactly the clean rows.
+    Enforcement reads back the freshly written bytes (no upstream-plan
+    recompute) and counts every constraint in ONE scan; NULL evaluates
+    as passing, the standard SQL CHECK semantics."""
+    from d365fo_db_sync_spark.sinks import ConstraintViolation, ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    work = scratch_dir("synccheck_")
+    t = ManifestParquetTarget(
+        f"{work}/tgt", key="event_id", n_buckets=8,
+        constraints={"value_nonneg": "value >= 0"},
+    )
+    t.overwrite(ev.filter(F.col("value") >= 0))
+    n_before = t.num_rows()
+    poison = ev.limit(50).select(
+        (F.col("event_id") + 900_000_000).alias("event_id"),
+        "user_id",
+        (-F.col("value") - 1).alias("value"),
+    )
+    try:
+        t.append_rows(spark, poison)
+        raise AssertionError("constraint violation not raised")
+    except ConstraintViolation as e:
+        assert e.counts == {"value_nonneg": 50}, e.counts
+    assert t.num_rows() == n_before  # publish never happened
+    return t.read(spark)

@@ -986,3 +986,47 @@ def test_crashed_process_lock_released_by_kernel(spark, tmp_path):
     assert "locked" in out.stdout
     t.merge(spark, _batch(spark))  # must not wait for any TTL
     assert {r["RecId"] for r in t.read(spark).collect()} >= {9000, 9001}
+
+
+def test_check_constraints_reject_before_publish(spark, tmp_path):
+    """A violating batch aborts with per-constraint counts and a
+    sample, the staged dir is cleaned, and the table is untouched —
+    on EVERY write path (overwrite, merge via append_rows)."""
+    import pytest
+
+    from d365fo_db_sync_spark.sinks import ConstraintViolation
+
+    t = ManifestParquetTarget(
+        str(tmp_path / "t"), key="RecId", n_buckets=2,
+        constraints={
+            "amount_nonneg": "amount >= 0",
+            "rv_positive": "SysRowVersion > 0",
+        },
+    )
+    good = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 0.0), (3, 30, None)],  # NULL passes CHECK
+        "RecId long, SysRowVersion long, amount double",
+    )
+    t.overwrite(good)
+    assert t.num_rows() == 3
+
+    bad = spark.createDataFrame(
+        [(4, 40, -5.0), (5, 0, -1.0)],
+        "RecId long, SysRowVersion long, amount double",
+    )
+    with pytest.raises(ConstraintViolation) as ei:
+        t.append_rows(spark, bad)
+    assert ei.value.counts == {"amount_nonneg": 2, "rv_positive": 1}
+    assert len(ei.value.sample) == 2
+    # nothing published, nothing staged left behind
+    assert t.num_rows() == 3
+    import os
+    leftovers = [
+        d for d in os.listdir(str(tmp_path / "t"))
+        if d.startswith("v_") and d != os.path.basename(t.current_path())
+    ]
+    assert leftovers == []
+
+    with pytest.raises(ConstraintViolation):
+        t.overwrite(bad)
+    assert sorted(r["RecId"] for r in t.read(spark).collect()) == [1, 2, 3]
