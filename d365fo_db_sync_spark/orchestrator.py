@@ -190,6 +190,7 @@ class Orchestrator:
                             n_buckets=plan.strategy.buckets,
                             retain_versions=plan.strategy.retain or 1,
                             stats_cols=list(plan.strategy.stats_cols),
+                            bloom_cols=list(plan.strategy.bloom_cols),
                         )
                     else:
                         target = BucketedParquetTarget(

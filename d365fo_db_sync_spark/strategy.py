@@ -12,6 +12,7 @@ Grammar (ParseStrategyLine, CopyOrchestrator.cs:1691-1801):
     + " -evolve" (engine ext.)             -> widen-and-retain schema drift
     + " -retain N" (engine ext.)           -> manifest time-travel window
     + " -statscols a,b" (engine ext.)      -> extra zone-mapped columns
+    + " -bloomcols a,b" (engine ext.)      -> per-bucket Bloom filters
 
 SQL templates must contain ``*`` (expanded to the copyable field list)
 and may use ``@recordCount`` and ``@sysRowVersionFilter`` — the latter is
@@ -66,6 +67,10 @@ class Strategy:
     #: (sinks.ManifestParquetTarget stats_cols) — e.g. the rowversion
     #: column for file-skipping watermark scans
     stats_cols: tuple[str, ...] = ()
+    #: engine extension: with -manifest, per-bucket Bloom-filtered
+    #: columns (sinks.ManifestParquetTarget bloom_cols) — membership
+    #: point lookups on non-key columns via probe_value
+    bloom_cols: tuple[str, ...] = ()
 
 
 class StrategyParseError(ValueError):
@@ -90,6 +95,7 @@ def parse_strategy_line(line: str) -> Strategy:
     evolve = False
     retain: int | None = None
     stats_cols: tuple[str, ...] = ()
+    bloom_cols: tuple[str, ...] = ()
     # trailing flags, any order: " -truncate" (reference), " -buckets N"
     # (engine extension — partial-rewrite target), " -manifest" (engine
     # extension — object-store manifest carry-forward; requires -buckets),
@@ -133,17 +139,27 @@ def parse_strategy_line(line: str) -> Strategy:
                 )
             working = working[: m.start()].strip()
             continue
+        m = re.search(r"\s+-bloomcols\s+([\w,]+)$", working, re.IGNORECASE)
+        if m:
+            bloom_cols = tuple(c for c in m.group(1).split(",") if c)
+            if not bloom_cols:
+                raise StrategyParseError(
+                    "Invalid format: -bloomcols needs column names"
+                )
+            working = working[: m.start()].strip()
+            continue
         break
     if manifest and buckets is None:
         raise StrategyParseError("Invalid format: -manifest requires -buckets N")
-    if (retain is not None or stats_cols) and not manifest:
+    if (retain is not None or stats_cols or bloom_cols) and not manifest:
         raise StrategyParseError(
-            "Invalid format: -retain/-statscols require -manifest"
+            "Invalid format: -retain/-statscols/-bloomcols require -manifest"
         )
 
     def _finish(st: Strategy) -> Strategy:
         st.retain = retain
         st.stats_cols = stats_cols
+        st.bloom_cols = bloom_cols
         return st
 
     parts = working.split("|")

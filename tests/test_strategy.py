@@ -183,3 +183,20 @@ def test_retain_statscols_require_manifest():
         parse_strategy_line("T|100 -statscols v")
     with _p.raises(StrategyParseError, match="-retain"):
         parse_strategy_line("T|100 -buckets 8 -manifest -retain 0")
+
+
+def test_bloomcols_flag_parses_and_guards():
+    import pytest
+
+    from d365fo_db_sync_spark.strategy import StrategyParseError, parse_strategy_line
+
+    st = parse_strategy_line(
+        "CUSTTABLE|500000 -buckets 8 -manifest -statscols rv -bloomcols user_id,req"
+    )
+    assert st.bloom_cols == ("user_id", "req")
+    assert st.stats_cols == ("rv",)
+    assert st.record_count == 500000
+    with pytest.raises(StrategyParseError, match="-bloomcols require -manifest"):
+        parse_strategy_line("T|1 -buckets 4 -bloomcols a")
+    with pytest.raises(StrategyParseError):
+        parse_strategy_line("T|1 -buckets 4 -manifest -bloomcols ,")
