@@ -752,6 +752,10 @@ class ManifestParquetTarget(BucketedParquetTarget):
         if "blooms" in raw:
             out["blooms"] = raw["blooms"]
             out["bloom_meta"] = raw.get("bloom_meta")
+        # merge-on-read key tombstones: additive metadata (absent =
+        # nothing masked)
+        if "tombstones" in raw:
+            out["tombstones"] = raw["tombstones"]
         return out
 
     def _file_key_stats(self, path: str) -> dict:
@@ -858,7 +862,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
             raise FileNotFoundError(f"version {name!r} not readable under {self.root}")
         m = self._manifest_at(path)
         files = [f for fs in m["buckets"].values() for f in fs]
-        return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+        return self._read_files(
+            spark, files, m["schema"], m.get("tombstones")
+        ).drop(self.DATA_BUCKET_COL)
 
     #: sentinel: "no concurrency check" (overwrite semantics)
     _UNCHECKED = object()
@@ -1031,11 +1037,34 @@ class ManifestParquetTarget(BucketedParquetTarget):
                     stats[f] = self._file_key_stats(f)
                 elif f in prior_stats:
                     stats[f] = prior_stats[f]
+        tombs = list((prior or {}).get("tombstones", []))
+        if tombs and staged_buckets and not append:
+            # non-append staged buckets were REPLACED from masked reads:
+            # their tombstoned keys no longer exist in any data file, so
+            # those entries retire; keys belonging to untouched buckets
+            # consolidate into one fresh tombstone file in this version
+            spark = out.sparkSession
+            dead = (
+                spark.read.parquet(*[t["path"] for t in tombs])
+                .select(self.key)
+                .distinct()
+            )
+            staged_ids = [int(b) for b in staged_buckets]
+            keep = dead.filter(~self._bucket_of(F.col(self.key)).isin(staged_ids))
+            n_keep = keep.count()
+            if n_keep == 0:
+                tombs = []
+            elif n_keep < sum(t["rows"] for t in tombs):
+                tpath = os.path.join(staged, "tombstones")
+                keep.write.mode("overwrite").parquet(tpath)
+                tombs = [{"path": tpath, "rows": n_keep}]
         manifest = {
             "schema": schema_json,
             "buckets": {str(k): v for k, v in buckets.items()},
             "stats": stats,
         }
+        if tombs:
+            manifest["tombstones"] = tombs
         if self.bloom_cols:
             manifest["bloom_meta"] = {
                 "m_bits": self.bloom_bits,
@@ -1057,6 +1086,19 @@ class ManifestParquetTarget(BucketedParquetTarget):
             manifest["blooms"] = self._merged_blooms(
                 staged_df, staged_buckets, buckets, carried, prior, append
             )
+        self._publish_manifest(staged, name, manifest, expected_parent)
+
+    def _publish_manifest(
+        self, staged: str, name: str, manifest: dict, expected_parent
+    ) -> None:
+        """Write the manifest into the staged dir and publish it:
+        pointer lock, OCC check against ``expected_parent``, atomic
+        pointer swap, version-log append with crash healing, then
+        reference-walking GC. The single publish tail shared by data
+        writes (:meth:`_write_version`) and metadata-only commits
+        (:meth:`delete_keys_mor`)."""
+        import json
+
         with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
             json.dump(manifest, f)
         with self._publish_lock():
@@ -1100,13 +1142,34 @@ class ManifestParquetTarget(BucketedParquetTarget):
         # for whatever is now orphaned (single writer, same contract)
         self.vacuum_unreferenced()
 
-    def _read_files(self, spark: SparkSession, files: list[str], schema_json: str) -> DataFrame:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        schema_json: str,
+        tombstones: list | None = None,
+    ) -> DataFrame:
+        """Explicit-file-list read, the single choke point every read
+        path routes through. ``tombstones`` (the manifest's
+        merge-on-read key-delete entries) mask deleted keys with ONE
+        broadcast anti-join — a key set the size of the un-compacted
+        delete batches, by construction small until compact()
+        materializes them."""
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(__import__("json").loads(schema_json))
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
+        df = spark.read.schema(schema).parquet(*files)
+        if tombstones:
+            dead = (
+                spark.read.parquet(*[t["path"] for t in tombstones])
+                .select(self.key)
+                .distinct()
+            )
+            df = df.join(F.broadcast(dead), on=self.key, how="left_anti")
+        return df
 
     # -- public surface (same contracts as BucketedParquetTarget) ----------
     def overwrite(self, df: DataFrame) -> None:
@@ -1117,7 +1180,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
         if m is None:
             raise FileNotFoundError(f"no live version under {self.root}")
         files = [f for fs in m["buckets"].values() for f in fs]
-        return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+        return self._read_files(
+            spark, files, m["schema"], m.get("tombstones")
+        ).drop(self.DATA_BUCKET_COL)
 
     def probe(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
         """Live rows from ONLY the buckets the key frame hashes into —
@@ -1136,7 +1201,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
             .collect()
         }
         files = [f for b in sorted(affected) for f in m["buckets"].get(b, [])]
-        return self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+        return self._read_files(
+            spark, files, m["schema"], m.get("tombstones")
+        ).drop(self.DATA_BUCKET_COL)
 
     def scan_range(self, spark: SparkSession, lo, hi, col: str | None = None) -> DataFrame:
         """Key-range scan with zone-map data skipping (the
@@ -1204,7 +1271,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
             return True
 
         files = [f for fs in m["buckets"].values() for f in fs if overlaps(f)]
-        df = self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+        df = self._read_files(
+            spark, files, m["schema"], m.get("tombstones")
+        ).drop(self.DATA_BUCKET_COL)
         cond = None
         for col, (lo, hi) in preds.items():
             c = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
@@ -1249,7 +1318,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
             for f in fs
             if str(b) not in blooms or words_might_contain(blooms[str(b)], pos)
         ]
-        df = self._read_files(spark, files, m["schema"]).drop(self.DATA_BUCKET_COL)
+        df = self._read_files(
+            spark, files, m["schema"], m.get("tombstones")
+        ).drop(self.DATA_BUCKET_COL)
         return df.filter(F.col(col) == F.lit(value))
 
     def num_rows(self) -> int:
@@ -1258,11 +1329,16 @@ class ManifestParquetTarget(BucketedParquetTarget):
         m = self._load_manifest()
         if m is None:
             return 0
-        return sum(
+        total = sum(
             pq.ParquetFile(f).metadata.num_rows
             for fs in m["buckets"].values()
             for f in fs
         )
+        # merge-on-read tombstones subtract exactly: delete_keys_mor
+        # only tombstones keys VERIFIED present (and not already
+        # tombstoned), and any rewrite that removes the underlying rows
+        # retires the entries in the same commit
+        return total - sum(t["rows"] for t in m.get("tombstones", []))
 
     def merge(
         self,
@@ -1292,7 +1368,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
 
         parent, m = self._live_snapshot()
         aff_files = [f for b in affected for f in m["buckets"].get(b, [])]
-        window = self._read_files(spark, aff_files, m["schema"]).withColumnRenamed(
+        window = self._read_files(
+            spark, aff_files, m["schema"], m.get("tombstones")
+        ).withColumnRenamed(
             self.DATA_BUCKET_COL, self.BUCKET_COL
         )
         if replace_keys:
@@ -1349,6 +1427,56 @@ class ManifestParquetTarget(BucketedParquetTarget):
             "dropped_files", "rewritten_files", "untouched_files", "deleted_rows"
         )}
 
+    def delete_keys_mor(self, spark: SparkSession, keys: DataFrame) -> int:
+        """Merge-on-read key deletes (the Delta deletion-vector /
+        Iceberg equality-delete shape, public designs): the commit
+        writes ONE small tombstone file of verified-present keys and
+        republishes the manifest with every data file carried by
+        reference — an O(delete batch) metadata commit where
+        copy-on-write would rewrite every touched bucket. Every read
+        path masks tombstoned keys with one broadcast anti-join at the
+        :meth:`_read_files` choke point (row-exact immediately), and
+        the next full rewrite of a bucket — compact, z-order, a merge
+        touching it — RETIRES its tombstone entries in the same commit
+        because the rewrite reads masked data.
+
+        Keys are verified present (probe + semi-join, itself masked,
+        so re-deleting or deleting absent keys is a no-op) before they
+        are tombstoned — which is what keeps :meth:`num_rows`'s
+        footer-minus-tombstones arithmetic exact. Returns the number
+        of keys tombstoned; 0 publishes nothing. OCC-checked like
+        every other publish."""
+        from pyspark.sql import functions as F
+
+        if not self.exists():
+            raise FileNotFoundError(f"no live version under {self.root}")
+        parent, m = self._live_snapshot()
+        kd = keys.select(self.key).distinct()
+        present = (
+            self.probe(spark, kd)
+            .select(self.key)
+            .join(F.broadcast(kd), on=self.key, how="left_semi")
+            .distinct()
+        )
+        n = present.count()
+        if n == 0:
+            return 0
+        name = f"v_{uuid.uuid4().hex[:12]}"
+        staged = os.path.join(self.root, name)
+        tpath = os.path.join(staged, "tombstones")
+        present.write.mode("overwrite").parquet(tpath)
+        manifest = {
+            "schema": m["schema"],
+            "buckets": {str(k): v for k, v in m["buckets"].items()},
+            "stats": m["stats"],
+            "tombstones": m.get("tombstones", []) + [{"path": tpath, "rows": n}],
+        }
+        if "blooms" in m and m.get("bloom_meta"):
+            manifest["blooms"] = m["blooms"]
+            manifest["bloom_meta"] = m["bloom_meta"]
+        self._publish_manifest(staged, name, manifest, parent)
+        return n
+
     def _range_removal_plan(self, spark: SparkSession, lo, hi) -> dict:
         """Shared zone-map planning for delete_range / replace_range:
         classify every manifest file against [lo, hi] and build the
@@ -1378,7 +1506,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
                     rewrite.append(f)
             if kept:
                 carried[b] = kept
-        window = self._read_files(spark, rewrite, m["schema"]).withColumnRenamed(
+        window = self._read_files(
+            spark, rewrite, m["schema"], m.get("tombstones")
+        ).withColumnRenamed(
             self.DATA_BUCKET_COL, self.BUCKET_COL
         )
         key = F.col(self.key)
@@ -1520,7 +1650,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
         if not fat:
             return 0
         fat_files = [f for b in fat for f in m["buckets"][b]]
-        window = self._read_files(spark, fat_files, m["schema"]).withColumnRenamed(
+        window = self._read_files(
+            spark, fat_files, m["schema"], m.get("tombstones")
+        ).withColumnRenamed(
             self.DATA_BUCKET_COL, self.BUCKET_COL
         )
         carried = {b: fs for b, fs in m["buckets"].items() if b not in set(fat)}
@@ -1578,7 +1710,9 @@ class ManifestParquetTarget(BucketedParquetTarget):
         if not fat:
             return 0
         files = [f for b in fat for f in m["buckets"][b]]
-        window = self._read_files(spark, files, m["schema"]).withColumnRenamed(
+        window = self._read_files(
+            spark, files, m["schema"], m.get("tombstones")
+        ).withColumnRenamed(
             self.DATA_BUCKET_COL, self.BUCKET_COL
         )
         bounds = quantile_bounds_multi(window, cols, bits=bits)
@@ -1643,6 +1777,10 @@ class ManifestParquetTarget(BucketedParquetTarget):
                 os.path.dirname(os.path.dirname(f))  # strip __kb=N/file.parquet
                 for fs in m["buckets"].values()
                 for f in fs
+            }
+            # tombstone files live one level under their version dir
+            referenced_dirs |= {
+                os.path.dirname(t["path"]) for t in m.get("tombstones", [])
             }
             referenced_dirs.add(d)
         removed = []
@@ -1798,11 +1936,20 @@ class ManifestParquetTarget(BucketedParquetTarget):
                 if f in m["stats"]:
                     new_stats[out] = m["stats"][f]
             new_buckets[b] = outs
+        new_tombs = []
+        for i, t in enumerate(m.get("tombstones", [])):
+            # tombstone dirs copy like data files: the exported fork
+            # must keep masking exactly what the pinned version masked
+            out_dir = os.path.join(staged, f"tombstones-{i}")
+            shutil.copytree(t["path"], out_dir)
+            new_tombs.append({"path": out_dir, "rows": t["rows"]})
         manifest = {
             "schema": m["schema"],
             "buckets": {str(k): v for k, v in new_buckets.items()},
             "stats": new_stats,
         }
+        if new_tombs:
+            manifest["tombstones"] = new_tombs
         os.makedirs(staged, exist_ok=True)
         with open(os.path.join(staged, self.MANIFEST), "w", encoding="utf-8") as f:
             json.dump(manifest, f)

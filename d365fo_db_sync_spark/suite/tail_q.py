@@ -5654,3 +5654,45 @@ def sync_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert e.counts == {"value_nonneg": 50}, e.counts
     assert t.num_rows() == n_before  # publish never happened
     return t.read(spark)
+
+
+@register(
+    "sync_delete_keys_mor",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE event_id % 89 <> 0
+    """,
+)
+def sync_delete_keys_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read key deletes (sinks.delete_keys_mor — the Delta
+    deletion-vector / Iceberg equality-delete shape): a delete batch
+    commits as ONE tombstone file with every data file carried by
+    reference — asserted in-query: the bucket map is byte-identical
+    across the delete and the commit's version dir holds nothing but
+    the manifest and the tombstones — and every read path masks the
+    keys through the single _read_files anti-join choke point
+    immediately. num_rows stays footer-exact (keys are
+    verified-present before tombstoning). A copy-on-write delete of
+    the same batch would rewrite every touched bucket; this is the
+    O(batch) path the oracle value-checks row-for-row."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    work = scratch_dir("syncmor_")
+    t = ManifestParquetTarget(f"{work}/tgt", key="event_id", n_buckets=8)
+    t.overwrite(ev)
+    before = t._load_manifest()
+
+    dead = ev.filter(F.pmod("event_id", F.lit(89)) == 0).select("event_id")
+    n_dead = t.delete_keys_mor(spark, dead)
+    assert n_dead == dead.count(), (n_dead,)
+
+    m = t._load_manifest()
+    assert m["buckets"] == before["buckets"], "MOR delete touched data files"
+    import os
+
+    ver = os.path.dirname(m["tombstones"][0]["path"])
+    assert sorted(os.listdir(ver)) == ["_manifest.json", "tombstones"]
+    assert t.num_rows() == ev.count() - n_dead
+    return t.read(spark)
