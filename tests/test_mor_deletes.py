@@ -119,3 +119,51 @@ def test_time_travel_and_export_keep_tombstone_semantics(spark, tmp_path):
     got = {r["RecId"] for r in exported.read(spark).collect()}
     assert len(got) == 97 and not ({1, 2, 3} & got)
     assert exported.num_rows() == 97
+
+
+def test_mor_lifecycle_model_check(spark, tmp_path):
+    """Deterministic pseudo-random interleavings of MOR deletes,
+    appends of fresh keys, and compactions against a plain Python set
+    model: after every operation the live key set and num_rows match
+    the model exactly. (A fixed xorshift stream keeps the scenario
+    reproducible — suite rules ban wall-clock randomness.)"""
+    def xorshift(seed):
+        x = seed
+        while True:
+            x ^= (x << 13) & 0xFFFFFFFF
+            x ^= x >> 17
+            x ^= (x << 5) & 0xFFFFFFFF
+            yield x
+
+    for seed in (0xDEADBEEF, 0x12345678):
+        rng = xorshift(seed)
+        t = ManifestParquetTarget(
+            str(tmp_path / f"m{seed}"), key="RecId", n_buckets=4
+        )
+        t.overwrite(_table(spark, n=200))
+        model = set(range(200))
+        next_new = 10_000
+        for step in range(6):
+            op = next(rng) % 3
+            if op == 0 and model:  # delete a pseudo-random slice
+                victims = [k for k in sorted(model) if (k + next(rng)) % 7 == 0][:20]
+                got = t.delete_keys_mor(spark, _keys(spark, victims + [999_999]))
+                assert got == len(victims), (seed, step)
+                model -= set(victims)
+            elif op == 1:  # append fresh keys
+                fresh = [(next_new + i, 1, 0.0) for i in range(15)]
+                next_new += 15
+                t.append_rows(
+                    spark,
+                    spark.createDataFrame(
+                        fresh, "RecId long, SysRowVersion long, amount double"
+                    ),
+                )
+                model |= {r[0] for r in fresh}
+            else:  # compact materializes tombstones
+                t.compact(spark, cluster_by_key=True, target_rows_per_file=64)
+                m = t._load_manifest()
+                assert not m.get("tombstones"), (seed, step)
+            live = {r["RecId"] for r in t.read(spark).collect()}
+            assert live == model, (seed, step, len(live), len(model))
+            assert t.num_rows() == len(model), (seed, step)
