@@ -252,11 +252,16 @@ def welch_t_test(
     value_scale: int = 2,
     out_prec: int = 6,
 ) -> DataFrame:
-    """Per-group Welch's t statistic between the two variants of an
-    A/B split — the experimentation readout every event pipeline ends
-    at. ``variant_col`` must hold exactly two values per group
-    (lexicographically first = A); groups missing a variant or with
-    n < 2 on either side return NULL.
+    """Per-group Welch's t statistic between variant pairs of an A/B
+    split — the experimentation readout every event pipeline ends at.
+    One output row per unordered variant pair per group
+    (lexicographically smaller variant = A): a group with exactly two
+    variants yields one row, a group with only one variant yields NO
+    row (the pairing self-join has nothing to pair it with — it is
+    dropped, not NULL-padded), and a group with k > 2 variants yields
+    all k·(k-1)/2 pairwise readouts (the multi-arm experiment). The
+    ``welch_t`` value itself is NULL when either side has n < 2 (the
+    unbiased variance is undefined) or both variances are zero.
 
     Same discipline as the rest of this module: per-variant ``n, S,
     SS`` accumulate as exact integer DECIMALs (order-independent), and

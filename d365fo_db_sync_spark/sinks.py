@@ -917,12 +917,19 @@ class ManifestParquetTarget(BucketedParquetTarget):
         sort_by_key: bool = False,
         sort_exprs: list | None = None,
         max_records_per_file: int | None = None,
+        retire_keys: DataFrame | None = None,
     ) -> None:
         """Stage ``df`` (bucketed rows) into a fresh version dir, merge
         its freshly-written bucket files with the ``carried``
         references, publish manifest + pointer atomically. With
         ``append`` the staged files EXTEND a bucket's carried list
         instead of replacing it (the insert-only fast path).
+
+        ``retire_keys`` is a caller-supplied frame of keys whose
+        merge-on-read tombstones must retire in THIS commit even though
+        their buckets still carry prior files — the range-removal paths
+        use it for tombstoned keys whose physical rows they dropped or
+        rewrote away (the bucket-level rule below can't see those).
 
         ``expected_parent`` is the optimistic-concurrency token: the
         version name whose manifest the caller derived ``carried``
@@ -1038,26 +1045,59 @@ class ManifestParquetTarget(BucketedParquetTarget):
                 elif f in prior_stats:
                     stats[f] = prior_stats[f]
         tombs = list((prior or {}).get("tombstones", []))
-        if tombs and staged_buckets and not append:
-            # non-append staged buckets were REPLACED from masked reads:
-            # their tombstoned keys no longer exist in any data file, so
-            # those entries retire; keys belonging to untouched buckets
-            # consolidate into one fresh tombstone file in this version
-            spark = out.sparkSession
-            dead = (
-                spark.read.parquet(*[t["path"] for t in tombs])
-                .select(self.key)
-                .distinct()
-            )
-            staged_ids = [int(b) for b in staged_buckets]
-            keep = dead.filter(~self._bucket_of(F.col(self.key)).isin(staged_ids))
-            n_keep = keep.count()
-            if n_keep == 0:
-                tombs = []
-            elif n_keep < sum(t["rows"] for t in tombs):
-                tpath = os.path.join(staged, "tombstones")
-                keep.write.mode("overwrite").parquet(tpath)
-                tombs = [{"path": tpath, "rows": n_keep}]
+        if tombs:
+            # A tombstone masks physical rows living in the PRIOR files
+            # of its key's bucket. Any bucket whose prior files ALL left
+            # the manifest in this commit (rewritten from masked reads,
+            # or dropped outright) has nothing left to mask, so its
+            # entries retire. The replaced set is derived from
+            # prior-vs-surviving file lists — NOT from staged_buckets:
+            # overwrite() replaces every bucket but only stages the
+            # non-empty ones, and a merge that empties a bucket stages
+            # no files for it; both would otherwise leave stale global
+            # tombstones that silently mask a later re-insert of the
+            # key (row loss) and make num_rows subtract phantom rows.
+            # Keys whose buckets still carry prior files retire only via
+            # the caller's explicit retire_keys (range removals know
+            # which tombstoned keys their rewrite physically dropped).
+            # Survivors consolidate into one fresh tombstone file.
+            marker = staged + os.sep
+            prior_ids = {
+                int(b)
+                for b, fs in (prior["buckets"] if prior else {}).items()
+                if fs
+            }
+            survived = {
+                int(b)
+                for b, fs in buckets.items()
+                if any(not f.startswith(marker) for f in fs)
+            }
+            replaced = sorted(prior_ids - survived)
+            if replaced or retire_keys is not None:
+                spark = out.sparkSession
+                dead = (
+                    spark.read.parquet(*[t["path"] for t in tombs])
+                    .select(self.key)
+                    .distinct()
+                )
+                keep = dead
+                if replaced:
+                    keep = keep.filter(
+                        ~self._bucket_of(F.col(self.key)).isin(replaced)
+                    )
+                if retire_keys is not None:
+                    keep = keep.join(
+                        F.broadcast(retire_keys.select(self.key).distinct()),
+                        on=self.key,
+                        how="left_anti",
+                    )
+                n_keep = keep.count()
+                if n_keep == 0:
+                    tombs = []
+                elif n_keep < sum(t["rows"] for t in tombs):
+                    tpath = os.path.join(staged, "tombstones")
+                    keep.write.mode("overwrite").parquet(tpath)
+                    tombs = [{"path": tpath, "rows": n_keep}]
         manifest = {
             "schema": schema_json,
             "buckets": {str(k): v for k, v in buckets.items()},
@@ -1073,13 +1113,22 @@ class ManifestParquetTarget(BucketedParquetTarget):
             # blooms aggregate over the freshly WRITTEN files read back
             # (one scan of the staged bytes), not the upstream plan —
             # re-running a merge/compact plan just to hash its rows
-            # would double the write's compute at scale
+            # would double the write's compute at scale. The read MUST
+            # be the explicit staged-file list, not the staged dir:
+            # tombstone consolidation writes an UNPARTITIONED
+            # staged/tombstones dir next to the hive __kb_bucket=N
+            # dirs, and directory-level partition discovery over that
+            # mix raises "Conflicting directory structures". Explicit
+            # leaf files skip discovery; the bucket id rides in the
+            # __kb_data column the files already carry.
             spark = out.sparkSession
-            if staged_buckets:
-                staged_df = (
-                    spark.read.parquet(staged)
-                    .withColumnRenamed(self.BUCKET_COL, "__kb_hive")
-                    .withColumnRenamed(self.DATA_BUCKET_COL, self.BUCKET_COL)
+            marker = staged + os.sep
+            staged_files = [
+                f for fs in buckets.values() for f in fs if f.startswith(marker)
+            ]
+            if staged_files:
+                staged_df = spark.read.parquet(*staged_files).withColumnRenamed(
+                    self.DATA_BUCKET_COL, self.BUCKET_COL
                 )
             else:
                 staged_df = out.limit(0)
@@ -1422,6 +1471,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
             carried=plan["carried"],
             append=True,
             expected_parent=plan["parent"],
+            retire_keys=plan["retire_keys"],
         )
         return {k: plan[k] for k in (
             "dropped_files", "rewritten_files", "untouched_files", "deleted_rows"
@@ -1517,14 +1567,50 @@ class ManifestParquetTarget(BucketedParquetTarget):
         # is recorded unconditionally per file) — no extra data scan
         rewrite_rows = sum(m["stats"].get(f, {}).get("rows", 0) for f in rewrite)
         deleted_in_rewrite = rewrite_rows - survivors.count() if rewrite else 0
+        # Merge-on-read tombstones whose physical rows this plan removes
+        # must retire in the same commit, and must NOT be re-counted as
+        # deleted now (they were already logically deleted — the footer
+        # totals in dropped_rows/rewrite_rows still include their bytes
+        # while t["rows"] also counts them, so num_rows would double-
+        # subtract and deleted_rows would over-report). Two exact
+        # classes cover every removed tombstone: keys IN [lo, hi] (kept
+        # files are wholly outside the range, so an in-range key's rows
+        # can only have lived in dropped or rewritten files), and keys
+        # physically resident in the rewritten files (found with one
+        # UNMASKED read of the boundary files this plan reads anyway).
+        # Keys outside the range living in kept files keep their
+        # tombstones — their physical rows survive untouched.
+        retire = None
+        n_retire = 0
+        tombs = m.get("tombstones")
+        if tombs:
+            dead = (
+                spark.read.parquet(*[t["path"] for t in tombs])
+                .select(self.key)
+                .distinct()
+            )
+            retire = dead.filter((key >= F.lit(lo)) & (key <= F.lit(hi)))
+            if rewrite:
+                unmasked = self._read_files(
+                    spark, rewrite, m["schema"], None
+                ).select(self.key)
+                retire = (
+                    retire.unionByName(
+                        dead.join(unmasked, on=self.key, how="left_semi")
+                    ).distinct()
+                )
+            n_retire = retire.count()
+            if n_retire == 0:
+                retire = None
         return {
             "parent": parent,
             "carried": carried,
             "survivors": survivors,
+            "retire_keys": retire,
             "dropped_files": n_drop,
             "rewritten_files": len(rewrite),
             "untouched_files": n_keep,
-            "deleted_rows": dropped_rows + deleted_in_rewrite,
+            "deleted_rows": dropped_rows + deleted_in_rewrite - n_retire,
         }
 
     def replace_range(self, spark: SparkSession, lo, hi, rows: DataFrame) -> dict:
@@ -1564,6 +1650,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
             self._write_version(
                 staged, carried=plan["carried"], append=True,
                 expected_parent=plan["parent"],
+                retire_keys=plan["retire_keys"],
             )
         finally:
             rows.unpersist()

@@ -224,3 +224,34 @@ def test_welch_t_reference_and_guards(spark):
     assert abs(t - ref_t(a_vals, b_vals)) <= 5.1e-7
     assert got["tiny"][4] is None  # n_a = 1: variance undefined
     assert "solo" not in got  # no second variant, no pair row
+
+
+def test_welch_t_multi_arm_emits_all_pairs(spark):
+    """A group with k > 2 variants yields all k·(k-1)/2 unordered pair
+    readouts (documented multi-arm contract), each matching the
+    two-sample closed form."""
+    from d365fo_db_sync_spark.operators.stats import welch_t_test
+
+    arms = {
+        "a": [1.0, 2.0, 3.0],
+        "b": [5.0, 7.0, 6.0, 8.0],
+        "c": [10.0, 12.0],
+    }
+    rows = [("g", v, x) for v, xs in arms.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, variant string, v double")
+    got = {
+        (r["variant_a"], r["variant_b"]): (r["n_a"], r["n_b"], r["welch_t"])
+        for r in welch_t_test(df, ["g"], "variant", "v", value_scale=1).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def ref_t(xs, ys):
+        nx, ny = len(xs), len(ys)
+        mx, my = sum(xs) / nx, sum(ys) / ny
+        vx = sum((x - mx) ** 2 for x in xs) / (nx - 1)
+        vy = sum((y - my) ** 2 for y in ys) / (ny - 1)
+        return (mx - my) / math.sqrt(vx / nx + vy / ny)
+
+    for (a, b), (na, nb, t) in got.items():
+        assert (na, nb) == (len(arms[a]), len(arms[b]))
+        assert abs(t - ref_t(arms[a], arms[b])) <= 5.1e-7, (a, b)
