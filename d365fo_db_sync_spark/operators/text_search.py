@@ -1,0 +1,105 @@
+"""Positional inverted-index phrase search — exact multi-token phrase
+matching over a document corpus without a per-document Python pass.
+
+The reference engine's text surface is LIKE/wildcard filtering
+(`/root/reference/DBSyncTool/Services/TableMetadataService.cs:133-150`,
+the wildcard table-name match); this module extends that idea to the
+LLM-corpus scale problem: find every occurrence of a set of phrases
+(benchmark contamination strings, PII trigger phrases, quality
+blocklist n-grams) across billions of documents.
+
+Design (all JVM-side, zero UDFs):
+
+1. ONE tokenize pass builds positional postings ``(doc, pos, tok)`` —
+   ``posexplode`` over a codegen ``split``/``filter`` expression.
+2. The phrase set unrolls into a tiny ``(phrase, off, tok)`` table
+   that is BROADCAST — postings are never self-joined, which is what
+   kills the naive k-way join at corpus scale (the posting list for a
+   stopword is billions of rows; joining it against itself k times is
+   quadratic in the hot key).
+3. A candidate start position is ``pos - off``; a start is a match
+   iff the distinct matched offsets count equals the phrase length —
+   one groupBy on ``(doc, phrase, start)``, partial-aggregated
+   map-side, carries the whole decision.
+
+Cost: |postings-that-hit-any-phrase-token| rows through one shuffle.
+Overlapping matches are counted (each start position is independent),
+repeated tokens inside a phrase are handled by the distinct-offset
+count, and phrases with tokens absent from the corpus simply produce
+no candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["phrase_search", "tokenize_positions"]
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings ``(id, pos, tok)`` for a lowercased
+    alphanumeric tokenization — 0-based positions, empty tokens (from
+    leading/trailing separators) dropped BEFORE positions are
+    assigned, so positions index the token sequence, not the raw
+    splits."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase occurrences of every phrase in ``phrases`` across
+    ``docs``: one row per ``(phrase, doc)`` with a match, columns
+    ``phrase, <id_col>, n_matches, first_start`` (0-based token
+    position of the earliest occurrence; overlapping occurrences all
+    count).
+
+    Phrases tokenize with the same rule as the corpus; a phrase that
+    tokenizes to nothing raises (it would match everywhere or nowhere
+    depending on convention — make the caller decide)."""
+    import re
+
+    spark = docs.sparkSession
+    rows = []
+    for p in phrases:
+        # phrases tokenize with the SAME rule as the corpus — a phrase
+        # containing punctuation must match the token stream the
+        # punctuation-stripping corpus tokenizer actually produces
+        toks = [t for t in re.split(_TOKEN_SPLIT, p.lower()) if t]
+        if not toks:
+            raise ValueError(f"phrase tokenizes to nothing: {p!r}")
+        rows.extend((p, off, tok, len(toks)) for off, tok in enumerate(toks))
+    ph = spark.createDataFrame(rows, "phrase string, off int, tok string, plen int")
+
+    postings = tokenize_positions(docs, id_col=id_col, text_col=text_col)
+    # candidate starts: every posting that hits any phrase token,
+    # rebased to the position the phrase would have to start at
+    cand = postings.join(F.broadcast(ph), on="tok").select(
+        id_col,
+        "phrase",
+        "plen",
+        (F.col("pos") - F.col("off")).alias("start"),
+        "off",
+    )
+    starts = (
+        cand.groupBy(id_col, "phrase", "plen", "start")
+        .agg(F.countDistinct("off").alias("n_off"))
+        .filter(F.col("n_off") == F.col("plen"))
+    )
+    return starts.groupBy("phrase", id_col).agg(
+        F.count("*").alias("n_matches"),
+        F.min("start").alias("first_start"),
+    )

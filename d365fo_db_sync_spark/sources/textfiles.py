@@ -38,7 +38,14 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 CORRUPT_COL = "_corrupt_record"
 
-__all__ = ["CORRUPT_COL", "JsonlIngest", "read_jsonl", "write_jsonl"]
+__all__ = [
+    "CORRUPT_COL",
+    "JsonlIngest",
+    "read_csv",
+    "read_jsonl",
+    "write_csv",
+    "write_jsonl",
+]
 
 
 @dataclass
@@ -94,3 +101,64 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     read side consumes). Spark JSON-escapes embedded newlines/quotes,
     so arbitrary document text round-trips losslessly."""
     df.write.mode(mode).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    quarantine: bool = True,
+    header: bool = False,
+    multiline: bool = False,
+) -> "JsonlIngest | DataFrame":
+    """CSV twin of :func:`read_jsonl` — same explicit-schema,
+    PERMISSIVE + corrupt-record-capture discipline for the other
+    arrival format upstream systems hand over (exports, spreadsheets,
+    legacy ETL drops). Malformed rows — wrong column arity, type
+    mismatches — land in the quarantine frame with their raw line;
+    clean rows parse against the declared schema with standard RFC
+    quoting (embedded commas and quotes always round-trip).
+
+    ``multiline=True`` enables quoted EMBEDDED NEWLINES — required to
+    read back text fields containing line breaks, but it forces Spark
+    to parse whole files instead of line-splittable chunks (one task
+    per file, no intra-file parallelism). At corpus scale prefer JSONL
+    for newline-bearing text; CSV multiline is the compatibility
+    escape hatch for data that arrives that way.
+
+    Returns :class:`JsonlIngest` (the shape is format-agnostic) or,
+    with ``quarantine=False``, the lazy PERMISSIVE frame."""
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(f"schema must not already contain {CORRUPT_COL!r}")
+    full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("multiLine", str(multiline).lower())
+        .csv(path)
+    )
+    if not quarantine:
+        return df.drop(CORRUPT_COL)
+    # same SPARK-21610 persist discipline as read_jsonl: filtering only
+    # on the corrupt column of a fresh CSV frame is disallowed
+    df = df.persist()
+    bad = F.col(CORRUPT_COL).isNotNull()
+    good = df.filter(~bad).drop(CORRUPT_COL)
+    quar = df.filter(bad).select(F.col(CORRUPT_COL).alias("raw_line"))
+    return JsonlIngest(
+        good=good,
+        quarantine=quar,
+        n_good=good.count(),
+        n_quarantined=quar.count(),
+    )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write ``df`` as headerless CSV with default RFC quoting —
+    embedded commas/quotes are quoted-escaped by Spark. Text with
+    embedded NEWLINES is also quoted correctly, but reading it back
+    requires :func:`read_csv` ``multiline=True`` (see its scale
+    caveat); prefer JSONL for newline-bearing corpora."""
+    df.write.mode(mode).csv(path)

@@ -5696,3 +5696,273 @@ def sync_delete_keys_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert sorted(os.listdir(ver)) == ["_manifest.json", "tombstones"]
     assert t.num_rows() == ev.count() - n_dead
     return t.read(spark)
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS tok
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents)),
+    ph(phrase, off, tok) AS (VALUES
+      ('fast key scan', 0, 'fast'), ('fast key scan', 1, 'key'),
+      ('fast key scan', 2, 'scan'),
+      ('merge batch part', 0, 'merge'), ('merge batch part', 1, 'batch'),
+      ('merge batch part', 2, 'part'),
+      ('table table', 0, 'table'), ('table table', 1, 'table')),
+    lens AS (SELECT phrase, COUNT(*) AS plen FROM ph GROUP BY 1),
+    starts AS (
+      SELECT t.doc_id, p.phrase, t.pos - p.off AS start
+      FROM toks t JOIN ph p USING (tok)
+      GROUP BY 1, 2, 3
+      HAVING COUNT(DISTINCT p.off)
+             = (SELECT plen FROM lens WHERE lens.phrase = p.phrase))
+    SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(start) AS BIGINT) AS first_start
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index phrase search
+    (operators/text_search.py): exact multi-token phrase occurrences —
+    contamination strings, blocklist n-grams — found with ONE
+    tokenize pass and a broadcast phrase table; postings are never
+    self-joined (the stopword posting list at corpus scale makes the
+    naive k-way join quadratic in the hot key). Overlapping matches
+    count ('table table' inside 'table table table' matches twice),
+    repeated phrase tokens are handled by the distinct-offset check,
+    and the oracle replays the identical candidate-start algebra in
+    SQL. first_start is the 0-based token position of the earliest
+    occurrence."""
+    from d365fo_db_sync_spark.operators.text_search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = phrase_search(
+        docs, ["fast key scan", "merge batch part", "table table"]
+    )
+    return out.select(
+        "phrase",
+        "doc_id",
+        "n_matches",
+        F.col("first_start").cast("long").alias("first_start"),
+    )
+
+
+@register(
+    "graph_triangle_participation",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2 USING (l_orderkey)
+      WHERE l1.l_partkey < l2.l_partkey),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (SELECT unnest([a, b, c]) AS node FROM tri)
+    SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM corners GROUP BY 1 ORDER BY triangles DESC, part_id LIMIT 15
+    """,
+)
+def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py:triangle_counts)
+    over the co-purchase graph — parts sharing an order are edges; a
+    part that triangulates heavily anchors a bundle. Canonical a<b<c
+    enumeration: one wedge self-join on the middle vertex + one
+    left-semi closing probe, each triangle generated exactly once,
+    then exploded to its corners. Top-15 is tie-broken on the unique
+    part id. The oracle replays the same ordered 3-way join."""
+    from d365fo_db_sync_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("l1")
+        .join(li.alias("l2"), on="l_orderkey")
+        .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+        .select(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
+    )
+    out = triangle_counts(edges, "src", "dst")
+    return (
+        out.select(F.col("node").alias("part_id"), "triangles")
+        .orderBy(F.desc("triangles"), "part_id")
+        .limit(15)
+    )
+
+
+@register(
+    "events_sliding_reach",
+    oracle="""
+    WITH ev AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events),
+    days AS (SELECT DISTINCT d FROM ev),
+    win AS (SELECT days.d AS day, ev.user_id, ev.k
+            FROM days JOIN ev ON ev.d BETWEEN days.d - 6 AND days.d)
+    SELECT day, CAST(COUNT(DISTINCT user_id || ':' || k) AS BIGINT) AS reach_7d
+    FROM win GROUP BY 1
+    """,
+)
+def events_sliding_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day sliding-window DISTINCT count — the reach metric
+    (distinct (user, context-k) pairs active in [day-6, day] for every
+    observed day). Sliding distinct cannot fold into a running
+    aggregate (distinct is not subtractable), so the scale-honest plan
+    is the bounded interval EXPLODE: each (day, user, k) observation
+    fans out to the <=7 window-days it serves, then ONE grouped
+    count-distinct — shuffle volume is exactly window_length x the
+    deduped daily activity, linear in the window, never a per-day
+    rescan of the trailing week. Window days clip to observed days via
+    a broadcast semi-join (|days| rows)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("d"),
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .distinct()
+    )
+    days = ev.select("d").distinct()
+    fanned = ev.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+        "k",
+    )
+    clipped = fanned.join(
+        F.broadcast(days.withColumnRenamed("d", "day")), on="day"
+    )
+    return clipped.groupBy("day").agg(
+        F.countDistinct("user_id", "k").alias("reach_7d")
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts
+      FROM events),
+    p AS (
+      SELECT CASE WHEN lt_ts IS NULL OR lt_ts < ts - INTERVAL 72 HOUR
+                  THEN 'direct' ELSE lt_type END AS channel, value
+      FROM seq WHERE event_type = 'purchase')
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+    FROM p GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 72-hour lookback: each
+    purchase credits the user's most recent preceding non-purchase
+    event type; purchases with no touch inside the window credit
+    'direct'. ONE window sort per user carries the whole computation —
+    the carried last-touch is a struct under last(..., ignorenulls)
+    so timestamp and channel are taken from the SAME row by
+    construction (two independent last_values could disagree only if
+    a channel were NULL; the struct form removes even that). Value
+    totals ride DECIMAL(18,2) for cross-engine exactness."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt = F.last(
+        F.when(
+            F.col("event_type") != "purchase", F.struct("ts", "event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        ev.withColumn("lt", lt)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("lt").isNull()
+                | (F.col("lt.ts") < F.col("ts") - F.expr("INTERVAL 72 HOURS")),
+                F.lit("direct"),
+            )
+            .otherwise(F.col("lt.event_type"))
+            .alias("channel"),
+            "value",
+        )
+    )
+    return purchases.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+@register(
+    "source_csv_ingest",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def source_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus ingestion round-trip (sources/textfiles.py:read_csv)
+    — the jsonl twin for the other arrival format (exports, legacy ETL
+    drops). The documents table is exported as headerless RFC-quoted
+    CSV, torn lines are injected (wrong arity, type garbage), and the
+    quarantining reader ingests against the EXPLICIT schema: malformed
+    rows are captured with raw bytes and counted, good rows must
+    round-trip byte-exactly against the original table — which is what
+    the oracle checks (quoting must preserve arbitrary text)."""
+    import os
+
+    from d365fo_db_sync_spark.sources.textfiles import read_csv, write_csv
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    land = scratch_dir("csv_") + "/docs"
+    write_csv(docs, land)
+    with open(os.path.join(land, "zz_torn.csv"), "w", encoding="utf-8") as f:
+        f.write("not-a-long,only,three\n")
+        f.write('"unterminated quote, then nothing\n')
+    ingest = read_csv(spark, land, docs.schema)
+    assert ingest.n_quarantined == 2, ingest.n_quarantined
+    assert ingest.quarantine.count() == 2
+    return ingest.good.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "source_orc_ingest",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def source_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round-trip — the third columnar arrival format
+    (Hive-era warehouses hand over ORC). Spark's native ORC
+    reader/writer carries the same Catalyst scan surface as parquet
+    (pushdown, pruning, vectorized read), so the engine ingests it
+    with an explicit projected schema and zero extra code paths; the
+    oracle value-checks the full round-trip row-for-row."""
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    land = scratch_dir("orc_") + "/events"
+    ev.write.mode("overwrite").orc(land)
+    return spark.read.schema(ev.schema).orc(land)

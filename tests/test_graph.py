@@ -375,3 +375,55 @@ def test_pagerank_model_check(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(df, iters=0)
+
+
+def _brute_triangles(edges: list[tuple[int, int]]) -> dict[int, int]:
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in es for n in e})
+    counts: dict[int, int] = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) not in es:
+                continue
+            for c in nodes[nodes.index(b) + 1 :]:
+                if (b, c) in es and (a, c) in es:
+                    for n in (a, b, c):
+                        counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _check_triangles(spark, edges: list[tuple[int, int]]):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["triangles"]
+        for r in graph.triangle_counts(df, "src", "dst").collect()
+    }
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_known_shapes(spark):
+    # K4: every node sits in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    _check_triangles(spark, k4)
+    # a triangle plus a pendant edge: pendant node in none
+    _check_triangles(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    # square (no diagonal): zero triangles -> empty frame
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert graph.triangle_counts(df).count() == 0
+
+
+def test_triangle_counts_ignore_duplicates_loops_direction(spark):
+    # reversed duplicates, parallel edges, and self-loops collapse
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    _check_triangles(spark, edges)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_triangle_counts_random_graphs(spark, seed):
+    rnd = random.Random(seed)
+    edges = [
+        (rnd.randrange(12), rnd.randrange(12)) for _ in range(40)
+    ]
+    _check_triangles(spark, edges)

@@ -52,3 +52,60 @@ def test_lazy_path_and_schema_safety(spark, landing):
             landing,
             StructType([StructField(CORRUPT_COL, StringType())]),
         )
+
+
+def test_csv_roundtrip_hostile_content_and_quarantine(spark, tmp_path):
+    """CSV twin: commas/quotes round-trip always; embedded newlines
+    round-trip under multiline=True; malformed rows quarantine."""
+    from d365fo_db_sync_spark.sources.textfiles import read_csv, write_csv
+
+    rows = [
+        (1, 'comma, "quoted", and more'),
+        (2, "plain"),
+        (3, None),
+        (4, "trailing space "),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "csv_docs")
+    write_csv(df, path)
+    with open(f"{path}/zz_torn.csv", "w", encoding="utf-8") as f:
+        f.write("not-a-long,text-col\n")  # type mismatch on doc_id
+    ing = read_csv(spark, path, SCHEMA)
+    assert (ing.n_good, ing.n_quarantined) == (4, 1)
+    assert [r["raw_line"] for r in ing.quarantine.collect()] == [
+        "not-a-long,text-col"
+    ]
+    got = {r["doc_id"]: r["text"] for r in ing.good.collect()}
+    assert got[1] == 'comma, "quoted", and more'
+    assert got[3] is None
+
+
+def test_csv_multiline_newline_roundtrip(spark, tmp_path):
+    from d365fo_db_sync_spark.sources.textfiles import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "first\nsecond line"), (2, "plain")], SCHEMA
+    )
+    path = str(tmp_path / "csv_ml")
+    write_csv(df, path)
+    ing = read_csv(spark, path, SCHEMA, multiline=True)
+    got = {r["doc_id"]: r["text"] for r in ing.good.collect()}
+    assert ing.n_quarantined == 0
+    assert got[1] == "first\nsecond line"
+
+
+def test_csv_lazy_path_and_schema_safety(spark, tmp_path):
+    from d365fo_db_sync_spark.sources.textfiles import read_csv, write_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    path = str(tmp_path / "csv_lazy")
+    write_csv(df, path)
+    before = len(SCHEMA.fields)
+    lazy = read_csv(spark, path, SCHEMA, quarantine=False)
+    assert lazy.columns == ["doc_id", "text"]
+    assert lazy.count() == 2
+    assert len(SCHEMA.fields) == before
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_csv(
+            spark, path, StructType([StructField(CORRUPT_COL, StringType())])
+        )

@@ -1,0 +1,79 @@
+"""Positional inverted-index phrase search: brute-force model check,
+overlap/repeat semantics, tokenization normalization, plan shape."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from d365fo_db_sync_spark.operators.text_search import (
+    phrase_search,
+    tokenize_positions,
+)
+
+
+def _brute(docs: list[tuple[int, str]], phrases: list[str]) -> dict:
+    """Reference: per (phrase, doc) count of all (overlapping) start
+    positions plus the earliest one, on the same tokenization."""
+    out = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        for p in phrases:
+            pt = p.lower().split()
+            starts = [
+                i
+                for i in range(len(toks) - len(pt) + 1)
+                if toks[i : i + len(pt)] == pt
+            ]
+            if starts:
+                out[(p, doc_id)] = (len(starts), starts[0])
+    return out
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a a a a"),  # overlapping 'a a' matches
+    (3, "Table, TABLE; table!"),  # case + punctuation normalization
+    (4, "merge batch merge batch merge"),  # repeated bigram, shared token
+    (5, ""),  # empty document
+    (6, "quick brown quick brown fox"),  # phrase prefix repeats
+]
+PHRASES = ["quick brown fox", "a a", "table table", "merge batch", "absent phrase"]
+
+
+def test_matches_brute_force(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r["phrase"], r["doc_id"]): (r["n_matches"], r["first_start"])
+        for r in phrase_search(df, PHRASES).collect()
+    }
+    assert got == _brute(DOCS, PHRASES)
+    # spot-pin the tricky rows so the model itself is audited
+    assert got[("a a", 2)] == (3, 0)  # overlapping starts 0,1,2
+    assert got[("table table", 3)] == (2, 0)  # punctuation-separated
+    assert got[("quick brown fox", 6)] == (1, 2)  # prefix repeat skipped
+    assert ("absent phrase", 1) not in got
+
+
+def test_empty_phrase_raises(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="tokenizes to nothing"):
+        phrase_search(df, ["  ,; "])
+
+
+def test_tokenize_positions_are_dense(spark):
+    df = spark.createDataFrame([(9, " x--y  z ")], "doc_id long, text string")
+    rows = sorted(
+        (r["pos"], r["tok"])
+        for r in tokenize_positions(df).collect()
+    )
+    assert rows == [(0, "x"), (1, "y"), (2, "z")]
+
+
+def test_phrase_table_is_broadcast(spark):
+    """The phrase side must broadcast — a shuffled join on `tok` would
+    shuffle the full posting list against an 8-row table."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = phrase_search(df, PHRASES)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
