@@ -403,28 +403,42 @@ def pagerank(
     return p.select("node", F.round("score", out_prec).alias("pagerank"))
 
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "id",
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph
     — the clustering/cohesion readout (a part that triangulates with
     many co-purchased parts is a bundle anchor; a document whose
     near-dup edges triangulate is inside a dense duplicate clique, not
     a chain of borderline pairs).
 
-    Enumeration is the canonical ordered form: edges normalize to
+    ``orient="id"`` is the canonical ordered form: edges normalize to
     ``a < b`` and dedupe, wedges come from ONE self-join on the shared
     middle vertex (``(a<b) ⋈ (b<c)`` → ordered candidate ``a<b<c``),
     and a left-semi probe against the edge set closes each wedge.
     Every triangle is generated exactly once (only from its ordered
     form), then exploded to its three corners for the per-node count.
 
-    Scale shape: two shuffles (wedge join on the middle vertex, semi
-    probe on ``(a, c)``) plus the counting aggregate. The ordered form
-    bounds wedge fan-out by min-endpoint degree; for power-law graphs
-    with extreme hubs, swap the id ordering for a degree ordering
-    (orient each edge toward the higher-degree endpoint) — same
-    output, provably O(m^1.5) wedges. Self-loops are dropped; parallel
-    edges collapse in the distinct.
+    ``orient="degree"`` produces the SAME counts with each edge
+    oriented toward its higher-``(degree, id)`` endpoint and wedges
+    enumerated at their lowest-rank corner — the classic hub fix: a
+    node's wedge fan-out is C(out-degree, 2), and degree orientation
+    caps out-degree at O(sqrt(m)), giving the provable O(m^1.5) wedge
+    bound. Under id ordering one low-id hub with degree d emits
+    C(d, 2) wedges regardless of m; on power-law co-occurrence graphs
+    (every token edge touching a stopword) that single skew key is
+    the job. Costs one extra degree aggregate + two rank joins, so
+    the id form stays the default for benign graphs.
+
+    Scale shape: two shuffles (wedge join on the shared corner, semi
+    probe on the closing pair) plus the counting aggregate.
+    Self-loops are dropped; parallel edges collapse in the distinct.
     """
+    if orient not in ("id", "degree"):
+        raise ValueError(f"orient must be id|degree, got {orient!r}")
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -433,14 +447,53 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    wedges = e.join(
-        e.select(F.col("a").alias("b"), F.col("b").alias("c")), on="b"
-    ).select("a", "b", "c")
-    tri = wedges.join(
-        e.select(F.col("a"), F.col("b").alias("c")),
-        on=["a", "c"],
-        how="left_semi",
-    )
+    if orient == "id":
+        wedges = e.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")), on="b"
+        ).select("a", "b", "c")
+        tri = wedges.join(
+            e.select(F.col("a"), F.col("b").alias("c")),
+            on=["a", "c"],
+            how="left_semi",
+        )
+    else:
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        # rank every endpoint by (degree, id); orient low -> high
+        ranked = (
+            e.join(deg.withColumnRenamed("node", "a"), on="a")
+            .withColumnRenamed("deg", "da")
+            .join(deg.withColumnRenamed("node", "b"), on="b")
+            .withColumnRenamed("deg", "db")
+        )
+        a_lower = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        d = ranked.select(
+            F.when(a_lower, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_lower, F.struct("db", "b"))
+            .otherwise(F.struct(F.col("da").alias("db"), F.col("a").alias("b")))
+            .alias("hi"),
+        ).select("u", F.col("hi.b").alias("v"), F.col("hi.db").alias("dv"))
+        # wedges at the lowest-rank corner: each unordered out-pair once
+        d2 = d.select(
+            F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw")
+        )
+        v_lower = (F.col("dv") < F.col("dw")) | (
+            (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+        )
+        wedges = d.join(d2, on="u").filter(v_lower).select("u", "v", "w")
+        # the closing edge between v and w is oriented v -> w (v is the
+        # lower rank), so ONE semi probe against the directed set closes
+        tri = wedges.join(
+            d.select(F.col("u").alias("v"), F.col("v").alias("w")),
+            on=["v", "w"],
+            how="left_semi",
+        ).select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c"))
     corners = tri.select(
         F.explode(F.array("a", "b", "c")).alias("node")
     )

@@ -5966,3 +5966,70 @@ def source_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = scratch_dir("orc_") + "/events"
     ev.write.mode("overwrite").orc(land)
     return spark.read.schema(ev.schema).orc(land)
+
+
+@register(
+    "events_dynamic_partition_prune",
+    oracle="""
+    WITH err AS (
+      SELECT CAST(ts AS DATE) AS event_date FROM events
+      WHERE event_type = 'error'),
+    per_day AS (SELECT event_date, COUNT(*) AS cnt FROM err GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total,
+                   COUNT(DISTINCT event_date) AS n_days FROM err),
+    hot AS (SELECT event_date FROM per_day, tot
+            WHERE cnt * n_days > total)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN hot ON CAST(ts AS DATE) = hot.event_date
+    GROUP BY 1
+    """,
+)
+def events_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the Catalyst feature
+    events_date_partition_prune's static cut cannot cover: the pruned
+    day set is only known at RUNTIME (days whose error volume exceeds
+    the per-day average, an integer-exact cnt*n_days > total
+    comparison that stays meaningful at every scale factor). The
+    hive-partitioned fact joins the broadcast dim on the partition
+    column and Spark reuses the broadcast result as a partition filter
+    (`dynamicpruningexpression` in the scan — asserted in-query), so
+    only hot-day directories are read. At 100 TB this is the
+    difference between scanning the week the dim selects and scanning
+    the year: no hand-maintained filter list, the join IS the prune.
+    Aggregates ride DECIMAL(18,2) for cross-engine bit parity."""
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    land = scratch_dir("dpp_") + "/fact"
+    ev.withColumn("event_date", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(land)
+    fact = spark.read.parquet(land)
+
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.to_date("ts").alias("event_date")
+    )
+    per_day = err.groupBy("event_date").agg(F.count("*").alias("cnt"))
+    tot = err.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("event_date").alias("n_days"),
+    )
+    hot = (
+        per_day.join(F.broadcast(tot))
+        .filter(F.col("cnt") * F.col("n_days") > F.col("total"))
+        .select("event_date")
+    )
+    out = (
+        fact.join(F.broadcast(hot), on="event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP did not engage"
+    return out

@@ -427,3 +427,29 @@ def test_triangle_counts_random_graphs(spark, seed):
         (rnd.randrange(12), rnd.randrange(12)) for _ in range(40)
     ]
     _check_triangles(spark, edges)
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_triangle_degree_orientation_equivalence(spark, seed):
+    """orient='degree' (the power-law hub path) must produce identical
+    per-node counts to the canonical id ordering."""
+    rnd = random.Random(seed)
+    edges = [(rnd.randrange(14), rnd.randrange(14)) for _ in range(50)]
+    # add a deliberate hub so the orientations genuinely differ
+    edges += [(0, n) for n in range(1, 14)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        r["node"]: r["triangles"]
+        for r in graph.triangle_counts(df, orient="id").collect()
+    }
+    b = {
+        r["node"]: r["triangles"]
+        for r in graph.triangle_counts(df, orient="degree").collect()
+    }
+    assert a == b == _brute_triangles(edges)
+
+
+def test_triangle_orient_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="orient"):
+        graph.triangle_counts(df, orient="random")
