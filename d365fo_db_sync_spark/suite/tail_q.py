@@ -6033,3 +6033,129 @@ def events_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFram
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "DPP did not engage"
     return out
+
+
+@register(
+    "pipeline_contamination_sweep",
+    oracle=f"""
+    WITH ptoks AS (
+      SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS tok
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents)),
+    ph(phrase, off, tok) AS (VALUES
+      ('fast key scan', 0, 'fast'), ('fast key scan', 1, 'key'),
+      ('fast key scan', 2, 'scan'),
+      ('merge batch part', 0, 'merge'), ('merge batch part', 1, 'batch'),
+      ('merge batch part', 2, 'part'),
+      ('table table', 0, 'table'), ('table table', 1, 'table')),
+    plens AS (SELECT phrase, COUNT(*) AS plen FROM ph GROUP BY 1),
+    pstarts AS (
+      SELECT t.doc_id, p.phrase, t.pos - p.off AS start
+      FROM ptoks t JOIN ph p USING (tok)
+      GROUP BY 1, 2, 3
+      HAVING COUNT(DISTINCT p.off)
+             = (SELECT plen FROM plens WHERE plens.phrase = p.phrase)),
+    phrase_docs AS (SELECT DISTINCT doc_id FROM pstarts),
+    t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    c AS (SELECT doc_id, unnest({_ngrams_sql('toks')}) AS g FROM t),
+    b0 AS (SELECT doc_id AS bench_id, toks[1:12] AS btoks FROM t
+           WHERE doc_id % 97 = 0),
+    cb AS (SELECT bench_id, unnest({_ngrams_sql('btoks')}) AS g FROM b0),
+    bsz AS (SELECT bench_id, COUNT(*) AS bench_ngrams FROM cb GROUP BY bench_id),
+    hits AS (SELECT c.doc_id, cb.bench_id, COUNT(*) AS matched_ngrams
+             FROM c JOIN cb USING (g) GROUP BY c.doc_id, cb.bench_id),
+    ngram_docs AS (
+      SELECT DISTINCT h.doc_id
+      FROM hits h JOIN bsz s USING (bench_id)
+      WHERE ROUND(h.matched_ngrams / s.bench_ngrams, 6) >= 0.5),
+    needles AS (
+      SELECT substring(lower(text), 10, 25) AS needle
+      FROM documents WHERE doc_id % 101 = 0 AND length(text) >= 40),
+    answer_docs AS (
+      SELECT DISTINCT d.doc_id
+      FROM documents d JOIN needles n ON contains(lower(d.text), n.needle)),
+    flagged AS (
+      SELECT doc_id FROM phrase_docs
+      UNION SELECT doc_id FROM ngram_docs
+      UNION SELECT doc_id FROM answer_docs)
+    SELECT f.doc_id,
+           (p.doc_id IS NOT NULL) AS hit_phrase,
+           (g.doc_id IS NOT NULL) AS hit_ngram,
+           (a.doc_id IS NOT NULL) AS hit_answer
+    FROM flagged f
+    LEFT JOIN phrase_docs p ON f.doc_id = p.doc_id
+    LEFT JOIN ngram_docs g ON f.doc_id = g.doc_id
+    LEFT JOIN answer_docs a ON f.doc_id = a.doc_id
+    """,
+)
+def pipeline_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full pre-training contamination sweep as ONE
+    per-document verdict frame — the three oracled detection legs this
+    engine ships, composed the way a release pipeline runs them:
+
+    * exact PHRASE hits (operators/text_search.phrase_search — the
+      blocklist/benchmark-string pass, postings never self-joined),
+    * n-gram BENCHMARK overlap >= 0.5 of an eval item's distinct
+      trigrams (operators/decontam.benchmark_overlap — bench shingles
+      broadcast, corpus never shuffled by shingle),
+    * exact ANSWER containment (operators/decontam.
+      exact_contamination — broadcast needles, map-side scan).
+
+    Output: every flagged document with its per-leg boolean verdict
+    (the triage a data curator reads before choosing redact vs drop).
+    Each leg keeps its own scale shape; the merge is three full-outer
+    joins on the FLAGGED sets only — metadata-sized by construction,
+    the corpus itself is read once per leg and never collected. The
+    eval set and needles derive deterministically from the corpus
+    (every 97th / 101st document) so both engines compute identical
+    ground truth; the value hash checks every verdict bit."""
+    from d365fo_db_sync_spark.operators.decontam import (
+        benchmark_overlap,
+        exact_contamination,
+    )
+    from d365fo_db_sync_spark.operators.text import tokens
+    from d365fo_db_sync_spark.operators.text_search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    ph = (
+        phrase_search(docs, ["fast key scan", "merge batch part", "table table"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit_phrase", F.lit(True))
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(tokens("text"), 1, 12), " ").alias("text"),
+    )
+    ng = (
+        benchmark_overlap(docs, bench, n=3)
+        .filter(F.round("overlap_frac", 6) >= 0.5)
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit_ngram", F.lit(True))
+    )
+    needles = docs.filter(
+        (F.pmod("doc_id", F.lit(101)) == 0) & (F.length("text") >= 40)
+    ).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring(F.lower("text"), 10, 25).alias("needle"),
+    )
+    ans = (
+        exact_contamination(docs, needles)
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit_answer", F.lit(True))
+    )
+    return (
+        ph.join(ng, on="doc_id", how="full")
+        .join(ans, on="doc_id", how="full")
+        .select(
+            "doc_id",
+            F.coalesce("hit_phrase", F.lit(False)).alias("hit_phrase"),
+            F.coalesce("hit_ngram", F.lit(False)).alias("hit_ngram"),
+            F.coalesce("hit_answer", F.lit(False)).alias("hit_answer"),
+        )
+    )
