@@ -756,7 +756,37 @@ class ManifestParquetTarget(BucketedParquetTarget):
         # nothing masked)
         if "tombstones" in raw:
             out["tombstones"] = raw["tombstones"]
+        # bucket geometry: additive metadata (absent = legacy manifest,
+        # trusted as written). Validation happens on the LIVE paths
+        # (_load_manifest/_live_snapshot), not here — read_version /
+        # export read explicit file lists, which stay correct across a
+        # rebucket migration, so historical geometries must not raise.
+        if "geometry" in raw:
+            out["geometry"] = raw["geometry"]
         return out
+
+    def _check_geometry(self, m: dict) -> dict:
+        """Refuse to operate on a live manifest whose recorded bucket
+        geometry disagrees with this object's: every bucket-pruning
+        path (probe, merge's affected-bucket cut, tombstone
+        retirement) maps keys through ``pmod(xxhash64(key),
+        n_buckets)`` — under the wrong ``n_buckets`` or key column the
+        map is silently WRONG (probes miss live rows, merges rewrite
+        the wrong window), which is data corruption, not an error
+        state. Manifests written before geometry tracking have no
+        entry and are trusted as constructed (legacy behavior)."""
+        g = m.get("geometry")
+        if g is not None:
+            if g.get("key") != self.key or int(g.get("n_buckets")) != self.n_buckets:
+                raise ValueError(
+                    f"table at {self.root} was written with geometry "
+                    f"(key={g.get('key')!r}, n_buckets={g.get('n_buckets')}), "
+                    f"but this target was constructed with (key={self.key!r}, "
+                    f"n_buckets={self.n_buckets}) — bucket-pruned reads and "
+                    "merges would be silently wrong; reopen with the "
+                    "recorded geometry or migrate with rebucket()"
+                )
+        return m
 
     def _file_key_stats(self, path: str) -> dict:
         """Footer-derived zone map for ``self.key`` (plus
@@ -811,7 +841,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         path = self.current_path()
         if path is None:
             return None
-        return self._manifest_at(path)
+        return self._check_geometry(self._manifest_at(path))
 
     def _live_snapshot(self) -> tuple[str, dict]:
         """(parent name, manifest) from ONE pointer resolution — every
@@ -823,7 +853,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         path = self.current_path()
         if path is None:
             raise FileNotFoundError(f"no live version under {self.root}")
-        return os.path.basename(path), self._manifest_at(path)
+        return os.path.basename(path), self._check_geometry(self._manifest_at(path))
 
     def versions(self) -> list[str]:
         """Published version names, oldest first, restricted to those
@@ -1034,8 +1064,12 @@ class ManifestParquetTarget(BucketedParquetTarget):
         schema_json = out.drop(self.BUCKET_COL).schema.json()
         # zone maps: fresh files from their footers (driver-side, only
         # the files just staged), carried files from the prior manifest
-        # (their footers haven't changed — no re-read)
-        prior = self._load_manifest()
+        # (their footers haven't changed — no re-read). Raw load, no
+        # geometry check: callers validated their snapshot already, and
+        # a rebucket/overwrite under a NEW geometry must still be able
+        # to read the old-geometry prior for stats/tombstone carryover.
+        prior_path = self.current_path()
+        prior = self._manifest_at(prior_path) if prior_path is not None else None
         prior_stats = prior["stats"] if prior else {}
         stats: dict[str, dict] = {}
         for fs in buckets.values():
@@ -1073,7 +1107,16 @@ class ManifestParquetTarget(BucketedParquetTarget):
                 if any(not f.startswith(marker) for f in fs)
             }
             replaced = sorted(prior_ids - survived)
-            if replaced or retire_keys is not None:
+            if prior_ids and not (prior_ids - set(replaced)):
+                # EVERY prior bucket was replaced (overwrite, rebucket,
+                # a merge emptying the table): nothing is left to mask,
+                # so all tombstones retire without reading them. This
+                # short-circuit is also what keeps a rebucket migration
+                # correct — the bucket-membership filter below maps
+                # keys through the CURRENT geometry, which would be the
+                # wrong map for tombstones written under the old one.
+                tombs = []
+            elif replaced or retire_keys is not None:
                 spark = out.sparkSession
                 dead = (
                     spark.read.parquet(*[t["path"] for t in tombs])
@@ -1102,6 +1145,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
             "schema": schema_json,
             "buckets": {str(k): v for k, v in buckets.items()},
             "stats": stats,
+            "geometry": {"key": self.key, "n_buckets": self.n_buckets},
         }
         if tombs:
             manifest["tombstones"] = tombs
@@ -1519,6 +1563,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
             "schema": m["schema"],
             "buckets": {str(k): v for k, v in m["buckets"].items()},
             "stats": m["stats"],
+            "geometry": {"key": self.key, "n_buckets": self.n_buckets},
             "tombstones": m.get("tombstones", []) + [{"path": tpath, "rows": n}],
         }
         if "blooms" in m and m.get("bloom_meta"):
@@ -1753,6 +1798,44 @@ class ManifestParquetTarget(BucketedParquetTarget):
             max_records_per_file=target_rows_per_file,
         )
         return len(fat)
+
+    def rebucket(self, spark: SparkSession, n_buckets: int) -> None:
+        """Geometry migration — rewrite the table into ``n_buckets``
+        hash buckets as ONE atomic version commit (the lakehouse
+        answer to "the table outgrew its bucket count": a table
+        bucketed at 64 when it was 1 GB has multi-GB buckets at 10 TB,
+        and every merge window / compact task inherits that grain).
+
+        A full rewrite by necessity — every row's bucket assignment
+        changes — published under the usual OCC pointer discipline, so
+        readers switch at the pointer swap. The masked read means
+        tombstoned keys are physically absent from the new layout, and
+        the all-buckets-replaced retirement short-circuit clears their
+        entries in the same commit (the per-key bucket filter would map
+        old-geometry tombstones through the NEW hash, which is exactly
+        the wrong-geometry corruption this class refuses elsewhere).
+        Prior versions stay time-travel readable: version reads are
+        explicit file lists, geometry-independent; only the LIVE
+        manifest must match the handle, and this handle's geometry is
+        updated in place on success."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        parent, m = self._live_snapshot()
+        if n_buckets == self.n_buckets:
+            return
+        files = [f for fs in m["buckets"].values() for f in fs]
+        rows = self._read_files(
+            spark, files, m["schema"], m.get("tombstones")
+        ).drop(self.DATA_BUCKET_COL)
+        old = self.n_buckets
+        self.n_buckets = n_buckets
+        try:
+            self._write_version(
+                self._with_bucket(rows), carried={}, expected_parent=parent
+            )
+        except BaseException:
+            self.n_buckets = old
+            raise
 
     def compact_zorder(
         self,
@@ -2000,8 +2083,14 @@ class ManifestParquetTarget(BucketedParquetTarget):
         import json
 
         m = self._manifest_at(src_path)
+        # construct the dest handle with the VERSION's recorded
+        # geometry (a pre-rebucket snapshot exports as a table of its
+        # own layout, and the returned handle must be usable as-is)
+        g = m.get("geometry") or {}
         dest = ManifestParquetTarget(
-            dest_root, key=self.key, n_buckets=self.n_buckets
+            dest_root,
+            key=g.get("key", self.key),
+            n_buckets=int(g.get("n_buckets", self.n_buckets)),
         )
         if os.path.exists(dest._pointer()):
             raise FileExistsError(
@@ -2035,6 +2124,11 @@ class ManifestParquetTarget(BucketedParquetTarget):
             "buckets": {str(k): v for k, v in new_buckets.items()},
             "stats": new_stats,
         }
+        # carry the SOURCE version's recorded geometry (not self's):
+        # exporting a pre-rebucket snapshot must produce a table whose
+        # manifest matches its own file layout
+        if "geometry" in m:
+            manifest["geometry"] = m["geometry"]
         if new_tombs:
             manifest["tombstones"] = new_tombs
         os.makedirs(staged, exist_ok=True)

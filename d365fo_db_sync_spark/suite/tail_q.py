@@ -6159,3 +6159,49 @@ def pipeline_contamination_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("hit_answer", F.lit(False)).alias("hit_answer"),
         )
     )
+
+
+@register(
+    "sync_rebucket",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE event_id % 113 <> 0
+    """,
+)
+def sync_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-geometry migration (sinks.rebucket) — the answer to "the
+    table outgrew its bucket count": one atomic full-rewrite commit
+    into 4x the buckets, with the manifest now RECORDING its geometry
+    so a handle constructed with the wrong n_buckets (whose probes and
+    merge windows would hash keys through the wrong map — silent
+    corruption) is refused loudly instead (asserted in-query). The
+    masked rewrite physically drops tombstoned rows, so the MOR
+    entries retire in the same commit via the all-buckets-replaced
+    short-circuit (the per-key bucket filter would map old-geometry
+    tombstones through the NEW hash — exactly the corruption the
+    geometry check exists to stop). The oracle value-checks the
+    migrated table row-for-row."""
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    work = scratch_dir("rebucket_")
+    t = ManifestParquetTarget(f"{work}/tgt", key="event_id", n_buckets=4)
+    t.overwrite(ev)
+    dead = ev.filter(F.pmod("event_id", F.lit(113)) == 0).select("event_id")
+    t.delete_keys_mor(spark, dead)
+
+    t.rebucket(spark, 16)
+    m = t._load_manifest()
+    assert m["geometry"] == {"key": "event_id", "n_buckets": 16}
+    assert not m.get("tombstones"), "rewrite must retire all MOR entries"
+    assert len(m["buckets"]) == 16
+    # the stale-geometry handle is refused, the new one reads clean
+    stale = ManifestParquetTarget(f"{work}/tgt", key="event_id", n_buckets=4)
+    try:
+        stale.read(spark)
+        raise AssertionError("stale-geometry handle was not refused")
+    except ValueError:
+        pass
+    fresh = ManifestParquetTarget(f"{work}/tgt", key="event_id", n_buckets=16)
+    return fresh.read(spark)

@@ -1030,3 +1030,119 @@ def test_check_constraints_reject_before_publish(spark, tmp_path):
     with pytest.raises(ConstraintViolation):
         t.overwrite(bad)
     assert sorted(r["RecId"] for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+class TestGeometry:
+    def _table(self, spark, n=300):
+        return spark.range(n).select(
+            F.col("id").alias("RecId"), (F.col("id") * 3).alias("v")
+        )
+
+    def test_wrong_n_buckets_refused_loudly(self, spark, tmp_path):
+        """Reopening a table with the wrong bucket count must raise on
+        every live path — the silent alternative is probes missing
+        rows and merges rewriting the wrong window (corruption)."""
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=8)
+        t.overwrite(self._table(spark))
+        wrong = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=16)
+        with pytest.raises(ValueError, match="geometry"):
+            wrong.read(spark)
+        with pytest.raises(ValueError, match="geometry"):
+            wrong.merge(spark, self._table(spark, 5))
+        with pytest.raises(ValueError, match="geometry"):
+            wrong.probe(spark, self._table(spark, 3))
+        # the correctly-constructed handle still works
+        assert ManifestParquetTarget(
+            str(tmp_path / "t"), key="RecId", n_buckets=8
+        ).read(spark).count() == 300
+
+    def test_wrong_key_refused(self, spark, tmp_path):
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
+        t.overwrite(self._table(spark))
+        wrong = ManifestParquetTarget(str(tmp_path / "t"), key="v", n_buckets=4)
+        with pytest.raises(ValueError, match="geometry"):
+            wrong.num_rows()
+
+    def test_legacy_manifest_without_geometry_reads(self, spark, tmp_path):
+        import json
+        import os
+
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
+        t.overwrite(self._table(spark))
+        mpath = os.path.join(t.current_path(), t.MANIFEST)
+        with open(mpath, encoding="utf-8") as f:
+            raw = json.load(f)
+        raw.pop("geometry")
+        with open(mpath, "w", encoding="utf-8") as f:
+            json.dump(raw, f)
+        # pre-geometry manifests are trusted as constructed
+        anyn = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=32)
+        assert anyn.read(spark).count() == 300
+
+    def test_rebucket_migrates_losslessly(self, spark, tmp_path):
+        import os
+
+        t = ManifestParquetTarget(
+            str(tmp_path / "t"), key="RecId", n_buckets=4, retain_versions=4
+        )
+        t.overwrite(self._table(spark))
+        v0 = os.path.basename(t.current_path())
+        dead = [5, 6, 7]
+        t.delete_keys_mor(
+            spark, spark.createDataFrame([(k,) for k in dead], "RecId long")
+        )
+        want = {r["RecId"] for r in t.read(spark).collect()}
+
+        t.rebucket(spark, 16)
+        assert t.n_buckets == 16
+        m = t._load_manifest()
+        assert m["geometry"] == {"key": "RecId", "n_buckets": 16}
+        assert not m.get("tombstones")  # physically dropped by the rewrite
+        assert {r["RecId"] for r in t.read(spark).collect()} == want
+        assert t.num_rows() == len(want)
+        # probe under the NEW geometry finds live rows and masks nothing
+        probed = t.probe(
+            spark, spark.createDataFrame([(10,), (5,)], "RecId long")
+        )
+        assert {r["RecId"] for r in probed.collect() if r["RecId"] in (10, 5)} == {10}
+        # a tombstoned-then-migrated key re-inserts cleanly
+        t.append_rows(
+            spark, spark.createDataFrame([(5, 15)], "RecId long, v long")
+        )
+        assert 5 in {r["RecId"] for r in t.read(spark).collect()}
+        # old-geometry version stays time-travel readable (file lists)
+        assert t.read_version(spark, v0).count() == 300
+        # reopening: new geometry works, the old one now refuses
+        assert ManifestParquetTarget(
+            str(tmp_path / "t"), key="RecId", n_buckets=16
+        ).num_rows() == len(want) + 1
+        with pytest.raises(ValueError, match="geometry"):
+            ManifestParquetTarget(
+                str(tmp_path / "t"), key="RecId", n_buckets=4
+            ).read(spark)
+
+    def test_rebucket_same_size_is_noop_and_validates(self, spark, tmp_path):
+        import os
+
+        t = ManifestParquetTarget(str(tmp_path / "t"), key="RecId", n_buckets=4)
+        t.overwrite(self._table(spark))
+        before = os.path.basename(t.current_path())
+        t.rebucket(spark, 4)
+        assert os.path.basename(t.current_path()) == before  # no publish
+        with pytest.raises(ValueError, match="n_buckets"):
+            t.rebucket(spark, 0)
+
+    def test_export_carries_version_geometry(self, spark, tmp_path):
+        import os
+
+        t = ManifestParquetTarget(
+            str(tmp_path / "t"), key="RecId", n_buckets=4, retain_versions=3
+        )
+        t.overwrite(self._table(spark))
+        v0 = os.path.basename(t.current_path())
+        t.rebucket(spark, 8)
+        # exporting the PRE-rebucket version yields a 4-bucket table
+        exp = t.export_version(v0, str(tmp_path / "exp"))
+        assert exp.n_buckets == 4
+        assert exp.read(spark).count() == 300
+        assert exp._load_manifest()["geometry"]["n_buckets"] == 4
