@@ -415,3 +415,41 @@ def test_tfidf_keywords_no_corpus_join(spark):
     ops = physical_operators(df)
     assert "BroadcastNestedLoopJoin" in ops or "BroadcastExchange" in ops, ops
     assert "SortMergeJoin" not in ops and "ShuffledHashJoin" not in ops, ops
+
+
+def test_sliding_reach_clips_days_by_broadcast(spark):
+    """The 7-day sliding-distinct plan: the bounded interval explode
+    joins the observed-day spine by BROADCAST (|days| rows), and the
+    distinct aggregate keeps a partial (map-side) pass."""
+    from d365fo_db_sync_spark.suite.tail_q import events_sliding_reach
+
+    df = events_sliding_reach(spark, SF)
+    assert uses(df, "BroadcastHashJoin"), physical_operators(df)
+    assert not uses(df, "SortMergeJoin"), physical_operators(df)
+
+
+def test_attribution_single_window_sort(spark):
+    """Last-touch attribution carries the prior touch in ONE window
+    over (user, ts) — exactly one Window operator, no self-join of the
+    events table."""
+    from d365fo_db_sync_spark.suite.tail_q import (
+        events_attribution_last_touch,
+    )
+
+    df = events_attribution_last_touch(spark, SF)
+    ops = physical_operators(df)
+    assert ops.count("Window") == 1, ops
+    assert not uses(df, "SortMergeJoin"), ops
+    assert not uses(df, "BroadcastNestedLoopJoin"), ops
+
+
+def test_phrase_search_never_self_joins_postings(spark):
+    """Phrase search joins postings against the broadcast phrase table
+    ONCE — no posting-list self-join (the quadratic stopword trap)."""
+    from d365fo_db_sync_spark.operators.text_search import phrase_search
+
+    docs = load_table(spark, SF, "documents")
+    df = phrase_search(docs, ["fast key scan", "table table"])
+    ops = physical_operators(df)
+    assert ops.count("BroadcastHashJoin") == 1, ops
+    assert not uses(df, "SortMergeJoin"), ops
