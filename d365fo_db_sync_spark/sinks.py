@@ -437,6 +437,7 @@ class BucketedParquetTarget(ParquetTarget):
     """
 
     BUCKET_COL = "__kb"
+    GEOMETRY_SIDECAR = "_geometry.json"
 
     def __init__(self, root: str, key: str, n_buckets: int = 64) -> None:
         super().__init__(root, partition_by=[self.BUCKET_COL])
@@ -453,9 +454,51 @@ class BucketedParquetTarget(ParquetTarget):
 
         return df.withColumn(self.BUCKET_COL, self._bucket_of(F.col(self.key)))
 
+    def _record_geometry(self) -> None:
+        """(Re)pin the table's bucket geometry in a root-level sidecar
+        — called by overwrite, the full replace that DEFINES the
+        table's layout (writing with a new geometry is a legitimate
+        migration there, exactly like the manifest sink's rebucket)."""
+        import json
+
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, self.GEOMETRY_SIDECAR)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"key": self.key, "n_buckets": self.n_buckets}, f)
+        os.replace(tmp, path)
+
+    def _check_geometry_sidecar(self) -> None:
+        """Refuse a handle whose geometry disagrees with the sidecar:
+        every bucket-pruned path (probe's partition cut, merge's
+        affected-bucket window) maps keys through
+        ``pmod(xxhash64(key), n_buckets)``, and under the wrong
+        ``n_buckets``/key that map is silently wrong — probes miss
+        live rows, merges rewrite the wrong window. Tables written
+        before geometry tracking have no sidecar and are trusted as
+        constructed (legacy contract, same as the manifest sink)."""
+        import json
+
+        path = os.path.join(self.root, self.GEOMETRY_SIDECAR)
+        if not os.path.exists(path):
+            return
+        with open(path, encoding="utf-8") as f:
+            got = json.load(f)
+        want = {"key": self.key, "n_buckets": self.n_buckets}
+        if got != want:
+            raise ValueError(
+                f"table at {self.root} was written with geometry "
+                f"(key={got.get('key')!r}, n_buckets={got.get('n_buckets')}), "
+                f"but this target was constructed with (key={self.key!r}, "
+                f"n_buckets={self.n_buckets}) — bucket-pruned reads and "
+                "merges would be silently wrong; reopen with the recorded "
+                "geometry, or overwrite() to redefine the layout"
+            )
+
     def overwrite(self, df: DataFrame) -> None:
         from pyspark.sql import functions as F
 
+        self._record_geometry()
         if self.BUCKET_COL not in df.columns:
             df = self._with_bucket(df)
         # co-locate each bucket's rows before the hive write: one file
@@ -473,6 +516,7 @@ class BucketedParquetTarget(ParquetTarget):
         bucket set is a <= n_buckets int list (tiny driver value)."""
         from pyspark.sql import functions as F
 
+        self._check_geometry_sidecar()
         affected = sorted(
             r["b"]
             for r in keys.select(self._bucket_of(F.col(self.key)).alias("b"))
@@ -521,6 +565,7 @@ class BucketedParquetTarget(ParquetTarget):
             self.overwrite(upserts)
             return self.n_buckets
 
+        self._check_geometry_sidecar()
         changed = upserts.select(self.key)
         if doomed_keys is not None:
             changed = changed.unionByName(doomed_keys.select(self.key))

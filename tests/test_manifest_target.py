@@ -1146,3 +1146,50 @@ class TestGeometry:
         assert exp.n_buckets == 4
         assert exp.read(spark).count() == 300
         assert exp._load_manifest()["geometry"]["n_buckets"] == 4
+
+
+class TestBucketedGeometrySidecar:
+    """The non-manifest bucketed sink gets the same wrong-geometry
+    refusal via a root-level sidecar (it has no manifest to record
+    into)."""
+
+    def _t(self, spark, n=100):
+        return spark.range(n).select(
+            F.col("id").alias("RecId"), (F.col("id") * 2).alias("v")
+        )
+
+    def test_wrong_geometry_refused_on_merge_and_probe(self, spark, tmp_path):
+        from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+        t = BucketedParquetTarget(str(tmp_path / "b"), key="RecId", n_buckets=8)
+        t.overwrite(self._t(spark))
+        wrong = BucketedParquetTarget(str(tmp_path / "b"), key="RecId", n_buckets=4)
+        with pytest.raises(ValueError, match="geometry"):
+            wrong.merge(spark, self._t(spark, 5))
+        with pytest.raises(ValueError, match="geometry"):
+            wrong.probe(spark, self._t(spark, 3))
+        # plain read never bucket-prunes, so it stays permitted
+        assert wrong.read(spark).count() == 100
+
+    def test_overwrite_redefines_geometry(self, spark, tmp_path):
+        from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+        t8 = BucketedParquetTarget(str(tmp_path / "b"), key="RecId", n_buckets=8)
+        t8.overwrite(self._t(spark))
+        # a full replace under a new handle is a legitimate migration
+        t4 = BucketedParquetTarget(str(tmp_path / "b"), key="RecId", n_buckets=4)
+        t4.overwrite(self._t(spark, 60))
+        assert t4.merge(spark, self._t(spark, 3)) >= 1  # now consistent
+        with pytest.raises(ValueError, match="geometry"):
+            t8.probe(spark, self._t(spark, 3))  # the OLD handle is stale now
+
+    def test_legacy_table_without_sidecar_trusted(self, spark, tmp_path):
+        import os
+
+        from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
+        t = BucketedParquetTarget(str(tmp_path / "b"), key="RecId", n_buckets=8)
+        t.overwrite(self._t(spark))
+        os.remove(os.path.join(str(tmp_path / "b"), t.GEOMETRY_SIDECAR))
+        anyn = BucketedParquetTarget(str(tmp_path / "b"), key="RecId", n_buckets=8)
+        assert anyn.merge(spark, self._t(spark, 2)) >= 1
