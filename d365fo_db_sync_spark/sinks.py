@@ -2046,7 +2046,11 @@ class ManifestParquetTarget(BucketedParquetTarget):
                     os.remove(manifest)
         return removed
 
-    def layout_report(self, small_file_rows: int = 10_000) -> dict:
+    def layout_report(
+        self,
+        small_file_rows: int = 10_000,
+        rebucket_rows_per_bucket: int = 50_000_000,
+    ) -> dict:
         """Metadata-only layout health check — the input to a
         maintenance decision, computed entirely from the live manifest
         (no file IO, no Spark job):
@@ -2059,8 +2063,13 @@ class ManifestParquetTarget(BucketedParquetTarget):
           ~0 on a range-clustered layout (scan_range/delete_range
           prune well), ~1 after interleaved appends — the signal for
           ``compact(cluster_by_key=True)``;
+        * ``rows_per_bucket_max`` — the fattest bucket's manifest row
+          total; past ``rebucket_rows_per_bucket`` the merge window /
+          compact task grain has outgrown the geometry — the signal
+          for :meth:`rebucket` (the default ~50M rows is a few GB per
+          bucket task at typical row widths);
         * ``recommendations`` — the derived action list ("compact",
-          "cluster"), empty when the layout is healthy.
+          "cluster", "rebucket"), empty when the layout is healthy.
         """
         m = self._load_manifest()
         if m is None:
@@ -2068,33 +2077,41 @@ class ManifestParquetTarget(BucketedParquetTarget):
         stats = m["stats"]
         n_files = small = 0
         per_bucket: list[int] = []
+        bucket_rows: list[int] = []
         pairs = overlapping = 0
         for fs in m["buckets"].values():
             per_bucket.append(len(fs))
             n_files += len(fs)
             zoned = []
+            rows = 0
             for f in fs:
                 st = stats.get(f, {})
+                rows += st.get("rows", 0)
                 if st.get("rows", small_file_rows) < small_file_rows:
                     small += 1
                 if "min" in st and "max" in st:
                     zoned.append((st["min"], st["max"]))
+            bucket_rows.append(rows)
             for i in range(len(zoned)):
                 for j in range(i + 1, len(zoned)):
                     pairs += 1
                     if zoned[i][0] <= zoned[j][1] and zoned[j][0] <= zoned[i][1]:
                         overlapping += 1
         overlap = (overlapping / pairs) if pairs else 0.0
+        rows_max = max(bucket_rows) if bucket_rows else 0
         recs = []
         if per_bucket and max(per_bucket) > 4:
             recs.append("compact")
         if overlap > 0.5:
             recs.append("cluster")
+        if rows_max > rebucket_rows_per_bucket:
+            recs.append("rebucket")
         return {
             "n_buckets_used": sum(1 for n in per_bucket if n),
             "n_files": n_files,
             "files_per_bucket_max": max(per_bucket) if per_bucket else 0,
             "small_files": small,
+            "rows_per_bucket_max": rows_max,
             "zone_overlap_frac": round(overlap, 4),
             "recommendations": recs,
         }

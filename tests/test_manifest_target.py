@@ -961,6 +961,12 @@ def test_layout_report_drives_maintenance(spark, tmp_path):
     assert rep2["recommendations"] == []
     assert rep2["small_files"] == 0
 
+    # fat-bucket signal: with a tiny threshold the advisor recommends
+    # the geometry migration; the row figure comes from the manifest
+    assert rep2["rows_per_bucket_max"] > 0
+    rep3 = t.layout_report(small_file_rows=10, rebucket_rows_per_bucket=100)
+    assert "rebucket" in rep3["recommendations"]
+
 
 def test_crashed_process_lock_released_by_kernel(spark, tmp_path):
     """A subprocess takes the publish flock and DIES holding it; the
