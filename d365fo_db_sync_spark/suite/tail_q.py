@@ -6205,3 +6205,63 @@ def sync_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     fresh = ManifestParquetTarget(f"{work}/tgt", key="event_id", n_buckets=16)
     return fresh.read(spark)
+
+
+@register(
+    "pipeline_privacy_export",
+    oracle="""
+    WITH p AS (
+      SELECT substring(md5('kb-release-2026' || CAST(user_id AS VARCHAR)),
+                       1, 16) AS user_pseudo,
+             event_type, CAST(ts AS DATE) AS day, value
+      FROM events),
+    audit AS (
+      SELECT event_type, day, COUNT(*) AS group_size
+      FROM p GROUP BY 1, 2),
+    rolled AS (
+      SELECT p.user_pseudo, p.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM p JOIN audit USING (event_type, day)
+      WHERE audit.group_size >= 5
+      GROUP BY 1, 2)
+    SELECT * FROM rolled
+    """,
+)
+def pipeline_privacy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-safe release pipeline (operators/privacy.py): user ids are
+    replaced with deterministic keyed pseudonyms (md5(salt || value)
+    prefix — the same user maps to the same pseudonym everywhere, so
+    joins and per-user rollups still work downstream, while recovery
+    needs the salt that never leaves the boundary), the
+    (event_type, day) quasi-identifier combinations are k-anonymity
+    audited, rows in at-risk groups (< 5 peers) are suppressed, and
+    the release rolls up per (pseudonym, type). Every pseudonym byte
+    and suppression decision is value-checked — md5 is
+    engine-independent, so the whole privacy transform is oracled.
+    Scale shape: pseudonymization is a zero-shuffle codegen
+    projection; the audit is one groupBy on the quasi-identifier
+    (metadata-sized result, broadcast back for the suppression
+    semi-join); the rollup is the one real exchange."""
+    from d365fo_db_sync_spark.operators.privacy import (
+        k_anonymity_audit,
+        pseudonymize,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    p = pseudonymize(ev, ["user_id"], salt="kb-release-2026").withColumnRenamed(
+        "user_id", "user_pseudo"
+    )
+    audit = k_anonymity_audit(p, ["event_type", "day"], k=5)
+    safe = p.join(
+        F.broadcast(audit.filter(~F.col("at_risk")).select("event_type", "day")),
+        on=["event_type", "day"],
+    )
+    return safe.groupBy("user_pseudo", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
