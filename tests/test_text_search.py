@@ -77,3 +77,32 @@ def test_phrase_table_is_broadcast(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     plan = phrase_search(df, PHRASES)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_random_low_entropy_corpus_matches_brute_force(spark, seed):
+    """Randomized corpora from a tiny vocabulary (heavy repetition →
+    overlapping and repeated-token matches everywhere) against the
+    reference implementation, including phrases absent from the
+    corpus and phrases of repeated tokens."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+        for i in range(30)
+    ]
+    phrases = [
+        "a a",
+        "b c b",
+        "dd dd dd",
+        "c",
+        "zz yy",  # vocabulary miss
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["phrase"], r["doc_id"]): (r["n_matches"], r["first_start"])
+        for r in phrase_search(df, phrases).collect()
+    }
+    assert got == _brute(docs, phrases), seed
