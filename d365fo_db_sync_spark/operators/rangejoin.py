@@ -25,11 +25,20 @@ def interval_join(
     start_col: str,
     end_col: str,
     band_seconds: int = 3600,
+    equi_keys: list[str] | None = None,
 ) -> DataFrame:
     """Inner join of points to the intervals containing them
     (closed-open: ``start <= ts < end``). Returns all columns from both
-    inputs; names must not collide."""
+    inputs; non-``equi_keys`` names must not collide.
+
+    ``equi_keys`` names columns present on BOTH sides that must match
+    exactly (a user id, a tenant) — they join alongside the band, so
+    the shuffle key becomes ``(keys…, band)``. Without them a shared
+    entity column would make every band a cross-entity hot key: all
+    users' points meet all users' intervals in the band before the
+    filter, which is the quadratic blowup banding exists to avoid."""
     b = F.lit(band_seconds)
+    keys = list(equi_keys or [])
 
     def _secs(name: str):
         # TIMESTAMP_NTZ can't cast straight to long; hop through TIMESTAMP.
@@ -42,7 +51,7 @@ def interval_join(
         F.explode(F.sequence(F.floor(_secs(start_col) / b), F.floor(_secs(end_col) / b))),
     )
     return (
-        p.join(i, on="__band")
+        p.join(i, on=["__band", *keys])
         .filter((F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col)))
         .drop("__band")
     )

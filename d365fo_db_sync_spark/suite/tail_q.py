@@ -6265,3 +6265,95 @@ def pipeline_privacy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts AS t_ts, event_type AS channel FROM events
+      WHERE event_type <> 'purchase'),
+    p AS (
+      SELECT user_id, event_id AS p_id, ts AS p_ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS value_u
+      FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT p.p_id, p.value_u, t.channel
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.t_ts >= p.p_ts - INTERVAL 72 HOUR AND t.t_ts < p.p_ts),
+    pc AS (SELECT p_id, value_u, channel, COUNT(*) AS n_c
+           FROM pairs GROUP BY 1, 2, 3),
+    pt AS (SELECT p_id, SUM(n_c) AS n_total FROM pc GROUP BY 1),
+    credit AS (
+      SELECT pc.channel, pc.value_u * pc.n_c // pt.n_total AS c
+      FROM pc JOIN pt USING (p_id)),
+    direct AS (
+      SELECT 'direct' AS channel, value_u AS c FROM p
+      WHERE p_id NOT IN (SELECT p_id FROM pt)),
+    allc AS (SELECT * FROM credit UNION ALL SELECT * FROM direct)
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(c) AS BIGINT) AS credit_micro
+    FROM allc GROUP BY 1
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-touch linear attribution — each purchase splits its value
+    across every touch channel inside the 72 h lookback in proportion
+    to touch counts; untouched purchases credit 'direct'. The fraction
+    is evaluated in INTEGER micro-units (``value_u * n_c DIV
+    n_total``, value exact via DECIMAL(18,2)·10^6 ≤ 10^8, product ≤
+    ~10^10 — no doubles anywhere), so per-channel totals are
+    order-independent and engine-exact where a rounded double ratio
+    would hash-drift.
+
+    Scale shape: the (touch, purchase-window) pairing is the banded
+    interval join (operators/rangejoin.py) keyed on (user_id, band) —
+    the new equi_keys extension; without the user in the shuffle key
+    every 6 h band would be a cross-user hot key (all users' touches
+    meeting all users' windows — the quadratic trap). Then two grouped
+    aggregates on purchase id, both map-side combinable."""
+    from d365fo_db_sync_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("channel")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+            (F.col("value").cast("decimal(18,2)") * 1_000_000)
+            .cast("long")
+            .alias("value_u"),
+        )
+        .withColumn("w_start", F.col("p_ts") - F.expr("INTERVAL 72 HOURS"))
+    )
+    pairs = interval_join(
+        touches,
+        purch,
+        point_ts="t_ts",
+        start_col="w_start",
+        end_col="p_ts",
+        band_seconds=6 * 3600,
+        equi_keys=["user_id"],
+    )
+    pc = pairs.groupBy("p_id", "value_u", "channel").agg(
+        F.count("*").alias("n_c")
+    )
+    pt = pc.groupBy("p_id").agg(F.sum("n_c").alias("n_total"))
+    credit = pc.join(pt, on="p_id").select(
+        "channel", F.expr("value_u * n_c DIV n_total").alias("c")
+    )
+    direct = purch.join(pt, on="p_id", how="left_anti").select(
+        F.lit("direct").alias("channel"), F.col("value_u").alias("c")
+    )
+    return (
+        credit.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_credits"),
+            F.sum("c").alias("credit_micro"),
+        )
+    )
