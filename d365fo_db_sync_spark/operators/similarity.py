@@ -1193,3 +1193,69 @@ def prototype_confusion(
     return assigned.groupBy(
         "label", F.col("best.c_label").alias("assigned_label")
     ).agg(F.count("*").alias("cnt"))
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_prec: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette — the clustering-quality
+    readout over a labeled embedding corpus: per vector,
+    ``a`` = squared L2 distance to its OWN label centroid, ``b`` = the
+    minimum distance to any OTHER label's centroid, and
+    ``s = (b - a) / max(a, b)`` in [-1, 1] (positive = the vector sits
+    closer to its own prototype than to any rival — medoid/pairwise
+    silhouette replaced by the centroid form so the cost is
+    |labels| x dim per vector instead of n² pairwise).
+
+    Output: one row per label with ``n_vectors`` and ``sum_sil`` (the
+    6-dp-quantized silhouettes summed as exact DECIMAL, surfaced as
+    DOUBLE — callers divide for the mean; summing raw doubles would be
+    aggregation-order-dependent and unoracleable).
+
+    Exactness discipline matches :func:`prototype_confusion`: exact
+    6-dp centroid means, per-component squared residuals quantized to
+    DECIMAL(38,18) and summed order-independently; a and b therefore
+    arrive bit-identical in any engine, and s evaluates ONCE in double
+    through a fixed expression tree before quantization.
+
+    Scale shape: identical to the confusion matrix — centroids
+    broadcast onto the posexploded corpus, map-side combine collapses
+    each vector's |labels| x dim residuals, one real exchange, then a
+    |labels|-row rollup. The corpus is read once."""
+    cents = label_centroids(df, label_col=label_col, vec_col=vec_col).select(
+        F.col("label").alias("c_label"), "pos", "mean_comp"
+    )
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "comp"),
+    )
+    diff = F.col("comp").cast("double") - F.col("mean_comp")
+    d = (
+        e.join(F.broadcast(cents), on="pos")
+        .select(
+            "vid",
+            "label",
+            "c_label",
+            (diff * diff).cast("decimal(38,18)").alias("sq"),
+        )
+        .groupBy("vid", "label", "c_label")
+        .agg(F.sum("sq").alias("dist"))
+    )
+    per_vec = d.groupBy("vid", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    a_d, b_d = F.col("a").cast("double"), F.col("b").cast("double")
+    s = F.round((b_d - a_d) / F.greatest(a_d, b_d), out_prec)
+    sil = per_vec.select(
+        "label", s.cast(f"decimal(18,{out_prec})").alias("s")
+    )
+    return sil.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("s").cast("double").alias("sum_sil"),
+    )

@@ -6357,3 +6357,82 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("credit_micro"),
         )
     )
+
+
+@register(
+    "similarity_silhouette_labels",
+    oracle="""
+    WITH comps AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS comp
+      FROM embeddings),
+    cents AS (
+      SELECT label AS c_label, pos,
+             round(CAST(SUM(CAST(comp AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_comp
+      FROM comps GROUP BY 1, 2),
+    d AS (
+      SELECT comps.vec_id, comps.label, cents.c_label,
+             SUM(CAST((comps.comp - cents.mean_comp)
+                      * (comps.comp - cents.mean_comp)
+                      AS DECIMAL(38,18))) AS dist
+      FROM comps JOIN cents USING (pos)
+      GROUP BY 1, 2, 3),
+    pv AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN c_label = label THEN dist END) AS a,
+             MIN(CASE WHEN c_label <> label THEN dist END) AS b
+      FROM d GROUP BY 1, 2),
+    s AS (
+      SELECT label,
+             CAST(round((CAST(b AS DOUBLE) - CAST(a AS DOUBLE))
+                        / greatest(CAST(a AS DOUBLE), CAST(b AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS s
+      FROM pv)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(s) AS DOUBLE) AS sum_sil
+    FROM s GROUP BY 1
+    """,
+)
+def similarity_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-silhouette clustering quality per label
+    (operators/similarity.centroid_silhouette): s = (b − a)/max(a, b)
+    with a = squared distance to the OWN label prototype and b = the
+    nearest RIVAL prototype — the label-coherence score that tells a
+    curator whether a labeled embedding corpus is worth training on.
+    Exactness rides the prototype_confusion discipline (6-dp exact
+    centroid means, DECIMAL(38,18) order-independent distance sums),
+    then s evaluates once in double through the identical expression
+    tree in both engines and quantizes to DECIMAL(18,6) before the
+    per-label sum — so the rollup is aggregation-order-independent
+    and fully value-oracled where a mean of raw doubles could not be.
+    Centroids broadcast; the corpus is read once; one real exchange."""
+    from d365fo_db_sync_spark.operators.similarity import centroid_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_silhouette(emb)
+
+
+@register("graph_kcore_members", oracle=None)
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.k_core) over the near-dup
+    pair graph (>= 0.5 trigram Jaccard): the 2-core keeps exactly the
+    documents sitting inside dense duplicate CLIQUES (every member
+    near-dups with >= 2 others) and peels away thin chains of
+    borderline pairwise matches — the structural distinction that
+    tells a curator whether a dup cluster is one template (safe to
+    keep one survivor) or transitive drift (survivors may not resemble
+    each other). Non-empty at every shipped scale (7/3/31 members at
+    sf0.001/0.01/0.1). Iterative peeling is not SQL-expressible
+    (recursive CTEs cannot aggregate in the recursive term), so this
+    is a rows-only entry; the peeling semantics are pinned against a
+    brute-force model in tests/test_graph.py (known shapes incl.
+    cascade-to-empty, random graphs, and the column-order regression).
+    Returns (node, degree) sorted for stable display."""
+    from d365fo_db_sync_spark.operators import dedup
+    from d365fo_db_sync_spark.operators.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return k_core(pairs, k=2, src="id_a", dst="id_b").orderBy("node")

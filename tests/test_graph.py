@@ -453,3 +453,48 @@ def test_triangle_orient_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="orient"):
         graph.triangle_counts(df, orient="random")
+
+
+def _brute_k_core(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        low = {n for n, d in deg.items() if d < k}
+        if not low:
+            return deg
+        es = {(a, b) for a, b in es if a not in low and b not in low}
+
+
+def _check_k_core(spark, edges: list[tuple[int, int]], k: int):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["degree"] for r in graph.k_core(df, k, "src", "dst").collect()
+    }
+    assert got == _brute_k_core(edges, k), (edges, k)
+
+
+def test_k_core_known_shapes(spark):
+    # K4 with a pendant tail: 3-core = the K4, tail peels (cascade)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    _check_k_core(spark, k4 + tail, 3)
+    # 2-core of a pure path is empty (full cascade)
+    _check_k_core(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], 2)
+    # a cycle IS its own 2-core
+    _check_k_core(spark, [(1, 2), (2, 3), (3, 1)], 2)
+
+
+@pytest.mark.parametrize("seed,k", [(5, 2), (19, 3)])
+def test_k_core_random_graphs(spark, seed, k):
+    rnd = random.Random(seed)
+    edges = [(rnd.randrange(15), rnd.randrange(15)) for _ in range(45)]
+    _check_k_core(spark, edges, k)
+
+
+def test_k_core_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must be"):
+        graph.k_core(df, 0)
