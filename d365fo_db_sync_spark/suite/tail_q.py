@@ -6436,3 +6436,62 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
     return k_core(pairs, k=2, src="id_a", dst="id_b").orderBy("node")
+
+
+@register(
+    "events_sliding_reach_approx",
+    oracle="""
+    WITH ev AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events),
+    days AS (SELECT DISTINCT d FROM ev),
+    win AS (SELECT days.d AS day, ev.user_id, ev.k
+            FROM days JOIN ev ON ev.d BETWEEN days.d - 6 AND days.d)
+    SELECT day, CAST(COUNT(DISTINCT user_id || ':' || k) AS BIGINT) AS reach_7d,
+           TRUE AS within_bounds
+    FROM win GROUP BY 1
+    """,
+)
+def events_sliding_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale twin of events_sliding_reach — the exact sliding
+    DISTINCT's explode cost is linear in the window, but its
+    count-distinct still shuffles the deduped fan-out; the HLL++
+    sketch (approx_count_distinct, rsd=0.02) replaces it with a
+    mergeable constant-memory aggregate, the swap SCALE.md documents
+    for 90-day windows. Verified with the approx_distinct_bounds
+    discipline: the sketch estimate is engine-specific, so the
+    oracle-facing columns are the EXACT count (computed in the same
+    pass) plus a within_bounds boolean asserting
+    |approx − exact| <= 3·rsd·exact — TRUE for every window day by the
+    HLL error guarantee, deterministic because the estimate is a pure
+    function of the data."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("d"),
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .distinct()
+    )
+    days = ev.select("d").distinct()
+    fanned = ev.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+        "k",
+    )
+    clipped = fanned.join(
+        F.broadcast(days.withColumnRenamed("d", "day")), on="day"
+    )
+    pair = F.concat_ws(":", F.col("user_id"), F.col("k"))
+    agg = clipped.groupBy("day").agg(
+        F.countDistinct("user_id", "k").alias("reach_7d"),
+        F.approx_count_distinct(pair, rsd=0.02).alias("approx_reach"),
+    )
+    err = F.abs(F.col("approx_reach") - F.col("reach_7d"))
+    return agg.select(
+        "day",
+        "reach_7d",
+        (err <= 0.06 * F.col("reach_7d")).alias("within_bounds"),
+    )
