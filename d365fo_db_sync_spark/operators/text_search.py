@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["phrase_search", "tokenize_positions"]
+__all__ = ["phrase_occurrences", "phrase_search", "tokenize_positions"]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -55,17 +55,17 @@ def tokenize_positions(
     )
 
 
-def phrase_search(
+def phrase_occurrences(
     docs: DataFrame,
     phrases: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact phrase occurrences of every phrase in ``phrases`` across
-    ``docs``: one row per ``(phrase, doc)`` with a match, columns
-    ``phrase, <id_col>, n_matches, first_start`` (0-based token
-    position of the earliest occurrence; overlapping occurrences all
-    count).
+    """Every exact occurrence of every phrase: one row per match site,
+    columns ``phrase, <id_col>, start, plen`` (0-based token position;
+    overlapping occurrences all emit). The per-document rollup is
+    :func:`phrase_search`; this is the position-level surface KWIC
+    extraction and span redaction build on.
 
     Phrases tokenize with the same rule as the corpus; a phrase that
     tokenizes to nothing raises (it would match everywhere or nowhere
@@ -94,12 +94,27 @@ def phrase_search(
         (F.col("pos") - F.col("off")).alias("start"),
         "off",
     )
-    starts = (
+    return (
         cand.groupBy(id_col, "phrase", "plen", "start")
         .agg(F.countDistinct("off").alias("n_off"))
         .filter(F.col("n_off") == F.col("plen"))
+        .select("phrase", id_col, "start", "plen")
     )
-    return starts.groupBy("phrase", id_col).agg(
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase occurrences of every phrase in ``phrases`` across
+    ``docs``: one row per ``(phrase, doc)`` with a match, columns
+    ``phrase, <id_col>, n_matches, first_start`` (0-based token
+    position of the earliest occurrence; overlapping occurrences all
+    count). The per-site rows are :func:`phrase_occurrences`."""
+    occ = phrase_occurrences(docs, phrases, id_col=id_col, text_col=text_col)
+    return occ.groupBy("phrase", id_col).agg(
         F.count("*").alias("n_matches"),
         F.min("start").alias("first_start"),
     )

@@ -6495,3 +6495,76 @@ def events_sliding_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reach_7d",
         (err <= 0.06 * F.col("reach_7d")).alias("within_bounds"),
     )
+
+
+@register(
+    "text_phrase_kwic",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, arr, generate_subscripts(arr, 1) - 1 AS pos,
+             unnest(arr) AS tok
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents)),
+    ph(phrase, off, tok) AS (VALUES
+      ('fast key scan', 0, 'fast'), ('fast key scan', 1, 'key'),
+      ('fast key scan', 2, 'scan'),
+      ('merge batch part', 0, 'merge'), ('merge batch part', 1, 'batch'),
+      ('merge batch part', 2, 'part')),
+    lens AS (SELECT phrase, COUNT(*) AS plen FROM ph GROUP BY 1),
+    starts AS (
+      SELECT t.doc_id, p.phrase, t.pos - p.off AS start,
+             (SELECT plen FROM lens WHERE lens.phrase = p.phrase) AS plen
+      FROM toks t JOIN ph p USING (tok)
+      GROUP BY 1, 2, 3
+      HAVING COUNT(DISTINCT p.off)
+             = (SELECT plen FROM lens WHERE lens.phrase = p.phrase)),
+    ctx AS (
+      SELECT s.phrase, s.doc_id, CAST(s.start AS BIGINT) AS start,
+             array_to_string(
+               d.arr[GREATEST(s.start - 2, 0) + 1
+                     : LEAST(s.start + s.plen + 2, len(d.arr))], ' ')
+               AS context
+      FROM starts s
+      JOIN (SELECT DISTINCT doc_id, arr FROM toks) d USING (doc_id))
+    SELECT phrase, doc_id, start, context FROM ctx
+    """,
+)
+def text_phrase_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction (operators/text_search.
+    phrase_occurrences): every occurrence of the tracked phrases with
+    a ±2-token context window — the triage view a curator reads before
+    deciding redact-vs-drop on a blocklist hit (the occurrence COUNT
+    says how much; the context says WHY). Composes the position-level
+    occurrence surface with one broadcast-joined token-array slice —
+    the corpus is tokenized once, the context slice is codegen
+    (no substring re-search against the raw text), and every context
+    string is value-checked byte-for-byte against the oracle's
+    identical slice arithmetic."""
+    from d365fo_db_sync_spark.operators.text import tokens
+    from d365fo_db_sync_spark.operators.text_search import (
+        _TOKEN_SPLIT,
+        phrase_occurrences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = phrase_occurrences(docs, ["fast key scan", "merge batch part"])
+    arrs = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), _TOKEN_SPLIT),
+            lambda t: t != F.lit(""),
+        ).alias("arr"),
+    )
+    j = occ.join(arrs, on="doc_id")
+    ctx_start0 = F.greatest(F.col("start") - 2, F.lit(0))
+    ctx_end0 = F.least(F.col("start") + F.col("plen") + 2, F.size("arr"))
+    return j.select(
+        "phrase",
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.array_join(
+            F.slice(F.col("arr"), ctx_start0 + 1, ctx_end0 - ctx_start0), " "
+        ).alias("context"),
+    )
