@@ -507,7 +507,6 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Members of the k-core — the maximal subgraph in which every
     node keeps degree >= k — by simultaneous peeling: each round drops
@@ -531,12 +530,15 @@ def k_core(
     joins against the (small, shrinking) low-degree node set; lineage
     truncates with an eager localCheckpoint EVERY round (the loop
     takes several actions per round, so uncheckpointed lineage
-    re-executes the whole cascade each time — ``checkpoint_every`` is
-    kept for call compatibility but unused). The driver sees only a
+    re-executes the whole cascade each time). The driver sees only a
     per-round emptiness flag — never node or edge data. Worst case is
-    O(n) rounds (k=2 on a bare path peels two endpoints per round);
-    real corpora cascade in a handful, and ``max_iter`` raises rather
-    than returning a silently-partial core.
+    O(n) rounds (k=2 on a bare path peels two endpoints per round —
+    a 2·max_iter-node chain therefore trips ``max_iter`` by design,
+    raising rather than returning a silently-partial core); real
+    near-dup corpora peel in single-digit rounds — the sf0.1
+    documents trigram-Jaccard graph (suite query
+    ``graph_kcore_members``) converges in 2 rounds (measured; see
+    tests/test_graph.py chain test for the max_iter guard).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -549,7 +551,6 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
-    del checkpoint_every  # call-compat; every round truncates (below)
     for _ in range(max_iter):
         bidir = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         deg = bidir.groupBy("a").agg(F.count("*").alias("deg"))

@@ -1,7 +1,7 @@
 """Privacy transforms for dataset release — the PII-safe export step.
 
 The reference engine's privacy surface is credential obfuscation in
-config files (`/root/reference/DBSyncTool/Helpers/CryptoHelper.cs`);
+config files (`/root/reference/DBSyncTool/Helpers/EncryptionHelper.cs`);
 a training-data platform needs the DATA-side equivalents: identifier
 pseudonymization before a corpus leaves the trust boundary, and a
 re-identification risk audit over the quasi-identifiers that remain.
@@ -11,7 +11,7 @@ Sweeney's k-anonymity) expressed as zero-UDF codegen passes.
 Design:
 
 * :func:`pseudonymize` — deterministic keyed pseudonyms
-  ``md5(salt || value)``: the same value maps to the same pseudonym
+  ``md5(salt || '\\x00' || value)``: the same value maps to the same pseudonym
   EVERYWHERE (joins/groupBys across exported tables keep working —
   referential integrity survives the export), while recovering the
   original requires the salt, which stays inside the boundary. One
@@ -39,12 +39,23 @@ def pseudonymize(
     df: DataFrame,
     cols: list[str],
     salt: str,
-    length: int = 16,
+    length: int = 32,
 ) -> DataFrame:
     """Replace each named column with a deterministic keyed pseudonym:
-    the first ``length`` hex chars of ``md5(salt || value)``. NULL
-    stays NULL (it carries no identity to hide — and mapping it would
-    collide every NULL into one fake identity)."""
+    the first ``length`` hex chars of ``md5(salt || '\\x00' || value)``.
+    NULL stays NULL (it carries no identity to hide — and mapping it
+    would collide every NULL into one fake identity).
+
+    The NUL delimiter makes the (salt, value) encoding injective —
+    without it ``('ab', 'c')`` and ``('a', 'bc')`` hash identically
+    across configurations. The default keeps the FULL 128-bit digest:
+    at LLM-corpus cardinalities (~2^32 distinct identities) a 64-bit
+    truncation has birthday-collision odds near 1 — two real users
+    silently merged under one pseudonym, breaking the referential-
+    integrity property this exists to provide. Truncation stays
+    available for humans-will-read-this exports, but any ``length``
+    below 32 trades collision resistance for brevity — size it
+    against the expected distinct count (≈ 2^(2·length) pairs)."""
     if not cols:
         raise ValueError("cols must name at least one column")
     if not salt:
@@ -58,7 +69,11 @@ def pseudonymize(
             F.when(
                 F.col(c).isNotNull(),
                 F.substring(
-                    F.md5(F.concat(F.lit(salt), F.col(c).cast("string"))),
+                    F.md5(
+                        F.concat(
+                            F.lit(salt), F.lit("\x00"), F.col(c).cast("string")
+                        )
+                    ),
                     1,
                     length,
                 ),

@@ -1225,10 +1225,29 @@ def centroid_silhouette(
     Scale shape: identical to the confusion matrix — centroids
     broadcast onto the posexploded corpus, map-side combine collapses
     each vector's |labels| x dim residuals, one real exchange, then a
-    |labels|-row rollup. The corpus is read once."""
-    cents = label_centroids(df, label_col=label_col, vec_col=vec_col).select(
-        F.col("label").alias("c_label"), "pos", "mean_comp"
+    |labels|-row rollup. The corpus is read once (the label-count
+    guard reuses the persisted |labels| x dim centroid frame, not a
+    second corpus scan).
+
+    Raises ``ValueError`` when the corpus holds fewer than two
+    distinct labels: with no rival centroid every ``b`` is NULL, so
+    every ``s`` is NULL — rows would still count in ``n_vectors``
+    while dropping out of ``sum_sil``, silently deflating the
+    documented caller-side mean toward 0. Silhouette is undefined
+    there; fail loudly instead."""
+    cents = (
+        label_centroids(df, label_col=label_col, vec_col=vec_col)
+        .select(F.col("label").alias("c_label"), "pos", "mean_comp")
+        .persist()
     )
+    n_labels = cents.select("c_label").distinct().count()
+    if n_labels < 2:
+        cents.unpersist()
+        raise ValueError(
+            f"centroid_silhouette needs >= 2 distinct labels (got "
+            f"{n_labels}): with no rival centroid b is NULL for every "
+            "vector and the silhouette is undefined"
+        )
     e = df.select(
         F.col(id_col).alias("vid"),
         F.col(label_col).alias("label"),

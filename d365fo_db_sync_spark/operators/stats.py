@@ -30,9 +30,10 @@ materialization. Degenerate groups (zero variance on either side)
 yield NULL via ``nullif`` rather than a division error.
 
 Reference: the reference tool exposes only COUNT/MIN/MAX/SUM rollups
-(`/root/reference/DBSyncTool/Services/SqlQueryService.cs` builds plain
-aggregates); correlation is part of this engine's analytics extension
-surface (SURVEY §2.4 extensions).
+(`/root/reference/DBSyncTool/Services/Tier2DataService.cs:43-53` and
+`Services/AxDbDataService.cs` build plain MAX/SUM/COUNT aggregates);
+correlation is part of this engine's analytics extension surface
+(SURVEY §2.4 extensions).
 """
 
 from __future__ import annotations

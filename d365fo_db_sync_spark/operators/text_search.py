@@ -2,7 +2,7 @@
 matching over a document corpus without a per-document Python pass.
 
 The reference engine's text surface is LIKE/wildcard filtering
-(`/root/reference/DBSyncTool/Services/TableMetadataService.cs:133-150`,
+(`/root/reference/DBSyncTool/Services/CopyOrchestrator.cs:1844-1863`,
 the wildcard table-name match); this module extends that idea to the
 LLM-corpus scale problem: find every occurrence of a set of phrases
 (benchmark contamination strings, PII trigger phrases, quality

@@ -498,12 +498,17 @@ class BucketedParquetTarget(ParquetTarget):
     def overwrite(self, df: DataFrame) -> None:
         from pyspark.sql import functions as F
 
-        self._record_geometry()
         if self.BUCKET_COL not in df.columns:
             df = self._with_bucket(df)
         # co-locate each bucket's rows before the hive write: one file
         # per bucket instead of (shuffle partitions x buckets) shards
         super().overwrite(df.repartition(self.n_buckets, F.col(self.BUCKET_COL)))
+        # publish the geometry only after the pointer swap: a crash
+        # mid-write must leave BOTH the old data and the old sidecar
+        # live, or a new-geometry handle would pass the sidecar check
+        # and bucket-prune through the wrong modulus over old-layout
+        # files (the exact corruption the sidecar exists to refuse)
+        self._record_geometry()
 
     def read(self, spark: SparkSession) -> DataFrame:
         return super().read(spark).drop(self.BUCKET_COL)

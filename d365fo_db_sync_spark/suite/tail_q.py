@@ -6211,8 +6211,8 @@ def sync_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_privacy_export",
     oracle="""
     WITH p AS (
-      SELECT substring(md5('kb-release-2026' || CAST(user_id AS VARCHAR)),
-                       1, 16) AS user_pseudo,
+      SELECT md5('kb-release-2026' || chr(0) || CAST(user_id AS VARCHAR))
+                 AS user_pseudo,
              event_type, CAST(ts AS DATE) AS day, value
       FROM events),
     audit AS (
@@ -6230,8 +6230,9 @@ def sync_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_privacy_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-safe release pipeline (operators/privacy.py): user ids are
-    replaced with deterministic keyed pseudonyms (md5(salt || value)
-    prefix — the same user maps to the same pseudonym everywhere, so
+    replaced with deterministic keyed pseudonyms (the full
+    md5(salt || NUL || value) digest — the same user maps to the same
+    pseudonym everywhere, so
     joins and per-user rollups still work downstream, while recovery
     needs the salt that never leaves the boundary), the
     (event_type, day) quasi-identifier combinations are k-anonymity
@@ -6463,9 +6464,14 @@ def events_sliding_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: the sketch estimate is engine-specific, so the
     oracle-facing columns are the EXACT count (computed in the same
     pass) plus a within_bounds boolean asserting
-    |approx − exact| <= 3·rsd·exact — TRUE for every window day by the
-    HLL error guarantee, deterministic because the estimate is a pure
-    function of the data."""
+    |approx − exact| <= 5·rsd·exact. rsd is a relative STANDARD
+    DEVIATION, not a hard bound — a tail day beyond any fixed σ band
+    is theoretically possible — so the band is deliberately wide
+    (observed per-day error at the shipped scales stays inside 3σ;
+    the 5σ margin absorbs a new corpus/scale without flapping) and
+    the assertion is empirically verified at sf0.001–sf1, not
+    guaranteed. Deterministic because the estimate is a pure function
+    of the data."""
     ev = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -6493,7 +6499,7 @@ def events_sliding_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "day",
         "reach_7d",
-        (err <= 0.06 * F.col("reach_7d")).alias("within_bounds"),
+        (err <= 0.10 * F.col("reach_7d")).alias("within_bounds"),
     )
 
 

@@ -498,3 +498,16 @@ def test_k_core_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="k must be"):
         graph.k_core(df, 0)
+
+
+def test_k_core_chain_trips_max_iter_instead_of_hanging(spark):
+    """Worst-case topology: k=2 on a bare 20-node path peels only the
+    two endpoints per round (~n/2 rounds total). With max_iter below
+    that, the documented RuntimeError must fire — not a hang, not a
+    silently-partial core."""
+    path = [(i, i + 1) for i in range(19)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.k_core(df, 2, max_iter=5)
+    # and with enough budget the same chain peels clean to empty
+    assert graph.k_core(df, 2, max_iter=15).count() == 0

@@ -1189,6 +1189,36 @@ class TestBucketedGeometrySidecar:
         with pytest.raises(ValueError, match="geometry"):
             t8.probe(spark, self._t(spark, 3))  # the OLD handle is stale now
 
+    def test_crashed_overwrite_keeps_old_geometry(self, spark, tmp_path):
+        """A failed re-geometry overwrite must leave the OLD sidecar
+        live: the data pointer never swapped, so the old layout is
+        what's on disk — publishing the new geometry first (the
+        pre-fix order) would let a new-geometry handle bucket-prune
+        through the wrong modulus over old-layout files."""
+        from d365fo_db_sync_spark.sinks import BucketedParquetTarget, ParquetTarget
+
+        t8 = BucketedParquetTarget(str(tmp_path / "b"), key="RecId", n_buckets=8)
+        t8.overwrite(self._t(spark))
+
+        t4 = BucketedParquetTarget(str(tmp_path / "b"), key="RecId", n_buckets=4)
+        orig = ParquetTarget.overwrite
+
+        def boom(self, df):
+            raise RuntimeError("simulated mid-write crash")
+
+        ParquetTarget.overwrite = boom
+        try:
+            with pytest.raises(RuntimeError, match="simulated"):
+                t4.overwrite(self._t(spark, 60))
+        finally:
+            ParquetTarget.overwrite = orig
+
+        # the old handle (matching the still-live old data) keeps
+        # working; the would-be new handle is refused
+        assert t8.merge(spark, self._t(spark, 3)) >= 1
+        with pytest.raises(ValueError, match="geometry"):
+            t4.probe(spark, self._t(spark, 3))
+
     def test_legacy_table_without_sidecar_trusted(self, spark, tmp_path):
         import os
 

@@ -24,13 +24,29 @@ def test_pseudonyms_match_reference_and_preserve_joins(spark):
     }
 
     def ref(v):
-        return hashlib.md5(f"s3cret{v}".encode()).hexdigest()[:16]
+        return hashlib.md5(f"s3cret\x00{v}".encode()).hexdigest()
 
-    assert out["a"] == ref(1)
+    assert out["a"] == ref(1)  # full 128-bit digest by default
     assert out["b"] == ref(2)
     assert out["c"] == out["a"]  # same value -> same pseudonym (joinable)
     assert out["d"] is None  # NULL carries no identity; stays NULL
     assert out["a"] != out["b"]
+
+
+def test_pseudonym_delimiter_separates_salt_from_value(spark):
+    """(salt='ab', v='c') must NOT collide with (salt='a', v='bc') —
+    the undelimited concatenation did (the pre-fix construction)."""
+    df = spark.createDataFrame([("c",)], "x string")
+    df2 = spark.createDataFrame([("bc",)], "x string")
+    a = pseudonymize(df, ["x"], salt="ab").collect()[0]["x"]
+    b = pseudonymize(df2, ["x"], salt="a").collect()[0]["x"]
+    assert a != b
+
+
+def test_pseudonym_truncation_still_opt_in(spark):
+    df = spark.createDataFrame([(7,)], "x int")
+    got = pseudonymize(df, ["x"], salt="s", length=8).collect()[0]["x"]
+    assert got == hashlib.md5(b"s\x007").hexdigest()[:8]
 
 
 def test_pseudonymize_validation(spark):

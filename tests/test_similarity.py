@@ -46,3 +46,28 @@ def test_prototype_confusion_separable_and_crossover(spark):
     # centroid 1 is dragged toward the origin by vec 6, but stays far
     # from cluster 0; vec 6 itself is nearest centroid 0
     assert got == {(0, 0): 3, (1, 1): 2, (1, 0): 1}
+
+
+def test_centroid_silhouette_values_and_single_label_refusal(spark):
+    """Two tight, well-separated clusters score near +1; a corpus
+    with a single distinct label is refused (b is NULL everywhere —
+    silhouette undefined, and counting those rows in n_vectors while
+    dropping them from sum_sil would deflate the caller-side mean)."""
+    import pytest
+
+    from d365fo_db_sync_spark.operators.similarity import centroid_silhouette
+
+    rows = [
+        (1, 0, [0.0, 0.0]), (2, 0, [0.2, 0.0]),
+        (3, 1, [10.0, 10.0]), (4, 1, [10.0, 10.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {r["label"]: r for r in centroid_silhouette(df).collect()}
+    for lab in (0, 1):
+        assert got[lab]["n_vectors"] == 2
+        # mean silhouette close to 1 for tight separated clusters
+        assert got[lab]["sum_sil"] / got[lab]["n_vectors"] > 0.99
+
+    one = df.filter("label = 0")
+    with pytest.raises(ValueError, match="2 distinct labels"):
+        centroid_silhouette(one)
