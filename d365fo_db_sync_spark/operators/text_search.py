@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["phrase_occurrences", "phrase_search", "tokenize_positions"]
+__all__ = [
+    "phrase_occurrences",
+    "phrase_search",
+    "redact_spans",
+    "tokenize_positions",
+]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -117,4 +122,82 @@ def phrase_search(
     return occ.groupBy("phrase", id_col).agg(
         F.count("*").alias("n_matches"),
         F.min("start").alias("first_start"),
+    )
+
+
+def redact_spans(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    placeholder: str = "<BLOCKED>",
+) -> DataFrame:
+    """Blocklist span redaction — the act half of the detect-triage-act
+    pipeline (:func:`phrase_occurrences` detects, the KWIC view
+    triages, this redacts): every document comes back with each
+    matched phrase span replaced by ONE typed ``placeholder`` token.
+
+    Output: ``<id_col>, n_matches, n_spans, redacted_text`` for EVERY
+    input document (clean documents pass through with zero counts).
+    Overlapping or adjacent occurrences merge: a token covered by any
+    occurrence is redacted, and each MAXIMAL run of covered tokens
+    collapses to a single placeholder — so ``n_spans`` (placeholders
+    inserted) can be lower than ``n_matches`` (occurrence sites), and
+    stitching two halves of a blocked phrase across a redaction hole
+    is impossible by construction.
+
+    The rebuild happens on the TOKEN STREAM: ``redacted_text`` is the
+    document's tokens (same lowercased alphanumeric rule as the index)
+    rejoined with single spaces. Token positions cannot be spliced
+    back into the raw bytes (the tokenizer drops punctuation and
+    case), and a blocklist consumer wants the normalized form anyway —
+    it is what downstream dedup/quality passes tokenize to. Callers
+    needing raw-byte splicing want the regex tier
+    (operators/text.pii_redact) instead.
+
+    Scale shape, zero UDFs end-to-end: the occurrence pass is
+    :func:`phrase_occurrences` (broadcast phrase table, one shuffle
+    over hit postings); covered positions roll up per document
+    (``sequence`` + ``collect_set`` — bounded by tokens-per-doc, not
+    corpus size); both per-doc frames carry ONLY matched documents, a
+    tiny fraction of a real corpus, so AQE turns the two left joins
+    back onto the corpus into broadcasts; the rebuild itself is a
+    codegen ``transform``/``filter``/``array_join`` over the
+    once-tokenized array — no per-row Python anywhere."""
+    occ = phrase_occurrences(docs, phrases, id_col=id_col, text_col=text_col)
+    covered = (
+        occ.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.col("plen") - 1)
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("p")).alias("cov"))
+    )
+    counts = occ.groupBy(id_col).agg(F.count("*").alias("n_matches"))
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    j = base.join(covered, on=id_col, how="left").join(
+        counts, on=id_col, how="left"
+    )
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.when(~F.array_contains(cov, i), t).when(
+                ~F.array_contains(cov, i - 1), F.lit(placeholder)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_spans = F.size(F.filter(cov, lambda p: ~F.array_contains(cov, p - 1)))
+    return j.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+        n_spans.cast("long").alias("n_spans"),
+        F.array_join(kept, " ").alias("redacted_text"),
     )

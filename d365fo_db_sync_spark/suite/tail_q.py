@@ -6574,3 +6574,72 @@ def text_phrase_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("arr"), ctx_start0 + 1, ctx_end0 - ctx_start0), " "
         ).alias("context"),
     )
+
+
+@register(
+    "text_phrase_redaction",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents),
+    toks AS (
+      SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS tok
+      FROM tok),
+    ph(phrase, off, tok) AS (VALUES
+      ('fast key scan', 0, 'fast'), ('fast key scan', 1, 'key'),
+      ('fast key scan', 2, 'scan'),
+      ('merge batch part', 0, 'merge'), ('merge batch part', 1, 'batch'),
+      ('merge batch part', 2, 'part')),
+    lens AS (SELECT phrase, COUNT(*) AS plen FROM ph GROUP BY 1),
+    starts AS (
+      SELECT t.doc_id, p.phrase, t.pos - p.off AS start,
+             (SELECT plen FROM lens WHERE lens.phrase = p.phrase) AS plen
+      FROM toks t JOIN ph p USING (tok)
+      GROUP BY 1, 2, 3
+      HAVING COUNT(DISTINCT p.off)
+             = (SELECT plen FROM lens WHERE lens.phrase = p.phrase)),
+    cov AS (
+      SELECT doc_id, list_sort(list_distinct(list(p))) AS cv
+      FROM (SELECT doc_id, unnest(range(start, start + plen)) AS p
+            FROM starts)
+      GROUP BY 1),
+    counts AS (SELECT doc_id, COUNT(*) AS n_matches FROM starts GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(COALESCE(c.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(len(list_filter(COALESCE(v.cv, []),
+                    p -> NOT list_contains(COALESCE(v.cv, []), p - 1)))
+                AS BIGINT) AS n_spans,
+           COALESCE(array_to_string(
+             list_filter(
+               [CASE WHEN NOT list_contains(COALESCE(v.cv, []), i - 1)
+                     THEN t.arr[i]
+                     WHEN NOT list_contains(COALESCE(v.cv, []), i - 2)
+                     THEN '<BLOCKED>' END
+                for i in range(1, len(t.arr) + 1)],
+               x -> x IS NOT NULL), ' '), '') AS redacted_text
+    FROM tok t LEFT JOIN cov v USING (doc_id) LEFT JOIN counts c USING (doc_id)
+    """,
+)
+def text_phrase_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist span redaction (operators/text_search.redact_spans) —
+    the ACT step that closes the detect (phrase_occurrences) → triage
+    (text_phrase_kwic) → act pipeline on the same tracked phrases:
+    every document returns with each matched token span collapsed to
+    one typed <BLOCKED> placeholder, maximal overlapping/adjacent
+    spans merged so no fragment of a blocked phrase survives or can
+    be re-stitched across the hole. Every redacted document is
+    value-checked BYTE-FOR-BYTE against the oracle's identical
+    covered-set arithmetic (plus the occurrence and inserted-span
+    counts — n_spans < n_matches exactly where spans merged).
+
+    Scale shape: the occurrence pass is the broadcast-phrase inverted
+    index (one shuffle over hit postings); the covered-set and count
+    frames hold only matched documents, so the joins back onto the
+    corpus broadcast under AQE; the rebuild is zero-UDF codegen
+    (transform/filter/array_join) over the once-tokenized array."""
+    from d365fo_db_sync_spark.operators.text_search import redact_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_spans(docs, ["fast key scan", "merge batch part"])

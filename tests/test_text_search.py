@@ -9,6 +9,7 @@ import pytest
 
 from d365fo_db_sync_spark.operators.text_search import (
     phrase_search,
+    redact_spans,
     tokenize_positions,
 )
 
@@ -106,3 +107,63 @@ def test_random_low_entropy_corpus_matches_brute_force(spark, seed):
         for r in phrase_search(df, phrases).collect()
     }
     assert got == _brute(docs, phrases), seed
+
+
+def _brute_redact(docs, phrases, placeholder="<BLOCKED>"):
+    out = {}
+    ph = [[t for t in re.split(r"[^a-z0-9]+", p.lower()) if t] for p in phrases]
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        covered, n_matches = set(), 0
+        for pt in ph:
+            for s in range(len(toks) - len(pt) + 1):
+                if toks[s : s + len(pt)] == pt:
+                    n_matches += 1
+                    covered.update(range(s, s + len(pt)))
+        kept, n_spans = [], 0
+        for i, t in enumerate(toks):
+            if i not in covered:
+                kept.append(t)
+            elif i - 1 not in covered:
+                kept.append(placeholder)
+                n_spans += 1
+        out[doc_id] = (n_matches, n_spans, " ".join(kept))
+    return out
+
+
+def test_redact_spans_merges_overlaps_and_passes_clean_docs(spark):
+    docs = [
+        (1, "The quick, brown fox! Jumps over the lazy dog."),
+        (2, "quick brown quick brown fox fox"),  # overlapping phrases
+        (3, "nothing to see here"),              # clean passthrough
+        (4, ""),                                 # empty document
+        (5, "brown fox brown fox brown fox"),    # adjacent spans merge
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_matches"], r["n_spans"], r["redacted_text"])
+        for r in redact_spans(df, ["brown fox", "quick brown"]).collect()
+    }
+    assert got == _brute_redact(docs, ["brown fox", "quick brown"])
+    # the merge guarantee in one line: doc 2 has 3 occurrence sites
+    # collapsed into 1 placeholder, and no 'brown' survives before it
+    assert got[2] == (3, 1, "<BLOCKED> fox")
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_redact_spans_random_corpus_matches_brute_force(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+        for i in range(30)
+    ]
+    phrases = ["a a", "b c", "dd", "zz miss"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_matches"], r["n_spans"], r["redacted_text"])
+        for r in redact_spans(df, phrases).collect()
+    }
+    assert got == _brute_redact(docs, phrases), seed
