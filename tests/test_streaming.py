@@ -815,3 +815,84 @@ def test_rollup_stream_pipeline_retractions_and_replay(spark, tmp_path):
         for r in rollup_full(final_rows, ["g"], ["v"]).collect()
     }
     assert got == want
+
+
+def test_streaming_drain_races_batch_merge_occ(spark, tmp_path):
+    """Streaming x OCC composition: one CdcStreamPipeline micro-batch
+    drain and one concurrent batch merge_upsert contend on the SAME
+    ManifestParquetTarget. A barrier pins the contended interleaving
+    (both writers derive their carried references from the same parent
+    version before either publishes); the manifest CAS arbitrates:
+    exactly one publish wins the version, the loser's bounded
+    merge_upsert retry re-derives and converges, the streaming query
+    finishes without an exception, and the final state is lossless and
+    value-exact. Two independent engines/state stores — only the
+    target is shared, the realistic two-jobs-one-table shape."""
+    import threading
+
+    from d365fo_db_sync_spark.sinks import ManifestParquetTarget
+
+    # retain 3 versions so the version log keeps the full race history
+    # visible (the default window of 1 GCs the loser's parent away)
+    target = ManifestParquetTarget(
+        str(tmp_path / "tgt"), key="RecId", n_buckets=8, retain_versions=3
+    )
+    base = spark.createDataFrame(
+        [(i, 2, 100 + i, float(i)) for i in range(100)], SCHEMA
+    )
+    target.overwrite(base)
+    v_before = len(target.versions())
+
+    eng_s = SyncEngine(spark, StateStore(str(tmp_path / "s_stream.json")), SyncConfig())
+    eng_b = SyncEngine(spark, StateStore(str(tmp_path / "s_batch.json")), SyncConfig())
+
+    src_dir = str(tmp_path / "incoming")
+    os.makedirs(src_dir)
+    stream_batch = spark.createDataFrame(
+        [(i, 3, 900 + i, 50.0) for i in range(1000, 1005)], SCHEMA
+    )
+    stream_batch.write.mode("append").parquet(src_dir)
+    batch_rows = spark.createDataFrame(
+        [(i, 3, 800 + i, 70.0) for i in range(2000, 2005)], SCHEMA
+    )
+
+    both_derived = threading.Barrier(2, timeout=180)
+    real_write = ManifestParquetTarget._write_version
+    tlocal = threading.local()
+    write_calls: list[int] = []
+
+    def gated_write(self, *a, **kw):
+        write_calls.append(1)
+        if getattr(tlocal, "armed", True):
+            tlocal.armed = False
+            both_derived.wait()  # both writers derived from one parent
+        return real_write(self, *a, **kw)
+
+    pipe = CdcStreamPipeline(eng_s, "T_STREAM", target, str(tmp_path / "ckpt"))
+    ManifestParquetTarget._write_version = gated_write
+    try:
+        q = pipe.start(
+            spark.readStream.schema(stream_batch.schema).parquet(src_dir),
+            available_now=True,
+        )
+        # the batch writer contends from the test thread while the
+        # micro-batch merge runs on the streaming execution thread
+        eng_b.merge_upsert("T_BATCH", batch_rows, target)
+        q.awaitTermination(300)
+        assert q.exception() is None
+    finally:
+        ManifestParquetTarget._write_version = real_write
+
+    # exactly one commit per version: winner published once, loser's
+    # single bounded retry published the next version (3 staged writes
+    # total), and the version log advanced by exactly two, no gaps
+    assert len(write_calls) == 3
+    assert len(target.versions()) == v_before + 2
+
+    got = {r["RecId"]: r["AMOUNT"] for r in target.read(spark).collect()}
+    assert set(got) == set(range(100)) | set(range(1000, 1005)) | set(
+        range(2000, 2005)
+    )
+    assert all(got[i] == 50.0 for i in range(1000, 1005))
+    assert all(got[i] == 70.0 for i in range(2000, 2005))
+    assert all(got[i] == float(i) for i in range(100))
