@@ -6643,3 +6643,48 @@ def text_phrase_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return redact_spans(docs, ["fast key scan", "merge batch part"])
+
+
+@register(
+    "events_grouping_sets",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events)
+    SELECT event_type, day,
+           CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM ev
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc GROUPING SETS — the reporting shape cube/rollup cannot
+    express: an explicit set list ((type, day), (type), (day)) — the
+    detail plus BOTH one-dimensional marginals and nothing else (a
+    cube would add the grand total, a rollup would drop the (day)
+    marginal). grouping_id() disambiguates a NULL that MEANS
+    'aggregated over this column' from a NULL value, bit-identical to
+    DuckDB's GROUPING(type, day). Money through the DECIMAL(18,2)
+    discipline so every sum is order-independent and value-oracled.
+
+    Scale shape: Spark expands grouping sets into a single Expand +
+    one hash aggregate — one shuffle keyed on the expanded grouping
+    columns + gid, map-side partials intact; three separate GROUP BYs
+    unioned would read the corpus three times."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        ev.groupingSets([["event_type", "day"], ["event_type"], ["day"]],
+                        "event_type", "day")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+    )

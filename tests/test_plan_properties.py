@@ -453,3 +453,16 @@ def test_phrase_search_never_self_joins_postings(spark):
     ops = physical_operators(df)
     assert ops.count("BroadcastHashJoin") == 1, ops
     assert not uses(df, "SortMergeJoin"), ops
+
+
+def test_grouping_sets_single_expand_single_exchange(spark):
+    """An explicit GROUPING SETS list compiles to ONE corpus scan +
+    Expand + a single hash aggregate pair around one exchange — not
+    three unioned GROUP BYs re-reading the corpus."""
+    from d365fo_db_sync_spark.suite.tail_q import events_grouping_sets
+
+    df = events_grouping_sets(spark, SF)
+    ops = physical_operators(df)
+    assert ops.count("Expand") == 1, ops
+    assert ops.count("Exchange") == 1, ops
+    assert ops.count("Scan parquet") == 1 or ops.count("FileScan") == 1, ops
