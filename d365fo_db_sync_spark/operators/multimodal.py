@@ -3,13 +3,14 @@
 The Spark-side machinery here is real and tested — schema contract,
 Arrow-batched mapInPandas pipelines, partition sizing — and the
 formats decodable without media libraries decode for REAL: PNG
-(stdlib zlib + filter reconstruction), binary PPM, raw PCM16, and
-RIFF/WAVE all have genuine codecs here. Remaining compressed formats
-(JPEG, MP3, ...) are STUBBED: ``decode`` raises NotImplementedError
-unless a codec is registered, :func:`fake_codec` provides a
-deterministic stand-in, and Pillow is picked up automatically when
-importable — so the distributed plumbing is testable end-to-end
-either way.
+(stdlib zlib + filter reconstruction), GIF (LZW + interlace),
+baseline JPEG (Huffman + dequant + IDCT + YCbCr), binary PPM, raw
+PCM16, and RIFF/WAVE all have genuine codecs here. Remaining
+compressed formats (MP3, MP4, progressive JPEG, ...) are STUBBED:
+``decode`` raises NotImplementedError unless a codec is registered,
+:func:`fake_codec` provides a deterministic stand-in, and Pillow is
+picked up automatically when importable — so the distributed
+plumbing is testable end-to-end either way.
 
 Design for scale: media bytes ride in the same rows as metadata (binary
 column), so a 100 TB corpus partitions by size
@@ -541,16 +542,374 @@ def gif_image_codec() -> Codec:
     return codec
 
 
+JPEG_SOI = b"\xff\xd8"
+
+#: zigzag scan order: scan position k -> natural (row-major) index
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huffman_lut(counts, symbols) -> dict:
+    """Canonical JPEG Huffman table: (code_length, code) -> symbol,
+    built exactly per ITU T.81 Annex C (codes assigned in symbol
+    order within each length, doubled between lengths)."""
+    if sum(counts) > len(symbols):
+        raise ValueError("JPEG Huffman table truncated")
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over an UNSTUFFED entropy segment (byte
+    stuffing and restart markers are stripped before this sees the
+    data)."""
+
+    __slots__ = ("d", "i", "b", "n")
+
+    def __init__(self, data) -> None:
+        self.d = data
+        self.i = 0
+        self.b = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            self.b = self.d[self.i]
+            self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.b >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huffdec(bits: _JpegBits, lut: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.bit()
+        length += 1
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude value per T.81 F.2.2.1."""
+    if t and v < (1 << (t - 1)):
+        return v - (1 << t) + 1
+    return v
+
+
+def _jpeg_split_entropy(buf: bytes, pos: int):
+    """Unstuff the scan's entropy-coded bytes starting at ``pos``:
+    0xFF00 -> literal 0xFF; RST0-7 markers split segments (each
+    restarts byte-aligned with fresh DC predictors); any other marker
+    ends the scan. Returns (segments, end_pos)."""
+    segs = [bytearray()]
+    n = len(buf)
+    while pos < n:
+        b = buf[pos]
+        if b != 0xFF:
+            segs[-1].append(b)
+            pos += 1
+            continue
+        nxt = buf[pos + 1] if pos + 1 < n else None
+        if nxt == 0x00:
+            segs[-1].append(0xFF)
+            pos += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            segs.append(bytearray())
+            pos += 2
+        else:
+            break
+    return [bytes(s) for s in segs], pos
+
+
+def _jpeg_decode(buf: bytes):
+    """Decode a baseline-sequential JPEG to ``(width, height, pixels)``
+    — pixels H x W int64 for grayscale frames, H x W x 3 RGB int64 for
+    color. The full decode core behind :func:`jpeg_image_codec` (which
+    reduces pixels to the histogram feature) and the test surface
+    :func:`jpeg_decode_pixels`."""
+    import numpy as np
+
+    # orthonormal DCT-II basis: C[u, x] = a(u) cos((2x+1) u pi / 16)
+    xs = np.arange(8)
+    cmat = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+    cmat[0] *= 1 / np.sqrt(2)
+    cmat *= 0.5
+    zz = np.array(_JPEG_ZIGZAG)
+
+    def _decode_block(bits, dc_lut, ac_lut, qtab, pred):
+        coeffs = np.zeros(64, dtype=np.float64)
+        t = _jpeg_huffdec(bits, dc_lut)
+        pred += _jpeg_extend(bits.bits(t), t) if t else 0
+        coeffs[0] = pred * qtab[0]
+        k = 1
+        while k < 64:
+            rs = _jpeg_huffdec(bits, ac_lut)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run exceeds block")
+            coeffs[zz[k]] = _jpeg_extend(bits.bits(s), s) * qtab[k]
+            k += 1
+        spatial = cmat.T @ coeffs.reshape(8, 8) @ cmat
+        return np.clip(np.round(spatial) + 128, 0, 255), pred
+
+    if buf[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG payload")
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart = 0
+    scan = None
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = buf[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(buf[i + 2 : i + 4], "big")
+        seg = buf[i + 4 : i + 2 + ln]
+        if m == 0xDB:  # DQT (possibly several tables per marker)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    qts[tq] = np.frombuffer(
+                        seg, np.uint8, 64, p
+                    ).astype(np.int64)
+                    p += 64
+                else:
+                    qts[tq] = np.frombuffer(seg, ">u2", 64, p).astype(
+                        np.int64
+                    )
+                    p += 128
+        elif m == 0xC4:  # DHT (possibly several tables per marker)
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = seg[p + 1 : p + 17]
+                nsym = sum(counts)
+                syms = seg[p + 17 : p + 17 + nsym]
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _jpeg_huffman_lut(
+                    counts, syms
+                )
+                p += 17 + nsym
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            if seg[0] != 8:
+                raise ValueError(
+                    "only 8-bit JPEG supported without Pillow"
+                )
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                     "tq": seg[8 + 3 * c]}
+                )
+            frame = (w, h, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0/SOF1) supported "
+                "without Pillow — progressive/arithmetic/hierarchical "
+                "payloads need a registered Pillow codec"
+            )
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:  # SOS — entropy data follows the header
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                sel[seg[1 + 2 * c]] = (
+                    seg[2 + 2 * c] >> 4,
+                    seg[2 + 2 * c] & 0x0F,
+                )
+            segments, _end = _jpeg_split_entropy(buf, i + 2 + ln)
+            scan = (sel, segments)
+            break  # single-scan sequential: decode after the walk
+        # APPn / COM / unknown: skipped via the generic length hop
+        i += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    w, h, comps = frame
+    sel, segments = scan
+    if len(sel) != len(comps):
+        raise ValueError(
+            "multi-scan sequential JPEG unsupported without Pillow"
+        )
+    if len(comps) == 1:
+        # single-component scan: MCU is one data unit regardless of
+        # declared sampling factors (T.81 A.2.2)
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        raise ValueError("non-integer JPEG sampling ratio")
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcy * c["v"] * 8, mcx * c["h"] * 8))
+        for c in comps
+    }
+    preds = {c["id"]: 0 for c in comps}
+    seg_idx = 0
+    bits = _JpegBits(segments[0])
+    mcu = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart and mcu and mcu % restart == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG restart segment missing")
+                bits = _JpegBits(segments[seg_idx])
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                if c["tq"] not in qts:
+                    raise ValueError("JPEG quant table missing")
+                dsel, asel = sel[c["id"]]
+                plane = planes[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block, preds[c["id"]] = _decode_block(
+                            bits,
+                            dc_tabs[dsel],
+                            ac_tabs[asel],
+                            qts[c["tq"]],
+                            preds[c["id"]],
+                        )
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+    up = {}
+    for c in comps:
+        p = planes[c["id"]]
+        if c["v"] != vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        if c["h"] != hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        up[c["id"]] = p[:h, :w]
+    if len(comps) == 1:
+        return int(w), int(h), up[comps[0]["id"]].astype(np.int64)
+    if len(comps) == 3:
+        y, cb, cr = (up[c["id"]] for c in comps)
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        rgb = np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.int64)
+        return int(w), int(h), rgb
+    raise ValueError(f"unsupported JPEG component count {len(comps)}")
+
+
+def jpeg_decode_pixels(content: bytes):
+    """Decode a baseline JPEG to its pixel array (H x W int64 for
+    grayscale, H x W x 3 RGB for color) — the verification surface
+    behind :func:`jpeg_image_codec` (which reduces pixels to the
+    histogram feature). Same decoder, same rejection rules."""
+    _w, _h, px = _jpeg_decode(content or b"")
+    return px
+
+
+def jpeg_image_codec() -> Codec:
+    """REAL baseline-sequential JPEG decoder in pure stdlib + numpy —
+    no imaging library: marker walk (DQT 8/16-bit precision, DHT
+    canonical Huffman per T.81 Annex C, SOF0/SOF1 frame header, DRI
+    restart intervals, APPn/COM skip), entropy decode (byte
+    unstuffing, RST segmentation with DC-predictor resets, DC
+    difference + AC run/size coding with EOB and ZRL), dequantize +
+    de-zigzag, orthonormal 8x8 IDCT, level shift, per-component MCU
+    placement with arbitrary h/v sampling factors, box (pixel
+    replication) chroma upsampling, and JFIF YCbCr->RGB. Progressive
+    (SOF2), arithmetic-coded, hierarchical, and 12-bit frames are
+    rejected loudly rather than mis-decoded — register Pillow for
+    those.
+
+    The feature contract matches the other image codecs: true pixel
+    dimensions + the 8-bin normalized luminance histogram (ITU-R
+    601-2 integer weights). Verified in tests against an independent
+    forward encoder (FDCT + quantization + canonical Huffman writer
+    built separately in the test file) across gray/4:4:4/4:2:0/
+    restart-interval payloads.
+
+    Throughput note: the Huffman bit loop is Python-speed — right for
+    the verified-fallback role in this Pillow-less environment; a
+    deployment with Pillow keeps libjpeg as the fast path because
+    :func:`auto_image_codec` only routes JPEG here when Pillow is
+    absent."""
+    import numpy as np
+
+    def codec(content: bytes, media_type: str) -> dict:
+        w, h, px = _jpeg_decode(content or b"")
+        if px.ndim == 2:
+            lum = px
+        else:
+            lum = (
+                px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114
+            ) // 1000  # Pillow's L formula
+        hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+        total = float(lum.size) or 1.0
+        return {
+            "width": w,
+            "height": h,
+            "duration_ms": None,
+            "feature": (hist / total).tolist(),
+        }
+
+    return codec
+
+
 def auto_image_codec(prefer_real: bool = True) -> Codec:
-    """Signature-sniffing image codec: PNG, GIF, and binary-PPM
+    """Signature-sniffing image codec: PNG, GIF, JPEG, and binary-PPM
     payloads take the REAL stdlib decoders above; anything else falls
     through to Pillow when importable (and ``prefer_real``), else the
-    deterministic stub. One registered callable, so the mapInPandas
+    deterministic stub. JPEG is the one format where Pillow outranks
+    the stdlib decoder when both exist — libjpeg's entropy loop is
+    native where ours is Python-speed, and the feature contract is
+    identical either way. One registered callable, so the mapInPandas
     plan is identical regardless of which decoder a given row hits."""
     pil = pillow_image_codec() if prefer_real else None
     png = png_image_codec()
     ppm = ppm_image_codec()
     gif = gif_image_codec()
+    jpg = jpeg_image_codec()
 
     def codec(content: bytes, media_type: str) -> dict:
         buf = content or b""
@@ -560,6 +919,8 @@ def auto_image_codec(prefer_real: bool = True) -> Codec:
             return gif(buf, media_type)
         if buf[:2] == b"P6":
             return ppm(buf, media_type)
+        if buf[:2] == JPEG_SOI:
+            return pil(buf, media_type) if pil is not None else jpg(buf, media_type)
         if pil is not None:
             return pil(buf, media_type)
         return fake_codec(buf, media_type)
@@ -569,8 +930,8 @@ def auto_image_codec(prefer_real: bool = True) -> Codec:
 
 def register_default_codecs(prefer_real: bool = True) -> dict[str, str]:
     """Register a codec for every media type: for images a sniffing
-    codec that really decodes PNG/GIF/PPM via stdlib and routes the
-    rest to Pillow when importable (stub otherwise); pure stub when
+    codec that really decodes PNG/GIF/JPEG/PPM via stdlib and routes
+    the rest to Pillow when importable (stub otherwise); pure stub when
     ``prefer_real=False``. Returns a {media_type: label} report
     ("pillow+raw-formats" | "raw-formats+stub" | "stub") so callers can
     log which path is live."""

@@ -672,3 +672,452 @@ class TestGifCodec:
         hist, _ = np.histogram(lum, bins=8, range=(0, 256))
         ours = self._codec()(gif_bytes, "image")["feature"]
         assert ours == (hist / lum.size).tolist()
+
+
+# ---------------------------------------------------------------------------
+# Independent baseline JPEG forward encoder (test-side verification rig).
+# Everything below is written from ITU T.81 directly — double-loop reference
+# FDCT/IDCT, its own canonical Huffman code assignment, its own bit writer
+# with byte stuffing and restart markers — sharing NO code with the decoder,
+# so any decoder-side parsing/entropy/placement error breaks pixel equality.
+# ---------------------------------------------------------------------------
+
+_ENC_ZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# ITU T.81 Annex K example quantization tables (natural order)
+_ENC_QLUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_ENC_QCHR = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+def _enc_fdct(block):
+    """Reference double-loop forward DCT (T.81 A.3.3)."""
+    import math
+
+    import numpy as np
+
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x, y]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def _enc_idct(coeffs):
+    """Reference double-loop inverse DCT (T.81 A.3.3)."""
+    import math
+
+    import numpy as np
+
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu
+                        * cv
+                        * coeffs[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x, y] = 0.25 * s
+    return out
+
+
+# Huffman specs: 12 DC categories at length 4; the 162 standard AC
+# (run, size) symbols plus EOB/ZRL all at length 8 (Kraft-feasible,
+# trivially canonical — tables are carried in the file, so simple ones
+# are as legal as Annex K's)
+_ENC_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_SYMS = list(range(12))
+_ENC_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_AC_COUNTS = [0] * 7 + [len(_ENC_AC_SYMS)] + [0] * 8
+
+
+def _enc_codes(counts, symbols):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[symbols[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _EncBits:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def pad(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _enc_category(v):
+    return int(v).bit_length() if v else 0
+
+
+def _enc_magnitude(v, s):
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _enc_block_bits(w, qcoef_zz, pred, dc_codes, ac_codes):
+    diff = int(qcoef_zz[0]) - pred
+    s = _enc_category(abs(diff))
+    c, ln = dc_codes[s]
+    w.put(c, ln)
+    if s:
+        w.put(_enc_magnitude(diff, s), s)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if qcoef_zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(qcoef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            w.put(c, ln)
+            run -= 16
+        s = _enc_category(abs(v))
+        c, ln = ac_codes[(run << 4) | s]
+        w.put(c, ln)
+        w.put(_enc_magnitude(v, s), s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]
+        w.put(c, ln)
+    return int(qcoef_zz[0])
+
+
+def _enc_seg(marker, payload):
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def encode_baseline_jpeg(pixels, subsample=False, restart=0, dqt16=False):
+    """Encode an H x W (grayscale) or H x W x 3 (RGB) uint8 array as a
+    baseline JPEG; returns (jpeg_bytes, expected_pixels) where expected
+    is the encoder's OWN reconstruction (dequant -> reference IDCT ->
+    level shift -> box upsample -> YCbCr->RGB), i.e. what a correct
+    decoder must produce. ``subsample=True`` emits 4:2:0; ``restart``
+    inserts DRI/RSTn every that many MCUs; ``dqt16`` stores the quant
+    tables with 16-bit precision (pq=1)."""
+    import numpy as np
+
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    qlum = np.array(_ENC_QLUM).reshape(8, 8)
+    qchr = np.array(_ENC_QCHR).reshape(8, 8)
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "q": qlum, "plane": pixels.astype(np.float64)}]
+    else:
+        p = pixels.astype(np.float64)
+        y = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+        cb = 128 - 0.168736 * p[..., 0] - 0.331264 * p[..., 1] + 0.5 * p[..., 2]
+        cr = 128 + 0.5 * p[..., 0] - 0.418688 * p[..., 1] - 0.081312 * p[..., 2]
+        if subsample:
+            # box-mean 2x2 after edge-padding to even dims
+            def box(c):
+                ph = c if h % 2 == 0 else np.vstack([c, c[-1:]])
+                pw = ph if w % 2 == 0 else np.hstack([ph, ph[:, -1:]])
+                return (
+                    pw[0::2, 0::2] + pw[1::2, 0::2] + pw[0::2, 1::2] + pw[1::2, 1::2]
+                ) / 4.0
+
+            cb, cr = box(cb), box(cr)
+            sf = [(2, 2), (1, 1), (1, 1)]
+        else:
+            sf = [(1, 1), (1, 1), (1, 1)]
+        comps = [
+            {"id": 1, "h": sf[0][0], "v": sf[0][1], "tq": 0, "q": qlum, "plane": y},
+            {"id": 2, "h": sf[1][0], "v": sf[1][1], "tq": 1, "q": qchr, "plane": cb},
+            {"id": 3, "h": sf[2][0], "v": sf[2][1], "tq": 1, "q": qchr, "plane": cr},
+        ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+
+    # pad each plane to its MCU grid by edge replication, FDCT+quantize
+    for c in comps:
+        pl = c["plane"]
+        th, tw = mcy * c["v"] * 8, mcx * c["h"] * 8
+        pl = np.pad(pl, ((0, th - pl.shape[0]), (0, tw - pl.shape[1])), mode="edge")
+        qs = {}
+        recon = np.zeros_like(pl)
+        for by in range(th // 8):
+            for bx in range(tw // 8):
+                blk = pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                qc = np.round(_enc_fdct(blk - 128.0) / c["q"]).astype(np.int64)
+                qs[(by, bx)] = qc
+                rec = _enc_idct(qc * c["q"])
+                recon[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(rec) + 128, 0, 255
+                )
+        c["qblocks"] = qs
+        c["recon"] = recon
+
+    # expected pixels: box-upsample recon planes, crop, color convert
+    ups = []
+    for c in comps:
+        r = c["recon"]
+        if c["v"] != vmax:
+            r = np.repeat(r, vmax // c["v"], axis=0)
+        if c["h"] != hmax:
+            r = np.repeat(r, hmax // c["h"], axis=1)
+        ups.append(r[:h, :w])
+    if gray:
+        expected = ups[0].astype(np.int64)
+    else:
+        yy, cbb, crr = ups
+        rr = yy + 1.402 * (crr - 128)
+        gg = yy - 0.344136 * (cbb - 128) - 0.714136 * (crr - 128)
+        bb = yy + 1.772 * (cbb - 128)
+        expected = np.clip(np.round(np.stack([rr, gg, bb], axis=-1)), 0, 255).astype(
+            np.int64
+        )
+
+    # entropy-code the MCU stream
+    dc_codes = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMS)
+    ac_codes = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMS)
+    wtr = _EncBits()
+    entropy = bytearray()
+    preds = {c["id"]: 0 for c in comps}
+    mcu = 0
+    rst = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart and mcu and mcu % restart == 0:
+                wtr.pad()
+                entropy += wtr.out
+                entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                wtr = _EncBits()
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        qc = c["qblocks"][(my * c["v"] + by, mx * c["h"] + bx)]
+                        flat = qc.reshape(-1)
+                        zzc = [flat[_ENC_ZZ[k]] for k in range(64)]
+                        preds[c["id"]] = _enc_block_bits(
+                            wtr, zzc, preds[c["id"]], dc_codes, ac_codes
+                        )
+            mcu += 1
+    wtr.pad()
+    entropy += wtr.out
+
+    # assemble the file
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, qlum), (1, qchr)) if not gray else ((0, qlum),):
+        zzq = [int(q.reshape(-1)[_ENC_ZZ[k]]) for k in range(64)]
+        if dqt16:
+            body = bytes([0x10 | tq]) + b"".join(v.to_bytes(2, "big") for v in zzq)
+        else:
+            body = bytes([tq]) + bytes(zzq)
+        out += _enc_seg(0xDB, body)
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(comps))
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _enc_seg(0xC0, bytes(sof))
+    for tc_th in ([(0, 0), (1, 0)] if gray else [(0, 0), (1, 0), (0, 1), (1, 1)]):
+        tc, th = tc_th
+        counts = _ENC_DC_COUNTS if tc == 0 else _ENC_AC_COUNTS
+        syms = _ENC_DC_SYMS if tc == 0 else _ENC_AC_SYMS
+        out += _enc_seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+        )
+    if restart:
+        out += _enc_seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytearray([len(comps)])
+    for c in comps:
+        tbl = 0 if c["id"] == 1 else 1
+        sos += bytes([c["id"], (tbl << 4) | tbl])
+    sos += bytes([0, 63, 0])
+    out += _enc_seg(0xDA, bytes(sos))
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out), expected
+
+
+class TestJpegCodec:
+    """Baseline JPEG decoder vs the independent forward encoder above:
+    pixel-level agreement (<=1 quantized-rounding ulp, since the two
+    sides use independently-written IDCTs) across grayscale, 4:4:4,
+    4:2:0 with odd dimensions, restart intervals, and 16-bit DQT."""
+
+    def _decode_px(self, payload):
+        from d365fo_db_sync_spark.operators.multimodal import jpeg_decode_pixels
+
+        return jpeg_decode_pixels(payload)
+
+    def _check(self, pixels, **enc_kw):
+        import numpy as np
+
+        payload, expected = encode_baseline_jpeg(pixels, **enc_kw)
+        got = self._decode_px(payload)
+        assert got.shape == expected.shape
+        diff = np.abs(got - expected)
+        assert diff.max() <= 1, (diff.max(), (diff > 0).mean())
+        # off-by-one only at float rounding boundaries — must be rare
+        assert (diff > 0).mean() < 0.02
+
+    def _rand(self, shape, seed):
+        import numpy as np
+
+        return np.random.RandomState(seed).randint(0, 256, shape).astype(np.uint8)
+
+    def test_grayscale_roundtrip(self):
+        self._check(self._rand((17, 24), 1))
+
+    def test_rgb_444_roundtrip(self):
+        self._check(self._rand((16, 16, 3), 2))
+
+    def test_rgb_420_odd_dims_roundtrip(self):
+        # odd width AND height: exercises chroma box subsampling,
+        # MCU padding, pixel-replication upsampling, and the crop
+        self._check(self._rand((13, 21, 3), 3), subsample=True)
+
+    def test_restart_intervals_reset_predictors(self):
+        # 4 MCUs wide x 2 tall at 4:2:0, restart every 2 MCUs -> 3
+        # RST markers, each segment decoding with fresh DC predictors
+        self._check(self._rand((32, 64, 3), 4), subsample=True, restart=2)
+
+    def test_16bit_quant_tables(self):
+        self._check(self._rand((16, 8, 3), 5), dqt16=True)
+
+    def test_smooth_gradient_heavy_eob(self):
+        import numpy as np
+
+        # a smooth ramp quantizes to near-all-zero AC -> EOB-dominated
+        # stream, the opposite entropy regime from random noise
+        g = np.clip(
+            np.add.outer(np.arange(24) * 3, np.arange(40) * 2), 0, 255
+        ).astype(np.uint8)
+        self._check(g)
+
+    def test_codec_feature_contract(self):
+        import numpy as np
+
+        from d365fo_db_sync_spark.operators.multimodal import jpeg_image_codec
+
+        payload, expected = encode_baseline_jpeg(self._rand((16, 16, 3), 6))
+        feat = jpeg_image_codec()(payload, "image")
+        assert feat["width"] == 16 and feat["height"] == 16
+        assert feat["duration_ms"] is None
+        assert len(feat["feature"]) == 8
+        assert abs(sum(feat["feature"]) - 1.0) < 1e-9
+        # histogram agrees with one computed from the expected pixels
+        lum = (
+            expected[..., 0] * 299 + expected[..., 1] * 587 + expected[..., 2] * 114
+        ) // 1000
+        want, _ = np.histogram(lum, bins=8, range=(0, 256))
+        got = np.array(feat["feature"]) * lum.size
+        assert np.abs(got - want).max() <= 3  # <=1-ulp pixels near bin edges
+
+    def test_rejects_what_it_cannot_decode(self):
+        import numpy as np
+
+        from d365fo_db_sync_spark.operators.multimodal import jpeg_image_codec
+
+        codec = jpeg_image_codec()
+        with pytest.raises(ValueError, match="not a JPEG"):
+            codec(b"\x89PNG1234", "image")
+        payload, _ = encode_baseline_jpeg(self._rand((8, 8), 7))
+        # flip SOF0 -> SOF2: progressive must be refused, not garbled
+        prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(ValueError, match="baseline"):
+            codec(prog, "image")
+        with pytest.raises(ValueError):
+            codec(payload[: len(payload) // 2], "image")  # truncated
+
+    def test_auto_codec_sniffs_jpeg(self, spark):
+        from d365fo_db_sync_spark.operators import multimodal
+
+        payload, _ = encode_baseline_jpeg(self._rand((9, 11), 8))
+        multimodal.register_codec("image", multimodal.auto_image_codec())
+        try:
+            df = multimodal.decode_features(
+                _assets(spark, [(1, "image", bytearray(payload), {})])
+            )
+            row = df.collect()[0]
+            assert (row["width"], row["height"]) == (11, 9)
+        finally:
+            multimodal.register_default_codecs()
+
+    def test_pillow_parity_when_available(self):
+        import numpy as np
+
+        PIL = pytest.importorskip("PIL")
+        del PIL
+        import io
+
+        from PIL import Image
+
+        from d365fo_db_sync_spark.operators.multimodal import jpeg_decode_pixels
+
+        payload, _ = encode_baseline_jpeg(self._rand((16, 16, 3), 9))
+        ours = jpeg_decode_pixels(payload)
+        ref = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB")).astype(
+            np.int64
+        )
+        # libjpeg uses smoothing-free 4:4:4 here; small IDCT rounding
+        # differences are expected, gross mismatches are not
+        assert np.abs(ours - ref).max() <= 2
