@@ -1,0 +1,217 @@
+"""Exact-substring (token-window) deduplication — the corpus-curation
+operation document-level dedup cannot express: find every run of >= k
+tokens that repeats ACROSS documents and excise it, leaving the
+documents' unique content intact. Two near-identical documents are one
+near-dup PAIR to MinHash; a boilerplate header pasted into a million
+otherwise-unique pages is invisible at document granularity and is
+exactly what this pass removes (the published result: models trained
+on substring-deduped corpora memorize less and score better).
+
+The reference engine deduplicates at row granularity (delta classify,
+`/root/reference/DBSyncTool/Services/CopyOrchestrator.cs` key-compare
+cycle); this module is the sub-row analogue a training-data platform
+needs.
+
+Design (all JVM-side, zero UDFs):
+
+1. ONE tokenize pass per document; every k-token window emits
+   ``(doc, start, window)`` via a codegen ``transform`` over a start
+   index sequence + ``slice``/``array_join`` — no posexplode self-join.
+2. Window stats are one groupBy: a window with ``n_docs >= min_docs``
+   is boilerplate. The suffix-array construction the single-machine
+   reference implementations use (Lee et al.) does not distribute;
+   fixed-k window fingerprinting is the standard shuffle-friendly
+   equivalent: any repeated run of length >= k contains a repeated
+   k-window at every offset, so token coverage of the two definitions
+   is IDENTICAL for runs >= k (a run of length L > k is covered by its
+   L - k + 1 constituent windows).
+3. The excision rebuild reuses the span discipline of
+   :func:`~d365fo_db_sync_spark.operators.text_search.redact_spans`:
+   covered positions roll up per document, maximal runs merge, and the
+   document rebuilds from the once-tokenized array — dropped, not
+   placeholder-replaced (ExactSubstr semantics: boilerplate carries no
+   signal worth marking).
+
+Scale shape: keying the shuffle by window TEXT costs k x token-count
+bytes — exact but heavy; ``hashed=True`` keys by ``xxhash64`` of the
+window (8 bytes/window, the production path at 100 TB) with identical
+downstream plumbing, trading a ~2^-64-per-pair collision chance (a
+false merge excises a unique window) for the k-fold shuffle
+reduction. The duplicate-window set is small relative to the corpus
+(boilerplate is repetitive by definition), so the join back onto the
+window stream broadcasts under AQE; the covered-set and count frames
+carry only affected documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators.text_search import _TOKEN_SPLIT
+
+__all__ = [
+    "duplicate_token_stats",
+    "excise_repeated_windows",
+    "repeated_windows",
+    "token_windows",
+]
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+
+
+def token_windows(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """Every k-token window of every document: ``(<id_col>, start, w)``
+    with 0-based token starts. ``w`` is the space-joined window text,
+    or its ``xxhash64`` fingerprint (LongType) when ``hashed`` — same
+    rows either way, 8 bytes instead of ~k words per key. Documents
+    shorter than k tokens emit nothing."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    arr = _tokens(text_col)
+    n = F.size(arr)
+    # sequence() descends when stop < start, so the short-doc case
+    # must be an explicit empty array, not sequence(0, negative)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = F.array_join(F.slice(F.col("__a"), F.col("s") + 1, k), " ")
+    return docs.select(
+        F.col(id_col), F.explode(starts).alias("s"), arr.alias("__a")
+    ).select(
+        id_col,
+        F.col("s").alias("start"),
+        (F.xxhash64(win) if hashed else win).alias("w"),
+    )
+
+
+def repeated_windows(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """The boilerplate inventory: every k-token window appearing in at
+    least ``min_docs`` DISTINCT documents, with ``n_docs`` and total
+    occurrence count ``n_occ`` (within-doc repeats of a cross-doc
+    window all count). One groupBy on the window key; map-side partials
+    carry both aggregates."""
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (cross-document repetition), got {min_docs}"
+        )
+    wins = token_windows(docs, k, id_col=id_col, text_col=text_col, hashed=hashed)
+    return (
+        wins.groupBy("w")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def excise_repeated_windows(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """ExactSubstr excision: rebuild every document's token stream with
+    each token that sits inside ANY cross-document repeated k-window
+    REMOVED. Output per input document: ``<id_col>, n_tokens`` (before
+    excision), ``n_dup_tokens`` (removed), ``n_spans`` (maximal removed
+    runs), ``clean_text`` (surviving tokens, single-space joined —
+    clean documents pass through token-normalized with zero counts).
+
+    A repeated run of length L >= k is covered end-to-end by its
+    L - k + 1 repeated windows, so maximal-run merging reconstructs the
+    full boilerplate span — no half-excised fragments. The rebuild is
+    the same codegen transform/filter/array_join discipline as
+    ``redact_spans``; spans drop rather than leave a placeholder."""
+    wins = token_windows(docs, k, id_col=id_col, text_col=text_col, hashed=hashed)
+    dup = repeated_windows(
+        docs, k, id_col=id_col, text_col=text_col, min_docs=min_docs, hashed=hashed
+    ).select("w")
+    hits = wins.join(dup, on="w")
+    covered = (
+        hits.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("p")).alias("cov"))
+    )
+    arr = _tokens(text_col)
+    base = docs.select(F.col(id_col), arr.alias("__toks"))
+    j = base.join(covered, on=id_col, how="left")
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.when(~F.array_contains(cov, i), t),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_spans = F.size(F.filter(cov, lambda p: ~F.array_contains(cov, p - 1)))
+    return j.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(cov).cast("long").alias("n_dup_tokens"),
+        n_spans.cast("long").alias("n_spans"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def duplicate_token_stats(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """Corpus-quality dashboard number: per ``group_col``, how much of
+    the token mass is cross-document boilerplate. One row per group
+    with ``n_docs_total``, ``n_docs_affected``, ``n_tokens``,
+    ``n_dup_tokens``, and ``dup_frac`` (6-dp DECIMAL ratio surfaced as
+    DOUBLE — order-independent, oracle-safe). The number that decides
+    whether a source is worth keeping before any model sees it."""
+    exc = excise_repeated_windows(
+        docs, k, id_col=id_col, text_col=text_col, min_docs=min_docs, hashed=hashed
+    )
+    g = docs.select(F.col(id_col), F.col(group_col))
+    return (
+        exc.join(g, on=id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs_total"),
+            F.count(F.when(F.col("n_dup_tokens") > 0, 1)).alias("n_docs_affected"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_dup_tokens").alias("n_dup_tokens"),
+            (
+                F.sum("n_dup_tokens").cast("decimal(38,6)")
+                / F.greatest(F.sum("n_tokens"), F.lit(1)).cast("decimal(38,6)")
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("dup_frac"),
+        )
+    )

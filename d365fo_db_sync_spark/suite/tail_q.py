@@ -6688,3 +6688,139 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("sum_value"),
         )
     )
+
+
+_SUBSTR_TOK_SQL = """
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents"""
+
+_SUBSTR_WINS_SQL = """
+      SELECT doc_id, generate_subscripts(ws, 1) - 1 AS start, unnest(ws) AS w
+      FROM (SELECT doc_id,
+                   [array_to_string(arr[i : i + 7], ' ')
+                    for i in range(1, GREATEST(len(arr) - 7, 0) + 1)] AS ws
+            FROM tok)"""
+
+
+@register(
+    "docs_repeated_windows",
+    oracle=f"""
+    WITH tok AS ({_SUBSTR_TOK_SQL}),
+    wins AS ({_SUBSTR_WINS_SQL})
+    SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM wins GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def docs_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate inventory (operators/exact_substr.
+    repeated_windows): every 8-token window appearing in >= 2 distinct
+    documents, with its document reach and total occurrence count —
+    the detect step of substring-level (ExactSubstr) deduplication,
+    the sub-row operation document-granularity dedup cannot see.
+    Value-checked window-for-window against DuckDB's identical slice
+    arithmetic. Scale shape: one tokenize pass, codegen window
+    expansion (transform + slice, no posexplode self-join), ONE
+    groupBy on the window key carrying both aggregates map-side; the
+    hashed=True twin (xxhash64 keys, 8 bytes/window — the 100 TB
+    shuffle shape) is equivalence-pinned in tests/test_exact_substr.py."""
+    from d365fo_db_sync_spark.operators.exact_substr import repeated_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_windows(docs, k=8)
+
+
+@register(
+    "docs_substring_excision",
+    oracle=f"""
+    WITH tok AS ({_SUBSTR_TOK_SQL}),
+    wins AS ({_SUBSTR_WINS_SQL}),
+    dup AS (
+      SELECT w FROM wins GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT doc_id, list_sort(list_distinct(list(p))) AS cv
+      FROM (SELECT doc_id, unnest(range(start, start + 8)) AS p
+            FROM wins JOIN dup USING (w))
+      GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.arr) AS BIGINT) AS n_tokens,
+           CAST(len(COALESCE(v.cv, [])) AS BIGINT) AS n_dup_tokens,
+           CAST(len(list_filter(COALESCE(v.cv, []),
+                    p -> NOT list_contains(COALESCE(v.cv, []), p - 1)))
+                AS BIGINT) AS n_spans,
+           COALESCE(array_to_string(
+             list_filter(
+               [CASE WHEN NOT list_contains(COALESCE(v.cv, []), i - 1)
+                     THEN t.arr[i] END
+                for i in range(1, len(t.arr) + 1)],
+               x -> x IS NOT NULL), ' '), '') AS clean_text
+    FROM tok t LEFT JOIN cov v USING (doc_id)
+    """,
+)
+def docs_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr excision (operators/exact_substr.
+    excise_repeated_windows): every token inside any cross-document
+    repeated 8-window is REMOVED, maximal runs merging so a repeated
+    run of length L >= 8 excises end-to-end (it is covered by its
+    L-7 constituent windows) — the act step that makes 'train on
+    substring-deduped data' an executable pipeline stage, sharing the
+    redact_spans rebuild discipline (drop instead of placeholder).
+    Every surviving document byte is value-checked against DuckDB's
+    identical covered-set arithmetic, plus the token/span counts.
+    Scale shape: window stats as in docs_repeated_windows; the
+    duplicate-window set is boilerplate-small so the hit join
+    broadcasts under AQE; covered sets carry only affected docs; the
+    rebuild is zero-UDF codegen over the once-tokenized array."""
+    from d365fo_db_sync_spark.operators.exact_substr import (
+        excise_repeated_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return excise_repeated_windows(docs, k=8)
+
+
+@register(
+    "docs_duplicate_token_stats",
+    oracle=f"""
+    WITH tok AS ({_SUBSTR_TOK_SQL}),
+    wins AS ({_SUBSTR_WINS_SQL}),
+    dup AS (
+      SELECT w FROM wins GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT p) AS n_dup
+      FROM (SELECT doc_id, unnest(range(start, start + 8)) AS p
+            FROM wins JOIN dup USING (w))
+      GROUP BY 1),
+    per_doc AS (
+      SELECT t.doc_id, d.source, len(t.arr) AS n_tokens,
+             COALESCE(c.n_dup, 0) AS n_dup_tokens
+      FROM tok t
+      JOIN documents d USING (doc_id)
+      LEFT JOIN cov c USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+           CAST(COUNT(*) FILTER (n_dup_tokens > 0) AS BIGINT)
+             AS n_docs_affected,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_dup_tokens) AS BIGINT) AS n_dup_tokens,
+           CAST(CAST(CAST(SUM(n_dup_tokens) AS DECIMAL(38,6))
+                     / CAST(GREATEST(SUM(n_tokens), 1) AS DECIMAL(38,6))
+                     AS DECIMAL(18,6)) AS DOUBLE) AS dup_frac
+    FROM per_doc GROUP BY 1
+    """,
+)
+def docs_duplicate_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mass per source (operators/exact_substr.
+    duplicate_token_stats): the fraction of each source's token mass
+    sitting inside cross-document repeated 8-windows — the number a
+    curator reads to decide keep/downweight/drop BEFORE any model
+    trains on the source. Ratio through the DECIMAL(18,6) quantize
+    discipline so the rollup is order-independent and value-oracled.
+    One extra groupBy over the excision frame; the source join rides
+    the same doc_id key."""
+    from d365fo_db_sync_spark.operators.exact_substr import duplicate_token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_token_stats(docs, k=8)
