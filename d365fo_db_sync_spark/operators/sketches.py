@@ -36,7 +36,16 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["distinct_sketch", "estimate_sketches", "merge_sketches"]
+__all__ = [
+    "distinct_sketch",
+    "estimate_sketches",
+    "kmv_estimate",
+    "kmv_hash",
+    "kmv_merge",
+    "kmv_pairwise_overlap",
+    "kmv_sketch",
+    "merge_sketches",
+]
 
 SKETCH_COL = "sketch"
 
@@ -77,4 +86,133 @@ def estimate_sketches(sidecar: DataFrame, group_cols: Sequence[str]) -> DataFram
     """O(|groups|) estimate read of the sidecar."""
     return sidecar.select(
         *group_cols, F.hll_sketch_estimate(SKETCH_COL).alias("approx_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) sketches — SET OPERATIONS, the
+# thing HLL cannot do: estimate |A ∩ B| / Jaccard between corpus slices
+# without an exact pairwise distinct. Deterministic by construction
+# (the sketch is a pure function of the data through an
+# engine-independent md5-derived hash), so unlike the HLL registers the
+# ENTIRE estimate — k-min arrays, union estimate, intersection estimate
+# — is value-oracleable in DuckDB, byte for byte.
+# ---------------------------------------------------------------------------
+
+#: hash space: 15 hex digits = 60 bits, exactly representable ordering
+#: in BIGINT and identically computable in Spark (conv) and DuckDB
+#: ('0x..'::BIGINT)
+KMV_SPACE = float(16**15)
+
+
+def kmv_hash(col) -> "F.Column":
+    """Engine-independent 60-bit uniform hash: the first 15 hex chars
+    of md5, read as an integer. NOT a keyed hash — same value, same
+    point in [0, 2^60) everywhere, which is what makes two groups'
+    sketches intersectable."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group bottom-k sketch: the sorted array of the k SMALLEST
+    distinct hash values of ``value_col`` (all of them when the group
+    holds fewer than k distincts — the sketch degrades to exact).
+    O(k) longs per group regardless of cardinality; relative standard
+    error of the distinct estimate ~ 1/sqrt(k-2) (~6% at k=256).
+
+    Scale shape: one distinct pass keyed (group, hash) — 8-byte hash
+    values, not raw strings, cross the wire — then a per-group rank
+    bounded at k. Mergeable exactly: the bottom-k of a union is the
+    bottom-k of the concatenated bottom-k arrays (:func:`kmv_merge`),
+    so sidecar maintenance folds batches without rescanning, same
+    discipline as the HLL sidecar above."""
+    if k < 8:
+        raise ValueError(f"k must be >= 8 for a usable estimate, got {k}")
+    from pyspark.sql import Window
+
+    d = df.select(
+        *group_cols, kmv_hash(value_col).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmins"))
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int, out_col: str = "n_distinct_est") -> DataFrame:
+    """Distinct-count estimate per sketch row: exact group size when
+    the group never filled its k slots, else the k-th order statistic
+    estimator (k-1) * SPACE / kth_min. Pure double arithmetic over
+    deterministic inputs — identical in any IEEE engine."""
+    m = F.size("kmins")
+    kth = F.element_at("kmins", k)
+    est = F.when(m < k, m.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / kth.cast("double")
+    )
+    return sketch.withColumn(out_col, est)
+
+
+def kmv_merge(a, b, k: int) -> "F.Column":
+    """Bottom-k of the union of two bottom-k arrays — the exact sketch
+    of the union of the underlying sets (every hash small enough to
+    make the union's bottom-k is in one of the inputs' bottom-k)."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def kmv_pairwise_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Audience/vocabulary overlap between every PAIR of groups from a
+    sketch frame: per (group_a < group_b) row —
+
+    * ``union_est``  — distinct estimate of A ∪ B from the merged
+      bottom-k (exact when the merge never filled k slots);
+    * ``jaccard_est`` — the inclusion ratio rho = |{x in merged :
+      x in both inputs}| / |merged| (an exact INTEGER ratio over the
+      sketch, the textbook KMV Jaccard estimator);
+    * ``inter_est``  — rho * union_est.
+
+    |groups| sketch rows self-join into |groups|^2/2 pure-array-math
+    rows: the fact table is never rescanned and nothing about the
+    pair loop touches the corpus — the whole point of carrying
+    sketches. Every column is a deterministic function of the data,
+    so a SQL oracle can replay it exactly."""
+    a = sketches.select(
+        F.col(group_col).alias("ga"), F.col("kmins").alias("ma")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("gb"), F.col("kmins").alias("mb")
+    )
+    j = a.join(b, F.col("ga") < F.col("gb"))
+    merged = kmv_merge(F.col("ma"), F.col("mb"), k)
+    m = F.size(merged)
+    union_est = F.when(m < k, m.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.element_at(merged, k).cast("double")
+    )
+    common = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains(F.col("ma"), x)
+            & F.array_contains(F.col("mb"), x),
+        )
+    )
+    rho = common.cast("double") / F.greatest(m, F.lit(1)).cast("double")
+    return j.select(
+        F.col("ga").alias(f"{group_col}_a"),
+        F.col("gb").alias(f"{group_col}_b"),
+        union_est.alias("union_est"),
+        rho.alias("jaccard_est"),
+        (rho * union_est).alias("inter_est"),
     )
