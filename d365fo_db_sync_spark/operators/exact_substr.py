@@ -48,7 +48,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from d365fo_db_sync_spark.operators.text_search import _TOKEN_SPLIT
+from d365fo_db_sync_spark.operators.text_search import (
+    _rebuild_outside_runs,
+    _run_ends,
+    _run_starts,
+    _token_array,
+)
 
 __all__ = [
     "duplicate_token_stats",
@@ -57,11 +62,10 @@ __all__ = [
     "token_windows",
 ]
 
-
-def _tokens(text_col: str):
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda t: t != F.lit("")
-    )
+# NULL-text documents tokenize to the EMPTY array (n_tokens 0,
+# clean_text '') rather than a NULL that would skew sum(n_tokens) /
+# dup_frac in duplicate_token_stats
+_tokens = _token_array
 
 
 def token_windows(
@@ -78,20 +82,32 @@ def token_windows(
     shorter than k tokens emit nothing."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    arr = _tokens(text_col)
-    n = F.size(arr)
+    # materialize the token array ONCE as a real column: it is read
+    # inside the per-start window lambda, and an inlined tokenize
+    # expression there would re-split the document per window
+    base = docs.select(F.col(id_col), _tokens(text_col).alias("__a"))
+    a = F.col("__a")
+    n = F.size(a)
+    win = lambda s: F.array_join(F.slice(a, s + 1, k), " ")  # noqa: E731
+    # All windows are built INSIDE one transform and only the window
+    # array reaches the explode — n small window values (8-byte
+    # hashes when ``hashed``), never n copies of the n-token source
+    # array riding along on every exploded row (that shape is O(n^2)
+    # bytes per document and was measured at ~140 s for three 20k-token
+    # documents; this one is ~1 s — SCALE.md round 10).
     # sequence() descends when stop < start, so the short-doc case
-    # must be an explicit empty array, not sequence(0, negative)
-    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
+    # must be an explicit empty array, not sequence(0, negative).
+    wins = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            (lambda s: F.xxhash64(win(s))) if hashed else win,
+        ),
+    ).otherwise(
+        F.array().cast("array<bigint>" if hashed else "array<string>")
     )
-    win = F.array_join(F.slice(F.col("__a"), F.col("s") + 1, k), " ")
-    return docs.select(
-        F.col(id_col), F.explode(starts).alias("s"), arr.alias("__a")
-    ).select(
-        id_col,
-        F.col("s").alias("start"),
-        (F.xxhash64(win) if hashed else win).alias("w"),
+    return base.select(
+        F.col(id_col), F.posexplode(wins).alias("start", "w")
     )
 
 
@@ -141,8 +157,9 @@ def excise_repeated_windows(
     A repeated run of length L >= k is covered end-to-end by its
     L - k + 1 repeated windows, so maximal-run merging reconstructs the
     full boilerplate span — no half-excised fragments. The rebuild is
-    the same codegen transform/filter/array_join discipline as
-    ``redact_spans``; spans drop rather than leave a placeholder."""
+    the same codegen run-slicing discipline as ``redact_spans``
+    (O(n_tokens + n_runs) per document); spans drop rather than leave
+    a placeholder."""
     wins = token_windows(docs, k, id_col=id_col, text_col=text_col, hashed=hashed)
     dup = repeated_windows(
         docs, k, id_col=id_col, text_col=text_col, min_docs=min_docs, hashed=hashed
@@ -158,23 +175,25 @@ def excise_repeated_windows(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("p")).alias("cov"))
     )
-    arr = _tokens(text_col)
-    base = docs.select(F.col(id_col), arr.alias("__toks"))
-    j = base.join(covered, on=id_col, how="left")
-    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            F.col("__toks"),
-            lambda t, i: F.when(~F.array_contains(cov, i), t),
-        ),
-        lambda x: x.isNotNull(),
+    base = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    j = (
+        base.join(covered, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "__toks",
+            F.coalesce(F.col("cov"), F.array().cast("array<int>")).alias("__cov"),
+        )
+        # run bounds as real columns — only attribute references may
+        # sit inside the rebuild's zip lambda (see _rebuild_outside_runs)
+        .withColumn("__rs", _run_starts(F.col("__cov")))
+        .withColumn("__re", _run_ends(F.col("__cov")))
     )
-    n_spans = F.size(F.filter(cov, lambda p: ~F.array_contains(cov, p - 1)))
+    kept = _rebuild_outside_runs(F.col("__toks"), F.col("__rs"), F.col("__re"))
     return j.select(
         F.col(id_col),
         F.size("__toks").cast("long").alias("n_tokens"),
-        F.size(cov).cast("long").alias("n_dup_tokens"),
-        n_spans.cast("long").alias("n_spans"),
+        F.size("__cov").cast("long").alias("n_dup_tokens"),
+        F.size("__rs").cast("long").alias("n_spans"),
         F.array_join(kept, " ").alias("clean_text"),
     )
 

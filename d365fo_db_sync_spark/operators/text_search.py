@@ -44,6 +44,92 @@ __all__ = [
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
 
+def _token_array(text_col: str):
+    """The canonical token array: lowercased alphanumeric split,
+    empties dropped, NULL text coalesced to an EMPTY array — so a
+    NULL-text document flows through every rebuild/count as a
+    zero-token document (n_tokens 0, rebuilt text ''), never as a
+    NULL that poisons size()/sum() rollups downstream."""
+    return F.coalesce(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT),
+            lambda t: t != F.lit(""),
+        ),
+        F.array().cast("array<string>"),
+    )
+
+
+def _run_starts(cov):
+    """First position of each maximal run in a SORTED DISTINCT int
+    array: one linear zip against the 1-right-shifted twin (a run
+    starts where the predecessor is not position-1). O(|cov|)."""
+    sz = F.size(cov)
+    prev = F.concat(
+        F.array(F.lit(-2)), F.slice(cov, 1, F.greatest(sz - 1, F.lit(0)))
+    )
+    return F.filter(
+        F.zip_with(cov, prev, lambda c, p: F.when(c - p != 1, c)),
+        lambda x: x.isNotNull(),
+    )
+
+
+def _run_ends(cov):
+    """Last position of each maximal run — the mirror zip against the
+    1-left-shifted twin. Pairs index-for-index with :func:`_run_starts`
+    (both filters preserve the sorted order, and every run has exactly
+    one start and one end)."""
+    sz = F.size(cov)
+    nxt = F.concat(
+        F.slice(cov, 2, F.greatest(sz - 1, F.lit(0))), F.array(F.lit(-2))
+    )
+    return F.filter(
+        F.zip_with(cov, nxt, lambda c, n_: F.when(n_ - c != 1, c)),
+        lambda x: x.isNotNull(),
+    )
+
+
+def _rebuild_outside_runs(toks, rs, re_, placeholder: str | None = None):
+    """Surviving-token array: every token inside a covered run
+    [rs[i], re_[i]] is dropped, each run optionally replaced by ONE
+    ``placeholder``. O(n_tokens + n_runs) per row: the head gap is one
+    slice, then one zip over the runs emits (marker + following gap
+    slice) each — replacing the r9 per-token ``array_contains(cov, i)``
+    scan that was O(n_tokens x |cov|), quadratic exactly on the
+    boilerplate-heavy documents this pass exists for. (The obvious
+    ``map_from_arrays`` + ``element_at`` membership map is NOT a fix:
+    Spark's ``GetMapValue`` is a documented linear scan over the key
+    array — ``sql/catalyst .. complexTypeExtractors.scala`` — so it
+    has the same complexity with a bigger constant; measured in
+    SCALE.md round 10.)
+
+    CAUTION for callers: ``toks``/``rs``/``re_`` MUST be plain column
+    references (materialized via select/withColumn), not expression
+    trees — ``toks`` is referenced inside the zip lambda, and an
+    inlined expression there would re-evaluate per run."""
+    n = F.size(toks)
+    m = F.size(rs)
+    head = F.slice(toks, 1, F.when(m == 0, n).otherwise(F.element_at(rs, 1)))
+    # each run's next-run start (n for the last run); length must be
+    # exactly m — a stray element against an empty re_ zips to NULL
+    # and a NULL element turns flatten() into NULL
+    nxt_rs = F.when(m == 0, F.array().cast("array<int>")).otherwise(
+        F.concat(F.slice(rs, 2, m - 1), F.array(n))
+    )
+    mark = (
+        F.array(F.lit(placeholder))
+        if placeholder is not None
+        else F.array().cast("array<string>")
+    )
+    tail = F.flatten(
+        F.zip_with(
+            re_,
+            nxt_rs,
+            lambda e, ns: F.concat(mark, F.slice(toks, e + 2, ns - e - 1)),
+        )
+    )
+    return F.concat(head, tail)
+
+
 def tokenize_positions(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -52,11 +138,8 @@ def tokenize_positions(
     leading/trailing separators) dropped BEFORE positions are
     assigned, so positions index the token sequence, not the raw
     splits."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda t: t != F.lit("")
-    )
     return docs.select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+        F.col(id_col), F.posexplode(_token_array(text_col)).alias("pos", "tok")
     )
 
 
@@ -161,9 +244,12 @@ def redact_spans(
     (``sequence`` + ``collect_set`` — bounded by tokens-per-doc, not
     corpus size); both per-doc frames carry ONLY matched documents, a
     tiny fraction of a real corpus, so AQE turns the two left joins
-    back onto the corpus into broadcasts; the rebuild itself is a
-    codegen ``transform``/``filter``/``array_join`` over the
-    once-tokenized array — no per-row Python anywhere."""
+    back onto the corpus into broadcasts; the rebuild itself is
+    codegen run-slicing over the once-tokenized array (sorted covered
+    set -> maximal-run bounds -> one slice per uncovered gap,
+    :func:`_rebuild_outside_runs`) — O(n_tokens + n_runs) per
+    document even when most of the document is covered, and no
+    per-row Python anywhere."""
     occ = phrase_occurrences(docs, phrases, id_col=id_col, text_col=text_col)
     covered = (
         occ.select(
@@ -177,27 +263,29 @@ def redact_spans(
     )
     counts = occ.groupBy(id_col).agg(F.count("*").alias("n_matches"))
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda t: t != F.lit("")
+    base = docs.select(F.col(id_col), _token_array(text_col).alias("__toks"))
+    j = (
+        base.join(covered, on=id_col, how="left")
+        .join(counts, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "__toks",
+            "n_matches",
+            F.coalesce(F.col("cov"), F.array().cast("array<int>")).alias("__cov"),
+        )
+        # materialize the run bounds as real columns; only plain
+        # attribute references may appear inside the rebuild's zip
+        # lambda (an inlined expression there would re-evaluate per
+        # run — see _rebuild_outside_runs)
+        .withColumn("__rs", _run_starts(F.col("__cov")))
+        .withColumn("__re", _run_ends(F.col("__cov")))
     )
-    base = docs.select(F.col(id_col), toks.alias("__toks"))
-    j = base.join(covered, on=id_col, how="left").join(
-        counts, on=id_col, how="left"
+    kept = _rebuild_outside_runs(
+        F.col("__toks"), F.col("__rs"), F.col("__re"), placeholder=placeholder
     )
-    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            F.col("__toks"),
-            lambda t, i: F.when(~F.array_contains(cov, i), t).when(
-                ~F.array_contains(cov, i - 1), F.lit(placeholder)
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    n_spans = F.size(F.filter(cov, lambda p: ~F.array_contains(cov, p - 1)))
     return j.select(
         F.col(id_col),
         F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
-        n_spans.cast("long").alias("n_spans"),
+        F.size("__rs").cast("long").alias("n_spans"),
         F.array_join(kept, " ").alias("redacted_text"),
     )

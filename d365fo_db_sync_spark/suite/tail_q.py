@@ -6581,8 +6581,9 @@ def text_phrase_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS arr
+             COALESCE(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> x <> ''), CAST([] AS VARCHAR[])) AS arr
       FROM documents),
     toks AS (
       SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS tok
@@ -6692,8 +6693,9 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTR_TOK_SQL = """
       SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                         x -> x <> '') AS arr
+             COALESCE(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 x -> x <> ''), CAST([] AS VARCHAR[])) AS arr
       FROM documents"""
 
 _SUBSTR_WINS_SQL = """

@@ -152,3 +152,54 @@ def test_validation_and_short_docs(spark):
         repeated_windows(df, 3, min_docs=1)
     # doc shorter than k: zero windows, not a negative sequence blowup
     assert token_windows(df, 5).count() == 0
+
+
+def test_null_text_rows_flow_as_zero_token_docs(spark):
+    """A NULL-text document must come through excision as a 0-token
+    document (n_tokens 0, clean_text ''), NOT as NULLs that skew the
+    per-source sum(n_tokens)/dup_frac rollup."""
+    docs = [
+        (1, "a b c d e f", "s1"),
+        (2, "x a b c d e tail", "s1"),
+        (3, None, "s1"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in excise_repeated_windows(df, 5).collect()}
+    assert (
+        got[3]["n_tokens"],
+        got[3]["n_dup_tokens"],
+        got[3]["n_spans"],
+        got[3]["clean_text"],
+    ) == (0, 0, 0, "")
+    stats = {r["source"]: r for r in duplicate_token_stats(df, 5).collect()}
+    # the NULL doc counts as a 0-token doc: totals unchanged vs the
+    # 2-doc corpus, n_docs_total includes it, dup_frac not NULLed
+    assert stats["s1"]["n_docs_total"] == 3
+    assert stats["s1"]["n_docs_affected"] == 2
+    assert stats["s1"]["n_tokens"] == 13
+    assert stats["s1"]["n_dup_tokens"] == 10
+    assert stats["s1"]["dup_frac"] == round(10 / 13, 6)
+
+
+def test_long_document_mostly_covered_rebuild_is_linear(spark):
+    """The round-10 rebuild (sorted-cov run bounds + one slice per
+    uncovered gap) on the tier's motivating workload: a long document
+    that is MOSTLY boilerplate. 20k tokens per doc, ~50-63% covered —
+    the r9 per-token array_contains scan was O(n_tokens x |cov|) here
+    (~2x10^8 comparisons per doc); the run-slicing rebuild is
+    O(n_tokens + n_runs). Correctness pinned against the brute model;
+    the wall is measured in SCALE.md (round 10), not asserted."""
+    blk = " ".join(f"b{i}" for i in range(100))  # 100-token boilerplate block
+    rng = random.Random(5)
+    mk = lambda j: " ".join(  # noqa: E731
+        blk if rng.random() < 0.55 else f"u{j}x{i} " * 100
+        for i in range(200)
+    )  # ~20k tokens, ~55% covered by the shared block
+    docs = [(j, mk(j)) for j in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["n_spans"], r["clean_text"])
+        for r in excise_repeated_windows(df, 8).collect()
+    }
+    assert got == _brute_excise(docs, 8)
+    assert all(v[0] >= 19000 and v[1] >= 0.45 * v[0] for v in got.values())

@@ -167,3 +167,20 @@ def test_redact_spans_random_corpus_matches_brute_force(spark, seed):
         for r in redact_spans(df, phrases).collect()
     }
     assert got == _brute_redact(docs, phrases), seed
+
+
+def test_redact_spans_null_text_passes_as_empty(spark):
+    """NULL-text documents come through as zero-token documents with
+    empty redacted_text and zero counts — not NULL strings that poison
+    downstream length/quality features."""
+    from d365fo_db_sync_spark.operators.text_search import redact_spans
+
+    df = spark.createDataFrame(
+        [(1, "brown fox runs"), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["n_spans"], r["redacted_text"])
+        for r in redact_spans(df, ["brown fox"]).collect()
+    }
+    assert got[1] == (1, 1, "<BLOCKED> runs")
+    assert got[2] == (0, 0, "")
