@@ -1225,9 +1225,10 @@ def centroid_silhouette(
     Scale shape: identical to the confusion matrix — centroids
     broadcast onto the posexploded corpus, map-side combine collapses
     each vector's |labels| x dim residuals, one real exchange, then a
-    |labels|-row rollup. The corpus is read once (the label-count
-    guard reuses the persisted |labels| x dim centroid frame, not a
-    second corpus scan).
+    |labels|-row rollup. The label-count guard is one eager
+    column-pruned ``distinct().limit(2)`` probe of ``label_col`` (it
+    short-circuits after two labels and touches no vector data);
+    nothing is persisted and the returned plan is fully lazy.
 
     Raises ``ValueError`` when the corpus holds fewer than two
     distinct labels: with no rival centroid every ``b`` is NULL, so
@@ -1235,19 +1236,22 @@ def centroid_silhouette(
     while dropping out of ``sum_sil``, silently deflating the
     documented caller-side mean toward 0. Silhouette is undefined
     there; fail loudly instead."""
-    cents = (
-        label_centroids(df, label_col=label_col, vec_col=vec_col)
-        .select(F.col("label").alias("c_label"), "pos", "mean_comp")
-        .persist()
-    )
-    n_labels = cents.select("c_label").distinct().count()
+    # validation is a deliberately EAGER job, but a cheap one: a
+    # column-pruned scan of label_col alone, short-circuited by the
+    # limit(2) — no centroid math runs, nothing is persisted, and the
+    # returned plan stays fully lazy (the r9 shape persisted the
+    # centroid frame for this count and leaked the cached blocks on
+    # the success path)
+    n_labels = df.select(label_col).distinct().limit(2).count()
     if n_labels < 2:
-        cents.unpersist()
         raise ValueError(
             f"centroid_silhouette needs >= 2 distinct labels (got "
             f"{n_labels}): with no rival centroid b is NULL for every "
             "vector and the silhouette is undefined"
         )
+    cents = label_centroids(df, label_col=label_col, vec_col=vec_col).select(
+        F.col("label").alias("c_label"), "pos", "mean_comp"
+    )
     e = df.select(
         F.col(id_col).alias("vid"),
         F.col(label_col).alias("label"),

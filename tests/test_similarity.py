@@ -62,6 +62,7 @@ def test_centroid_silhouette_values_and_single_label_refusal(spark):
         (3, 1, [10.0, 10.0]), (4, 1, [10.0, 10.2]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     got = {r["label"]: r for r in centroid_silhouette(df).collect()}
     for lab in (0, 1):
         assert got[lab]["n_vectors"] == 2
@@ -71,3 +72,7 @@ def test_centroid_silhouette_values_and_single_label_refusal(spark):
     one = df.filter("label = 0")
     with pytest.raises(ValueError, match="2 distinct labels"):
         centroid_silhouette(one)
+
+    # no cached-RDD leak: the r9 shape persisted the centroid frame
+    # for the label-count guard and never unpersisted on success
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == cached_before
