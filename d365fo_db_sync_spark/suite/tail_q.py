@@ -6826,3 +6826,72 @@ def docs_duplicate_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_token_stats(docs, k=8)
+
+
+@register(
+    "sketch_kmv_priority_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS g,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+      FROM orders),
+    r AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM h),
+    sk AS (
+      SELECT g, list(h ORDER BY h) AS kmins
+      FROM r WHERE rn <= 64 GROUP BY g)
+    SELECT a.g AS prio_a, b.g AS prio_b,
+           CASE WHEN len(m) < 64 THEN CAST(len(m) AS DOUBLE)
+                ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(m[64] AS DOUBLE) END AS union_est,
+           CAST(len(list_filter(m, x -> list_contains(a.kmins, x)
+                                    AND list_contains(b.kmins, x)))
+                AS DOUBLE)
+             / CAST(GREATEST(len(m), 1) AS DOUBLE) AS jaccard_est,
+           (CAST(len(list_filter(m, x -> list_contains(a.kmins, x)
+                                     AND list_contains(b.kmins, x)))
+                 AS DOUBLE)
+              / CAST(GREATEST(len(m), 1) AS DOUBLE))
+           * (CASE WHEN len(m) < 64 THEN CAST(len(m) AS DOUBLE)
+                   ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+                        / CAST(m[64] AS DOUBLE) END) AS inter_est
+    FROM sk a JOIN sk b ON a.g < b.g
+    CROSS JOIN LATERAL (
+      SELECT list_slice(list_sort(list_distinct(a.kmins || b.kmins)), 1, 64)
+        AS m) s
+    """,
+)
+def sketch_kmv_priority_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k audience overlap (operators/sketches.kmv_*): per
+    order-priority pair, the estimated distinct-customer union,
+    Jaccard, and intersection — from ONE bottom-64 sketch per priority
+    (the k smallest md5-60-bit hashes of o_custkey), never a rescan of
+    the fact table. The estimator is deterministic arithmetic over an
+    engine-independent hash (first 15 hex chars of md5 read as a
+    60-bit integer), so DuckDB replays every double bit-for-bit:
+    sketch, k-th-order-statistic union estimate, inclusion-ratio
+    Jaccard, and their product. Sub-k merges degrade to EXACT set
+    math by construction.
+
+    Scale shape: one distinct pass keyed (group, 8-byte hash), a
+    per-group bounded rank, then |groups|^2/2 pure-array rows — the
+    whole point of carrying sketches is that the pair loop never
+    touches the corpus. Accuracy contract (5·rse empirical bounds,
+    merge associativity, exact-under-k) pinned in
+    tests/test_sketches.py."""
+    from d365fo_db_sync_spark.operators.sketches import (
+        kmv_pairwise_overlap,
+        kmv_sketch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = kmv_sketch(orders, ["o_orderpriority"], "o_custkey", k=64)
+    return kmv_pairwise_overlap(sk, "o_orderpriority", k=64).select(
+        F.col("o_orderpriority_a").alias("prio_a"),
+        F.col("o_orderpriority_b").alias("prio_b"),
+        "union_est",
+        "jaccard_est",
+        "inter_est",
+    )
