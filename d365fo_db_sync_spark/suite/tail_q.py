@@ -6578,6 +6578,7 @@ def text_phrase_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_phrase_redaction",
+    bench=True,
     oracle="""
     WITH tok AS (
       SELECT doc_id,
@@ -6736,6 +6737,7 @@ def docs_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_substring_excision",
+    bench=True,
     oracle=f"""
     WITH tok AS ({_SUBSTR_TOK_SQL}),
     wins AS ({_SUBSTR_WINS_SQL}),
@@ -6894,4 +6896,123 @@ def sketch_kmv_priority_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union_est",
         "jaccard_est",
         "inter_est",
+    )
+
+
+_CUR_XS_ORACLE = f"""
+    WITH f AS (
+      SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+      FROM documents),
+    k AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY fp),
+    e1 AS (SELECT f.doc_id FROM f
+           JOIN k ON f.fp = k.fp AND f.doc_id = k.keep_id),
+    tok AS (SELECT d.doc_id, {_TOKS_SQL} AS toks
+            FROM documents d JOIN e1 USING (doc_id)),
+    s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, GREATEST(len(toks) - 2, 1) + 1)])
+               AS sh
+      FROM tok),
+    e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM s),
+    dupb AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING ROUND(COUNT(*) / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)),
+                     6) >= 0.8)),
+    e2 AS (SELECT doc_id FROM e1
+           WHERE doc_id NOT IN (SELECT doc_id FROM dupb)),
+    xtok AS (
+      SELECT d.doc_id,
+             COALESCE(list_filter(
+                 regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                 x -> x <> ''), CAST([] AS VARCHAR[])) AS arr
+      FROM documents d JOIN e2 USING (doc_id)),
+    wins AS (
+      SELECT doc_id, generate_subscripts(ws, 1) - 1 AS start, unnest(ws) AS w
+      FROM (SELECT doc_id,
+                   [array_to_string(arr[i : i + 7], ' ')
+                    for i in range(1, GREATEST(len(arr) - 7, 0) + 1)] AS ws
+            FROM xtok)),
+    dw AS (SELECT w FROM wins GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT p) AS n_dup
+      FROM (SELECT doc_id, unnest(range(start, start + 8)) AS p
+            FROM wins JOIN dw USING (w))
+      GROUP BY 1),
+    xc AS (SELECT x.doc_id, len(x.arr) - COALESCE(c.n_dup, 0) AS clean_n
+           FROM xtok x LEFT JOIN cov c USING (doc_id))
+    SELECT d.doc_id,
+           CASE WHEN e1.doc_id IS NULL THEN 'dropped_exact'
+                WHEN db.doc_id IS NOT NULL THEN 'dropped_fuzzy'
+                WHEN xc.clean_n < 30 THEN 'dropped_quality'
+                ELSE 'kept' END AS status,
+           CAST(COALESCE(xc.clean_n, 0) AS BIGINT) AS n_tokens_clean
+    FROM documents d
+    LEFT JOIN e1 ON d.doc_id = e1.doc_id
+    LEFT JOIN dupb db ON d.doc_id = db.doc_id
+    LEFT JOIN xc ON d.doc_id = xc.doc_id
+    """
+
+
+@register("pipeline_curation_exactsubstr", oracle=_CUR_XS_ORACLE)
+def pipeline_curation_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISHED curation order as one composed lazy plan — exact
+    dedup -> fuzzy (n-gram Jaccard) dedup -> ExactSubstr substring
+    excision -> quality gate on the EXCISED token count — with a
+    per-document outcome: every input document returns exactly one of
+    ``dropped_exact`` (not the keeper of its fingerprint group),
+    ``dropped_fuzzy`` (the higher id of a >=0.8-Jaccard survivor
+    pair), ``dropped_quality`` (fewer than 30 tokens SURVIVE substring
+    excision — boilerplate-only documents die here even though their
+    raw length passes), or ``kept``; plus the post-excision token
+    count that downstream packing would actually consume. The oracle
+    replays the full composition per document, not stage-by-stage.
+
+    This extends pipeline_corpus_curation with the sub-document tier:
+    document-granularity dedup keeps a page whose unique content is
+    one sentence glued to a universal boilerplate header; excision
+    removes the header everywhere and the quality gate then judges
+    what is actually left.
+
+    Scale shape: fingerprint dedup is one combinable shuffle;
+    the pair stage is prefix-filtered AllPairs (never n^2, only
+    survivors shingled); excision runs only on fuzzy survivors with
+    the hashed-window option available at 100 TB; the outcome
+    assembly is three left joins keyed on doc_id where the marker
+    sides (dup keepers, fuzzy drops) are corpus-small and broadcast
+    under AQE."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.exact_substr import (
+        excise_repeated_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", text_ops.fingerprint("text").alias("fp"))
+    e1 = dedup.exact_dedup(base, cols=["fp"], key="doc_id").select("doc_id")
+    d1 = docs.join(e1, on="doc_id", how="left_semi")
+    pairs = dedup.ngram_jaccard_pairs(d1, "doc_id", "text", n=3, threshold=0.8)
+    dropped_fuzzy = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    d2 = d1.join(dropped_fuzzy, on="doc_id", how="left_anti")
+    exc = excise_repeated_windows(d2, k=8).select(
+        "doc_id", (F.col("n_tokens") - F.col("n_dup_tokens")).alias("clean_n")
+    )
+    out = (
+        docs.select("doc_id")
+        .join(e1.withColumn("m1", F.lit(1)), on="doc_id", how="left")
+        .join(dropped_fuzzy.withColumn("mb", F.lit(1)), on="doc_id", how="left")
+        .join(exc, on="doc_id", how="left")
+    )
+    status = (
+        F.when(F.col("m1").isNull(), "dropped_exact")
+        .when(F.col("mb").isNotNull(), "dropped_fuzzy")
+        .when(F.col("clean_n") < 30, "dropped_quality")
+        .otherwise("kept")
+    )
+    return out.select(
+        "doc_id",
+        status.alias("status"),
+        F.coalesce("clean_n", F.lit(0)).cast("long").alias("n_tokens_clean"),
     )
