@@ -896,6 +896,165 @@ def jpeg_image_codec() -> Codec:
     return codec
 
 
+#: standard DC luminance Huffman table (ITU T.81 Table K.3): BITS then
+#: HUFFVAL — categories 0..11 cover every legal 8-bit-precision DC diff
+_JPEG_STD_DC_COUNTS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_STD_DC_SYMBOLS = tuple(range(12))
+
+
+def _jpeg_huffenc(counts, symbols) -> dict:
+    """Canonical JPEG Huffman ENCODER table: symbol -> (code, length).
+    The inverse twin of :func:`_jpeg_huffman_lut`, same T.81 Annex C
+    assignment (codes in symbol order within each length, doubled
+    between lengths)."""
+    enc, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[symbols[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with T.81 byte stuffing (a 0xFF data byte
+    is followed by 0x00) — the encode twin of :class:`_JpegBits`."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+        return bytes(self.out)
+
+
+def encode_dc_jpeg(
+    dc_values,
+    blocks_per_row: int,
+    quant: int = 16,
+) -> bytes:
+    """Emit a minimal but fully standard baseline grayscale JPEG whose
+    8x8 blocks are FLAT: block i carries only the quantized DC
+    coefficient ``dc_values[i]`` (row-major), every AC coefficient
+    zero. Decoded output is exactly ``clip(dc * quant / 8 + 128)`` per
+    pixel — the IDCT of a DC-only block is the constant ``F(0,0)/8``
+    — which makes staged corpora VALUE-PREDICTABLE: a SQL oracle can
+    recompute the decoded features without running a decoder.
+
+    This is the staging/fixture twin of the full decoder above, not a
+    general-purpose encoder (no FDCT — the test suite's independent
+    forward encoder covers that); it exists so query-level tests can
+    push real JPEG bytes through the production decode path
+    (marker walk, DHT/DQT parse, Huffman decode, dequant, IDCT) with
+    oracle-checkable output. Standard DC Huffman table (T.81 K.3.1);
+    the AC table declares only the EOB symbol, which is all a DC-only
+    scan ever emits."""
+    n = len(dc_values)
+    if n == 0 or blocks_per_row <= 0 or n % blocks_per_row:
+        raise ValueError(
+            f"need a full block grid: {n} blocks, {blocks_per_row} per row"
+        )
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant must fit one DQT byte, got {quant}")
+    rows = n // blocks_per_row
+    width, height = 8 * blocks_per_row, 8 * rows
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([quant]) * 64)
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dc_counts, dc_syms = _JPEG_STD_DC_COUNTS, _JPEG_STD_DC_SYMBOLS
+    ac_counts, ac_syms = (0, 1) + (0,) * 14, (0x00,)  # EOB only, 2-bit code
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+        + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    dc_enc = _jpeg_huffenc(dc_counts, dc_syms)
+    eob_code, eob_len = _jpeg_huffenc(ac_counts, ac_syms)[0x00]
+    bits = _JpegBitWriter()
+    pred = 0
+    for dc in dc_values:
+        dc = int(dc)
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        code, length = dc_enc[t]
+        bits.write(code, length)
+        if t:
+            bits.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        bits.write(eob_code, eob_len)
+    return JPEG_SOI + dqt + dht + sof + sos + bits.flush() + b"\xff\xd9"
+
+
+def jpeg_assets_from_documents(docs: DataFrame, side: int = 2) -> DataFrame:
+    """Stage a deterministic JPEG asset table from the documents
+    corpus: each document becomes one ``side``x``side``-block (8·side
+    px square) grayscale baseline JPEG via :func:`encode_dc_jpeg`,
+    with block DC levels derived from the document's leading
+    characters — ``dc_i = (codepoint_i % 64) - 32`` over
+    ``text + 'AAAA...'`` padding. With the default quant 16 each block
+    decodes to the flat value ``2·dc + 128`` (range [64, 190], never
+    clipped), so a SQL oracle recomputes the decoded luminance
+    histogram from the raw text. Encoding runs executor-side in the
+    same Arrow-batch shape as the decode stage."""
+    n_blocks = side * side
+    pad = "A" * n_blocks
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text or "") + pad)[:n_blocks]
+                dcs = [(ord(ch) % 64) - 32 for ch in s]
+                ids.append(doc_id)
+                blobs.append(encode_dc_jpeg(dcs, side))
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    staged = docs.select("doc_id", "text").mapInPandas(
+        stage,
+        schema=T.StructType(
+            [
+                T.StructField("asset_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return staged.select(
+        "asset_id",
+        F.lit("image").alias("media_type"),
+        "content",
+        F.create_map(F.lit("codec"), F.lit("jpeg-dc")).alias("meta"),
+    )
+
+
 def auto_image_codec(prefer_real: bool = True) -> Codec:
     """Signature-sniffing image codec: PNG, GIF, JPEG, and binary-PPM
     payloads take the REAL stdlib decoders above; anything else falls

@@ -21,6 +21,24 @@ Design:
   re-identification risks (an attacker who knows those attributes
   pins the individual to under k candidates). One groupBy; policy
   (suppress/generalize/drop) stays with the caller.
+* :func:`suppress_below_k` — the suppression policy itself, shaped
+  for HIGH-cardinality quasi-identifiers: a window count over the QI
+  partition keys, so the whole mitigation is ONE shuffle with no
+  audit-frame join. The audit+join composition pays the QI shuffle
+  twice and, when groups ≈ rows (the cardinality-explosion case), the
+  audit frame is too big to broadcast — the join becomes a second
+  full shuffle. The window form cannot.
+* :func:`l_diversity_audit` — Machanavajjhala et al.'s refinement:
+  a k-anonymous group whose SENSITIVE attribute is constant still
+  leaks it; flag groups with fewer than ``l`` distinct sensitive
+  values. One groupBy with a distinct aggregate.
+* :func:`generalize_until_k` — the generalization-ladder escape for
+  when suppression would delete too much: coarsen the quasi-
+  identifiers level by level (caller-supplied expressions, e.g. day →
+  week → month) until the audit passes, falling back to suppression
+  at the coarsest level. The ladder walk is a driver-side loop of
+  one count() per level — bounded by the ladder length, never by the
+  data.
 
 Pseudonymization is NOT anonymization — linkage attacks against the
 remaining quasi-identifiers are exactly what the audit measures; ship
@@ -32,7 +50,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_audit", "pseudonymize"]
+__all__ = [
+    "generalize_until_k",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "pseudonymize",
+    "suppress_below_k",
+]
 
 
 def pseudonymize(
@@ -101,3 +125,111 @@ def k_anonymity_audit(
         F.count("*").alias("group_size"),
         (F.count("*") < F.lit(k)).alias("at_risk"),
     )
+
+
+def suppress_below_k(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Drop every row whose quasi-identifier combination appears on
+    fewer than ``k`` rows — the suppression mitigation for the risks
+    :func:`k_anonymity_audit` reports, as ONE window-count shuffle.
+
+    Scale shape (the reason this is not audit + join-back): with a
+    high-cardinality quasi-identifier set — the groupBy-key-explosion
+    case, where the number of distinct combinations approaches the row
+    count — the audit frame is row-sized, so joining it back is a
+    second full shuffle of the corpus (broadcast is off the table) and
+    map-side partial aggregation buys nothing. ``count() OVER
+    (PARTITION BY qi)`` moves each row exactly once; the count and the
+    filter happen where the row already landed. The output keeps the
+    input schema unchanged."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if k < 2:
+        raise ValueError(f"k must be >= 2 to mean anything, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("__group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("__group_size") >= k)
+        .drop("__group_size")
+    )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct-sensitive-value counts per quasi-identifier
+    combination, flagging groups with fewer than ``l`` distinct values
+    of ``sensitive_col`` (Machanavajjhala et al. 2007: a k-anonymous
+    group whose disease column reads 'cancer' k times still discloses
+    it — homogeneity k-anonymity cannot see). NULL sensitive values
+    carry no disclosure and do not count toward diversity. One
+    groupBy; the distinct aggregate expands to Spark's standard
+    two-phase plan (partial distinct map-side, final count after the
+    one QI shuffle)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive column {sensitive_col!r} cannot be a quasi-identifier"
+        )
+    if l < 2:
+        raise ValueError(f"l must be >= 2 to mean anything, got {l}")
+    return df.groupBy(*quasi_cols).agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct(sensitive_col).alias("distinct_sensitive"),
+        (F.countDistinct(sensitive_col) < F.lit(l)).alias("at_risk"),
+    )
+
+
+def generalize_until_k(
+    df: DataFrame,
+    quasi_cols: list[str],
+    ladder: list[dict],
+    k: int = 5,
+):
+    """Walk a generalization ladder until the corpus is k-anonymous,
+    suppressing at the coarsest level if it never is.
+
+    ``ladder`` is an ordered list of levels, finest first; each level
+    maps a quasi-identifier column name to the coarsened expression to
+    substitute (e.g. level 1 truncates dates to the week, level 2 to
+    the month). Level 0 — the identity, no substitution — is implied
+    and tried first. The first level whose :func:`k_anonymity_audit`
+    reports zero at-risk groups wins; if even the last level leaks,
+    :func:`suppress_below_k` runs on it (the escape hatch — coarsening
+    has a floor, suppression always terminates).
+
+    Returns ``(released_df, level, suppressed)`` where ``level`` is the
+    winning ladder index (0 = no generalization) and ``suppressed``
+    says the escape fired. Cost: one count() job per level tried —
+    driver-side, bounded by ``len(ladder)``, each a single-shuffle
+    aggregate with map-side partials."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 to mean anything, got {k}")
+    levels: list[dict] = [{}] + list(ladder)
+    for extra in levels[1:]:
+        unknown = set(extra) - set(quasi_cols)
+        if unknown:
+            raise ValueError(f"ladder generalizes non-QI columns: {sorted(unknown)}")
+    cand = df
+    for level, mapping in enumerate(levels):
+        cand = df
+        for col, expr in mapping.items():
+            cand = cand.withColumn(col, expr)
+        risk = (
+            k_anonymity_audit(cand, quasi_cols, k=k)
+            .filter(F.col("at_risk"))
+            .limit(1)
+            .count()
+        )
+        if risk == 0:
+            return cand, level, False
+    return suppress_below_k(cand, quasi_cols, k=k), len(levels) - 1, True

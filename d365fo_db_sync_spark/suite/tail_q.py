@@ -7016,3 +7016,133 @@ def pipeline_curation_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame
         status.alias("status"),
         F.coalesce("clean_n", F.lit(0)).cast("long").alias("n_tokens_clean"),
     )
+
+
+@register(
+    "privacy_k_suppression",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type, COUNT(*) AS gs
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COALESCE(SUM(CASE WHEN gs >= 5 THEN gs END), 0) AS BIGINT)
+             AS rows_kept,
+           CAST(COUNT(CASE WHEN gs >= 5 THEN 1 END) AS BIGINT)
+             AS combos_kept,
+           CAST(COALESCE(SUM(CASE WHEN gs < 5 THEN gs END), 0) AS BIGINT)
+             AS rows_suppressed
+    FROM g GROUP BY 1
+    """,
+)
+def privacy_k_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity SUPPRESSION on a high-cardinality quasi-identifier
+    set (operators/privacy.py suppress_below_k): the released
+    (user, event_type) activity table drops every combination observed
+    on fewer than k=5 events, as one window-count shuffle — no audit
+    frame, no join-back. This is the groupBy-key-explosion shape
+    (distinct combinations ~ row count) where the audit+join
+    composition pays the quasi-identifier shuffle twice and the audit
+    frame is too large to broadcast; the plan here has exactly one
+    exchange (pinned in tests/test_privacy.py). The rollup compares
+    kept vs suppressed volume per event_type; the oracle replays the
+    suppression from group sizes."""
+    from d365fo_db_sync_spark.operators.privacy import suppress_below_k
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    kept = suppress_below_k(ev, ["user_id", "event_type"], k=5)
+    kept_roll = kept.groupBy("event_type").agg(
+        F.count("*").alias("rows_kept"),
+        F.countDistinct("user_id").alias("combos_kept"),
+    )
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("rows_total"))
+    return totals.join(kept_roll, on="event_type", how="left").select(
+        "event_type",
+        F.coalesce("rows_kept", F.lit(0)).alias("rows_kept"),
+        F.coalesce("combos_kept", F.lit(0)).alias("combos_kept"),
+        (F.col("rows_total") - F.coalesce("rows_kept", F.lit(0))).alias(
+            "rows_suppressed"
+        ),
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT user_id) AS distinct_sensitive,
+           COUNT(DISTINCT user_id) < 3 AS at_risk
+    FROM events GROUP BY 1, 2
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/privacy.py l_diversity_audit) over
+    the released (event_type, day) cells: a cell all of whose events
+    belong to fewer than l=3 distinct individuals discloses membership
+    even when its raw row count passes k-anonymity — the homogeneity
+    leak k-anonymity cannot see. One groupBy with Spark's two-phase
+    distinct aggregate (partial distinct map-side, one shuffle on the
+    quasi-identifier keys)."""
+    from d365fo_db_sync_spark.operators.privacy import l_diversity_audit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    return l_diversity_audit(ev, ["event_type", "day"], "user_id", l=3)
+
+
+@register(
+    "multimodal_decode_jpeg",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, substr(coalesce(text, '') || 'AAAA', 1, 4) AS s
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             [ (2 * ((ascii(substr(s, i, 1)) % 64) - 32) + 128) // 32
+               for i in range(1, 5) ] AS bins
+      FROM t)
+    SELECT doc_id AS asset_id,
+           CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+           len(list_filter(bins, b -> b = 0)) / 4.0 AS b0,
+           len(list_filter(bins, b -> b = 1)) / 4.0 AS b1,
+           len(list_filter(bins, b -> b = 2)) / 4.0 AS b2,
+           len(list_filter(bins, b -> b = 3)) / 4.0 AS b3,
+           len(list_filter(bins, b -> b = 4)) / 4.0 AS b4,
+           len(list_filter(bins, b -> b = 5)) / 4.0 AS b5,
+           len(list_filter(bins, b -> b = 6)) / 4.0 AS b6,
+           len(list_filter(bins, b -> b = 7)) / 4.0 AS b7
+    FROM d
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused JPEG stage -> decode -> feature query through the REAL
+    codec path (operators/multimodal.py): each document is staged as a
+    deterministic 16x16 DC-only baseline grayscale JPEG
+    (jpeg_assets_from_documents), then decoded by the production
+    auto_image_codec route — signature sniff, marker walk, DHT/DQT
+    parse, Huffman entropy decode, dequantize, IDCT, level shift,
+    luminance histogram — inside one mapInPandas Arrow-batch stage.
+    Because a DC-only block decodes to the flat value 2*dc + 128, the
+    SQL oracle recomputes the decoded 8-bin histogram from the raw
+    text codepoints WITHOUT a decoder: the decode output is
+    value-checked cross-engine, not just row-counted. (Pillow, when
+    importable, decodes the same bytes to the same flat blocks —
+    integer-exact for DC-only payloads — so the oracle holds on
+    either decode path.)"""
+    from d365fo_db_sync_spark.operators import multimodal
+
+    multimodal.register_codec("image", multimodal.auto_image_codec())
+    assets = multimodal.jpeg_assets_from_documents(
+        load_table(spark, sf_dir, "documents"), side=2
+    )
+    feats = multimodal.decode_features(assets)
+    cols = [
+        F.col("feature").getItem(i).cast("double").alias(f"b{i}") for i in range(8)
+    ]
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        *cols,
+    )

@@ -1121,3 +1121,125 @@ class TestJpegCodec:
         # libjpeg uses smoothing-free 4:4:4 here; small IDCT rounding
         # differences are expected, gross mismatches are not
         assert np.abs(ours - ref).max() <= 2
+
+
+class TestDcJpegEncoder:
+    """encode_dc_jpeg: the DC-only staging encoder. Verified against
+    the production DECODER (the decoder itself is pinned against the
+    independent full forward encoder above — this class checks the
+    staging twin rides the same verified path) and against the
+    closed-form contract pixel == 2*dc + 128 at quant 16."""
+
+    def test_flat_blocks_decode_to_closed_form(self):
+        import numpy as np
+
+        from d365fo_db_sync_spark.operators.multimodal import (
+            encode_dc_jpeg,
+            jpeg_decode_pixels,
+        )
+
+        dcs = [0, 31, -32, 7, -1, 16]
+        px = jpeg_decode_pixels(encode_dc_jpeg(dcs, 3))
+        assert px.shape == (16, 24)
+        exp = np.zeros((16, 24), dtype=np.int64)
+        for i, dc in enumerate(dcs):
+            r, c = divmod(i, 3)
+            exp[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = 2 * dc + 128
+        assert (px == exp).all()
+
+    def test_quant_scales_the_flat_value(self):
+        from d365fo_db_sync_spark.operators.multimodal import (
+            encode_dc_jpeg,
+            jpeg_decode_pixels,
+        )
+
+        px = jpeg_decode_pixels(encode_dc_jpeg([4], 1, quant=8))
+        assert (px == 4 * 8 // 8 + 128).all()  # dc*q/8 + 128
+
+    def test_extreme_dc_swings_roundtrip(self):
+        """Max-category DC diffs (±63, the densest 1-bit patterns this
+        alphabet can emit) must survive the round trip."""
+        from d365fo_db_sync_spark.operators.multimodal import (
+            encode_dc_jpeg,
+            jpeg_decode_pixels,
+        )
+
+        dcs = [31, -32] * 8
+        px = jpeg_decode_pixels(encode_dc_jpeg(dcs, 4))
+        for i, dc in enumerate(dcs):
+            r, c = divmod(i, 4)
+            assert px[r * 8, c * 8] == 2 * dc + 128
+
+    def test_bit_writer_stuffs_ff(self):
+        """A DC-only scan with the standard tables can never align
+        eight 1-bits (runs cap at 6 before the all-zero EOB code), so
+        the writer's T.81 stuffing rule is pinned directly: a 0xFF
+        data byte must be followed by 0x00, and the unstuffing reader
+        must invert it."""
+        from d365fo_db_sync_spark.operators.multimodal import (
+            _JpegBits,
+            _JpegBitWriter,
+        )
+
+        w = _JpegBitWriter()
+        w.write(0xFF, 8)
+        w.write(0xA5, 8)
+        out = w.flush()
+        assert out == b"\xff\x00\xa5"
+        segs, _ = __import__(
+            "d365fo_db_sync_spark.operators.multimodal", fromlist=["x"]
+        )._jpeg_split_entropy(out, 0)
+        assert segs[0] == b"\xff\xa5"
+        r = _JpegBits(segs[0])
+        assert (r.bits(8), r.bits(8)) == (0xFF, 0xA5)
+
+    def test_histogram_feature_contract(self):
+        from d365fo_db_sync_spark.operators.multimodal import (
+            encode_dc_jpeg,
+            jpeg_image_codec,
+        )
+
+        # four blocks at pixel values 64, 128, 128, 190 -> bins 2, 4, 4, 5
+        feat = jpeg_image_codec()(encode_dc_jpeg([-32, 0, 0, 31], 2), "image")
+        assert (feat["width"], feat["height"]) == (16, 16)
+        assert feat["feature"] == [0, 0, 0.25, 0, 0.5, 0.25, 0, 0]
+
+    def test_grid_and_quant_validation(self):
+        from d365fo_db_sync_spark.operators.multimodal import encode_dc_jpeg
+
+        with pytest.raises(ValueError, match="full block grid"):
+            encode_dc_jpeg([1, 2, 3], 2)
+        with pytest.raises(ValueError, match="full block grid"):
+            encode_dc_jpeg([], 2)
+        with pytest.raises(ValueError, match="quant"):
+            encode_dc_jpeg([1, 2], 2, quant=256)
+
+    def test_staged_assets_decode_through_auto_codec(self, spark):
+        from pyspark.sql import functions as F
+
+        from d365fo_db_sync_spark.operators import multimodal
+
+        docs = spark.createDataFrame(
+            [(7, "Hello world"), (8, None), (9, "xy")],
+            "doc_id long, text string",
+        )
+        assets = multimodal.jpeg_assets_from_documents(docs, side=2)
+        multimodal.register_codec("image", multimodal.auto_image_codec())
+        try:
+            rows = {
+                r["asset_id"]: r
+                for r in multimodal.decode_features(assets).collect()
+            }
+        finally:
+            multimodal.register_default_codecs()
+        assert set(rows) == {7, 8, 9}
+        for doc_id, text in ((7, "Hello world"), (8, ""), (9, "xy")):
+            s = (text + "AAAA")[:4]
+            bins = [0.0] * 8
+            for ch in s:
+                bins[(2 * ((ord(ch) % 64) - 32) + 128) // 32] += 0.25
+            r = rows[doc_id]
+            assert (r["width"], r["height"]) == (16, 16)
+            assert [round(b, 6) for b in r["feature"]] == [
+                round(b, 6) for b in bins
+            ]

@@ -73,3 +73,122 @@ def test_k_anonymity_audit_flags_small_groups(spark):
         k_anonymity_audit(df, ["country"], k=1)
     with pytest.raises(ValueError, match="at least one"):
         k_anonymity_audit(df, [], k=5)
+
+
+def test_suppress_below_k_matches_bruteforce(spark):
+    from d365fo_db_sync_spark.operators.privacy import suppress_below_k
+
+    rows = [
+        ("a", "x", i) for i in range(5)
+    ] + [("a", "y", 0), ("b", "x", 1), ("b", "x", 2), ("c", "z", 3)]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, payload int")
+    kept = suppress_below_k(df, ["q1", "q2"], k=3)
+    assert kept.columns == df.columns  # schema unchanged, helper column gone
+    got = sorted((r["q1"], r["q2"], r["payload"]) for r in kept.collect())
+    # only the (a, x) group reaches k=3; every row of it survives intact
+    assert got == sorted(("a", "x", i) for i in range(5))
+
+
+def test_suppress_below_k_is_one_shuffle_no_join(spark):
+    """The scale contract: high-cardinality QI suppression must be ONE
+    exchange (the window partition) and must NOT join an audit frame
+    back — that second shuffle is the composition this operator
+    replaces."""
+    from d365fo_db_sync_spark.operators.privacy import suppress_below_k
+    from d365fo_db_sync_spark.plans.audit import explain_formatted, physical_operators
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_type"
+    )
+    kept = suppress_below_k(ev, ["user_id", "event_type"], k=5)
+    ops = physical_operators(kept)
+    assert sum("Exchange" in o for o in ops) == 1, ops
+    assert not any("Join" in o for o in ops), ops
+    assert any("Window" in o for o in ops), ops
+    # the helper count column is projected away before the plan returns
+    assert "__group_size" not in explain_formatted(kept).split("Output")[0]
+
+
+def test_suppress_below_k_validation(spark):
+    from d365fo_db_sync_spark.operators.privacy import suppress_below_k
+
+    df = spark.createDataFrame([("a", 1)], "q string, v int")
+    with pytest.raises(ValueError, match="at least one column"):
+        suppress_below_k(df, [], k=5)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        suppress_below_k(df, ["q"], k=1)
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from d365fo_db_sync_spark.operators.privacy import l_diversity_audit
+
+    rows = [
+        # group (a): 4 rows but ONE sensitive value -> at risk at l=2
+        ("a", "flu"), ("a", "flu"), ("a", "flu"), ("a", "flu"),
+        # group (b): 2 rows, 2 distinct -> safe
+        ("b", "flu"), ("b", "cold"),
+        # group (c): NULL sensitive carries no disclosure -> 1 distinct, risk
+        ("c", "flu"), ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "qi string, dx string")
+    out = {
+        r["qi"]: (r["group_size"], r["distinct_sensitive"], r["at_risk"])
+        for r in l_diversity_audit(df, ["qi"], "dx", l=2).collect()
+    }
+    assert out == {"a": (4, 1, True), "b": (2, 2, False), "c": (2, 1, True)}
+
+
+def test_l_diversity_validation(spark):
+    from d365fo_db_sync_spark.operators.privacy import l_diversity_audit
+
+    df = spark.createDataFrame([("a", "s")], "q string, s string")
+    with pytest.raises(ValueError, match="at least one column"):
+        l_diversity_audit(df, [], "s")
+    with pytest.raises(ValueError, match="cannot be a quasi-identifier"):
+        l_diversity_audit(df, ["q", "s"], "s")
+    with pytest.raises(ValueError, match="l must be >= 2"):
+        l_diversity_audit(df, ["q"], "s", l=1)
+
+
+def test_generalize_until_k_walks_ladder_then_suppresses(spark):
+    import pyspark.sql.functions as F
+
+    from d365fo_db_sync_spark.operators.privacy import generalize_until_k
+
+    # zips 10001..10004 with 3 rows each, plus a singleton 99999
+    rows = [(f"{z}", i) for z in range(10001, 10005) for i in range(3)]
+    rows += [("99999", 0)]
+    df = spark.createDataFrame(rows, "zip string, v int")
+    ladder = [{"zip": F.substring("zip", 1, 3)}, {"zip": F.substring("zip", 1, 1)}]
+
+    # k=12: raw zips fail, 3-digit prefix pools 10001-10004 into '100'
+    # (12 rows) but leaves '999' a singleton; 1-digit prefix still
+    # leaves '9' a singleton -> suppression escape fires on it
+    out, level, suppressed = generalize_until_k(df, ["zip"], ladder, k=12)
+    assert (level, suppressed) == (2, True)
+    got = {(r["zip"]) for r in out.select("zip").distinct().collect()}
+    assert got == {"1"}  # the '9' singleton was suppressed at the top level
+    assert out.count() == 12
+
+    # k=3: level 0 already passes... except the singleton; level 1 pools it? no
+    # k=2: level 1 ('100' x12 + '999' x1) still leaks; check a clean pass:
+    df2 = df.filter(F.col("zip") != "99999")
+    out2, level2, supp2 = generalize_until_k(df2, ["zip"], ladder, k=3)
+    assert (level2, supp2) == (0, False)  # identity level already k-anonymous
+    assert out2.count() == 12
+
+    out3, level3, supp3 = generalize_until_k(df2, ["zip"], ladder, k=12)
+    assert (level3, supp3) == (1, False)  # one coarsening step suffices
+    assert {r["zip"] for r in out3.select("zip").distinct().collect()} == {"100"}
+
+
+def test_generalize_until_k_validation(spark):
+    import pyspark.sql.functions as F
+
+    from d365fo_db_sync_spark.operators.privacy import generalize_until_k
+
+    df = spark.createDataFrame([("a", 1)], "q string, v int")
+    with pytest.raises(ValueError, match="non-QI columns"):
+        generalize_until_k(df, ["q"], [{"v": F.lit(0)}], k=2)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        generalize_until_k(df, ["q"], [], k=1)
