@@ -32,6 +32,12 @@ Design:
   a k-anonymous group whose SENSITIVE attribute is constant still
   leaks it; flag groups with fewer than ``l`` distinct sensitive
   values. One groupBy with a distinct aggregate.
+* :func:`t_closeness_audit` — Li et al.'s further refinement: a
+  group can be l-diverse yet still skew far from the corpus-wide
+  sensitive distribution (99% cancer in a group vs 1% globally tells
+  an attacker plenty). Flags groups whose total-variation distance
+  from the global distribution exceeds ``t``. Two shuffles; the
+  global distribution is a broadcast.
 * :func:`generalize_until_k` — the generalization-ladder escape for
   when suppression would delete too much: coarsen the quasi-
   identifiers level by level (caller-supplied expressions, e.g. day →
@@ -56,6 +62,7 @@ __all__ = [
     "l_diversity_audit",
     "pseudonymize",
     "suppress_below_k",
+    "t_closeness_audit",
 ]
 
 
@@ -186,6 +193,79 @@ def l_diversity_audit(
         F.count("*").alias("group_size"),
         F.countDistinct(sensitive_col).alias("distinct_sensitive"),
         (F.countDistinct(sensitive_col) < F.lit(l)).alias("at_risk"),
+    )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """Total-variation distance between each quasi-identifier group's
+    sensitive-value distribution and the corpus-wide one, flagging
+    groups above ``t`` (Li, Li & Venkatasubramanian 2007). l-diversity
+    counts values; t-closeness weighs them — a group that is 99%
+    'cancer' against a 1% global rate passes l=2 yet discloses the
+    diagnosis with near certainty.
+
+    Exactness across engines: the distance is assembled as an INTEGER
+    numerator first — for group g with size ``n_g``, corpus size
+    ``n``, group value counts ``c_gv`` and global counts ``c_v``,
+
+        num_g = sum_v_in_g |c_gv*n - c_v*n_g|  +  n_g*n  -  sum_v_in_g c_v*n_g
+
+    (values absent from the group contribute their full global mass;
+    the closed form folds them in without materializing the missing
+    (group, value) pairs), then ``tvd = num_g / (2*n_g*n)`` — ONE
+    correctly-rounded double division, so Spark and a SQL oracle agree
+    bit-for-bit regardless of summation order. NULL sensitive values
+    are excluded from both distributions.
+
+    Scale shape: one shuffle for the (QI, value) counts, one for the
+    per-group rollup; the global value distribution is
+    sensitive-cardinality-sized (small by the construction of a
+    sensitive attribute) and broadcasts, and the corpus total rides a
+    broadcast 1-row frame."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive column {sensitive_col!r} cannot be a quasi-identifier"
+        )
+    if not 0 < t < 1:
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    from pyspark.sql.functions import broadcast
+
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    pair = base.groupBy(*quasi_cols, sensitive_col).agg(F.count("*").alias("c_gv"))
+    glob = base.groupBy(sensitive_col).agg(F.count("*").alias("c_v"))
+    total = base.agg(F.count("*").alias("n"))
+    joined = pair.join(broadcast(glob), on=sensitive_col).crossJoin(broadcast(total))
+    # n_g rides a window over the SAME keys the final rollup groups on,
+    # so the window's exchange is the rollup's exchange — no extra
+    # shuffle and no group-sizes frame to join back (which could not
+    # broadcast in the high-cardinality-QI case)
+    from pyspark.sql import Window
+
+    enriched = joined.withColumn(
+        "n_g", F.sum("c_gv").over(Window.partitionBy(*quasi_cols))
+    )
+    num = enriched.groupBy(*quasi_cols).agg(
+        F.first("n_g").alias("group_size"),
+        F.first("n").alias("n"),
+        (
+            F.sum(F.abs(F.col("c_gv") * F.col("n") - F.col("c_v") * F.col("n_g")))
+            + F.first(F.col("n_g") * F.col("n"))
+            - F.sum(F.col("c_v") * F.col("n_g"))
+        ).alias("num"),
+    )
+    tvd = F.col("num") / (F.lit(2.0) * F.col("group_size") * F.col("n"))
+    return num.select(
+        *quasi_cols,
+        "group_size",
+        tvd.alias("tvd"),
+        (tvd > F.lit(float(t))).alias("at_risk"),
     )
 
 

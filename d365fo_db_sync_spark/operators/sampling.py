@@ -125,6 +125,45 @@ def weighted_sample(
     return df.filter(keep)
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight: Column,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``k`` rows sampled WITHOUT replacement with probability
+    proportional to ``weight`` — Efraimidis & Spirakis (2006) A-Res:
+    each row draws a priority ``u^(1/w)`` with ``u`` uniform in (0,1)
+    and the k largest priorities win. Where :func:`weighted_sample` is
+    Bernoulli (size jitters, weights are probabilities),
+    this is the fixed-size form (weights are RELATIVE odds — "sample
+    100k documents, quality-weighted").
+
+    Determinism: ``u`` comes from the content hash, not an RNG —
+    ``(first-8-hex-of-md5 + 0.5) / 2^32`` — so the sample survives
+    repartitioning and reruns, and an oracle can replay it. The
+    priority is compared as ``ln(u)/w`` (monotone in ``u^(1/w)`` since
+    ``ln u < 0``: larger is closer to 0), avoiding cross-engine
+    ``pow`` in favor of one ``ln`` and one division. Rows with
+    non-positive weight never qualify (A-Res has no mass for them).
+
+    Plan shape: map-side priority + ``orderBy().limit(k)`` =
+    TakeOrderedAndProject (per-partition heap, k-row driver merge),
+    never a global sort. The full-digest + key tiebreak makes the
+    order total, same discipline as :func:`exact_k_sample`."""
+    parts = [F.lit(salt)] if salt else []
+    parts += [F.col(c).cast("string") for c in key_cols]
+    digest = F.md5(F.concat_ws("\x1f", *parts))
+    u = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_HEX_SPACE))
+    w = weight.cast("double")
+    pri = F.log(u) / w
+    order = [pri.desc(), digest] + [F.col(c) for c in key_cols]
+    return df.filter(w > 0).orderBy(*order).limit(k)
+
+
 def split_column(
     key_cols: Sequence[str],
     splits: dict[str, float],

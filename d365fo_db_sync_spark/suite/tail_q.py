@@ -7146,3 +7146,70 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("long").alias("height"),
         *cols,
     )
+
+
+@register(
+    "privacy_t_closeness",
+    oracle="""
+    WITH b AS (SELECT CAST(ts AS DATE) AS day, event_type
+               FROM events WHERE event_type IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n FROM b),
+    g AS (SELECT day, event_type, COUNT(*) AS c_gv FROM b GROUP BY 1, 2),
+    v AS (SELECT event_type, COUNT(*) AS c_v FROM b GROUP BY 1),
+    e AS (SELECT g.day, g.c_gv, v.c_v, n.n,
+                 SUM(g.c_gv) OVER (PARTITION BY g.day) AS n_g
+          FROM g JOIN v USING (event_type) CROSS JOIN n),
+    s AS (SELECT day, ANY_VALUE(n_g) AS group_size, ANY_VALUE(n) AS n,
+                 SUM(ABS(c_gv * n - c_v * n_g)) + ANY_VALUE(n_g * n)
+                   - SUM(c_v * n_g) AS num
+          FROM e GROUP BY 1)
+    SELECT day, CAST(group_size AS BIGINT) AS group_size,
+           num / (2.0 * group_size * n) AS tvd,
+           num / (2.0 * group_size * n) > CAST(0.05 AS DOUBLE) AS at_risk
+    FROM s
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/privacy.py t_closeness_audit):
+    per released day, the total-variation distance between that day's
+    event-type mix and the corpus-wide mix, flagged above t=0.05. The
+    distance numerator is assembled in INTEGER arithmetic and divided
+    once, so the double is bit-identical cross-engine (the property
+    the oracle exercises — summation-order float drift would fail the
+    value hash). Two shuffles; global distribution and corpus total
+    ride broadcasts."""
+    from d365fo_db_sync_spark.operators.privacy import t_closeness_audit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    return t_closeness_audit(ev, ["day"], "event_type", t=0.05)
+
+
+@register(
+    "sampling_weighted_priority",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS dg,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 0.5) / 4294967296.0) / n_chars AS pri
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id FROM p ORDER BY pri DESC, dg, doc_id LIMIT 100
+    """,
+)
+def sampling_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sample without replacement
+    (operators/sampling.py weighted_priority_sample, Efraimidis-
+    Spirakis A-Res): 100 documents drawn with probability proportional
+    to length, deterministically from the content hash — longer
+    documents are favored but never guaranteed, and the exact selected
+    SET is replayed by the oracle from the same md5-derived uniforms
+    and ln(u)/w priorities. Plan: map-side priority, then
+    TakeOrderedAndProject — no global sort, no shuffle of the
+    corpus."""
+    from d365fo_db_sync_spark.operators.sampling import weighted_priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_priority_sample(
+        docs, ["doc_id"], F.col("n_chars"), k=100
+    ).select("doc_id")

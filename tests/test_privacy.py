@@ -192,3 +192,46 @@ def test_generalize_until_k_validation(spark):
         generalize_until_k(df, ["q"], [{"v": F.lit(0)}], k=2)
     with pytest.raises(ValueError, match="k must be >= 2"):
         generalize_until_k(df, ["q"], [], k=1)
+
+
+def test_t_closeness_matches_bruteforce(spark):
+    from fractions import Fraction
+
+    from d365fo_db_sync_spark.operators.privacy import t_closeness_audit
+
+    rows = (
+        [("a", "cancer")] * 9 + [("a", "flu")] * 1          # heavily skewed
+        + [("b", "cancer")] * 5 + [("b", "flu")] * 5        # balanced
+        + [("c", "flu")] * 4 + [("c", None)] * 3            # NULLs excluded
+    )
+    df = spark.createDataFrame(rows, "qi string, dx string")
+    out = {
+        r["qi"]: (r["group_size"], r["tvd"], r["at_risk"])
+        for r in t_closeness_audit(df, ["qi"], "dx", t=0.2).collect()
+    }
+    # global (NULL excluded): cancer 14/24, flu 10/24
+    data = {"a": {"cancer": 9, "flu": 1}, "b": {"cancer": 5, "flu": 5},
+            "c": {"flu": 4}}
+    glob = {"cancer": Fraction(14, 24), "flu": Fraction(10, 24)}
+    for qi, counts in data.items():
+        ng = sum(counts.values())
+        tvd = sum(
+            abs(Fraction(counts.get(v, 0), ng) - p) for v, p in glob.items()
+        ) / 2
+        gs, got_tvd, risk = out[qi]
+        assert gs == ng
+        assert abs(got_tvd - float(tvd)) < 1e-15, (qi, got_tvd, tvd)
+        assert risk == (tvd > Fraction(1, 5))
+    assert out["a"][2] is True and out["b"][2] is False
+
+
+def test_t_closeness_validation(spark):
+    from d365fo_db_sync_spark.operators.privacy import t_closeness_audit
+
+    df = spark.createDataFrame([("a", "s")], "q string, s string")
+    with pytest.raises(ValueError, match="at least one column"):
+        t_closeness_audit(df, [], "s")
+    with pytest.raises(ValueError, match="cannot be a quasi-identifier"):
+        t_closeness_audit(df, ["q", "s"], "s")
+    with pytest.raises(ValueError, match="t must be in"):
+        t_closeness_audit(df, ["q"], "s", t=1.5)

@@ -464,3 +464,82 @@ def test_quantile_bands_validates(spark):
     df = spark.createDataFrame([(1.0,)], "q double")
     with pytest.raises(ValueError):
         quantile_bands(df, F.col("q"), n_bands=1)
+
+
+class TestWeightedPrioritySample:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, w double")
+
+    def test_replays_reference_selection(self, spark):
+        import hashlib
+        import math
+
+        from d365fo_db_sync_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        rows = [(i, float(1 + (i * 7) % 13)) for i in range(60)]
+        df = self._df(spark, rows)
+        got = sorted(
+            r["id"]
+            for r in weighted_priority_sample(
+                df, ["id"], df["w"], k=10, salt="s"
+            ).collect()
+        )
+
+        def pri(i, w):
+            h = int(hashlib.md5(f"s\x1f{i}".encode()).hexdigest()[:8], 16)
+            return math.log((h + 0.5) / 2**32) / w
+
+        exp = sorted(
+            i for i, w in sorted(rows, key=lambda r: -pri(*r))[:10]
+        )
+        assert got == exp
+
+    def test_k_at_least_n_returns_all_positive_weight(self, spark):
+        from d365fo_db_sync_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        df = self._df(spark, [(1, 2.0), (2, 0.0), (3, -1.0), (4, 0.5)])
+        got = sorted(
+            r["id"]
+            for r in weighted_priority_sample(df, ["id"], df["w"], k=10).collect()
+        )
+        assert got == [1, 4]  # non-positive weights never qualify
+
+    def test_weight_monotonicity_statistical(self, spark):
+        """A 10x-weighted item should be selected far more often across
+        independent salts than a 1x item — the property that makes this
+        'weighted' and not just deterministic."""
+        from d365fo_db_sync_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+
+        rows = [(i, 10.0 if i < 10 else 1.0) for i in range(100)]
+        df = self._df(spark, rows).cache()
+        try:
+            heavy = 0
+            for salt in map(str, range(8)):
+                sel = {
+                    r["id"]
+                    for r in weighted_priority_sample(
+                        df, ["id"], df["w"], k=20, salt=salt
+                    ).collect()
+                }
+                heavy += sum(1 for i in sel if i < 10)
+            # 10 heavy items at weight 10 vs 90 at weight 1: heavy items
+            # should take well over their uniform share (2 of 20) per draw
+            assert heavy >= 8 * 5, heavy
+        finally:
+            df.unpersist()
+
+    def test_plan_is_distributed_topk(self, spark):
+        from d365fo_db_sync_spark.operators.sampling import (
+            weighted_priority_sample,
+        )
+        from d365fo_db_sync_spark.plans.audit import physical_operators, uses
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = weighted_priority_sample(df, ["doc_id"], df["n_chars"], k=50)
+        assert uses(out, "TakeOrderedAndProject"), physical_operators(out)
