@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "distinct_sketch",
+    "frequent_items",
     "estimate_sketches",
     "kmv_estimate",
     "kmv_hash",
@@ -215,4 +216,112 @@ def kmv_pairwise_overlap(
         union_est.alias("union_est"),
         rho.alias("jaccard_est"),
         (rho * union_est).alias("inter_est"),
+    )
+
+
+def frequent_items(
+    df: DataFrame,
+    cols: Sequence[str],
+    min_fraction: float,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Every value combination of ``cols`` occurring in at least
+    ``min_fraction`` of rows, with its EXACT count — without ever
+    shuffling the raw key space.
+
+    The naive plan (groupBy + HAVING) shuffles every distinct key; on
+    a 100 TB corpus with near-unique keys (user ids, URLs) that
+    shuffle IS the job. This runs the classic two-phase heavy-hitters
+    pipeline instead:
+
+    1. **Candidates** — a Misra-Gries summary of capacity
+       ``ceil(1/min_fraction) + 1`` per PARTITION, accumulated across
+       the partition's Arrow batches inside one mapInPandas pass
+       (O(capacity) memory, no shuffle). The summary undercounts any
+       item by strictly less than n_p/capacity (each eviction round
+       removes at least capacity x its decrement in total mass), and
+       by pigeonhole an item with global count > n/capacity must beat
+       that bound in at least one partition — the ``+ 1`` turns the
+       threshold case ``count == min_fraction*n == n/capacity`` into a
+       strict inequality, so the candidate union is a SUPERSET of
+       every reported heavy hitter: the sketch can over-report, never
+       miss. NULL key combinations are not reported (phase 2's semi
+       join cannot match them) but still count toward ``n``.
+    2. **Exact recount** — the candidate keys (at most
+       partitions x capacity rows — broadcast-sized by construction)
+       semi-join the corpus, and only the surviving rows (which belong
+       to frequent keys, so map-side partial aggregation collapses
+       them) shuffle into an exact count, filtered at the threshold
+       against a broadcast 1-row total.
+
+    Because phase 1 is conservative and phase 2 is exact, the output
+    EQUALS the naive exact plan's — approximate machinery, exact
+    answer — which is what lets the suite query value-oracle this
+    against plain SQL. Output: ``cols`` + ``count`` + ``fraction``
+    (one double division, engine-exact).
+
+    ``capacity`` can be raised above ``ceil(1/min_fraction)`` (never
+    lowered — that would break the superset guarantee, so values below
+    the floor raise)."""
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    if not 0 < min_fraction < 1:
+        raise ValueError(f"min_fraction must be in (0, 1), got {min_fraction}")
+    import math
+
+    floor_cap = math.ceil(1.0 / min_fraction) + 1
+    if capacity is None:
+        capacity = floor_cap
+    elif capacity < floor_cap:
+        raise ValueError(
+            f"capacity {capacity} breaks the no-miss guarantee; "
+            f"need >= ceil(1/min_fraction) = {floor_cap}"
+        )
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import broadcast
+
+    cols = list(cols)
+    keyed = df.select(*cols)
+    cand_schema = T.StructType(
+        [keyed.schema[c] for c in cols]
+    )
+    cap = int(capacity)
+
+    def summarize(batches):
+        # Misra-Gries across ALL batches of this partition: keep at
+        # most `cap` counters; on overflow decrement every counter and
+        # evict zeros (amortized via min-subtraction per eviction round)
+        counters: dict[tuple, int] = {}
+        for pdf in batches:
+            for key in zip(*(pdf[c] for c in cols)):
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < cap:
+                    counters[key] = 1
+                else:
+                    dec = min(counters.values())
+                    counters = {
+                        k: v - dec for k, v in counters.items() if v > dec
+                    }
+                    if len(counters) < cap:
+                        counters[key] = 1
+        out = {c: [] for c in cols}
+        for key in counters:
+            for c, v in zip(cols, key):
+                out[c].append(v)
+        yield pd.DataFrame(out, columns=cols)
+
+    candidates = keyed.mapInPandas(summarize, schema=cand_schema).distinct()
+    total = df.agg(F.count("*").alias("__n"))
+    survivors = df.join(broadcast(candidates), on=cols, how="left_semi")
+    counted = survivors.groupBy(*cols).agg(F.count("*").alias("count"))
+    return (
+        counted.crossJoin(broadcast(total))
+        .filter(F.col("count") >= F.lit(float(min_fraction)) * F.col("__n"))
+        .select(
+            *cols,
+            "count",
+            (F.col("count") / F.col("__n")).alias("fraction"),
+        )
     )

@@ -7213,3 +7213,30 @@ def sampling_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(
         docs, ["doc_id"], F.col("n_chars"), k=100
     ).select("doc_id")
+
+
+@register(
+    "events_frequent_props",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM events)
+    SELECT props, COUNT(*) AS "count",
+           COUNT(*) / CAST(n AS DOUBLE) AS fraction
+    FROM events CROSS JOIN n
+    GROUP BY props, n
+    HAVING COUNT(*) >= CAST(0.0105 AS DOUBLE) * n
+    """,
+)
+def events_frequent_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters WITHOUT shuffling the key space
+    (operators/sketches.py frequent_items): per-partition Misra-Gries
+    summaries (Arrow-batched, O(capacity) memory, zero shuffle)
+    produce a guaranteed-superset candidate set; only candidate-keyed
+    rows shuffle into an exact broadcast-gated recount. Because phase
+    1 never misses and phase 2 is exact, the output EQUALS the naive
+    groupBy+HAVING plan the oracle runs — approximate machinery,
+    exact answer. props sits at ~1.1% per value, so the 1.05%
+    threshold exercises the boundary at every corpus."""
+    from d365fo_db_sync_spark.operators.sketches import frequent_items
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequent_items(ev, ["props"], min_fraction=0.0105)

@@ -3,6 +3,7 @@ mergeability, replay-idempotence, parquet persistence."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from d365fo_db_sync_spark.operators.sketches import (
@@ -138,3 +139,81 @@ def test_kmv_pairwise_overlap_tracks_exact_jaccard(spark):
     # symmetric key ordering: every pair appears exactly once, a < b
     assert all(p[0] < p[1] for p in got)
     assert len(got) == 6
+
+
+class TestFrequentItems:
+    def test_equals_exact_groupby_on_skewed_stream(self, spark):
+        import random
+
+        from d365fo_db_sync_spark.operators.sketches import frequent_items
+
+        rng = random.Random(7)
+        rows = []
+        for _ in range(30000):
+            r = rng.random()
+            if r < 0.25:
+                rows.append(("hot-a",))
+            elif r < 0.4:
+                rows.append(("hot-b",))
+            elif r < 0.45:
+                rows.append(("warm",))
+            else:
+                rows.append((f"u{rng.randrange(8000)}",))
+        df = spark.createDataFrame(rows, "k string").repartition(16)
+        got = {
+            r["k"]: r["count"]
+            for r in frequent_items(df, ["k"], min_fraction=0.04).collect()
+        }
+        from collections import Counter
+
+        c = Counter(r[0] for r in rows)
+        exact = {k: v for k, v in c.items() if v >= 0.04 * len(rows)}
+        assert got == exact
+
+    def test_threshold_boundary_item_is_kept(self, spark):
+        """count == min_fraction * n exactly — the case the +1 in the
+        capacity floor exists for."""
+        from d365fo_db_sync_spark.operators.sketches import frequent_items
+
+        # 100 rows; 'edge' appears exactly 10 = 0.1 * 100 times
+        rows = [("edge",)] * 10 + [(f"x{i}",) for i in range(90)]
+        df = spark.createDataFrame(rows, "k string").repartition(7)
+        got = {r["k"]: r["count"] for r in frequent_items(df, ["k"], 0.1).collect()}
+        assert got == {"edge": 10}
+
+    def test_multi_column_keys_and_fraction(self, spark):
+        from d365fo_db_sync_spark.operators.sketches import frequent_items
+
+        rows = [("a", 1)] * 6 + [("a", 2)] * 3 + [("b", 1)] * 1
+        df = spark.createDataFrame(rows, "k string, g int")
+        out = {
+            (r["k"], r["g"]): (r["count"], r["fraction"])
+            for r in frequent_items(df, ["k", "g"], 0.3).collect()
+        }
+        assert out == {("a", 1): (6, 0.6), ("a", 2): (3, 0.3)}
+
+    def test_capacity_floor_enforced(self, spark):
+        from d365fo_db_sync_spark.operators.sketches import frequent_items
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(ValueError, match="no-miss guarantee"):
+            frequent_items(df, ["k"], 0.1, capacity=5)
+        with pytest.raises(ValueError, match="min_fraction"):
+            frequent_items(df, ["k"], 0.0)
+        with pytest.raises(ValueError, match="at least one column"):
+            frequent_items(df, [], 0.1)
+
+    def test_no_exchange_before_candidate_filter(self, spark):
+        """The raw key space must not shuffle: the only exchanges in
+        the plan sit AFTER the semi join (exact recount of survivors)
+        and in the 1-row total — phase 1 is mapInPandas over the scan
+        partitions."""
+        from d365fo_db_sync_spark.operators.sketches import frequent_items
+        from d365fo_db_sync_spark.plans.audit import explain_formatted
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = explain_formatted(frequent_items(ev, ["user_id"], 0.01))
+        # the candidate branch: scan -> mapInPandas, no exchange between
+        before_join = plan.split("Join")[0]
+        assert "MapInPandas" in plan
+        assert "BroadcastExchange" in plan  # candidates + total broadcast
