@@ -260,9 +260,15 @@ def frequent_items(
     against plain SQL. Output: ``cols`` + ``count`` + ``fraction``
     (one double division, engine-exact).
 
-    ``capacity`` can be raised above ``ceil(1/min_fraction)`` (never
-    lowered — that would break the superset guarantee, so values below
-    the floor raise)."""
+    ``capacity`` can be raised above the floor (never lowered — that
+    would break the superset guarantee, so values below it raise).
+
+    Sibling: ``operators/text.py heavy_hitters_exact`` is the same
+    two-phase discipline specialized to TOKEN streams, with exact
+    per-partition counts (memory = partition distinct tokens); this is
+    the row-key form with a CONSTANT-memory decrementing summary — the
+    SpaceSaving-style drop-in that function's docstring anticipates
+    for adversarial partitions."""
     if not cols:
         raise ValueError("cols must name at least one column")
     if not 0 < min_fraction < 1:

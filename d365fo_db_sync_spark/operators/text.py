@@ -421,9 +421,9 @@ def heavy_hitters_exact(
     a SUPERSET of the true heavy hitters. This is the mergeable
     local-candidates shape of Misra-Gries-style summaries, with exact
     local counts instead of a decrementing sketch: memory is bounded
-    by per-partition distinct tokens (fine for ~128 MB text splits; a
-    constant-memory SpaceSaving summary is a drop-in if partitions
-    were adversarial).
+    by per-partition distinct tokens (fine for ~128 MB text splits; for
+    adversarial partitions the constant-memory Misra-Gries summarizer
+    in ``operators/sketches.py frequent_items`` is the drop-in).
 
     Pass 2 (exact verify): candidates stay a DataFrame and are
     BROADCAST into a left-semi join that drops every non-candidate
