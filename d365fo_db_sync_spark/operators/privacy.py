@@ -36,8 +36,8 @@ Design:
   group can be l-diverse yet still skew far from the corpus-wide
   sensitive distribution (99% cancer in a group vs 1% globally tells
   an attacker plenty). Flags groups whose total-variation distance
-  from the global distribution exceeds ``t``. Two shuffles; the
-  global distribution is a broadcast.
+  from the global distribution exceeds ``t``. One corpus shuffle;
+  the global distribution is a broadcast.
 * :func:`generalize_until_k` — the generalization-ladder escape for
   when suppression would delete too much: coarsen the quasi-
   identifiers level by level (caller-supplied expressions, e.g. day →
@@ -222,8 +222,11 @@ def t_closeness_audit(
     bit-for-bit regardless of summation order. NULL sensitive values
     are excluded from both distributions.
 
-    Scale shape: one shuffle for the (QI, value) counts, one for the
-    per-group rollup; the global value distribution is
+    Scale shape: the CORPUS shuffles exactly once (into the
+    (QI, value) counts); every later exchange moves group-sized
+    frames — the value counts re-partition by QI for the window, and
+    the final rollup REUSES that partitioning (no fourth exchange;
+    plan-pinned in tests). The global value distribution is
     sensitive-cardinality-sized (small by the construction of a
     sensitive attribute) and broadcasts, and the corpus total rides a
     broadcast 1-row frame."""

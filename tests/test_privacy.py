@@ -235,3 +235,32 @@ def test_t_closeness_validation(spark):
         t_closeness_audit(df, ["q", "s"], "s")
     with pytest.raises(ValueError, match="t must be in"):
         t_closeness_audit(df, ["q"], "s", t=1.5)
+
+
+def test_t_closeness_corpus_shuffles_once(spark):
+    """Plan pin: the corpus shuffles exactly once (into (QI, value)
+    counts); the window's QI exchange is REUSED by the final rollup
+    (three hash exchanges total, none after the Window), and the
+    global distribution + total ride broadcasts."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from d365fo_db_sync_spark.operators.privacy import t_closeness_audit
+    from d365fo_db_sync_spark.plans.audit import explain_formatted
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    plan = explain_formatted(t_closeness_audit(ev, ["day"], "event_type"))
+    keys = [
+        re.sub(r"#\d+", "", m.group(1))
+        for m in re.finditer(
+            r"Arguments: hashpartitioning\(((?:\w+#\d+(?:, )?)+), \d+\)", plan
+        )
+    ]
+    assert sorted(keys) == ["day", "day, event_type", "event_type"], keys
+    from d365fo_db_sync_spark.plans.audit import physical_operators
+
+    ops = physical_operators(t_closeness_audit(ev, ["day"], "event_type"))
+    assert sum(o.startswith("BroadcastExchange") for o in ops) == 2, ops
