@@ -247,12 +247,25 @@ def frequent_items(
        every reported heavy hitter: the sketch can over-report, never
        miss. NULL key combinations are not reported (phase 2's semi
        join cannot match them) but still count toward ``n``.
-    2. **Exact recount** — the candidate keys (at most
-       partitions x capacity rows — broadcast-sized by construction)
-       semi-join the corpus, and only the surviving rows (which belong
-       to frequent keys, so map-side partial aggregation collapses
-       them) shuffle into an exact count, filtered at the threshold
-       against a broadcast 1-row total.
+    1.5. **Candidate merge** — Misra-Gries summaries are MERGEABLE
+       (Agarwal et al. 2012): summing per-key counters across
+       partitions preserves the bound, so the summed counter satisfies
+       ``c'(x) > count(x) - n/capacity``. Keys are kept only when
+       ``c' >= n*(min_fraction - 1/capacity) - 1`` (the -1 absorbs
+       float rounding in the conservative direction) — still a
+       guaranteed superset, but now AT MOST
+       ``(1 + min_fraction)/min_fraction^2`` keys (each survivor owns
+       that much summed mass), INDEPENDENT of partition count. Without
+       this merge the candidate union is bounded only by
+       partitions x capacity — ~80M forced-broadcast rows at 100 TB /
+       128 MB splits — which is the 100x failure this stage exists to
+       prevent. The merge itself shuffles only the summary rows
+       (partitions x capacity, metadata-sized next to the corpus).
+    2. **Exact recount** — the bounded candidate keys broadcast into a
+       semi join over the corpus, and only the surviving rows (which
+       belong to frequent keys, so map-side partial aggregation
+       collapses them) shuffle into an exact count, filtered at the
+       threshold against a broadcast 1-row total.
 
     Because phase 1 is conservative and phase 2 is exact, the output
     EQUALS the naive exact plan's — approximate machinery, exact
@@ -283,21 +296,54 @@ def frequent_items(
             f"capacity {capacity} breaks the no-miss guarantee; "
             f"need >= ceil(1/min_fraction) = {floor_cap}"
         )
+    from pyspark.sql.functions import broadcast
+
+    cols = list(cols)
+    total = df.agg(F.count("*").alias("__n"))
+    candidates = _mg_candidates(df, cols, float(min_fraction), int(capacity), total)
+    survivors = df.join(broadcast(candidates), on=cols, how="left_semi")
+    counted = survivors.groupBy(*cols).agg(F.count("*").alias("count"))
+    return (
+        counted.crossJoin(broadcast(total))
+        .filter(F.col("count") >= F.lit(float(min_fraction)) * F.col("__n"))
+        .select(
+            *cols,
+            "count",
+            (F.col("count") / F.col("__n")).alias("fraction"),
+        )
+    )
+
+
+def _mg_candidates(
+    df: DataFrame,
+    cols: list[str],
+    min_fraction: float,
+    cap: int,
+    total: DataFrame,
+) -> DataFrame:
+    """Phases 1 + 1.5 of :func:`frequent_items`, exposed for tests and
+    streaming merges: per-partition Misra-Gries counters (Arrow-batched,
+    O(cap) memory), summed per key across partitions (the mergeable-
+    summaries bound: summed counter > true count - n/cap), then
+    thresholded at ``n*(min_fraction - 1/cap) - 1`` — a guaranteed
+    heavy-hitter superset of at most ~(1+phi)/phi^2 keys regardless of
+    partition count. ``total`` is the 1-row ``__n`` frame so callers
+    reuse one corpus aggregate across phases."""
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.functions import broadcast
 
-    cols = list(cols)
     keyed = df.select(*cols)
-    cand_schema = T.StructType(
-        [keyed.schema[c] for c in cols]
+    summ_schema = T.StructType(
+        [keyed.schema[c] for c in cols] + [T.StructField("__mg", T.LongType(), False)]
     )
-    cap = int(capacity)
 
     def summarize(batches):
         # Misra-Gries across ALL batches of this partition: keep at
-        # most `cap` counters; on overflow decrement every counter and
-        # evict zeros (amortized via min-subtraction per eviction round)
+        # most `cap` counters; on overflow decrement every counter by
+        # the current minimum and evict the zeros (amortized O(1) per
+        # row: each eviction round's rebuild is paid for by the >= cap
+        # decrements it applies)
         counters: dict[tuple, int] = {}
         for pdf in batches:
             for key in zip(*(pdf[c] for c in cols)):
@@ -313,21 +359,26 @@ def frequent_items(
                     if len(counters) < cap:
                         counters[key] = 1
         out = {c: [] for c in cols}
-        for key in counters:
+        cnts = []
+        for key, cnt in counters.items():
             for c, v in zip(cols, key):
                 out[c].append(v)
-        yield pd.DataFrame(out, columns=cols)
+            cnts.append(cnt)
+        out["__mg"] = cnts
+        yield pd.DataFrame(out, columns=[*cols, "__mg"])
 
-    candidates = keyed.mapInPandas(summarize, schema=cand_schema).distinct()
-    total = df.agg(F.count("*").alias("__n"))
-    survivors = df.join(broadcast(candidates), on=cols, how="left_semi")
-    counted = survivors.groupBy(*cols).agg(F.count("*").alias("count"))
+    summed = (
+        keyed.mapInPandas(summarize, schema=summ_schema)
+        .groupBy(*cols)
+        .agg(F.sum("__mg").alias("__mg"))
+    )
+    thr = (
+        F.lit(min_fraction) * F.col("__n")
+        - F.col("__n") / F.lit(float(cap))
+        - F.lit(1.0)
+    )
     return (
-        counted.crossJoin(broadcast(total))
-        .filter(F.col("count") >= F.lit(float(min_fraction)) * F.col("__n"))
-        .select(
-            *cols,
-            "count",
-            (F.col("count") / F.col("__n")).alias("fraction"),
-        )
+        summed.crossJoin(broadcast(total))
+        .filter(F.col("__mg") >= thr)
+        .select(*cols)
     )

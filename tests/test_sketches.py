@@ -217,3 +217,27 @@ class TestFrequentItems:
         before_join = plan.split("Join")[0]
         assert "MapInPandas" in plan
         assert "BroadcastExchange" in plan  # candidates + total broadcast
+
+    def test_candidate_set_bounded_regardless_of_partitions(self, spark):
+        """The 100x guard: with many partitions and a near-unique key
+        space, the merged candidate set must stay ~1/phi^2-bounded
+        (the old union-of-partition-candidates bound was
+        partitions x capacity — unbroadcastable at cluster scale)."""
+        import math
+        import random
+
+        from d365fo_db_sync_spark.operators.sketches import _mg_candidates
+
+        rng = random.Random(3)
+        rows = [("hot",) if rng.random() < 0.2 else (f"u{rng.randrange(20000)}",)
+                for _ in range(40000)]
+        df = spark.createDataFrame(rows, "k string").repartition(32)
+        phi = 0.05
+        cap = math.ceil(1 / phi) + 1
+        total = df.agg(F.count("*").alias("__n"))
+        cands = [
+            r["k"] for r in _mg_candidates(df, ["k"], phi, cap, total).collect()
+        ]
+        bound = (1 + phi) / phi**2 + 2
+        assert len(cands) <= bound, len(cands)
+        assert "hot" in cands  # the true heavy hitter always survives
