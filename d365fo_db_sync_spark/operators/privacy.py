@@ -302,7 +302,6 @@ def generalize_until_k(
         unknown = set(extra) - set(quasi_cols)
         if unknown:
             raise ValueError(f"ladder generalizes non-QI columns: {sorted(unknown)}")
-    cand = df
     for level, mapping in enumerate(levels):
         cand = df
         for col, expr in mapping.items():
