@@ -1,0 +1,183 @@
+"""Distribution-drift monitoring between corpus snapshots.
+
+The reference engine re-verifies row counts between source and target
+each cycle (`/root/reference/DBSyncTool/Services/CopyOrchestrator.cs`
+change-volume checks) — the schema-level "did anything move?" gate. A
+training-data platform needs the DATA-level twin: did this crawl's
+length/quality/score DISTRIBUTION shift against the reference corpus
+enough to invalidate downstream mixture ratios? Two standard,
+public-textbook measures:
+
+* :func:`psi` — Population Stability Index over reference-derived
+  equi-width bins: ``sum_b (p_b - q_b) * ln(p_b / q_b)``. The industry
+  screening rule of thumb (<0.1 stable / 0.1-0.25 drifting / >0.25
+  shifted) is a property of the measure, not of any vendor.
+* :func:`ks_statistic` — the two-sample Kolmogorov-Smirnov statistic
+  ``max_v |F_ref(v) - F_cur(v)|``, assembled as an INTEGER numerator
+  (``max |cum_ref*n_cur - cum_cur*n_ref|`` over the value union) with
+  one final double division — bit-identical cross-engine, the same
+  discipline as ``privacy.t_closeness_audit``.
+
+Scale shapes:
+
+* PSI: one min/max aggregate over the reference (broadcast 1-row), one
+  combinable groupBy per side over BIN INDICES (at most ``n_bins``
+  groups — the corpus shuffles into n_bins partial counts map-side),
+  and a bins-sized join. Nothing row-sized leaves the scans.
+* KS: one combinable per-value groupBy per side, then a cumulative
+  window over the DISTINCT-value spine. The window is unpartitioned —
+  correct and cheap while ``|distinct values| << rows`` (integer
+  metrics: token counts, scores quantized by the caller); for
+  continuous metrics bin first (``psi``'s edges or
+  ``sampling.quantile_bands``) so the spine stays bounded. The
+  docstring guard exists because a global sort over ROW-cardinality
+  data would be the classic single-partition bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ks_statistic", "psi"]
+
+
+def psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-bin PSI contributions between ``ref`` (the baseline corpus)
+    and ``cur`` (the snapshot under test) over equi-width bins of
+    ``col`` spanning the REFERENCE min..max — new mass outside the
+    reference range lands in the edge bins (clamped), which is exactly
+    the drift the measure should see. Returns one row per bin:
+    ``(bin, n_ref, n_cur, p_ref, p_cur, psi_term)``; total PSI is
+    ``sum(psi_term)`` and the conventional reading is <0.1 stable,
+    0.1-0.25 drifting, >0.25 shifted.
+
+    ``eps`` floors both proportions before the log ratio (the standard
+    empty-bin guard — PSI is infinite on true zeros); terms where BOTH
+    sides are empty are exactly zero. NULL metric values are excluded
+    from both sides. Bin assignment uses one shared (min, max, width)
+    computed in double arithmetic, so an oracle replaying the same
+    expressions bins identically."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    from pyspark.sql.functions import broadcast
+
+    r = ref.filter(F.col(col).isNotNull())
+    c = cur.filter(F.col(col).isNotNull())
+    edges = r.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+        idx = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((x - F.col("__lo")) / width).cast("int"), F.lit(0)
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        return (
+            df.crossJoin(broadcast(edges))
+            .select(idx.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(out))
+        )
+
+    rb = binned(r, "n_ref")
+    cb = binned(c, "n_cur")
+    spine = rb.join(cb, on="bin", how="full_outer").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = spine.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    both = spine.crossJoin(broadcast(tot))
+    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(float(eps)))
+    term = F.when(
+        (F.col("n_ref") == 0) & (F.col("n_cur") == 0), F.lit(0.0)
+    ).otherwise((p_ref - p_cur) * F.log(p_ref / p_cur))
+    return both.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        term.alias("psi_term"),
+    )
+
+
+def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over ``col``: one row
+    ``(ks, at_value, n_ref, n_cur)`` where ``ks = max_v |F_ref(v) -
+    F_cur(v)|`` over the union of observed values and ``at_value`` is
+    the (smallest) value attaining it — the split point a drift triage
+    looks at first.
+
+    Exactness: the maximum is taken over the INTEGER quantity
+    ``|cum_ref*n_cur - cum_cur*n_ref|`` and divided once by
+    ``n_ref*n_cur``, so the double survives a cross-engine value hash
+    (ties in the integer maximum break toward the smallest value —
+    total order, both engines agree). NULLs are excluded.
+
+    The cumulative window runs over the distinct-value spine — see the
+    module docstring's guard: keep ``|distinct|`` bounded (integer
+    metrics or pre-binned continuous ones)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    rv = (
+        ref.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count("*").alias("c_ref"))
+    )
+    cv = (
+        cur.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count("*").alias("c_cur"))
+    )
+    spine = rv.join(cv, on="v", how="full_outer").select(
+        "v",
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = spine.select(
+        "v",
+        F.sum("c_ref").over(w).alias("cum_ref"),
+        F.sum("c_cur").over(w).alias("cum_cur"),
+    )
+    tot = spine.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    scored = cum.crossJoin(broadcast(tot)).select(
+        "v",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("cum_ref") * F.col("n_cur") - F.col("cum_cur") * F.col("n_ref")
+        ).alias("num"),
+    )
+    best = scored.orderBy(F.col("num").desc(), F.col("v").asc()).limit(1)
+    return best.select(
+        (F.col("num") / (F.col("n_ref") * F.col("n_cur")).cast("double")).alias(
+            "ks"
+        ),
+        F.col("v").alias("at_value"),
+        "n_ref",
+        "n_cur",
+    )

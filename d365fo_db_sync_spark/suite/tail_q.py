@@ -7240,3 +7240,101 @@ def events_frequent_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return frequent_items(ev, ["props"], min_fraction=0.0105)
+
+
+@register(
+    "quality_drift_psi",
+    oracle="""
+    WITH r AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+               WHERE lang = 'en' AND n_chars IS NOT NULL),
+    c AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+          WHERE lang <> 'en' AND n_chars IS NOT NULL),
+    e AS (SELECT MIN(x) lo, MAX(x) hi FROM r),
+    rb AS (SELECT CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 10.0)) AS INT), 0), 9) END AS bin,
+                  COUNT(*) AS n_ref
+           FROM r CROSS JOIN e GROUP BY 1),
+    cb AS (SELECT CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 10.0)) AS INT), 0), 9) END AS bin,
+                  COUNT(*) AS n_cur
+           FROM c CROSS JOIN e GROUP BY 1),
+    s AS (SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM s)
+    SELECT bin, n_ref, n_cur,
+           GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6) AS p_ref,
+           GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6) AS p_cur,
+           CASE WHEN n_ref = 0 AND n_cur = 0 THEN 0.0
+                ELSE (GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+                      - GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6))
+                     * ln(GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+                          / GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6))
+                END AS psi_term
+    FROM s CROSS JOIN t
+    """,
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift gate (operators/drift.py psi): the length
+    distribution of the non-English slice against the English
+    reference, as per-bin Population Stability Index contributions
+    over reference-derived equi-width bins. The corpus shuffles into
+    AT MOST n_bins partial counts per side (combinable bin-index
+    groupBy); edges, totals and the bins frame all broadcast. The
+    oracle replays the identical double bin arithmetic, proportions
+    floored at the same epsilon, and the log-ratio terms — float, but
+    single-expression-per-value, inside the value hash's 9-decimal
+    normalization."""
+    from d365fo_db_sync_spark.operators.drift import psi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return psi(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+        n_bins=10,
+    )
+
+
+@register(
+    "quality_drift_ks",
+    oracle="""
+    WITH r AS (SELECT n_chars v FROM documents
+               WHERE lang = 'en' AND n_chars IS NOT NULL),
+    c AS (SELECT n_chars v FROM documents
+          WHERE lang <> 'en' AND n_chars IS NOT NULL),
+    rv AS (SELECT v, COUNT(*) c_ref FROM r GROUP BY 1),
+    cv AS (SELECT v, COUNT(*) c_cur FROM c GROUP BY 1),
+    s AS (SELECT COALESCE(rv.v, cv.v) AS v, COALESCE(c_ref, 0) AS c_ref,
+                 COALESCE(c_cur, 0) AS c_cur
+          FROM rv FULL OUTER JOIN cv ON rv.v = cv.v),
+    cum AS (SELECT v, SUM(c_ref) OVER (ORDER BY v) AS cum_ref,
+                   SUM(c_cur) OVER (ORDER BY v) AS cum_cur FROM s),
+    t AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM s),
+    sc AS (SELECT v, n_ref, n_cur,
+                  ABS(cum_ref * n_cur - cum_cur * n_ref) AS num
+           FROM cum CROSS JOIN t)
+    SELECT num / CAST(n_ref * n_cur AS DOUBLE) AS ks, v AS at_value,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+    FROM sc ORDER BY num DESC, v ASC LIMIT 1
+    """,
+)
+def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic
+    (operators/drift.py ks_statistic) on the same English vs
+    non-English length split: the max CDF gap and the value attaining
+    it. The maximum is taken over the integer numerator
+    |cum_ref*n_cur - cum_cur*n_ref| and divided once, so the double
+    is bit-identical cross-engine; ties break toward the smallest
+    value. The cumulative window runs over the distinct-length spine
+    (bounded; see the module guard for continuous metrics)."""
+    from d365fo_db_sync_spark.operators.drift import ks_statistic
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_statistic(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+    )

@@ -1,0 +1,100 @@
+"""Distribution-drift operators (operators/drift.py): PSI vs a Python
+brute force, integer-exact KS vs exhaustive CDF comparison, degenerate
+and validation cases."""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import pytest
+
+from d365fo_db_sync_spark.operators.drift import ks_statistic, psi
+
+
+def _mk(spark, vals, col="x"):
+    return spark.createDataFrame([(v,) for v in vals], f"{col} long")
+
+
+def test_psi_matches_bruteforce(spark):
+    ref_vals = [10, 12, 15, 20, 22, 30, 35, 40, 45, 50]
+    cur_vals = [40, 42, 45, 48, 50, 50, 38, 44]
+    out = psi(_mk(spark, ref_vals), _mk(spark, cur_vals), "x", n_bins=4).collect()
+
+    lo, hi = min(ref_vals), max(ref_vals)
+    width = (hi - lo) / 4.0
+
+    def bin_of(v):
+        return min(max(int(math.floor((v - lo) / width)), 0), 3)
+
+    nr, nc = {}, {}
+    for v in ref_vals:
+        nr[bin_of(v)] = nr.get(bin_of(v), 0) + 1
+    for v in cur_vals:
+        nc[bin_of(v)] = nc.get(bin_of(v), 0) + 1
+    got = {r["bin"]: r for r in out}
+    assert set(got) == set(nr) | set(nc)
+    total = 0.0
+    for b, r in got.items():
+        p = max(nr.get(b, 0) / len(ref_vals), 1e-6)
+        q = max(nc.get(b, 0) / len(cur_vals), 1e-6)
+        exp = (p - q) * math.log(p / q)
+        assert abs(r["psi_term"] - exp) < 1e-12
+        assert (r["n_ref"], r["n_cur"]) == (nr.get(b, 0), nc.get(b, 0))
+        total += exp
+    # this split is heavily shifted -> well above the 0.25 rule of thumb
+    assert total > 0.25
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    vals = list(range(100))
+    out = psi(_mk(spark, vals), _mk(spark, vals), "x", n_bins=10).collect()
+    assert abs(sum(r["psi_term"] for r in out)) < 1e-12
+    assert all(r["n_ref"] == r["n_cur"] == 10 for r in out)
+
+
+def test_psi_degenerate_constant_reference(spark):
+    out = psi(_mk(spark, [5, 5, 5]), _mk(spark, [5, 9]), "x", n_bins=4).collect()
+    # hi == lo: everything lands in bin 0 on both sides
+    assert [(r["bin"], r["n_ref"], r["n_cur"]) for r in out] == [(0, 3, 2)]
+    assert abs(out[0]["psi_term"]) < 1e-12
+
+
+def test_psi_validation(spark):
+    df = _mk(spark, [1])
+    with pytest.raises(ValueError, match="n_bins"):
+        psi(df, df, "x", n_bins=1)
+    with pytest.raises(ValueError, match="eps"):
+        psi(df, df, "x", eps=0)
+
+
+def test_ks_matches_exhaustive(spark):
+    ref_vals = [1, 2, 2, 3, 5, 8, 9]
+    cur_vals = [4, 5, 6, 6, 7, 9, 9, 10]
+    row = ks_statistic(_mk(spark, ref_vals), _mk(spark, cur_vals), "x").collect()[0]
+    n_r, n_c = len(ref_vals), len(cur_vals)
+    best, best_v = Fraction(0), None
+    for v in sorted(set(ref_vals) | set(cur_vals)):
+        fr = Fraction(sum(1 for x in ref_vals if x <= v), n_r)
+        fc = Fraction(sum(1 for x in cur_vals if x <= v), n_c)
+        gap = abs(fr - fc)
+        if gap > best:
+            best, best_v = gap, v
+    assert row["ks"] == float(best)
+    assert row["at_value"] == best_v
+    assert (row["n_ref"], row["n_cur"]) == (n_r, n_c)
+
+
+def test_ks_identical_is_zero_and_tie_breaks_low(spark):
+    vals = [3, 1, 4, 1, 5]
+    row = ks_statistic(_mk(spark, vals), _mk(spark, vals), "x").collect()[0]
+    assert row["ks"] == 0.0
+    assert row["at_value"] == 1  # all gaps tie at 0 -> smallest value wins
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    row = ks_statistic(
+        _mk(spark, [1, 2, 3]), _mk(spark, [10, 11]), "x"
+    ).collect()[0]
+    assert row["ks"] == 1.0
+    assert row["at_value"] == 3
