@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ks_statistic", "psi"]
+__all__ = ["ks_statistic", "psi", "psi_categorical"]
 
 
 def psi(
@@ -118,6 +118,55 @@ def psi(
         p_ref.alias("p_ref"),
         p_cur.alias("p_cur"),
         term.alias("psi_term"),
+    )
+
+
+def psi_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """:func:`psi` for CATEGORICAL columns (language mix, source mix,
+    license tags): one row per observed category with both side's
+    counts, proportions (epsilon-floored) and the PSI term. No
+    binning — the category IS the bin — so the only scale knob is
+    category cardinality, and the corpus shuffles into |categories|
+    combinable partial counts per side. Categories absent from one
+    side surface with a zero count and the epsilon floor, which is
+    precisely the "new source appeared / source vanished" drift a mix
+    monitor exists to catch. NULL categories are excluded (monitor
+    them as a quality metric, not a mix share)."""
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    from pyspark.sql.functions import broadcast
+
+    rb = (
+        ref.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count("*").alias("n_ref"))
+    )
+    cb = (
+        cur.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count("*").alias("n_cur"))
+    )
+    spine = rb.join(cb, on="category", how="full_outer").select(
+        "category",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = spine.agg(F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"))
+    both = spine.crossJoin(broadcast(tot))
+    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(float(eps)))
+    return both.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        ((p_ref - p_cur) * F.log(p_ref / p_cur)).alias("psi_term"),
     )
 
 

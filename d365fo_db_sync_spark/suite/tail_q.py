@@ -7338,3 +7338,45 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang") != "en"),
         "n_chars",
     )
+
+
+@register(
+    "quality_drift_lang_mix",
+    oracle="""
+    WITH r AS (SELECT lang FROM documents
+               WHERE lang IS NOT NULL AND CAST(substr(source, 4) AS INT) < 10),
+    c AS (SELECT lang FROM documents
+          WHERE lang IS NOT NULL AND CAST(substr(source, 4) AS INT) >= 10),
+    rb AS (SELECT lang AS category, COUNT(*) AS n_ref FROM r GROUP BY 1),
+    cb AS (SELECT lang AS category, COUNT(*) AS n_cur FROM c GROUP BY 1),
+    s AS (SELECT COALESCE(rb.category, cb.category) AS category,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb ON rb.category = cb.category),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM s)
+    SELECT category, n_ref, n_cur,
+           GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6) AS p_ref,
+           GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6) AS p_cur,
+           (GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+            - GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6))
+           * ln(GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+                / GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6)) AS psi_term
+    FROM s CROSS JOIN t
+    """,
+)
+def quality_drift_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-MIX drift (operators/drift.py psi_categorical) between
+    the first ten sources (the 'reference crawl') and the rest (the
+    'new crawl'): per-language counts, shares and PSI terms — the mix
+    monitor that catches a source onboarding shifting the language
+    recipe. The category is the bin, so the corpus shuffles into
+    |languages| combinable partial counts per side and everything
+    downstream is broadcast-sized."""
+    from d365fo_db_sync_spark.operators.drift import psi_categorical
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    return psi_categorical(
+        docs.filter(src_num < 10),
+        docs.filter(src_num >= 10),
+        "lang",
+    )

@@ -98,3 +98,32 @@ def test_ks_disjoint_supports_is_one(spark):
     ).collect()[0]
     assert row["ks"] == 1.0
     assert row["at_value"] == 3
+
+
+def test_psi_categorical_matches_bruteforce(spark):
+    from d365fo_db_sync_spark.operators.drift import psi_categorical
+
+    ref = [("en",)] * 8 + [("de",)] * 2
+    cur = [("en",)] * 3 + [("fr",)] * 7  # de vanished, fr appeared
+    rdf = spark.createDataFrame(ref, "lang string")
+    cdf = spark.createDataFrame(cur, "lang string")
+    out = {r["category"]: r for r in psi_categorical(rdf, cdf, "lang").collect()}
+    assert set(out) == {"en", "de", "fr"}
+    for cat, nr, nc in (("en", 8, 3), ("de", 2, 0), ("fr", 0, 7)):
+        p = max(nr / 10, 1e-6)
+        q = max(nc / 10, 1e-6)
+        r = out[cat]
+        assert (r["n_ref"], r["n_cur"]) == (nr, nc)
+        assert abs(r["psi_term"] - (p - q) * math.log(p / q)) < 1e-12
+    # vanished + appeared categories dominate: massive PSI
+    assert sum(r["psi_term"] for r in out.values()) > 1.0
+
+
+def test_psi_categorical_null_and_validation(spark):
+    from d365fo_db_sync_spark.operators.drift import psi_categorical
+
+    rdf = spark.createDataFrame([("en",), (None,)], "lang string")
+    out = psi_categorical(rdf, rdf, "lang").collect()
+    assert [(r["category"], r["n_ref"], r["n_cur"]) for r in out] == [("en", 1, 1)]
+    with pytest.raises(ValueError, match="eps"):
+        psi_categorical(rdf, rdf, "lang", eps=-1)
