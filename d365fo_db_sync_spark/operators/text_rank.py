@@ -211,3 +211,79 @@ def tfidf_keywords(
         .filter(F.col("rnk") <= k)
         .select(id_col, "rnk", "token", "tf", "df", "tfidf")
     )
+
+
+def npmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining over adjacent token bigrams: per surviving
+    bigram ``(a, b)`` the count and the NORMALIZED pointwise mutual
+    information ``npmi = pmi / -ln(p(a,b))`` with
+    ``pmi = ln(p(a,b) / (p(a) p(b)))`` — the [-1, 1]-scaled
+    association score (Bouma 2009) whose high end is the multiword
+    expressions a tokenizer/phrase table wants and whose low end is
+    the "glued boilerplate" seam detector. Both unigram AND bigram
+    probabilities are normalized by the TOKEN total N (the
+    gensim-style convention): every bigram occurrence contains an
+    occurrence of each member, so ``p(a,b) <= min(p(a), p(b))`` and
+    the npmi <= 1 bound actually holds — normalizing bigrams by the
+    pair total T instead silently breaks it (p(a,b) can then exceed
+    p(a), and 'perfect' pairs score above 1).
+
+    Exactness: probabilities are correctly-rounded integer-count
+    divisions composed into ONE ln argument (and one more for the
+    normalizer), so an oracle replaying the same expression tree gets
+    the same doubles to well past the value hash's 9-decimal
+    normalization.
+
+    Scale shape: bigrams explode map-side (two slices zipped — the
+    token array is never duplicated through the explode, the
+    exact_substr lesson), collapse in ONE combinable groupBy, and the
+    ``min_count`` prefix filter runs BEFORE the unigram joins so only
+    surviving bigrams (vocabulary-sized, not corpus-sized) join the
+    unigram counts — keyed joins AQE broadcasts when the vocabulary
+    allows. Totals ride broadcast 1-row frames."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from pyspark.sql.functions import broadcast
+
+    base = df.select(text.tokens(text_col).alias("toks"))
+    n1 = F.greatest(F.size("toks") - F.lit(1), F.lit(0))
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", F.lit(1), n1),
+                F.slice("toks", F.lit(2), n1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    big = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    uni = (
+        base.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n_t"))
+    )
+    tot_u = uni.agg(F.sum("n_t").alias("__n"))
+    survivors = big.filter(F.col("n_ab") >= min_count)
+    joined = (
+        survivors.join(uni.select(F.col("t").alias("a"), F.col("n_t").alias("n_a")), on="a")
+        .join(uni.select(F.col("t").alias("b"), F.col("n_t").alias("n_b")), on="b")
+        .crossJoin(broadcast(tot_u))
+    )
+    p_ab = F.col("n_ab") / F.col("__n")
+    p_a = F.col("n_a") / F.col("__n")
+    p_b = F.col("n_b") / F.col("__n")
+    pmi = F.log(p_ab / (p_a * p_b))
+    # p(a,b) < 1 always (a corpus with any bigram has N >= 2 tokens),
+    # so the normalizer -ln(p_ab) never divides by zero
+    npmi = pmi / -F.log(p_ab)
+    return joined.select(
+        "a",
+        "b",
+        F.col("n_ab").alias("count"),
+        pmi.alias("pmi"),
+        npmi.alias("npmi"),
+    )

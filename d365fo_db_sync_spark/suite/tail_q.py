@@ -7380,3 +7380,46 @@ def quality_drift_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(src_num >= 10),
         "lang",
     )
+
+
+@register(
+    "text_npmi_collocations",
+    oracle=f"""
+    WITH tok AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    u AS (SELECT t, COUNT(*) AS n_t
+          FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),
+    n AS (SELECT SUM(n_t) AS nn FROM u),
+    bg AS (SELECT g[1] AS a, g[2] AS b, COUNT(*) AS n_ab
+           FROM (SELECT unnest([[toks[i], toks[i + 1]]
+                               for i in range(1, len(toks))]) AS g
+                 FROM tok)
+           GROUP BY 1, 2
+           HAVING COUNT(*) >= 5)
+    SELECT bg.a, bg.b, n_ab AS "count",
+           ln((n_ab / CAST(nn AS DOUBLE))
+              / ((ua.n_t / CAST(nn AS DOUBLE))
+                 * (ub.n_t / CAST(nn AS DOUBLE)))) AS pmi,
+           ln((n_ab / CAST(nn AS DOUBLE))
+              / ((ua.n_t / CAST(nn AS DOUBLE))
+                 * (ub.n_t / CAST(nn AS DOUBLE))))
+             / -ln(n_ab / CAST(nn AS DOUBLE)) AS npmi
+    FROM bg
+    JOIN u ua ON bg.a = ua.t
+    JOIN u ub ON bg.b = ub.t
+    CROSS JOIN n
+    """,
+)
+def text_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/text_rank.py npmi_collocations):
+    adjacent-bigram normalized PMI over the corpus token stream, with
+    the min_count=5 prefix filter applied BEFORE the unigram joins so
+    only vocabulary-sized survivors join. Bigrams explode from two
+    zipped slices (the token array never rides through the explode);
+    one combinable groupBy per stream; totals broadcast. The oracle
+    replays the same integer-count divisions and log expression
+    tree."""
+    from d365fo_db_sync_spark.operators.text_rank import npmi_collocations
+
+    return npmi_collocations(
+        load_table(spark, sf_dir, "documents"), min_count=5
+    )

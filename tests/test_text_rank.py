@@ -137,3 +137,59 @@ def test_tfidf_keywords_plan_shape(docs):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 3, plan
+
+
+class TestNpmiCollocations:
+    def test_matches_bruteforce_and_bounds(self, spark):
+        import math
+        from collections import Counter
+
+        from d365fo_db_sync_spark.operators.text_rank import npmi_collocations
+
+        docs = [
+            "the quick brown fox", "the quick dog", "brown fox jumps",
+            "the lazy dog sleeps", "quick brown fox runs", None, "",
+        ]
+        df = spark.createDataFrame([(d,) for d in docs], "text string")
+        got = {
+            (r["a"], r["b"]): r
+            for r in npmi_collocations(df, min_count=2).collect()
+        }
+        toks = [d.lower().split() for d in docs if d]
+        uni = Counter(t for ts in toks for t in ts)
+        big = Counter(
+            (ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)
+        )
+        n = sum(uni.values())
+        exp = {k: c for k, c in big.items() if c >= 2}
+        assert set(got) == set(exp)
+        for (a, b), c in exp.items():
+            p_ab, p_a, p_b = c / n, uni[a] / n, uni[b] / n
+            pmi = math.log(p_ab / (p_a * p_b))
+            r = got[(a, b)]
+            assert r["count"] == c
+            assert abs(r["pmi"] - pmi) < 1e-12
+            assert abs(r["npmi"] - pmi / -math.log(p_ab)) < 1e-12
+            assert -1 - 1e-12 <= r["npmi"] <= 1 + 1e-12
+
+    def test_perfect_association_is_one(self, spark):
+        from d365fo_db_sync_spark.operators.text_rank import npmi_collocations
+
+        df = spark.createDataFrame(
+            [("san francisco",), ("san francisco",), ("oakland",)],
+            "text string",
+        )
+        rows = npmi_collocations(df, min_count=2).collect()
+        assert len(rows) == 1
+        assert rows[0]["a"] == "san"
+        # mathematically exactly 1; floating point may land one ulp shy
+        assert abs(rows[0]["npmi"] - 1.0) < 1e-12
+
+    def test_min_count_validation(self, spark):
+        from d365fo_db_sync_spark.operators.text_rank import npmi_collocations
+
+        df = spark.createDataFrame([("x",)], "text string")
+        import pytest
+
+        with pytest.raises(ValueError, match="min_count"):
+            npmi_collocations(df, min_count=0)
