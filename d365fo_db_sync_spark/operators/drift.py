@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ks_statistic", "psi", "psi_categorical"]
+__all__ = ["ks_statistic", "psi", "psi_categorical", "psi_from_counts"]
 
 
 def psi(
@@ -102,12 +102,35 @@ def psi(
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
+    return psi_from_counts(spine, eps=eps)
+
+
+def psi_from_counts(spine: DataFrame, eps: float = 1e-6) -> DataFrame:
+    """The PSI term math over an ALREADY-BINNED count spine
+    ``(bin, n_ref, n_cur)`` — the reusable tail of :func:`psi`, also
+    fed by the streaming drift monitor's folded per-batch counts
+    (bin counts are integers, so the sidecar merge is an exact sum
+    and the PSI recomputes from totals each read). Same epsilon floor
+    and both-empty-is-zero rule as :func:`psi`."""
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    from pyspark.sql.functions import broadcast
+
     tot = spine.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )
     both = spine.crossJoin(broadcast(tot))
-    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(float(eps)))
-    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(float(eps)))
+    # an all-empty side (e.g. a drift monitor read before any batch
+    # lands) has proportion 0 everywhere -> the epsilon floor, not a
+    # division by its zero total (ANSI mode makes that an error)
+    p_ref = F.greatest(
+        F.coalesce(F.try_divide("n_ref", "__tr"), F.lit(0.0)),
+        F.lit(float(eps)),
+    )
+    p_cur = F.greatest(
+        F.coalesce(F.try_divide("n_cur", "__tc"), F.lit(0.0)),
+        F.lit(float(eps)),
+    )
     term = F.when(
         (F.col("n_ref") == 0) & (F.col("n_cur") == 0), F.lit(0.0)
     ).otherwise((p_ref - p_cur) * F.log(p_ref / p_cur))

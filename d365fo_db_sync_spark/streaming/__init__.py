@@ -756,3 +756,136 @@ class RollupStreamPipeline:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class DriftMonitorPipeline:
+    """Streaming distribution-drift monitor: each micro-batch bins its
+    metric column against REFERENCE-frozen edges (operators/drift.py
+    semantics) and publishes the batch's bin counts to a parquet
+    sidecar partition; ``psi_view`` recomputes the live PSI against
+    the reference from the folded counts at any time. Bin counts are
+    integers, so the fold is an exact sum — the monitor's PSI over N
+    batches is IDENTICAL to a batch :func:`operators.drift.psi` over
+    the concatenated stream (equivalence-pinned in
+    tests/test_streaming.py).
+
+    Exactly-once: a batch's counts publish atomically
+    (write-to-tmp + rename) into ``sidecar_dir/batch_id=N``; a
+    replayed batch finds its partition and skips, so restarts never
+    double-count — the same file protocol as DedupStreamPipeline's
+    novel staging.
+
+    Construction runs TWO eager jobs over the reference (min/max +
+    bin counts — both scalar/n_bins-sized aggregates); the reference
+    corpus is never touched again. At 100 TB the reference summary is
+    exactly the sidecar discipline of operators/sketches.py: n_bins
+    integers, computed once per reference refresh."""
+
+    def __init__(
+        self,
+        ref: DataFrame,
+        col: str,
+        sidecar_dir: str,
+        checkpoint_dir: str,
+        n_bins: int = 10,
+        eps: float = 1e-6,
+    ) -> None:
+        if n_bins < 2:
+            raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+        if eps <= 0:
+            raise ValueError(f"eps must be positive, got {eps}")
+        self.col = col
+        self.sidecar_dir = sidecar_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.n_bins = n_bins
+        self.eps = eps
+        r = ref.filter(F.col(col).isNotNull())
+        edges = r.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).collect()[0]
+        self.lo = edges["lo"]
+        self.hi = edges["hi"]
+        if self.lo is None:
+            raise ValueError("reference has no non-NULL metric values")
+        self.ref_counts = {
+            row["bin"]: row["n"]
+            for row in r.select(self._bin_expr().alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    def _bin_expr(self):
+        """The SAME clamped equi-width bin assignment as
+        operators.drift.psi, with the reference edges folded in as
+        literals (frozen at construction — a drifting batch must not
+        move the bins it is measured against)."""
+        x = F.col(self.col).cast("double")
+        if self.hi == self.lo:
+            return F.lit(0)
+        width = (self.hi - self.lo) / float(self.n_bins)
+        return F.least(
+            F.greatest(
+                F.floor((x - F.lit(self.lo)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(self.n_bins - 1),
+        )
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import uuid as _uuid
+
+        final = os.path.join(self.sidecar_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replayed batch: counts already published
+        counts = (
+            batch_df.filter(F.col(self.col).isNotNull())
+            .select(self._bin_expr().alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n_cur"))
+        )
+        os.makedirs(self.sidecar_dir, exist_ok=True)
+        tmp = os.path.join(self.sidecar_dir, f"_tmp-{_uuid.uuid4().hex[:8]}")
+        counts.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def counts_view(self, spark) -> DataFrame:
+        """Folded per-bin counts of everything ingested so far."""
+        import os
+
+        if not os.path.isdir(self.sidecar_dir) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.sidecar_dir)
+        ):
+            return spark.createDataFrame([], "bin int, n_cur long")
+        return (
+            spark.read.option("basePath", self.sidecar_dir)
+            .parquet(self.sidecar_dir)
+            .groupBy("bin")
+            .agg(F.sum("n_cur").alias("n_cur"))
+        )
+
+    def psi_view(self, spark) -> DataFrame:
+        """Live per-bin PSI of the ingested stream vs the reference —
+        same output contract as operators.drift.psi."""
+        from d365fo_db_sync_spark.operators.drift import psi_from_counts
+
+        ref_rows = [(int(b), int(n)) for b, n in sorted(self.ref_counts.items())]
+        rb = spark.createDataFrame(ref_rows, "bin int, n_ref long")
+        spine = rb.join(self.counts_view(spark), on="bin", how="full_outer").select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        return psi_from_counts(spine, eps=self.eps)
+
+    def start(self, stream_df: DataFrame, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

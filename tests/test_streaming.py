@@ -896,3 +896,93 @@ def test_streaming_drain_races_batch_merge_occ(spark, tmp_path):
     assert all(got[i] == 50.0 for i in range(1000, 1005))
     assert all(got[i] == 70.0 for i in range(2000, 2005))
     assert all(got[i] == float(i) for i in range(100))
+
+
+def test_drift_monitor_stream_matches_batch_psi(spark, tmp_path):
+    """DriftMonitorPipeline: after draining rate-limited micro-batches,
+    psi_view equals the BATCH operators.drift.psi over the
+    concatenated stream (bin counts fold exactly); a replayed batch id
+    is a sidecar no-op; reference edges stay frozen."""
+    import os
+
+    from d365fo_db_sync_spark.operators.drift import psi
+    from d365fo_db_sync_spark.streaming import DriftMonitorPipeline
+
+    ref = spark.createDataFrame(
+        [(v,) for v in range(100, 200)], "n_chars long"
+    )
+    # drifted stream: shifted right, plus out-of-range mass for the clamp
+    wave1 = [(v,) for v in range(150, 230)]
+    wave2 = [(v,) for v in range(240, 260)] + [(None,)]
+    cur = spark.createDataFrame(wave1 + wave2, "n_chars long")
+
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    spark.createDataFrame(wave1, "n_chars long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    spark.createDataFrame(wave2, "n_chars long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    pipe = DriftMonitorPipeline(
+        ref,
+        "n_chars",
+        sidecar_dir=str(tmp_path / "sidecar"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_bins=5,
+    )
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = pipe.start(stream, available_now=True)
+    q.awaitTermination(120)
+
+    got = {r["bin"]: r for r in pipe.psi_view(spark).collect()}
+    exp = {r["bin"]: r for r in psi(ref, cur, "n_chars", n_bins=5).collect()}
+    assert set(got) == set(exp)
+    for b in exp:
+        assert (got[b]["n_ref"], got[b]["n_cur"]) == (
+            exp[b]["n_ref"],
+            exp[b]["n_cur"],
+        )
+        assert got[b]["psi_term"] == exp[b]["psi_term"]  # identical doubles
+
+    # two micro-batches published, atomically
+    parts = sorted(
+        e for e in os.listdir(pipe.sidecar_dir) if e.startswith("batch_id=")
+    )
+    assert len(parts) == 2 and not any(e.startswith("_tmp") for e in os.listdir(pipe.sidecar_dir))
+
+    # replayed batch: sidecar untouched
+    before = pipe.counts_view(spark).collect()
+    pipe._handle_batch(spark.createDataFrame(wave1, "n_chars long"), 0)
+    after = pipe.counts_view(spark).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_drift_monitor_empty_and_validation(spark, tmp_path):
+    from d365fo_db_sync_spark.operators.drift import psi_from_counts
+    from d365fo_db_sync_spark.streaming import DriftMonitorPipeline
+
+    ref = spark.createDataFrame([(1,)], "n_chars long")
+    pipe = DriftMonitorPipeline(
+        ref, "n_chars", str(tmp_path / "s"), str(tmp_path / "c"), n_bins=3
+    )
+    # nothing ingested yet: psi_view is pure reference mass
+    rows = pipe.psi_view(spark).collect()
+    assert [(r["bin"], r["n_ref"], r["n_cur"]) for r in rows] == [(0, 1, 0)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_bins"):
+        DriftMonitorPipeline(ref, "n_chars", "x", "y", n_bins=1)
+    with pytest.raises(ValueError, match="no non-NULL"):
+        DriftMonitorPipeline(
+            spark.createDataFrame([(None,)], "n_chars long"),
+            "n_chars", "x", "y",
+        )
+    with pytest.raises(ValueError, match="eps"):
+        psi_from_counts(spark.createDataFrame([], "bin int, n_ref long, n_cur long"), eps=0)
