@@ -287,3 +287,110 @@ def npmi_collocations(
         pmi.alias("pmi"),
         npmi.alias("npmi"),
     )
+
+
+def apply_collocations(
+    df: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "_",
+) -> DataFrame:
+    """Apply a learned phrase table to the corpus — the gensim-Phrases
+    rewrite step downstream of :func:`npmi_collocations`: every
+    adjacent token pair present in ``phrases`` (columns ``a``, ``b``)
+    merges into one ``a<sep>b`` token, GREEDILY left-to-right (a token
+    consumed by a merge cannot start the next one — "new york york
+    times" with both pairs learned yields "new_york york_times", not
+    three overlapping merges).
+
+    Distributed greedy without a sequential pass: greedy-kept merges
+    over a maximal run of CONSECUTIVE matched pair positions are
+    exactly the odd-ranked ones (1st, 3rd, ...), so matched positions
+    shrink to kept merges with two window functions (gaps-and-islands
+    grouping, then in-run rank parity) — no per-document Python, no
+    iteration. The phrase probe is one broadcast hash join
+    (vocabulary-sized phrase table, O(1) per pair — not a per-token
+    membership scan), and the rebuild is the run-slicing discipline of
+    ``text_search._rebuild_outside_runs``: head slice + one zip over
+    the merge array emitting (merged token + following plain slice),
+    O(n_tokens + n_merges) per document in codegen.
+
+    Output per document: ``id_col``, ``n_merges``, ``n_tokens_out``,
+    ``text_phrased`` (single-space joined). NULL text behaves as the
+    empty document."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    for need in ("a", "b"):
+        if need not in phrases.columns:
+            raise ValueError(f"phrases must carry columns 'a' and 'b', missing {need!r}")
+    base = df.select(F.col(id_col), text.tokens(text_col).alias("__toks")).select(
+        F.col(id_col),
+        F.coalesce("__toks", F.array().cast("array<string>")).alias("__toks"),
+    )
+    n1 = F.greatest(F.size("__toks") - F.lit(1), F.lit(0))
+    pairs = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.zip_with(
+                F.slice("__toks", F.lit(1), n1),
+                F.slice("__toks", F.lit(2), n1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("pos", "pr"),
+    ).select(F.col(id_col), "pos", "pr.a", "pr.b")
+    matched = pairs.join(
+        broadcast(phrases.select("a", "b").distinct()), on=["a", "b"], how="left_semi"
+    ).select(F.col(id_col), "pos")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    grouped = matched.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w_doc)
+    )
+    w_run = Window.partitionBy(id_col, "__grp").orderBy("pos")
+    kept = grouped.withColumn("__rr", F.row_number().over(w_run)).filter(
+        F.col("__rr") % 2 == 1
+    )
+    merges = kept.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__m")
+    )
+    j = (
+        base.join(merges, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "__toks",
+            F.coalesce("__m", F.array().cast("array<int>")).alias("__m"),
+        )
+    )
+    toks, m = F.col("__toks"), F.col("__m")
+    n = F.size(toks)
+    nm = F.size(m)
+    head = F.slice(toks, 1, F.when(nm == 0, n).otherwise(F.element_at(m, 1)))
+    # each merge's next-merge position (token count for the last one);
+    # same exactly-nm-elements discipline as _rebuild_outside_runs
+    nxt = F.when(nm == 0, F.array().cast("array<int>")).otherwise(
+        F.concat(F.slice(m, 2, nm - 1), F.array(n))
+    )
+    tail = F.flatten(
+        F.zip_with(
+            m,
+            nxt,
+            lambda mm, nx: F.concat(
+                F.array(
+                    F.concat_ws(
+                        sep,
+                        F.element_at(F.col("__toks"), mm + 1),
+                        F.element_at(F.col("__toks"), mm + 2),
+                    )
+                ),
+                F.slice(F.col("__toks"), mm + 3, nx - mm - 2),
+            ),
+        )
+    )
+    out = F.concat(head, tail)
+    return j.select(
+        F.col(id_col),
+        nm.cast("long").alias("n_merges"),
+        F.size(out).cast("long").alias("n_tokens_out"),
+        F.array_join(out, " ").alias("text_phrased"),
+    )

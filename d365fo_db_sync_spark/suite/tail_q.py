@@ -7423,3 +7423,76 @@ def text_npmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return npmi_collocations(
         load_table(spark, sf_dir, "documents"), min_count=5
     )
+
+
+@register(
+    "text_phrase_apply",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    u AS (SELECT t, COUNT(*) AS n_t
+          FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),
+    n AS (SELECT SUM(n_t) AS nn FROM u),
+    bgc AS (SELECT g[1] AS a, g[2] AS b, COUNT(*) AS n_ab
+            FROM (SELECT unnest([[toks[i], toks[i + 1]]
+                                for i in range(1, len(toks))]) AS g
+                  FROM tok)
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 5),
+    pr AS (SELECT bgc.a, bgc.b
+           FROM bgc
+           JOIN u ua ON bgc.a = ua.t
+           JOIN u ub ON bgc.b = ub.t
+           CROSS JOIN n
+           WHERE ln((n_ab / CAST(nn AS DOUBLE))
+                    / ((ua.n_t / CAST(nn AS DOUBLE))
+                       * (ub.n_t / CAST(nn AS DOUBLE))))
+                 / -ln(n_ab / CAST(nn AS DOUBLE)) >= 0.3),
+    pairs AS (SELECT doc_id, i - 1 AS pos, toks[i] AS a, toks[i + 1] AS b
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                    FROM tok)),
+    m0 AS (SELECT p.doc_id, p.pos FROM pairs p JOIN pr USING (a, b)),
+    rn AS (SELECT doc_id, pos,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+           FROM m0),
+    kept AS (SELECT doc_id, pos FROM (
+               SELECT doc_id, pos,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id, pos - rn
+                                         ORDER BY pos) AS rr
+               FROM rn)
+             WHERE rr % 2 = 1),
+    mg AS (SELECT doc_id, list_sort(list(pos)) AS m FROM kept GROUP BY 1),
+    outm AS (SELECT t.doc_id, t.toks,
+                    COALESCE(mg.m, CAST([] AS BIGINT[])) AS m
+             FROM tok t LEFT JOIN mg USING (doc_id)),
+    reb AS (SELECT doc_id, len(m) AS n_merges,
+                   list_filter(
+                     [CASE WHEN list_contains(m, i)
+                             THEN toks[i + 1] || '_' || toks[i + 2]
+                           WHEN list_contains(m, i - 1) THEN NULL
+                           ELSE toks[i + 1] END
+                      for i in range(0, len(toks))],
+                     x -> x IS NOT NULL) AS o
+            FROM outm)
+    SELECT doc_id, CAST(n_merges AS BIGINT) AS n_merges,
+           CAST(len(o) AS BIGINT) AS n_tokens_out,
+           array_to_string(o, ' ') AS text_phrased
+    FROM reb
+    """,
+)
+def text_phrase_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn-and-apply phrase pipeline (operators/text_rank.py):
+    collocations with npmi >= 0.3 at min_count 5 become the phrase
+    table, then every document is rewritten with greedy left-to-right
+    merges (apply_collocations) — the gensim-Phrases step expressed as
+    a broadcast pair probe, two window functions for the greedy run
+    parity, and a codegen run-slicing rebuild. The oracle replays the
+    ENTIRE composition per document: same npmi threshold, same greedy
+    parity via SQL windows, same rebuilt string byte-for-byte."""
+    from d365fo_db_sync_spark.operators.text_rank import (
+        apply_collocations,
+        npmi_collocations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = npmi_collocations(docs, min_count=5).filter(F.col("npmi") >= 0.3)
+    return apply_collocations(docs, phrases)

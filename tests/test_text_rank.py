@@ -193,3 +193,65 @@ class TestNpmiCollocations:
 
         with pytest.raises(ValueError, match="min_count"):
             npmi_collocations(df, min_count=0)
+
+
+class TestApplyCollocations:
+    def _greedy(self, toks, ps, sep="_"):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and (toks[i], toks[i + 1]) in ps:
+                out.append(toks[i] + sep + toks[i + 1])
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    def test_matches_greedy_bruteforce(self, spark):
+        import random
+
+        from d365fo_db_sync_spark.operators.text_rank import apply_collocations
+
+        rng = random.Random(11)
+        vocab = ["a", "b", "c", "d", "e"]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+            for i in range(60)
+        ]
+        ps = {("a", "b"), ("b", "b"), ("c", "d"), ("e", "a")}
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        ph = spark.createDataFrame(sorted(ps), "a string, b string")
+        got = {
+            r["doc_id"]: (r["text_phrased"], r["n_merges"], r["n_tokens_out"])
+            for r in apply_collocations(df, ph).collect()
+        }
+        for i, text in docs:
+            toks = text.split()
+            exp = self._greedy(toks, ps)
+            n_merges = sum(1 for t in exp if "_" in t)
+            assert got[i] == (" ".join(exp), n_merges, len(exp)), (i, text)
+
+    def test_overlap_chains_merge_greedily(self, spark):
+        from d365fo_db_sync_spark.operators.text_rank import apply_collocations
+
+        df = spark.createDataFrame(
+            [(1, "new york york times"), (2, "x x x x x"), (3, None)],
+            "doc_id long, text string",
+        )
+        ph = spark.createDataFrame(
+            [("new", "york"), ("york", "times"), ("x", "x")], "a string, b string"
+        )
+        got = {r["doc_id"]: r["text_phrased"] for r in apply_collocations(df, ph).collect()}
+        assert got[1] == "new_york york_times"
+        assert got[2] == "x_x x_x x"  # five x's: two merges, one loner
+        assert got[3] == ""
+
+    def test_phrases_schema_validation(self, spark):
+        from d365fo_db_sync_spark.operators.text_rank import apply_collocations
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        bad = spark.createDataFrame([("a",)], "a string")
+        import pytest
+
+        with pytest.raises(ValueError, match="missing 'b'"):
+            apply_collocations(df, bad)
