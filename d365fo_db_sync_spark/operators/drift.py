@@ -5,7 +5,7 @@ each cycle (`/root/reference/DBSyncTool/Services/CopyOrchestrator.cs`
 change-volume checks) — the schema-level "did anything move?" gate. A
 training-data platform needs the DATA-level twin: did this crawl's
 length/quality/score DISTRIBUTION shift against the reference corpus
-enough to invalidate downstream mixture ratios? Two standard,
+enough to invalidate downstream mixture ratios? Standard,
 public-textbook measures:
 
 * :func:`psi` — Population Stability Index over reference-derived
@@ -17,6 +17,10 @@ public-textbook measures:
   (``max |cum_ref*n_cur - cum_cur*n_ref|`` over the value union) with
   one final double division — bit-identical cross-engine, the same
   discipline as ``privacy.t_closeness_audit``.
+* :func:`mann_whitney_auc` — the rank-sum U statistic normalized to
+  the ROC-AUC of separating the snapshots (0.5 = no location drift),
+  the same integer-numerator discipline over the same value spine.
+* :func:`psi_categorical` — the mix monitor (category is the bin).
 
 Scale shapes:
 
@@ -39,7 +43,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ks_statistic", "psi", "psi_categorical", "psi_from_counts"]
+__all__ = [
+    "ks_statistic",
+    "mann_whitney_auc",
+    "psi",
+    "psi_categorical",
+    "psi_from_counts",
+]
 
 
 def psi(
@@ -252,4 +262,71 @@ def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         F.col("v").alias("at_value"),
         "n_ref",
         "n_cur",
+    )
+
+
+def mann_whitney_auc(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Rank-based drift: the Mann-Whitney U statistic and its
+    normalized form — ``auc = P(ref_value < cur_value) + 0.5 *
+    P(equal)`` over all cross pairs, i.e. the common-language effect
+    size / ROC-AUC of separating the two snapshots by this metric.
+    ``auc = 0.5`` means no location drift; 0 or 1 means complete
+    separation. Complements :func:`ks_statistic` (max CDF gap is
+    shape-sensitive; AUC is the location/stochastic-dominance
+    summary).
+
+    Exactness: the pair count ``sum_v c_cur(v) * (2*cum_ref_before(v)
+    + c_ref(v))`` is assembled in INTEGER half-units over the
+    distinct-value spine and divided ONCE by ``2*n_ref*n_cur`` —
+    bit-stable cross-engine, no per-pair work, no float rank
+    averaging. ``u_statistic`` is the same numerator in half-units
+    (``U = auc * n_ref * n_cur``). NULLs excluded; one row out:
+    ``(u_statistic, auc, n_ref, n_cur)``.
+
+    Scale: the same bounded distinct-value spine discipline as
+    :func:`ks_statistic` — per-value combinable groupBys, one
+    cumulative window over the spine, totals broadcast."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    rv = (
+        ref.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count("*").alias("c_ref"))
+    )
+    cv = (
+        cur.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("v"))
+        .agg(F.count("*").alias("c_cur"))
+    )
+    spine = rv.join(cv, on="v", how="full_outer").select(
+        "v",
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = spine.select(
+        "c_ref",
+        "c_cur",
+        F.coalesce(F.sum("c_ref").over(w), F.lit(0)).alias("cum_ref_before"),
+    )
+    tot = spine.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    num2 = cum.agg(
+        F.sum(
+            F.col("c_cur") * (F.lit(2) * F.col("cum_ref_before") + F.col("c_ref"))
+        ).alias("__num2")
+    )
+    return (
+        num2.crossJoin(broadcast(tot))
+        .select(
+            (F.col("__num2") / F.lit(2.0)).alias("u_statistic"),
+            (
+                F.col("__num2")
+                / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
+            ).alias("auc"),
+            "n_ref",
+            "n_cur",
+        )
     )

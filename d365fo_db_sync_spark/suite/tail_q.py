@@ -7496,3 +7496,47 @@ def text_phrase_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     phrases = npmi_collocations(docs, min_count=5).filter(F.col("npmi") >= 0.3)
     return apply_collocations(docs, phrases)
+
+
+@register(
+    "quality_drift_auc",
+    oracle="""
+    WITH r AS (SELECT n_chars v FROM documents
+               WHERE lang = 'en' AND n_chars IS NOT NULL),
+    c AS (SELECT n_chars v FROM documents
+          WHERE lang <> 'en' AND n_chars IS NOT NULL),
+    rv AS (SELECT v, COUNT(*) c_ref FROM r GROUP BY 1),
+    cv AS (SELECT v, COUNT(*) c_cur FROM c GROUP BY 1),
+    s AS (SELECT COALESCE(rv.v, cv.v) AS v, COALESCE(c_ref, 0) AS c_ref,
+                 COALESCE(c_cur, 0) AS c_cur
+          FROM rv FULL OUTER JOIN cv ON rv.v = cv.v),
+    cum AS (SELECT c_ref, c_cur,
+                   COALESCE(SUM(c_ref) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cb
+            FROM s),
+    t AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM s),
+    n2 AS (SELECT SUM(c_cur * (2 * cb + c_ref)) AS num2 FROM cum)
+    SELECT num2 / 2.0 AS u_statistic,
+           num2 / (2.0 * n_ref * n_cur) AS auc,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+    FROM n2 CROSS JOIN t
+    """,
+)
+def quality_drift_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based drift (operators/drift.py mann_whitney_auc) on the
+    English vs non-English length split: the Mann-Whitney U and its
+    ROC-AUC normalization — P(ref < cur) + half the ties — assembled
+    in integer half-units over the distinct-length spine and divided
+    once, so both float columns survive the cross-engine value hash.
+    Complements quality_drift_ks: the KS max-gap is shape-sensitive,
+    the AUC is the stochastic-dominance summary (0.5 = no location
+    drift)."""
+    from d365fo_db_sync_spark.operators.drift import mann_whitney_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mann_whitney_auc(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+    )

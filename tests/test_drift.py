@@ -127,3 +127,35 @@ def test_psi_categorical_null_and_validation(spark):
     assert [(r["category"], r["n_ref"], r["n_cur"]) for r in out] == [("en", 1, 1)]
     with pytest.raises(ValueError, match="eps"):
         psi_categorical(rdf, rdf, "lang", eps=-1)
+
+
+def test_mann_whitney_matches_exhaustive_pairs(spark):
+    import itertools
+    import random
+
+    from d365fo_db_sync_spark.operators.drift import mann_whitney_auc
+
+    rng = random.Random(9)
+    a = [rng.randrange(0, 25) for _ in range(70)]
+    b = [rng.randrange(8, 33) for _ in range(50)]
+    row = mann_whitney_auc(_mk(spark, a), _mk(spark, b), "x").collect()[0]
+    num = sum(
+        Fraction(1) if r < c else Fraction(1, 2) if r == c else Fraction(0)
+        for r, c in itertools.product(a, b)
+    )
+    assert row["u_statistic"] == float(num)
+    assert row["auc"] == float(num / (len(a) * len(b)))
+    assert (row["n_ref"], row["n_cur"]) == (len(a), len(b))
+
+
+def test_mann_whitney_limits(spark):
+    from d365fo_db_sync_spark.operators.drift import mann_whitney_auc
+
+    # identical samples: AUC exactly 0.5 (all mass in ties)
+    row = mann_whitney_auc(_mk(spark, [1, 2, 3]), _mk(spark, [1, 2, 3]), "x").collect()[0]
+    assert row["auc"] == 0.5
+    # complete separation in each direction
+    hi = mann_whitney_auc(_mk(spark, [1, 2]), _mk(spark, [5, 6]), "x").collect()[0]
+    lo = mann_whitney_auc(_mk(spark, [5, 6]), _mk(spark, [1, 2]), "x").collect()[0]
+    assert hi["auc"] == 1.0 and hi["u_statistic"] == 4.0
+    assert lo["auc"] == 0.0 and lo["u_statistic"] == 0.0
