@@ -202,11 +202,13 @@ def kmv_pairwise_overlap(
     union_est = F.when(m < k, m.cast("double")).otherwise(
         F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.element_at(merged, k).cast("double")
     )
+    # |{x in merged : x in both}| in O(k): the intersect is a hash
+    # probe, and membership in `merged` — the sorted bottom-k of the
+    # union — is just x <= max(merged) for any x already in an input
     common = F.size(
         F.filter(
-            merged,
-            lambda x: F.array_contains(F.col("ma"), x)
-            & F.array_contains(F.col("mb"), x),
+            F.array_intersect(F.col("ma"), F.col("mb")),
+            lambda x: x <= F.element_at(merged, -1),
         )
     )
     rho = common.cast("double") / F.greatest(m, F.lit(1)).cast("double")
@@ -237,16 +239,18 @@ def frequent_items(
     1. **Candidates** — a Misra-Gries summary of capacity
        ``ceil(1/min_fraction) + 1`` per PARTITION, accumulated across
        the partition's Arrow batches inside one mapInPandas pass
-       (O(capacity) memory, no shuffle). The summary undercounts any
-       item by strictly less than n_p/capacity (each eviction round
-       removes at least capacity x its decrement in total mass), and
-       by pigeonhole an item with global count > n/capacity must beat
-       that bound in at least one partition — the ``+ 1`` turns the
-       threshold case ``count == min_fraction*n == n/capacity`` into a
-       strict inequality, so the candidate union is a SUPERSET of
-       every reported heavy hitter: the sketch can over-report, never
-       miss. NULL key combinations are not reported (phase 2's semi
-       join cannot match them) but still count toward ``n``.
+       (O(capacity) memory, no shuffle, and no per-row Python: each
+       batch is counted with a vectorized groupby and folded with the
+       mergeable-summaries compression — see :func:`_mg_summary`). The
+       summary undercounts any item by at most n_p/(capacity+1),
+       strictly less than n_p/capacity, and by pigeonhole an item with
+       global count > n/capacity must beat that bound in at least one
+       partition — the ``+ 1`` turns the threshold case
+       ``count == min_fraction*n == n/capacity`` into a strict
+       inequality, so the candidate union is a SUPERSET of every
+       reported heavy hitter: the sketch can over-report, never miss.
+       NULL key combinations are not reported (phase 2's semi join
+       cannot match them) but still count toward ``n``.
     1.5. **Candidate merge** — Misra-Gries summaries are MERGEABLE
        (Agarwal et al. 2012): summing per-key counters across
        partitions preserves the bound, so the summed counter satisfies
@@ -294,7 +298,7 @@ def frequent_items(
     elif capacity < floor_cap:
         raise ValueError(
             f"capacity {capacity} breaks the no-miss guarantee; "
-            f"need >= ceil(1/min_fraction) = {floor_cap}"
+            f"need >= ceil(1/min_fraction) + 1 = {floor_cap}"
         )
     from pyspark.sql.functions import broadcast
 
@@ -322,53 +326,18 @@ def _mg_candidates(
     total: DataFrame,
 ) -> DataFrame:
     """Phases 1 + 1.5 of :func:`frequent_items`, exposed for tests and
-    streaming merges: per-partition Misra-Gries counters (Arrow-batched,
-    O(cap) memory), summed per key across partitions (the mergeable-
+    streaming merges: per-partition Misra-Gries counters
+    (:func:`_mg_summary` — vectorized Arrow-batch folds, O(cap)
+    memory), summed per key across partitions (the mergeable-
     summaries bound: summed counter > true count - n/cap), then
     thresholded at ``n*(min_fraction - 1/cap) - 1`` — a guaranteed
     heavy-hitter superset of at most ~(1+phi)/phi^2 keys regardless of
     partition count. ``total`` is the 1-row ``__n`` frame so callers
     reuse one corpus aggregate across phases."""
-    import pandas as pd
-    from pyspark.sql import types as T
     from pyspark.sql.functions import broadcast
 
-    keyed = df.select(*cols)
-    summ_schema = T.StructType(
-        [keyed.schema[c] for c in cols] + [T.StructField("__mg", T.LongType(), False)]
-    )
-
-    def summarize(batches):
-        # Misra-Gries across ALL batches of this partition: keep at
-        # most `cap` counters; on overflow decrement every counter by
-        # the current minimum and evict the zeros (amortized O(1) per
-        # row: each eviction round's rebuild is paid for by the >= cap
-        # decrements it applies)
-        counters: dict[tuple, int] = {}
-        for pdf in batches:
-            for key in zip(*(pdf[c] for c in cols)):
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < cap:
-                    counters[key] = 1
-                else:
-                    dec = min(counters.values())
-                    counters = {
-                        k: v - dec for k, v in counters.items() if v > dec
-                    }
-                    if len(counters) < cap:
-                        counters[key] = 1
-        out = {c: [] for c in cols}
-        cnts = []
-        for key, cnt in counters.items():
-            for c, v in zip(cols, key):
-                out[c].append(v)
-            cnts.append(cnt)
-        out["__mg"] = cnts
-        yield pd.DataFrame(out, columns=[*cols, "__mg"])
-
     summed = (
-        keyed.mapInPandas(summarize, schema=summ_schema)
+        _mg_summary(df, cols, cap)
         .groupBy(*cols)
         .agg(F.sum("__mg").alias("__mg"))
     )
@@ -382,3 +351,66 @@ def _mg_candidates(
         .filter(F.col("__mg") >= thr)
         .select(*cols)
     )
+
+
+def _mg_summary(df: DataFrame, cols: list[str], cap: int) -> DataFrame:
+    """Per-partition Misra-Gries summary of the ``cols`` key stream —
+    at most ``cap`` rows ``(*cols, __mg)`` per partition, each key
+    undercounted by at most ``n_p/(cap+1)`` (strictly under the
+    ``n_p/cap`` bound the candidate threshold assumes).
+
+    Vectorized fold (no per-row Python): each Arrow batch is counted
+    EXACTLY with a C-speed ``groupby(...).size()``, summed into the
+    running summary with a second vectorized groupby, and the summary
+    is compressed back under ``cap`` with the mergeable-summaries step
+    (Agarwal et al. 2012): subtract the (cap+1)-th largest counter
+    from every counter and drop the non-positive ones. Exact batch
+    counts are error-free summaries, so each fold is an MG merge; each
+    compression removes >= (cap+1) x its decrement in total mass, so
+    the summed decrements — the worst-case undercount of any one key —
+    telescope to <= n_p/(cap+1). Per-batch cost is O(batch_distinct)
+    in C plus O(summary) for the compression; the interpreter never
+    touches individual rows.
+
+    Shared phase 1 of :func:`frequent_items` (via
+    :func:`_mg_candidates`) and of the streaming
+    ``FrequentItemsStreamPipeline``, whose per-batch sidecars fold
+    these summaries across micro-batches."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if "__mg" in cols:
+        raise ValueError("'__mg' is reserved by the summarizer")
+    keyed = df.select(*cols)
+    summ_schema = T.StructType(
+        [keyed.schema[c] for c in cols] + [T.StructField("__mg", T.LongType(), False)]
+    )
+
+    def summarize(batches):
+        run: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = (
+                pdf.groupby(cols, dropna=False, sort=False)
+                .size()
+                .reset_index(name="__mg")
+            )
+            if run is None:
+                run = vc
+            else:
+                run = (
+                    pd.concat([run, vc], ignore_index=True)
+                    .groupby(cols, dropna=False, sort=False)["__mg"]
+                    .sum()
+                    .reset_index()
+                )
+            if len(run) > cap:
+                dec = run["__mg"].nlargest(cap + 1).iloc[-1]
+                run = run[run["__mg"] > dec].copy()
+                run["__mg"] -= dec
+        if run is None:
+            run = pd.DataFrame({c: [] for c in [*cols, "__mg"]})
+        yield run[[*cols, "__mg"]]
+
+    return keyed.mapInPandas(summarize, schema=summ_schema)

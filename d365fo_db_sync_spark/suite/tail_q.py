@@ -7222,6 +7222,7 @@ def sampling_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT props, COUNT(*) AS "count",
            COUNT(*) / CAST(n AS DOUBLE) AS fraction
     FROM events CROSS JOIN n
+    WHERE props IS NOT NULL
     GROUP BY props, n
     HAVING COUNT(*) >= CAST(0.0105 AS DOUBLE) * n
     """,
@@ -7235,7 +7236,10 @@ def events_frequent_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 never misses and phase 2 is exact, the output EQUALS the naive
     groupBy+HAVING plan the oracle runs — approximate machinery,
     exact answer. props sits at ~1.1% per value, so the 1.05%
-    threshold exercises the boundary at every corpus."""
+    threshold exercises the boundary at every corpus. NULL contract:
+    frequent_items never reports NULL key combinations (the semi join
+    cannot match them) though they count toward n — the oracle's WHERE
+    mirrors that while its denominator still counts every row."""
     from d365fo_db_sync_spark.operators.sketches import frequent_items
 
     ev = load_table(spark, sf_dir, "events")

@@ -217,6 +217,10 @@ class TestFrequentItems:
         before_join = plan.split("Join")[0]
         assert "MapInPandas" in plan
         assert "BroadcastExchange" in plan  # candidates + total broadcast
+        # the raw-key-space invariant itself: nothing hash-partitions
+        # ahead of the semi join (a shuffle there would be the naive
+        # groupBy plan this operator exists to avoid)
+        assert "Exchange hashpartitioning" not in before_join, before_join
 
     def test_candidate_set_bounded_regardless_of_partitions(self, spark):
         """The 100x guard: with many partitions and a near-unique key
