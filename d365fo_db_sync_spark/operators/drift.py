@@ -20,6 +20,8 @@ public-textbook measures:
 * :func:`mann_whitney_auc` — the rank-sum U statistic normalized to
   the ROC-AUC of separating the snapshots (0.5 = no location drift),
   the same integer-numerator discipline over the same value spine.
+* :func:`wasserstein_1` — earth-mover distance in metric units (how
+  FAR the mass moved, not just whether), same spine discipline.
 * :func:`psi_categorical` — the mix monitor (category is the bin).
 
 Scale shapes:
@@ -28,14 +30,16 @@ Scale shapes:
   combinable groupBy per side over BIN INDICES (at most ``n_bins``
   groups — the corpus shuffles into n_bins partial counts map-side),
   and a bins-sized join. Nothing row-sized leaves the scans.
-* KS: one combinable per-value groupBy per side, then a cumulative
-  window over the DISTINCT-value spine. The window is unpartitioned —
-  correct and cheap while ``|distinct values| << rows`` (integer
-  metrics: token counts, scores quantized by the caller); for
-  continuous metrics bin first (``psi``'s edges or
-  ``sampling.quantile_bands``) so the spine stays bounded. The
-  docstring guard exists because a global sort over ROW-cardinality
-  data would be the classic single-partition bottleneck.
+* KS / AUC / W1: one combinable per-value groupBy per side, then a
+  cumulative window over the DISTINCT-value spine. The window is
+  unpartitioned — correct and cheap while ``|distinct values| <<
+  rows`` (integer metrics: token counts, scores quantized by the
+  caller); for continuous metrics bin first (``psi``'s edges or
+  ``sampling.quantile_bands``) so the spine stays bounded. That
+  invariant is enforced IN CODE: every spine statistic probes
+  ``approx_count_distinct`` first and raises above ``max_spine``
+  (default 1e6) rather than silently global-sorting row-cardinality
+  data into a single partition.
 """
 
 from __future__ import annotations
@@ -44,12 +48,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "auc_from_counts",
+    "ks_from_counts",
     "ks_statistic",
     "mann_whitney_auc",
     "psi",
     "psi_categorical",
     "psi_from_counts",
+    "wasserstein_1",
 ]
+
+#: default ceiling on the distinct-value spine the rank statistics
+#: sort over — above this the unpartitioned cumulative window becomes
+#: the classic single-partition global-sort bottleneck, so the guard
+#: raises instead of silently degrading (the engine-wide refuse-loudly
+#: discipline; cf. similarity.centroid_silhouette's label guard)
+MAX_SPINE = 1_000_000
+
+
+def _spine_guard(ref: DataFrame, cur: DataFrame, col: str, max_spine: int | None) -> None:
+    """Refuse a row-cardinality value spine IN CODE, not docstring:
+    one cheap ``approx_count_distinct`` over both sides (a combinable
+    scan aggregate, no shuffle of rows) before the statistic's
+    unpartitioned cumulative window is ever planned. ``max_spine=None``
+    skips the probe for callers that already bounded the domain."""
+    if max_spine is None:
+        return
+    probe = (
+        ref.select(F.col(col).alias("v"))
+        .unionByName(cur.select(F.col(col).alias("v")))
+        .agg(F.approx_count_distinct("v").alias("d"))
+        .first()["d"]
+    )
+    if probe > max_spine:
+        raise ValueError(
+            f"~{probe} distinct values of {col!r} exceed max_spine="
+            f"{max_spine}: the cumulative window would global-sort a "
+            "row-scale spine. Bin the metric first (psi's equi-width "
+            "edges or sampling.quantile_bands), quantize it, or pass "
+            "max_spine=None if the domain is provably bounded."
+        )
 
 
 def psi(
@@ -191,8 +229,17 @@ def psi_categorical(
     )
     tot = spine.agg(F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc"))
     both = spine.crossJoin(broadcast(tot))
-    p_ref = F.greatest(F.col("n_ref") / F.col("__tr"), F.lit(float(eps)))
-    p_cur = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(float(eps)))
+    # an all-empty side has proportion 0 everywhere -> the epsilon
+    # floor, not a division by its zero total (ANSI mode errors) —
+    # the same contract as psi_from_counts
+    p_ref = F.greatest(
+        F.coalesce(F.try_divide("n_ref", "__tr"), F.lit(0.0)),
+        F.lit(float(eps)),
+    )
+    p_cur = F.greatest(
+        F.coalesce(F.try_divide("n_cur", "__tc"), F.lit(0.0)),
+        F.lit(float(eps)),
+    )
     return both.select(
         "category",
         "n_ref",
@@ -203,25 +250,10 @@ def psi_categorical(
     )
 
 
-def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov statistic over ``col``: one row
-    ``(ks, at_value, n_ref, n_cur)`` where ``ks = max_v |F_ref(v) -
-    F_cur(v)|`` over the union of observed values and ``at_value`` is
-    the (smallest) value attaining it — the split point a drift triage
-    looks at first.
-
-    Exactness: the maximum is taken over the INTEGER quantity
-    ``|cum_ref*n_cur - cum_cur*n_ref|`` and divided once by
-    ``n_ref*n_cur``, so the double survives a cross-engine value hash
-    (ties in the integer maximum break toward the smallest value —
-    total order, both engines agree). NULLs are excluded.
-
-    The cumulative window runs over the distinct-value spine — see the
-    module docstring's guard: keep ``|distinct|`` bounded (integer
-    metrics or pre-binned continuous ones)."""
-    from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
-
+def _counts_spine(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Per-distinct-value counts of both sides over the union of
+    observed values: ``(v, c_ref, c_cur)``. NULLs excluded. One
+    combinable groupBy per side, a spine-sized full-outer join."""
     rv = (
         ref.filter(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("v"))
@@ -232,11 +264,50 @@ def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         .groupBy(F.col(col).alias("v"))
         .agg(F.count("*").alias("c_cur"))
     )
-    spine = rv.join(cv, on="v", how="full_outer").select(
+    return rv.join(cv, on="v", how="full_outer").select(
         "v",
         F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
         F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
     )
+
+
+def ks_statistic(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    max_spine: int | None = MAX_SPINE,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over ``col``: one row
+    ``(ks, at_value, n_ref, n_cur)`` where ``ks = max_v |F_ref(v) -
+    F_cur(v)|`` over the union of observed values and ``at_value`` is
+    the (smallest) value attaining it — the split point a drift triage
+    looks at first.
+
+    Exactness: the maximum is taken over the INTEGER quantity
+    ``|cum_ref*n_cur - cum_cur*n_ref|`` and divided once by
+    ``n_ref*n_cur``, so the double survives a cross-engine value hash
+    (ties in the integer maximum break toward the smallest value —
+    total order, both engines agree). NULLs are excluded; an EMPTY
+    side yields a NULL ``ks`` (try_divide — the statistic is undefined
+    against nothing, and ANSI mode must not error).
+
+    The cumulative window runs over the distinct-value spine, and
+    ``max_spine`` enforces in code that the spine stays bounded
+    (integer metrics or pre-binned continuous ones) — see
+    :func:`_spine_guard`."""
+    _spine_guard(ref, cur, col, max_spine)
+    return ks_from_counts(_counts_spine(ref, cur, col))
+
+
+def ks_from_counts(spine: DataFrame) -> DataFrame:
+    """The KS tail over an already-counted value spine
+    ``(v, c_ref, c_cur)`` — the reusable half of :func:`ks_statistic`,
+    also fed by the streaming drift monitor's folded per-bin integers
+    (``DriftMonitorPipeline.ks_view``, where ``v`` is the bin index
+    and the statistic is the KS of the BINNED distributions)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = spine.select(
         "v",
@@ -256,16 +327,85 @@ def ks_statistic(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     )
     best = scored.orderBy(F.col("num").desc(), F.col("v").asc()).limit(1)
     return best.select(
-        (F.col("num") / (F.col("n_ref") * F.col("n_cur")).cast("double")).alias(
-            "ks"
-        ),
+        F.try_divide(
+            F.col("num"), (F.col("n_ref") * F.col("n_cur")).cast("double")
+        ).alias("ks"),
         F.col("v").alias("at_value"),
         "n_ref",
         "n_cur",
     )
 
 
-def mann_whitney_auc(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+def wasserstein_1(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    max_spine: int | None = MAX_SPINE,
+) -> DataFrame:
+    """Earth-mover / 1-Wasserstein distance between the two empirical
+    distributions of ``col``, in the metric's own units: ``W1 =
+    integral |F_ref(x) - F_cur(x)| dx``, evaluated exactly over the
+    observed-value spine as ``sum_i |cum_ref(v_i)*n_cur -
+    cum_cur(v_i)*n_ref| * (v_{i+1} - v_i)`` with ONE final division by
+    ``n_ref*n_cur``. Complements the unit-free siblings: KS is the max
+    CDF gap (shape), AUC the stochastic dominance (location order) —
+    W1 says HOW FAR the mass moved, which is what a mixture-rebalance
+    decision actually costs against.
+
+    Exactness: on integral metrics the numerator is a pure BIGINT sum
+    (counts x value gaps), order-free across partitions, so the one
+    division is bit-stable cross-engine — the suite oracles it. On
+    double metrics each term is exact but the SUM order is not; treat
+    the result as a float-fold like every multi-term double sum. An
+    empty side yields NULL (try_divide). Same bounded-spine guard and
+    cumulative-window shape as :func:`ks_statistic`."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    _spine_guard(ref, cur, col, max_spine)
+    spine = _counts_spine(ref, cur, col)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    lead = Window.orderBy("v")
+    cum = spine.select(
+        "v",
+        F.sum("c_ref").over(w).alias("cum_ref"),
+        F.sum("c_cur").over(w).alias("cum_cur"),
+        F.lead("v").over(lead).alias("v_next"),
+    )
+    tot = spine.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    num = (
+        cum.crossJoin(broadcast(tot))
+        .filter(F.col("v_next").isNotNull())
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_ref") * F.col("n_cur")
+                    - F.col("cum_cur") * F.col("n_ref")
+                )
+                * (F.col("v_next") - F.col("v"))
+            ).alias("__num")
+        )
+    )
+    return num.crossJoin(broadcast(tot)).select(
+        F.coalesce(
+            F.try_divide(
+                F.col("__num"), (F.col("n_ref") * F.col("n_cur")).cast("double")
+            ),
+            F.when(F.col("n_ref") * F.col("n_cur") > 0, F.lit(0.0)),
+        ).alias("w1"),
+        "n_ref",
+        "n_cur",
+    )
+
+
+def mann_whitney_auc(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    max_spine: int | None = MAX_SPINE,
+) -> DataFrame:
     """Rank-based drift: the Mann-Whitney U statistic and its
     normalized form — ``auc = P(ref_value < cur_value) + 0.5 *
     P(equal)`` over all cross pairs, i.e. the common-language effect
@@ -280,30 +420,26 @@ def mann_whitney_auc(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
     distinct-value spine and divided ONCE by ``2*n_ref*n_cur`` —
     bit-stable cross-engine, no per-pair work, no float rank
     averaging. ``u_statistic`` is the same numerator in half-units
-    (``U = auc * n_ref * n_cur``). NULLs excluded; one row out:
-    ``(u_statistic, auc, n_ref, n_cur)``.
+    (``U = auc * n_ref * n_cur``). NULLs excluded; an empty side
+    yields NULL ``auc`` (try_divide — no pairs exist to rank). One row
+    out: ``(u_statistic, auc, n_ref, n_cur)``.
 
     Scale: the same bounded distinct-value spine discipline as
     :func:`ks_statistic` — per-value combinable groupBys, one
-    cumulative window over the spine, totals broadcast."""
+    cumulative window over the spine, totals broadcast — with the same
+    in-code ``max_spine`` guard."""
+    _spine_guard(ref, cur, col, max_spine)
+    return auc_from_counts(_counts_spine(ref, cur, col))
+
+
+def auc_from_counts(spine: DataFrame) -> DataFrame:
+    """The Mann-Whitney/AUC tail over an already-counted value spine
+    ``(v, c_ref, c_cur)`` — the reusable half of
+    :func:`mann_whitney_auc`, fed by the streaming monitor's folded
+    bin integers the same way as :func:`ks_from_counts`."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
-    rv = (
-        ref.filter(F.col(col).isNotNull())
-        .groupBy(F.col(col).alias("v"))
-        .agg(F.count("*").alias("c_ref"))
-    )
-    cv = (
-        cur.filter(F.col(col).isNotNull())
-        .groupBy(F.col(col).alias("v"))
-        .agg(F.count("*").alias("c_cur"))
-    )
-    spine = rv.join(cv, on="v", how="full_outer").select(
-        "v",
-        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
-        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
-    )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     cum = spine.select(
         "c_ref",
@@ -322,9 +458,9 @@ def mann_whitney_auc(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         num2.crossJoin(broadcast(tot))
         .select(
             (F.col("__num2") / F.lit(2.0)).alias("u_statistic"),
-            (
-                F.col("__num2")
-                / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
+            F.try_divide(
+                F.col("__num2"),
+                F.lit(2.0) * F.col("n_ref") * F.col("n_cur"),
             ).alias("auc"),
             "n_ref",
             "n_cur",

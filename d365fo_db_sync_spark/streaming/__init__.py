@@ -762,12 +762,24 @@ class DriftMonitorPipeline:
     """Streaming distribution-drift monitor: each micro-batch bins its
     metric column against REFERENCE-frozen edges (operators/drift.py
     semantics) and publishes the batch's bin counts to a parquet
-    sidecar partition; ``psi_view`` recomputes the live PSI against
-    the reference from the folded counts at any time. Bin counts are
-    integers, so the fold is an exact sum — the monitor's PSI over N
-    batches is IDENTICAL to a batch :func:`operators.drift.psi` over
-    the concatenated stream (equivalence-pinned in
-    tests/test_streaming.py).
+    sidecar partition; the read views recompute the live statistics
+    against the reference from the folded counts at any time. Bin
+    counts are integers, so the fold is an exact sum — each view over
+    N batches is IDENTICAL to its batch operator over the concatenated
+    stream (equivalence-pinned in tests/test_streaming.py):
+
+    * :meth:`psi_view` — per-bin PSI (== ``drift.psi``);
+    * :meth:`ks_view` — KS of the BINNED distributions
+      (== ``drift.ks_statistic`` over the bin indices);
+    * :meth:`auc_view` — Mann-Whitney AUC of the binned distributions
+      (== ``drift.mann_whitney_auc`` over the bin indices);
+    * :meth:`mix_view` — categorical-mode per-category PSI
+      (== ``drift.psi_categorical``), for monitors built with
+      ``categorical=True`` where the raw column value IS the bin
+      (language mix, source mix) and no edges are frozen.
+
+    The same n_bins-integer sidecar feeds every numeric view — adding
+    a statistic costs zero extra stream-side state.
 
     Exactly-once: a batch's counts publish atomically
     (write-to-tmp + rename) into ``sidecar_dir/batch_id=N``; a
@@ -789,6 +801,7 @@ class DriftMonitorPipeline:
         checkpoint_dir: str,
         n_bins: int = 10,
         eps: float = 1e-6,
+        categorical: bool = False,
     ) -> None:
         if n_bins < 2:
             raise ValueError(f"n_bins must be >= 2, got {n_bins}")
@@ -799,15 +812,22 @@ class DriftMonitorPipeline:
         self.checkpoint_dir = checkpoint_dir
         self.n_bins = n_bins
         self.eps = eps
+        self.categorical = categorical
         r = ref.filter(F.col(col).isNotNull())
-        edges = r.agg(
-            F.min(F.col(col).cast("double")).alias("lo"),
-            F.max(F.col(col).cast("double")).alias("hi"),
-        ).collect()[0]
-        self.lo = edges["lo"]
-        self.hi = edges["hi"]
-        if self.lo is None:
-            raise ValueError("reference has no non-NULL metric values")
+        if categorical:
+            # the category IS the bin: no edges to freeze, the sidecar
+            # keys on the raw (stringified) value — psi_categorical's
+            # contract, bounded by category cardinality
+            self.lo = self.hi = None
+        else:
+            edges = r.agg(
+                F.min(F.col(col).cast("double")).alias("lo"),
+                F.max(F.col(col).cast("double")).alias("hi"),
+            ).collect()[0]
+            self.lo = edges["lo"]
+            self.hi = edges["hi"]
+            if self.lo is None:
+                raise ValueError("reference has no non-NULL metric values")
         self.ref_counts = {
             row["bin"]: row["n"]
             for row in r.select(self._bin_expr().alias("bin"))
@@ -815,12 +835,17 @@ class DriftMonitorPipeline:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        if categorical and not self.ref_counts:
+            raise ValueError("reference has no non-NULL metric values")
 
     def _bin_expr(self):
         """The SAME clamped equi-width bin assignment as
         operators.drift.psi, with the reference edges folded in as
         literals (frozen at construction — a drifting batch must not
-        move the bins it is measured against)."""
+        move the bins it is measured against). Categorical mode: the
+        stringified raw value."""
+        if self.categorical:
+            return F.col(self.col).cast("string")
         x = F.col(self.col).cast("double")
         if self.hi == self.lo:
             return F.lit(0)
@@ -832,6 +857,10 @@ class DriftMonitorPipeline:
             ),
             F.lit(self.n_bins - 1),
         )
+
+    @property
+    def _bin_ddl(self) -> str:
+        return "bin string" if self.categorical else "bin int"
 
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -858,7 +887,7 @@ class DriftMonitorPipeline:
         if not os.path.isdir(self.sidecar_dir) or not any(
             e.startswith("batch_id=") for e in os.listdir(self.sidecar_dir)
         ):
-            return spark.createDataFrame([], "bin int, n_cur long")
+            return spark.createDataFrame([], f"{self._bin_ddl}, n_cur long")
         return (
             spark.read.option("basePath", self.sidecar_dir)
             .parquet(self.sidecar_dir)
@@ -866,19 +895,75 @@ class DriftMonitorPipeline:
             .agg(F.sum("n_cur").alias("n_cur"))
         )
 
+    def _spine(self, spark) -> DataFrame:
+        """Folded (bin, n_ref, n_cur) spine: frozen reference counts
+        full-outer-joined with the sidecar fold."""
+        if self.categorical:
+            ref_rows = [(str(b), int(n)) for b, n in sorted(self.ref_counts.items())]
+        else:
+            ref_rows = [(int(b), int(n)) for b, n in sorted(self.ref_counts.items())]
+        rb = spark.createDataFrame(ref_rows, f"{self._bin_ddl}, n_ref long")
+        return rb.join(self.counts_view(spark), on="bin", how="full_outer").select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+
     def psi_view(self, spark) -> DataFrame:
         """Live per-bin PSI of the ingested stream vs the reference —
         same output contract as operators.drift.psi."""
         from d365fo_db_sync_spark.operators.drift import psi_from_counts
 
-        ref_rows = [(int(b), int(n)) for b, n in sorted(self.ref_counts.items())]
-        rb = spark.createDataFrame(ref_rows, "bin int, n_ref long")
-        spine = rb.join(self.counts_view(spark), on="bin", how="full_outer").select(
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        if self.categorical:
+            raise ValueError("categorical monitor: use mix_view")
+        return psi_from_counts(self._spine(spark), eps=self.eps)
+
+    def ks_view(self, spark) -> DataFrame:
+        """Live KS statistic of the BINNED stream vs the binned
+        reference — identical to ``drift.ks_statistic`` over the bin
+        indices of the concatenated stream (the folded counts ARE the
+        per-value counts of the bin-index metric). ``at_value`` is the
+        bin index attaining the max CDF gap."""
+        from d365fo_db_sync_spark.operators.drift import ks_from_counts
+
+        if self.categorical:
+            raise ValueError("categorical monitor: bins are unordered, use mix_view")
+        return ks_from_counts(
+            self._spine(spark).select(
+                F.col("bin").alias("v"),
+                F.col("n_ref").alias("c_ref"),
+                F.col("n_cur").alias("c_cur"),
+            )
         )
-        return psi_from_counts(spine, eps=self.eps)
+
+    def auc_view(self, spark) -> DataFrame:
+        """Live Mann-Whitney AUC of the binned stream vs the binned
+        reference — identical to ``drift.mann_whitney_auc`` over the
+        bin indices."""
+        from d365fo_db_sync_spark.operators.drift import auc_from_counts
+
+        if self.categorical:
+            raise ValueError("categorical monitor: bins are unordered, use mix_view")
+        return auc_from_counts(
+            self._spine(spark).select(
+                F.col("bin").alias("v"),
+                F.col("n_ref").alias("c_ref"),
+                F.col("n_cur").alias("c_cur"),
+            )
+        )
+
+    def mix_view(self, spark) -> DataFrame:
+        """Categorical-mode live mix monitor: per-category PSI terms of
+        the ingested stream vs the reference — same output contract
+        (and double-for-double the same values) as
+        ``drift.psi_categorical`` over the concatenated stream."""
+        from d365fo_db_sync_spark.operators.drift import psi_from_counts
+
+        if not self.categorical:
+            raise ValueError("numeric monitor: use psi_view")
+        return psi_from_counts(self._spine(spark), eps=self.eps).withColumnRenamed(
+            "bin", "category"
+        )
 
     def start(self, stream_df: DataFrame, available_now: bool = True):
         writer = (

@@ -7544,3 +7544,174 @@ def quality_drift_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang") != "en"),
         "n_chars",
     )
+
+
+@register(
+    "quality_drift_w1",
+    oracle="""
+    WITH r AS (SELECT n_chars v FROM documents
+               WHERE lang = 'en' AND n_chars IS NOT NULL),
+    c AS (SELECT n_chars v FROM documents
+          WHERE lang <> 'en' AND n_chars IS NOT NULL),
+    rv AS (SELECT v, COUNT(*) c_ref FROM r GROUP BY 1),
+    cv AS (SELECT v, COUNT(*) c_cur FROM c GROUP BY 1),
+    s AS (SELECT COALESCE(rv.v, cv.v) AS v, COALESCE(c_ref, 0) AS c_ref,
+                 COALESCE(c_cur, 0) AS c_cur
+          FROM rv FULL OUTER JOIN cv ON rv.v = cv.v),
+    cum AS (SELECT v, SUM(c_ref) OVER (ORDER BY v) AS cum_ref,
+                   SUM(c_cur) OVER (ORDER BY v) AS cum_cur,
+                   LEAD(v) OVER (ORDER BY v) AS v_next FROM s),
+    t AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM s),
+    nm AS (SELECT SUM(ABS(cum_ref * n_cur - cum_cur * n_ref)
+                      * (v_next - v)) AS num
+           FROM cum CROSS JOIN t WHERE v_next IS NOT NULL)
+    SELECT num / CAST(n_ref * n_cur AS DOUBLE) AS w1,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+    FROM nm CROSS JOIN t
+    """,
+)
+def quality_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover drift (operators/drift.py wasserstein_1) on the
+    English vs non-English length split: HOW FAR the length mass
+    moved, in characters — the cost a mixture rebalance actually pays,
+    complementing KS (max gap) and AUC (dominance order). The
+    numerator sum(|cum_ref*n_cur - cum_cur*n_ref| * value_gap) is a
+    pure BIGINT fold over the distinct-length spine (order-free), and
+    the single final division is bit-stable cross-engine — which is
+    what lets an EMD be value-oracled at all. The in-code max_spine
+    guard probes approx_count_distinct first (the r10 verdict's
+    docstring-to-code ask)."""
+    from d365fo_db_sync_spark.operators.drift import wasserstein_1
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wasserstein_1(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+    )
+
+
+@register(
+    "quality_drift_ks_stream",
+    oracle="""
+    WITH r0 AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+                WHERE lang = 'en' AND n_chars IS NOT NULL),
+    c0 AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+           WHERE lang <> 'en' AND n_chars IS NOT NULL),
+    e AS (SELECT MIN(x) lo, MAX(x) hi FROM r0),
+    rv AS (SELECT CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 10.0)) AS INT), 0), 9) END AS v,
+                  COUNT(*) AS c_ref
+           FROM r0 CROSS JOIN e GROUP BY 1),
+    cv AS (SELECT CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 10.0)) AS INT), 0), 9) END AS v,
+                  COUNT(*) AS c_cur
+           FROM c0 CROSS JOIN e GROUP BY 1),
+    s AS (SELECT COALESCE(rv.v, cv.v) AS v, COALESCE(c_ref, 0) AS c_ref,
+                 COALESCE(c_cur, 0) AS c_cur
+          FROM rv FULL OUTER JOIN cv ON rv.v = cv.v),
+    cum AS (SELECT v, SUM(c_ref) OVER (ORDER BY v) AS cum_ref,
+                   SUM(c_cur) OVER (ORDER BY v) AS cum_cur FROM s),
+    t AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM s),
+    sc AS (SELECT v, n_ref, n_cur,
+                  ABS(cum_ref * n_cur - cum_cur * n_ref) AS num
+           FROM cum CROSS JOIN t)
+    SELECT num / CAST(n_ref * n_cur AS DOUBLE) AS ks, v AS at_value,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+    FROM sc ORDER BY num DESC, v ASC LIMIT 1
+    """,
+)
+def quality_drift_ks_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING binned KS (streaming.DriftMonitorPipeline.ks_view):
+    the non-English documents drain through Structured Streaming in 4
+    micro-batches, each publishing only its 10 bin counts to the
+    exactly-once sidecar; ks_view then computes the KS of the binned
+    stream against the frozen English reference bins from the folded
+    integers alone. Because bin counts fold exactly, the streamed
+    answer IS the batch answer over the concatenated stream — the
+    oracle replays the whole thing (reference-frozen equi-width bins,
+    integer-numerator max, low-bin tie break) in SQL with no knowledge
+    that a stream was involved. Stream-side state: n_bins integers per
+    batch, nothing else."""
+    from d365fo_db_sync_spark.streaming import DriftMonitorPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    cur = docs.filter(F.col("lang") != "en")
+    run_dir = scratch_dir("driftks_")
+    src = f"{run_dir}/in"
+    for b in range(4):
+        cur.filter(F.pmod("doc_id", F.lit(4)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{b}")
+    pipe = DriftMonitorPipeline(
+        ref, "n_chars", f"{run_dir}/sidecar", f"{run_dir}/ckpt", n_bins=10
+    )
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(300)
+    return pipe.ks_view(spark)
+
+
+@register(
+    "quality_drift_mix_stream",
+    oracle="""
+    WITH r AS (SELECT lang FROM documents
+               WHERE lang IS NOT NULL AND CAST(substr(source, 4) AS INT) < 10),
+    c AS (SELECT lang FROM documents
+          WHERE lang IS NOT NULL AND CAST(substr(source, 4) AS INT) >= 10),
+    rb AS (SELECT lang AS category, COUNT(*) AS n_ref FROM r GROUP BY 1),
+    cb AS (SELECT lang AS category, COUNT(*) AS n_cur FROM c GROUP BY 1),
+    s AS (SELECT COALESCE(rb.category, cb.category) AS category,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb ON rb.category = cb.category),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM s)
+    SELECT category, n_ref, n_cur,
+           GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6) AS p_ref,
+           GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6) AS p_cur,
+           (GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+            - GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6))
+           * ln(GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+                / GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6)) AS psi_term
+    FROM s CROSS JOIN t
+    """,
+)
+def quality_drift_mix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING language-mix monitor (DriftMonitorPipeline in
+    categorical mode): the 'new crawl' (sources >= 10) drains in 4
+    micro-batches, each publishing its per-language counts; mix_view
+    recomputes the categorical PSI against the frozen reference mix
+    (sources < 10) from the folded integers — double-for-double the
+    batch psi_categorical over the concatenated stream, so it shares
+    quality_drift_lang_mix's oracle shape. The category IS the bin:
+    no edges are frozen, and per-batch sidecar state is
+    |languages| integers."""
+    from d365fo_db_sync_spark.streaming import DriftMonitorPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    ref = docs.filter(src_num < 10)
+    cur = docs.filter(src_num >= 10)
+    run_dir = scratch_dir("driftmix_")
+    src = f"{run_dir}/in"
+    for b in range(4):
+        cur.filter(F.pmod("doc_id", F.lit(4)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{b}")
+    pipe = DriftMonitorPipeline(
+        ref, "lang", f"{run_dir}/sidecar", f"{run_dir}/ckpt", categorical=True
+    )
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(300)
+    return pipe.mix_view(spark)

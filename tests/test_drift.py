@@ -159,3 +159,87 @@ def test_mann_whitney_limits(spark):
     lo = mann_whitney_auc(_mk(spark, [5, 6]), _mk(spark, [1, 2]), "x").collect()[0]
     assert hi["auc"] == 1.0 and hi["u_statistic"] == 4.0
     assert lo["auc"] == 0.0 and lo["u_statistic"] == 0.0
+
+
+def test_spine_guard_raises_on_high_cardinality(spark):
+    """The r10-flagged invariant, now code: a row-cardinality double
+    column is refused before the unpartitioned cumulative window ever
+    plans; max_spine=None restores the old behavior for provably
+    bounded domains."""
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.drift import (
+        ks_statistic,
+        mann_whitney_auc,
+        wasserstein_1,
+    )
+
+    big = spark.range(50_000).select(
+        (F.col("id").cast("double") + F.lit(0.5)).alias("x")
+    )
+    for fn in (ks_statistic, mann_whitney_auc, wasserstein_1):
+        with pytest.raises(ValueError, match="max_spine"):
+            fn(big, big, "x", max_spine=10_000)
+    # bounded override: same data, guard skipped, plan unchanged
+    row = ks_statistic(big, big, "x", max_spine=None).collect()[0]
+    assert row["ks"] == 0.0
+
+
+def test_empty_side_yields_null_not_error(spark):
+    """ANSI-mode guard: an empty reference or stream yields NULL
+    statistics (try_divide), never a divide-by-zero error — the
+    psi_from_counts discipline extended to every drift operator."""
+    from d365fo_db_sync_spark.operators.drift import (
+        ks_statistic,
+        mann_whitney_auc,
+        psi_categorical,
+        wasserstein_1,
+    )
+
+    some = _mk(spark, [1, 2, 3])
+    empty = _mk(spark, [])
+    row = ks_statistic(some, empty, "x").collect()[0]
+    assert row["ks"] is None and row["n_cur"] == 0
+    row = mann_whitney_auc(empty, some, "x").collect()[0]
+    assert row["auc"] is None
+    row = wasserstein_1(some, empty, "x").collect()[0]
+    assert row["w1"] is None
+    # categorical: empty side floors to eps everywhere, no error
+    cat = spark.createDataFrame([("en",), ("de",)], "lang string")
+    ecat = spark.createDataFrame([], "lang string")
+    rows = psi_categorical(cat, ecat, "lang").collect()
+    assert {r["category"] for r in rows} == {"en", "de"}
+    assert all(r["p_cur"] == 1e-6 for r in rows)
+
+
+def test_wasserstein_matches_bruteforce(spark):
+    """W1 vs the exact Fraction-arithmetic integral of |F_ref - F_cur|
+    over the observed spine."""
+    from d365fo_db_sync_spark.operators.drift import wasserstein_1
+
+    ref_vals = [1, 2, 2, 3, 5, 8, 9]
+    cur_vals = [4, 5, 6, 6, 7, 9, 9, 10]
+    row = wasserstein_1(_mk(spark, ref_vals), _mk(spark, cur_vals), "x").collect()[0]
+    n_r, n_c = len(ref_vals), len(cur_vals)
+    spine = sorted(set(ref_vals) | set(cur_vals))
+    exact = Fraction(0)
+    for v, v_next in zip(spine, spine[1:]):
+        fr = Fraction(sum(1 for x in ref_vals if x <= v), n_r)
+        fc = Fraction(sum(1 for x in cur_vals if x <= v), n_c)
+        exact += abs(fr - fc) * (v_next - v)
+    assert row["w1"] == float(exact)
+    assert (row["n_ref"], row["n_cur"]) == (n_r, n_c)
+
+
+def test_wasserstein_limits(spark):
+    from d365fo_db_sync_spark.operators.drift import wasserstein_1
+
+    # identical distributions: exactly zero
+    row = wasserstein_1(_mk(spark, [3, 1, 4]), _mk(spark, [4, 1, 3]), "x").collect()[0]
+    assert row["w1"] == 0.0
+    # point masses at distance d: W1 == d
+    row = wasserstein_1(_mk(spark, [2, 2]), _mk(spark, [7, 7]), "x").collect()[0]
+    assert row["w1"] == 5.0
+    # single shared point: zero via the coalesce (no gaps to sum)
+    row = wasserstein_1(_mk(spark, [5]), _mk(spark, [5, 5]), "x").collect()[0]
+    assert row["w1"] == 0.0

@@ -986,3 +986,117 @@ def test_drift_monitor_empty_and_validation(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="eps"):
         psi_from_counts(spark.createDataFrame([], "bin int, n_ref long, n_cur long"), eps=0)
+
+
+def test_drift_monitor_ks_auc_views_match_batch(spark, tmp_path):
+    """ks_view/auc_view over the folded bin sidecar equal the BATCH
+    statistics over the bin indices of the concatenated stream —
+    double for double (the r10 verdict's ask: the sidecar already
+    holds everything a binned KS needs; no new stream-side state)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.drift import ks_statistic, mann_whitney_auc
+    from d365fo_db_sync_spark.streaming import DriftMonitorPipeline
+
+    ref = spark.createDataFrame([(v,) for v in range(100, 200)], "n_chars long")
+    wave1 = [(v,) for v in range(150, 230)]
+    wave2 = [(v,) for v in range(240, 260)] + [(None,)]
+    cur = spark.createDataFrame(wave1 + wave2, "n_chars long")
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    for wave in (wave1, wave2):
+        spark.createDataFrame(wave, "n_chars long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    pipe = DriftMonitorPipeline(
+        ref, "n_chars", str(tmp_path / "sc"), str(tmp_path / "ck"), n_bins=5
+    )
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    pipe.start(stream, available_now=True).awaitTermination(120)
+
+    # NULL metric rows are excluded BEFORE binning (the monitor's
+    # contract) — binning first would send them to bin 0 via
+    # greatest(NULL, 0)
+    binned_ref = ref.filter(F.col("n_chars").isNotNull()).select(
+        pipe._bin_expr().alias("b")
+    )
+    binned_cur = cur.filter(F.col("n_chars").isNotNull()).select(
+        pipe._bin_expr().alias("b")
+    )
+    got = pipe.ks_view(spark).collect()[0]
+    exp = ks_statistic(binned_ref, binned_cur, "b").collect()[0]
+    assert (got["ks"], got["at_value"], got["n_ref"], got["n_cur"]) == (
+        exp["ks"], exp["at_value"], exp["n_ref"], exp["n_cur"],
+    )
+    got = pipe.auc_view(spark).collect()[0]
+    exp = mann_whitney_auc(binned_ref, binned_cur, "b").collect()[0]
+    assert (got["auc"], got["u_statistic"]) == (exp["auc"], exp["u_statistic"])
+
+    with pytest.raises(ValueError, match="psi_view"):
+        pipe.mix_view(spark)
+
+
+def test_drift_monitor_categorical_mix_matches_batch(spark, tmp_path):
+    """Categorical mode: mix_view over the folded category sidecar
+    equals batch psi_categorical over the concatenated stream; the
+    numeric-only views refuse; replay is a sidecar no-op."""
+    import os
+
+    import pytest
+
+    from d365fo_db_sync_spark.operators.drift import psi_categorical
+    from d365fo_db_sync_spark.streaming import DriftMonitorPipeline
+
+    ref = spark.createDataFrame(
+        [("en",)] * 8 + [("de",)] * 2, "lang string"
+    )
+    wave1 = [("en",)] * 3 + [("fr",)] * 4
+    wave2 = [("de",)] * 2 + [(None,)]
+    cur = spark.createDataFrame(wave1 + wave2, "lang string")
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    for wave in (wave1, wave2):
+        spark.createDataFrame(wave, "lang string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    pipe = DriftMonitorPipeline(
+        ref, "lang", str(tmp_path / "sc"), str(tmp_path / "ck"),
+        categorical=True,
+    )
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    pipe.start(stream, available_now=True).awaitTermination(120)
+
+    got = {r["category"]: r for r in pipe.mix_view(spark).collect()}
+    exp = {r["category"]: r for r in psi_categorical(ref, cur, "lang").collect()}
+    assert set(got) == set(exp)
+    for c in exp:
+        assert (got[c]["n_ref"], got[c]["n_cur"]) == (exp[c]["n_ref"], exp[c]["n_cur"])
+        assert got[c]["psi_term"] == exp[c]["psi_term"]  # identical doubles
+
+    for bad in ("psi_view", "ks_view", "auc_view"):
+        with pytest.raises(ValueError, match="mix_view"):
+            getattr(pipe, bad)(spark)
+
+    # replayed batch id: sidecar untouched
+    before = sorted(map(tuple, pipe.counts_view(spark).collect()))
+    pipe._handle_batch(spark.createDataFrame(wave1, "lang string"), 0)
+    assert sorted(map(tuple, pipe.counts_view(spark).collect())) == before
+
+    with pytest.raises(ValueError, match="no non-NULL"):
+        DriftMonitorPipeline(
+            spark.createDataFrame([(None,)], "lang string"),
+            "lang", "x", "y", categorical=True,
+        )
