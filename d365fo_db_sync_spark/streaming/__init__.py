@@ -650,6 +650,198 @@ class HeavyHitterStreamPipeline:
         return writer.start()
 
 
+class FrequentItemsStreamPipeline:
+    """Streaming heavy hitters over ROW KEYS — the micro-batch twin of
+    ``operators.sketches.frequent_items`` (the r10 verdict's ask: the
+    mergeable Misra-Gries machinery existed, nothing streamed it).
+
+    Each micro-batch runs phase 1 over its own partitions
+    (``_mg_summary`` — vectorized MG counters, O(capacity) memory, the
+    raw key space never shuffles), sums the partition summaries into a
+    batch summary, compresses it back under ``capacity`` rows with the
+    same Agarwal mergeable-summaries step (subtract the (cap+1)-th
+    largest, drop non-positives — a bounded ``limit(cap+1)`` collect
+    supplies the decrement), stamps every row with the batch row count
+    ``__nb``, and publishes atomically to
+    ``summary_dir/batch_id=N`` — idempotent under replay, the
+    engine-wide sidecar file protocol.
+
+    Error ledger (why ``capacity`` floors at ``2*ceil(1/phi) + 2``):
+    the partition phase undercounts any key by < n_b/cap, the batch
+    compression by <= n_b/(cap+1) more, so a batch summary undercounts
+    by < 2*n_b/cap; summed across batches (absent keys contribute 0,
+    which also respects the bound) the folded counter satisfies
+    ``c'(x) > count(x) - 2n/cap``. :meth:`candidates` therefore keeps
+    keys with ``c' >= n*(min_fraction - 2/cap) - 1`` — a guaranteed
+    SUPERSET of every true heavy hitter, of at most
+    ~(1+phi)/phi^2 keys regardless of batch or partition count
+    (each survivor owns that much summed mass). The floor makes
+    ``min_fraction - 2/cap`` strictly positive with the same
+    (1+phi)/phi^2 algebra as the batch operator's ``+ 1``.
+
+    :meth:`exact` then resolves EXACTLY with one scan of the persisted
+    corpus: candidates broadcast into a semi join, survivors recount,
+    the folded ``__nb`` totals supply the denominator — so the
+    streamed answer equals the naive GROUP BY + HAVING over everything
+    ingested, which is what lets the suite value-oracle it. Per-batch
+    sidecar cost: <= capacity rows, never the key space.
+    """
+
+    def __init__(
+        self,
+        summary_dir: str,
+        checkpoint_dir: str,
+        cols: Sequence[str],
+        min_fraction: float,
+        capacity: int | None = None,
+    ) -> None:
+        import math
+
+        if not cols:
+            raise ValueError("cols must name at least one column")
+        if not 0 < min_fraction < 1:
+            raise ValueError(f"min_fraction must be in (0, 1), got {min_fraction}")
+        floor_cap = 2 * math.ceil(1.0 / min_fraction) + 2
+        if capacity is None:
+            capacity = floor_cap
+        elif capacity < floor_cap:
+            raise ValueError(
+                f"capacity {capacity} breaks the streaming no-miss "
+                f"guarantee; need >= 2*ceil(1/min_fraction) + 2 = {floor_cap}"
+            )
+        self.summary_dir = summary_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.cols = list(cols)
+        self.min_fraction = float(min_fraction)
+        self.capacity = int(capacity)
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import uuid as _uuid
+
+        from d365fo_db_sync_spark.operators.sketches import _mg_summary
+
+        if batch_df.isEmpty():
+            return
+        final = os.path.join(self.summary_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replayed batch: summary already published
+        cap = self.capacity
+        summ = (
+            _mg_summary(batch_df, self.cols, cap)
+            .groupBy(*self.cols)
+            .agg(F.sum("__mg").alias("__mg"))
+        )
+        # batch compression: bounded collect of the top cap+1 counter
+        # VALUES only (never keys at key-space scale) supplies the
+        # mergeable-summaries decrement
+        top = [
+            r["__mg"]
+            for r in summ.select("__mg")
+            .orderBy(F.desc("__mg"))
+            .limit(cap + 1)
+            .collect()
+        ]
+        if len(top) == cap + 1:
+            dec = top[-1]
+            summ = summ.filter(F.col("__mg") > dec).withColumn(
+                "__mg", F.col("__mg") - F.lit(dec)
+            )
+        n_b = batch_df.count()
+        out = summ.withColumn("__nb", F.lit(n_b).cast("long"))
+        os.makedirs(self.summary_dir, exist_ok=True)
+        tmp = os.path.join(self.summary_dir, f"_tmp-{_uuid.uuid4().hex[:8]}")
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def summary(self, spark) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self.summary_dir) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.summary_dir)
+        ):
+            return None
+        return spark.read.option("basePath", self.summary_dir).parquet(
+            self.summary_dir
+        )
+
+    def _total(self, summ: DataFrame) -> DataFrame:
+        """1-row ``__n``: the stream's row total, folded from the
+        per-batch ``__nb`` stamps (constant within a batch)."""
+        return (
+            summ.groupBy("batch_id")
+            .agg(F.first("__nb").alias("__nb"))
+            .agg(F.sum("__nb").alias("__n"))
+        )
+
+    def candidates(self, spark) -> DataFrame | None:
+        """The maintained heavy-hitter SUPERSET from the sidecars
+        alone — no corpus scan; ~(1+phi)/phi^2 keys at most. None
+        before the first batch lands (no schema to shape an empty
+        frame from)."""
+        from pyspark.sql.functions import broadcast
+
+        summ = self.summary(spark)
+        if summ is None:
+            return None
+        folded = summ.groupBy(*self.cols).agg(F.sum("__mg").alias("__mg"))
+        thr = (
+            F.lit(self.min_fraction) * F.col("__n")
+            - F.lit(2.0) * F.col("__n") / F.lit(float(self.capacity))
+            - F.lit(1.0)
+        )
+        return (
+            folded.crossJoin(broadcast(self._total(summ)))
+            .filter(F.col("__mg") >= thr)
+            .select(*self.cols)
+        )
+
+    def exact(self, spark, corpus: DataFrame) -> DataFrame:
+        """Exact heavy hitters of everything ingested, resolved with
+        ONE scan of ``corpus`` (the persisted stream content): same
+        output contract as ``frequent_items`` —
+        ``(*cols, count, fraction)``."""
+        from pyspark.sql.functions import broadcast
+
+        summ = self.summary(spark)
+        if summ is None:
+            return (
+                corpus.select(*self.cols)
+                .limit(0)
+                .withColumn("count", F.lit(0).cast("long"))
+                .withColumn("fraction", F.lit(0.0))
+            )
+        total = self._total(summ)
+        survivors = corpus.join(
+            broadcast(self.candidates(spark)), on=self.cols, how="left_semi"
+        )
+        counted = survivors.groupBy(*self.cols).agg(F.count("*").alias("count"))
+        return (
+            counted.crossJoin(broadcast(total))
+            .filter(
+                F.col("count") >= F.lit(self.min_fraction) * F.col("__n")
+            )
+            .select(
+                *self.cols,
+                "count",
+                (F.col("count") / F.col("__n")).alias("fraction"),
+            )
+        )
+
+    def start(self, stream_df: DataFrame, available_now: bool = True):
+        import os
+
+        os.makedirs(self.summary_dir, exist_ok=True)
+        writer = (
+            stream_df.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 class RollupStreamPipeline:
     """Streaming incremental view maintenance: each micro-batch folds
     into a maintained per-group COUNT/SUM rollup via operators/ivm.py

@@ -7715,3 +7715,50 @@ def quality_drift_mix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe.start(stream, available_now=True).awaitTermination(300)
     return pipe.mix_view(spark)
+
+
+@register(
+    "events_frequent_props_stream",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM events)
+    SELECT props, COUNT(*) AS "count",
+           COUNT(*) / CAST(n AS DOUBLE) AS fraction
+    FROM events CROSS JOIN n
+    WHERE props IS NOT NULL
+    GROUP BY props, n
+    HAVING COUNT(*) >= CAST(0.0105 AS DOUBLE) * n
+    """,
+)
+def events_frequent_props_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path to the same exact answer as
+    events_frequent_props: the events stream drains in 4 micro-batches
+    through streaming.FrequentItemsStreamPipeline — each batch
+    publishes only its capacity-bounded Misra-Gries summary (vectorized
+    phase 1, batch-level mergeable-summaries compression, idempotent
+    sidecar rename), the folded summaries yield a guaranteed-superset
+    candidate set independent of batch count, and exact() resolves with
+    one scan of the persisted stream. Because the superset never
+    misses and the recount is exact, the streamed answer shares the
+    batch query's naive GROUP BY oracle (NULL props excluded from
+    keys, counted in the denominator). The stream's own folded row
+    totals supply n — no side channel."""
+    from d365fo_db_sync_spark.streaming import FrequentItemsStreamPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    run_dir = scratch_dir("fistream_")
+    src = f"{run_dir}/in"
+    for b in range(4):
+        ev.filter(F.pmod("event_id", F.lit(4)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{b}")
+    pipe = FrequentItemsStreamPipeline(
+        f"{run_dir}/summ", f"{run_dir}/ckpt", ["props"], min_fraction=0.0105
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(300)
+    return pipe.exact(spark, ev)

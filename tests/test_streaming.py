@@ -1100,3 +1100,101 @@ def test_drift_monitor_categorical_mix_matches_batch(spark, tmp_path):
             spark.createDataFrame([(None,)], "lang string"),
             "lang", "x", "y", categorical=True,
         )
+
+
+def test_frequent_items_stream_matches_exact_groupby(spark, tmp_path):
+    """FrequentItemsStreamPipeline: after draining a skewed stream in
+    micro-batches, exact() equals the naive groupBy+HAVING over the
+    whole stream — the streaming twin of frequent_items' guarantee
+    (superset candidates folded across batches, exact recount)."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.streaming import FrequentItemsStreamPipeline
+
+    rng = random.Random(11)
+    waves = []
+    for w in range(4):
+        rows = []
+        for _ in range(5000):
+            r = rng.random()
+            if r < 0.15:
+                rows.append(("hot",))
+            elif r < 0.22:
+                rows.append((f"warm{w % 2}",))
+            else:
+                rows.append((f"u{rng.randrange(3000)}",))
+        waves.append(rows)
+    allrows = [r for wave in waves for r in wave]
+    corpus = spark.createDataFrame(allrows, "k string")
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, "k string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+    pipe = FrequentItemsStreamPipeline(
+        str(tmp_path / "summ"), str(tmp_path / "ckpt"), ["k"], min_fraction=0.03
+    )
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(120)
+
+    got = {(r["k"]): (r["count"], r["fraction"]) for r in pipe.exact(spark, corpus).collect()}
+    n = len(allrows)
+    naive = {
+        r["k"]: (r["c"], r["c"] / n)
+        for r in corpus.groupBy("k").agg(F.count("*").alias("c")).collect()
+        if r["c"] >= 0.03 * n
+    }
+    assert got == naive
+    assert "hot" in got
+
+    # candidate superset stays bounded regardless of batch count
+    cands = pipe.candidates(spark).collect()
+    phi = 0.03
+    assert len(cands) <= (1 + phi) / phi**2 + 2
+
+    # replayed batch id: sidecar untouched, totals unchanged
+    before = sorted(
+        map(tuple, pipe.summary(spark).select("k", "__mg", "__nb", "batch_id").collect())
+    )
+    pipe._handle_batch(spark.createDataFrame(waves[0], "k string"), 0)
+    after = sorted(
+        map(tuple, pipe.summary(spark).select("k", "__mg", "__nb", "batch_id").collect())
+    )
+    assert before == after
+
+    # per-batch sidecar stays capacity-bounded (the compression step)
+    per_batch = (
+        pipe.summary(spark).groupBy("batch_id").agg(F.count("*").alias("c")).collect()
+    )
+    assert all(r["c"] <= pipe.capacity for r in per_batch)
+
+
+def test_frequent_items_stream_validation_and_empty(spark, tmp_path):
+    import pytest
+
+    from d365fo_db_sync_spark.streaming import FrequentItemsStreamPipeline
+
+    with pytest.raises(ValueError, match="no-miss"):
+        FrequentItemsStreamPipeline("x", "y", ["k"], 0.1, capacity=5)
+    with pytest.raises(ValueError, match="min_fraction"):
+        FrequentItemsStreamPipeline("x", "y", ["k"], 0.0)
+    with pytest.raises(ValueError, match="at least one column"):
+        FrequentItemsStreamPipeline("x", "y", [], 0.1)
+
+    pipe = FrequentItemsStreamPipeline(
+        str(tmp_path / "s"), str(tmp_path / "c"), ["k"], 0.1
+    )
+    corpus = spark.createDataFrame([("a",)], "k string")
+    assert pipe.candidates(spark) is None
+    out = pipe.exact(spark, corpus)
+    assert out.count() == 0
+    assert out.columns == ["k", "count", "fraction"]
