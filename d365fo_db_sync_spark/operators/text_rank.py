@@ -394,3 +394,56 @@ def apply_collocations(
         F.size(out).cast("long").alias("n_tokens_out"),
         F.array_join(out, " ").alias("text_phrased"),
     )
+
+
+def learn_apply_phrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 2,
+    min_count: int = 5,
+    npmi_threshold: float = 0.3,
+) -> DataFrame:
+    """Iterated phrase learning — the published gensim-Phrases
+    multi-pass pattern: each round mines collocations on the CURRENT
+    corpus (:func:`npmi_collocations`), keeps pairs scoring
+    ``npmi >= npmi_threshold`` at ``min_count``, rewrites every
+    document with the greedy left-to-right merge
+    (:func:`apply_collocations`), and feeds the rebuilt text into the
+    next round — so round 2 surfaces TRIgrams as (bigram_token, word)
+    pairs ("new_york" + "times" -> "new_york_times"), round 3
+    4-grams, and so on. One pass alone can never exceed bigrams: the
+    greedy parity rule consumes a merged token, so longer units only
+    emerge by re-learning on the rewritten stream.
+
+    Returns the FINAL round's :func:`apply_collocations` frame
+    (``id_col, n_merges, n_tokens_out, text_phrased``) — ``n_merges``
+    counts the last round's merges only, by construction of the
+    iteration. Rounds where no pair clears the bar rewrite nothing
+    (empty phrase table -> zero merges) and the iteration is a fixed
+    point from there.
+
+    Scale shape: each round costs what one learn+apply costs (bigram
+    explode -> one combinable groupBy -> vocabulary-sized joins ->
+    broadcast pair probe -> two windows -> codegen rebuild); rounds
+    are a small constant chosen by the caller, and nothing carries
+    across rounds except the rebuilt text column itself. The rewritten
+    corpus is localCheckpointed between rounds (the graph-peel
+    discipline) — each round's learn AND apply scan the SAME
+    materialization instead of lazily replaying every earlier round,
+    which would make round N cost O(N) round replays."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    cur = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    applied = None
+    for r in range(rounds):
+        if r > 0:
+            cur = cur.localCheckpoint(eager=True)
+        phrases = npmi_collocations(cur, text_col="__text", min_count=min_count).filter(
+            F.col("npmi") >= F.lit(float(npmi_threshold))
+        )
+        applied = apply_collocations(cur, phrases, id_col=id_col, text_col="__text")
+        cur = applied.select(
+            F.col(id_col), F.col("text_phrased").alias("__text")
+        )
+    return applied

@@ -7762,3 +7762,123 @@ def events_frequent_props_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe.start(stream, available_now=True).awaitTermination(300)
     return pipe.exact(spark, ev)
+
+
+@register(
+    "text_phrase_apply_2pass",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    u AS (SELECT t, COUNT(*) AS n_t
+          FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1),
+    n AS (SELECT SUM(n_t) AS nn FROM u),
+    bgc AS (SELECT g[1] AS a, g[2] AS b, COUNT(*) AS n_ab
+            FROM (SELECT unnest([[toks[i], toks[i + 1]]
+                                for i in range(1, len(toks))]) AS g
+                  FROM tok)
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 5),
+    pr AS (SELECT bgc.a, bgc.b
+           FROM bgc
+           JOIN u ua ON bgc.a = ua.t
+           JOIN u ub ON bgc.b = ub.t
+           CROSS JOIN n
+           WHERE ln((n_ab / CAST(nn AS DOUBLE))
+                    / ((ua.n_t / CAST(nn AS DOUBLE))
+                       * (ub.n_t / CAST(nn AS DOUBLE))))
+                 / -ln(n_ab / CAST(nn AS DOUBLE)) >= 0.3),
+    pairs AS (SELECT doc_id, i - 1 AS pos, toks[i] AS a, toks[i + 1] AS b
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                    FROM tok)),
+    m0 AS (SELECT p.doc_id, p.pos FROM pairs p JOIN pr USING (a, b)),
+    rn AS (SELECT doc_id, pos,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+           FROM m0),
+    kept AS (SELECT doc_id, pos FROM (
+               SELECT doc_id, pos,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id, pos - rn
+                                         ORDER BY pos) AS rr
+               FROM rn)
+             WHERE rr % 2 = 1),
+    mg AS (SELECT doc_id, list_sort(list(pos)) AS m FROM kept GROUP BY 1),
+    outm AS (SELECT t.doc_id, t.toks,
+                    COALESCE(mg.m, CAST([] AS BIGINT[])) AS m
+             FROM tok t LEFT JOIN mg USING (doc_id)),
+    reb AS (SELECT doc_id,
+                   list_filter(
+                     [CASE WHEN list_contains(m, i)
+                             THEN toks[i + 1] || '_' || toks[i + 2]
+                           WHEN list_contains(m, i - 1) THEN NULL
+                           ELSE toks[i + 1] END
+                      for i in range(0, len(toks))],
+                     x -> x IS NOT NULL) AS o
+            FROM outm),
+    u2 AS (SELECT t, COUNT(*) AS n_t
+           FROM (SELECT unnest(o) AS t FROM reb) GROUP BY 1),
+    n2 AS (SELECT SUM(n_t) AS nn FROM u2),
+    bgc2 AS (SELECT g[1] AS a, g[2] AS b, COUNT(*) AS n_ab
+             FROM (SELECT unnest([[o[i], o[i + 1]]
+                                 for i in range(1, len(o))]) AS g
+                   FROM reb)
+             GROUP BY 1, 2
+             HAVING COUNT(*) >= 5),
+    pr2 AS (SELECT bgc2.a, bgc2.b
+            FROM bgc2
+            JOIN u2 ua ON bgc2.a = ua.t
+            JOIN u2 ub ON bgc2.b = ub.t
+            CROSS JOIN n2
+            WHERE ln((n_ab / CAST(nn AS DOUBLE))
+                     / ((ua.n_t / CAST(nn AS DOUBLE))
+                        * (ub.n_t / CAST(nn AS DOUBLE))))
+                  / -ln(n_ab / CAST(nn AS DOUBLE)) >= 0.3),
+    pairs2 AS (SELECT doc_id, i - 1 AS pos, o[i] AS a, o[i + 1] AS b
+               FROM (SELECT doc_id, o, unnest(range(1, len(o))) AS i
+                     FROM reb)),
+    m02 AS (SELECT p.doc_id, p.pos FROM pairs2 p JOIN pr2 USING (a, b)),
+    rn2 AS (SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+            FROM m02),
+    kept2 AS (SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, pos - rn
+                                          ORDER BY pos) AS rr
+                FROM rn2)
+              WHERE rr % 2 = 1),
+    mg2 AS (SELECT doc_id, list_sort(list(pos)) AS m FROM kept2 GROUP BY 1),
+    outm2 AS (SELECT r.doc_id, r.o AS toks,
+                     COALESCE(mg2.m, CAST([] AS BIGINT[])) AS m
+              FROM reb r LEFT JOIN mg2 USING (doc_id)),
+    reb2 AS (SELECT doc_id, len(m) AS n_merges,
+                    list_filter(
+                      [CASE WHEN list_contains(m, i)
+                              THEN toks[i + 1] || '_' || toks[i + 2]
+                            WHEN list_contains(m, i - 1) THEN NULL
+                            ELSE toks[i + 1] END
+                       for i in range(0, len(toks))],
+                      x -> x IS NOT NULL) AS o
+             FROM outm2)
+    SELECT doc_id, CAST(n_merges AS BIGINT) AS n_merges,
+           CAST(len(o) AS BIGINT) AS n_tokens_out,
+           array_to_string(o, ' ') AS text_phrased
+    FROM reb2
+    """.format(toks=_TOKS_SQL),
+)
+def text_phrase_apply_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATED phrase learning (operators/text_rank.py
+    learn_apply_phrases, the gensim-Phrases multi-pass pattern): pass
+    1 learns npmi >= 0.3 collocations and greedily rewrites; pass 2
+    RE-LEARNS on the rewritten corpus — where bigram tokens are plain
+    vocabulary — surfacing trigrams/4-grams as (merged_token, word)
+    pairs a single pass can never produce, and rewrites again. The
+    oracle replays BOTH passes end-to-end in SQL (pass 2's token
+    arrays are exactly pass 1's rebuilt arrays — the rebuilt string
+    re-splits to itself), so the final rebuilt strings are
+    byte-oracled across the full two-round composition, greedy parity
+    and all. The rewritten corpus is localCheckpointed between rounds
+    so round 2 scans a materialization instead of replaying round 1
+    twice."""
+    from d365fo_db_sync_spark.operators.text_rank import learn_apply_phrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_apply_phrases(
+        docs, rounds=2, min_count=5, npmi_threshold=0.3
+    )

@@ -255,3 +255,60 @@ class TestApplyCollocations:
 
         with pytest.raises(ValueError, match="missing 'b'"):
             apply_collocations(df, bad)
+
+
+def test_learn_apply_phrases_surfaces_trigrams(spark):
+    """The multi-pass pin: one pass can only produce bigram merges
+    (greedy parity consumes the merged token); the second pass,
+    re-learning on the rewritten corpus, fuses (bigram_token, word)
+    into the trigram — and a corpus already at its fixed point
+    rewrites to itself."""
+    from d365fo_db_sync_spark.operators.text_rank import learn_apply_phrases
+
+    docs = spark.createDataFrame(
+        [(i, "new york times reported quietly") for i in range(10)]
+        + [(100 + i, f"filler{i} alone here") for i in range(3)],
+        "doc_id long, text string",
+    )
+    one = {
+        r["doc_id"]: r["text_phrased"]
+        for r in learn_apply_phrases(
+            docs, rounds=1, min_count=5, npmi_threshold=0.3
+        ).collect()
+    }
+    # pass 1: every adjacent pair qualifies; greedy parity over the
+    # 4-position run keeps positions 0 and 2
+    assert one[0] == "new_york times_reported quietly"
+
+    two = learn_apply_phrases(docs, rounds=2, min_count=5, npmi_threshold=0.3)
+    got = {r["doc_id"]: r for r in two.collect()}
+    # pass 2 fuses (new_york, times_reported) — the 4-gram emerging
+    # from re-learning on bigram tokens, impossible in one pass
+    assert got[0]["text_phrased"] == "new_york_times_reported quietly"
+    assert got[0]["n_merges"] == 1  # last round's merges only
+    assert got[0]["n_tokens_out"] == 2
+    # untouched docs ride through every round byte-identical
+    assert got[101]["text_phrased"] == "filler1 alone here"
+    assert got[101]["n_merges"] == 0
+
+    # pass 3 finishes the fusion; pass 4 is the fixed point (single
+    # tokens carry no bigrams, fillers never clear min_count)
+    three = {
+        r["doc_id"]: r["text_phrased"]
+        for r in learn_apply_phrases(
+            docs, rounds=3, min_count=5, npmi_threshold=0.3
+        ).collect()
+    }
+    assert three[0] == "new_york_times_reported_quietly"
+    four = {
+        r["doc_id"]: r["text_phrased"]
+        for r in learn_apply_phrases(
+            docs, rounds=4, min_count=5, npmi_threshold=0.3
+        ).collect()
+    }
+    assert four == three
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds"):
+        learn_apply_phrases(docs, rounds=0)
