@@ -156,6 +156,13 @@ def suppress_below_k(
         raise ValueError("quasi_cols must name at least one column")
     if k < 2:
         raise ValueError(f"k must be >= 2 to mean anything, got {k}")
+    if "__group_size" in df.columns:
+        # withColumn would silently overwrite (then drop) the user's
+        # column, corrupting the released frame's schema contract
+        raise ValueError(
+            "input already carries a '__group_size' column; rename it "
+            "before suppression"
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(*quasi_cols)

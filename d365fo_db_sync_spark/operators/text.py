@@ -395,10 +395,18 @@ def unigram_logprob(
 def oov_rate(col: Column | str, vocab: dict[str, int] | list[str]) -> Column:
     """Fraction of tokens outside a fixed vocabulary — integer-exact
     (count/count), so the oracle agrees bit-for-bit with no float-fold
-    caveats. High OOV = encoding damage, gibberish, or domain shift."""
+    caveats. High OOV = encoding damage, gibberish, or domain shift.
+
+    Membership is ``isin`` over the vocabulary literals: above the
+    optimizer's inSetConversionThreshold (default 10) Catalyst
+    compiles that to ``InSet`` — a hash-set probe, O(1) per token —
+    where an array/map literal scan is O(V) per token (GetMapValue is
+    a linear scan, the text_search lesson)."""
     t = tokens(col)
-    vocab_arr = F.lit(sorted(vocab)).cast("array<string>")
-    in_vocab = F.size(F.filter(t, lambda x: F.array_contains(vocab_arr, x)))
+    words = sorted(vocab)
+    in_vocab = (
+        F.size(F.filter(t, lambda x: x.isin(*words))) if words else F.lit(0)
+    )
     return (F.size(t) - in_vocab).cast("double") / F.greatest(F.size(t), F.lit(1))
 
 
@@ -537,12 +545,16 @@ UNK = "<unk>"
 def vocab_mapped_tokens(col: Column | str, vocab: "list[str]", unk: str = UNK) -> Column:
     """Token stream with everything outside ``vocab`` collapsed to the
     ``unk`` symbol — the closed-vocabulary preprocessing every n-gram
-    LM shares. Pure codegen (transform + array_contains on an array
-    literal)."""
-    varr = F.lit(sorted(vocab)).cast("array<string>")
+    LM shares. Pure codegen: ``isin`` over the vocabulary literals
+    compiles to an InSet hash probe (O(1) per token) above the
+    optimizer's conversion threshold, vs O(V) for an array or map
+    literal scan."""
+    words = sorted(vocab)
+    if not words:
+        return F.transform(tokens(col), lambda x: F.lit(unk))
     return F.transform(
         tokens(col),
-        lambda x: F.when(F.array_contains(varr, x), x).otherwise(F.lit(unk)),
+        lambda x: F.when(x.isin(*words), x).otherwise(F.lit(unk)),
     )
 
 

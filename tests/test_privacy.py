@@ -264,3 +264,16 @@ def test_t_closeness_corpus_shuffles_once(spark):
 
     ops = physical_operators(t_closeness_audit(ev, ["day"], "event_type"))
     assert sum(o.startswith("BroadcastExchange") for o in ops) == 2, ops
+
+
+def test_suppress_below_k_rejects_reserved_column(spark):
+    """The temp-column collision guard: a pre-existing __group_size
+    would be silently overwritten and dropped, corrupting the released
+    schema — refuse loudly instead."""
+    import pytest
+
+    from d365fo_db_sync_spark.operators.privacy import suppress_below_k
+
+    df = spark.createDataFrame([("a", 1)], "qi string, __group_size int")
+    with pytest.raises(ValueError, match="__group_size"):
+        suppress_below_k(df, ["qi"], k=2)
