@@ -49,12 +49,14 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "auc_from_counts",
+    "binned_quantiles",
     "ks_from_counts",
     "ks_statistic",
     "mann_whitney_auc",
     "psi",
     "psi_categorical",
     "psi_from_counts",
+    "quantiles_from_counts",
     "wasserstein_1",
 ]
 
@@ -398,6 +400,145 @@ def wasserstein_1(
         "n_ref",
         "n_cur",
     )
+
+
+def _quantile_tail(
+    counts: DataFrame,
+    qs: list[float],
+    count_col: str,
+) -> DataFrame:
+    """Shared interpolation tail over an integer bin-count spine
+    ``(bin, count_col)``: per requested quantile q, the first bin
+    whose cumulative count reaches ``q * n`` supplies
+    ``est = lo + width * (bin + (q*n - cum_before)/cnt)`` — linear
+    interpolation inside the crossing bin, every term deterministic
+    (integer cums, one q*n product, one division), so a SQL oracle
+    replays the doubles exactly. Bins absent from the spine are zero
+    counters: the cumulative never moves there, so the crossing bin
+    always has cnt > 0 for q*n > 0."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "bin",
+        F.col(count_col).alias("__cnt"),
+        F.sum(count_col).over(w).alias("__cum"),
+        (F.sum(count_col).over(w) - F.col(count_col)).alias("__cb"),
+        F.col("__qlo"),
+        F.col("__qw"),
+    )
+    tot = counts.agg(F.sum(count_col).alias("__n"))
+    qdf = tot.select(
+        "__n", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    hits = broadcast(qdf).join(
+        cum, F.col("__cum") >= F.col("q") * F.col("__n")
+    )
+    first = hits.groupBy("q", "__n").agg(
+        F.min_by(
+            F.struct("bin", "__cnt", "__cb", "__qlo", "__qw"), F.col("bin")
+        ).alias("s")
+    )
+    est = F.col("s.__qlo") + F.col("s.__qw") * (
+        F.col("s.bin")
+        + F.try_divide(
+            F.col("q") * F.col("__n") - F.col("s.__cb"), F.col("s.__cnt")
+        )
+    )
+    return first.select(
+        "q", est.alias("est"), F.col("__n").alias("n")
+    ).orderBy("q")
+
+
+def quantiles_from_counts(
+    counts: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    count_col: str = "n_cur",
+) -> DataFrame:
+    """Quantile estimates from an ALREADY-BINNED equi-width count spine
+    ``(bin, count_col)`` with known edges — the read-side companion of
+    the drift monitor's sidecar (``DriftMonitorPipeline.quantile_view``
+    feeds its folded integers here): approximate quantiles of
+    everything ingested, error bounded by one bin width, computed from
+    n_bins integers with NO quantile state kept on the stream and no
+    corpus access. Deterministic (integer cums + one interpolation per
+    q), hence SQL-oracleable — unlike approx_percentile's engine
+    internals. ``qs`` in (0, 1]; one row ``(q, est, n)`` per quantile;
+    an all-empty spine yields NULL estimates."""
+    _validate_qs(qs)
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    width = 0.0 if hi == lo else (hi - lo) / float(n_bins)
+    prepared = counts.select(
+        "bin",
+        count_col,
+        F.lit(float(lo)).alias("__qlo"),
+        F.lit(float(width)).alias("__qw"),
+    )
+    return _quantile_tail(prepared, qs, count_col)
+
+
+def binned_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    n_bins: int = 100,
+) -> DataFrame:
+    """Approximate quantiles of ``col`` via an equi-width histogram:
+    one min/max aggregate (broadcast 1-row), one combinable groupBy
+    into at most ``n_bins`` partial counts — the corpus shuffles
+    nothing row-sized — then per-q linear interpolation inside the
+    crossing bin. Error is bounded by one bin width of the observed
+    range; raise ``n_bins`` to tighten (the cost stays n_bins
+    integers). The deterministic alternative to ``approx_percentile``
+    when the answer must replay exactly cross-engine (every term is
+    integer cums and one interpolation). NULLs excluded; ``qs`` in
+    (0, 1]."""
+    _validate_qs(qs)
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from pyspark.sql.functions import broadcast
+
+    d = df.filter(F.col(col).isNotNull())
+    edges = d.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+    x = F.col(col).cast("double")
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    idx = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(F.floor((x - F.col("__lo")) / width).cast("int"), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+    )
+    counts = (
+        d.crossJoin(broadcast(edges))
+        .select(idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    prepared = counts.crossJoin(broadcast(edges)).select(
+        "bin",
+        "n",
+        F.col("__lo").alias("__qlo"),
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0.0))
+        .otherwise((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+        .alias("__qw"),
+    )
+    return _quantile_tail(prepared, qs, "n")
+
+
+def _validate_qs(qs: list[float]) -> None:
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
+    for q in qs:
+        if not 0 < q <= 1:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
 
 
 def mann_whitney_auc(

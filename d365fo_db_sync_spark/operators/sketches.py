@@ -37,6 +37,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cms_estimate",
+    "cms_merge",
+    "cms_sketch",
     "distinct_sketch",
     "frequent_items",
     "estimate_sketches",
@@ -219,6 +222,130 @@ def kmv_pairwise_overlap(
         rho.alias("jaccard_est"),
         (rho * union_est).alias("inter_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — POINT-FREQUENCY
+# estimates, the thing neither HLL (cardinality) nor KMV (set overlap)
+# nor Misra-Gries (top-phi only) answers: "about how often does THIS
+# key occur?", for any key, from depth x width counters. Like the KMV
+# sketch it is deterministic by construction (seeded md5-derived
+# buckets), so counters AND estimates replay exactly in a SQL oracle —
+# approximate answers, exactly reproducible.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(col, d: int, width: int) -> "F.Column":
+    """Row hash for depth ``d``: the 60-bit md5 integer of
+    ``"{d}\\x00{value}"`` modulo ``width`` — pairwise-independent
+    enough across depths for the CM bound, engine-independent like
+    :func:`kmv_hash` (DuckDB: ``('0x' || substr(md5(d || chr(0) ||
+    v), 1, 15))::BIGINT % width``)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(str(d)), F.lit("\x00"), F.col(col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of ``value_col``: ``depth x width`` counters as
+    rows ``(d, bucket, cnt)`` (absent rows are zero counters). One
+    corpus pass — each row maps to ``depth`` (d, bucket) cells map-side
+    and the groupBy collapses into at most depth*width combinable
+    partials, so the shuffle moves a CONSTANT-size summary no matter
+    the corpus. NULL values are excluded (they have no key identity).
+
+    Guarantee (CM 2005): for every key, estimate >= true count, and
+    estimate <= true + 2n/width with probability 1 - 2^-depth —
+    overcount only, never undercount, which composes with
+    :func:`cms_merge` (counter sums) into the sidecar maintenance
+    discipline of the HLL/KMV sketches above: each ingest batch
+    contributes its own sketch, the fact table is never rescanned."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 8:
+        raise ValueError(f"width must be >= 8 for a usable bound, got {width}")
+    base = df.filter(F.col(value_col).isNotNull())
+    cells = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(value_col, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    return cells.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """CMS of a union = elementwise counter sum (exact with respect to
+    the sketch semantics — same depth/width required, the caller's
+    contract like the HLL lg_k)."""
+    return (
+        a.select("d", "bucket", "cnt")
+        .unionByName(b.select("d", "bucket", "cnt"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` (a BOUNDED key list —
+    dashboard watchlists, candidate sets): per key, ``min`` over the
+    ``depth`` counters its buckets hit; a bucket with no counter row
+    is zero. The key list expands x depth (small), left-joins the
+    depth*width sketch, and folds with one min — the corpus is never
+    touched. Output: ``(key_col, est)``; ``est >= true count``
+    always."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    probes = keys.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
+    expanded = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(key_col, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.d", "c.bucket")
+    joined = expanded.join(sketch, on=["d", "bucket"], how="left").select(
+        key_col, F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
 
 
 def frequent_items(

@@ -1144,6 +1144,24 @@ class DriftMonitorPipeline:
             )
         )
 
+    def quantile_view(self, spark, qs: Sequence[float]) -> DataFrame:
+        """Approximate quantiles of everything ingested, from the SAME
+        folded bin integers (operators.drift.quantiles_from_counts):
+        error bounded by one reference bin width, no quantile state
+        on the stream, deterministic (hence oracleable) interpolation.
+        One row ``(q, est, n)`` per requested quantile."""
+        from d365fo_db_sync_spark.operators.drift import quantiles_from_counts
+
+        if self.categorical:
+            raise ValueError("categorical monitor: bins are unordered, use mix_view")
+        return quantiles_from_counts(
+            self.counts_view(spark),
+            list(qs),
+            lo=self.lo,
+            hi=self.hi,
+            n_bins=self.n_bins,
+        )
+
     def mix_view(self, spark) -> DataFrame:
         """Categorical-mode live mix monitor: per-category PSI terms of
         the ingested stream vs the reference — same output contract

@@ -7882,3 +7882,102 @@ def text_phrase_apply_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_apply_phrases(
         docs, rounds=2, min_count=5, npmi_threshold=0.3
     )
+
+
+@register(
+    "sketch_cms_point_estimates",
+    oracle="""
+    WITH v AS (SELECT event_type AS key FROM events
+               WHERE event_type IS NOT NULL),
+    ds AS (SELECT unnest(range(0, 3)) AS d),
+    sk AS (SELECT d,
+                  ('0x' || substr(md5(CAST(d AS VARCHAR) || chr(0) || key),
+                                  1, 15))::BIGINT % 256 AS bucket,
+                  COUNT(*) AS cnt
+           FROM v CROSS JOIN ds GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT key FROM v),
+    probe AS (SELECT k.key, ds.d,
+                     ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || chr(0)
+                                         || k.key), 1, 15))::BIGINT % 256
+                       AS bucket
+              FROM keys k CROSS JOIN ds),
+    est AS (SELECT key, MIN(COALESCE(cnt, 0)) AS est
+            FROM probe LEFT JOIN sk USING (d, bucket) GROUP BY 1),
+    ex AS (SELECT key, COUNT(*) AS exact FROM v GROUP BY 1)
+    SELECT est.key AS event_type, est, exact, est - exact AS overcount
+    FROM est JOIN ex USING (key)
+    """,
+)
+def sketch_cms_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (operators/sketches.py
+    cms_sketch/cms_estimate, Cormode & Muthukrishnan 2005) over the
+    event-type stream: a 3x256 counter summary built in ONE combinable
+    pass (the shuffle moves depth*width partials, never the corpus),
+    probed for every observed event type and compared against the
+    exact counts — overcount is >= 0 by the CM one-sided guarantee.
+    Like the KMV sketch, the bucket hashes are deterministic
+    md5-derived integers, so the DuckDB oracle rebuilds the SAME
+    counters and the SAME min-over-depths estimates: approximate
+    machinery, exactly reproducible answers. At 100 TB the sketch is
+    a sidecar (cms_merge folds per-batch sketches; the fact table is
+    never rescanned) and the estimate join touches only counters."""
+    from d365fo_db_sync_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key")
+    )
+    sk = cms_sketch(ev, "key", depth=3, width=256)
+    est = cms_estimate(sk, ev, "key", depth=3, width=256)
+    exact = (
+        ev.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count("*").alias("exact"))
+    )
+    return est.join(exact, on="key").select(
+        F.col("key").alias("event_type"),
+        "est",
+        "exact",
+        (F.col("est") - F.col("exact")).alias("overcount"),
+    )
+
+
+@register(
+    "quality_quantiles_hist",
+    oracle="""
+    WITH d AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+               WHERE n_chars IS NOT NULL),
+    e AS (SELECT MIN(x) lo, MAX(x) hi FROM d),
+    b AS (SELECT CASE WHEN hi = lo THEN 0
+                      ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                             ((hi - lo) / 64.0)) AS INT), 0), 63) END AS bin,
+                 COUNT(*) AS n
+          FROM d CROSS JOIN e GROUP BY 1),
+    c AS (SELECT bin, n, SUM(n) OVER (ORDER BY bin) AS cum,
+                 SUM(n) OVER (ORDER BY bin) - n AS cb
+          FROM b),
+    t AS (SELECT SUM(n) AS nn FROM b),
+    qq AS (SELECT unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+    hit AS (SELECT qq.q, c.bin, c.n, c.cb, t.nn,
+                   ROW_NUMBER() OVER (PARTITION BY qq.q ORDER BY c.bin) AS rn
+            FROM qq CROSS JOIN t JOIN c ON c.cum >= qq.q * t.nn)
+    SELECT q,
+           lo + (CASE WHEN hi = lo THEN 0.0 ELSE (hi - lo) / 64.0 END)
+               * (bin + (q * nn - cb) / n) AS est,
+           CAST(nn AS BIGINT) AS n
+    FROM hit CROSS JOIN e WHERE rn = 1
+    """,
+)
+def quality_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic histogram quantiles (operators/drift.py
+    binned_quantiles): length quartiles/tails of the corpus from one
+    min/max aggregate plus one combinable 64-bin groupBy — nothing
+    row-sized shuffles — with per-q linear interpolation inside the
+    crossing bin. Error is bounded by one bin width; every term is
+    integer cums and one interpolation, so the DuckDB oracle replays
+    the estimates double-for-double — the property approx_percentile
+    (engine-internal sketch) cannot offer. Same read path serves the
+    streaming monitor's quantile_view from its folded sidecar."""
+    from d365fo_db_sync_spark.operators.drift import binned_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return binned_quantiles(docs, "n_chars", [0.25, 0.5, 0.9, 0.99], n_bins=64)

@@ -243,3 +243,48 @@ def test_wasserstein_limits(spark):
     # single shared point: zero via the coalesce (no gaps to sum)
     row = wasserstein_1(_mk(spark, [5]), _mk(spark, [5, 5]), "x").collect()[0]
     assert row["w1"] == 0.0
+
+
+def test_binned_quantiles_matches_bruteforce(spark):
+    """Interpolated histogram quantiles vs a Python replay of the same
+    definition, plus the one-bin-width error bound against true
+    quantiles on a uniform stream."""
+    from d365fo_db_sync_spark.operators.drift import binned_quantiles
+
+    vals = list(range(1000))  # uniform 0..999
+    df = _mk(spark, vals)
+    qs = [0.25, 0.5, 0.9, 0.99, 1.0]
+    n_bins = 50
+    got = {r["q"]: r["est"] for r in binned_quantiles(df, "x", qs, n_bins).collect()}
+
+    lo, hi = 0.0, 999.0
+    width = (hi - lo) / n_bins
+    import math
+
+    bins = [0] * n_bins
+    for v in vals:
+        bins[min(max(int(math.floor((v - lo) / width)), 0), n_bins - 1)] += 1
+    n = len(vals)
+    for q in qs:
+        target = q * n
+        cum = 0
+        for b, cnt in enumerate(bins):
+            if cum + cnt >= target:
+                expect = lo + width * (b + (target - cum) / cnt)
+                break
+            cum += cnt
+        assert got[q] == expect
+        true_q = q * (n - 1)  # uniform: value == rank
+        assert abs(got[q] - true_q) <= width + 1e-9
+
+    # degenerate constant column: every quantile is the constant
+    const = _mk(spark, [7, 7, 7])
+    rows = binned_quantiles(const, "x", [0.5, 1.0], 10).collect()
+    assert all(r["est"] == 7.0 for r in rows)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="quantiles"):
+        binned_quantiles(df, "x", [0.0])
+    with pytest.raises(ValueError, match="at least one"):
+        binned_quantiles(df, "x", [])

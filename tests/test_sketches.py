@@ -245,3 +245,80 @@ class TestFrequentItems:
         bound = (1 + phi) / phi**2 + 2
         assert len(cands) <= bound, len(cands)
         assert "hot" in cands  # the true heavy hitter always survives
+
+
+class TestCountMin:
+    def test_never_undercounts_and_bounds(self, spark):
+        """The CM guarantee on a collision-heavy sketch (tiny width):
+        every estimate >= its exact count, and the min-over-depths
+        keeps the overcount within the 2n/width analysis bound for
+        every probed key (deterministic hashes -> a fixed corpus gives
+        fixed collisions, so this pin is stable)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from d365fo_db_sync_spark.operators.sketches import cms_estimate, cms_sketch
+
+        rng = random.Random(7)
+        rows = [(f"k{rng.randrange(200)}",) for _ in range(4000)]
+        df = spark.createDataFrame(rows, "v string").repartition(5)
+        n = len(rows)
+        depth, width = 4, 64
+        sk = cms_sketch(df, "v", depth=depth, width=width)
+        keys = df.select("v").distinct()
+        est = {r["v"]: r["est"] for r in cms_estimate(sk, keys, "v", depth, width).collect()}
+        exact = {
+            r["v"]: r["c"]
+            for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()
+        }
+        assert set(est) == set(exact)
+        assert all(est[k] >= exact[k] for k in exact)
+        # analysis bound, with room: overwhelmingly likely at depth 4
+        assert all(est[k] - exact[k] <= 2 * n / width for k in exact)
+
+    def test_exact_when_no_collisions(self, spark):
+        from pyspark.sql import functions as F
+
+        from d365fo_db_sync_spark.operators.sketches import cms_estimate, cms_sketch
+
+        rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)] * 2
+        df = spark.createDataFrame(rows, "v string")
+        sk = cms_sketch(df, "v", depth=4, width=4096)
+        est = {
+            r["v"]: r["est"]
+            for r in cms_estimate(sk, df.select("v"), "v", 4, 4096).collect()
+        }
+        assert est == {"a": 5, "b": 3, "c": 1}  # NULLs excluded everywhere
+        # an unseen key estimates 0 (all its buckets empty at this width)
+        probe = spark.createDataFrame([("zzz-unseen",)], "v string")
+        got = cms_estimate(sk, probe, "v", 4, 4096).collect()[0]["est"]
+        assert got == 0
+
+    def test_merge_equals_single_pass(self, spark):
+        """Mergeability: counter sums of two halves == the one-pass
+        sketch of the whole, row for row (deterministic hashes)."""
+        from d365fo_db_sync_spark.operators.sketches import cms_merge, cms_sketch
+
+        rows = [(f"k{i % 37}",) for i in range(1000)]
+        df = spark.createDataFrame(rows, "v string")
+        half1 = spark.createDataFrame(rows[:500], "v string")
+        half2 = spark.createDataFrame(rows[500:], "v string")
+        merged = cms_merge(
+            cms_sketch(half1, "v", 3, 32), cms_sketch(half2, "v", 3, 32)
+        )
+        whole = cms_sketch(df, "v", 3, 32)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_validation(self, spark):
+        import pytest
+
+        from d365fo_db_sync_spark.operators.sketches import cms_sketch
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError, match="depth"):
+            cms_sketch(df, "v", depth=0)
+        with pytest.raises(ValueError, match="width"):
+            cms_sketch(df, "v", width=4)

@@ -1198,3 +1198,55 @@ def test_frequent_items_stream_validation_and_empty(spark, tmp_path):
     out = pipe.exact(spark, corpus)
     assert out.count() == 0
     assert out.columns == ["k", "count", "fraction"]
+
+
+def test_drift_monitor_quantile_view_matches_batch_bins(spark, tmp_path):
+    """quantile_view over the folded sidecar equals
+    quantiles_from_counts over the batch bin counts of the
+    concatenated stream — and both interpolate within one bin width
+    of the true quantiles."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.drift import quantiles_from_counts
+    from d365fo_db_sync_spark.streaming import DriftMonitorPipeline
+
+    ref = spark.createDataFrame([(v,) for v in range(0, 1000)], "n_chars long")
+    wave1 = [(v,) for v in range(0, 500)]
+    wave2 = [(v,) for v in range(500, 1000)]
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    for wave in (wave1, wave2):
+        spark.createDataFrame(wave, "n_chars long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    pipe = DriftMonitorPipeline(
+        ref, "n_chars", str(tmp_path / "sc"), str(tmp_path / "ck"), n_bins=20
+    )
+    stream = (
+        spark.readStream.schema("n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    pipe.start(stream, available_now=True).awaitTermination(120)
+
+    qs = [0.5, 0.95]
+    got = {r["q"]: r["est"] for r in pipe.quantile_view(spark, qs).collect()}
+    cur = spark.createDataFrame(wave1 + wave2, "n_chars long")
+    batch_counts = (
+        cur.select(pipe._bin_expr().alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_cur"))
+    )
+    exp = {
+        r["q"]: r["est"]
+        for r in quantiles_from_counts(
+            batch_counts, qs, lo=pipe.lo, hi=pipe.hi, n_bins=pipe.n_bins
+        ).collect()
+    }
+    assert got == exp
+    width = (pipe.hi - pipe.lo) / pipe.n_bins
+    assert abs(got[0.5] - 499.5) <= width + 1e-9
+    assert abs(got[0.95] - 949.05) <= width + 1e-9
