@@ -415,39 +415,46 @@ def _quantile_tail(
     (integer cums, one q*n product, one division), so a SQL oracle
     replays the doubles exactly. Bins absent from the spine are zero
     counters: the cumulative never moves there, so the crossing bin
-    always has cnt > 0 for q*n > 0."""
+    always has cnt > 0 for q*n > 0.
+
+    The ``counts`` subtree is referenced exactly ONCE: the total rides
+    an unbounded window over the same bins-sized sort, and the qs
+    arrive by explode — self-joining or re-aggregating ``counts``
+    would re-evaluate its whole upstream (the corpus scan, for
+    :func:`binned_quantiles`) once per reference. An empty spine
+    yields an empty result."""
     from pyspark.sql import Window
-    from pyspark.sql.functions import broadcast
 
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = counts.select(
         "bin",
         F.col(count_col).alias("__cnt"),
         F.sum(count_col).over(w).alias("__cum"),
         (F.sum(count_col).over(w) - F.col(count_col)).alias("__cb"),
+        F.sum(count_col).over(wall).alias("__n"),
         F.col("__qlo"),
         F.col("__qw"),
     )
-    tot = counts.agg(F.sum(count_col).alias("__n"))
-    qdf = tot.select(
-        "__n", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
-    )
-    hits = broadcast(qdf).join(
-        cum, F.col("__cum") >= F.col("q") * F.col("__n")
-    )
-    first = hits.groupBy("q", "__n").agg(
+    hits = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    ).filter(F.col("__cum") >= F.col("q") * F.col("__n"))
+    first = hits.groupBy("q").agg(
         F.min_by(
-            F.struct("bin", "__cnt", "__cb", "__qlo", "__qw"), F.col("bin")
+            F.struct("bin", "__cnt", "__cb", "__qlo", "__qw", "__n"),
+            F.col("bin"),
         ).alias("s")
     )
     est = F.col("s.__qlo") + F.col("s.__qw") * (
         F.col("s.bin")
         + F.try_divide(
-            F.col("q") * F.col("__n") - F.col("s.__cb"), F.col("s.__cnt")
+            F.col("q") * F.col("s.__n") - F.col("s.__cb"), F.col("s.__cnt")
         )
     )
     return first.select(
-        "q", est.alias("est"), F.col("__n").alias("n")
+        "q", est.alias("est"), F.col("s.__n").alias("n")
     ).orderBy("q")
 
 
@@ -468,7 +475,7 @@ def quantiles_from_counts(
     corpus access. Deterministic (integer cums + one interpolation per
     q), hence SQL-oracleable — unlike approx_percentile's engine
     internals. ``qs`` in (0, 1]; one row ``(q, est, n)`` per quantile;
-    an all-empty spine yields NULL estimates."""
+    an empty spine yields an empty result."""
     _validate_qs(qs)
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
@@ -516,19 +523,22 @@ def binned_quantiles(
             F.lit(n_bins - 1),
         )
     )
-    counts = (
+    # lo/hi ride the groupBy as constant firsts so the edges subtree —
+    # and with it the corpus scan — is referenced exactly once more
+    # than the binned scan: two scans total, the psi floor
+    prepared = (
         d.crossJoin(broadcast(edges))
-        .select(idx.alias("bin"))
+        .select(idx.alias("bin"), "__lo", "__hi")
         .groupBy("bin")
-        .agg(F.count("*").alias("n"))
-    )
-    prepared = counts.crossJoin(broadcast(edges)).select(
-        "bin",
-        "n",
-        F.col("__lo").alias("__qlo"),
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(0.0))
-        .otherwise((F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
-        .alias("__qw"),
+        .agg(
+            F.count("*").alias("n"),
+            F.first("__lo").alias("__qlo"),
+            F.when(F.first("__hi") == F.first("__lo"), F.lit(0.0))
+            .otherwise(
+                (F.first("__hi") - F.first("__lo")) / F.lit(float(n_bins))
+            )
+            .alias("__qw"),
+        )
     )
     return _quantile_tail(prepared, qs, "n")
 
