@@ -1,0 +1,139 @@
+"""Data Selection via Importance Resampling (DSIR) — hashed-n-gram
+importance weights for steering a raw crawl toward a target domain
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling"; public method, implemented from the paper).
+
+The pipeline: featurize every document as hashed unigrams+bigrams,
+fit two bag-of-buckets unigram models — one on the TARGET corpus
+(the distribution you want more of), one on the RAW corpus (what you
+have) — and score each raw document with its log importance ratio
+
+    log w(doc) = sum_f count_doc(f) * [ln p_target(bucket(f))
+                                       - ln p_raw(bucket(f))]
+
+then sample without replacement proportionally to w via Gumbel
+top-k (``sampling.gumbel_topk_sample`` — the paper's own selection
+step, which works in the log domain because w spans hundreds of
+orders of magnitude). Both bucket models use Laplace add-one
+smoothing over the ``m_buckets`` hashed feature space, so unseen
+buckets are finite, and the bucket hash is the engine's deterministic
+md5-60-bit discipline (``sketches.kmv_hash``) — every number in the
+pipeline replays exactly in a SQL oracle.
+
+Scale shape: features explode map-side and collapse into at most
+``m_buckets`` combinable partials per side (the two model fits move
+constant-size summaries, like the CMS sketch); the m-bucket log-ratio
+table broadcasts back onto the per-(doc, bucket) counts; per-document
+scores fold over the SORTED (bucket, contribution) list — a
+deterministic sequential sum, not an order-undefined SQL SUM — so the
+doubles survive a cross-engine value hash. Two doc-keyed shuffles
+total; nothing row-scale ever sits on the driver.
+
+Reference scope: the reference engine copies whole tables
+(`/root/reference/DBSyncTool/Services/CopyOrchestrator.cs`); domain
+steering is the training-data extension tier, sibling to the quality/
+mixture samplers in operators/sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import text
+
+__all__ = ["dsir_log_weights", "hashed_features"]
+
+
+def hashed_features(col: Column | str) -> Column:
+    """Unigram + adjacent-bigram feature strings of a document —
+    the DSIR featurization. NULL text yields the empty list."""
+    t = text.tokens(col)
+    return F.concat(t, text.bigram_pairs(t))
+
+
+def _bucket(feature: Column, m_buckets: int) -> Column:
+    """Deterministic feature bucket: the engine-independent 60-bit md5
+    integer (kmv_hash discipline) modulo ``m_buckets``."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(feature), 1, 15), 16, 10).cast("long"),
+        F.lit(m_buckets),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 1024,
+) -> DataFrame:
+    """Per-raw-document DSIR log importance weights:
+    ``(id_col, n_features, log_w)``.
+
+    * ``n_features`` — the document's hashed-feature count (unigrams +
+      bigrams), the score's natural length normalizer if the caller
+      wants one;
+    * ``log_w`` — ``sum_b count_doc(b) * (ln p_t(b) - ln p_r(b))``
+      with Laplace add-one models ``p(b) = (cnt_b + 1) /
+      (total + m_buckets)`` fitted on the target and raw corpora.
+
+    Documents with no features (empty/NULL text) surface with
+    ``n_features = 0, log_w = 0.0`` — the neutral weight, never a
+    dropped row. Determinism: the per-document fold runs over the
+    bucket-sorted contribution list (``aggregate`` over
+    ``array_sort(collect_list(...))``), so partial-sum order cannot
+    drift between engines or reruns."""
+    if m_buckets < 2:
+        raise ValueError(f"m_buckets must be >= 2, got {m_buckets}")
+    from pyspark.sql.functions import broadcast
+
+    def bucketed(df: DataFrame, *extra) -> DataFrame:
+        return df.select(
+            *extra,
+            F.explode(hashed_features(text_col)).alias("__f"),
+        ).select(*extra, _bucket(F.col("__f"), m_buckets).alias("bucket"))
+
+    t_counts = bucketed(target).groupBy("bucket").agg(
+        F.count("*").alias("ct")
+    )
+    r_counts = bucketed(raw).groupBy("bucket").agg(F.count("*").alias("cr"))
+    spine = t_counts.join(r_counts, on="bucket", how="full_outer").select(
+        "bucket",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    tot = spine.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    m = F.lit(m_buckets)
+    ratios = spine.crossJoin(broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + F.lit(1)) / (F.col("tt") + m))
+            - F.log((F.col("cr") + F.lit(1)) / (F.col("tr") + m))
+        ).alias("lr"),
+    )
+    doc_buckets = bucketed(raw, id_col).groupBy(id_col, "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    contrib = doc_buckets.join(broadcast(ratios), on="bucket").select(
+        id_col,
+        "cnt",
+        F.struct(
+            F.col("bucket").alias("b"),
+            (F.col("cnt") * F.col("lr")).alias("c"),
+        ).alias("s"),
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_features"),
+        F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("log_w"),
+    )
+    base = raw.select(id_col)
+    return base.join(scored, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_features", F.lit(0)).alias("n_features"),
+        F.coalesce("log_w", F.lit(0.0)).alias("log_w"),
+    )

@@ -497,3 +497,35 @@ def mixture_by_token_budget(
         .filter(F.col("_budget").isNotNull() & (F.col("tok_before") < F.col("_budget")))
         .select(group_col, id_col, "n_tokens", "tok_before")
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    log_weight: Column,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``k`` rows without replacement with probability
+    proportional to ``exp(log_weight)`` — the Gumbel-top-k trick
+    (Vieira 2014; equivalent to :func:`weighted_priority_sample`'s
+    A-Res, proof: -ln(-ln u) + ln w is a monotone transform of
+    u^(1/w)), for pipelines that produce LOG weights directly —
+    importance resampling (DSIR-style), LM scores — where
+    exponentiating first would under/overflow long before the
+    comparison cares.
+
+    Same determinism contract as the linear-domain form: the Gumbel
+    noise ``g = -ln(-ln u)`` comes from the content-hash uniform, not
+    an RNG, so the selected SET is rerun- and repartition-invariant
+    and an oracle replays it. Rows with NULL log-weight never qualify.
+    Plan: map-side key + TakeOrderedAndProject — no global sort."""
+    parts = [F.lit(salt)] if salt else []
+    parts += [F.col(c).cast("string") for c in key_cols]
+    digest = F.md5(F.concat_ws("\x1f", *parts))
+    u = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_HEX_SPACE))
+    key = log_weight.cast("double") - F.log(-F.log(u))
+    order = [key.desc(), digest] + [F.col(c) for c in key_cols]
+    return df.filter(log_weight.isNotNull()).orderBy(*order).limit(k)

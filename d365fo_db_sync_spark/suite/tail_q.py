@@ -7981,3 +7981,103 @@ def quality_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return binned_quantiles(docs, "n_chars", [0.25, 0.5, 0.9, 0.99], n_bins=64)
+
+
+#: shared CTE chain for the DSIR oracles: hashed unigram+bigram
+#: features, Laplace add-one bucket models on target (English docs)
+#: and raw (everything), bucket-sorted per-doc contribution fold
+_DSIR_CTES = f"""
+    tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    feats AS (SELECT doc_id,
+                     list_concat(toks,
+                                 [toks[i] || ' ' || toks[i + 1]
+                                  for i in range(1, len(toks))]) AS fs
+              FROM tok),
+    rx AS (SELECT doc_id,
+                  ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bucket
+           FROM (SELECT doc_id, unnest(fs) AS f FROM feats)),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    tx AS (SELECT rx.bucket FROM rx JOIN tgt USING (doc_id)),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM tx GROUP BY 1),
+    rc AS (SELECT bucket, COUNT(*) AS cr FROM rx GROUP BY 1),
+    s AS (SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+                 COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+          FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
+    tt AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM s),
+    lr AS (SELECT bucket,
+                  ln((ct + 1) / (tt + 1024)) - ln((cr + 1) / (tr + 1024))
+                    AS lr
+           FROM s CROSS JOIN tt),
+    db AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM rx GROUP BY 1, 2),
+    con AS (SELECT doc_id, cnt,
+                   struct_pack(b := bucket, c := cnt * lr) AS sc
+            FROM db JOIN lr USING (bucket)),
+    w AS (SELECT d.doc_id,
+                 CAST(COALESCE(nf, 0) AS BIGINT) AS n_features,
+                 COALESCE(lw, 0.0) AS log_w
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN (SELECT doc_id, SUM(cnt) AS nf,
+                            list_sum(list_transform(list_sort(list(sc)),
+                                                    x -> x.c)) AS lw
+                     FROM con GROUP BY 1) agg USING (doc_id))
+"""
+
+
+@register(
+    "quality_dsir_weights",
+    oracle=f"WITH {_DSIR_CTES} SELECT doc_id, n_features, log_w FROM w",
+)
+def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    every document scored by how much more the ENGLISH bucket model
+    likes its hashed unigram+bigram features than the whole-corpus
+    model does — log_w = sum count(b) * (ln p_en(b) - ln p_all(b))
+    over Laplace add-one models on 1024 md5 buckets. The two model
+    fits shuffle constant-size bucket summaries (the CMS discipline),
+    the log-ratio table broadcasts, and each document's score folds
+    over its BUCKET-SORTED contribution list — a deterministic
+    sequential sum, which is what lets the oracle replay every double.
+    Empty documents carry the neutral (0, 0.0), never a dropped
+    row."""
+    from d365fo_db_sync_spark.operators.dsir import dsir_log_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), m_buckets=1024
+    )
+
+
+@register(
+    "sampling_dsir_gumbel_topk",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    keyed AS (SELECT doc_id, log_w,
+                     md5(CAST(doc_id AS VARCHAR)) AS dg,
+                     log_w - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                     1, 8))::BIGINT + 0.5)
+                                    / 4294967296.0)) AS k
+              FROM w)
+    SELECT doc_id FROM keyed ORDER BY k DESC, dg, doc_id LIMIT 100
+    """,
+)
+def sampling_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR SELECTION step: exactly 100 documents sampled without
+    replacement with probability proportional to exp(log_w) via
+    Gumbel top-k (operators/sampling.py gumbel_topk_sample — the
+    paper's own resampling, run in the log domain because the weights
+    span orders of magnitude). The Gumbel noise comes from the
+    content-hash uniform (no RNG), so the selected SET is rerun- and
+    repartition-invariant and the oracle replays the whole
+    composition: featurize -> fit -> score -> perturb -> top-k. Plan:
+    map-side keys + TakeOrderedAndProject over the weights frame —
+    the corpus never re-shuffles for the draw."""
+    from d365fo_db_sync_spark.operators.dsir import dsir_log_weights
+    from d365fo_db_sync_spark.operators.sampling import gumbel_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), m_buckets=1024
+    )
+    return gumbel_topk_sample(weights, ["doc_id"], F.col("log_w"), 100).select(
+        "doc_id"
+    )
