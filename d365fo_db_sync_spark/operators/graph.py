@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "connected_components",
+    "label_propagation",
     "near_dup_clusters",
     "containment_dedup",
     "pagerank",
@@ -582,3 +583,72 @@ def k_core(
                 F.col("a").alias("node"), F.lit(0).cast("long").alias("degree")
             )
     raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007), made DETERMINISTIC: every node starts with its own id as
+    label; each round every node simultaneously adopts the MOST
+    FREQUENT label among its neighbors, ties broken toward the
+    SMALLEST label (the published algorithm leaves tie-breaks and
+    update order random — fixing both makes the result a pure function
+    of the edge set, replayable by an oracle and stable across
+    reruns). Nodes with no neighbors keep their label. Returns
+    ``(node, community)`` after exactly ``rounds`` rounds.
+
+    Where :func:`connected_components` answers reachability (one
+    bridge edge glues two boilerplate families into one component),
+    mode-propagation answers DENSITY: a label only takes over a node
+    when it owns a plurality of its edges, so thin bridges between
+    dense near-dup communities do not merge them in few rounds — the
+    community read of the same k-core intuition. Labels move one hop
+    per round: choose ``rounds`` ~ the community diameter you care
+    about (near-dup communities are shallow; 3-5 covers them).
+
+    Scale shape per round: one equi-join of the bidirected edge list
+    against the node-sized label frame (both shuffle keyed on the
+    node id — the standard LPA cost, same key both rounds so the
+    exchange is stable), one combinable groupBy into (node, label)
+    counts, one ``min_by`` argmax per node, and a left join back onto
+    the node spine; lineage truncates with an eager localCheckpoint
+    each round (the k_core discipline), so round N never replays
+    rounds 1..N-1. The driver never sees node data."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bidir = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).filter(F.col("a") != F.col("b")).distinct()
+    nodes = bidir.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for r in range(rounds):
+        nbr = (
+            bidir.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("community").alias("lbl")
+                ),
+                on="b",
+            )
+            .groupBy(F.col("a").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # plurality with smallest-label ties: minimize (-count, label)
+        pick = nbr.groupBy("node").agg(
+            F.min_by(
+                "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+            ).alias("new_lbl")
+        )
+        labels = (
+            labels.join(pick, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "community").alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -8081,3 +8081,77 @@ def sampling_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gumbel_topk_sample(weights, ["doc_id"], F.col("log_w"), 100).select(
         "doc_id"
     )
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+    WITH ranked AS (SELECT doc_id, source,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY doc_id) AS rn
+                    FROM documents),
+    e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM ranked a JOIN ranked b
+            ON a.source = b.source AND b.rn - a.rn IN (1, 2)),
+    bid AS (SELECT src AS a, dst AS b FROM e
+            UNION ALL SELECT dst, src FROM e),
+    l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM bid),
+    r1 AS (SELECT bid.a AS v, l.lbl, COUNT(*) AS c
+           FROM bid JOIN l0 l ON l.v = bid.b GROUP BY 1, 2),
+    p1 AS (SELECT v, lbl FROM (
+             SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+                                               ORDER BY c DESC, lbl) AS rr
+             FROM r1) WHERE rr = 1),
+    l1 AS (SELECT l0.v, COALESCE(p1.lbl, l0.lbl) AS lbl
+           FROM l0 LEFT JOIN p1 USING (v)),
+    r2 AS (SELECT bid.a AS v, l.lbl, COUNT(*) AS c
+           FROM bid JOIN l1 l ON l.v = bid.b GROUP BY 1, 2),
+    p2 AS (SELECT v, lbl FROM (
+             SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+                                               ORDER BY c DESC, lbl) AS rr
+             FROM r2) WHERE rr = 1),
+    l2 AS (SELECT l1.v, COALESCE(p2.lbl, l1.lbl) AS lbl
+           FROM l1 LEFT JOIN p2 USING (v)),
+    r3 AS (SELECT bid.a AS v, l.lbl, COUNT(*) AS c
+           FROM bid JOIN l2 l ON l.v = bid.b GROUP BY 1, 2),
+    p3 AS (SELECT v, lbl FROM (
+             SELECT v, lbl, ROW_NUMBER() OVER (PARTITION BY v
+                                               ORDER BY c DESC, lbl) AS rr
+             FROM r3) WHERE rr = 1),
+    l3 AS (SELECT l2.v, COALESCE(p3.lbl, l2.lbl) AS lbl
+           FROM l2 LEFT JOIN p3 USING (v))
+    SELECT v AS node, lbl AS community FROM l3
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode-LPA communities (operators/graph.py
+    label_propagation, Raghavan et al. 2007 with fixed synchronous
+    rounds and smallest-label ties) over a band graph: documents of
+    the same source linked at rank distance 1 AND 2 (so every
+    consecutive triple is a triangle — dense inside a source, no
+    edges across). Three rounds of plurality updates; the oracle
+    UNROLLS all three rounds in SQL (join-count-argmax per round,
+    same tie order), value-checking every node's final label. The
+    density contrast with connected_components: a plurality label
+    never crosses a thin bridge, which is the community read of the
+    k-core intuition."""
+    from pyspark.sql import Window
+
+    from d365fo_db_sync_spark.operators.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    a = ranked.select(
+        F.col("doc_id").alias("src"), F.col("source").alias("s"), F.col("rn")
+    )
+    edges = None
+    for d in (1, 2):
+        b = ranked.select(
+            F.col("doc_id").alias("dst"),
+            F.col("source").alias("s"),
+            (F.col("rn") - d).alias("rn"),
+        )
+        part = a.join(b, on=["s", "rn"]).select("src", "dst")
+        edges = part if edges is None else edges.unionByName(part)
+    return label_propagation(edges, rounds=3)

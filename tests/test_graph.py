@@ -511,3 +511,63 @@ def test_k_core_chain_trips_max_iter_instead_of_hanging(spark):
         graph.k_core(df, 2, max_iter=5)
     # and with enough budget the same chain peels clean to empty
     assert graph.k_core(df, 2, max_iter=15).count() == 0
+
+
+class TestLabelPropagation:
+    def test_matches_bruteforce_rounds(self, spark):
+        """Synchronous mode-LPA with smallest-label ties vs a Python
+        replay, on a graph with two dense triangles joined by one
+        bridge — the density case CC cannot express (CC would merge
+        everything)."""
+        from d365fo_db_sync_spark.operators.graph import label_propagation
+
+        edges = [
+            (1, 2), (2, 3), (1, 3),      # triangle A
+            (4, 5), (5, 6), (4, 6),      # triangle B
+            (3, 4),                      # thin bridge
+            (9, 9),                      # self loop: ignored
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+
+        def brute(rounds):
+            adj: dict[int, list[int]] = {}
+            for a, b in edges:
+                if a == b:
+                    continue
+                adj.setdefault(a, []).append(b)
+                adj.setdefault(b, []).append(a)
+            lbl = {v: v for v in adj}
+            for _ in range(rounds):
+                new = {}
+                for v, ns in adj.items():
+                    freq: dict[int, int] = {}
+                    for n in ns:
+                        freq[lbl[n]] = freq.get(lbl[n], 0) + 1
+                    best = sorted(freq.items(), key=lambda p: (-p[1], p[0]))[0][0]
+                    new[v] = best
+                lbl = new
+            return lbl
+
+        for rounds in (1, 3):
+            got = {
+                r["node"]: r["community"]
+                for r in label_propagation(df, rounds=rounds).collect()
+            }
+            assert got == brute(rounds)
+        # density read after 3 rounds: the two triangles hold distinct
+        # labels despite the bridge (CC would report one component)
+        got3 = {
+            r["node"]: r["community"]
+            for r in label_propagation(df, rounds=3).collect()
+        }
+        assert len({got3[1], got3[4]}) == 2
+
+    def test_isolated_and_validation(self, spark):
+        import pytest
+
+        from d365fo_db_sync_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame([(1, 1)], "src long, dst long")
+        assert label_propagation(df, rounds=2).count() == 0  # self loops only
+        with pytest.raises(ValueError, match="rounds"):
+            label_propagation(df, rounds=0)
