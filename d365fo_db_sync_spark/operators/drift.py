@@ -49,6 +49,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "auc_from_counts",
+    "jsd",
+    "jsd_from_counts",
     "binned_quantiles",
     "ks_from_counts",
     "ks_statistic",
@@ -114,10 +116,22 @@ def psi(
     from both sides. Bin assignment uses one shared (min, max, width)
     computed in double arithmetic, so an oracle replaying the same
     expressions bins identically."""
-    if n_bins < 2:
-        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
+    return psi_from_counts(_binned_spine(ref, cur, col, n_bins), eps=eps)
+
+
+def _binned_spine(
+    ref: DataFrame, cur: DataFrame, col: str, n_bins: int
+) -> DataFrame:
+    """Reference-edged equi-width bin counts of both sides:
+    ``(bin, n_ref, n_cur)`` — the shared front half of :func:`psi`
+    and :func:`jsd`. One min/max aggregate over the reference
+    (broadcast 1-row), one combinable groupBy per side over bin
+    indices, a bins-sized full-outer join. NULLs excluded; mass
+    outside the reference range clamps into the edge bins."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     from pyspark.sql.functions import broadcast
 
     r = ref.filter(F.col(col).isNotNull())
@@ -147,12 +161,63 @@ def psi(
 
     rb = binned(r, "n_ref")
     cb = binned(c, "n_cur")
-    spine = rb.join(cb, on="bin", how="full_outer").select(
+    return rb.join(cb, on="bin", how="full_outer").select(
         "bin",
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
-    return psi_from_counts(spine, eps=eps)
+
+
+def jsd(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin Jensen-Shannon divergence contributions between the
+    two snapshots over reference-edged equi-width bins — see
+    :func:`jsd_from_counts` for the term math and why JSD earns a
+    place next to PSI."""
+    return jsd_from_counts(_binned_spine(ref, cur, col, n_bins))
+
+
+def jsd_from_counts(spine: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence terms over an already-binned count
+    spine ``(bin, n_ref, n_cur)``: per bin,
+
+        jsd_term = 0.5 * [ p*ln(p/m) + q*ln(q/m) ],   m = (p+q)/2
+
+    with the standard ``0*ln(0) = 0`` convention — so unlike PSI no
+    epsilon floor is needed (JSD is finite on true zeros, which is
+    exactly why it complements PSI: a brand-new bin contributes
+    bounded mass instead of an eps-dependent spike). Total JSD is
+    ``sum(jsd_term)``, bounded in [0, ln 2]; 0 iff the distributions
+    are identical. One row per bin — the per-bin contract of
+    :func:`psi_from_counts`, with the same try_divide empty-side
+    behavior (an all-empty side reads as all-zero proportions).
+    Fed by the drift monitor's folded sidecar (``jsd_view``) or
+    :func:`jsd`."""
+    from pyspark.sql.functions import broadcast
+
+    tot = spine.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    both = spine.crossJoin(broadcast(tot))
+    p = F.coalesce(F.try_divide("n_ref", "__tr"), F.lit(0.0))
+    q = F.coalesce(F.try_divide("n_cur", "__tc"), F.lit(0.0))
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return both.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p.alias("p_ref"),
+        q.alias("p_cur"),
+        term.alias("jsd_term"),
+    )
 
 
 def psi_from_counts(spine: DataFrame, eps: float = 1e-6) -> DataFrame:

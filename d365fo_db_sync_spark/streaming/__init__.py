@@ -950,6 +950,91 @@ class RollupStreamPipeline:
         return writer.start()
 
 
+class CmsStreamPipeline:
+    """Streaming Count-Min maintenance: each micro-batch publishes its
+    OWN CMS (``operators.sketches.cms_sketch`` — depth x width counter
+    rows, one combinable pass over the batch) into an idempotent
+    ``batch_id=N`` sidecar partition; :meth:`sketch` folds all
+    published sketches with a counter sum, which by CM mergeability is
+    EXACTLY the single-pass sketch of everything ingested (pinned in
+    tests) — so :meth:`estimate` answers point-frequency queries over
+    the whole stream history from depth*width integers, never
+    rescanning the stream. The deterministic md5 buckets carry over:
+    the streamed estimates replay in the same SQL oracle as the batch
+    operator's."""
+
+    def __init__(
+        self,
+        sidecar_dir: str,
+        checkpoint_dir: str,
+        value_col: str,
+        depth: int = 4,
+        width: int = 1024,
+    ) -> None:
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        if width < 8:
+            raise ValueError(f"width must be >= 8 for a usable bound, got {width}")
+        self.sidecar_dir = sidecar_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.value_col = value_col
+        self.depth = depth
+        self.width = width
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import uuid as _uuid
+
+        from d365fo_db_sync_spark.operators.sketches import cms_sketch
+
+        if batch_df.isEmpty():
+            return
+        final = os.path.join(self.sidecar_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replayed batch: counters already published
+        sk = cms_sketch(batch_df, self.value_col, self.depth, self.width)
+        os.makedirs(self.sidecar_dir, exist_ok=True)
+        tmp = os.path.join(self.sidecar_dir, f"_tmp-{_uuid.uuid4().hex[:8]}")
+        sk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def sketch(self, spark) -> DataFrame:
+        """The folded CMS of everything ingested — identical, counter
+        for counter, to a single-pass sketch over the concatenated
+        stream. Empty (zero counters) before the first batch."""
+        import os
+
+        if not os.path.isdir(self.sidecar_dir) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.sidecar_dir)
+        ):
+            return spark.createDataFrame([], "d int, bucket long, cnt long")
+        return (
+            spark.read.option("basePath", self.sidecar_dir)
+            .parquet(self.sidecar_dir)
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def estimate(self, spark, keys: DataFrame) -> DataFrame:
+        """Point-frequency estimates for a bounded key list over the
+        whole ingested history; ``est >= true count`` always."""
+        from d365fo_db_sync_spark.operators.sketches import cms_estimate
+
+        return cms_estimate(
+            self.sketch(spark), keys, self.value_col, self.depth, self.width
+        )
+
+    def start(self, stream_df: DataFrame, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 class DriftMonitorPipeline:
     """Streaming distribution-drift monitor: each micro-batch bins its
     metric column against REFERENCE-frozen edges (operators/drift.py
@@ -1143,6 +1228,18 @@ class DriftMonitorPipeline:
                 F.col("n_cur").alias("c_cur"),
             )
         )
+
+    def jsd_view(self, spark) -> DataFrame:
+        """Live per-bin Jensen-Shannon divergence of the ingested
+        stream vs the reference — same contract as
+        ``operators.drift.jsd`` (finite on brand-new bins, no epsilon
+        floor, total in [0, ln 2]). Same folded integers as every
+        other numeric view."""
+        from d365fo_db_sync_spark.operators.drift import jsd_from_counts
+
+        if self.categorical:
+            raise ValueError("categorical monitor: use mix_view")
+        return jsd_from_counts(self._spine(spark))
 
     def quantile_view(self, spark, qs: Sequence[float]) -> DataFrame:
         """Approximate quantiles of everything ingested, from the SAME

@@ -8155,3 +8155,127 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = a.join(b, on=["s", "rn"]).select("src", "dst")
         edges = part if edges is None else edges.unionByName(part)
     return label_propagation(edges, rounds=3)
+
+
+@register(
+    "sketch_cms_stream_estimates",
+    oracle="""
+    WITH v AS (SELECT event_type AS key FROM events
+               WHERE event_type IS NOT NULL),
+    ds AS (SELECT unnest(range(0, 3)) AS d),
+    sk AS (SELECT d,
+                  ('0x' || substr(md5(CAST(d AS VARCHAR) || chr(0) || key),
+                                  1, 15))::BIGINT % 256 AS bucket,
+                  COUNT(*) AS cnt
+           FROM v CROSS JOIN ds GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT key FROM v),
+    probe AS (SELECT k.key, ds.d,
+                     ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || chr(0)
+                                         || k.key), 1, 15))::BIGINT % 256
+                       AS bucket
+              FROM keys k CROSS JOIN ds),
+    est AS (SELECT key, MIN(COALESCE(cnt, 0)) AS est
+            FROM probe LEFT JOIN sk USING (d, bucket) GROUP BY 1),
+    ex AS (SELECT key, COUNT(*) AS exact FROM v GROUP BY 1)
+    SELECT est.key AS event_type, est, exact, est - exact AS overcount
+    FROM est JOIN ex USING (key)
+    """,
+)
+def sketch_cms_stream_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING path to the same Count-Min answers
+    (streaming.CmsStreamPipeline): events drain in 4 micro-batches,
+    each publishing its own depth x width counter rows to an
+    idempotent sidecar; the folded counters equal the single-pass
+    sketch by CM mergeability (pinned), so the streamed estimates
+    share the batch query's oracle verbatim — SQL that replays the
+    whole-history sketch with no knowledge a stream was involved.
+    Sidecar cost per batch: depth*width integers."""
+    from d365fo_db_sync_spark.streaming import CmsStreamPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key")
+    )
+    run_dir = scratch_dir("cmsstream_")
+    src = f"{run_dir}/in"
+    for b in range(4):
+        ev.filter(F.pmod(F.crc32(F.coalesce(F.col("key"), F.lit(""))), F.lit(4)) == b).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/b{b}")
+    pipe = CmsStreamPipeline(
+        f"{run_dir}/sidecar", f"{run_dir}/ckpt", "key", depth=3, width=256
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(300)
+    est = pipe.estimate(spark, ev)
+    exact = (
+        ev.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count("*").alias("exact"))
+    )
+    return est.join(exact, on="key").select(
+        F.col("key").alias("event_type"),
+        "est",
+        "exact",
+        (F.col("est") - F.col("exact")).alias("overcount"),
+    )
+
+
+@register(
+    "quality_drift_jsd",
+    oracle="""
+    WITH r AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+               WHERE lang = 'en' AND n_chars IS NOT NULL),
+    c AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+          WHERE lang <> 'en' AND n_chars IS NOT NULL),
+    e AS (SELECT MIN(x) lo, MAX(x) hi FROM r),
+    rb AS (SELECT CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 10.0)) AS INT), 0), 9) END AS bin,
+                  COUNT(*) AS n_ref
+           FROM r CROSS JOIN e GROUP BY 1),
+    cb AS (SELECT CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 10.0)) AS INT), 0), 9) END AS bin,
+                  COUNT(*) AS n_cur
+           FROM c CROSS JOIN e GROUP BY 1),
+    s AS (SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM s),
+    pq AS (SELECT bin, n_ref, n_cur,
+                  n_ref / CAST(tr AS DOUBLE) AS p,
+                  n_cur / CAST(tc AS DOUBLE) AS q
+           FROM s CROSS JOIN t)
+    SELECT bin, n_ref, n_cur, p AS p_ref, q AS p_cur,
+           0.5 * (CASE WHEN p > 0
+                       THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+                  + CASE WHEN q > 0
+                         THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+             AS jsd_term
+    FROM pq
+    """,
+)
+def quality_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift (operators/drift.py jsd) on the English vs
+    non-English length split: per-bin JSD contributions over the
+    reference-edged bins — symmetric, bounded in [0, ln 2], and FINITE
+    on brand-new bins (the 0*ln0 = 0 convention), which is exactly
+    where PSI's epsilon floor turns a new-mass bin into an
+    eps-dependent spike. Same constant-size shuffle shape as PSI; the
+    oracle replays the proportions and both log terms
+    double-for-double. The streaming monitor serves the identical
+    measure from its folded sidecar (jsd_view, equivalence-pinned)."""
+    from d365fo_db_sync_spark.operators.drift import jsd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jsd(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+        n_bins=10,
+    )

@@ -288,3 +288,53 @@ def test_binned_quantiles_matches_bruteforce(spark):
         binned_quantiles(df, "x", [0.0])
     with pytest.raises(ValueError, match="at least one"):
         binned_quantiles(df, "x", [])
+
+
+def test_jsd_matches_bruteforce_and_limits(spark):
+    """Per-bin JSD terms vs a Python replay; identical distributions
+    read exactly zero; disjoint supports read ln 2 total; a brand-new
+    bin contributes FINITE mass (the PSI epsilon-spike complement)."""
+    import math as _m
+
+    from d365fo_db_sync_spark.operators.drift import jsd
+
+    ref_vals = [10, 12, 15, 20, 22, 30, 35, 40, 45, 50]
+    cur_vals = [40, 42, 45, 48, 50, 50, 38, 44]
+    rows = jsd(_mk(spark, ref_vals), _mk(spark, cur_vals), "x", n_bins=4).collect()
+
+    lo, hi = min(ref_vals), max(ref_vals)
+    width = (hi - lo) / 4.0
+
+    def bin_of(v):
+        return min(max(int(_m.floor((v - lo) / width)), 0), 3)
+
+    nr: dict[int, int] = {}
+    nc: dict[int, int] = {}
+    for v in ref_vals:
+        nr[bin_of(v)] = nr.get(bin_of(v), 0) + 1
+    for v in cur_vals:
+        nc[bin_of(v)] = nc.get(bin_of(v), 0) + 1
+    for r in rows:
+        p = nr.get(r["bin"], 0) / len(ref_vals)
+        q = nc.get(r["bin"], 0) / len(cur_vals)
+        m = (p + q) / 2.0
+        exp = 0.5 * (
+            (p * _m.log(p / m) if p > 0 else 0.0)
+            + (q * _m.log(q / m) if q > 0 else 0.0)
+        )
+        assert r["jsd_term"] == pytest.approx(exp, rel=1e-12, abs=1e-15)
+        assert r["jsd_term"] >= 0.0
+
+    same = jsd(_mk(spark, ref_vals), _mk(spark, ref_vals), "x", n_bins=4)
+    assert all(r["jsd_term"] == 0.0 for r in same.collect())
+
+    # disjoint supports (as a raw spine — raw values would clamp into
+    # the reference edge bins by design): total JSD is exactly ln 2,
+    # every term finite despite the true zeros PSI would eps-floor
+    from d365fo_db_sync_spark.operators.drift import jsd_from_counts
+
+    spine = spark.createDataFrame(
+        [(0, 5, 0), (1, 0, 7)], "bin int, n_ref long, n_cur long"
+    )
+    total = sum(r["jsd_term"] for r in jsd_from_counts(spine).collect())
+    assert total == pytest.approx(_m.log(2.0), rel=1e-12)

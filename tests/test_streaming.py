@@ -1040,6 +1040,17 @@ def test_drift_monitor_ks_auc_views_match_batch(spark, tmp_path):
     exp = mann_whitney_auc(binned_ref, binned_cur, "b").collect()[0]
     assert (got["auc"], got["u_statistic"]) == (exp["auc"], exp["u_statistic"])
 
+    # jsd_view == batch jsd over the concatenated stream (same folded
+    # integers, double for double)
+    from d365fo_db_sync_spark.operators.drift import jsd
+
+    gotj = {r["bin"]: r["jsd_term"] for r in pipe.jsd_view(spark).collect()}
+    expj = {
+        r["bin"]: r["jsd_term"]
+        for r in jsd(ref, cur, "n_chars", n_bins=5).collect()
+    }
+    assert gotj == expj
+
     with pytest.raises(ValueError, match="psi_view"):
         pipe.mix_view(spark)
 
@@ -1250,3 +1261,59 @@ def test_drift_monitor_quantile_view_matches_batch_bins(spark, tmp_path):
     width = (pipe.hi - pipe.lo) / pipe.n_bins
     assert abs(got[0.5] - 499.5) <= width + 1e-9
     assert abs(got[0.95] - 949.05) <= width + 1e-9
+
+
+def test_cms_stream_fold_equals_single_pass(spark, tmp_path):
+    """CmsStreamPipeline: the folded sidecar equals a one-pass CMS of
+    the concatenated stream counter-for-counter (mergeability), the
+    estimates carry the never-undercount guarantee, and a replayed
+    batch is a sidecar no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.sketches import cms_sketch
+    from d365fo_db_sync_spark.streaming import CmsStreamPipeline
+
+    waves = [
+        [(f"k{i % 19}",) for i in range(300)],
+        [("hot",)] * 120 + [(f"k{i % 7}",) for i in range(80)],
+    ]
+    allrows = [r for w in waves for r in w]
+    corpus = spark.createDataFrame(allrows, "v string")
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, "v string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+    pipe = CmsStreamPipeline(
+        str(tmp_path / "sc"), str(tmp_path / "ck"), "v", depth=3, width=32
+    )
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(120)
+
+    folded = sorted(map(tuple, pipe.sketch(spark).collect()))
+    whole = sorted(map(tuple, cms_sketch(corpus, "v", 3, 32).collect()))
+    assert folded == whole
+
+    est = {r["v"]: r["est"] for r in pipe.estimate(spark, corpus.select("v")).collect()}
+    exact = {
+        r["v"]: r["c"]
+        for r in corpus.groupBy("v").agg(F.count("*").alias("c")).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+
+    before = folded
+    pipe._handle_batch(spark.createDataFrame(waves[0], "v string"), 0)
+    assert sorted(map(tuple, pipe.sketch(spark).collect())) == before
+
+    # empty pipeline contract
+    empty = CmsStreamPipeline(str(tmp_path / "s2"), str(tmp_path / "c2"), "v")
+    assert empty.sketch(spark).count() == 0
+    assert empty.estimate(spark, corpus.select("v")).agg(F.max("est")).first()[0] == 0
