@@ -8279,3 +8279,79 @@ def quality_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         n_bins=10,
     )
+
+
+@register(
+    "pipeline_curation_dsir",
+    oracle=_CURATION_CTES + """,
+    surv AS (SELECT k.doc_id, k.toks FROM kept k JOIN u USING (doc_id)),
+    fs2 AS (SELECT doc_id,
+                   list_concat(toks,
+                               [toks[i] || ' ' || toks[i + 1]
+                                for i in range(1, len(toks))]) AS fs
+            FROM surv),
+    rx2 AS (SELECT doc_id,
+                   ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bucket
+            FROM (SELECT doc_id, unnest(fs) AS f FROM fs2)),
+    tgt2 AS (SELECT s.doc_id FROM surv s
+             JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+    tx2 AS (SELECT rx2.bucket FROM rx2 JOIN tgt2 USING (doc_id)),
+    tc2 AS (SELECT bucket, COUNT(*) AS ct FROM tx2 GROUP BY 1),
+    rc2 AS (SELECT bucket, COUNT(*) AS cr FROM rx2 GROUP BY 1),
+    s2 AS (SELECT COALESCE(tc2.bucket, rc2.bucket) AS bucket,
+                  COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+           FROM tc2 FULL OUTER JOIN rc2 ON tc2.bucket = rc2.bucket),
+    tt2 AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM s2),
+    lr2 AS (SELECT bucket,
+                   ln((ct + 1) / (tt + 1024)) - ln((cr + 1) / (tr + 1024))
+                     AS lr
+            FROM s2 CROSS JOIN tt2),
+    db2 AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM rx2 GROUP BY 1, 2),
+    con2 AS (SELECT doc_id, cnt,
+                    struct_pack(b := bucket, c := cnt * lr) AS sc
+             FROM db2 JOIN lr2 USING (bucket)),
+    w2 AS (SELECT s.doc_id,
+                  COALESCE(lw, 0.0) AS log_w
+           FROM surv s
+           LEFT JOIN (SELECT doc_id,
+                             list_sum(list_transform(list_sort(list(sc)),
+                                                     x -> x.c)) AS lw
+                      FROM con2 GROUP BY 1) agg USING (doc_id)),
+    keyed AS (SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS dg,
+                     log_w - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                     1, 8))::BIGINT + 0.5)
+                                    / 4294967296.0)) AS k
+              FROM w2)
+    SELECT doc_id FROM keyed ORDER BY k DESC, dg, doc_id LIMIT 50
+    """,
+)
+def pipeline_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone recomposed with DOMAIN STEERING: quality
+    gate -> exact dedup (the pipeline_corpus_curation stages,
+    byte-identical semantics) -> DSIR importance weights fitted ON THE
+    SURVIVORS (target = surviving English docs, raw = all survivors —
+    models must be fit after cleaning, or boilerplate dominates the
+    raw distribution) -> Gumbel top-k selection of 50 documents. One
+    lazy composition: two curation shuffles, two constant-size model
+    fits, a broadcast ratio probe, one doc-keyed score fold, and a
+    TakeOrderedAndProject draw. The oracle replays the ENTIRE chain —
+    gate, dedup, featurize, fit, score, perturb, select — and
+    value-checks the selected set."""
+    from d365fo_db_sync_spark.operators import text as text_ops
+    from d365fo_db_sync_spark.operators.dsir import dsir_log_weights
+    from d365fo_db_sync_spark.operators.sampling import gumbel_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(docs, "text")
+    kept = feats.filter(
+        F.col("n_tokens").between(30, 95) & (F.col("punct_ratio") <= 0.3)
+    ).select("doc_id", text_ops.fingerprint("text").alias("fp"))
+    unique = dedup.exact_dedup(kept, cols=["fp"], key="doc_id")
+    surv = docs.join(unique.select("doc_id"), on="doc_id", how="left_semi")
+    weights = dsir_log_weights(
+        surv, surv.filter(F.col("lang") == "en"), m_buckets=1024
+    )
+    return gumbel_topk_sample(weights, ["doc_id"], F.col("log_w"), 50).select(
+        "doc_id"
+    )
