@@ -1,0 +1,115 @@
+"""Deterministic text normalization — the cleaning pass upstream of
+every quality/dedup stage (the C4-style pipeline: strip markup, drop
+junk lines, canonicalize whitespace; Raffel et al. 2020 §2.2 describe
+the published heuristics these expressions implement).
+
+Everything here is a pure codegen column expression — regexp_replace /
+split / filter / array_join, no UDFs, no shuffles — so normalization
+fuses into the SCAN stage of whatever pipeline consumes it, and the
+output strings are byte-exact replayable cross-engine (the suite
+oracles them). Regex classes are spelled EXPLICITLY (``[ \\t\\n\\r\\f]``
+instead of ``\\s``) because shorthand classes differ between regex
+engines (Java's ``\\s`` includes vertical tab, RE2's does not) — the
+one dialect trap this module exists to have already stepped around.
+
+Reference scope: the reference engine transfers table rows verbatim
+(no text stage); normalization is part of the training-data extension
+surface, upstream sibling of operators/text.py's quality features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "clean_lines",
+    "normalize_text",
+    "strip_control_chars",
+    "strip_html",
+    "normalize_whitespace",
+]
+
+#: C0 controls minus tab/newline/carriage-return, plus DEL — the bytes
+#: that survive no sane text pipeline. \\x0B and \\x0C (vertical tab /
+#: form feed) are removed HERE so later whitespace handling never
+#: depends on either engine's \\s shorthand covering them.
+_CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def strip_control_chars(col: Column | str) -> Column:
+    """Remove C0 control characters (except tab/newline/CR) and DEL."""
+    return F.regexp_replace(F.col(col) if isinstance(col, str) else col,
+                            _CONTROL_CLASS, "")
+
+
+def strip_html(col: Column | str) -> Column:
+    """Drop ``<...>`` tags (replaced by one space so adjacent words do
+    not fuse) and decode the five ubiquitous entities + ``&nbsp;``.
+    Deliberately NOT a parser — the published cleaning pipelines use
+    exactly this class of regex pass, and a tag regex is deterministic
+    where a lenient parser is not."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def normalize_whitespace(col: Column | str) -> Column:
+    """Collapse every run of whitespace (space/tab/newline/CR/FF) to a
+    single space and trim — the terminal canonicalization step, after
+    which tokenization is layout-independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, "[ \\t\\n\\r\\f]+", " "))
+
+
+def clean_lines(
+    col: Column | str,
+    min_tokens: int = 3,
+    require_terminal: bool = True,
+) -> Column:
+    """C4's line filter: keep only lines with at least ``min_tokens``
+    whitespace tokens and (optionally) a terminal-punctuation ending
+    (``. ! ? "``) after right-trim — navigation crumbs, cookie
+    banners and menu fragments fail both tests. Lines are joined back
+    with ``\\n``; a document with no surviving lines becomes the empty
+    string. Pure array expressions over the split lines."""
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n", -1)
+
+    def keep(line):
+        toks = F.size(
+            F.filter(F.split(line, "[ \\t]+", -1), lambda x: x != F.lit(""))
+        )
+        ok = toks >= F.lit(min_tokens)
+        if require_terminal:
+            ok = ok & F.rtrim(line).rlike('[.!?"]$')
+        return ok
+
+    return F.array_join(F.filter(lines, keep), "\n")
+
+
+def normalize_text(
+    col: Column | str,
+    min_tokens: int = 3,
+    require_terminal: bool = True,
+) -> Column:
+    """The composed cleaning pass, in the order the stages assume:
+    strip markup (tags may span junk), strip control bytes (so line
+    logic never sees \\x0B/\\x0C), filter junk lines (needs the \\n
+    structure intact), then collapse whitespace (destroys the \\n
+    structure, hence last). One codegen expression end to end."""
+    c = strip_html(col)
+    c = strip_control_chars(c)
+    c = clean_lines(c, min_tokens=min_tokens, require_terminal=require_terminal)
+    return normalize_whitespace(c)

@@ -8355,3 +8355,84 @@ def pipeline_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gumbel_topk_sample(weights, ["doc_id"], F.col("log_w"), 50).select(
         "doc_id"
     )
+
+
+@register(
+    "text_normalize_pipeline",
+    oracle="""
+    WITH spiked AS (
+      SELECT doc_id,
+             '<div class="w">' || text || ' ok.</div>' || chr(10)
+             || CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 'Menu'
+                  WHEN 1 THEN 'one two three'
+                  ELSE 'bell ' || chr(7) || ' rings loudly.' END || chr(10)
+             || 'All rights reserved &amp; counted here.' AS raw
+      FROM documents WHERE text IS NOT NULL),
+    unhtml AS (SELECT doc_id,
+                      replace(replace(replace(replace(replace(replace(
+                        regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                        '&gt;', '>'), '&quot;', '"'), '&#39;', '''') AS s
+               FROM spiked),
+    unctrl AS (SELECT doc_id,
+                      regexp_replace(s, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                                     '', 'g') AS s
+               FROM unhtml),
+    lined AS (SELECT doc_id,
+                     array_to_string(
+                       list_filter(string_split(s, chr(10)),
+                         l -> len(list_filter(
+                                    regexp_split_to_array(l, '[ \\t]+'),
+                                    t -> t <> '')) >= 3
+                              AND regexp_matches(rtrim(l), '[.!?"]$')),
+                       chr(10)) AS s
+              FROM unctrl),
+    clean AS (SELECT doc_id,
+                     trim(regexp_replace(s, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS cleaned
+              FROM lined)
+    SELECT doc_id, cleaned,
+           CAST(length(cleaned) AS BIGINT) AS n_chars_clean
+    FROM clean
+    """,
+)
+def text_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning pass (operators/normalize.py normalize_text):
+    strip markup + entities, strip control bytes, drop junk lines
+    (under 3 tokens or no terminal punctuation), collapse whitespace —
+    one codegen expression fused into the scan, no UDF, no shuffle.
+    The synthetic corpus is markup-free, so each document is spiked
+    deterministically (the _PII_SPIKES discipline) with an HTML
+    wrapper, a residue-selected junk line (menu crumb / unterminated
+    fragment / control-byte line), and an entity-bearing boilerplate
+    line; the oracle replays every stage in the same order — entity
+    replacement order included, since chained replaces compose — and
+    byte-checks the cleaned strings."""
+    from d365fo_db_sync_spark.operators.normalize import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    junk = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("Menu"))
+        .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit("one two three"))
+        .otherwise(F.concat(F.lit("bell "), F.lit("\x07"), F.lit(" rings loudly.")))
+    )
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="w">'),
+            F.col("text"),
+            F.lit(" ok.</div>\n"),
+            junk,
+            F.lit("\nAll rights reserved &amp; counted here."),
+        ).alias("raw"),
+    )
+    cleaned = spiked.select(
+        "doc_id", normalize_text("raw").alias("cleaned")
+    )
+    return cleaned.select(
+        "doc_id",
+        "cleaned",
+        F.length("cleaned").cast("long").alias("n_chars_clean"),
+    )
