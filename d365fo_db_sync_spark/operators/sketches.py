@@ -514,30 +514,45 @@ def _mg_summary(df: DataFrame, cols: list[str], cap: int) -> DataFrame:
     )
 
     def summarize(batches):
-        run: pd.DataFrame | None = None
+        run = None
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vc = (
-                pdf.groupby(cols, dropna=False, sort=False)
-                .size()
-                .reset_index(name="__mg")
-            )
-            if run is None:
-                run = vc
-            else:
-                run = (
-                    pd.concat([run, vc], ignore_index=True)
-                    .groupby(cols, dropna=False, sort=False)["__mg"]
-                    .sum()
-                    .reset_index()
-                )
-            if len(run) > cap:
-                dec = run["__mg"].nlargest(cap + 1).iloc[-1]
-                run = run[run["__mg"] > dec].copy()
-                run["__mg"] -= dec
+            run = _fold_mg_batch(run, pdf, cols, cap)
         if run is None:
             run = pd.DataFrame({c: [] for c in [*cols, "__mg"]})
         yield run[[*cols, "__mg"]]
 
     return keyed.mapInPandas(summarize, schema=summ_schema)
+
+
+def _fold_mg_batch(run, pdf, cols: list[str], cap: int):
+    """One vectorized Misra-Gries fold step — exposed as a pure
+    function so the property suite can drive the REAL code over
+    arbitrary batch streams without a Spark job per example. ``run``
+    is the running summary (``None`` before the first batch), ``pdf``
+    the next exact batch; returns the new summary, always <= ``cap``
+    rows, with total undercount across a stream bounded by
+    n/(cap+1) (each compression removes >= (cap+1) x its decrement
+    of total mass)."""
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return run
+    vc = (
+        pdf.groupby(cols, dropna=False, sort=False)
+        .size()
+        .reset_index(name="__mg")
+    )
+    if run is None:
+        run = vc
+    else:
+        run = (
+            pd.concat([run, vc], ignore_index=True)
+            .groupby(cols, dropna=False, sort=False)["__mg"]
+            .sum()
+            .reset_index()
+        )
+    if len(run) > cap:
+        dec = run["__mg"].nlargest(cap + 1).iloc[-1]
+        run = run[run["__mg"] > dec].copy()
+        run["__mg"] -= dec
+    return run
