@@ -56,6 +56,7 @@ __all__ = [
     "ks_statistic",
     "mann_whitney_auc",
     "psi",
+    "psi_by_group",
     "psi_categorical",
     "psi_from_counts",
     "quantiles_from_counts",
@@ -165,6 +166,107 @@ def _binned_spine(
         "bin",
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+
+
+def psi_by_group(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    group_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-SEGMENT PSI — the monitoring shape a mixture pipeline
+    actually needs ("did the length distribution drift *within each
+    language*?", where a global PSI can read stable while every
+    segment shifted in opposite directions). One row per
+    ``(group, bin)``: same columns and term math as :func:`psi`, with
+    proportions normalized PER GROUP, and each group's bins spanning
+    that group's OWN reference min..max (a group's drift is judged
+    against its own baseline, not a global range that would squash
+    narrow segments into one bin).
+
+    Scale shape: one group-keyed min/max aggregate over the reference
+    (group-cardinality-sized, broadcast back), one combinable groupBy
+    per side over (group, bin), a (group x bins)-sized full-outer
+    join, and per-group totals via a window over the already-bins-
+    sized frame — the corpora shuffle only into (group, bin) partial
+    counts. NULL metric values and NULL groups are excluded, and a
+    group with no reference rows is excluded entirely (no baseline ->
+    no bins to judge against; monitor new-group arrival with
+    :func:`psi_categorical` on the group column instead)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    def clean(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col(col).isNotNull() & F.col(group_col).isNotNull()
+        )
+
+    r, c = clean(ref), clean(cur)
+    edges = r.groupBy(F.col(group_col).alias("__g")).agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+        idx = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((x - F.col("__lo")) / width).cast("int"), F.lit(0)
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        return (
+            df.join(
+                broadcast(edges), on=F.col(group_col) == F.col("__g"), how="inner"
+            )
+            .select(F.col("__g"), idx.alias("bin"))
+            .groupBy("__g", "bin")
+            .agg(F.count("*").alias(out))
+        )
+
+    rb = binned(r, "n_ref")
+    cb = binned(c, "n_cur")
+    spine = rb.join(cb, on=["__g", "bin"], how="full_outer").select(
+        "__g",
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    w = Window.partitionBy("__g")
+    both = spine.select(
+        "*",
+        F.sum("n_ref").over(w).alias("__tr"),
+        F.sum("n_cur").over(w).alias("__tc"),
+    )
+    p_ref = F.greatest(
+        F.coalesce(F.try_divide("n_ref", "__tr"), F.lit(0.0)),
+        F.lit(float(eps)),
+    )
+    p_cur = F.greatest(
+        F.coalesce(F.try_divide("n_cur", "__tc"), F.lit(0.0)),
+        F.lit(float(eps)),
+    )
+    term = F.when(
+        (F.col("n_ref") == 0) & (F.col("n_cur") == 0), F.lit(0.0)
+    ).otherwise((p_ref - p_cur) * F.log(p_ref / p_cur))
+    return both.select(
+        F.col("__g").alias(group_col),
+        "bin",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        term.alias("psi_term"),
     )
 
 

@@ -8436,3 +8436,69 @@ def text_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cleaned",
         F.length("cleaned").cast("long").alias("n_chars_clean"),
     )
+
+
+@register(
+    "quality_drift_psi_by_lang",
+    oracle="""
+    WITH base AS (SELECT lang, CAST(n_chars AS DOUBLE) x,
+                         CAST(substr(source, 4) AS INT) AS src
+                  FROM documents
+                  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+    r AS (SELECT lang, x FROM base WHERE src < 10),
+    c AS (SELECT lang, x FROM base WHERE src >= 10),
+    e AS (SELECT lang, MIN(x) lo, MAX(x) hi FROM r GROUP BY 1),
+    rb AS (SELECT r.lang,
+                  CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 5.0)) AS INT), 0), 4) END AS bin,
+                  COUNT(*) AS n_ref
+           FROM r JOIN e ON r.lang = e.lang GROUP BY 1, 2),
+    cb AS (SELECT c.lang,
+                  CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 5.0)) AS INT), 0), 4) END AS bin,
+                  COUNT(*) AS n_cur
+           FROM c JOIN e ON c.lang = e.lang GROUP BY 1, 2),
+    s AS (SELECT COALESCE(rb.lang, cb.lang) AS lang,
+                 COALESCE(rb.bin, cb.bin) AS bin,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb
+            ON rb.lang = cb.lang AND rb.bin = cb.bin),
+    t AS (SELECT lang, bin, n_ref, n_cur,
+                 SUM(n_ref) OVER (PARTITION BY lang) AS tr,
+                 SUM(n_cur) OVER (PARTITION BY lang) AS tc
+          FROM s)
+    SELECT lang, bin, n_ref, n_cur,
+           GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6) AS p_ref,
+           GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6) AS p_cur,
+           CASE WHEN n_ref = 0 AND n_cur = 0 THEN 0.0
+                ELSE (GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+                      - GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6))
+                     * ln(GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+                          / GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6)) END
+             AS psi_term
+    FROM t
+    """,
+)
+def quality_drift_psi_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT drift (operators/drift.py psi_by_group): length PSI
+    computed WITHIN each language between the first ten sources (the
+    reference crawl) and the rest — the monitoring shape a mixture
+    pipeline needs, since opposite per-segment shifts can cancel in a
+    global PSI. Each language's bins span that language's own
+    reference range (broadcast group-keyed edges); proportions
+    normalize per group via a window over the already-bins-sized
+    spine. The oracle replays the grouped edges, clamped bins,
+    windowed totals and term math exactly."""
+    from d365fo_db_sync_spark.operators.drift import psi_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    return psi_by_group(
+        docs.filter(src_num < 10),
+        docs.filter(src_num >= 10),
+        "n_chars",
+        "lang",
+        n_bins=5,
+    )

@@ -338,3 +338,50 @@ def test_jsd_matches_bruteforce_and_limits(spark):
     )
     total = sum(r["jsd_term"] for r in jsd_from_counts(spine).collect())
     assert total == pytest.approx(_m.log(2.0), rel=1e-12)
+
+
+def test_psi_by_group_equals_per_group_psi(spark):
+    """psi_by_group rows for each group equal an independent psi() run
+    restricted to that group — same edges, same terms, double for
+    double; groups without a reference baseline are excluded."""
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.drift import psi, psi_by_group
+
+    ref_rows = (
+        [("en", v) for v in [10, 20, 30, 40, 50]]
+        + [("de", v) for v in [100, 140, 180]]
+    )
+    cur_rows = (
+        [("en", v) for v in [40, 45, 50, 55]]
+        + [("de", v) for v in [100, 100, 180]]
+        + [("fr", v) for v in [7, 8]]        # no ref baseline -> excluded
+        + [(None, 1), ("en", None)]          # NULLs excluded
+    )
+    ref = spark.createDataFrame(ref_rows, "g string, x long")
+    cur = spark.createDataFrame(cur_rows, "g string, x long")
+    got = psi_by_group(ref, cur, "x", "g", n_bins=4).collect()
+    assert {r["g"] for r in got} == {"en", "de"}
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["g"], {})[r["bin"]] = r
+    for g in ("en", "de"):
+        solo = {
+            r["bin"]: r
+            for r in psi(
+                ref.filter(F.col("g") == g),
+                cur.filter(F.col("g") == g),
+                "x",
+                n_bins=4,
+            ).collect()
+        }
+        assert set(solo) == set(by_group[g])
+        for b, r in solo.items():
+            gr = by_group[g][b]
+            assert (gr["n_ref"], gr["n_cur"]) == (r["n_ref"], r["n_cur"])
+            assert gr["psi_term"] == r["psi_term"]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_bins"):
+        psi_by_group(ref, cur, "x", "g", n_bins=1)
