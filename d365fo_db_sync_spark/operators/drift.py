@@ -52,6 +52,7 @@ __all__ = [
     "jsd",
     "jsd_from_counts",
     "binned_quantiles",
+    "embedding_centroid_drift",
     "ks_from_counts",
     "ks_statistic",
     "mann_whitney_auc",
@@ -166,6 +167,99 @@ def _binned_spine(
         "bin",
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+
+
+def embedding_centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Drift for the EMBEDDING modality: cosine similarity and L2
+    distance between the two snapshots' mean vectors — the cheapest
+    meaningful "did the representation distribution move?" monitor
+    (a mean shift moves retrieval/clustering behavior before any
+    scalar metric notices). One row:
+    ``(cos_centroid, l2_centroid, n_ref, n_cur)``.
+
+    Exactness discipline (the decimal-PageRank idea, in dyadic form):
+    every float32 component is quantized EXACTLY — ``floor(x * 2^20)``
+    is a pure exponent shift of the binary value, identical in any
+    IEEE engine — so the per-dimension sums are INTEGERS (order-free,
+    overflow-safe: |sum| <= n * 2^20 * max|x|), and the cosine/L2
+    arithmetic runs over the DIMENSION-SORTED array of those integers
+    with a sequential fold — no order-undefined double SUM anywhere,
+    hence SQL-oracleable. Cosine uses the sum vectors directly (the
+    1/n factors cancel); L2 divides each sum by its side's count and
+    rescales by 2^-scale_bits, so it is in the embedding's own units.
+    Quantization bias is bounded by 2^-scale_bits per component
+    (~1e-6 at 20 bits) — far below any drift threshold a monitor
+    would act on.
+
+    Scale shape: the vectors explode map-side into (dim, q) pairs and
+    collapse into DIM-sized integer partials per side (combinable);
+    everything after is dim-sized array math on one row. NULL vectors
+    are excluded; dimensions are assumed uniform (the table contract
+    everywhere else in the engine)."""
+    if not 1 <= scale_bits <= 30:
+        raise ValueError(f"scale_bits must be in [1, 30], got {scale_bits}")
+    mult = float(1 << scale_bits)
+
+    def side(df: DataFrame, s_col: str, n_col: str) -> DataFrame:
+        base = df.filter(F.col(vec_col).isNotNull())
+        return (
+            base.select(F.posexplode(vec_col).alias("d", "x"))
+            .select(
+                "d",
+                F.floor(F.col("x").cast("double") * F.lit(mult))
+                .cast("long")
+                .alias("q"),
+            )
+            .groupBy("d")
+            .agg(F.sum("q").alias(s_col), F.count("*").alias(n_col))
+        )
+
+    joined = side(ref, "sr", "nr").join(
+        side(cur, "sc", "nc"), on="d", how="inner"
+    )
+    packed = joined.agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "sr", "sc"))
+        ).alias("a"),
+        F.first("nr").alias("n_ref"),
+        F.first("nc").alias("n_cur"),
+    )
+    a = F.col("a")
+    dot = F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, x: acc + x["sr"].cast("double") * x["sc"].cast("double"),
+    )
+    nr2 = F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, x: acc + x["sr"].cast("double") * x["sr"].cast("double"),
+    )
+    nc2 = F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, x: acc + x["sc"].cast("double") * x["sc"].cast("double"),
+    )
+    l2sq = F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            F.try_divide(x["sr"].cast("double"), F.col("n_ref"))
+            - F.try_divide(x["sc"].cast("double"), F.col("n_cur"))
+        )
+        * (
+            F.try_divide(x["sr"].cast("double"), F.col("n_ref"))
+            - F.try_divide(x["sc"].cast("double"), F.col("n_cur"))
+        ),
+    )
+    return packed.select(
+        F.try_divide(dot, F.sqrt(nr2) * F.sqrt(nc2)).alias("cos_centroid"),
+        (F.sqrt(l2sq) / F.lit(mult)).alias("l2_centroid"),
+        "n_ref",
+        "n_cur",
     )
 
 

@@ -8502,3 +8502,69 @@ def quality_drift_psi_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n_bins=5,
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH r AS (SELECT embedding FROM embeddings
+               WHERE label < 5 AND embedding IS NOT NULL),
+    c AS (SELECT embedding FROM embeddings
+          WHERE label >= 5 AND embedding IS NOT NULL),
+    rq AS (SELECT i - 1 AS d,
+                  SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+                           AS BIGINT)) AS sr,
+                  COUNT(*) AS nr
+           FROM (SELECT embedding,
+                        unnest(range(1, len(embedding) + 1)) AS i FROM r)
+           GROUP BY 1),
+    cq AS (SELECT i - 1 AS d,
+                  SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+                           AS BIGINT)) AS sc,
+                  COUNT(*) AS nc
+           FROM (SELECT embedding,
+                        unnest(range(1, len(embedding) + 1)) AS i FROM c)
+           GROUP BY 1),
+    j AS (SELECT rq.d, sr, sc, nr, nc FROM rq JOIN cq USING (d)),
+    p AS (SELECT list_sort(list(struct_pack(d := d, sr := sr, sc := sc))) AS a,
+                 first(nr) AS n_ref, first(nc) AS n_cur
+          FROM j),
+    folds AS (SELECT
+        list_sum(list_transform(a,
+          x -> CAST(x.sr AS DOUBLE) * CAST(x.sc AS DOUBLE))) AS dot,
+        list_sum(list_transform(a,
+          x -> CAST(x.sr AS DOUBLE) * CAST(x.sr AS DOUBLE))) AS nr2,
+        list_sum(list_transform(a,
+          x -> CAST(x.sc AS DOUBLE) * CAST(x.sc AS DOUBLE))) AS nc2,
+        list_sum(list_transform(a,
+          x -> (CAST(x.sr AS DOUBLE) / n_ref - CAST(x.sc AS DOUBLE) / n_cur)
+               * (CAST(x.sr AS DOUBLE) / n_ref - CAST(x.sc AS DOUBLE) / n_cur)))
+          AS l2sq,
+        n_ref, n_cur
+      FROM p)
+    SELECT dot / (sqrt(nr2) * sqrt(nc2)) AS cos_centroid,
+           sqrt(l2sq) / 1048576.0 AS l2_centroid,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+    FROM folds
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-modality drift (operators/drift.py
+    embedding_centroid_drift): cosine and L2 between the mean vectors
+    of the low-label and high-label halves of the embeddings table.
+    Every float32 component quantizes EXACTLY (floor(x * 2^20) is a
+    binary exponent shift — identical in any IEEE engine), so the
+    per-dimension sums are order-free INTEGERS and the cosine/L2
+    arithmetic folds over the dimension-sorted integer arrays — no
+    order-undefined double SUM anywhere, which is what lets a
+    vector-drift statistic be value-oracled at all. Scale: the
+    vectors collapse map-side into dim-sized integer partials; the
+    rest is one-row array math."""
+    from d365fo_db_sync_spark.operators.drift import embedding_centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        "embedding",
+    )

@@ -385,3 +385,51 @@ def test_psi_by_group_equals_per_group_psi(spark):
 
     with _pt.raises(ValueError, match="n_bins"):
         psi_by_group(ref, cur, "x", "g", n_bins=1)
+
+
+def test_embedding_centroid_drift_bruteforce(spark):
+    """Exact Python replay of the dyadic quantization + dim-sorted
+    folds; identical snapshots read cos == 1.0 / l2 == 0.0 exactly."""
+    import random
+
+    from d365fo_db_sync_spark.operators.drift import embedding_centroid_drift
+
+    rng = random.Random(3)
+    dim = 8
+    ref_rows = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(40)]
+    cur_rows = [[rng.uniform(-1, 1) + 0.3 for _ in range(dim)] for _ in range(25)]
+    import struct as _struct
+
+    def f32(x):  # what parquet float32 storage does to a double
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    ref_rows = [[f32(x) for x in v] for v in ref_rows]
+    cur_rows = [[f32(x) for x in v] for v in cur_rows]
+    mk = lambda rows: spark.createDataFrame(
+        [(v,) for v in rows], "embedding array<float>"
+    )
+    row = embedding_centroid_drift(mk(ref_rows), mk(cur_rows), "embedding").collect()[0]
+
+    mult = float(1 << 20)
+    sr = [sum(math.floor(v[d] * mult) for v in ref_rows) for d in range(dim)]
+    sc = [sum(math.floor(v[d] * mult) for v in cur_rows) for d in range(dim)]
+    dot = nr2 = nc2 = l2sq = 0.0
+    for d in range(dim):
+        dot += float(sr[d]) * float(sc[d])
+        nr2 += float(sr[d]) * float(sr[d])
+        nc2 += float(sc[d]) * float(sc[d])
+        diff = sr[d] / len(ref_rows) - sc[d] / len(cur_rows)
+        l2sq += diff * diff
+    assert row["cos_centroid"] == dot / (math.sqrt(nr2) * math.sqrt(nc2))
+    assert row["l2_centroid"] == math.sqrt(l2sq) / mult
+    assert (row["n_ref"], row["n_cur"]) == (40, 25)
+    # the 0.3 shift should be visible in metric units
+    assert row["l2_centroid"] == pytest.approx(0.3 * math.sqrt(dim), rel=0.4)
+
+    same = embedding_centroid_drift(mk(ref_rows), mk(ref_rows), "embedding").collect()[0]
+    # sqrt(x)*sqrt(x) != x in floats: identity cosine is 1 +/- an ulp
+    assert same["cos_centroid"] == pytest.approx(1.0, abs=1e-12)
+    assert same["l2_centroid"] == 0.0
+
+    with pytest.raises(ValueError, match="scale_bits"):
+        embedding_centroid_drift(mk(ref_rows), mk(cur_rows), "embedding", scale_bits=0)
