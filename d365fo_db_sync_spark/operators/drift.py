@@ -52,6 +52,7 @@ __all__ = [
     "jsd",
     "jsd_from_counts",
     "binned_quantiles",
+    "drift_summary",
     "embedding_centroid_drift",
     "ks_from_counts",
     "ks_statistic",
@@ -167,6 +168,57 @@ def _binned_spine(
         "bin",
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+
+
+def drift_summary(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    max_spine: int | None = MAX_SPINE,
+) -> DataFrame:
+    """Every scalar drift measure in ONE row — the dashboard read:
+    ``(psi_total, jsd_total, ks, auc, w1, n_ref, n_cur)``. PSI/JSD
+    totals come from the binned spine (terms folded in BIN ORDER — a
+    sorted sequential fold, not an order-undefined SUM, so the totals
+    value-oracle like every term does); KS/AUC/W1 from the exact
+    distinct-value spine.
+
+    Plan shape: each spine is computed ONCE and localCheckpointed
+    (both are bounded — n_bins rows and <= max_spine rows), then every
+    statistic reads the materialization — without this, Spark's lack
+    of plan-level CTE reuse would re-run the corpus scans once per
+    statistic (the binned_quantiles lesson, applied at the API level).
+    Cost: 4 corpus scans (2 per spine) for 5 statistics."""
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+    _spine_guard(ref, cur, col, max_spine)
+    from pyspark.sql.functions import broadcast
+
+    spine_b = _binned_spine(ref, cur, col, n_bins).localCheckpoint(eager=True)
+    spine_v = _counts_spine(ref, cur, col).localCheckpoint(eager=True)
+
+    def folded_total(terms: DataFrame, term_col: str, out: str) -> DataFrame:
+        return terms.agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bin", F.col(term_col)))),
+                F.lit(0.0),
+                lambda acc, x: acc + x[term_col],
+            ).alias(out)
+        )
+
+    psi_total = folded_total(psi_from_counts(spine_b, eps=eps), "psi_term", "psi_total")
+    jsd_total = folded_total(jsd_from_counts(spine_b), "jsd_term", "jsd_total")
+    ks = ks_from_counts(spine_v).select("ks")
+    auc = auc_from_counts(spine_v).select("auc")
+    w1 = _w1_from_counts(spine_v).select("w1", "n_ref", "n_cur")
+    out = psi_total.crossJoin(broadcast(jsd_total))
+    out = out.crossJoin(broadcast(ks))
+    out = out.crossJoin(broadcast(auc))
+    return out.crossJoin(broadcast(w1)).select(
+        "psi_total", "jsd_total", "ks", "auc", "w1", "n_ref", "n_cur"
     )
 
 
@@ -622,11 +674,17 @@ def wasserstein_1(
     the result as a float-fold like every multi-term double sum. An
     empty side yields NULL (try_divide). Same bounded-spine guard and
     cumulative-window shape as :func:`ks_statistic`."""
+    _spine_guard(ref, cur, col, max_spine)
+    return _w1_from_counts(_counts_spine(ref, cur, col))
+
+
+def _w1_from_counts(spine: DataFrame) -> DataFrame:
+    """The W1 tail over an already-counted value spine
+    ``(v, c_ref, c_cur)`` — shared by :func:`wasserstein_1` and
+    :func:`drift_summary`."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
-    _spine_guard(ref, cur, col, max_spine)
-    spine = _counts_spine(ref, cur, col)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     lead = Window.orderBy("v")
     cum = spine.select(

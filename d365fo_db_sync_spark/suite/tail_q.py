@@ -8568,3 +8568,105 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("label") >= 5),
         "embedding",
     )
+
+
+@register(
+    "quality_drift_summary",
+    oracle="""
+    WITH r AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+               WHERE lang = 'en' AND n_chars IS NOT NULL),
+    c AS (SELECT CAST(n_chars AS DOUBLE) x FROM documents
+          WHERE lang <> 'en' AND n_chars IS NOT NULL),
+    e AS (SELECT MIN(x) lo, MAX(x) hi FROM r),
+    rb AS (SELECT CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 10.0)) AS INT), 0), 9) END AS bin,
+                  COUNT(*) AS n_ref
+           FROM r CROSS JOIN e GROUP BY 1),
+    cb AS (SELECT CASE WHEN hi = lo THEN 0
+                       ELSE LEAST(GREATEST(CAST(FLOOR((x - lo) /
+                              ((hi - lo) / 10.0)) AS INT), 0), 9) END AS bin,
+                  COUNT(*) AS n_cur
+           FROM c CROSS JOIN e GROUP BY 1),
+    s AS (SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                 COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM s),
+    terms AS (SELECT bin,
+                     CASE WHEN n_ref = 0 AND n_cur = 0 THEN 0.0
+                          ELSE (GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+                                - GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6))
+                               * ln(GREATEST(n_ref / CAST(tr AS DOUBLE), 1e-6)
+                                    / GREATEST(n_cur / CAST(tc AS DOUBLE), 1e-6))
+                     END AS pt,
+                     0.5 * (CASE WHEN n_ref / CAST(tr AS DOUBLE) > 0
+                            THEN (n_ref / CAST(tr AS DOUBLE))
+                                 * ln((n_ref / CAST(tr AS DOUBLE))
+                                      / (((n_ref / CAST(tr AS DOUBLE))
+                                          + (n_cur / CAST(tc AS DOUBLE))) / 2.0))
+                            ELSE 0.0 END
+                            + CASE WHEN n_cur / CAST(tc AS DOUBLE) > 0
+                              THEN (n_cur / CAST(tc AS DOUBLE))
+                                   * ln((n_cur / CAST(tc AS DOUBLE))
+                                        / (((n_ref / CAST(tr AS DOUBLE))
+                                            + (n_cur / CAST(tc AS DOUBLE))) / 2.0))
+                              ELSE 0.0 END) AS jt
+              FROM s CROSS JOIN t),
+    totals AS (SELECT
+        list_sum(list_transform(list_sort(list(struct_pack(b := bin, t := pt))),
+                                x -> x.t)) AS psi_total,
+        list_sum(list_transform(list_sort(list(struct_pack(b := bin, t := jt))),
+                                x -> x.t)) AS jsd_total
+      FROM terms),
+    rv AS (SELECT n_chars v, COUNT(*) c_ref FROM documents
+           WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1),
+    cv AS (SELECT n_chars v, COUNT(*) c_cur FROM documents
+           WHERE lang <> 'en' AND n_chars IS NOT NULL GROUP BY 1),
+    sv AS (SELECT COALESCE(rv.v, cv.v) AS v, COALESCE(c_ref, 0) AS c_ref,
+                  COALESCE(c_cur, 0) AS c_cur
+           FROM rv FULL OUTER JOIN cv ON rv.v = cv.v),
+    tv AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM sv),
+    cum AS (SELECT v, SUM(c_ref) OVER (ORDER BY v) AS cum_ref,
+                   SUM(c_cur) OVER (ORDER BY v) AS cum_cur,
+                   LEAD(v) OVER (ORDER BY v) AS v_next,
+                   c_ref, c_cur,
+                   COALESCE(SUM(c_ref) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cb_ref
+            FROM sv),
+    ksq AS (SELECT ABS(cum_ref * n_cur - cum_cur * n_ref)
+                     / CAST(n_ref * n_cur AS DOUBLE) AS ks
+            FROM cum CROSS JOIN tv
+            ORDER BY ABS(cum_ref * n_cur - cum_cur * n_ref) DESC, v ASC
+            LIMIT 1),
+    aucq AS (SELECT SUM(c_cur * (2 * cb_ref + c_ref))
+                      / (2.0 * n_ref * n_cur) AS auc
+             FROM cum CROSS JOIN tv GROUP BY n_ref, n_cur),
+    w1q AS (SELECT SUM(ABS(cum_ref * n_cur - cum_cur * n_ref)
+                       * (v_next - v)) / CAST(n_ref * n_cur AS DOUBLE) AS w1
+            FROM cum CROSS JOIN tv WHERE v_next IS NOT NULL
+            GROUP BY n_ref, n_cur)
+    SELECT psi_total, jsd_total, ks, auc, w1,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+    FROM totals CROSS JOIN ksq CROSS JOIN aucq CROSS JOIN w1q CROSS JOIN tv
+    """,
+)
+def quality_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift DASHBOARD row (operators/drift.py drift_summary): all
+    five scalar measures of the English vs non-English length split —
+    PSI and JSD totals (bin-ordered sequential folds of the same terms
+    the per-bin queries oracle, so even the multi-term double sums are
+    value-exact), the integer-numerator KS, Mann-Whitney AUC and
+    1-Wasserstein. Each bounded spine is computed once and
+    localCheckpointed, then every statistic reads the materialization
+    — 4 corpus scans for 5 statistics, where naive composition would
+    re-scan per statistic (Spark has no plan-level CTE reuse)."""
+    from d365fo_db_sync_spark.operators.drift import drift_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return drift_summary(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+        n_bins=10,
+    )

@@ -433,3 +433,45 @@ def test_embedding_centroid_drift_bruteforce(spark):
 
     with pytest.raises(ValueError, match="scale_bits"):
         embedding_centroid_drift(mk(ref_rows), mk(cur_rows), "embedding", scale_bits=0)
+
+
+def test_drift_summary_matches_individual_operators(spark):
+    """The one-row dashboard equals each standalone statistic (PSI/JSD
+    totals via the bin-ordered fold of the same terms) — and the
+    empty-side/guard contracts carry through."""
+    from d365fo_db_sync_spark.operators.drift import (
+        drift_summary,
+        jsd,
+        ks_statistic,
+        mann_whitney_auc,
+        psi,
+        wasserstein_1,
+    )
+
+    ref = _mk(spark, [10, 12, 15, 20, 22, 30, 35, 40, 45, 50])
+    cur = _mk(spark, [40, 42, 45, 48, 50, 50, 38, 44])
+    row = drift_summary(ref, cur, "x", n_bins=4).collect()[0]
+
+    psi_terms = sorted(
+        (r["bin"], r["psi_term"]) for r in psi(ref, cur, "x", n_bins=4).collect()
+    )
+    acc = 0.0
+    for _, t in psi_terms:
+        acc += t
+    assert row["psi_total"] == acc
+    jsd_terms = sorted(
+        (r["bin"], r["jsd_term"]) for r in jsd(ref, cur, "x", n_bins=4).collect()
+    )
+    acc = 0.0
+    for _, t in jsd_terms:
+        acc += t
+    assert row["jsd_total"] == acc
+    assert row["ks"] == ks_statistic(ref, cur, "x").collect()[0]["ks"]
+    assert row["auc"] == mann_whitney_auc(ref, cur, "x").collect()[0]["auc"]
+    assert row["w1"] == wasserstein_1(ref, cur, "x").collect()[0]["w1"]
+    assert (row["n_ref"], row["n_cur"]) == (10, 8)
+
+    with pytest.raises(ValueError, match="max_spine"):
+        drift_summary(
+            _mk(spark, list(range(5000))), _mk(spark, [1]), "x", max_spine=1000
+        )
