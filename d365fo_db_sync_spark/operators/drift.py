@@ -186,19 +186,51 @@ def drift_summary(
     value-oracle like every term does); KS/AUC/W1 from the exact
     distinct-value spine.
 
-    Plan shape: each spine is computed ONCE and localCheckpointed
-    (both are bounded — n_bins rows and <= max_spine rows), then every
-    statistic reads the materialization — without this, Spark's lack
-    of plan-level CTE reuse would re-run the corpus scans once per
-    statistic (the binned_quantiles lesson, applied at the API level).
-    Cost: 4 corpus scans (2 per spine) for 5 statistics."""
+    Plan shape: the exact distinct-value spine is computed ONCE
+    (2 corpus scans — one per side's combinable groupBy) and
+    localCheckpointed (bounded by ``max_spine``); the BIN spine then
+    derives from the spine rows themselves — the bin of a value
+    depends only on the value, so grouping the weighted spine by bin
+    index is IDENTICAL to binning the raw rows, at spine cost instead
+    of another two corpus scans — and every statistic reads a
+    materialization. Without the checkpoints, Spark's lack of
+    plan-level CTE reuse would re-run the corpus scans once per
+    statistic (the binned_quantiles lesson, applied at the API
+    level). Total: 2 corpus scans for 5 statistics."""
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     _spine_guard(ref, cur, col, max_spine)
     from pyspark.sql.functions import broadcast
 
-    spine_b = _binned_spine(ref, cur, col, n_bins).localCheckpoint(eager=True)
     spine_v = _counts_spine(ref, cur, col).localCheckpoint(eager=True)
+    # reference edges from the spine's ref-weighted values — identical
+    # to _binned_spine's raw-row min/max because binning is a pure
+    # function of the value
+    edges = spine_v.filter(F.col("c_ref") > 0).agg(
+        F.min(F.col("v").cast("double")).alias("__lo"),
+        F.max(F.col("v").cast("double")).alias("__hi"),
+    )
+    x = F.col("v").cast("double")
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    idx = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((x - F.col("__lo")) / width).cast("int"), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        )
+    )
+    spine_b = (
+        spine_v.crossJoin(broadcast(edges))
+        .select(idx.alias("bin"), "c_ref", "c_cur")
+        .groupBy("bin")
+        .agg(
+            F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+        )
+        .localCheckpoint(eager=True)
+    )
 
     def folded_total(terms: DataFrame, term_col: str, out: str) -> DataFrame:
         return terms.agg(
