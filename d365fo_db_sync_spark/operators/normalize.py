@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "clean_lines",
+    "dedup_lines",
+    "drop_common_lines",
     "normalize_text",
     "strip_control_chars",
     "strip_html",
@@ -113,3 +115,84 @@ def normalize_text(
     c = strip_control_chars(c)
     c = clean_lines(c, min_tokens=min_tokens, require_terminal=require_terminal)
     return normalize_whitespace(c)
+
+
+def dedup_lines(col: Column | str) -> Column:
+    """Drop repeated lines WITHIN a document, keeping each line's
+    first occurrence in order (``array_distinct`` preserves first-
+    occurrence order) — the within-page half of C4's line dedup
+    (cookie banners and nav crumbs repeat inside a page long before
+    they repeat across pages). Pure codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, "\n", -1)), "\n")
+
+
+def drop_common_lines(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 2,
+):
+    """Corpus-level boilerplate removal — the across-pages half of
+    C4's line dedup: any line occurring in MORE than
+    ``max_occurrences`` documents (distinct-doc count, so in-page
+    repetition doesn't inflate it) is dropped from every document.
+    Returns ``(id_col, text_clean, n_lines_kept, n_lines_dropped)``;
+    documents whose every line is boilerplate come back as the empty
+    string, never a dropped row. Blank lines are never counted as
+    boilerplate (they carry layout, not content — and at corpus scale
+    the empty line would always trip the threshold and silently glue
+    paragraphs).
+
+    Scale shape: lines explode map-side with their positions; the
+    line-frequency pass is ONE combinable groupBy over line text
+    (distinct-doc counts via the standard two-phase partial distinct);
+    frequent lines — a boilerplate-sized set by construction — come
+    back as a broadcastable frame for a LEFT ANTI join; surviving
+    lines reassemble per document with a position-sorted fold (exact
+    original order, deterministic). Two doc-keyed shuffles + one
+    line-keyed shuffle at any corpus size."""
+    if max_occurrences < 1:
+        raise ValueError(
+            f"max_occurrences must be >= 1, got {max_occurrences}"
+        )
+    from pyspark.sql import DataFrame  # noqa: F401
+    from pyspark.sql.functions import broadcast
+
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    )
+    lines = base.select(
+        id_col,
+        F.posexplode(F.split(F.col("__t"), "\n", -1)).alias("pos", "line"),
+    )
+    counted = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__docs"))
+    )
+    common = counted.filter(F.col("__docs") > max_occurrences).select("line")
+    kept = lines.join(broadcast(common), on="line", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("__n_lines"))
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (
+                F.col("__n_lines") - F.coalesce("n_lines_kept", F.lit(0))
+            ).alias("n_lines_dropped"),
+        )
+    )

@@ -8670,3 +8670,71 @@ def quality_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         n_bins=10,
     )
+
+
+@register(
+    "text_line_dedup_pipeline",
+    oracle="""
+    WITH spiked AS (
+      SELECT doc_id,
+             text || chr(10) || 'All rights reserved worldwide.'
+                  || chr(10) || text AS raw
+      FROM documents WHERE text IS NOT NULL),
+    ls AS (SELECT doc_id, i AS pos, lsa[i] AS line
+           FROM (SELECT doc_id, string_split(raw, chr(10)) AS lsa,
+                        unnest(range(1, len(string_split(raw, chr(10))) + 1))
+                          AS i
+                 FROM spiked)),
+    firsts AS (SELECT doc_id, line, MIN(pos) AS pos
+               FROM ls GROUP BY 1, 2),
+    counted AS (SELECT line, COUNT(DISTINCT doc_id) AS docs
+                FROM firsts WHERE line <> '' GROUP BY 1),
+    common AS (SELECT line FROM counted WHERE docs > 2),
+    kept AS (SELECT f.doc_id, f.pos, f.line
+             FROM firsts f LEFT JOIN common c ON f.line = c.line
+             WHERE c.line IS NULL),
+    reb AS (SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                   COUNT(*) AS n_lines_kept
+            FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, COUNT(*) AS nl FROM firsts GROUP BY 1)
+    SELECT t.doc_id, COALESCE(text_clean, '') AS text_clean,
+           CAST(COALESCE(n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+           CAST(t.nl - COALESCE(n_lines_kept, 0) AS BIGINT)
+             AS n_lines_dropped
+    FROM tot t LEFT JOIN reb USING (doc_id)
+    """,
+)
+def text_line_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level dedup, both halves composed
+    (operators/normalize.py): within-page first — dedup_lines keeps
+    each line's first occurrence (codegen array_distinct) — then
+    across pages: drop_common_lines removes every line present in
+    more than 2 distinct documents (one combinable line-frequency
+    shuffle, broadcast anti-join, position-sorted rebuild). Each
+    document is spiked with a shared boilerplate line (dropped
+    everywhere — it appears in every document) and a duplicate of its
+    own text line (removed by the within-page pass, so the
+    distinct-doc counts see it once). The oracle replays dedup (first
+    positions), distinct-doc counting, the >2 threshold and the
+    ordered rebuild byte-for-byte."""
+    from d365fo_db_sync_spark.operators.normalize import (
+        dedup_lines,
+        drop_common_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nAll rights reserved worldwide.\n"),
+            F.col("text"),
+        ).alias("raw"),
+    )
+    step1 = spiked.select("doc_id", dedup_lines("raw").alias("t1"))
+    return drop_common_lines(
+        step1, text_col="t1", id_col="doc_id", max_occurrences=2
+    )

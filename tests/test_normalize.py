@@ -81,3 +81,45 @@ def test_normalize_text_composition(spark):
     df = spark.createDataFrame([(None,), ("",)], "text string")
     rows = df.select(normalize_text("text").alias("o")).collect()
     assert rows[0]["o"] is None and rows[1]["o"] == ""
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    from d365fo_db_sync_spark.operators.normalize import dedup_lines
+
+    text = "a b c.\ncookie banner\nmid line.\ncookie banner\na b c.\nend."
+    got = _one(spark, text, dedup_lines("text"))
+    assert got == "a b c.\ncookie banner\nmid line.\nend."
+
+
+def test_drop_common_lines_corpus_boilerplate(spark):
+    """The across-pages half: lines in more than max_occurrences
+    documents vanish from every document; in-page repetition does not
+    inflate the distinct-doc count; blank lines never count; fully-
+    boilerplate docs come back empty, never dropped."""
+    from d365fo_db_sync_spark.operators.normalize import drop_common_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unique zero.\nAll rights reserved.\n\nbody zero."),
+            (1, "All rights reserved.\nbody one.\nAll rights reserved."),
+            (2, "All rights reserved.\nbody two."),
+            (3, "All rights reserved."),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in drop_common_lines(docs, max_occurrences=2).collect()
+    }
+    # the legal line appears in 4 distinct docs (> 2): dropped everywhere
+    assert got[0] == ("unique zero.\n\nbody zero.", 3, 1)
+    assert got[1] == ("body one.", 1, 2)  # both copies dropped
+    assert got[2] == ("body two.", 1, 1)
+    assert got[3] == ("", 0, 1)  # fully boilerplate: empty, not missing
+    assert got[4] == ("", 1, 0)  # NULL text -> one empty line, kept
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_occurrences"):
+        drop_common_lines(docs, max_occurrences=0)
