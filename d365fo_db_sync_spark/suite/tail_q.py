@@ -8026,6 +8026,7 @@ _DSIR_CTES = f"""
 @register(
     "quality_dsir_weights",
     oracle=f"WITH {_DSIR_CTES} SELECT doc_id, n_features, log_w FROM w",
+    bench=True,
 )
 def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
@@ -8704,6 +8705,7 @@ def quality_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_lines_dropped
     FROM tot t LEFT JOIN reb USING (doc_id)
     """,
+    bench=True,
 )
 def text_line_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4's line-level dedup, both halves composed
