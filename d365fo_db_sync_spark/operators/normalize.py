@@ -147,18 +147,18 @@ def drop_common_lines(
     Scale shape: lines explode map-side with their positions; the
     line-frequency pass is ONE combinable groupBy over line text
     (distinct-doc counts via the standard two-phase partial distinct);
-    frequent lines — a boilerplate-sized set by construction — come
-    back as a broadcastable frame for a LEFT ANTI join; surviving
-    lines reassemble per document with a position-sorted fold (exact
-    original order, deterministic). Two doc-keyed shuffles + one
-    line-keyed shuffle at any corpus size."""
+    the common set anti-joins back WITHOUT a forced broadcast — its
+    size is bounded only by total_lines/(max_occurrences+1), so on a
+    boilerplate-heavy corpus it can be large, and AQE picks broadcast
+    when it measures small (the usual case) while a forced hint would
+    OOM the driver on the adversarial one (the frequent_items
+    pre-merge lesson). Surviving lines reassemble per document with a
+    position-sorted fold (exact original order, deterministic). Two
+    doc-keyed shuffles + one line-keyed shuffle at any corpus size."""
     if max_occurrences < 1:
         raise ValueError(
             f"max_occurrences must be >= 1, got {max_occurrences}"
         )
-    from pyspark.sql import DataFrame  # noqa: F401
-    from pyspark.sql.functions import broadcast
-
     base = df.select(
         F.col(id_col),
         F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
@@ -173,7 +173,7 @@ def drop_common_lines(
         .agg(F.countDistinct(id_col).alias("__docs"))
     )
     common = counted.filter(F.col("__docs") > max_occurrences).select("line")
-    kept = lines.join(broadcast(common), on="line", how="left_anti")
+    kept = lines.join(common, on="line", how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
