@@ -97,7 +97,20 @@ def dsir_log_weights(
     t_counts = bucketed(target).groupBy("bucket").agg(
         F.count("*").alias("ct")
     )
-    r_counts = bucketed(raw).groupBy("bucket").agg(F.count("*").alias("cr"))
+    # the raw corpus explodes ONCE: per-(doc, bucket) counts —
+    # localCheckpointed, since both the raw model fit and the scoring
+    # join read them and Spark's lack of plan reuse would otherwise
+    # re-run the feature explode (the heaviest map-side stage) per
+    # reference. The materialization is integer counts bounded by
+    # min(features, m_buckets) rows per doc — far cheaper to store
+    # than the string explode is to repeat.
+    doc_buckets = (
+        bucketed(raw, id_col)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    r_counts = doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
     spine = t_counts.join(r_counts, on="bucket", how="full_outer").select(
         "bucket",
         F.coalesce("ct", F.lit(0)).alias("ct"),
@@ -111,9 +124,6 @@ def dsir_log_weights(
             F.log((F.col("ct") + F.lit(1)) / (F.col("tt") + m))
             - F.log((F.col("cr") + F.lit(1)) / (F.col("tr") + m))
         ).alias("lr"),
-    )
-    doc_buckets = bucketed(raw, id_col).groupBy(id_col, "bucket").agg(
-        F.count("*").alias("cnt")
     )
     contrib = doc_buckets.join(broadcast(ratios), on="bucket").select(
         id_col,
