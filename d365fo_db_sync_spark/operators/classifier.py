@@ -1,0 +1,324 @@
+"""Trained quality classifier — the CCNet/fastText-style
+discriminative filter (Wenzek et al. 2020 "CCNet"; Joulin et al. 2017
+"Bag of Tricks"; the GPT-3 curation recipe, Brown et al. 2020 App. A):
+a logistic regression over hashed unigram+bigram features scoring
+"reference-like vs crawl", trained IN SPARK with a fixed number of
+full-batch gradient-descent rounds.
+
+This is the discriminative sibling of DSIR (operators/dsir.py): DSIR
+*weights toward* a target distribution (generative importance ratio);
+this classifier *filters* against labeled reference data — the two
+compose into the standard published curation stack. It reuses DSIR's
+featurizer (``dsir.hashed_features``) and bucket hash verbatim, so one
+feature explode can feed both.
+
+Training shape, per round (the ``graph.pagerank`` fixed-K replay
+discipline applied to SGD):
+
+1. **score** — per-document ``w·x + b`` where ``x`` is the
+   length-normalized hashed-TF vector (``cnt/n_doc`` — every division
+   IEEE-exact). The dot product joins the per-(doc, bucket) frame with
+   the BROADCAST weight table and folds the BUCKET-SORTED contribution
+   list (``aggregate`` over ``array_sort(collect_list(...))``) — a
+   deterministic sequential sum, never an order-undefined SQL SUM.
+2. **sigmoid** — ``p = 1/(1+exp(-score))``, then quantized through
+   ``DECIMAL(38,12)`` (decimal cast, not ``round()`` on DOUBLE — the
+   two engines' double-round differ; the decimal cast is exact and
+   HALF_UP in both). The quantization is a cross-engine
+   re-synchronization barrier: everything downstream of a matching
+   ``p`` matches exactly.
+3. **gradient** — per-bucket ``sum((p-y) * x)`` with every term
+   quantized to ``DECIMAL(38,18)`` BEFORE the sum (exact, order-free,
+   the decimal-PageRank discipline), one cast back to DOUBLE, one
+   division by ``n``.
+4. **update** — ``w' = decimal38_12(w - lr * (g/n))`` per bucket (and
+   the same for the bias), so the weights entering the next round are
+   decimal-quantized doubles a SQL oracle unrolls as chained CTEs,
+   round for round.
+
+Scale shape: the corpus explodes ONCE into per-(doc, bucket) counts
+(localCheckpointed — both the per-round gradient and the final scoring
+read it; Spark's lack of plan reuse would otherwise re-run the feature
+explode per action), each round moves ONE doc-keyed score join plus
+ONE combinable bucket-keyed gradient aggregate (at most ``m_buckets``
+partials), and the model itself is <= m_buckets + 1 doubles — bounded
+metadata on the driver, broadcast back for scoring. Nothing row-scale
+ever sits on the driver.
+
+Reference scope: the reference engine copies table rows verbatim
+(`/root/reference/DBSyncTool/Services/CopyOrchestrator.cs`); trained
+curation models are the training-data extension tier (SURVEY §2.8,
+BASELINE.json "text analysis" north star), sibling to
+operators/dsir.py and operators/text.py's heuristic
+``quality_classifier``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators.dsir import _bucket, hashed_features
+
+__all__ = ["LogRegModel", "hashed_tf", "logreg_fit", "logreg_score"]
+
+#: the per-stage quantization grids: scores/weights/probabilities
+#: re-synchronize cross-engine at 12 decimal digits (far below any
+#: decision threshold), per-term gradient contributions at 18 (the
+#: pagerank inflow discipline — exact, order-free decimal sums)
+_Q_MODEL = "decimal(38,12)"
+_Q_TERM = "decimal(38,18)"
+
+
+@dataclass(frozen=True)
+class LogRegModel:
+    """A fitted hashed-n-gram logistic regression: per-bucket weights
+    (only buckets observed in training carry one — unseen buckets
+    contribute nothing at scoring, the hashing-trick contract), the
+    bias, and the hyperparameters needed to featurize identically at
+    scoring time. All weights are DECIMAL(38,12)-quantized doubles —
+    the exact numbers a SQL oracle's CTE replay produces."""
+
+    weights: dict[int, float] = field(default_factory=dict)
+    bias: float = 0.0
+    m_buckets: int = 1024
+    lr: float = 10.0
+    rounds: int = 2
+
+
+def hashed_tf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 1024,
+) -> DataFrame:
+    """Length-normalized hashed term frequencies:
+    ``(id_col, bucket, cnt, n_features, x)`` with ``x = cnt /
+    n_features`` (an IEEE-exact division — both engines agree bit for
+    bit). One map-side feature explode collapsing into per-(doc,
+    bucket) counts; documents with no features yield no rows (callers
+    re-attach them with a left join, the DSIR convention). The
+    featurizer and bucket hash are DSIR's — one explode can serve
+    both operators."""
+    if m_buckets < 2:
+        raise ValueError(f"m_buckets must be >= 2, got {m_buckets}")
+    counts = (
+        df.select(
+            F.col(id_col),
+            F.explode(hashed_features(text_col)).alias("__f"),
+        )
+        .select(id_col, _bucket(F.col("__f"), m_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    n = Window.partitionBy(id_col)
+    return counts.select(
+        id_col,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(n).alias("n_features"),
+        (F.col("cnt").cast("double") / F.sum("cnt").over(n).cast("double")).alias(
+            "x"
+        ),
+    )
+
+
+def _sigmoid_q(score):
+    """Quantized logistic: ``decimal38_12(1 / (1 + exp(-score)))`` —
+    the cross-engine re-synchronization barrier (see module doc)."""
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+    return p.cast(_Q_MODEL).cast("double")
+
+
+def _fold_dot(terms: DataFrame, id_col: str) -> DataFrame:
+    """Per-document ``sum(w*x)`` as a fold over the BUCKET-SORTED
+    contribution list — deterministic sequential double sum (the DSIR
+    discipline), so the score replays exactly in SQL."""
+    return terms.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+            F.lit(0.0),
+            lambda acc, t: acc + t["c"],
+        ).alias("__s")
+    )
+
+
+def _scores(
+    x: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    weights: dict[int, float],
+    bias: float,
+    spark,
+) -> DataFrame:
+    """``(id_col, score)`` for every row of ``base``: the broadcast
+    weight map dotted against the hashed-TF frame, bias added;
+    documents with no features (or only unseen buckets) score the
+    bare bias. An empty weight map short-circuits to the bias — the
+    round-1 state."""
+    from pyspark.sql.functions import broadcast
+
+    if not weights:
+        return base.select(id_col, F.lit(float(bias)).alias("score"))
+    wdf = spark.createDataFrame(
+        sorted((int(b), float(w)) for b, w in weights.items()),
+        "bucket long, w double",
+    )
+    terms = x.join(broadcast(wdf), on="bucket").select(
+        id_col, "bucket", (F.col("w") * F.col("x")).alias("c")
+    )
+    dot = _fold_dot(terms, id_col)
+    return base.join(dot, on=id_col, how="left").select(
+        id_col,
+        (F.coalesce("__s", F.lit(0.0)) + F.lit(float(bias))).alias("score"),
+    )
+
+
+def logreg_fit(
+    train: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 1024,
+    lr: float = 10.0,
+    rounds: int = 2,
+) -> LogRegModel:
+    """Fit the classifier with ``rounds`` full-batch GD rounds from
+    zero weights (round 1's p is exactly 0.5 — the analytic shortcut
+    the SQL replay uses). ``label_col`` is truthy/1 for the
+    reference-like class. Every number the fit produces is
+    decimal-quantized per the module discipline, so the returned model
+    is the one a SQL oracle's unrolled CTE chain computes.
+
+    Per round: one doc-keyed score join (skipped in round 1), one
+    eager doc-sized checkpoint of the residuals, one bucket-keyed
+    combinable gradient aggregate collected as <= m_buckets rows, and
+    one 1-row bias aggregate — the driver only ever holds the model."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if lr <= 0:
+        raise ValueError(f"lr must be positive, got {lr}")
+    spark = train.sparkSession
+    y = train.select(
+        F.col(id_col),
+        F.col(label_col).cast("boolean").cast("int").cast("double").alias("__y"),
+    )
+    n_docs = y.count()
+    if n_docs == 0:
+        raise ValueError("logreg_fit: empty training frame")
+    # ONE feature explode for all rounds (and reusable by the caller
+    # for scoring when train == corpus): integer counts + exact
+    # normalized TF, materialized because every round's gradient and
+    # the next round's score join both read it
+    x = (
+        hashed_tf(train, text_col, id_col, m_buckets)
+        .select(id_col, "bucket", "x")
+        .localCheckpoint(eager=True)
+    )
+    weights: dict[int, float] = {}
+    bias = 0.0
+    for _ in range(rounds):
+        scored = _scores(x, y, id_col, weights, bias, spark)
+        resid = (
+            y.join(scored, on=id_col)
+            .select(
+                id_col,
+                (_sigmoid_q(F.col("score")) - F.col("__y")).alias("__r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        grad = (
+            x.join(resid, on=id_col)
+            .groupBy("bucket")
+            .agg(
+                F.sum((F.col("__r") * F.col("x")).cast(_Q_TERM)).alias("__g")
+            )
+            .select("bucket", F.col("__g").cast("double").alias("__gd"))
+        )
+        # fold the old weights in JVM-side so the update arithmetic —
+        # w - lr * (g/n), then the decimal quantization — happens in
+        # ONE Spark expression, the exact tree the oracle writes
+        from pyspark.sql.functions import broadcast
+
+        if weights:
+            wdf = spark.createDataFrame(
+                sorted((int(b), float(w)) for b, w in weights.items()),
+                "bucket long, w double",
+            )
+            grad = grad.join(broadcast(wdf), on="bucket", how="left")
+        else:
+            grad = grad.withColumn("w", F.lit(None).cast("double"))
+        new_w = grad.select(
+            "bucket",
+            (
+                F.coalesce("w", F.lit(0.0))
+                - F.lit(float(lr))
+                * (F.col("__gd") / F.lit(float(n_docs)))
+            )
+            .cast(_Q_MODEL)
+            .cast("double")
+            .alias("w"),
+        )
+        weights = {r["bucket"]: r["w"] for r in new_w.collect()}
+        gb = resid.agg(
+            F.sum(F.col("__r").cast(_Q_TERM)).alias("__g")
+        ).select(
+            (
+                F.lit(float(bias))
+                - F.lit(float(lr))
+                * (F.col("__g").cast("double") / F.lit(float(n_docs)))
+            )
+            .cast(_Q_MODEL)
+            .cast("double")
+            .alias("b")
+        )
+        bias = gb.first()["b"]
+    return LogRegModel(
+        weights=weights, bias=float(bias), m_buckets=m_buckets, lr=lr,
+        rounds=rounds,
+    )
+
+
+def logreg_score(
+    df: DataFrame,
+    model: LogRegModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every document with the fitted model:
+    ``(id_col, n_features, score, prob, keep)`` where ``prob`` is the
+    DECIMAL(38,12)-quantized sigmoid and ``keep = prob >= threshold``
+    — the comparison runs on the quantized value, so the decision is
+    reproducible cross-engine at the same granularity as the reported
+    score (text.quality_classifier's contract). Featureless documents
+    score the bare bias, never a dropped row. Map-side broadcast dot
+    product + one doc-keyed fold — the corpus shuffles once."""
+    spark = df.sparkSession
+    # materialized: the n_features rollup and the score join both read
+    # the explode (the fit/DSIR localCheckpoint discipline) — integer
+    # counts bounded by min(features, m_buckets) rows per doc
+    x = hashed_tf(df, text_col, id_col, model.m_buckets).localCheckpoint(
+        eager=True
+    )
+    base = df.select(id_col)
+    nf = x.groupBy(id_col).agg(F.first("n_features").alias("__nf"))
+    scored = _scores(
+        x.select(id_col, "bucket", "x"), base, id_col, model.weights,
+        model.bias, spark,
+    )
+    prob = _sigmoid_q(F.col("score"))
+    return (
+        scored.join(nf, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("__nf", F.lit(0)).cast("long").alias("n_features"),
+            "score",
+            prob.alias("prob"),
+            (prob >= F.lit(float(threshold))).alias("keep"),
+        )
+    )

@@ -196,7 +196,12 @@ def drift_summary(
     materialization. Without the checkpoints, Spark's lack of
     plan-level CTE reuse would re-run the corpus scans once per
     statistic (the binned_quantiles lesson, applied at the API
-    level). Total: 2 corpus scans for 5 statistics."""
+    level). Total: 2 corpus scans for 5 statistics — plus the
+    ``_spine_guard`` probe's 2 (one combinable approx_count_distinct
+    per side, run BEFORE the spine is planned so a row-cardinality
+    metric raises instead of materializing a row-scale checkpoint);
+    callers that already bounded the domain pass ``max_spine=None``
+    and get the bare 2."""
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
     if n_bins < 2:
@@ -284,8 +289,16 @@ def embedding_centroid_drift(
     Scale shape: the vectors explode map-side into (dim, q) pairs and
     collapse into DIM-sized integer partials per side (combinable);
     everything after is dim-sized array math on one row. NULL vectors
-    are excluded; dimensions are assumed uniform (the table contract
-    everywhere else in the engine)."""
+    are excluded. Dimensions must be UNIFORM (the table contract
+    everywhere else in the engine) and that contract is enforced at
+    evaluation time from the per-dim counts already in hand — equal
+    counts across observed dims is equivalent to equal vector lengths
+    (posexplode counts are non-increasing in the dim index) — so
+    ragged input RAISES instead of silently truncating to the shared
+    dims (the pre-r12 inner join's failure mode). An entirely empty
+    side is not ragged: the statistic is undefined against nothing and
+    comes back NULL, the KS/AUC convention. The guard costs zero extra
+    scans (it reads the same single aggregated row)."""
     if not 1 <= scale_bits <= 30:
         raise ValueError(f"scale_bits must be in [1, 30], got {scale_bits}")
     mult = float(1 << scale_bits)
@@ -304,16 +317,49 @@ def embedding_centroid_drift(
             .agg(F.sum("q").alias(s_col), F.count("*").alias(n_col))
         )
 
+    # FULL OUTER: a dim present on one side only is evidence of
+    # cross-side length mismatch — it must reach the guard, not be
+    # silently dropped by an inner join
     joined = side(ref, "sr", "nr").join(
-        side(cur, "sc", "nc"), on="d", how="inner"
+        side(cur, "sc", "nc"), on="d", how="full_outer"
     )
     packed = joined.agg(
         F.array_sort(
             F.collect_list(F.struct("d", "sr", "sc"))
         ).alias("a"),
-        F.first("nr").alias("n_ref"),
-        F.first("nc").alias("n_cur"),
+        F.max("nr").alias("n_ref"),
+        F.max("nc").alias("n_cur"),
+        F.min("nr").alias("__nr_min"),
+        F.min("nc").alias("__nc_min"),
+        F.coalesce(
+            F.sum(F.when(F.col("nr").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("__miss_r"),
+        F.coalesce(
+            F.sum(F.when(F.col("nc").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("__miss_c"),
     )
+    # uniform ⟺ within each non-empty side every observed dim carries
+    # the same count AND no dim is missing from a non-empty side
+    uniform = (
+        F.col("__nr_min").eqNullSafe(F.col("n_ref"))
+        & F.col("__nc_min").eqNullSafe(F.col("n_cur"))
+        & (F.col("n_ref").isNull() | (F.col("__miss_r") == 0))
+        & (F.col("n_cur").isNull() | (F.col("__miss_c") == 0))
+    )
+
+    def guarded(c):
+        return F.when(
+            F.assert_true(
+                uniform,
+                F.lit(
+                    "embedding_centroid_drift: ragged vector lengths — "
+                    "per-dimension counts differ within a side, or a "
+                    "dimension is missing from one non-empty side; pad "
+                    "or filter the corpus to uniform dims first"
+                ),
+            ).isNull(),
+            c,
+        )
     a = F.col("a")
     dot = F.aggregate(
         a, F.lit(0.0),
@@ -340,10 +386,12 @@ def embedding_centroid_drift(
         ),
     )
     return packed.select(
-        F.try_divide(dot, F.sqrt(nr2) * F.sqrt(nc2)).alias("cos_centroid"),
-        (F.sqrt(l2sq) / F.lit(mult)).alias("l2_centroid"),
-        "n_ref",
-        "n_cur",
+        guarded(F.try_divide(dot, F.sqrt(nr2) * F.sqrt(nc2))).alias(
+            "cos_centroid"
+        ),
+        guarded(F.sqrt(l2sq) / F.lit(mult)).alias("l2_centroid"),
+        guarded(F.col("n_ref")).alias("n_ref"),
+        guarded(F.col("n_cur")).alias("n_cur"),
     )
 
 

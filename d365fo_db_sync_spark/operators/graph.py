@@ -598,7 +598,13 @@ def label_propagation(
     SMALLEST label (the published algorithm leaves tie-breaks and
     update order random — fixing both makes the result a pure function
     of the edge set, replayable by an oracle and stable across
-    reruns). Nodes with no neighbors keep their label. Returns
+    reruns). The node universe is the endpoints of the bidirected
+    edge list AFTER self-loops are dropped: a node appearing only in
+    self-loop edges (or not at all) has no neighbors to vote, is never
+    reachable by a label, and is EXCLUDED from the output entirely —
+    callers wanting isolated nodes as singleton communities union them
+    back from their node spine (pinned in
+    test_graph.py::test_isolated_and_validation). Returns
     ``(node, community)`` after exactly ``rounds`` rounds.
 
     Where :func:`connected_components` answers reachability (one
@@ -610,14 +616,18 @@ def label_propagation(
     per round: choose ``rounds`` ~ the community diameter you care
     about (near-dup communities are shallow; 3-5 covers them).
 
-    Scale shape per round: one equi-join of the bidirected edge list
-    against the node-sized label frame (both shuffle keyed on the
-    node id — the standard LPA cost, same key both rounds so the
-    exchange is stable), one combinable groupBy into (node, label)
-    counts, one ``min_by`` argmax per node, and a left join back onto
-    the node spine; lineage truncates with an eager localCheckpoint
-    each round (the k_core discipline), so round N never replays
-    rounds 1..N-1. The driver never sees node data."""
+    Scale shape per round — TWO exchanges of edge-sized data, the
+    standard synchronous-LPA cost: the neighbor join keys on the
+    DESTINATION endpoint ``b`` (labels shuffle node-sized alongside),
+    then the vote groupBy re-keys the joined rows on the SOURCE
+    ``(a, lbl)`` — a different key, so the second exchange cannot
+    reuse the first (measured at sf1 in SCALE.md; an earlier
+    docstring claimed one stable exchange, which was wrong). After
+    the votes it is node-sized work: one ``min_by`` argmax per node
+    and a left join back onto the node spine; lineage truncates with
+    an eager localCheckpoint each round (the k_core discipline), so
+    round N never replays rounds 1..N-1. The driver never sees node
+    data."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

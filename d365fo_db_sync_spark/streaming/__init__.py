@@ -727,10 +727,20 @@ class FrequentItemsStreamPipeline:
         if os.path.exists(final):
             return  # replayed batch: summary already published
         cap = self.capacity
+        # materialized ONCE (eager localCheckpoint — at most
+        # partitions*cap rows): the top-(cap+1) collect below and the
+        # sidecar write must read the SAME evaluation. Re-evaluating
+        # the lazy summary between the two (non-file micro-batch
+        # sources, AQE re-plans) could change the partition layout and
+        # with it the partial counters, leaving the collected
+        # decrement inconsistent with the rows it is subtracted from —
+        # more than `capacity` survivors, or a skewed undercount
+        # ledger under candidates()'s threshold.
         summ = (
             _mg_summary(batch_df, self.cols, cap)
             .groupBy(*self.cols)
             .agg(F.sum("__mg").alias("__mg"))
+            .localCheckpoint(eager=True)
         )
         # batch compression: bounded collect of the top cap+1 counter
         # VALUES only (never keys at key-space scale) supplies the
@@ -1090,6 +1100,9 @@ class DriftMonitorPipeline:
         self.n_bins = n_bins
         self.eps = eps
         self.categorical = categorical
+        # original category type, so mix_view can undo the sidecar's
+        # stringification (partition values are strings on disk)
+        self._category_type = ref.schema[col].dataType
         r = ref.filter(F.col(col).isNotNull())
         if categorical:
             # the category IS the bin: no edges to freeze, the sidecar
@@ -1244,9 +1257,18 @@ class DriftMonitorPipeline:
     def quantile_view(self, spark, qs: Sequence[float]) -> DataFrame:
         """Approximate quantiles of everything ingested, from the SAME
         folded bin integers (operators.drift.quantiles_from_counts):
-        error bounded by one reference bin width, no quantile state
-        on the stream, deterministic (hence oracleable) interpolation.
-        One row ``(q, est, n)`` per requested quantile."""
+        no quantile state on the stream, deterministic (hence
+        oracleable) interpolation. One row ``(q, est, n)`` per
+        requested quantile.
+
+        Error bound caveat: the one-bin-width bound holds only for
+        mass INSIDE the frozen reference range — stream values beyond
+        ``[lo, hi]`` clamp into the edge bins (the psi contract), so
+        under exactly the drift this monitor exists to catch, quantile
+        estimates saturate at the reference range with unbounded
+        error. Check :meth:`edge_mass_view` first: when the edge bins
+        carry materially more mass than they did in the reference, the
+        estimates near that tail are clamp artifacts, not quantiles."""
         from d365fo_db_sync_spark.operators.drift import quantiles_from_counts
 
         if self.categorical:
@@ -1259,17 +1281,60 @@ class DriftMonitorPipeline:
             n_bins=self.n_bins,
         )
 
+    def edge_mass_view(self, spark) -> DataFrame:
+        """Saturation detector for :meth:`quantile_view`: one row
+        ``(side, edge_frac_ref, edge_frac_cur)`` per edge
+        (``low`` = bin 0, ``high`` = bin n_bins-1) with each side's
+        fraction of total mass in that bin. Out-of-range stream values
+        clamp into the edge bins, so ``edge_frac_cur`` well above
+        ``edge_frac_ref`` means that tail's quantile estimates have
+        saturated at the frozen reference range. Derived from the same
+        folded integers — zero extra stream state."""
+        from pyspark.sql.functions import broadcast
+
+        if self.categorical:
+            raise ValueError("categorical monitor: bins are unordered, use mix_view")
+        spine = self._spine(spark)
+        tot = spine.agg(
+            F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+        )
+        edges = spine.filter(
+            F.col("bin").isin(0, self.n_bins - 1)
+        ).select(
+            F.when(F.col("bin") == 0, F.lit("low"))
+            .otherwise(F.lit("high"))
+            .alias("side"),
+            "n_ref",
+            "n_cur",
+        )
+        return edges.crossJoin(broadcast(tot)).select(
+            "side",
+            F.coalesce(F.try_divide("n_ref", "__tr"), F.lit(0.0)).alias(
+                "edge_frac_ref"
+            ),
+            F.coalesce(F.try_divide("n_cur", "__tc"), F.lit(0.0)).alias(
+                "edge_frac_cur"
+            ),
+        )
+
     def mix_view(self, spark) -> DataFrame:
         """Categorical-mode live mix monitor: per-category PSI terms of
         the ingested stream vs the reference — same output contract
         (and double-for-double the same values) as
-        ``drift.psi_categorical`` over the concatenated stream."""
+        ``drift.psi_categorical`` over the concatenated stream. The
+        sidecar keys on the STRINGIFIED category (one sidecar schema
+        regardless of the column's type), so the view casts
+        ``category`` back to the reference column's original type —
+        the contract match is schema-exact, not just value-exact."""
         from d365fo_db_sync_spark.operators.drift import psi_from_counts
 
         if not self.categorical:
             raise ValueError("numeric monitor: use psi_view")
-        return psi_from_counts(self._spine(spark), eps=self.eps).withColumnRenamed(
+        out = psi_from_counts(self._spine(spark), eps=self.eps).withColumnRenamed(
             "bin", "category"
+        )
+        return out.withColumn(
+            "category", F.col("category").cast(self._category_type)
         )
 
     def start(self, stream_df: DataFrame, available_now: bool = True):

@@ -8057,31 +8057,31 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                      log_w - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                                      1, 8))::BIGINT + 0.5)
                                     / 4294967296.0)) AS k
-              FROM w)
+              FROM w WHERE n_features > 0)
     SELECT doc_id FROM keyed ORDER BY k DESC, dg, doc_id LIMIT 100
     """,
 )
 def sampling_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DSIR SELECTION step: exactly 100 documents sampled without
-    replacement with probability proportional to exp(log_w) via
-    Gumbel top-k (operators/sampling.py gumbel_topk_sample — the
-    paper's own resampling, run in the log domain because the weights
-    span orders of magnitude). The Gumbel noise comes from the
-    content-hash uniform (no RNG), so the selected SET is rerun- and
+    """The DSIR SELECTION step (operators/dsir.py dsir_select_topk):
+    exactly 100 documents sampled without replacement with probability
+    proportional to exp(log_w) via Gumbel top-k
+    (operators/sampling.py gumbel_topk_sample — the paper's own
+    resampling, run in the log domain because the weights span orders
+    of magnitude). The Gumbel noise comes from the content-hash
+    uniform (no RNG), so the selected SET is rerun- and
     repartition-invariant and the oracle replays the whole
-    composition: featurize -> fit -> score -> perturb -> top-k. Plan:
-    map-side keys + TakeOrderedAndProject over the weights frame —
-    the corpus never re-shuffles for the draw."""
-    from d365fo_db_sync_spark.operators.dsir import dsir_log_weights
-    from d365fo_db_sync_spark.operators.sampling import gumbel_topk_sample
+    composition: featurize -> fit -> score -> EMPTY-DOC GUARD ->
+    perturb -> top-k. The guard (r12: default n_features > 0, oracle
+    in lockstep) keeps featureless documents — whose neutral log_w=0
+    would otherwise rank MID-PACK — out of the draw entirely. Plan:
+    map-side predicate + keys + TakeOrderedAndProject over the
+    weights frame — the corpus never re-shuffles for the draw."""
+    from d365fo_db_sync_spark.operators.dsir import dsir_select_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    weights = dsir_log_weights(
-        docs, docs.filter(F.col("lang") == "en"), m_buckets=1024
-    )
-    return gumbel_topk_sample(weights, ["doc_id"], F.col("log_w"), 100).select(
-        "doc_id"
-    )
+    return dsir_select_topk(
+        docs, docs.filter(F.col("lang") == "en"), k=100, m_buckets=1024
+    ).select("doc_id")
 
 
 @register(

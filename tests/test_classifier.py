@@ -1,0 +1,166 @@
+"""Trained quality classifier (operators/classifier.py): exact
+pure-Python replay of the quantized GD pipeline, separation on a
+labeled synthetic, featureless-doc contract, validation."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators.classifier import (
+    LogRegModel,
+    hashed_tf,
+    logreg_fit,
+    logreg_score,
+)
+
+
+def _feats(text: str) -> list[str]:
+    toks = text.lower().split()
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _bucket(f: str, m: int) -> int:
+    return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % m
+
+
+def _q(x: float, digits: int) -> float:
+    return float(
+        Decimal(x).quantize(Decimal(f"1e-{digits}"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _py_fit_score(rows, m, lr, rounds):
+    """The whole quantized pipeline in plain Python: hashed normalized
+    TF, per-round sorted-fold scores, DECIMAL(38,12)-quantized
+    sigmoids and weights, DECIMAL(38,18)-quantized gradient terms
+    summed exactly."""
+    xs: dict[int, dict[int, float]] = {}
+    nf: dict[int, int] = {}
+    for doc_id, text, _y in rows:
+        fs = _feats(text) if text else []
+        nf[doc_id] = len(fs)
+        cnt: dict[int, int] = {}
+        for f in fs:
+            b = _bucket(f, m)
+            cnt[b] = cnt.get(b, 0) + 1
+        xs[doc_id] = {b: c / len(fs) for b, c in cnt.items()} if fs else {}
+    ys = {doc_id: float(y) for doc_id, _t, y in rows}
+    n = len(rows)
+    w: dict[int, float] = {}
+    bias = 0.0
+
+    def score(doc_id: int) -> float:
+        s = 0.0
+        for b in sorted(set(xs[doc_id]) & set(w)):
+            s += w[b] * xs[doc_id][b]
+        return s + bias
+
+    for _ in range(rounds):
+        resid = {
+            d: _q(1.0 / (1.0 + math.exp(-score(d))), 12) - ys[d] for d in ys
+        }
+        grads: dict[int, Decimal] = {}
+        for d, xv in xs.items():
+            for b, x in xv.items():
+                grads[b] = grads.get(b, Decimal(0)) + Decimal(
+                    resid[d] * x
+                ).quantize(Decimal("1e-18"), rounding=ROUND_HALF_UP)
+        w = {
+            b: _q(w.get(b, 0.0) - lr * (float(g) / n), 12)
+            for b, g in grads.items()
+        }
+        gb = sum(
+            (
+                Decimal(r).quantize(Decimal("1e-18"), rounding=ROUND_HALF_UP)
+                for r in resid.values()
+            ),
+            Decimal(0),
+        )
+        bias = _q(bias - lr * (float(gb) / n), 12)
+
+    out = {}
+    for d in ys:
+        s = score(d)
+        out[d] = (nf[d], s, _q(1.0 / (1.0 + math.exp(-s)), 12))
+    return w, bias, out
+
+
+ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog", 1),
+    (1, "the fox and the hound run through the field", 1),
+    (2, "a quick dog jumps over a brown fence", 1),
+    (3, "buy cheap pills now click here free offer", 0),
+    (4, "click here free money offer cheap deal now", 0),
+    (5, "cheap offer free pills click buy now deal", 0),
+    (6, None, 0),
+]
+
+
+def test_fit_score_matches_python_replay(spark):
+    """Weights, bias, scores and probabilities equal the Python
+    replay double-for-double — the property the SQL oracle relies
+    on."""
+    m, lr, rounds = 64, 10.0, 2
+    df = spark.createDataFrame(ROWS, "doc_id long, text string, y int")
+    model = logreg_fit(df, "y", m_buckets=m, lr=lr, rounds=rounds)
+    exp_w, exp_b, exp_out = _py_fit_score(ROWS, m, lr, rounds)
+    assert model.bias == exp_b
+    assert model.weights == exp_w
+
+    got = {
+        r["doc_id"]: (r["n_features"], r["score"], r["prob"])
+        for r in logreg_score(df, model).collect()
+    }
+    assert got == exp_out
+
+
+def test_separation_and_keep(spark):
+    """Two rounds separate the classes on a clean synthetic: every
+    reference-like doc outscores every crawl-like doc, keep follows
+    the quantized threshold, and a featureless doc scores the bare
+    bias (never a dropped row)."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string, y int")
+    model = logreg_fit(df, "y", m_buckets=64, lr=10.0, rounds=2)
+    rows = {r["doc_id"]: r for r in logreg_score(df, model).collect()}
+    assert set(rows) == set(range(7))
+    pos = [rows[i]["prob"] for i in (0, 1, 2)]
+    neg = [rows[i]["prob"] for i in (3, 4, 5)]
+    assert min(pos) > max(neg)
+    for r in rows.values():
+        assert r["keep"] == (r["prob"] >= 0.5)
+    # featureless doc: no features -> bare-bias score
+    assert rows[6]["n_features"] == 0
+    sig_bias = 1.0 / (1.0 + math.exp(-model.bias))
+    assert rows[6]["prob"] == _q(sig_bias, 12)
+
+    # the model is the quantized-grid one: every weight survives a
+    # 12-digit decimal round-trip
+    for w in list(model.weights.values()) + [model.bias]:
+        assert w == _q(w, 12)
+
+
+def test_hashed_tf_and_validation(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string, y int")
+    tf = hashed_tf(df, m_buckets=64)
+    r = tf.filter(F.col("doc_id") == 0).collect()
+    n = sum(row["cnt"] for row in r)
+    assert all(row["n_features"] == n for row in r)
+    assert all(row["x"] == row["cnt"] / n for row in r)
+    assert tf.filter(F.col("doc_id") == 6).count() == 0  # NULL text
+
+    with pytest.raises(ValueError, match="m_buckets"):
+        hashed_tf(df, m_buckets=1)
+    with pytest.raises(ValueError, match="rounds"):
+        logreg_fit(df, "y", rounds=0)
+    with pytest.raises(ValueError, match="lr"):
+        logreg_fit(df, "y", lr=0.0)
+    with pytest.raises(ValueError, match="empty training"):
+        logreg_fit(df.filter("doc_id < 0"), "y")
+    # scoring with a fresh (zero) model: everything sits at p = 0.5
+    zero = logreg_score(df, LogRegModel(m_buckets=64)).collect()
+    assert all(r["prob"] == 0.5 for r in zero)

@@ -435,6 +435,41 @@ def test_embedding_centroid_drift_bruteforce(spark):
         embedding_centroid_drift(mk(ref_rows), mk(cur_rows), "embedding", scale_bits=0)
 
 
+def test_embedding_centroid_drift_ragged_raises(spark):
+    """The uniform-dims contract is enforced at evaluation, not
+    assumed: ragged vector lengths — within a side or across sides —
+    raise loudly instead of silently truncating to the shared dims
+    (the r11 verdict's silence). An entirely EMPTY side is not ragged:
+    the statistic is undefined against nothing and reads NULL."""
+    from d365fo_db_sync_spark.operators.drift import embedding_centroid_drift
+
+    mk = lambda rows: spark.createDataFrame(
+        [(v,) for v in rows], "embedding array<float>"
+    )
+    uniform = mk([[1.0, 2.0], [3.0, 4.0]])
+
+    # within-side ragged: one short vector among long ones
+    ragged = mk([[1.0, 2.0], [3.0]])
+    with pytest.raises(Exception, match="ragged"):
+        embedding_centroid_drift(ragged, uniform, "embedding").collect()
+    with pytest.raises(Exception, match="ragged"):
+        embedding_centroid_drift(uniform, ragged, "embedding").collect()
+
+    # cross-side mismatch: each side internally uniform, lengths differ
+    longer = mk([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    with pytest.raises(Exception, match="ragged"):
+        embedding_centroid_drift(uniform, longer, "embedding").collect()
+
+    # an empty side (no rows / only NULL vectors) -> NULL statistics,
+    # never a ragged error
+    empty = mk([]).filter("embedding IS NOT NULL")
+    row = embedding_centroid_drift(empty, uniform, "embedding").collect()[0]
+    assert row["cos_centroid"] is None and row["n_ref"] is None
+    assert row["n_cur"] == 2
+    both = embedding_centroid_drift(empty, empty, "embedding").collect()[0]
+    assert both["cos_centroid"] is None and both["n_cur"] is None
+
+
 def test_drift_summary_matches_individual_operators(spark):
     """The one-row dashboard equals each standalone statistic (PSI/JSD
     totals via the bin-ordered fold of the same terms) — and the

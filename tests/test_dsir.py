@@ -118,6 +118,56 @@ def test_gumbel_topk_deterministic_and_bruteforced(spark):
     assert all(r["doc_id"] != 999 for r in got)
 
 
+def test_select_topk_excludes_empty_docs(spark):
+    """dsir_select_topk's empty-doc guard (r11 verdict #3): for EVERY
+    k up to the non-empty count, no featureless document enters the
+    selected set — their neutral log_w = 0.0 would otherwise rank
+    mid-pack and beat mildly off-domain real documents.
+    include_empty=True restores the raw neutral-weight draw (and
+    mid-pack is exactly where the empties land in it)."""
+    from d365fo_db_sync_spark.operators.dsir import dsir_select_topk
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    # 8 real docs (4 on-domain, 4 off-domain) + 4 empties
+    raw_rows = (
+        [(i, "alpha beta gamma delta") for i in range(4)]
+        + [(10 + i, "zip zap zoom quux") for i in range(4)]
+        + [(20, None), (21, ""), (22, "   "), (23, "\n\t")]
+    )
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    empty_ids = {20, 21, 22, 23}
+
+    for k in (1, 3, 5, 8):  # every k <= n_nonempty
+        picked = {
+            r["doc_id"]
+            for r in dsir_select_topk(raw, target, k=k, m_buckets=64).collect()
+        }
+        assert len(picked) == k
+        assert picked.isdisjoint(empty_ids)
+    # k above the non-empty pool: the draw is the whole guarded pool
+    assert {
+        r["doc_id"]
+        for r in dsir_select_topk(raw, target, k=12, m_buckets=64).collect()
+    } == set(range(4)) | {10, 11, 12, 13}
+
+    # include_empty=True: the old neutral-weight draw — empties rank
+    # BETWEEN the on-domain (log_w > 0) and off-domain (log_w < 0)
+    # docs, so a k-8 draw picks all four of them over off-domain docs
+    legacy = {
+        r["doc_id"]
+        for r in dsir_select_topk(
+            raw, target, k=8, m_buckets=64, include_empty=True
+        ).collect()
+    }
+    assert empty_ids <= legacy
+
+    with pytest.raises(ValueError, match="k must be"):
+        dsir_select_topk(raw, target, k=0)
+
+
 def test_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="m_buckets"):

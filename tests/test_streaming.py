@@ -1263,6 +1263,80 @@ def test_drift_monitor_quantile_view_matches_batch_bins(spark, tmp_path):
     assert abs(got[0.95] - 949.05) <= width + 1e-9
 
 
+def test_drift_monitor_edge_mass_and_typed_mix(spark, tmp_path):
+    """Two r11-ADVICE closures on the drift monitor: (1)
+    edge_mass_view surfaces out-of-range clamping — a stream entirely
+    beyond the frozen reference range piles its mass into the high
+    edge bin, which is the saturation signal quantile_view's bound
+    caveat points at; (2) mix_view casts the category back to the
+    reference column's ORIGINAL type (the sidecar stringifies), so a
+    non-string categorical monitor matches psi_categorical
+    schema-exactly, not just value-exactly."""
+    import os
+
+    import pytest
+
+    from d365fo_db_sync_spark.operators.drift import psi_categorical
+    from d365fo_db_sync_spark.streaming import DriftMonitorPipeline
+
+    # --- numeric monitor: clamped mass shows in edge_mass_view ---
+    ref = spark.createDataFrame([(v,) for v in range(0, 100)], "x long")
+    wave = [(v,) for v in range(500, 600)]  # entirely above hi=99
+    src_dir = str(tmp_path / "in_num")
+    os.makedirs(src_dir)
+    spark.createDataFrame(wave, "x long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    pipe = DriftMonitorPipeline(
+        ref, "x", str(tmp_path / "sc_num"), str(tmp_path / "ck_num"), n_bins=10
+    )
+    stream = (
+        spark.readStream.schema("x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    pipe.start(stream, available_now=True).awaitTermination(120)
+    em = {r["side"]: r for r in pipe.edge_mass_view(spark).collect()}
+    assert em["high"]["edge_frac_cur"] == 1.0  # all clamped into bin 9
+    assert em["high"]["edge_frac_ref"] == pytest.approx(0.1)
+    assert em["low"]["edge_frac_cur"] == 0.0
+    # ...and the saturated quantile reads the reference range edge
+    est = {r["q"]: r["est"] for r in pipe.quantile_view(spark, [0.5]).collect()}
+    assert est[0.5] <= pipe.hi + 1e-9  # saturated: true median is 549.5
+
+    # --- categorical monitor over an INT column: type round-trips ---
+    ref_i = spark.createDataFrame([(1,)] * 8 + [(2,)] * 2, "cat int")
+    cur_rows = [(1,)] * 3 + [(3,)] * 7
+    src2 = str(tmp_path / "in_cat")
+    os.makedirs(src2)
+    spark.createDataFrame(cur_rows, "cat int").coalesce(1).write.mode(
+        "append"
+    ).parquet(src2)
+    pipe2 = DriftMonitorPipeline(
+        ref_i, "cat", str(tmp_path / "sc_cat"), str(tmp_path / "ck_cat"),
+        categorical=True,
+    )
+    stream2 = (
+        spark.readStream.schema("cat int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    pipe2.start(stream2, available_now=True).awaitTermination(120)
+    view = pipe2.mix_view(spark)
+    exp_df = psi_categorical(
+        ref_i, spark.createDataFrame(cur_rows, "cat int"), "cat"
+    )
+    assert view.schema["category"].dataType == exp_df.schema["category"].dataType
+    got = {r["category"]: r for r in view.collect()}
+    exp = {r["category"]: r for r in exp_df.collect()}
+    assert set(got) == set(exp) == {1, 2, 3}
+    for c in exp:
+        assert got[c]["psi_term"] == exp[c]["psi_term"]
+    # categorical mode refuses the edge view (bins are unordered)
+    with pytest.raises(ValueError, match="mix_view"):
+        pipe2.edge_mass_view(spark)
+
+
 def test_cms_stream_fold_equals_single_pass(spark, tmp_path):
     """CmsStreamPipeline: the folded sidecar equals a one-pass CMS of
     the concatenated stream counter-for-counter (mergeability), the
