@@ -1,0 +1,219 @@
+"""Trained language identification — a hashed character-n-gram Naive
+Bayes (the CLD/langid.py class of model: Cavnar & Trenkle 1994 n-gram
+text categorization with the hashing trick; public method), replacing
+guesswork dictionaries with a model FITTED on the corpus's own labeled
+slice.
+
+Where ``text.language_id`` is a fixed marker-dictionary argmax (fine
+for screening, blind to any language outside its table), this learns
+per-class character-trigram distributions from labeled rows and scores
+by posterior log-probability:
+
+    pred(doc) = argmax_l [ ln p(l) + sum_g cnt_doc(g) * ln p(g | l) ]
+
+with Laplace add-one smoothing over the ``m_buckets`` hashed trigram
+space, ties broken toward the SMALLEST label (deterministic). Every
+number replays in a SQL oracle: the trigram extraction is pure
+``substring`` arithmetic, the bucket hash is the engine's md5-60-bit
+discipline (``sketches.kmv_hash``), priors and likelihoods are single
+``ln`` of exact integer ratios, and each document's per-class score
+folds over the BUCKET-SORTED contribution list (the DSIR sequential-
+sum discipline) plus one prior add.
+
+Scale shape: the fit collapses the labeled slice into (|classes| x
+m_buckets) integer partials plus |classes| priors — constant-size
+combinable aggregates, the CMS discipline; the model frame broadcasts
+for scoring, the corpus explodes map-side into per-(doc, bucket)
+counts and shuffles ONCE on the doc id for the fold. Nothing
+row-scale touches the driver; there is no driver-side collect at all
+— fit and predict compose lazily into one DAG.
+
+Reference scope: the reference engine transfers rows verbatim
+(`/root/reference/DBSyncTool/Services/CopyOrchestrator.cs`); trained
+language ID is the training-data extension tier (SURVEY §2.8), the
+trained sibling of ``text.language_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["char_ngram_buckets", "nb_fit", "nb_predict"]
+
+
+def char_ngram_buckets(
+    col: Column | str, n: int = 3, m_buckets: int = 256
+) -> Column:
+    """Hashed character-n-gram buckets of the lowercased text: one
+    array element per n-gram position (spaces and punctuation kept —
+    inter-word transitions are a strong language signal in the n-gram
+    LID literature). Pure codegen: substring over a position sequence,
+    md5-60-bit bucket. Texts shorter than ``n`` (or NULL) yield the
+    empty array."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if m_buckets < 2:
+        raise ValueError(f"m_buckets must be >= 2, got {m_buckets}")
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    length = F.length(c)
+    grams = F.when(
+        length >= n,
+        F.transform(
+            F.sequence(F.lit(1), length - F.lit(n - 1)),
+            lambda i: F.substring(c, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            F.lit(m_buckets),
+        ),
+    )
+
+
+def nb_fit(
+    labeled: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    m_buckets: int = 256,
+) -> DataFrame:
+    """Fit the Naive Bayes model from labeled rows: one row per
+    ``(label, bucket)`` over the FULL |classes| x m_buckets spine —
+    ``(label, bucket, llh, log_prior)`` with
+
+    * ``llh = ln((c_{l,b} + 1) / (t_l + m_buckets))`` — Laplace
+      add-one over the hashed gram space (every bucket defined for
+      every class, so scoring never misses), both operands exact
+      integers before the one division;
+    * ``log_prior = ln(n_l / N)`` over labeled DOCUMENT counts.
+
+    NULL labels are excluded. The frame is |classes| x m_buckets rows
+    — broadcast-sized by construction; the labeled corpus collapses
+    into it via two combinable aggregates and is never rescanned."""
+    from pyspark.sql.functions import broadcast
+
+    lab = labeled.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"),
+        char_ngram_buckets(text_col, n=n, m_buckets=m_buckets).alias("__bs"),
+    )
+    # ONE constant-size aggregate carries both the per-class document
+    # count (the prior) and the per-class total gram count (the
+    # likelihood denominator — sum of array sizes == sum of per-bucket
+    # counts), materialized eagerly (|classes| rows) because the
+    # priors, the spine and the denominators all read it and lazy
+    # re-references would each rescan the labeled slice
+    cls = (
+        lab.groupBy("label")
+        .agg(
+            F.count("*").alias("__nl"),
+            F.sum(F.size("__bs")).alias("__t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if not cls.head(1):
+        raise ValueError("nb_fit: no labeled rows (all labels NULL?)")
+    pri = cls.crossJoin(
+        broadcast(cls.agg(F.sum("__nl").alias("__N")))
+    ).select(
+        "label",
+        "__t",
+        F.log(F.col("__nl").cast("double") / F.col("__N").cast("double")).alias(
+            "log_prior"
+        ),
+    )
+    grams = lab.select("label", F.explode("__bs").alias("bucket")).groupBy(
+        "label", "bucket"
+    ).agg(F.count("*").alias("__c"))
+    # full class x bucket spine so Laplace covers unseen buckets
+    spine = pri.crossJoin(
+        broadcast(
+            lab.sparkSession.range(m_buckets).select(
+                F.col("id").cast("long").alias("bucket")
+            )
+        )
+    )
+    model = spine.join(grams, on=["label", "bucket"], how="left").select(
+        "label",
+        "bucket",
+        F.log(
+            (F.coalesce("__c", F.lit(0)) + F.lit(1))
+            / (F.col("__t") + F.lit(m_buckets))
+        ).alias("llh"),
+        "log_prior",
+    )
+    # the model is (|classes| x m_buckets) rows — bounded metadata;
+    # materialize so predict's two references (contributions + bare
+    # priors) never re-run the gram aggregate
+    return model.localCheckpoint(eager=True)
+
+
+def nb_predict(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m_buckets: int = 256,
+) -> DataFrame:
+    """Score every document against the fitted model:
+    ``(id_col, lang_pred, log_prob)`` — the winning class and its
+    (unnormalized) posterior log-probability. Per class, the score is
+    the prior plus the BUCKET-SORTED fold of ``cnt * llh``
+    contributions (deterministic sequential sum — SQL-replayable);
+    the argmax breaks ties toward the smallest label. Documents with
+    no n-grams (short/NULL text) score the bare priors — the most
+    frequent training class wins, never a dropped row.
+
+    Plan: map-side explode into per-(doc, bucket) counts, one
+    broadcast join against the |classes| x m_buckets model, one
+    doc-keyed shuffle for the per-class folds, one argmax. The model
+    never exceeds broadcast size by construction."""
+    from pyspark.sql.functions import broadcast
+
+    db = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                char_ngram_buckets(text_col, n=n, m_buckets=m_buckets)
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    contrib = db.join(broadcast(model), on="bucket").select(
+        id_col,
+        "label",
+        F.struct(
+            F.col("bucket").alias("b"),
+            (F.col("__cnt") * F.col("llh")).alias("c"),
+        ).alias("s"),
+        "log_prior",
+    )
+    folded = contrib.groupBy(id_col, "label").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, t: acc + t["c"],
+            )
+            + F.first("log_prior")
+        ).alias("lp")
+    )
+    # bare-prior rows for every (doc, class) — featureless docs fall
+    # back to the prior argmax; scored docs take the folded posterior
+    priors = model.select("label", "log_prior").distinct()
+    base = df.select(id_col).crossJoin(broadcast(priors))
+    scored = base.join(folded, on=[id_col, "label"], how="left").select(
+        id_col,
+        "label",
+        F.coalesce("lp", "log_prior").alias("lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            "label", F.struct((-F.col("lp")).alias("n"), F.col("label").alias("l"))
+        ).alias("lang_pred"),
+        F.max("lp").alias("log_prob"),
+    )
