@@ -25,12 +25,21 @@ from pyspark.sql import functions as F
 __all__ = [
     "clean_lines",
     "dedup_lines",
+    "dedup_paragraphs",
     "drop_common_lines",
+    "drop_common_paragraphs",
     "normalize_text",
     "strip_control_chars",
     "strip_html",
     "normalize_whitespace",
 ]
+
+#: the paragraph delimiter: the literal blank-line separator. Split on
+#: the EXACT two-newline string (not \\n{2,}) so splitting and
+#: rejoining with the same delimiter is byte-exact for any input —
+#: "a\\n\\n\\nb" splits to ["a", "\\nb"] and rejoins to itself, where a
+#: greedy \\n{2,} split would collapse the third newline on rebuild.
+PARAGRAPH_DELIM = "\n\n"
 
 #: C0 controls minus tab/newline/carriage-return, plus DEL — the bytes
 #: that survive no sane text pipeline. \\x0B and \\x0C (vertical tab /
@@ -123,8 +132,22 @@ def dedup_lines(col: Column | str) -> Column:
     occurrence order) — the within-page half of C4's line dedup
     (cookie banners and nav crumbs repeat inside a page long before
     they repeat across pages). Pure codegen."""
+    return _dedup_units(col, "\n")
+
+
+def dedup_paragraphs(col: Column | str) -> Column:
+    """Drop repeated PARAGRAPHS (blank-line-separated blocks) within a
+    document, keeping first occurrences in order — the within-page
+    half at the RefinedWeb/FineWeb paragraph grain (templated intro/
+    footer blocks repeat inside a page with per-line noise that line
+    dedup misses as a unit). Pure codegen; splits on the literal
+    ``\\n\\n`` so the rebuild is byte-exact (:data:`PARAGRAPH_DELIM`)."""
+    return _dedup_units(col, PARAGRAPH_DELIM)
+
+
+def _dedup_units(col: Column | str, delim: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_join(F.array_distinct(F.split(c, "\n", -1)), "\n")
+    return F.array_join(F.array_distinct(F.split(c, delim, -1)), delim)
 
 
 def drop_common_lines(
@@ -155,44 +178,85 @@ def drop_common_lines(
     pre-merge lesson). Surviving lines reassemble per document with a
     position-sorted fold (exact original order, deterministic). Two
     doc-keyed shuffles + one line-keyed shuffle at any corpus size."""
+    return _drop_common_units(
+        df, text_col, id_col, max_occurrences, "\n", "line"
+    )
+
+
+def drop_common_paragraphs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 2,
+):
+    """Corpus-level boilerplate removal at PARAGRAPH grain — the
+    RefinedWeb/FineWeb recipe's middle granularity between line dedup
+    and whole-document dedup: any blank-line-separated block occurring
+    in more than ``max_occurrences`` distinct documents is dropped
+    from every document (templated disclaimers, bio boxes, promo
+    blocks — multi-line units whose individual lines may sit under the
+    line threshold). Returns ``(id_col, text_clean, n_paragraphs_kept,
+    n_paragraphs_dropped)``. Splits on the literal ``\\n\\n``
+    (:data:`PARAGRAPH_DELIM` — byte-exact rebuild for any input);
+    empty blocks are never counted as boilerplate, same contract and
+    plan shape as :func:`drop_common_lines` with the paragraph as the
+    unit: one unit-keyed shuffle, distinct-doc counts, AQE-chosen
+    anti-join, position-sorted rebuild."""
+    return _drop_common_units(
+        df, text_col, id_col, max_occurrences, PARAGRAPH_DELIM, "paragraph"
+    )
+
+
+def _drop_common_units(
+    df,
+    text_col: str,
+    id_col: str,
+    max_occurrences: int,
+    delim: str,
+    unit: str,
+):
+    """The shared across-documents dedup core — see
+    :func:`drop_common_lines` for the plan-shape discussion; ``delim``
+    picks the unit grain and ``unit`` names the output counters."""
     if max_occurrences < 1:
         raise ValueError(
             f"max_occurrences must be >= 1, got {max_occurrences}"
         )
+    kept_col, dropped_col = f"n_{unit}s_kept", f"n_{unit}s_dropped"
     base = df.select(
         F.col(id_col),
         F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
     )
-    lines = base.select(
+    units = base.select(
         id_col,
-        F.posexplode(F.split(F.col("__t"), "\n", -1)).alias("pos", "line"),
+        F.posexplode(F.split(F.col("__t"), delim, -1)).alias("pos", "u"),
     )
     counted = (
-        lines.filter(F.col("line") != "")
-        .groupBy("line")
+        units.filter(F.col("u") != "")
+        .groupBy("u")
         .agg(F.countDistinct(id_col).alias("__docs"))
     )
-    common = counted.filter(F.col("__docs") > max_occurrences).select("line")
-    kept = lines.join(common, on="line", how="left_anti")
+    common = counted.filter(F.col("__docs") > max_occurrences).select("u")
+    kept = units.join(common, on="u", how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
+                F.array_sort(F.collect_list(F.struct("pos", "u"))),
+                lambda x: x["u"],
             ),
-            "\n",
+            delim,
         ).alias("text_clean"),
-        F.count("*").alias("n_lines_kept"),
+        F.count("*").alias(kept_col),
     )
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("__n_lines"))
+    totals = units.groupBy(id_col).agg(F.count("*").alias("__n_units"))
     return (
         totals.join(rebuilt, on=id_col, how="left")
         .select(
             id_col,
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce(kept_col, F.lit(0)).alias(kept_col),
             (
-                F.col("__n_lines") - F.coalesce("n_lines_kept", F.lit(0))
-            ).alias("n_lines_dropped"),
+                F.col("__n_units") - F.coalesce(kept_col, F.lit(0))
+            ).alias(dropped_col),
         )
     )

@@ -8934,3 +8934,80 @@ def text_language_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.join(test.select("doc_id", "lang"), on="doc_id").select(
         "doc_id", "lang", "lang_pred", "log_prob"
     )
+
+
+@register(
+    "text_paragraph_dedup_pipeline",
+    oracle="""
+    WITH spiked AS (
+      SELECT doc_id,
+             text || chr(10) || chr(10)
+                  || 'Subscribe to our newsletter!' || chr(10)
+                  || 'Exclusive offers await.'
+                  || chr(10) || chr(10) || text AS raw
+      FROM documents WHERE text IS NOT NULL),
+    ps AS (SELECT doc_id, i AS pos, pa[i] AS p
+           FROM (SELECT doc_id,
+                        string_split(raw, chr(10) || chr(10)) AS pa,
+                        unnest(range(1, len(string_split(raw,
+                                         chr(10) || chr(10))) + 1)) AS i
+                 FROM spiked)),
+    firsts AS (SELECT doc_id, p, MIN(pos) AS pos FROM ps GROUP BY 1, 2),
+    counted AS (SELECT p, COUNT(DISTINCT doc_id) AS docs
+                FROM firsts WHERE p <> '' GROUP BY 1),
+    common AS (SELECT p FROM counted WHERE docs > 2),
+    kept AS (SELECT f.doc_id, f.pos, f.p
+             FROM firsts f LEFT JOIN common c ON f.p = c.p
+             WHERE c.p IS NULL),
+    reb AS (SELECT doc_id,
+                   string_agg(p, chr(10) || chr(10) ORDER BY pos)
+                     AS text_clean,
+                   COUNT(*) AS kept FROM kept GROUP BY 1),
+    tot AS (SELECT doc_id, COUNT(*) AS np FROM firsts GROUP BY 1)
+    SELECT t.doc_id, COALESCE(text_clean, '') AS text_clean,
+           CAST(COALESCE(kept, 0) AS BIGINT) AS n_paragraphs_kept,
+           CAST(t.np - COALESCE(kept, 0) AS BIGINT)
+             AS n_paragraphs_dropped
+    FROM tot t LEFT JOIN reb USING (doc_id)
+    """,
+)
+def text_paragraph_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-grain dedup, both halves composed
+    (operators/normalize.py, the RefinedWeb/FineWeb middle granularity
+    between line dedup and whole-document dedup — r11 verdict's #5):
+    within-page dedup_paragraphs keeps each blank-line block's first
+    occurrence, then drop_common_paragraphs removes every block
+    present in more than 2 distinct documents. Each document is
+    spiked with a shared MULTI-LINE promo block (dropped everywhere —
+    it is one paragraph unit even though its individual lines might
+    sit under a line threshold, which is exactly what the paragraph
+    grain buys) and a duplicate of its own text paragraph (removed by
+    the within-page pass). The oracle replays the literal \\n\\n
+    split (byte-exact by construction — PARAGRAPH_DELIM's contract),
+    first positions, distinct-doc counting, the >2 threshold and the
+    ordered rebuild byte-for-byte. Same plan shape as the line
+    pipeline: one unit-keyed shuffle, AQE-chosen anti-join,
+    position-sorted rebuild."""
+    from d365fo_db_sync_spark.operators.normalize import (
+        dedup_paragraphs,
+        drop_common_paragraphs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\n\nSubscribe to our newsletter!\n"
+                "Exclusive offers await.\n\n"
+            ),
+            F.col("text"),
+        ).alias("raw"),
+    )
+    step1 = spiked.select("doc_id", dedup_paragraphs("raw").alias("t1"))
+    return drop_common_paragraphs(
+        step1, text_col="t1", id_col="doc_id", max_occurrences=2
+    )

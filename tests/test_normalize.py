@@ -123,3 +123,60 @@ def test_drop_common_lines_corpus_boilerplate(spark):
 
     with pytest.raises(ValueError, match="max_occurrences"):
         drop_common_lines(docs, max_occurrences=0)
+
+
+def test_dedup_paragraphs_and_byte_exact_split(spark):
+    """Paragraph dedup keeps first occurrences in order, and the
+    literal \\n\\n split/rejoin is byte-exact even for runs of 3+
+    newlines (the reason the delimiter is NOT a \\n{2,} regex)."""
+    from d365fo_db_sync_spark.operators.normalize import dedup_paragraphs
+
+    rows = [
+        (0, "intro block\n\nbody A\n\nintro block\n\nbody B"),
+        (1, "a\n\n\nb"),       # 3 newlines: ["a", "\nb"] -> roundtrip
+        (2, "x\n\n\n\ny"),     # 4 newlines: ["x", "", "y"] -> roundtrip
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", dedup_paragraphs("text").alias("t")
+        ).collect()
+    }
+    assert got[0] == "intro block\n\nbody A\n\nbody B"
+    assert got[1] == rows[1][1] and got[2] == rows[2][1]  # byte-exact
+    assert got[3] == "solo"
+
+
+def test_drop_common_paragraphs_corpus_boilerplate(spark):
+    """Blocks in >max_occurrences distinct docs vanish everywhere;
+    empty blocks never count as boilerplate; rebuild preserves order
+    byte-exactly; all-boilerplate docs come back empty, never
+    dropped."""
+    from d365fo_db_sync_spark.operators.normalize import (
+        drop_common_paragraphs,
+    )
+
+    promo = "SUBSCRIBE NOW\nfor more content"
+    rows = [
+        (0, f"{promo}\n\nunique zero\n\nalso zero"),
+        (1, f"unique one\n\n{promo}"),
+        (2, f"{promo}\n\nunique two"),
+        (3, promo),                  # all boilerplate -> empty
+        (4, "x\n\n\n\ny"),           # empty middle block survives
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in drop_common_paragraphs(df, max_occurrences=2).collect()
+    }
+    assert got[0]["text_clean"] == "unique zero\n\nalso zero"
+    assert (got[0]["n_paragraphs_kept"], got[0]["n_paragraphs_dropped"]) == (2, 1)
+    assert got[1]["text_clean"] == "unique one"
+    assert got[2]["text_clean"] == "unique two"
+    assert got[3]["text_clean"] == "" and got[3]["n_paragraphs_kept"] == 0
+    assert got[4]["text_clean"] == "x\n\n\n\ny"  # "" block kept
+    assert got[5]["text_clean"] == ""  # NULL text -> one empty block
+    assert len(got) == 6
