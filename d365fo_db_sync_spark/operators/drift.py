@@ -49,6 +49,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "auc_from_counts",
+    "centroid_from_dim_sums",
+    "dim_sums",
     "jsd",
     "jsd_from_counts",
     "binned_quantiles",
@@ -299,30 +301,65 @@ def embedding_centroid_drift(
     side is not ragged: the statistic is undefined against nothing and
     comes back NULL, the KS/AUC convention. The guard costs zero extra
     scans (it reads the same single aggregated row)."""
-    if not 1 <= scale_bits <= 30:
-        raise ValueError(f"scale_bits must be in [1, 30], got {scale_bits}")
-    mult = float(1 << scale_bits)
-
-    def side(df: DataFrame, s_col: str, n_col: str) -> DataFrame:
-        base = df.filter(F.col(vec_col).isNotNull())
-        return (
-            base.select(F.posexplode(vec_col).alias("d", "x"))
-            .select(
-                "d",
-                F.floor(F.col("x").cast("double") * F.lit(mult))
-                .cast("long")
-                .alias("q"),
-            )
-            .groupBy("d")
-            .agg(F.sum("q").alias(s_col), F.count("*").alias(n_col))
-        )
-
     # FULL OUTER: a dim present on one side only is evidence of
     # cross-side length mismatch — it must reach the guard, not be
     # silently dropped by an inner join
-    joined = side(ref, "sr", "nr").join(
-        side(cur, "sc", "nc"), on="d", how="full_outer"
+    joined = dim_sums(ref, vec_col, scale_bits, "sr", "nr").join(
+        dim_sums(cur, vec_col, scale_bits, "sc", "nc"),
+        on="d",
+        how="full_outer",
     )
+    return centroid_from_dim_sums(joined, scale_bits=scale_bits)
+
+
+def dim_sums(
+    df: DataFrame,
+    vec_col: str,
+    scale_bits: int,
+    s_col: str = "sc",
+    n_col: str = "nc",
+) -> DataFrame:
+    """One side's per-dimension quantized integer sums:
+    ``(d, s_col, n_col)`` with ``s = sum(floor(x * 2^scale_bits))`` —
+    the exact (order-free, mergeable) summary
+    :func:`embedding_centroid_drift` runs its arithmetic over, and
+    exactly the sidecar shape ``CentroidDriftStreamPipeline``
+    publishes per micro-batch (integer sums fold across batches
+    without error). NULL vectors excluded; map-side explode into
+    DIM-sized combinable partials."""
+    if not 1 <= scale_bits <= 30:
+        raise ValueError(f"scale_bits must be in [1, 30], got {scale_bits}")
+    mult = float(1 << scale_bits)
+    base = df.filter(F.col(vec_col).isNotNull())
+    return (
+        base.select(F.posexplode(vec_col).alias("d", "x"))
+        .select(
+            "d",
+            F.floor(F.col("x").cast("double") * F.lit(mult))
+            .cast("long")
+            .alias("q"),
+        )
+        .groupBy("d")
+        .agg(F.sum("q").alias(s_col), F.count("*").alias(n_col))
+    )
+
+
+def centroid_from_dim_sums(
+    joined: DataFrame, scale_bits: int = 20
+) -> DataFrame:
+    """The centroid-drift tail over already-quantized per-dimension
+    integer sums ``(d, sr, nr, sc, nc)`` — the reusable half of
+    :func:`embedding_centroid_drift`, also fed by the streaming
+    monitor's folded per-batch sidecars
+    (``CentroidDriftStreamPipeline.centroid_view``: the per-dim sums
+    are exact integers, so the micro-batch fold is an exact sum and
+    the view equals the batch operator over the concatenated stream).
+    Carries the same ragged-dims guard: unequal per-dim counts within
+    a side, or a dim missing from a non-empty side (NULL sr/nr or
+    sc/nc), raise at evaluation."""
+    if not 1 <= scale_bits <= 30:
+        raise ValueError(f"scale_bits must be in [1, 30], got {scale_bits}")
+    mult = float(1 << scale_bits)
     packed = joined.agg(
         F.array_sort(
             F.collect_list(F.struct("d", "sr", "sc"))

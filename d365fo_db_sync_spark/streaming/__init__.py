@@ -1045,6 +1045,115 @@ class CmsStreamPipeline:
         return writer.start()
 
 
+class CentroidDriftStreamPipeline:
+    """Streaming embedding-centroid drift: the micro-batch twin of
+    ``operators.drift.embedding_centroid_drift`` (the r11 verdict's
+    #3 ask — the batch operator's per-dimension quantized integer
+    sums are ALREADY the mergeable sidecar shape the other monitor
+    views use).
+
+    Each micro-batch collapses its vectors into DIM-sized integer
+    partials ``(d, sc, nc)`` via ``drift.dim_sums`` (floor(x * 2^k)
+    quantization — exact, order-free) and publishes them atomically to
+    ``sidecar_dir/batch_id=N`` (write-tmp + rename; a replayed batch
+    finds its partition and skips — the engine-wide exactly-once file
+    protocol). :meth:`centroid_view` folds the sidecars with one exact
+    integer sum and runs the SAME tail as the batch operator
+    (``drift.centroid_from_dim_sums`` — dim-sorted folds, ragged-dims
+    guard included), so the view over N batches is IDENTICAL to the
+    batch statistic over the concatenated stream — double for double,
+    which is what lets the suite value-oracle a streaming vector-drift
+    query (equivalence-pinned in tests/test_streaming.py).
+
+    Construction runs ONE eager job over the reference (dim-sized
+    integer sums, collected — bounded metadata) and validates the
+    uniform-dims contract up front; the reference corpus is never
+    touched again. Per-batch sidecar cost: |dims| integers."""
+
+    def __init__(
+        self,
+        ref: DataFrame,
+        vec_col: str,
+        sidecar_dir: str,
+        checkpoint_dir: str,
+        scale_bits: int = 20,
+    ) -> None:
+        from d365fo_db_sync_spark.operators.drift import dim_sums
+
+        self.vec_col = vec_col
+        self.sidecar_dir = sidecar_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.scale_bits = scale_bits
+        rows = dim_sums(ref, vec_col, scale_bits, "sr", "nr").collect()
+        if not rows:
+            raise ValueError("reference has no non-NULL vectors")
+        counts = {r["nr"] for r in rows}
+        if len(counts) != 1:
+            raise ValueError(
+                "reference has ragged vector lengths — per-dimension "
+                "counts differ; pad or filter to uniform dims first"
+            )
+        self.ref_sums = [(int(r["d"]), int(r["sr"]), int(r["nr"])) for r in rows]
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import uuid as _uuid
+
+        from d365fo_db_sync_spark.operators.drift import dim_sums
+
+        final = os.path.join(self.sidecar_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replayed batch: sums already published
+        sums = dim_sums(batch_df, self.vec_col, self.scale_bits, "sc", "nc")
+        os.makedirs(self.sidecar_dir, exist_ok=True)
+        tmp = os.path.join(self.sidecar_dir, f"_tmp-{_uuid.uuid4().hex[:8]}")
+        sums.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def sums_view(self, spark) -> DataFrame:
+        """Folded per-dimension integer sums of everything ingested:
+        ``(d, sc, nc)`` — one exact sum over the sidecars."""
+        import os
+
+        if not os.path.isdir(self.sidecar_dir) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.sidecar_dir)
+        ):
+            return spark.createDataFrame([], "d int, sc long, nc long")
+        return (
+            spark.read.option("basePath", self.sidecar_dir)
+            .parquet(self.sidecar_dir)
+            .groupBy("d")
+            .agg(F.sum("sc").alias("sc"), F.sum("nc").alias("nc"))
+        )
+
+    def centroid_view(self, spark) -> DataFrame:
+        """Live centroid drift of the ingested stream vs the frozen
+        reference — same output contract (and double-for-double the
+        same values) as ``drift.embedding_centroid_drift`` over the
+        concatenated stream, including the ragged-dims guard (a
+        ragged BATCH surfaces here as unequal folded per-dim
+        counts)."""
+        from d365fo_db_sync_spark.operators.drift import (
+            centroid_from_dim_sums,
+        )
+
+        rb = spark.createDataFrame(
+            self.ref_sums, "d int, sr long, nr long"
+        )
+        joined = rb.join(self.sums_view(spark), on="d", how="full_outer")
+        return centroid_from_dim_sums(joined, scale_bits=self.scale_bits)
+
+    def start(self, stream_df: DataFrame, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
 class DriftMonitorPipeline:
     """Streaming distribution-drift monitor: each micro-batch bins its
     metric column against REFERENCE-frozen edges (operators/drift.py

@@ -9011,3 +9011,84 @@ def text_paragraph_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     return drop_common_paragraphs(
         step1, text_col="t1", id_col="doc_id", max_occurrences=2
     )
+
+
+@register(
+    "quality_embedding_drift_stream",
+    oracle="""
+    WITH r AS (SELECT embedding FROM embeddings
+               WHERE label < 5 AND embedding IS NOT NULL),
+    c AS (SELECT embedding FROM embeddings
+          WHERE label >= 5 AND embedding IS NOT NULL),
+    rq AS (SELECT i - 1 AS d,
+                  SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+                           AS BIGINT)) AS sr,
+                  COUNT(*) AS nr
+           FROM (SELECT embedding,
+                        unnest(range(1, len(embedding) + 1)) AS i FROM r)
+           GROUP BY 1),
+    cq AS (SELECT i - 1 AS d,
+                  SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576.0)
+                           AS BIGINT)) AS sc,
+                  COUNT(*) AS nc
+           FROM (SELECT embedding,
+                        unnest(range(1, len(embedding) + 1)) AS i FROM c)
+           GROUP BY 1),
+    j AS (SELECT rq.d, sr, sc, nr, nc FROM rq JOIN cq USING (d)),
+    p AS (SELECT list_sort(list(struct_pack(d := d, sr := sr, sc := sc))) AS a,
+                 first(nr) AS n_ref, first(nc) AS n_cur
+          FROM j),
+    folds AS (SELECT
+        list_sum(list_transform(a,
+          x -> CAST(x.sr AS DOUBLE) * CAST(x.sc AS DOUBLE))) AS dot,
+        list_sum(list_transform(a,
+          x -> CAST(x.sr AS DOUBLE) * CAST(x.sr AS DOUBLE))) AS nr2,
+        list_sum(list_transform(a,
+          x -> CAST(x.sc AS DOUBLE) * CAST(x.sc AS DOUBLE))) AS nc2,
+        list_sum(list_transform(a,
+          x -> (CAST(x.sr AS DOUBLE) / n_ref - CAST(x.sc AS DOUBLE) / n_cur)
+               * (CAST(x.sr AS DOUBLE) / n_ref - CAST(x.sc AS DOUBLE) / n_cur)))
+          AS l2sq,
+        n_ref, n_cur
+      FROM p)
+    SELECT dot / (sqrt(nr2) * sqrt(nc2)) AS cos_centroid,
+           sqrt(l2sq) / 1048576.0 AS l2_centroid,
+           CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur
+    FROM folds
+    """,
+)
+def quality_embedding_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding-centroid drift
+    (streaming.CentroidDriftStreamPipeline — r11 verdict's #3): the
+    high-label half of the embeddings table drains in 4 micro-batches,
+    each publishing only its DIM-sized quantized integer sums;
+    centroid_view folds the sidecars exactly and runs the batch
+    operator's own tail against the reference (low labels) frozen at
+    construction. Because the per-dim sums are exact integers, the
+    final state is double-for-double the batch
+    embedding_centroid_drift over the concatenated stream — so this
+    STREAMING query shares the batch query's value oracle verbatim
+    (the mix_view/rollup-stream precedent, now for the vector
+    modality). Per-batch sidecar state: |dims| integers."""
+    from d365fo_db_sync_spark.streaming import CentroidDriftStreamPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("label") < 5)
+    cur = emb.filter(F.col("label") >= 5).select("vec_id", "embedding")
+    run_dir = scratch_dir("centdrift_")
+    src = f"{run_dir}/in"
+    for b in range(4):
+        cur.filter(F.pmod("vec_id", F.lit(4)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{b}")
+    pipe = CentroidDriftStreamPipeline(
+        ref, "embedding", f"{run_dir}/sidecar", f"{run_dir}/ckpt"
+    )
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(300)
+    return pipe.centroid_view(spark)

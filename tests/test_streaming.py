@@ -1391,3 +1391,74 @@ def test_cms_stream_fold_equals_single_pass(spark, tmp_path):
     empty = CmsStreamPipeline(str(tmp_path / "s2"), str(tmp_path / "c2"), "v")
     assert empty.sketch(spark).count() == 0
     assert empty.estimate(spark, corpus.select("v")).agg(F.max("est")).first()[0] == 0
+
+
+def test_centroid_drift_stream_matches_batch(spark, tmp_path):
+    """CentroidDriftStreamPipeline: the folded per-dim integer
+    sidecars yield EXACTLY the batch embedding_centroid_drift over
+    the concatenated stream (integer sums fold without error);
+    replayed batches are sidecar no-ops; a ragged reference refuses
+    at construction."""
+    import os
+    import struct as _struct
+
+    import pytest
+
+    from d365fo_db_sync_spark.operators.drift import embedding_centroid_drift
+    from d365fo_db_sync_spark.streaming import CentroidDriftStreamPipeline
+
+    import random
+
+    rng = random.Random(7)
+    f32 = lambda x: _struct.unpack("f", _struct.pack("f", x))[0]
+    dim = 6
+    mk_rows = lambda k, shift: [
+        [f32(rng.uniform(-1, 1) + shift) for _ in range(dim)] for _ in range(k)
+    ]
+    ref_rows = mk_rows(30, 0.0)
+    wave1, wave2 = mk_rows(12, 0.25), mk_rows(9, 0.4)
+    mk = lambda rows: spark.createDataFrame(
+        [(v,) for v in rows], "embedding array<float>"
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for wave in (wave1, wave2):
+        mk(wave).coalesce(1).write.mode("append").parquet(src)
+    pipe = CentroidDriftStreamPipeline(
+        mk(ref_rows), "embedding", str(tmp_path / "sc"), str(tmp_path / "ck")
+    )
+    stream = (
+        spark.readStream.schema("embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pipe.start(stream, available_now=True).awaitTermination(120)
+
+    got = pipe.centroid_view(spark).collect()[0]
+    exp = embedding_centroid_drift(
+        mk(ref_rows), mk(wave1 + wave2), "embedding"
+    ).collect()[0]
+    assert (got["n_ref"], got["n_cur"]) == (exp["n_ref"], exp["n_cur"]) == (30, 21)
+    assert got["cos_centroid"] == exp["cos_centroid"]  # identical doubles
+    assert got["l2_centroid"] == exp["l2_centroid"]
+
+    # replayed batch id: sidecar untouched
+    before = sorted(map(tuple, pipe.sums_view(spark).collect()))
+    pipe._handle_batch(mk(wave1), 0)
+    assert sorted(map(tuple, pipe.sums_view(spark).collect())) == before
+
+    # a ragged REFERENCE refuses at construction; a ragged BATCH
+    # surfaces through the view's guard
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0],)], "embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        CentroidDriftStreamPipeline(ragged, "embedding", "x", "y")
+    pipe._handle_batch(ragged, 99)
+    with pytest.raises(Exception, match="ragged"):
+        pipe.centroid_view(spark).collect()
+    with pytest.raises(ValueError, match="no non-NULL"):
+        CentroidDriftStreamPipeline(
+            mk([]).filter("embedding IS NOT NULL"), "embedding", "x", "y"
+        )
