@@ -86,6 +86,7 @@ class LogRegModel:
     m_buckets: int = 1024
     lr: float = 10.0
     rounds: int = 2
+    lr_bias: float | None = None
 
 
 def hashed_tf(
@@ -186,6 +187,7 @@ def logreg_fit(
     m_buckets: int = 1024,
     lr: float = 10.0,
     rounds: int = 2,
+    lr_bias: float | None = None,
 ) -> LogRegModel:
     """Fit the classifier with ``rounds`` full-batch GD rounds from
     zero weights (round 1's p is exactly 0.5 — the analytic shortcut
@@ -193,6 +195,16 @@ def logreg_fit(
     reference-like class. Every number the fit produces is
     decimal-quantized per the module discipline, so the returned model
     is the one a SQL oracle's unrolled CTE chain computes.
+
+    ``lr_bias`` (default: same as ``lr``) is the bias's own learning
+    rate — standard per-parameter scaling. The feature values are
+    length-normalized TF (each ~1/n_features, so a document's mass
+    spreads thin across buckets) while the bias input is effectively
+    1, so the bias gradient runs ~2-3 orders of magnitude hotter than
+    any weight gradient; one shared high ``lr`` makes the bias
+    oscillate (diverge) before the weights learn anything. A typical
+    productive pairing on this featurization is ``lr`` in the
+    hundreds-to-thousands with ``lr_bias ~ 1``.
 
     Per round: one doc-keyed score join (skipped in round 1), one
     eager doc-sized checkpoint of the residuals, one bucket-keyed
@@ -202,6 +214,9 @@ def logreg_fit(
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     if lr <= 0:
         raise ValueError(f"lr must be positive, got {lr}")
+    lr_b = lr if lr_bias is None else lr_bias
+    if lr_b <= 0:
+        raise ValueError(f"lr_bias must be positive, got {lr_bias}")
     spark = train.sparkSession
     y = train.select(
         F.col(id_col),
@@ -269,7 +284,7 @@ def logreg_fit(
         ).select(
             (
                 F.lit(float(bias))
-                - F.lit(float(lr))
+                - F.lit(float(lr_b))
                 * (F.col("__g").cast("double") / F.lit(float(n_docs)))
             )
             .cast(_Q_MODEL)
@@ -279,7 +294,7 @@ def logreg_fit(
         bias = gb.first()["b"]
     return LogRegModel(
         weights=weights, bias=float(bias), m_buckets=m_buckets, lr=lr,
-        rounds=rounds,
+        rounds=rounds, lr_bias=lr_b,
     )
 
 

@@ -34,7 +34,7 @@ def _q(x: float, digits: int) -> float:
     )
 
 
-def _py_fit_score(rows, m, lr, rounds):
+def _py_fit_score(rows, m, lr, rounds, lr_b=None):
     """The whole quantized pipeline in plain Python: hashed normalized
     TF, per-round sorted-fold scores, DECIMAL(38,12)-quantized
     sigmoids and weights, DECIMAL(38,18)-quantized gradient terms
@@ -49,6 +49,7 @@ def _py_fit_score(rows, m, lr, rounds):
             b = _bucket(f, m)
             cnt[b] = cnt.get(b, 0) + 1
         xs[doc_id] = {b: c / len(fs) for b, c in cnt.items()} if fs else {}
+    lr_b = lr if lr_b is None else lr_b
     ys = {doc_id: float(y) for doc_id, _t, y in rows}
     n = len(rows)
     w: dict[int, float] = {}
@@ -81,7 +82,7 @@ def _py_fit_score(rows, m, lr, rounds):
             ),
             Decimal(0),
         )
-        bias = _q(bias - lr * (float(gb) / n), 12)
+        bias = _q(bias - lr_b * (float(gb) / n), 12)
 
     out = {}
     for d in ys:
@@ -117,6 +118,17 @@ def test_fit_score_matches_python_replay(spark):
         for r in logreg_score(df, model).collect()
     }
     assert got == exp_out
+
+    # per-parameter learning rates (weights hot, bias cool): same
+    # exact replay property
+    m2 = logreg_fit(df, "y", m_buckets=m, lr=500.0, rounds=2, lr_bias=1.0)
+    w2, b2, out2 = _py_fit_score(ROWS, m, 500.0, 2, lr_b=1.0)
+    assert m2.bias == b2 and m2.weights == w2
+    got2 = {
+        r["doc_id"]: (r["n_features"], r["score"], r["prob"])
+        for r in logreg_score(df, m2).collect()
+    }
+    assert got2 == out2
 
 
 def test_separation_and_keep(spark):
@@ -157,8 +169,10 @@ def test_hashed_tf_and_validation(spark):
         hashed_tf(df, m_buckets=1)
     with pytest.raises(ValueError, match="rounds"):
         logreg_fit(df, "y", rounds=0)
-    with pytest.raises(ValueError, match="lr"):
+    with pytest.raises(ValueError, match="lr must be"):
         logreg_fit(df, "y", lr=0.0)
+    with pytest.raises(ValueError, match="lr_bias"):
+        logreg_fit(df, "y", lr_bias=-1.0)
     with pytest.raises(ValueError, match="empty training"):
         logreg_fit(df.filter("doc_id < 0"), "y")
     # scoring with a fresh (zero) model: everything sits at p = 0.5
