@@ -9186,3 +9186,93 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("mean_prob"),
         (F.sum("yy").cast("double") / F.count("*")).alias("frac_pos"),
     )
+
+
+@register(
+    "pipeline_curation_filter_resample",
+    oracle=f"""
+    WITH {_clf_ctes("CAST(substr(source, 4, 10) AS INT) < 10", 2000.0, 1.0)},
+    kept AS (SELECT doc_id FROM
+               (SELECT doc_id,
+                       CAST(CAST(1.0 / (1.0 + exp(-score)) AS DECIMAL(38,12))
+                            AS DOUBLE) AS prob
+                FROM clf)
+             WHERE prob >= 0.5),
+    rx2 AS (SELECT rx.doc_id, bucket FROM rx JOIN kept USING (doc_id)),
+    tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    tx AS (SELECT rx.bucket FROM rx JOIN tgt USING (doc_id)),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM tx GROUP BY 1),
+    rc AS (SELECT bucket, COUNT(*) AS cr FROM rx2 GROUP BY 1),
+    sp AS (SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+                  COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+           FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
+    tt AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM sp),
+    lrt AS (SELECT bucket,
+                   ln((ct + 1) / (tt + 1024)) - ln((cr + 1) / (tr + 1024))
+                     AS lr
+            FROM sp CROSS JOIN tt),
+    db2 AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM rx2 GROUP BY 1, 2),
+    con AS (SELECT doc_id, cnt,
+                   struct_pack(b := bucket, c := cnt * lr) AS sc
+            FROM db2 JOIN lrt USING (bucket)),
+    wts AS (SELECT k.doc_id,
+                   CAST(COALESCE(nf, 0) AS BIGINT) AS n_features,
+                   COALESCE(lw, 0.0) AS log_w
+            FROM kept k
+            LEFT JOIN (SELECT doc_id, SUM(cnt) AS nf,
+                              list_sum(list_transform(list_sort(list(sc)),
+                                                      x -> x.c)) AS lw
+                       FROM con GROUP BY 1) agg USING (doc_id)),
+    keyed AS (SELECT doc_id, n_features, log_w,
+                     md5(CAST(doc_id AS VARCHAR)) AS dg,
+                     log_w - ln(-ln((('0x' || substr(md5(CAST(doc_id
+                                                             AS VARCHAR)),
+                                                     1, 8))::BIGINT + 0.5)
+                                    / 4294967296.0)) AS k
+              FROM wts WHERE n_features > 0)
+    SELECT doc_id, n_features, log_w
+    FROM keyed ORDER BY k DESC, dg, doc_id LIMIT 50
+    """,
+)
+def pipeline_curation_filter_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published curation stack composed END-TO-END, fully
+    value-oracled: (1) the TRAINED classifier (operators/classifier.py,
+    source-family label, weights-hot/bias-cool rates) FILTERS the
+    corpus to keep-worthy documents (quantized prob >= 0.5); (2) DSIR
+    (operators/dsir.py) fits its bucket models with the SURVIVORS as
+    the raw corpus and the English slice of the full corpus as the
+    target, and (3) Gumbel top-k RESAMPLES exactly 50 survivors toward
+    the target domain (empty-doc guard on). This is the
+    CCNet/GPT-3-recipe pairing the r11 verdict called out —
+    discriminative filter, then generative importance resampling — and
+    because both stages re-synchronize cross-engine (decimal-quantized
+    GD; bucket-sorted folds; content-hash Gumbel), the ENTIRE
+    composition replays in one oracle: fit -> score -> filter ->
+    refit-on-survivors -> reweight -> draw. The classifier's rx
+    feature CTE is REUSED verbatim by the DSIR stage (same featurizer,
+    same bucket hash — one explode serves both in the oracle, and the
+    Spark plan localCheckpoints each stage's explode once). Plan:
+    everything before the draw is combinable aggregates + broadcast
+    maps; the draw is keys + TakeOrderedAndProject."""
+    from d365fo_db_sync_spark.operators.classifier import (
+        logreg_fit,
+        logreg_score,
+    )
+    from d365fo_db_sync_spark.operators.dsir import dsir_select_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.coalesce(src_num < 10, F.lit(False)).alias("is_ref"),
+    )
+    model = logreg_fit(
+        labeled, "is_ref", m_buckets=1024, lr=2000.0, rounds=2, lr_bias=1.0
+    )
+    kept_ids = logreg_score(docs, model).filter(F.col("keep")).select("doc_id")
+    kept = docs.join(kept_ids, on="doc_id", how="left_semi").select(
+        "doc_id", "text"
+    )
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_select_topk(kept, target, k=50, m_buckets=1024)
