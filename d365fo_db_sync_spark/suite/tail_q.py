@@ -9276,3 +9276,95 @@ def pipeline_curation_filter_resample(spark: SparkSession, sf_dir: str) -> DataF
     )
     target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
     return dsir_select_topk(kept, target, k=50, m_buckets=1024)
+
+
+@register(
+    "quality_label_noise_flags",
+    oracle=f"""
+    WITH {_clf_ctes("CAST(substr(source, 4, 10) AS INT) < 10", 2000.0, 1.0)},
+    scored AS (SELECT c.doc_id,
+                      CAST(CAST(1.0 / (1.0 + exp(-score)) AS DECIMAL(38,12))
+                           AS DOUBLE) AS prob,
+                      CASE WHEN CAST(substr(source, 4, 10) AS INT) < 10
+                           THEN 1 ELSE 0 END AS yy
+               FROM clf c JOIN documents USING (doc_id)),
+    th AS (SELECT
+             CAST(SUM(CAST(prob AS DECIMAL(38,12)))
+                    FILTER (WHERE yy = 1) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE yy = 1) AS m1,
+             CAST(SUM(CAST(prob AS DECIMAL(38,12)))
+                    FILTER (WHERE yy = 0) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE yy = 0) AS m0
+           FROM scored)
+    SELECT doc_id, CAST(yy AS INT) AS label, prob,
+           CAST(1 - yy AS INT) AS suspected_label
+    FROM scored CROSS JOIN th
+    WHERE (yy = 0 AND prob >= m1) OR (yy = 1 AND prob <= m0)
+    """,
+)
+def quality_label_noise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-error mining via confident learning (Northcutt et al.
+    2021, the cleanlab screen — the curation step that catches
+    mislabeled training data BEFORE it poisons a filter): score every
+    labeled document with the trained classifier, compute each class's
+    self-confidence threshold (the mean predicted probability among
+    documents CARRYING that label — the paper's t_j), and flag any
+    document whose predicted probability for the OPPOSITE class
+    crosses that class's threshold. Binary form: labeled-negative docs
+    with prob >= mean(prob | labeled positive), and labeled-positive
+    docs with prob <= mean(prob | labeled negative). Exactness: the
+    thresholds are DECIMAL-exact sums of already-quantized
+    probabilities with one division each, so every flag decision
+    replays in the oracle; the fit is the same 2-round model as the
+    calibration query (shared CTE builder). Plan: one scoring pass,
+    one 1-row threshold aggregate broadcast back, a map-side flag
+    filter — flagged rows only leave the scan."""
+    from pyspark.sql.functions import broadcast
+
+    from d365fo_db_sync_spark.operators.classifier import (
+        logreg_fit,
+        logreg_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.coalesce(src_num < 10, F.lit(False)).alias("is_ref"),
+    )
+    model = logreg_fit(
+        labeled, "is_ref", m_buckets=1024, lr=2000.0, rounds=2, lr_bias=1.0
+    )
+    scored = logreg_score(docs, model).join(
+        labeled.select("doc_id", F.col("is_ref").cast("int").alias("yy")),
+        on="doc_id",
+    ).select("doc_id", "prob", "yy")
+    # the scoring subtree feeds the threshold aggregate AND the flag
+    # filter — materialize once (doc-sized) so the fit's score join
+    # doesn't replay per action
+    scored = scored.localCheckpoint(eager=True)
+    dec = F.col("prob").cast("decimal(38,12)")
+    th = scored.agg(
+        (
+            F.sum(F.when(F.col("yy") == 1, dec)).cast("double")
+            / F.count(F.when(F.col("yy") == 1, F.lit(1)))
+        ).alias("m1"),
+        (
+            F.sum(F.when(F.col("yy") == 0, dec)).cast("double")
+            / F.count(F.when(F.col("yy") == 0, F.lit(1)))
+        ).alias("m0"),
+    )
+    return (
+        scored.crossJoin(broadcast(th))
+        .filter(
+            ((F.col("yy") == 0) & (F.col("prob") >= F.col("m1")))
+            | ((F.col("yy") == 1) & (F.col("prob") <= F.col("m0")))
+        )
+        .select(
+            "doc_id",
+            F.col("yy").cast("int").alias("label"),
+            "prob",
+            (F.lit(1) - F.col("yy")).cast("int").alias("suspected_label"),
+        )
+    )
