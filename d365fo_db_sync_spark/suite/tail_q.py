@@ -9368,3 +9368,69 @@ def quality_label_noise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1) - F.col("yy")).cast("int").alias("suspected_label"),
         )
     )
+
+
+@register(
+    "quality_perplexity_tiers",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    u AS (SELECT unnest(toks) AS tok FROM t),
+    tot AS (SELECT COUNT(*) AS total FROM u),
+    v AS (SELECT tok, COUNT(*) AS cnt FROM u GROUP BY tok
+          ORDER BY cnt DESC, tok LIMIT {_LM_TOP_V}),
+    vm AS (SELECT map(list(tok ORDER BY tok),
+                      list(ln(CAST(cnt AS DOUBLE) / total) ORDER BY tok)) AS m
+           FROM v, tot GROUP BY total),
+    scored AS (
+      SELECT doc_id, lang,
+             ROUND(list_sum(list_transform(toks,
+                x -> coalesce(map_extract(m, x)[1], {_LM_FLOOR}e0)))
+               / GREATEST(len(toks), 1), 6) AS mean_lp
+      FROM t, vm)
+    SELECT doc_id, lang, mean_lp,
+           CAST(NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY mean_lp DESC, doc_id) AS INT) AS tier
+    FROM scored
+    """,
+)
+def quality_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3 — the OTHER half of the CCNet recipe next to the trained
+    classifier): every document scored by the cheap unigram-LM proxy
+    (mean per-token log-probability under the corpus top-V vocab, the
+    text_unigram_lm_scores discipline: map-literal vocab, sequential
+    HOF fold, 6-dp round), then split per LANGUAGE into terciles —
+    tier 1 = head (most reference-like), 3 = tail (the slice the
+    published pipelines drop or downweight). The tercile is NTILE(3)
+    over a TOTAL order (rounded score desc, doc_id tiebreak), so both
+    engines assign identical tiers — the events_ntile_quartiles
+    precedent applied per group. CCNet trains per-language LMs; on
+    this shared-vocabulary corpus one corpus-wide vocab is the same
+    model, noted. Plan: one vocab sidecar pass, map-side scoring, one
+    per-lang sort for the tercile window (the published recipe's own
+    shape — CCNet shards exactly this sort per language at
+    CommonCrawl scale; |langs| bounds the partition count, and a
+    skewed language bounds at corpus/|langs| rows)."""
+    from pyspark.sql import Window
+
+    from d365fo_db_sync_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = text.unigram_vocab(docs, "text").persist()
+    total = counts.agg(F.sum("cnt")).first()[0]
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(_LM_TOP_V).collect()
+    counts.unpersist()
+    vocab = {r["tok"]: r["cnt"] for r in top}
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(text.unigram_logprob("text", vocab, total, _LM_FLOOR), 6).alias(
+            "mean_lp"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_lp"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id", "lang", "mean_lp", F.ntile(3).over(w).alias("tier")
+    )
