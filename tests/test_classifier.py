@@ -178,3 +178,33 @@ def test_hashed_tf_and_validation(spark):
     # scoring with a fresh (zero) model: everything sits at p = 0.5
     zero = logreg_score(df, LogRegModel(m_buckets=64)).collect()
     assert all(r["prob"] == 0.5 for r in zero)
+
+
+@pytest.mark.parametrize(
+    "rows, m, lr, lr_b",
+    [
+        # all-positive labels: resid = p-1 everywhere, bias dives
+        ([(i, f"w{i} common token", 1) for i in range(5)], 16, 10.0, 10.0),
+        # heavy bucket collisions: m=2 squashes every feature into
+        # two buckets — weights still replay exactly
+        ([(0, "a b c d", 1), (1, "e f g h", 0), (2, "a e", 1)], 2, 50.0, 1.0),
+        # single labeled doc + an empty one
+        ([(0, "only doc here", 1), (1, None, 0)], 8, 10.0, 10.0),
+        # whitespace-only and duplicate-token texts
+        ([(0, "   ", 0), (1, "x x x x x", 1), (2, "x y", 0)], 8, 200.0, 1.0),
+    ],
+)
+def test_adversarial_corpora_replay_exactly(spark, rows, m, lr, lr_b):
+    """Edge corpora (one-class labels, m=2 collisions, singleton,
+    empty/duplicate texts): the Spark fit+score still equals the
+    Python replay double-for-double — the quantized-GD discipline has
+    no data-shape escape hatches."""
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = logreg_fit(df, "y", m_buckets=m, lr=lr, rounds=2, lr_bias=lr_b)
+    exp_w, exp_b, exp_out = _py_fit_score(rows, m, lr, 2, lr_b=lr_b)
+    assert model.bias == exp_b and model.weights == exp_w
+    got = {
+        r["doc_id"]: (r["n_features"], r["score"], r["prob"])
+        for r in logreg_score(df, model).collect()
+    }
+    assert got == exp_out
