@@ -1462,3 +1462,75 @@ def test_centroid_drift_stream_matches_batch(spark, tmp_path):
         CentroidDriftStreamPipeline(
             mk([]).filter("embedding IS NOT NULL"), "embedding", "x", "y"
         )
+
+
+def test_classifier_scores_through_drift_monitor(spark, tmp_path):
+    """Round-12 composition: a trained classifier's quantized
+    probabilities are just another scalar metric — the drift monitor
+    ingests per-batch SCORED micro-batches and its psi/ks views equal
+    the batch drift operators over the concatenated scored stream.
+    This is the production shape for 'is the incoming crawl's quality
+    distribution shifting against the reference?'."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.classifier import (
+        logreg_fit,
+        logreg_score,
+    )
+    from d365fo_db_sync_spark.operators.drift import ks_statistic, psi
+    from d365fo_db_sync_spark.streaming import DriftMonitorPipeline
+
+    rows = [
+        (i, "alpha beta gamma delta epsilon", 1) for i in range(20)
+    ] + [(100 + i, "zip zap zoom quux corge", 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = logreg_fit(df, "y", m_buckets=64, lr=200.0, rounds=2, lr_bias=1.0)
+
+    ref_scored = logreg_score(df, model).select("doc_id", "prob")
+    # the "incoming crawl": mostly low-quality docs, in 2 micro-batches
+    wave1 = [(200 + i, "zip zap zoom quux corge") for i in range(8)]
+    wave2 = [(300 + i, "alpha beta zip zap gamma") for i in range(5)]
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for w in (wave1, wave2):
+        spark.createDataFrame(w, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    pipe = DriftMonitorPipeline(
+        ref_scored, "prob", str(tmp_path / "sc"), str(tmp_path / "ck"),
+        n_bins=8,
+    )
+    score_and_publish = lambda batch_df, bid: pipe._handle_batch(
+        logreg_score(batch_df, model).select("doc_id", "prob"), bid
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(score_and_publish)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cur_scored = logreg_score(
+        spark.createDataFrame(wave1 + wave2, "doc_id long, text string"),
+        model,
+    ).select("prob")
+    got_psi = {r["bin"]: r for r in pipe.psi_view(spark).collect()}
+    exp_psi = {r["bin"]: r for r in psi(ref_scored, cur_scored, "prob", n_bins=8).collect()}
+    assert set(got_psi) == set(exp_psi)
+    for b in exp_psi:
+        assert (got_psi[b]["n_ref"], got_psi[b]["n_cur"]) == (
+            exp_psi[b]["n_ref"], exp_psi[b]["n_cur"],
+        )
+        assert got_psi[b]["psi_term"] == exp_psi[b]["psi_term"]
+    # the low-quality influx is visible drift
+    total_psi = sum(r["psi_term"] for r in got_psi.values())
+    assert total_psi > 0.25
