@@ -121,7 +121,10 @@ QUALITY_CLASSIFIER_WEIGHTS: dict[str, float] = {
 
 
 def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Model-based quality filtering (the CCNet/GPT-3-style learned
+    """FIXED-weight heuristic quality gate — the zero-training
+    screen; the TRAINED sibling (hashed-n-gram logistic regression
+    fitted on labeled data, SQL-replayable GD) is
+    ``operators.classifier.logreg_fit``/``logreg_score``. Model-based quality filtering (the CCNet/GPT-3-style learned
     gate, linearized): score every document with a fixed-weight logistic
     model over the :func:`quality_features` columns and keep documents
     scoring above 0. Adds ``quality_logit`` (rounded to 6 decimals) and
@@ -154,7 +157,10 @@ def language_id(col: Column | str, default: str = "unknown") -> Column:
 
     Pure column expression (array_intersect per language + CASE chain),
     so it distributes with the scan. Ties resolve in LANG_MARKERS order —
-    deterministic."""
+    deterministic. This is the zero-training screen; the TRAINED
+    sibling (hashed char-n-gram Naive Bayes fitted on a labeled slice,
+    covering any language the labels cover) is
+    ``operators.langid.nb_fit``/``nb_predict``."""
     toks = tokens(col)
     scores = {
         lang: F.size(F.array_intersect(toks, F.lit(list(ws)).cast("array<string>")))
