@@ -236,6 +236,16 @@ def logreg_fit(
     )
     weights: dict[int, float] = {}
     bias = 0.0
+    from pyspark.sql.functions import broadcast
+
+    #: the bias rides the SAME gradient aggregate as the weights under
+    #: the reserved bucket -1 (its "feature" is the constant 1, so its
+    #: term is the bare residual) — one combinable aggregate and ONE
+    #: bounded collect per round instead of separate weight/bias jobs.
+    #: Identical arithmetic per parameter (the per-bucket update
+    #: expression is unchanged), so oracles and the Python replay are
+    #: unaffected.
+    _BIAS_KEY = -1
     for _ in range(rounds):
         scored = _scores(x, y, id_col, weights, bias, spark)
         resid = (
@@ -246,52 +256,45 @@ def logreg_fit(
             )
             .localCheckpoint(eager=True)
         )
+        w_terms = x.join(resid, on=id_col).select(
+            "bucket", (F.col("__r") * F.col("x")).cast(_Q_TERM).alias("__t")
+        )
+        b_terms = resid.select(
+            F.lit(_BIAS_KEY).cast("long").alias("bucket"),
+            F.col("__r").cast(_Q_TERM).alias("__t"),
+        )
         grad = (
-            x.join(resid, on=id_col)
+            w_terms.unionByName(b_terms)
             .groupBy("bucket")
-            .agg(
-                F.sum((F.col("__r") * F.col("x")).cast(_Q_TERM)).alias("__g")
-            )
+            .agg(F.sum("__t").alias("__g"))
             .select("bucket", F.col("__g").cast("double").alias("__gd"))
         )
-        # fold the old weights in JVM-side so the update arithmetic —
-        # w - lr * (g/n), then the decimal quantization — happens in
+        # fold the old parameters in JVM-side so the update arithmetic
+        # — w - lr * (g/n), then the decimal quantization — happens in
         # ONE Spark expression, the exact tree the oracle writes
-        from pyspark.sql.functions import broadcast
-
-        if weights:
-            wdf = spark.createDataFrame(
-                sorted((int(b), float(w)) for b, w in weights.items()),
-                "bucket long, w double",
-            )
-            grad = grad.join(broadcast(wdf), on="bucket", how="left")
-        else:
-            grad = grad.withColumn("w", F.lit(None).cast("double"))
-        new_w = grad.select(
+        pdf = spark.createDataFrame(
+            sorted(
+                [(int(b), float(w)) for b, w in weights.items()]
+                + [(_BIAS_KEY, float(bias))]
+            ),
+            "bucket long, w double",
+        )
+        rate = F.when(
+            F.col("bucket") == _BIAS_KEY, F.lit(float(lr_b))
+        ).otherwise(F.lit(float(lr)))
+        upd = grad.join(broadcast(pdf), on="bucket", how="left").select(
             "bucket",
             (
                 F.coalesce("w", F.lit(0.0))
-                - F.lit(float(lr))
-                * (F.col("__gd") / F.lit(float(n_docs)))
+                - rate * (F.col("__gd") / F.lit(float(n_docs)))
             )
             .cast(_Q_MODEL)
             .cast("double")
             .alias("w"),
         )
-        weights = {r["bucket"]: r["w"] for r in new_w.collect()}
-        gb = resid.agg(
-            F.sum(F.col("__r").cast(_Q_TERM)).alias("__g")
-        ).select(
-            (
-                F.lit(float(bias))
-                - F.lit(float(lr_b))
-                * (F.col("__g").cast("double") / F.lit(float(n_docs)))
-            )
-            .cast(_Q_MODEL)
-            .cast("double")
-            .alias("b")
-        )
-        bias = gb.first()["b"]
+        params = {r["bucket"]: r["w"] for r in upd.collect()}
+        bias = params.pop(_BIAS_KEY)
+        weights = params
     return LogRegModel(
         weights=weights, bias=float(bias), m_buckets=m_buckets, lr=lr,
         rounds=rounds, lr_bias=lr_b,
