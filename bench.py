@@ -37,6 +37,25 @@ def _load_canary(spark) -> float:
     return round(best, 3)
 
 
+def _io_canary(spark, sf_dir: str) -> float:
+    """Fixed STORAGE-path calibration, the CPU canary's blind spot:
+    min-of-3 of a full-column count over one fixed parquet table —
+    data-dependent I/O (page cache state, disk contention) that a
+    pure-CPU hash sum cannot see. The round-12 close caught exactly
+    this: post-battery runs read +20-60% on every query while the CPU
+    canary stayed fast, because the sf1 battery had evicted the sf0.1
+    page cache. An inflated io canary with a quiet CPU canary means
+    cold storage, not a plan regression."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+            "count(l_extendedprice) AS c"
+        ).collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def _current_round() -> int:
     """The round this run will be recorded under: one past the newest
     driver-recorded CORRECTNESS_r*.json (the driver writes round N's
@@ -99,6 +118,7 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     canary_pre = _load_canary(spark)
+    io_canary_pre = _io_canary(spark, sf_dir)
 
     # two measured iterations, report the min — JIT warm-up and JVM/OS
     # noise dominate single local runs; min-of-2 tracks the plan's cost.
@@ -165,8 +185,11 @@ def main() -> None:
             timings[f"{name}:{k}"] = v
 
     canary_post = _load_canary(spark)
+    io_canary_post = _io_canary(spark, sf_dir)
     timings["load_canary_pre"] = canary_pre
     timings["load_canary_post"] = canary_post
+    timings["io_canary_pre"] = io_canary_pre
+    timings["io_canary_post"] = io_canary_post
 
     # Canary normalization: machine load inflates the canary and the
     # query walls by the same CPU-contention factor, so scaling the
