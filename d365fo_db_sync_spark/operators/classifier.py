@@ -62,12 +62,29 @@ from pyspark.sql import functions as F
 
 from d365fo_db_sync_spark.operators.dsir import _bucket, hashed_features
 
-__all__ = ["LogRegModel", "hashed_tf", "logreg_fit", "logreg_score"]
+__all__ = [
+    "LogRegModel",
+    "hashed_tf",
+    "influence_scores",
+    "logreg_fit",
+    "logreg_score",
+]
 
 #: the per-stage quantization grids: scores/weights/probabilities
 #: re-synchronize cross-engine at 12 decimal digits (far below any
 #: decision threshold), per-term gradient contributions at 18 (the
-#: pagerank inflow discipline — exact, order-free decimal sums)
+#: pagerank inflow discipline — exact, order-free decimal sums).
+#:
+#: Semantics fine print (measured, not hypothetical): Spark's
+#: double->decimal cast routes through BigDecimal.valueOf, which
+#: quantizes the double's SHORTEST decimal representation
+#: (Double.toString); an engine quantizing the exact binary expansion
+#: instead (Python's Decimal(float); DuckDB's cast) can differ in the
+#: last decimal place of the 18-digit grid (~1e-17 absolute). The
+#: 12-digit model grid and the harness's 9-digit value hash both sit
+#: far above that gap, so oracles and replays agree — but an EXACT
+#: replay (the pytest discipline) must quantize Decimal(repr(x)), the
+#: shortest-repr form, as tests/test_classifier.py's _q/_d18 do.
 _Q_MODEL = "decimal(38,12)"
 _Q_TERM = "decimal(38,18)"
 
@@ -338,5 +355,117 @@ def logreg_score(
             "score",
             prob.alias("prob"),
             (prob >= F.lit(float(threshold))).alias("keep"),
+        )
+    )
+
+
+def influence_scores(
+    train: DataFrame,
+    dev: DataFrame,
+    model: LogRegModel,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-data attribution, TracIn single-checkpoint form
+    (Pruthi et al. 2020 "Estimating Training Data Influence by Tracing
+    Gradient Descent", public method): per training document,
+
+        influence(i) = g_i · mean_j(g_j over the dev set)
+
+    where ``g`` is the logistic-loss gradient at the fitted model —
+    for this model ``g = (p - y) * [x; 1]`` (features + bias slot), so
+    the dot product factors as ``resid_i * (sum_b x_ib * gd_b + gd_bias)``
+    with ``gd`` the dev-mean gradient. POSITIVE influence = this
+    document's gradient aligns with the dev set's (training on it
+    pushes the model the way the dev set pushes — a proponent);
+    NEGATIVE = an opponent (mislabeled or out-of-distribution
+    candidates — the data-attribution triage next to the
+    confident-learning flags). Returns ``(id_col, influence)``.
+
+    Exactness: residuals come from the DECIMAL(38,12)-quantized
+    probabilities; the dev-mean gradient per bucket is a
+    DECIMAL(38,18)-exact sum with ONE division by n_dev; each training
+    document folds its bucket-sorted ``x * gd`` contributions
+    sequentially and multiplies by its residual once — every number
+    replays in a SQL oracle.
+
+    Scale shape: the dev gradient collapses into <= m_buckets + 1
+    combinable partials (broadcast back); the training corpus explodes
+    map-side and shuffles ONCE on the doc id for the fold. Production
+    use holds out the dev set from the fit; the math does not require
+    it."""
+    from pyspark.sql.functions import broadcast
+
+    def resid(df: DataFrame) -> DataFrame:
+        y = df.select(
+            F.col(id_col),
+            F.col(label_col)
+            .cast("boolean")
+            .cast("int")
+            .cast("double")
+            .alias("__y"),
+        )
+        return (
+            logreg_score(df, model, text_col=text_col, id_col=id_col)
+            .select(id_col, "prob")
+            .join(y, on=id_col)
+            .select(id_col, (F.col("prob") - F.col("__y")).alias("__r"))
+        )
+
+    n_dev = dev.count()
+    if n_dev == 0:
+        raise ValueError("influence_scores: empty dev set")
+    # dev-side: gradient partials are bucket-bounded; materialize the
+    # residuals once (dev-sized) — the per-bucket and bias aggregates
+    # both read them
+    dev_r = resid(dev).localCheckpoint(eager=True)
+    xd = hashed_tf(dev, text_col, id_col, model.m_buckets).select(
+        id_col, "bucket", "x"
+    )
+    gd = (
+        xd.join(dev_r, on=id_col)
+        .groupBy("bucket")
+        .agg(F.sum((F.col("__r") * F.col("x")).cast(_Q_TERM)).alias("__g"))
+        .select(
+            "bucket",
+            (F.col("__g").cast("double") / F.lit(float(n_dev))).alias("g"),
+        )
+    )
+    gdb = dev_r.agg(
+        F.sum(F.col("__r").cast(_Q_TERM)).alias("__g")
+    ).select(
+        (F.col("__g").cast("double") / F.lit(float(n_dev))).alias("gb")
+    )
+    xt = hashed_tf(train, text_col, id_col, model.m_buckets).select(
+        id_col, "bucket", "x"
+    )
+    si = (
+        xt.join(broadcast(gd), on="bucket")
+        .select(
+            id_col,
+            F.struct("bucket", (F.col("x") * F.col("g")).alias("c")).alias(
+                "s"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, t: acc + t["c"],
+            ).alias("__s")
+        )
+    )
+    return (
+        resid(train)
+        .join(si, on=id_col, how="left")
+        .crossJoin(broadcast(gdb))
+        .select(
+            id_col,
+            (
+                F.col("__r")
+                * (F.coalesce("__s", F.lit(0.0)) + F.col("gb"))
+            ).alias("influence"),
         )
     )

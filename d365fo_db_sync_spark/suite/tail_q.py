@@ -9434,3 +9434,69 @@ def quality_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "lang", "mean_lp", F.ntile(3).over(w).alias("tier")
     )
+
+
+@register(
+    "quality_influence_scores",
+    oracle=f"""
+    WITH {_clf_ctes("CAST(substr(source, 4, 10) AS INT) < 10", 2000.0, 1.0)},
+    probs AS (SELECT c.doc_id,
+                     CAST(CAST(1.0 / (1.0 + exp(-score)) AS DECIMAL(38,12))
+                          AS DOUBLE)
+                     - CASE WHEN CAST(substr(source, 4, 10) AS INT) < 10
+                            THEN 1.0 ELSE 0.0 END AS r
+              FROM clf c JOIN documents USING (doc_id)),
+    devr AS (SELECT doc_id, r FROM probs WHERE doc_id % 7 = 0),
+    nd2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ndev FROM devr),
+    gdv AS (SELECT bucket,
+                   CAST(SUM(CAST(r * x AS DECIMAL(38,18))) AS DOUBLE) / ndev
+                     AS g
+            FROM x JOIN devr USING (doc_id) CROSS JOIN nd2
+            GROUP BY bucket, ndev),
+    gdb AS (SELECT CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) / ndev
+                     AS gb
+            FROM devr CROSS JOIN nd2 GROUP BY ndev),
+    trr AS (SELECT doc_id, r FROM probs WHERE doc_id % 7 <> 0),
+    si AS (SELECT x.doc_id,
+                  list_sum(list_transform(
+                      list_sort(list(struct_pack(b := bucket, c := x * g))),
+                      t -> t.c)) AS s
+           FROM x JOIN gdv USING (bucket) JOIN trr USING (doc_id)
+           GROUP BY x.doc_id)
+    SELECT t.doc_id, t.r * (COALESCE(si.s, 0.0) + gdb.gb) AS influence
+    FROM trr t LEFT JOIN si USING (doc_id) CROSS JOIN gdb
+    """,
+)
+def quality_influence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data attribution (operators/classifier.py
+    influence_scores — TracIn single-checkpoint form, Pruthi et al.
+    2020): each non-dev document's loss gradient at the fitted model
+    dotted with the dev slice's (doc_id % 7 = 0) MEAN gradient —
+    positive = proponent (its gradient pushes where the dev set
+    pushes), negative = opponent (mislabel / out-of-distribution
+    triage, the attribution companion to quality_label_noise_flags'
+    confident-learning screen). Same fitted model as the calibration
+    family (shared CTE builder); residuals from the quantized
+    probabilities, dev-mean gradient as DECIMAL-exact sums with one
+    division, per-doc bucket-sorted folds times one residual — fully
+    value-oracled. Plan: the dev gradient collapses into <= m_buckets
+    + 1 combinable partials broadcast back; the corpus shuffles once
+    on the doc id for the fold."""
+    from d365fo_db_sync_spark.operators.classifier import (
+        influence_scores,
+        logreg_fit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.coalesce(src_num < 10, F.lit(False)).alias("is_ref"),
+    )
+    model = logreg_fit(
+        labeled, "is_ref", m_buckets=1024, lr=2000.0, rounds=2, lr_bias=1.0
+    )
+    dev = labeled.filter(F.pmod("doc_id", F.lit(7)) == 0)
+    tr = labeled.filter(F.pmod("doc_id", F.lit(7)) != 0)
+    return influence_scores(tr, dev, model, "is_ref")

@@ -29,8 +29,24 @@ def _bucket(f: str, m: int) -> int:
 
 
 def _q(x: float, digits: int) -> float:
+    """Mirror the JVM's double->decimal cast: Spark routes it through
+    BigDecimal.valueOf, which quantizes the double's SHORTEST decimal
+    representation (Double.toString), not its exact binary expansion —
+    Decimal(repr(x)) reproduces that; Decimal(x) would diverge at the
+    ~17th significant digit (found the hard way in the influence
+    replay at the 1e-18 grid)."""
     return float(
-        Decimal(x).quantize(Decimal(f"1e-{digits}"), rounding=ROUND_HALF_UP)
+        Decimal(repr(x)).quantize(
+            Decimal(f"1e-{digits}"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _d18(x: float) -> Decimal:
+    """The engine's DECIMAL(38,18) term quantization, JVM semantics
+    (shortest-repr, HALF_UP) — see :func:`_q`."""
+    return Decimal(repr(x)).quantize(
+        Decimal("1e-18"), rounding=ROUND_HALF_UP
     )
 
 
@@ -68,20 +84,12 @@ def _py_fit_score(rows, m, lr, rounds, lr_b=None):
         grads: dict[int, Decimal] = {}
         for d, xv in xs.items():
             for b, x in xv.items():
-                grads[b] = grads.get(b, Decimal(0)) + Decimal(
-                    resid[d] * x
-                ).quantize(Decimal("1e-18"), rounding=ROUND_HALF_UP)
+                grads[b] = grads.get(b, Decimal(0)) + _d18(resid[d] * x)
         w = {
             b: _q(w.get(b, 0.0) - lr * (float(g) / n), 12)
             for b, g in grads.items()
         }
-        gb = sum(
-            (
-                Decimal(r).quantize(Decimal("1e-18"), rounding=ROUND_HALF_UP)
-                for r in resid.values()
-            ),
-            Decimal(0),
-        )
+        gb = sum((_d18(r) for r in resid.values()), Decimal(0))
         bias = _q(bias - lr_b * (float(gb) / n), 12)
 
     out = {}
@@ -208,3 +216,95 @@ def test_adversarial_corpora_replay_exactly(spark, rows, m, lr, lr_b):
         for r in logreg_score(df, model).collect()
     }
     assert got == exp_out
+
+
+def test_influence_scores_replay_and_signs(spark):
+    """TracIn single-checkpoint influence: exact equality with a
+    Python replay of resid_i * (sum_b x_ib * gd_b + gd_bias), and the
+    behavioral pins — a training doc IDENTICAL to a dev doc (same
+    label) is a proponent (positive influence); its label-flipped twin
+    is an opponent (negative)."""
+    from d365fo_db_sync_spark.operators.classifier import influence_scores
+
+    m, lr = 64, 10.0
+    train_rows = ROWS[:6] + [
+        # twin of dev doc 50 with the SAME label -> proponent
+        (7, "the quick brown fox jumps over the lazy dog", 1),
+        # same text, FLIPPED label -> opponent
+        (8, "the quick brown fox jumps over the lazy dog", 0),
+    ]
+    dev_rows = [
+        (50, "the quick brown fox jumps over the lazy dog", 1),
+        (51, "buy cheap pills now click here free offer", 0),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, y int")
+    dev = spark.createDataFrame(dev_rows, "doc_id long, text string, y int")
+    model = logreg_fit(train, "y", m_buckets=m, lr=lr, rounds=2)
+    got = {
+        r["doc_id"]: r["influence"]
+        for r in influence_scores(train, dev, model, "y").collect()
+    }
+
+    # ---- Python replay ----
+    def feats_x(rows):
+        out = {}
+        for doc_id, text, _y in rows:
+            fs = _feats(text) if text else []
+            cnt: dict[int, int] = {}
+            for f in fs:
+                b = _bucket(f, m)
+                cnt[b] = cnt.get(b, 0) + 1
+            out[doc_id] = (
+                {b: c / len(fs) for b, c in cnt.items()} if fs else {}
+            )
+        return out
+
+    def resid(rows):
+        xs = feats_x(rows)
+        out = {}
+        for doc_id, _t, y in rows:
+            s = (
+                sum(
+                    model.weights[b] * x
+                    for b, x in sorted(xs[doc_id].items())
+                    if b in model.weights
+                )
+                + model.bias
+            )
+            # mirror the engine: sorted-bucket fold then quantize
+            s2 = 0.0
+            for b in sorted(set(xs[doc_id]) & set(model.weights)):
+                s2 += model.weights[b] * xs[doc_id][b]
+            s = s2 + model.bias
+            out[doc_id] = _q(1.0 / (1.0 + math.exp(-s)), 12) - y
+        return out, xs
+
+    from decimal import Decimal
+
+    dev_r, dev_x = resid(dev_rows)
+    nd = len(dev_rows)
+    gd: dict[int, float] = {}
+    acc: dict[int, Decimal] = {}
+    for d, xv in dev_x.items():
+        for b, x in xv.items():
+            acc[b] = acc.get(b, Decimal(0)) + _d18(dev_r[d] * x)
+    gd = {b: float(a) / nd for b, a in acc.items()}
+    gdb = float(sum((_d18(r) for r in dev_r.values()), Decimal(0))) / nd
+    tr_r, tr_x = resid(train_rows)
+    exp = {}
+    for d in tr_r:
+        s = 0.0
+        for b in sorted(set(tr_x[d]) & set(gd)):
+            s += tr_x[d][b] * gd[b]
+        exp[d] = tr_r[d] * (s + gdb)
+    assert got == exp
+
+    # behavioral pins
+    assert got[7] > 0  # same-label twin: proponent
+    assert got[8] < 0  # flipped-label twin: opponent
+    assert got[7] * got[8] < 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty dev"):
+        influence_scores(train, dev.filter("doc_id < 0"), model, "y")
