@@ -77,6 +77,12 @@ def main() -> int:
 
     spark = get_spark("check", shuffle_partitions=8)
     con = duckdb.connect()
+    # Spill OUTSIDE the repo: DuckDB's default temp dir is cwd-relative
+    # (.tmp/), and a big sf1 battery once left 14 GB of spill files that a
+    # snapshot commit then swept into git history (round-12 verdict #1).
+    spill = os.environ.get("DUCKDB_TEMP_DIR", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
