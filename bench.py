@@ -73,15 +73,16 @@ def _current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def _canary_history() -> dict[str, float]:
-    """Historical canary observations from the driver-recorded
-    BENCH_r*.json files next to this script: per round STRICTLY BEFORE
-    the one being recorded, the MIN of load_canary_pre/post (the least
-    load-contaminated sample — the canary measures machine speed, so
-    the fastest observation is the truest). Excluding the current
-    round keeps this run's own canary from diluting the cross-round
-    correction it feeds. Rounds before the canary existed contribute
-    nothing."""
+def _history(keys: tuple[str, ...], fold=min) -> dict[str, float]:
+    """Historical observations of the given query keys from the
+    driver-recorded BENCH_r*.json files next to this script: per round
+    STRICTLY BEFORE the one being recorded, fold(values) across the
+    keys present (min for canaries — the least load-contaminated
+    sample is the truest machine-speed reading). Excluding the current
+    round keeps this run's own numbers from diluting the cross-round
+    correction they feed. Rounds before a key existed (and the r12
+    record, whose over-long stdout line the driver could not parse —
+    ``"parsed": null``) contribute nothing."""
     import re
 
     cur = _current_round()
@@ -93,16 +94,25 @@ def _canary_history() -> dict[str, float]:
         try:
             parsed = json.loads(p.read_text()).get("parsed") or {}
             q = parsed.get("queries") or {}
-            vals = [
-                q[k]
-                for k in ("load_canary_pre", "load_canary_post")
-                if isinstance(q.get(k), (int, float))
-            ]
+            vals = [q[k] for k in keys if isinstance(q.get(k), (int, float))]
             if vals:
-                hist[p.stem] = min(vals)
+                hist[p.stem] = fold(vals)
         except (json.JSONDecodeError, OSError):
             continue
     return hist
+
+
+def _canary_history() -> dict[str, float]:
+    """CPU-canary history (min of pre/post per recorded round)."""
+    return _history(("load_canary_pre", "load_canary_post"))
+
+
+def _io_canary_history() -> dict[str, float]:
+    """IO-canary history — the storage-path twin. Empty until a round
+    whose driver record carries io_canary_pre/post in a PARSEABLE
+    stdout line (r12 introduced the io canary but its record is
+    ``"parsed": null``); grows one entry per round from r13 on."""
+    return _history(("io_canary_pre", "io_canary_post"))
 
 
 def main() -> None:
@@ -227,43 +237,117 @@ def main() -> None:
     # ...and the recorded per-round history of that raw number (same
     # strictly-before-this-round window as the canary history), so the
     # band a reading is judged against travels in the JSON
-    steady_hist: dict[str, float] = {}
-    cur = _current_round()
-    for p in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
-        import re as _re
-
-        m = _re.match(r"BENCH_r(\d+)", p.stem)
-        if not m or int(m.group(1)) >= cur:
-            continue
-        try:
-            q = (json.loads(p.read_text()).get("parsed") or {}).get("queries") or {}
-            if isinstance(q.get(steady_key), (int, float)):
-                steady_hist[p.stem] = q[steady_key]
-        except (json.JSONDecodeError, OSError):
-            continue
+    steady_hist = _history((steady_key,), fold=max)
+    io_hist = _io_canary_history()
+    this_io = min(io_canary_pre, io_canary_post)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "dispersion": dispersion,
-                "normalized_total": normalized_total,
-                "canary": {
-                    "this_run": this_canary,
-                    "median_history": median_hist,
-                    "history": history,
-                    "trail": canary_trail,
-                },
-                "steady_rows_per_sec_history": steady_hist,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    detail = {
+        "metric": "suite_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "dispersion": dispersion,
+        "normalized_total": normalized_total,
+        "canary": {
+            "this_run": this_canary,
+            "median_history": median_hist,
+            "history": history,
+            "trail": canary_trail,
+        },
+        "io_canary": {
+            "this_run": this_io,
+            "history": io_hist,
+            # two-factor reading rule: the CPU canary normalizes
+            # compute contention (normalized_total applies it); the io
+            # canary flags COLD STORAGE (post-battery page-cache
+            # eviction) that a quiet CPU canary cannot see. Read an
+            # inflated total with quiet CPU canary + inflated io
+            # canary as cold cache, not a plan regression.
+            "reading_rule": "normalized_total corrects CPU load only; "
+            "io_canary >> history median means cold page cache — "
+            "discount wall-clock, do not re-adjudicate plans",
+        },
+        "steady_rows_per_sec_history": steady_hist,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
     )
+
+    # The driver records only the LAST ~2000 chars of stdout; r12's
+    # full-detail single line outgrew that and the permanent record
+    # lost the headline ("parsed": null). Stdout now carries a compact
+    # summary — headline numbers, the canary keys future _history()
+    # calls read, and the 5 slowest entries — hard-capped under 1.5 KB
+    # (summary_line() drops slowest-query entries first if a cap would
+    # be breached); the full per-query/dispersion/trail detail lives in
+    # BENCH_DETAIL.json, committed in-repo beside the driver record.
+    print(summary_line(detail))
     spark.stop()
+
+
+_SUMMARY_QUERY_KEYS = (
+    "load_canary_pre",
+    "load_canary_post",
+    "io_canary_pre",
+    "io_canary_post",
+    "cdc_stream_throughput:steady_rows_per_sec",
+    "cdc_stream_throughput:steady_rows_per_sec_normalized",
+    "sync_noop_fastpath:noop_cycle",
+    "sync_noop_fastpath:first_sync",
+)
+
+SUMMARY_MAX_BYTES = 1500
+
+
+def summary_line(detail: dict) -> str:
+    """Compact one-line JSON summary of a full bench `detail` dict,
+    guaranteed <= SUMMARY_MAX_BYTES so the driver's stdout tail window
+    always captures a parseable record. Keeps: headline metric/value/
+    normalized_total/sf, canary this-run+median, the query keys the
+    cross-round _history() readers consume, n_queries, and as many of
+    the slowest per-query timings as fit (dropped first under the
+    cap). Full detail is pointed at, not inlined."""
+    timings = detail["queries"]
+    slowest = sorted(
+        (
+            (k, v)
+            for k, v in timings.items()
+            if k not in _SUMMARY_QUERY_KEYS and ":" not in k
+        ),
+        key=lambda kv: -kv[1],
+    )[:5]
+    base_queries = {
+        k: timings[k] for k in _SUMMARY_QUERY_KEYS if k in timings
+    }
+    for keep in range(len(slowest), -1, -1):
+        summary = {
+            "metric": detail["metric"],
+            "value": detail["value"],
+            "unit": detail["unit"],
+            "normalized_total": detail["normalized_total"],
+            "sf": detail["sf"],
+            "n_queries": sum(
+                1
+                for k in timings
+                if ":" not in k and not k.endswith(("_pre", "_post"))
+            ),
+            "queries": {**base_queries, **dict(slowest[:keep])},
+            "canary": {
+                "this_run": detail["canary"]["this_run"],
+                "median_history": detail["canary"]["median_history"],
+            },
+            "io_canary": {
+                "this_run": detail["io_canary"]["this_run"],
+                "n_history": len(detail["io_canary"]["history"]),
+            },
+            "detail": "BENCH_DETAIL.json",
+        }
+        line = json.dumps(summary)
+        if len(line.encode()) <= SUMMARY_MAX_BYTES:
+            return line
+    return line  # unreachable: keep=0 form is a few hundred bytes
 
 
 if __name__ == "__main__":

@@ -44,3 +44,63 @@ def test_canary_history_empty_repo(tmp_path, monkeypatch):
     )
     assert bench._current_round() == 1
     assert bench._canary_history() == {}
+
+
+def test_io_canary_history(tmp_path, monkeypatch):
+    import bench
+
+    monkeypatch.setattr(
+        bench, "__file__", str(tmp_path / "bench.py"), raising=False
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"io_canary_pre": 0.11,
+                                           "io_canary_post": 0.09}}})
+    )
+    # an unparseable driver record (the r12 failure mode) contributes
+    # nothing and does not crash history extraction
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{}")
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({"parsed": None}))
+    assert bench._io_canary_history() == {"BENCH_r01": 0.09}
+
+
+def _fake_detail(n_queries):
+    timings = {f"very_long_query_name_number_{i:04d}": 1.0 + i
+               for i in range(n_queries)}
+    timings.update(load_canary_pre=0.1, load_canary_post=0.11,
+                   io_canary_pre=0.1, io_canary_post=0.1)
+    timings["cdc_stream_throughput:steady_rows_per_sec"] = 98765.4
+    return {
+        "metric": "suite_total_runtime", "value": 43.21, "unit": "sec",
+        "queries": timings,
+        "dispersion": {k: 0.01 for k in timings},
+        "normalized_total": 44.0,
+        "canary": {"this_run": 0.1, "median_history": 0.12,
+                   "history": {f"BENCH_r{i:02d}": 0.1 for i in range(12)},
+                   "trail": [0.1] * 20},
+        "io_canary": {"this_run": 0.1, "history": {}, "reading_rule": "x"},
+        "steady_rows_per_sec_history": {},
+        "sf": 0.1,
+    }
+
+
+def test_summary_line_stays_under_driver_tail_window():
+    """The driver records only the last ~2000 chars of stdout; r12's
+    full-detail line outgrew it and the permanent record lost the
+    headline. The stdout summary must stay parseable regardless of how
+    many queries the suite grows."""
+    import bench
+
+    for n in (5, 34, 200):
+        line = bench.summary_line(_fake_detail(n))
+        assert len(line.encode()) <= bench.SUMMARY_MAX_BYTES
+        parsed = json.loads(line)
+        assert parsed["value"] == 43.21
+        assert parsed["normalized_total"] == 44.0
+        # the keys future cross-round _history() reads from driver
+        # records must survive the cap
+        for k in ("load_canary_pre", "load_canary_post",
+                  "io_canary_pre", "io_canary_post",
+                  "cdc_stream_throughput:steady_rows_per_sec"):
+            assert k in parsed["queries"]
+        assert parsed["n_queries"] == n
