@@ -462,6 +462,33 @@ def ivf_index(
     return assigned, model
 
 
+def ivf_index_deterministic(
+    df: DataFrame,
+    n_lists: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """ivf_index's oracle-replayable twin: cells come from the
+    deterministic fixed-round decimal-replay k-means
+    (operators/clustering.py) instead of MLlib's KMeans, so the whole
+    index — centroids AND per-vector cell assignment — is value-
+    checkable in a SQL oracle. Same scale shape: fit is rounds x (one
+    combinable aggregate + bounded collect); assignment is map-only.
+    Returns (assigned corpus with `cell` + precomputed norm, centroid
+    lists usable directly as ivf_topk's model)."""
+    from d365fo_db_sync_spark.operators import clustering
+
+    centers = clustering.kmeans_fit(
+        df, k=n_lists, rounds=rounds, id_col=id_col, vec_col=vec_col
+    )
+    v = with_norm(df.select(id_col, vec_col), vec_col, "norm")
+    assigned = clustering.kmeans_assign(
+        v, centers, id_col=id_col, vec_col=vec_col, out="cell"
+    )
+    return assigned, centers
+
+
 def ivf_topk(
     assigned: DataFrame,
     model,
@@ -471,13 +498,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k over an IVF index: each query scores only the vectors in
     its ``n_probes`` nearest cells (by centroid distance), then exact
     re-rank inside. Recall rises with n_probes (= brute force when
     n_probes = n_lists). The probe join shuffles on the cell id —
-    ~n * n_probes / n_lists candidate rows instead of n per query."""
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    ~n * n_probes / n_lists candidate rows instead of n per query.
+
+    ``model`` is a fitted MLlib KMeansModel or a plain list of centroid
+    lists (the deterministic path). ``probes`` optionally overrides
+    probe-cell selection with a precomputed (query_id, cell) frame
+    (e.g. clustering.probe_cells_exact for oracle-replayable probing)."""
+    centers = (
+        [list(map(float, c)) for c in model]
+        if isinstance(model, list)
+        else [list(map(float, c)) for c in model.clusterCenters()]
+    )
 
     # probe-cell assignment as a pure column expression over centroid
     # literals (like lsh_bucket): per query, squared distance to each
@@ -500,16 +537,20 @@ def ivf_topk(
             for i, c in enumerate(centers)
         ]
     )
-    q = with_norm(
+    qbase = with_norm(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec")), "q_vec", "q_norm"
-    ).withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(dist_structs), 1, n_probes), lambda s: s["cell"]
-            )
-        ),
     )
+    if probes is not None:
+        q = qbase.join(probes, on=query_id_col)
+    else:
+        q = qbase.withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(dist_structs), 1, n_probes), lambda s: s["cell"]
+                )
+            ),
+        )
     pairs = q.join(assigned, on="cell")
     cos = _dot(F.col("q_vec"), F.col(vec_col)) / (F.col("q_norm") * F.col("norm"))
     scored = pairs.select(
