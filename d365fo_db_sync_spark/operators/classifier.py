@@ -324,6 +324,7 @@ def logreg_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document with the fitted model:
     ``(id_col, n_features, score, prob, keep)`` where ``prob`` is the
@@ -332,13 +333,22 @@ def logreg_score(
     reproducible cross-engine at the same granularity as the reported
     score (text.quality_classifier's contract). Featureless documents
     score the bare bias, never a dropped row. Map-side broadcast dot
-    product + one doc-keyed fold — the corpus shuffles once."""
+    product + one doc-keyed fold — the corpus shuffles once.
+
+    ``features`` optionally passes a precomputed, ALREADY-MATERIALIZED
+    ``hashed_tf(df, ...)`` frame so a caller composing several passes
+    over the same corpus (influence_scores: residual scoring + the
+    attribution fold) pays for the feature explode exactly once."""
     spark = df.sparkSession
     # materialized: the n_features rollup and the score join both read
     # the explode (the fit/DSIR localCheckpoint discipline) — integer
     # counts bounded by min(features, m_buckets) rows per doc
-    x = hashed_tf(df, text_col, id_col, model.m_buckets).localCheckpoint(
-        eager=True
+    x = (
+        features
+        if features is not None
+        else hashed_tf(df, text_col, id_col, model.m_buckets).localCheckpoint(
+            eager=True
+        )
     )
     base = df.select(id_col)
     nf = x.groupBy(id_col).agg(F.first("n_features").alias("__nf"))
@@ -391,13 +401,17 @@ def influence_scores(
     replays in a SQL oracle.
 
     Scale shape: the dev gradient collapses into <= m_buckets + 1
-    combinable partials (broadcast back); the training corpus explodes
-    map-side and shuffles ONCE on the doc id for the fold. Production
-    use holds out the dev set from the fit; the math does not require
-    it."""
+    combinable partials (broadcast back); each corpus is featurized
+    EXACTLY ONCE — one localCheckpointed explode per side feeds both
+    its residual scoring and its gradient/attribution fold (r13: the
+    r12 shape featurized train twice, once inside the residual's
+    logreg_score and again for the fold — the ADVICE item) — and the
+    training corpus shuffles ONCE on the doc id for the fold.
+    Production use holds out the dev set from the fit; the math does
+    not require it."""
     from pyspark.sql.functions import broadcast
 
-    def resid(df: DataFrame) -> DataFrame:
+    def resid(df: DataFrame, feats: DataFrame) -> DataFrame:
         y = df.select(
             F.col(id_col),
             F.col(label_col)
@@ -407,7 +421,9 @@ def influence_scores(
             .alias("__y"),
         )
         return (
-            logreg_score(df, model, text_col=text_col, id_col=id_col)
+            logreg_score(
+                df, model, text_col=text_col, id_col=id_col, features=feats
+            )
             .select(id_col, "prob")
             .join(y, on=id_col)
             .select(id_col, (F.col("prob") - F.col("__y")).alias("__r"))
@@ -416,13 +432,18 @@ def influence_scores(
     n_dev = dev.count()
     if n_dev == 0:
         raise ValueError("influence_scores: empty dev set")
+    # ONE materialized explode per corpus, threaded through every pass
+    xd_full = hashed_tf(dev, text_col, id_col, model.m_buckets).localCheckpoint(
+        eager=True
+    )
+    xt_full = hashed_tf(
+        train, text_col, id_col, model.m_buckets
+    ).localCheckpoint(eager=True)
     # dev-side: gradient partials are bucket-bounded; materialize the
     # residuals once (dev-sized) — the per-bucket and bias aggregates
     # both read them
-    dev_r = resid(dev).localCheckpoint(eager=True)
-    xd = hashed_tf(dev, text_col, id_col, model.m_buckets).select(
-        id_col, "bucket", "x"
-    )
+    dev_r = resid(dev, xd_full).localCheckpoint(eager=True)
+    xd = xd_full.select(id_col, "bucket", "x")
     gd = (
         xd.join(dev_r, on=id_col)
         .groupBy("bucket")
@@ -437,9 +458,7 @@ def influence_scores(
     ).select(
         (F.col("__g").cast("double") / F.lit(float(n_dev))).alias("gb")
     )
-    xt = hashed_tf(train, text_col, id_col, model.m_buckets).select(
-        id_col, "bucket", "x"
-    )
+    xt = xt_full.select(id_col, "bucket", "x")
     si = (
         xt.join(broadcast(gd), on="bucket")
         .select(
@@ -458,7 +477,7 @@ def influence_scores(
         )
     )
     return (
-        resid(train)
+        resid(train, xt_full)
         .join(si, on=id_col, how="left")
         .crossJoin(broadcast(gdb))
         .select(

@@ -434,6 +434,16 @@ def embedding_near_duplicates(
     )
 
 
+
+def _centers_of(model) -> list[list[float]]:
+    """Centroid lists from either a fitted MLlib KMeansModel or a plain
+    list of centroid lists (the deterministic clustering.kmeans_fit
+    path)."""
+    if isinstance(model, list):
+        return [list(map(float, c)) for c in model]
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def ivf_index(
     df: DataFrame,
     n_lists: int = 16,
@@ -510,11 +520,7 @@ def ivf_topk(
     lists (the deterministic path). ``probes`` optionally overrides
     probe-cell selection with a precomputed (query_id, cell) frame
     (e.g. clustering.probe_cells_exact for oracle-replayable probing)."""
-    centers = (
-        [list(map(float, c)) for c in model]
-        if isinstance(model, list)
-        else [list(map(float, c)) for c in model.clusterCenters()]
-    )
+    centers = _centers_of(model)
 
     # probe-cell assignment as a pure column expression over centroid
     # literals (like lsh_bucket): per query, squared distance to each
@@ -637,7 +643,7 @@ def ivf_write(assigned: DataFrame, model, root: str) -> str:
 
     from d365fo_db_sync_spark.sinks import ParquetTarget
 
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers = _centers_of(model)
     spark = assigned.sparkSession
     ParquetTarget(os.path.join(root, "vectors"), partition_by=["cell"]).overwrite(assigned)
     cent_df = spark.createDataFrame(
@@ -679,7 +685,7 @@ def ivf_write_incremental(
 
     from d365fo_db_sync_spark.sinks import ParquetTarget
 
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers = _centers_of(model)
     spark = assigned.sparkSession
     used_buckets = n_buckets or max(2 * len(centers), 8)
     # persist the bucket count: append/probe MUST hash cell->bucket
@@ -731,6 +737,7 @@ def ivf_append_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_buckets: int | None = None,
+    exact: bool = False,
 ) -> int:
     """Fold a new vector batch into a persisted incremental IVF index:
     assign each vector to its nearest EXISTING centroid (broadcast
@@ -738,10 +745,15 @@ def ivf_append_incremental(
     standard IVF maintenance contract; recentre by rebuilding when
     drift warrants), then ``append_rows`` — an O(batch) manifest
     commit touching only the buckets the batch's cells hash into.
-    Returns the number of vectors appended."""
+    Returns the number of vectors appended. ``exact=True`` assigns by
+    the decimal-exact distance (clustering.probe_cells_exact) so a SQL
+    oracle replays the assignment; default stays the double fold."""
+    from d365fo_db_sync_spark.operators.clustering import probe_cells_exact
+
     centers = _read_centers(spark, root)
+    probe = probe_cells_exact if exact else _probe_cells
     assigned = (
-        _probe_cells(new_df, centers, 1, vec_col=vec_col, query_id_col=id_col)
+        probe(new_df, centers, 1, vec_col=vec_col, query_id_col=id_col)
         .withColumnRenamed(id_col, "__id")
         .join(
             with_norm(new_df.select(id_col, vec_col), vec_col, "norm"),
@@ -771,16 +783,20 @@ def ivf_topk_incremental(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     n_buckets: int | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """ANN top-k against the incremental index: probe cells resolve to
     an exact manifest file-list cut (``target.probe`` reads only the
     buckets the probed cells hash into — no directory listing), then
     exact cosine re-rank inside, the :func:`ivf_topk` contract. Rows
     appended after the base build are first-class: same cells, same
-    files-by-reference read path."""
+    files-by-reference read path. ``exact=True`` selects probe cells
+    by the decimal-exact distance (oracle-replayable)."""
+    from d365fo_db_sync_spark.operators.clustering import probe_cells_exact
+
     centers = _read_centers(spark, root)
     target = _incremental_target(root, len(centers), n_buckets)
-    q_cells = _probe_cells(
+    q_cells = (probe_cells_exact if exact else _probe_cells)(
         queries, centers, n_probes, vec_col=vec_col, query_id_col=query_id_col
     )
     q = q_cells.join(
@@ -946,6 +962,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    deterministic: bool = False,
+    rounds: int = 2,
 ) -> DataFrame:
     """SemDeDup: cluster embeddings with k-means, find within-cluster
     cosine near-duplicates, resolve them into connected components, and
@@ -964,6 +982,12 @@ def semantic_dedup(
         # degenerate single-cell case = the exact O(n^2) baseline
         # (Spark ML KMeans requires k >= 2, and there is nothing to fit)
         assigned = df.select(id_col, vec_col).withColumn("cell", F.lit(0))
+    elif deterministic:
+        # oracle-replayable cells (fixed-round decimal-replay k-means,
+        # operators/clustering.py) — same plan shape as the MLlib path
+        assigned, _centers = ivf_index_deterministic(
+            df, n_lists=n_lists, rounds=rounds, id_col=id_col, vec_col=vec_col
+        )
     else:
         assigned, _model = ivf_index(
             df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed

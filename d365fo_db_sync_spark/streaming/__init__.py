@@ -23,6 +23,21 @@ from d365fo_db_sync_spark.sinks import ParquetTarget
 from d365fo_db_sync_spark.sync import SyncEngine
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free an eager ``localCheckpoint()``'s executor blocks once the
+    frame is fully consumed: the checkpointed plan's root is a
+    LogicalRDD whose RDD the checkpoint persisted — unpersist it.
+    Without this, a long-running stream accumulates one set of
+    checkpoint blocks per micro-batch without bound (r12 ADVICE).
+    Best-effort over py4j internals: cleanup must never kill the
+    stream, so misses are swallowed (the blocks then die with the
+    executor, the pre-fix behavior)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 class CdcStreamPipeline:
     """Micro-batch CDC: every incoming batch is merged into the target
     with the reference's semantics (classify -> delete -> idempotent
@@ -736,33 +751,42 @@ class FrequentItemsStreamPipeline:
         # decrement inconsistent with the rows it is subtracted from —
         # more than `capacity` survivors, or a skewed undercount
         # ledger under candidates()'s threshold.
-        summ = (
+        ckpt = (
             _mg_summary(batch_df, self.cols, cap)
             .groupBy(*self.cols)
             .agg(F.sum("__mg").alias("__mg"))
             .localCheckpoint(eager=True)
         )
-        # batch compression: bounded collect of the top cap+1 counter
-        # VALUES only (never keys at key-space scale) supplies the
-        # mergeable-summaries decrement
-        top = [
-            r["__mg"]
-            for r in summ.select("__mg")
-            .orderBy(F.desc("__mg"))
-            .limit(cap + 1)
-            .collect()
-        ]
-        if len(top) == cap + 1:
-            dec = top[-1]
-            summ = summ.filter(F.col("__mg") > dec).withColumn(
-                "__mg", F.col("__mg") - F.lit(dec)
+        try:
+            summ = ckpt
+            # batch compression: bounded collect of the top cap+1
+            # counter VALUES only (never keys at key-space scale)
+            # supplies the mergeable-summaries decrement
+            top = [
+                r["__mg"]
+                for r in summ.select("__mg")
+                .orderBy(F.desc("__mg"))
+                .limit(cap + 1)
+                .collect()
+            ]
+            if len(top) == cap + 1:
+                dec = top[-1]
+                summ = summ.filter(F.col("__mg") > dec).withColumn(
+                    "__mg", F.col("__mg") - F.lit(dec)
+                )
+            n_b = batch_df.count()
+            out = summ.withColumn("__nb", F.lit(n_b).cast("long"))
+            os.makedirs(self.summary_dir, exist_ok=True)
+            tmp = os.path.join(
+                self.summary_dir, f"_tmp-{_uuid.uuid4().hex[:8]}"
             )
-        n_b = batch_df.count()
-        out = summ.withColumn("__nb", F.lit(n_b).cast("long"))
-        os.makedirs(self.summary_dir, exist_ok=True)
-        tmp = os.path.join(self.summary_dir, f"_tmp-{_uuid.uuid4().hex[:8]}")
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, final)
+            out.coalesce(1).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, final)
+        finally:
+            # the sidecar write was the last reader — free the
+            # checkpoint blocks so they don't accumulate per
+            # micro-batch over a long-running stream
+            _release_local_checkpoint(ckpt)
 
     def summary(self, spark) -> DataFrame | None:
         import os

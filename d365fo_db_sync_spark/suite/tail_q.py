@@ -722,7 +722,7 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int, rounds: int) -> str:
+def _kmeans_ctes(k: int, rounds: int, pred: str = "TRUE") -> str:
     """Unrolled CTE chain replaying operators/clustering.kmeans_fit
     bit-for-bit (the classifier/_clf_ctes discipline applied to
     Lloyd's): components quantized once to DECIMAL(28,12); seeds = the
@@ -731,7 +731,9 @@ def _kmeans_ctes(k: int, rounds: int) -> str:
     per-(cell, dim) means re-quantized to DECIMAL(28,12), empty cells
     coalescing to the prior centroid. Ends with ``km_c{rounds}`` (the
     final centroids) and ``km_af`` (the final assignment + exact
-    squared distance)."""
+    squared distance). ``pred`` restricts the FIT corpus (seeds,
+    distances, updates, km_af) — the incremental-index oracle fits on
+    the base slice only."""
 
     def dist(prev: str, name: str) -> str:
         return f"""
@@ -746,11 +748,11 @@ def _kmeans_ctes(k: int, rounds: int) -> str:
     km_ve AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                      CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,12))
                        AS comp
-              FROM embeddings),
+              FROM embeddings WHERE {pred}),
     km_sd AS (SELECT vec_id,
                      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                         vec_id) - 1 AS cell
-              FROM embeddings),
+              FROM embeddings WHERE {pred}),
     km_c0 AS (SELECT cell, pos, comp FROM km_sd JOIN km_ve USING (vec_id)
               WHERE cell < {k})"""
     ]
@@ -1214,20 +1216,54 @@ def text_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "dl", F.round("bm25", 6).alias("bm25"))
 
 
-@register("similarity_semantic_dedup", oracle=None)
+@register(
+    "similarity_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_kmeans_ctes(8, 2)},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM km_af a JOIN km_af b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN v va ON va.vec_id = a.vec_id
+            JOIN v vb ON vb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(va.e, vb.e) >= 0.4),
+    ed AS (SELECT id_a AS a, id_b AS b FROM prs
+           UNION SELECT id_b, id_a FROM prs),
+    reach(node, r) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT reach.node, ed.b FROM reach JOIN ed ON reach.r = ed.a
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    lab AS (SELECT d.vec_id,
+                   COALESCE(comp.component, d.vec_id) AS cluster_id,
+                   COALESCE(comp.component, d.vec_id) = d.vec_id AS is_survivor
+            FROM embeddings d LEFT JOIN comp ON d.vec_id = comp.node)
+    SELECT is_survivor, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM lab GROUP BY 1
+    """,
+)
 def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings corpus
     (operators/similarity.semantic_dedup, after Abbas et al. 2023,
     arXiv:2303.09540): k-means cells -> per-cell numpy-GEMM cosine
     pairs -> star-contraction components -> keep-min survivors.
-    Rows-only: k-means training is iterative float optimization no
-    ANSI-SQL oracle can reproduce; the semantic contract is pinned by
-    tests/test_similarity_semdedup.py (single-cell == exact O(n^2)
-    baseline, subset/threshold/survivor properties, idempotency)."""
+    Fully value-oracled from r13 on: the cells come from the
+    deterministic fixed-round decimal-replay k-means
+    (operators/clustering.py), so the oracle unrolls the fit, rebuilds
+    the same within-cell pair set (the cosine threshold sits ~1e-2
+    from any pair value — far above the ~1e-15 GEMM-vs-list_cosine
+    accumulation noise), resolves components with a recursive CTE and
+    replays the keep-min survivor counts. The semantic contract stays
+    pinned by tests/test_similarity_semdedup.py (single-cell == exact
+    O(n^2) baseline, subset/threshold/survivor properties,
+    idempotency). Never all-pairs: one cell-keyed shuffle feeds the
+    per-cell GEMM; the component map broadcasts back."""
     from d365fo_db_sync_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
-    res = sim.semantic_dedup(emb, threshold=0.4, n_lists=8)
+    res = sim.semantic_dedup(emb, threshold=0.4, n_lists=8, deterministic=True)
     return res.groupBy("is_survivor").agg(
         F.count("*").alias("n_vecs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
@@ -3377,41 +3413,110 @@ def similarity_whitened_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce_np(white, _queries_frame(white), k=_K)
 
 
-@register("similarity_ivf_append_topk", oracle=None)
+_IVF_APPEND_DIST = """
+                  SUM(CAST((CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
+                           * (CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
+                           AS DECIMAL(38,18))) AS dist"""
+
+
+@register(
+    "similarity_ivf_append_topk",
+    oracle=f"""
+    WITH cutr AS (SELECT vec_id AS cut FROM
+                    (SELECT vec_id,
+                            ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+                            COUNT(*) OVER () AS n
+                     FROM embeddings)
+                  WHERE rn = CAST(CEIL(0.8 * n) AS BIGINT)),
+    {_kmeans_ctes(16, 2, pred="vec_id <= (SELECT cut FROM cutr)")},
+    allq AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                    CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,12))
+                      AS comp
+             FROM embeddings),
+    lated AS (SELECT v.vec_id, c.cell,{_IVF_APPEND_DIST}
+              FROM allq v JOIN km_c2 c USING (pos)
+              WHERE v.vec_id > (SELECT cut FROM cutr)
+              GROUP BY 1, 2),
+    lateassign AS (SELECT vec_id, cell FROM
+                     (SELECT vec_id, cell,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                ORDER BY dist, cell) AS rn
+                      FROM lated) WHERE rn = 1),
+    idx AS (SELECT vec_id, cell FROM km_af
+            UNION ALL SELECT vec_id, cell FROM lateassign),
+    qd AS (SELECT v.vec_id AS query_id, c.cell,{_IVF_APPEND_DIST}
+           FROM allq v JOIN km_c2 c USING (pos)
+           WHERE v.vec_id % 25 = 0 GROUP BY 1, 2),
+    probes AS (SELECT query_id, cell FROM
+                 (SELECT query_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY dist, cell) AS rn
+                  FROM qd) WHERE rn <= 4),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN idx a USING (cell)
+             WHERE p.query_id <> a.vec_id),
+    scored AS (SELECT c.query_id, c.neighbor_id,
+                      list_cosine_similarity(q.e, n.e) AS c
+               FROM cand c JOIN v q ON c.query_id = q.vec_id
+               JOIN v n ON c.neighbor_id = n.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, c,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY c DESC, neighbor_id) AS rnk
+               FROM scored)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id,
+           ROUND(c, 4) AS cosine
+    FROM ranked WHERE rnk <= {_K}
+    """,
+)
 def similarity_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index maintenance end-to-end (operators/similarity.
     ivf_write_incremental / ivf_append_incremental /
     ivf_topk_incremental, r7): the first 80% of the embeddings table
-    builds a manifest-backed IVF index (vectors keyed on cell —
-    probes plan from the manifest's exact file list), the last 20%
-    arrives LATER as an O(batch) append-by-reference commit (nearest
-    EXISTING centroid, no refit, base files byte-untouched), and the
-    final top-k probes the appended index. Rows-only by design (IVF
-    cell assignment is KMeans-dependent); the contracts are pinned in
-    tests/test_ivf_incremental.py — parity with the in-memory IVF
-    path, by-reference append with full-probe == brute-force recall
-    over the unioned corpus, and bucket-pruned probe reads. A fresh
-    scratch root per invocation keeps the run replay-safe (append is
-    deliberately NOT idempotent — it is the ingestion primitive)."""
+    (rank-defined: vec_id <= the ceil(0.8n)-th smallest — exact on any
+    key distribution, unlike the approxQuantile cut this replaced)
+    builds a manifest-backed IVF index (vectors keyed on cell — probes
+    plan from the manifest's exact file list), the last 20% arrives
+    LATER as an O(batch) append-by-reference commit (nearest EXISTING
+    centroid, no refit, base files byte-untouched), and the final
+    top-k probes the appended index. Fully value-oracled from r13 on:
+    the base index comes from the deterministic fixed-round k-means,
+    the append assignment and probe selection use the decimal-exact
+    distance (exact=True), so the oracle replays fit -> persist ->
+    append -> probe -> re-rank end to end. The persistence contracts
+    stay pinned in tests/test_ivf_incremental.py (parity with the
+    in-memory path, by-reference append, bucket-pruned probe reads).
+    A fresh scratch root per invocation keeps the run replay-safe
+    (append is deliberately NOT idempotent — it is the ingestion
+    primitive)."""
+    import math
+
     from d365fo_db_sync_spark.operators.similarity import (
         ivf_append_incremental,
-        ivf_index,
+        ivf_index_deterministic,
         ivf_topk_incremental,
         ivf_write_incremental,
     )
     from d365fo_db_sync_spark.suite import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cut = emb.approxQuantile("vec_id", [0.8], 0.001)[0]
+    rank = math.ceil(0.8 * emb.count())
+    cut = (
+        emb.select("vec_id").orderBy("vec_id").limit(rank)
+        .agg(F.max("vec_id")).collect()[0][0]
+    )
     base, late = emb.filter(F.col("vec_id") <= cut), emb.filter(
         F.col("vec_id") > cut
     )
-    assigned, model = ivf_index(base, n_lists=16)
+    assigned, centers = ivf_index_deterministic(base, n_lists=16, rounds=2)
     root = scratch_dir("ivfinc_")
-    ivf_write_incremental(assigned, model, root)
-    ivf_append_incremental(spark, root, late)
-    return ivf_topk_incremental(
-        spark, root, _queries_frame(emb), k=_K, n_probes=4
+    ivf_write_incremental(assigned, centers, root)
+    ivf_append_incremental(spark, root, late, exact=True)
+    res = ivf_topk_incremental(
+        spark, root, _queries_frame(emb), k=_K, n_probes=4, exact=True
+    )
+    return res.select(
+        "query_id", "rnk", "neighbor_id", F.round("cosine", 4).alias("cosine")
     )
 
 

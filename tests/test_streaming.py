@@ -1534,3 +1534,32 @@ def test_classifier_scores_through_drift_monitor(spark, tmp_path):
     # the low-quality influx is visible drift
     total_psi = sum(r["psi_term"] for r in got_psi.values())
     assert total_psi > 0.25
+
+
+def test_frequent_items_stream_releases_checkpoint_blocks(spark, tmp_path):
+    """Each micro-batch's eager localCheckpoint must be unpersisted
+    once its sidecar is written (r12 ADVICE): over a long-running
+    stream, leaked checkpoint blocks accumulate without bound on
+    executors. After draining the stream, no RDD storage may remain."""
+    import os
+
+    from d365fo_db_sync_spark.streaming import FrequentItemsStreamPipeline
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            [(f"k{j % 5}",) for j in range(200)], "k string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+    pipe = FrequentItemsStreamPipeline(
+        str(tmp_path / "summ"), str(tmp_path / "ckpt"), ["k"],
+        min_fraction=0.05,
+    )
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(120)
+    stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(stored) == 0, [s.toString() for s in stored]
