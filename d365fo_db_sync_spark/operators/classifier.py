@@ -65,9 +65,12 @@ from d365fo_db_sync_spark.operators.dsir import _bucket, hashed_features
 __all__ = [
     "LogRegModel",
     "hashed_tf",
+    "histogram_from_partials",
     "influence_scores",
     "logreg_fit",
     "logreg_score",
+    "prob_partials",
+    "score_histogram",
 ]
 
 #: the per-stage quantization grids: scores/weights/probabilities
@@ -488,3 +491,68 @@ def influence_scores(
             ).alias("influence"),
         )
     )
+
+
+def prob_partials(
+    scored: DataFrame, n_bins: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Mergeable per-bin partials of a scored frame (logreg_score
+    output): ``(bin, n_docs, n_keep, sum_prob)`` with ``bin =
+    least(floor(prob * n_bins), n_bins - 1)`` (the calibration query's
+    binning) and ``sum_prob`` an exact DECIMAL(38,12) sum of the
+    already-quantized probabilities. Counts and decimal sums are
+    order-free exact, so partials from any split of the corpus
+    (micro-batches, shards) fold to the whole-corpus values — the
+    sidecar unit of ClassifierScoreStreamPipeline."""
+    b = F.least(
+        F.floor(F.col("prob") * F.lit(float(n_bins))).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    return scored.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(F.col("prob").cast(_Q_MODEL)).alias("sum_prob"),
+    )
+
+
+def histogram_from_partials(partials: DataFrame) -> DataFrame:
+    """Fold per-bin partials (any number of batches/shards) into the
+    final score histogram: ``(bin, n_docs, n_keep, mean_prob)``. The
+    fold is exact (integer counts + decimal sums), so the result over
+    N partial sets is IDENTICAL to the single-pass histogram over the
+    concatenated corpus — the shared tail of score_histogram and the
+    streaming view."""
+    return (
+        partials.groupBy("bin")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_keep").alias("n_keep"),
+            F.sum("sum_prob").alias("__sp"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_keep",
+            (F.col("__sp").cast("double") / F.col("n_docs").cast("double"))
+            .alias("mean_prob"),
+        )
+    )
+
+
+def score_histogram(
+    df: DataFrame,
+    model: LogRegModel,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score ``df`` with the frozen model and return the probability
+    histogram ``(bin, n_docs, n_keep, mean_prob)`` — the drift-ready
+    readout of a deployed classifier (score distribution shift is the
+    standard production drift signal for a frozen filter). One scoring
+    pass + one <= n_bins-partial combinable aggregate."""
+    scored = logreg_score(
+        df, model, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    return histogram_from_partials(prob_partials(scored, n_bins, id_col))

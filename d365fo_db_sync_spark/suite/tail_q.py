@@ -9802,3 +9802,71 @@ def similarity_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_comp",
         F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
     )
+
+
+@register(
+    "quality_classifier_score_stream",
+    oracle=f"""
+    WITH {_CLF_CTES},
+    scored AS (SELECT doc_id,
+                      CAST(CAST(1.0 / (1.0 + exp(-score)) AS DECIMAL(38,12))
+                           AS DOUBLE) AS prob
+               FROM clf),
+    binned AS (SELECT LEAST(CAST(FLOOR(prob * 10.0) AS INT), 9) AS bin,
+                      prob,
+                      CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END AS kp
+               FROM scored)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kp) AS BIGINT) AS n_keep,
+           CAST(SUM(CAST(prob AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             AS mean_prob
+    FROM binned GROUP BY bin
+    """,
+)
+def quality_classifier_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING trained-classifier scoring
+    (streaming.ClassifierScoreStreamPipeline — the r12 verdict's #7:
+    the one trained tier without a streaming twin): the model is
+    fitted in batch (the headline source-family instance, frozen),
+    then the corpus arrives in 4 micro-batches; each batch publishes
+    only <= 10 mergeable histogram partials (integer counts + exact
+    DECIMAL(38,12) prob sums), and histogram_view folds them through
+    the batch operator's own tail (classifier.histogram_from_partials).
+    Because counts and decimal sums fold exactly, the final state is
+    double-for-double classifier.score_histogram over the concatenated
+    stream — so this STREAMING query carries a full value oracle (the
+    fit replays as the shared _CLF_CTES chain, the histogram as plain
+    aggregation). The score histogram is the deployment drift signal:
+    a frozen filter's score distribution shifting flags input drift
+    without labels. Per-batch sidecar state: <= n_bins rows."""
+    from d365fo_db_sync_spark.operators.classifier import logreg_fit
+    from d365fo_db_sync_spark.streaming import ClassifierScoreStreamPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.coalesce(src_num < 10, F.lit(False)).alias("is_ref"),
+    )
+    model = logreg_fit(
+        labeled, "is_ref", m_buckets=1024, lr=2000.0, rounds=2, lr_bias=1.0
+    )
+    stream_docs = docs.select("doc_id", "text")
+    run_dir = scratch_dir("clfstream_")
+    src = f"{run_dir}/in"
+    for b in range(4):
+        stream_docs.filter(F.pmod("doc_id", F.lit(4)) == b).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/b{b}")
+    pipe = ClassifierScoreStreamPipeline(
+        model, f"{run_dir}/sidecar", f"{run_dir}/ckpt", n_bins=10
+    )
+    stream = (
+        spark.readStream.schema(stream_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(300)
+    return pipe.histogram_view(spark)

@@ -1563,3 +1563,67 @@ def test_frequent_items_stream_releases_checkpoint_blocks(spark, tmp_path):
     pipe.start(stream, available_now=True).awaitTermination(120)
     stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert len(stored) == 0, [s.toString() for s in stored]
+
+
+def test_classifier_score_stream_equals_batch_histogram(spark, tmp_path):
+    """ClassifierScoreStreamPipeline final state == classifier.
+    score_histogram over the concatenated stream, value for value:
+    the per-batch partials are integer counts + exact DECIMAL(38,12)
+    prob sums, so the fold across micro-batches is exact (the
+    CentroidDrift equivalence discipline for the trained tier)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.classifier import (
+        logreg_fit,
+        score_histogram,
+    )
+    from d365fo_db_sync_spark.streaming import ClassifierScoreStreamPipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    labeled = docs.select(
+        "doc_id", "text",
+        F.coalesce(src_num < 10, F.lit(False)).alias("is_ref"),
+    )
+    model = logreg_fit(
+        labeled, "is_ref", m_buckets=256, lr=2000.0, rounds=1, lr_bias=1.0
+    )
+    stream_docs = docs.select("doc_id", "text")
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for b in range(3):
+        stream_docs.filter(F.pmod("doc_id", F.lit(3)) == b).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/b{b}")
+    pipe = ClassifierScoreStreamPipeline(
+        model, str(tmp_path / "sidecar"), str(tmp_path / "ckpt"), n_bins=10
+    )
+    stream = (
+        spark.readStream.schema(stream_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    pipe.start(stream, available_now=True).awaitTermination(120)
+
+    got = {
+        r["bin"]: (r["n_docs"], r["n_keep"], r["mean_prob"])
+        for r in pipe.histogram_view(spark).collect()
+    }
+    want = {
+        r["bin"]: (r["n_docs"], r["n_keep"], r["mean_prob"])
+        for r in score_histogram(stream_docs, model, n_bins=10).collect()
+    }
+    assert got == want  # exact, not approximate
+    assert sum(v[0] for v in got.values()) == stream_docs.count()
+
+    # replay safety: re-publishing an existing batch_id is a no-op
+    batch0 = spark.read.parquet(f"{src}/b0")
+    pipe._handle_batch(batch0, 0)
+    again = {
+        r["bin"]: (r["n_docs"], r["n_keep"], r["mean_prob"])
+        for r in pipe.histogram_view(spark).collect()
+    }
+    assert again == want
