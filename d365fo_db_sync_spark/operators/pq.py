@@ -300,3 +300,270 @@ def ivf_pq_topk(
         .filter(F.col("rnk") <= kk)
         .select(query_id_col, "rnk", "neighbor_id", "cosine")
     )
+
+
+# --- deterministic (oracle-replayable) PQ path ---------------------------
+#
+# The numpy train/encode/ADC above is the production Arrow path; the
+# functions below re-express the SAME contract on the decimal-replay
+# discipline (operators/clustering.py): normalization, per-subspace
+# Lloyd rounds, code assignment and ADC scoring all reduce to exact
+# decimal sums + IEEE-identical scalar ops, so a SQL oracle unrolls
+# the entire fit+encode+search. Codebook init is the md5-order seed
+# pick (the clustering discipline) instead of a seeded permutation.
+
+_COMP_DEC = "decimal(28,12)"
+_DIST_DEC = "decimal(38,18)"
+
+
+def normalized_qvec(vec_col) -> "F.Column":
+    """L2-normalized, decimal-quantized vector column: components
+    quantize to DECIMAL(28,12), the squared norm is an exact
+    DECIMAL(38,18) term sum, the division is IEEE-exact given
+    identical operands, and the normalized components re-quantize to
+    the DECIMAL(28,12) grid — every step replays in SQL. Zero vectors
+    normalize to themselves (the numpy path's max(norm, eps) guard,
+    exactly expressible because the zero test runs on exact
+    decimals)."""
+    from d365fo_db_sync_spark.operators.clustering import quantized_vec
+
+    qv = quantized_vec(vec_col)
+    n2 = F.aggregate(
+        F.transform(qv, lambda x: (x * x).cast(_DIST_DEC)),
+        F.lit(0).cast(_DIST_DEC),
+        lambda acc, v: (acc + v).cast(_DIST_DEC),
+    )
+    nrm = F.sqrt(n2.cast("double"))
+    return F.when(n2 == F.lit(0).cast(_DIST_DEC), qv).otherwise(
+        F.transform(qv, lambda x: (x / nrm).cast(_COMP_DEC).cast("double"))
+    )
+
+
+def _codebook_frame(spark, centroids, d_sub: int) -> DataFrame:
+    """(sub, cw, spos, c) rows from nested centroid lists — m*k*d_sub
+    rows of model metadata, broadcast onto the exploded corpus."""
+    return spark.createDataFrame(
+        [
+            (j, ci, p, centroids[j][ci][p])
+            for j in range(len(centroids))
+            for ci in range(len(centroids[j]))
+            for p in range(d_sub)
+        ],
+        "sub int, cw int, spos int, c double",
+    )
+
+
+def _nv_exploded(
+    df: DataFrame, id_col: str, vec_col: str, d_sub: int
+) -> DataFrame:
+    """(id, sub, spos, comp): the normalized quantized components keyed
+    by subspace — the whole deterministic-PQ hot path runs on this
+    frame through codegen joins/aggregates (an earlier shape evaluated
+    m*k interpreted HOF folds per ROW and was ~100x slower)."""
+    return (
+        df.select(F.col(id_col), normalized_qvec(vec_col).alias("_nv"))
+        .select(id_col, F.posexplode("_nv").alias("pos", "comp"))
+        .select(
+            id_col,
+            (F.col("pos") / d_sub).cast("int").alias("sub"),
+            F.pmod("pos", F.lit(d_sub)).cast("int").alias("spos"),
+            "comp",
+        )
+    )
+
+
+def _codes_exploded(exp: DataFrame, cb: DataFrame, id_col: str) -> DataFrame:
+    """(id, sub, cw) nearest codeword per (vector, subspace): broadcast
+    codebook join, one combinable (id, sub, cw)-keyed exact decimal
+    distance aggregate, argmin as a rank window (ties toward the
+    smaller code — the clustering discipline)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    d = (
+        exp.join(broadcast(cb), on=["sub", "spos"])
+        .groupBy(id_col, "sub", "cw")
+        .agg(
+            F.sum(
+                ((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c")))
+                .cast(_DIST_DEC)
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("d", "cw")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub", "cw")
+    )
+
+
+def pq_train_deterministic(
+    df: DataFrame,
+    m: int = 16,
+    k: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQCodebooks:
+    """Per-subspace codebooks via GROUPED fixed-round Lloyd's over the
+    FULL corpus — all m subspaces fit in the same jobs, with the
+    clustering.kmeans_fit exactness toolkit: md5-order seed rows,
+    DECIMAL(28,12) component/centroid grids, exact DECIMAL(38,18)
+    distances, argmin ties toward the smaller code, empty codewords
+    keeping their previous centroid. Per round: one combinable
+    distance aggregate + one rank window (assignment), one combinable
+    (sub, code, dim)-keyed mean aggregate + an m*k*d_sub-row bounded
+    collect (update). The exploded normalized corpus is materialized
+    ONCE (localCheckpoint, released on exit) and reused by every
+    round. Unlike pq_train's driver-sample numpy fit, every number
+    replays as unrolled SQL CTEs."""
+    from d365fo_db_sync_spark.session import release_local_checkpoint
+
+    spark = df.sparkSession
+    first = df.select(F.col(vec_col)).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    seeds = (
+        df.select(F.col(id_col).alias("_id"), normalized_qvec(vec_col).alias("_nv"))
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [
+        [list(r._nv[j * d_sub : (j + 1) * d_sub]) for r in seeds]
+        for j in range(m)
+    ]
+    exp = _nv_exploded(df, id_col, vec_col, d_sub).localCheckpoint(eager=True)
+    try:
+        for _ in range(rounds):
+            cb = _codebook_frame(spark, centroids, d_sub)
+            codes = _codes_exploded(exp, cb, id_col)
+            upd = (
+                codes.join(exp, on=[id_col, "sub"])
+                .groupBy("sub", "cw", "spos")
+                .agg(
+                    F.sum(F.col("comp").cast(_COMP_DEC)).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .select(
+                    "sub",
+                    "cw",
+                    "spos",
+                    (F.col("s").cast("double") / F.col("n").cast("double"))
+                    .cast(_COMP_DEC)
+                    .cast("double")
+                    .alias("c"),
+                )
+                .collect()
+            )
+            new = {(r.sub, r.cw, r.spos): r.c for r in upd}
+            centroids = [
+                [
+                    [
+                        new.get((j, ci, p), centroids[j][ci][p])
+                        for p in range(d_sub)
+                    ]
+                    for ci in range(k)
+                ]
+                for j in range(m)
+            ]
+    finally:
+        release_local_checkpoint(exp)
+    return PQCodebooks(m=m, k=k, dim=dim, centroids=tuple(centroids))
+
+
+def pq_encode_exact(
+    df: DataFrame,
+    books: PQCodebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) via exact decimal argmin — pq_encode's
+    oracle-replayable twin. One broadcast codebook join + one
+    combinable distance aggregate + the argmin rank window + a
+    per-vector collect_list (sub-sorted, so the array is positional)."""
+    spark = df.sparkSession
+    d_sub = books.dim // books.m
+    cb = _codebook_frame(spark, list(books.centroids), d_sub)
+    exp = _nv_exploded(df, id_col, vec_col, d_sub)
+    codes = _codes_exploded(exp, cb, id_col)
+    return codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cw"))),
+            lambda t: t["cw"],
+        ).alias("codes")
+    )
+
+
+def pq_topk_exact(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: PQCodebooks,
+    kk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k with exact decimal lookup tables — pq_topk's
+    oracle-replayable twin. The per-(query, subspace, codeword) LUT is
+    built distributed (the query side is small by construction) and
+    broadcast onto the exploded corpus codes; the per-pair ADC
+    distance is an exact decimal sum of m LUT entries, so ranking ties
+    cannot drift cross-engine. One broadcast join + one (query,
+    neighbor)-keyed combinable aggregate + the rank window."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    spark = encoded.sparkSession
+    d_sub = books.dim // books.m
+    cb = spark.createDataFrame(
+        [
+            (j, ci, p, books.centroids[j][ci][p])
+            for j in range(books.m)
+            for ci in range(books.k)
+            for p in range(d_sub)
+        ],
+        "sub int, cw int, spos int, c double",
+    )
+    qn = queries.select(
+        F.col(query_id_col), normalized_qvec(vec_col).alias("_nv")
+    )
+    qexp = qn.select(
+        query_id_col, F.posexplode("_nv").alias("pos", "comp")
+    ).select(
+        query_id_col,
+        (F.col("pos") / d_sub).cast("int").alias("sub"),
+        F.pmod("pos", F.lit(d_sub)).cast("int").alias("spos"),
+        "comp",
+    )
+    lut = (
+        qexp.join(broadcast(cb), on=["sub", "spos"])
+        .groupBy(query_id_col, "sub", "cw")
+        .agg(
+            F.sum(
+                ((F.col("comp") - F.col("c")) * (F.col("comp") - F.col("c")))
+                .cast(_DIST_DEC)
+            ).alias("d")
+        )
+    )
+    codes = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "cw"),
+    )
+    scored = (
+        codes.join(broadcast(lut), on=["sub", "cw"])
+        .groupBy(query_id_col, "neighbor_id")
+        .agg(F.sum("d").cast("double").alias("adc_dist"))
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= kk)
+        .select(query_id_col, "rnk", "neighbor_id", "adc_dist")
+    )

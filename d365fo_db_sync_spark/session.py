@@ -60,3 +60,17 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_local_checkpoint(df) -> None:
+    """Free an eager ``localCheckpoint()``'s executor blocks once the
+    frame is fully consumed: the checkpointed plan's root is a
+    LogicalRDD whose RDD the checkpoint persisted — unpersist it.
+    Best-effort over py4j internals (a cleanup miss must never kill
+    the caller; the blocks then die with the executor). Canonical
+    home for the streaming sidecar pipelines' and the iterative batch
+    fitters' per-pass cleanup."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

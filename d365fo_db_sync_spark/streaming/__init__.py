@@ -23,19 +23,13 @@ from d365fo_db_sync_spark.sinks import ParquetTarget
 from d365fo_db_sync_spark.sync import SyncEngine
 
 
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Free an eager ``localCheckpoint()``'s executor blocks once the
-    frame is fully consumed: the checkpointed plan's root is a
-    LogicalRDD whose RDD the checkpoint persisted — unpersist it.
-    Without this, a long-running stream accumulates one set of
-    checkpoint blocks per micro-batch without bound (r12 ADVICE).
-    Best-effort over py4j internals: cleanup must never kill the
-    stream, so misses are swallowed (the blocks then die with the
-    executor, the pre-fix behavior)."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# canonical implementation lives in session.py (operators need it too);
+# streaming pipelines release their per-micro-batch checkpoint blocks
+# through this name (r12 ADVICE: without it, a long-running stream
+# accumulates checkpoint blocks without bound)
+from d365fo_db_sync_spark.session import (  # noqa: E402
+    release_local_checkpoint as _release_local_checkpoint,
+)
 
 
 class CdcStreamPipeline:

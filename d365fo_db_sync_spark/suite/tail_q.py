@@ -1589,27 +1589,131 @@ def fuzzy_part_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.fuzzy_self_match(part, "p_partkey", "p_name", max_dist=1)
 
 
-@register("similarity_pq_topk", oracle=None)
+def _pq_ctes(m: int, k: int, rounds: int) -> str:
+    """Unrolled CTE chain replaying the deterministic PQ path
+    (pq.pq_train_deterministic + pq_encode_exact) bit-for-bit: L2
+    normalization through exact decimal sums (zero vectors normalize
+    to themselves), md5-order seed codewords, grouped per-subspace
+    Lloyd rounds on the _kmeans_ctes discipline, and the final code
+    assignment. Ends with ``pq_nv`` (normalized components keyed
+    (vec_id, sub, spos)), ``pq_c{rounds}`` (the codebooks) and
+    ``pq_af`` (the per-(vec, sub) codes)."""
+    d_sub = 64 // m
+
+    def dist(prev: str, name: str) -> str:
+        return f"""
+    {name} AS (SELECT v.vec_id, v.sub, c.cw,
+                      SUM(CAST((CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
+                               * (CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
+                               AS DECIMAL(38,18))) AS dist
+               FROM pq_nv v JOIN {prev} c USING (sub, spos)
+               GROUP BY 1, 2, 3)"""
+
+    parts = [
+        f"""
+    pq_ve AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,12))
+                       AS comp
+              FROM embeddings),
+    pq_n2 AS (SELECT vec_id,
+                     SUM(CAST(CAST(comp AS DOUBLE) * CAST(comp AS DOUBLE)
+                              AS DECIMAL(38,18))) AS n2
+              FROM pq_ve GROUP BY 1),
+    pq_nv AS (SELECT vec_id,
+                     CAST(pos // {d_sub} AS INT) AS sub,
+                     CAST(pos % {d_sub} AS INT) AS spos,
+                     CASE WHEN n2 = 0 THEN comp
+                          ELSE CAST(CAST(comp AS DOUBLE)
+                                    / sqrt(CAST(n2 AS DOUBLE))
+                                    AS DECIMAL(28,12)) END AS comp
+              FROM pq_ve JOIN pq_n2 USING (vec_id)),
+    pq_sd AS (SELECT vec_id,
+                     ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                        vec_id) - 1 AS cw
+              FROM embeddings),
+    pq_c0 AS (SELECT n.sub, s.cw, n.spos, n.comp
+              FROM pq_sd s JOIN pq_nv n USING (vec_id) WHERE s.cw < {k})"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(dist(f"pq_c{r - 1}", f"pq_d{r}"))
+        parts.append(f"""
+    pq_a{r} AS (SELECT vec_id, sub, cw FROM
+                  (SELECT vec_id, sub, cw,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY dist, cw) AS rn
+                   FROM pq_d{r}) WHERE rn = 1),
+    pq_u{r} AS (SELECT a.sub, a.cw, n.spos,
+                       CAST(CAST(SUM(n.comp) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE)
+                            AS DECIMAL(28,12)) AS comp
+                FROM pq_a{r} a JOIN pq_nv n
+                  ON a.vec_id = n.vec_id AND a.sub = n.sub
+                GROUP BY 1, 2, 3),
+    pq_c{r} AS (SELECT p.sub, p.cw, p.spos, COALESCE(u.comp, p.comp) AS comp
+                FROM pq_c{r - 1} p LEFT JOIN pq_u{r} u
+                  USING (sub, cw, spos))""")
+    parts.append(dist(f"pq_c{rounds}", "pq_df"))
+    parts.append("""
+    pq_af AS (SELECT vec_id, sub, cw FROM
+                (SELECT vec_id, sub, cw,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY dist, cw) AS rn
+                 FROM pq_df) WHERE rn = 1)""")
+    return ",".join(parts)
+
+
+@register(
+    "similarity_pq_topk",
+    oracle=f"""
+    WITH {_pq_ctes(16, 16, 2)},
+    pq_lut AS (SELECT v.vec_id AS query_id, v.sub, c.cw,
+                      SUM(CAST((CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
+                               * (CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
+                               AS DECIMAL(38,18))) AS d
+               FROM pq_nv v JOIN pq_c2 c USING (sub, spos)
+               WHERE v.vec_id % 50 = 0
+               GROUP BY 1, 2, 3),
+    pq_adc AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+                      SUM(l.d) AS dist
+               FROM pq_af a JOIN pq_lut l USING (sub, cw)
+               WHERE l.query_id <> a.vec_id
+               GROUP BY 1, 2),
+    ranked AS (SELECT query_id, neighbor_id, dist,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY dist, neighbor_id) AS rnk
+               FROM pq_adc)
+    SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id,
+           CAST(dist AS DOUBLE) AS adc_dist
+    FROM ranked WHERE rnk <= 10
+    """,
+)
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py, after Jégou et al.
-    2011): per-subspace codebooks from a driver sample, one Arrow-pass
-    encode (64 floats -> 16 byte-codes: 16x storage), ADC top-k via
-    per-query lookup tables with per-batch partial top-k before the
-    single rank shuffle. Rows-only: k-means training + ADC are float
-    pipelines no SQL oracle reproduces; recall vs the exact cosine
-    top-k and determinism are pinned in tests/test_pq.py (measured
-    recall@10 0.31-0.40 on THIS corpus's near-random vectors — real
-    embedding distributions quantize far better; the anchor here is
-    far-above-chance ranking + exact plumbing)."""
+    2011): per-subspace codebooks (64 floats -> 16 codes: 16x
+    storage), ADC top-k via per-query lookup tables. Fully
+    value-oracled from r13 on: codebooks come from the GROUPED
+    deterministic fixed-round Lloyd's (pq_train_deterministic — all 16
+    subspaces fit in the same combinable aggregate per round, the
+    clustering.kmeans_fit exactness toolkit), encode is the exact
+    decimal argmin, and the ADC distance is an exact decimal sum of m
+    LUT entries — the oracle unrolls normalization, fit, encode and
+    search end to end. The production Arrow/numpy path (pq_train /
+    pq_encode / pq_topk — the 100 TB hot path: GEMM fit on a driver
+    sample, fancy-indexed ADC with per-batch partial top-k) stays
+    pinned by tests/test_pq.py; both paths land recall@10 0.31-0.40 on
+    THIS corpus's near-random vectors (real embedding distributions
+    quantize far better; the anchor is far-above-chance ranking +
+    exact plumbing, deterministic-path recall pinned in
+    tests/test_pq.py::test_deterministic_pq_recall)."""
     from d365fo_db_sync_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq.pq_train(emb, m=16, k=16, sample_limit=2000, iters=8)
+    books = pq.pq_train_deterministic(emb, m=16, k=16, rounds=2)
     queries = emb.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    enc = pq.pq_encode(emb, books)
-    return pq.pq_topk(enc, queries, books, kk=10)
+    enc = pq.pq_encode_exact(emb, books)
+    return pq.pq_topk_exact(enc, queries, books, kk=10)
 
 
 _FUNNEL_ORACLE = _CURATION_CTES + """
@@ -9738,6 +9842,7 @@ _KM_CTES = _kmeans_ctes(_KM_K, 2)
     SELECT vec_id, CAST(cell AS INT) AS cell, CAST(dist AS DOUBLE) AS sq_dist
     FROM km_af
     """,
+    bench=True,
 )
 def similarity_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-round k-means over the embeddings corpus

@@ -143,3 +143,62 @@ def test_ivf_pq_rerank_composition(spark, emb, books):
     hits = sum(len(got[q] & truth[q]) for q in truth)
     total = sum(len(truth[q]) for q in truth)
     assert hits / total >= 0.4, f"recall {hits/total:.2f}"
+
+
+@pytest.fixture(scope="module")
+def det_books(emb):
+    # the suite instance's shape (m=16): with the md5-order seed pick,
+    # m=8's 8-dim subspaces land ~0.25 recall on this near-random
+    # corpus where m=16 lands ~0.4 — the fixed-seed tradeoff
+    return pq.pq_train_deterministic(emb, m=16, k=16, rounds=2)
+
+
+def test_deterministic_pq_codes_valid_and_deterministic(emb, det_books):
+    assert det_books.m == 16 and det_books.k == 16 and det_books.dim == 64
+    enc = pq.pq_encode_exact(emb, det_books).collect()
+    assert len(enc) == emb.count()
+    assert all(
+        len(r["codes"]) == 16 and all(0 <= c < 16 for c in r["codes"])
+        for r in enc
+    )
+    again = pq.pq_train_deterministic(emb, m=16, k=16, rounds=2)
+    assert det_books.centroids == again.centroids  # bit-identical
+
+
+def test_deterministic_pq_recall(emb, det_books):
+    """The oracle-replayable PQ path holds the numpy path's recall bar
+    (>= 0.3 @10 on this near-random corpus; chance is ~2%) — the
+    equivalence the suite's value-oracled similarity_pq_topk rests
+    on."""
+    queries = emb.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    enc = pq.pq_encode_exact(emb, det_books)
+    approx = pq.pq_topk_exact(enc, queries, det_books, kk=10)
+    got: dict[int, set] = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(truth)
+    hits = sum(len(got[q] & truth[q]) for q in truth)
+    recall = hits / sum(len(truth[q]) for q in truth)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+
+
+def test_normalized_qvec_zero_vector_guard(spark):
+    """A zero vector normalizes to itself (the numpy path's
+    max(norm, eps) guard) instead of NaN-ing the codes."""
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    rows = df.select(
+        "vec_id", pq.normalized_qvec("embedding").alias("nv")
+    ).collect()
+    by_id = {r["vec_id"]: r["nv"] for r in rows}
+    assert by_id[0] == [0.0] * 8
+    import math
+    assert all(not math.isnan(x) for x in by_id[1])
+    assert abs(sum(x * x for x in by_id[1]) - 1.0) < 1e-9

@@ -1560,8 +1560,18 @@ def test_frequent_items_stream_releases_checkpoint_blocks(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
+    # delta-based: other operators in this shared session may hold
+    # their own (batch-scoped) checkpoint blocks — the invariant under
+    # test is that THIS stream adds none
+    before = {
+        s.id() for s in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
     pipe.start(stream, available_now=True).awaitTermination(120)
-    stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    stored = [
+        s
+        for s in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if s.id() not in before
+    ]
     assert len(stored) == 0, [s.toString() for s in stored]
 
 
