@@ -64,12 +64,28 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidates(docs, "doc_id", "text", bands=4)
 
 
-@register("similarity_near_dup_lsh", oracle=None)
+def _near_dup_lsh_oracle() -> str:
+    from d365fo_db_sync_spark.suite.similarity_q import _bucket_sql
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {_bucket_sql("e")} AS bucket FROM v)
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, bb.e), 6) AS cosine
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE ROUND(list_cosine_similarity(a.e, bb.e), 6) >= 0.4
+    """
+
+
+@register("similarity_near_dup_lsh", oracle=_near_dup_lsh_oracle())
 def similarity_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via the LSH bucket join — approximate
     (pairs split across buckets are missed; recall rises with fewer
-    bits). Rows-only check here; pytest asserts it returns a subset of
-    the exact pair set with matching cosines."""
+    bits). Value-oracled from r13 on: the hyperplanes are
+    deterministic module literals (the similarity_cosine_topk_lsh
+    precedent), so DuckDB computes the same buckets and the same
+    6-dp-rounded cosines — the pair set value-hashes end to end;
+    pytest additionally pins it as a subset of the exact pair set."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(emb, threshold=0.4, bits=_BITS, dim=_DIM)
 
