@@ -148,3 +148,106 @@ def rrf_fuse(
         .filter(F.col("rnk") <= k)
         .select(query_id, "rnk", item_id, "n_lists", "rrf_score")
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rnk",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranking quality of a retrieval run — the standard IR
+    eval readout (TREC conventions; Järvelin & Kekäläinen 2002 for
+    NDCG): given ranked ``results`` (query, doc, 1-based rank) and
+    graded relevance labels ``qrels`` (query, doc, integer rel > 0),
+    returns per query
+
+    * ``n_rel`` — labeled-relevant docs for the query,
+    * ``hits_at_k`` / ``recall_at_k`` / ``precision_at_k``,
+    * ``rr`` — reciprocal rank of the first relevant hit (0 if none;
+      MRR is its mean),
+    * ``dcg_at_k`` / ``idcg_at_k`` / ``ndcg_at_k`` — graded, gain
+      ``2^rel - 1``, ``log2(rank+1)`` discount; NDCG is NULL when the
+      query has no labeled-relevant docs.
+
+    Exactness: every DCG term quantizes through DECIMAL(38,12) BEFORE
+    the sum (the decimal-replay re-synchronization barrier — libm
+    ``log2`` may differ across engines in the last ulp, and double
+    SUM order is undefined; the quantized decimal sum is exact and
+    order-free), so a SQL oracle value-checks every metric. The ideal
+    ordering ties break on the doc id — deterministic in both engines.
+
+    Scale shape: one broadcast-able join of the top-k slice against
+    qrels (both bounded by queries x k / queries x labels — metadata
+    next to the corpus), two combinable per-query aggregates, one
+    rank window over qrels for the ideal ordering. The corpus itself
+    is never touched — this consumes a retrieval RUN."""
+    term_dec = "decimal(38,12)"
+    topk = results.filter(F.col(rank_col) <= k).select(
+        query_col, doc_col, rank_col
+    )
+    labeled = qrels.filter(F.col(rel_col) > 0).select(
+        query_col, doc_col, rel_col
+    )
+    j = topk.join(labeled, on=[query_col, doc_col], how="left")
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)
+    dterm = (gain / F.log2(F.col(rank_col).cast("double") + F.lit(1.0))).cast(
+        term_dec
+    )
+    per_q = j.groupBy(query_col).agg(
+        F.count(F.when(F.col(rel_col).isNotNull(), 1)).alias("hits_at_k"),
+        F.min(F.when(F.col(rel_col).isNotNull(), F.col(rank_col))).alias(
+            "__first"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col(rel_col).isNotNull(), dterm)),
+            F.lit(0).cast(term_dec),
+        ).alias("__dcg"),
+    )
+    n_rel = labeled.groupBy(query_col).agg(F.count("*").alias("n_rel"))
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(rel_col), F.asc(doc_col)
+    )
+    ideal = (
+        labeled.withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= k)
+        .select(
+            query_col,
+            (
+                (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0))
+                / F.log2(F.col("__pos").cast("double") + F.lit(1.0))
+            )
+            .cast(term_dec)
+            .alias("__it"),
+        )
+        .groupBy(query_col)
+        .agg(F.sum("__it").alias("__idcg"))
+    )
+    return (
+        per_q.join(n_rel, on=query_col, how="left")
+        .join(ideal, on=query_col, how="left")
+        .select(
+            query_col,
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            F.col("hits_at_k").cast("long").alias("hits_at_k"),
+            (
+                F.col("hits_at_k").cast("double")
+                / F.nullif(F.col("n_rel"), F.lit(0)).cast("double")
+            ).alias("recall_at_k"),
+            (F.col("hits_at_k").cast("double") / F.lit(float(k))).alias(
+                "precision_at_k"
+            ),
+            F.coalesce(
+                F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
+            ).alias("rr"),
+            F.col("__dcg").cast("double").alias("dcg_at_k"),
+            F.col("__idcg").cast("double").alias("idcg_at_k"),
+            (
+                F.col("__dcg").cast("double")
+                / F.col("__idcg").cast("double")
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -134,6 +134,6 @@ def similarity_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs_exact(emb, threshold=0.4)
 
 
-# similarity_near_dup_lsh and similarity_cosine_topk_ivf (rows-only)
-# live in suite.tail_q so the oracled queries stay contiguous at the
-# head of registration order.
+# similarity_near_dup_lsh and similarity_cosine_topk_ivf live in
+# suite.tail_q (both fully value-oracled since r13 — deterministic
+# hyperplane literals / decimal-replay k-means).

@@ -9991,3 +9991,94 @@ def quality_classifier_score_stream(spark: SparkSession, sf_dir: str) -> DataFra
     )
     pipe.start(stream, available_now=True).awaitTermination(300)
     return pipe.histogram_view(spark)
+
+
+@register(
+    "retrieval_ranking_metrics",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlab, e AS qe
+          FROM v WHERE vec_id % 25 = 0),
+    scored AS (SELECT q.query_id, v.vec_id AS doc_id,
+                      list_cosine_similarity(q.qe, v.e) AS c
+               FROM q JOIN v ON q.query_id <> v.vec_id),
+    res AS (SELECT query_id, doc_id, rnk FROM
+              (SELECT query_id, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY c DESC, doc_id) AS rnk
+               FROM scored) WHERE rnk <= 10),
+    lab AS (SELECT q.query_id, v.vec_id AS doc_id,
+                   1 + CAST(v.vec_id % 2 AS INT) AS rel
+            FROM q JOIN v ON q.qlab = v.label AND q.query_id <> v.vec_id),
+    jn AS (SELECT r.query_id, r.rnk, l.rel
+           FROM res r LEFT JOIN lab l USING (query_id, doc_id)),
+    perq AS (SELECT query_id,
+                    COUNT(CASE WHEN rel IS NOT NULL THEN 1 END) AS hits_at_k,
+                    MIN(CASE WHEN rel IS NOT NULL THEN rnk END) AS first_rel,
+                    COALESCE(SUM(CASE WHEN rel IS NOT NULL THEN
+                      CAST((POWER(2.0, rel) - 1.0)
+                           / log2(CAST(rnk AS DOUBLE) + 1.0)
+                           AS DECIMAL(38,12)) END),
+                      CAST(0 AS DECIMAL(38,12))) AS dcg
+             FROM jn GROUP BY 1),
+    nr AS (SELECT query_id, COUNT(*) AS n_rel FROM lab GROUP BY 1),
+    idl AS (SELECT query_id, SUM(it) AS idcg FROM
+              (SELECT query_id,
+                      CAST((POWER(2.0, rel) - 1.0)
+                           / log2(CAST(pos AS DOUBLE) + 1.0)
+                           AS DECIMAL(38,12)) AS it
+               FROM (SELECT query_id, rel, doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                                               ORDER BY rel DESC, doc_id)
+                              AS pos
+                     FROM lab)
+               WHERE pos <= 10)
+            GROUP BY 1)
+    SELECT p.query_id,
+           CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(p.hits_at_k AS BIGINT) AS hits_at_k,
+           CAST(p.hits_at_k AS DOUBLE) / CAST(NULLIF(n.n_rel, 0) AS DOUBLE)
+             AS recall_at_k,
+           CAST(p.hits_at_k AS DOUBLE) / 10.0 AS precision_at_k,
+           COALESCE(1.0 / CAST(p.first_rel AS DOUBLE), 0.0) AS rr,
+           CAST(p.dcg AS DOUBLE) AS dcg_at_k,
+           CAST(i.idcg AS DOUBLE) AS idcg_at_k,
+           CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) AS ndcg_at_k
+    FROM perq p LEFT JOIN nr n USING (query_id)
+    LEFT JOIN idl i USING (query_id)
+    """,
+)
+def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval of a retrieval run
+    (operators/retrieval.ranking_metrics — TREC conventions, NDCG per
+    Järvelin & Kekäläinen 2002): the exact cosine top-10 run over the
+    embeddings corpus is scored against label-derived graded qrels
+    (same-label docs are relevant, grade 1 + (vec_id % 2)), yielding
+    per-query hits/recall/precision@10, reciprocal rank, and
+    DCG/IDCG/NDCG@10. Every DCG term quantizes through DECIMAL(38,12)
+    before an exact order-free sum (libm log2 may differ in the last
+    ulp across engines; the quantization is the re-synchronization
+    barrier), so the whole readout value-hashes. Scale shape: consumes
+    the RUN (queries x k rows) and the label table — two broadcast-able
+    joins + two combinable per-query aggregates + one rank window over
+    qrels; the corpus itself is never touched."""
+    from d365fo_db_sync_spark.operators.retrieval import ranking_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = similarity.cosine_topk_bruteforce(
+        emb, _queries_frame(emb), k=10, id_col="vec_id",
+        query_id_col="query_id",
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rnk")
+    q = emb.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
+    )
+    qrels = q.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"),
+        (F.col("qlab") == F.col("label"))
+        & (F.col("query_id") != F.col("doc_id")),
+    ).select(
+        "query_id",
+        "doc_id",
+        (F.lit(1) + F.pmod("doc_id", F.lit(2)).cast("int")).alias("rel"),
+    )
+    return ranking_metrics(run, qrels, k=10)
