@@ -97,6 +97,57 @@ def _argmin_cell(qvec: Column, centers: list[list[float]]) -> Column:
     )
 
 
+def exploded_components(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(_id, _pos, _comp): the quantized components as rows — the
+    codegen assignment/fit hot path runs on this frame through joins
+    and combinable aggregates (pq._nv_exploded's lesson: the map-only
+    per-row shape evaluates k*dim interpreted HOF folds per row)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(quantized_vec(vec_col)).alias("_pos", "_comp"),
+    )
+
+
+def _assign_exploded(
+    ve: DataFrame, centers: list[list[float]], with_dist: bool = False
+) -> DataFrame:
+    """(_id, cell[, _d]) nearest centroid per vector from the exploded
+    frame: k per-cell exact decimal distance sums in ONE combinable
+    groupBy(_id) aggregate (centroid components ride as array
+    literals indexed by _pos — no join, no broadcast; map-side
+    partials collapse the shuffle to k decimals per vector), argmin as
+    an array_min over (dist, cell) structs in the following projection
+    — ONE shuffle, no rank window, all whole-stage codegen.
+    Value-identical to the interpreted decimal_sq_dist/_argmin_cell
+    fold (same per-term double product, same DECIMAL(38,18)
+    quantization before an exact order-free sum, same (dist, cell)
+    tie-break)."""
+
+    def term(ci: int):
+        e = F.col("_comp") - F.element_at(F.lit(centers[ci]), F.col("_pos") + 1)
+        return F.sum((e * e).cast(_DIST_DEC)).alias(f"_d{ci}")
+
+    agg = ve.groupBy("_id").agg(*[term(ci) for ci in range(len(centers))])
+    near = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_d{ci}").alias("d"),
+                    F.lit(ci).cast("int").alias("cell"),
+                )
+                for ci in range(len(centers))
+            ]
+        )
+    )
+    r = agg.select("_id", near.alias("_near"))
+    cols = [F.col("_id"), F.col("_near")["cell"].alias("cell")]
+    if with_dist:
+        cols.append(F.col("_near")["d"].alias("_d"))
+    return r.select(*cols)
+
+
 def kmeans_seed_centers(
     df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[list[float]]:
@@ -118,27 +169,66 @@ def kmeans_fit(
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_n: int | None = None,
 ) -> list[list[float]]:
     """Fixed-round deterministic Lloyd's: returns the final centroids
-    as k lists of DECIMAL(28,12)-valued doubles. Per round: map-only
-    assignment against the previous centroids, ONE combinable
-    (cell, dim)-keyed mean aggregate, one k*dim-row collect. Exactly
-    ``rounds`` rounds — no convergence loop, so a SQL oracle unrolls
-    the identical chain."""
-    centers = kmeans_seed_centers(df, k, id_col, vec_col)
-    base = df.select(quantized_vec(vec_col).alias("_qv"))
-    for _ in range(rounds):
-        assigned = base.withColumn("_cell", _argmin_cell(F.col("_qv"), centers))
-        upd = (
-            assigned.select(
-                F.col("_cell")["cell"].alias("cell"),
-                F.posexplode("_qv").alias("pos", "comp"),
+    as k lists of DECIMAL(28,12)-valued doubles. Per round: codegen
+    assignment against the previous centroids (exploded broadcast
+    join + ONE combinable (_id, cell)-keyed exact decimal aggregate +
+    rank window — r14; the r13 shape evaluated k*dim interpreted HOF
+    folds per row), ONE combinable (cell, dim)-keyed mean aggregate,
+    one k*dim-row collect. Exactly ``rounds`` rounds — no convergence
+    loop, so a SQL oracle unrolls the identical chain.
+
+    ``sample_n`` fits on the deterministic md5-order sample instead of
+    the full corpus (the suite's hash-order ``sampling`` discipline:
+    the ``sample_n`` ids smallest by ``(md5(id), id)`` — a superset of
+    the k seeds, so seeding is unchanged). Centroid quality needs only
+    a bounded sample (the pq codebook argument: ~100k vectors suffice
+    at any corpus size), and at 100 TB fitting on the full corpus per
+    round is the CPU hot spot — pass sample_n there, always. The
+    sample replays in a SQL oracle as the same ORDER BY md5 LIMIT,
+    and the fit itself runs DRIVER-SIDE on the collected sample (ONE
+    TakeOrderedAndProject job; the production numpy PQ path fits its
+    codebooks on a driver sample for the same reason) with exact
+    Decimal arithmetic bit-identical to the distributed rounds —
+    pinned by tests/test_clustering.py's covering-sample equality."""
+    if sample_n is not None:
+        if sample_n < k:
+            raise ValueError(f"sample_n={sample_n} must be >= k={k}")
+        rows = (
+            df.select(
+                F.col(id_col).alias("_id"), quantized_vec(vec_col).alias("_qv")
             )
-            .groupBy("cell", "pos")
-            .agg(F.sum(F.col("comp").cast(_COMP_DEC)).alias("s"), F.count("*").alias("n"))
+            .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+            .limit(sample_n)
+            .collect()
+        )
+        sample = [list(r._qv) for r in rows]
+        if len(sample) < k:
+            raise ValueError(
+                f"kmeans_fit: corpus has only {len(sample)} rows, "
+                f"fewer than k={k}"
+            )
+        return _driver_lloyd(sample, [list(v) for v in sample[:k]], rounds)
+    centers = kmeans_seed_centers(df, k, id_col, vec_col)
+    if len(centers) < k:
+        raise ValueError(
+            f"kmeans_fit: corpus has only {len(centers)} rows, fewer than k={k}"
+        )
+    ve = exploded_components(df, id_col, vec_col)
+    for _ in range(rounds):
+        a = _assign_exploded(ve, centers)
+        upd = (
+            a.join(ve, on="_id")
+            .groupBy("cell", "_pos")
+            .agg(
+                F.sum(F.col("_comp").cast(_COMP_DEC)).alias("s"),
+                F.count("*").alias("n"),
+            )
             .select(
                 "cell",
-                "pos",
+                F.col("_pos").alias("pos"),
                 (F.col("s").cast("double") / F.col("n").cast("double"))
                 .cast(_COMP_DEC)
                 .cast("double")
@@ -154,6 +244,87 @@ def kmeans_fit(
     return centers
 
 
+def _driver_lloyd(
+    sample: list[list[float]], centers: list[list[float]], rounds: int
+) -> list[list[float]]:
+    """Pure-Python exact replay of the fixed Lloyd rounds on the
+    collected sample — bit-identical to the distributed/SQL chain
+    because every step mirrors the engines' decimal semantics:
+
+    * per-term distance = ``(x - c) * (x - c)`` in IEEE double, then
+      quantized to the DECIMAL(38,18) grid via the double's SHORTEST
+      decimal repr (``Decimal(repr(t))`` == Spark's
+      ``BigDecimal.valueOf`` cast path), summed exactly;
+    * argmin strictly-less over ascending cells == the (dist, cell)
+      tie-break;
+    * mean = ``float(exact decimal sum) / n`` (one IEEE division on
+      identical operands) re-quantized to DECIMAL(28,12); ``+ 0.0``
+      folds a Python ``-0.0`` into the engines' unsigned-zero
+      decimals; empty cells keep their previous centroid."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q12, q18 = Decimal("1e-12"), Decimal("1e-18")
+    zero = Decimal(0)
+    k = len(centers)
+    for _ in range(rounds):
+        sums: list[list[Decimal]] = [
+            [zero] * len(c) for c in centers
+        ]
+        cnts = [0] * k
+        for v in sample:
+            best_d, best_c = None, 0
+            for ci in range(k):
+                c = centers[ci]
+                dist = zero
+                for x, y in zip(v, c):
+                    t = (x - y) * (x - y)
+                    dist += Decimal(repr(t)).quantize(q18, ROUND_HALF_UP)
+                if best_d is None or dist < best_d:
+                    best_d, best_c = dist, ci
+            cnts[best_c] += 1
+            s = sums[best_c]
+            for p, x in enumerate(v):
+                s[p] += Decimal(repr(x)).quantize(q12, ROUND_HALF_UP)
+        centers = [
+            [
+                float(
+                    Decimal(repr(float(sums[ci][p]) / cnts[ci])).quantize(
+                        q12, ROUND_HALF_UP
+                    )
+                )
+                + 0.0
+                if cnts[ci]
+                else centers[ci][p]
+                for p in range(len(centers[ci]))
+            ]
+            for ci in range(k)
+        ]
+    return centers
+
+
+def assign_cells(
+    df: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cell",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Slim nearest-centroid assignment: ``(id_col, out[, dist_col])``
+    via the codegen exploded shape (_assign_exploded) — use this when
+    the caller needs only the assignment, skipping kmeans_assign's
+    join back onto the input frame."""
+    res = _assign_exploded(
+        exploded_components(df, id_col, vec_col),
+        centers,
+        with_dist=dist_col is not None,
+    )
+    sel = [F.col("_id").alias(id_col), F.col("cell").alias(out)]
+    if dist_col is not None:
+        sel.append(F.col("_d").cast("double").alias(dist_col))
+    return res.select(*sel)
+
+
 def kmeans_assign(
     df: DataFrame,
     centers: list[list[float]],
@@ -162,14 +333,17 @@ def kmeans_assign(
     out: str = "cell",
     dist_col: str | None = None,
 ) -> DataFrame:
-    """Map-only nearest-centroid assignment (no shuffle): adds ``out``
-    (int cell id) and optionally ``dist_col`` (exact decimal squared
-    distance, cast to double) to the input frame."""
-    near = _argmin_cell(quantized_vec(vec_col), centers)
-    res = df.withColumn("_near", near).withColumn(out, F.col("_near")["cell"])
-    if dist_col is not None:
-        res = res.withColumn(dist_col, F.col("_near")["d"].cast("double"))
-    return res.drop("_near")
+    """Nearest-centroid assignment: adds ``out`` (int cell id) and
+    optionally ``dist_col`` (exact decimal squared distance, cast to
+    double) to the input frame. r14: runs the codegen exploded shape
+    (assign_cells) and equi-joins the result back on ``id_col`` — two
+    AQE-planned shuffles of n*k / n rows that whole-stage codegen
+    beats the old map-only k*dim-interpreted-HOF-folds-per-row plan
+    on by ~an order of magnitude (pq._nv_exploded's lesson). Requires
+    ``id_col`` to be unique (every caller's corpora are id-keyed)."""
+    return df.join(
+        assign_cells(df, centers, id_col, vec_col, out, dist_col), on=id_col
+    )
 
 
 def probe_cells_exact(
@@ -208,7 +382,7 @@ def wcss(df: DataFrame, centers: list[list[float]], vec_col: str = "embedding") 
     """Within-cluster sum of squares against the given centroids — the
     quality number tests pin the deterministic fit against MLlib's."""
     row = (
-        kmeans_assign(df, centers, vec_col=vec_col, dist_col="_d")
+        assign_cells(df, centers, vec_col=vec_col, dist_col="_d")
         .agg(F.sum("_d").alias("w"))
         .collect()[0]
     )

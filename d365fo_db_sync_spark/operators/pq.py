@@ -556,14 +556,23 @@ def pq_topk_exact(
     scored = (
         codes.join(broadcast(lut), on=["sub", "cw"])
         .groupBy(query_id_col, "neighbor_id")
-        .agg(F.sum("d").cast("double").alias("adc_dist"))
+        .agg(F.sum("d").alias("_adc_dec"))
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
     )
+    # Rank on the UNCAST decimal sum so ties resolve identically to the
+    # oracle's decimal ORDER BY (two decimal distances that collapse to
+    # the same double must still order by decimal magnitude, not by the
+    # neighbor_id tie-break); cast to double only in the final select.
     w = Window.partitionBy(query_id_col).orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
+        F.asc("_adc_dec"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= kk)
-        .select(query_id_col, "rnk", "neighbor_id", "adc_dist")
+        .select(
+            query_id_col,
+            "rnk",
+            "neighbor_id",
+            F.col("_adc_dec").cast("double").alias("adc_dist"),
+        )
     )

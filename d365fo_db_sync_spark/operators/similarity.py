@@ -478,19 +478,28 @@ def ivf_index_deterministic(
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_n: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """ivf_index's oracle-replayable twin: cells come from the
     deterministic fixed-round decimal-replay k-means
     (operators/clustering.py) instead of MLlib's KMeans, so the whole
     index — centroids AND per-vector cell assignment — is value-
     checkable in a SQL oracle. Same scale shape: fit is rounds x (one
-    combinable aggregate + bounded collect); assignment is map-only.
-    Returns (assigned corpus with `cell` + precomputed norm, centroid
-    lists usable directly as ivf_topk's model)."""
+    combinable aggregate + bounded collect) over the md5-order
+    ``sample_n`` slice (MLlib's path samples ~100k vectors for the
+    same reason — pass it, always, at scale); assignment is one
+    codegen exploded pass. Returns (assigned corpus with `cell` +
+    precomputed norm, centroid lists usable directly as ivf_topk's
+    model)."""
     from d365fo_db_sync_spark.operators import clustering
 
     centers = clustering.kmeans_fit(
-        df, k=n_lists, rounds=rounds, id_col=id_col, vec_col=vec_col
+        df,
+        k=n_lists,
+        rounds=rounds,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_n=sample_n,
     )
     v = with_norm(df.select(id_col, vec_col), vec_col, "norm")
     assigned = clustering.kmeans_assign(
@@ -964,6 +973,7 @@ def semantic_dedup(
     seed: int = 42,
     deterministic: bool = False,
     rounds: int = 2,
+    sample_n: int | None = None,
 ) -> DataFrame:
     """SemDeDup: cluster embeddings with k-means, find within-cluster
     cosine near-duplicates, resolve them into connected components, and
@@ -986,7 +996,12 @@ def semantic_dedup(
         # oracle-replayable cells (fixed-round decimal-replay k-means,
         # operators/clustering.py) — same plan shape as the MLlib path
         assigned, _centers = ivf_index_deterministic(
-            df, n_lists=n_lists, rounds=rounds, id_col=id_col, vec_col=vec_col
+            df,
+            n_lists=n_lists,
+            rounds=rounds,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_n=sample_n,
         )
     else:
         assigned, _model = ivf_index(

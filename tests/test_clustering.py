@@ -117,6 +117,48 @@ def test_deterministic_ivf_recall(spark):
     assert len(a & e) / len(e) >= 0.9
 
 
+def test_sampled_fit_deterministic_and_seed_invariant(spark, emb):
+    """sample_n fits on the md5-order slice: deterministic across
+    invocations, seeds unchanged (the sample is a superset of the k
+    seeds — first-k of the same order), degenerates to the full fit
+    when the sample covers the corpus."""
+    a = clustering.kmeans_fit(emb, k=8, rounds=2, sample_n=200)
+    b = clustering.kmeans_fit(emb, k=8, rounds=2, sample_n=200)
+    assert a == b
+    n = emb.count()
+    full = clustering.kmeans_fit(emb, k=8, rounds=2)
+    covering = clustering.kmeans_fit(emb, k=8, rounds=2, sample_n=n)
+    assert covering == full
+    with pytest.raises(ValueError):
+        clustering.kmeans_fit(emb, k=8, rounds=2, sample_n=4)
+
+
+def test_sampled_fit_wcss_within_bound_of_full_fit(spark, emb):
+    """The 256-vector sampled fit (the suite's _KM_SAMPLE) stays in the
+    full fit's quality regime: WCSS within 1.3x on the real corpus —
+    the bound that justifies always-sample at 100 TB."""
+    full = clustering.kmeans_fit(emb, k=8, rounds=2)
+    sampled = clustering.kmeans_fit(emb, k=8, rounds=2, sample_n=256)
+    assert clustering.wcss(emb, sampled) <= clustering.wcss(emb, full) * 1.3
+
+
+def test_assign_cells_matches_kmeans_assign(spark, emb):
+    """The slim codegen assignment and the join-back wrapper agree
+    row-for-row (same cells, same exact distances)."""
+    centers = clustering.kmeans_fit(emb, k=8, rounds=2, sample_n=256)
+    slim = {
+        (r["vec_id"], r["cell"], r["d"])
+        for r in clustering.assign_cells(emb, centers, dist_col="d").collect()
+    }
+    wide = {
+        (r["vec_id"], r["cell"], r["d"])
+        for r in clustering.kmeans_assign(emb, centers, dist_col="d")
+        .select("vec_id", "cell", "d")
+        .collect()
+    }
+    assert slim == wide and len(slim) == emb.count()
+
+
 def test_probe_cells_exact_matches_double_probes(spark, emb):
     """The decimal-exact probe selection agrees with the production
     double-fold probe selection on the real corpus (both pick the same
