@@ -399,9 +399,9 @@ def influence_scores(
     Exactness: residuals come from the DECIMAL(38,12)-quantized
     probabilities; the dev-mean gradient per bucket is a
     DECIMAL(38,18)-exact sum with ONE division by n_dev; each training
-    document folds its bucket-sorted ``x * gd`` contributions
-    sequentially and multiplies by its residual once — every number
-    replays in a SQL oracle.
+    document's ``x * gd`` terms quantize through DECIMAL(38,18) before
+    an ORDER-FREE sum (then one residual multiply) — every number
+    replays in a SQL oracle as a plain grouped SUM.
 
     Scale shape: the dev gradient collapses into <= m_buckets + 1
     combinable partials (broadcast back); each corpus is featurized
@@ -462,22 +462,19 @@ def influence_scores(
         (F.col("__g").cast("double") / F.lit(float(n_dev))).alias("gb")
     )
     xt = xt_full.select(id_col, "bucket", "x")
+    # per-doc dot product as an ORDER-FREE decimal sum: each x * g term
+    # quantizes through DECIMAL(38,18) before summation (the same
+    # _Q_TERM discipline as gd above), so the aggregate is combinable
+    # (map-side partials, whole-stage codegen) and the SQL oracle is a
+    # plain grouped SUM — no per-doc list materialization on either
+    # engine (r14: the r13 shape folded a bucket-sorted collect_list
+    # sequentially, an interpreted HOF here and an >80 GB list-agg
+    # spill in the sf1 oracle replay)
     si = (
         xt.join(broadcast(gd), on="bucket")
-        .select(
-            id_col,
-            F.struct("bucket", (F.col("x") * F.col("g")).alias("c")).alias(
-                "s"
-            ),
-        )
         .groupBy(id_col)
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("s")),
-                F.lit(0.0),
-                lambda acc, t: acc + t["c"],
-            ).alias("__s")
-        )
+        .agg(F.sum((F.col("x") * F.col("g")).cast(_Q_TERM)).alias("__sd"))
+        .select(id_col, F.col("__sd").cast("double").alias("__s"))
     )
     return (
         resid(train, xt_full)

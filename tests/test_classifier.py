@@ -293,10 +293,13 @@ def test_influence_scores_replay_and_signs(spark):
     tr_r, tr_x = resid(train_rows)
     exp = {}
     for d in tr_r:
-        s = 0.0
-        for b in sorted(set(tr_x[d]) & set(gd)):
-            s += tr_x[d][b] * gd[b]
-        exp[d] = tr_r[d] * (s + gdb)
+        # r14: per-term DECIMAL(38,18) quantization + exact order-free
+        # sum (was a bucket-sorted double fold)
+        s_dec = sum(
+            (_d18(tr_x[d][b] * gd[b]) for b in set(tr_x[d]) & set(gd)),
+            Decimal(0),
+        )
+        exp[d] = tr_r[d] * (float(s_dec) + gdb)
     assert got == exp
 
     # behavioral pins
