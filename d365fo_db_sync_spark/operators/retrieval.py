@@ -150,7 +150,7 @@ def rrf_fuse(
     )
 
 
-def ranking_metrics(
+def ranking_partials(
     results: DataFrame,
     qrels: DataFrame,
     k: int = 10,
@@ -159,32 +159,16 @@ def ranking_metrics(
     rank_col: str = "rnk",
     rel_col: str = "rel",
 ) -> DataFrame:
-    """Per-query ranking quality of a retrieval run — the standard IR
-    eval readout (TREC conventions; Järvelin & Kekäläinen 2002 for
-    NDCG): given ranked ``results`` (query, doc, 1-based rank) and
-    graded relevance labels ``qrels`` (query, doc, integer rel > 0),
-    returns per query
-
-    * ``n_rel`` — labeled-relevant docs for the query,
-    * ``hits_at_k`` / ``recall_at_k`` / ``precision_at_k``,
-    * ``rr`` — reciprocal rank of the first relevant hit (0 if none;
-      MRR is its mean),
-    * ``dcg_at_k`` / ``idcg_at_k`` / ``ndcg_at_k`` — graded, gain
-      ``2^rel - 1``, ``log2(rank+1)`` discount; NDCG is NULL when the
-      query has no labeled-relevant docs.
-
-    Exactness: every DCG term quantizes through DECIMAL(38,12) BEFORE
-    the sum (the decimal-replay re-synchronization barrier — libm
-    ``log2`` may differ across engines in the last ulp, and double
-    SUM order is undefined; the quantized decimal sum is exact and
-    order-free), so a SQL oracle value-checks every metric. The ideal
-    ordering ties break on the doc id — deterministic in both engines.
-
-    Scale shape: one broadcast-able join of the top-k slice against
-    qrels (both bounded by queries x k / queries x labels — metadata
-    next to the corpus), two combinable per-query aggregates, one
-    rank window over qrels for the ideal ordering. The corpus itself
-    is never touched — this consumes a retrieval RUN."""
+    """MERGEABLE per-query partials of a (slice of a) retrieval run:
+    ``(query, hits_at_k, first_rel, dcg)`` — an integer count, a
+    nullable MIN rank, and an exact DECIMAL(38,12) sum of the
+    quantized DCG terms. All three fold exactly across arbitrary row
+    slices (SUM/MIN/SUM), so partials computed per micro-batch and
+    folded equal the partials of the concatenated run double for
+    double — the streaming twin's sidecar unit
+    (streaming.RankingMetricsStreamPipeline). One broadcast-able join
+    of the batch's top-k slice against qrels, one combinable
+    aggregate."""
     term_dec = "decimal(38,12)"
     topk = results.filter(F.col(rank_col) <= k).select(
         query_col, doc_col, rank_col
@@ -197,15 +181,64 @@ def ranking_metrics(
     dterm = (gain / F.log2(F.col(rank_col).cast("double") + F.lit(1.0))).cast(
         term_dec
     )
-    per_q = j.groupBy(query_col).agg(
-        F.count(F.when(F.col(rel_col).isNotNull(), 1)).alias("hits_at_k"),
-        F.min(F.when(F.col(rel_col).isNotNull(), F.col(rank_col))).alias(
-            "__first"
-        ),
+    return j.groupBy(query_col).agg(
+        F.count(F.when(F.col(rel_col).isNotNull(), 1))
+        .cast("long")
+        .alias("hits_at_k"),
+        F.min(F.when(F.col(rel_col).isNotNull(), F.col(rank_col)))
+        .cast("int")
+        .alias("first_rel"),
         F.coalesce(
             F.sum(F.when(F.col(rel_col).isNotNull(), dterm)),
             F.lit(0).cast(term_dec),
-        ).alias("__dcg"),
+        ).alias("dcg"),
+    )
+
+
+def fold_ranking_partials(
+    partials: DataFrame, query_col: str = "query_id"
+) -> DataFrame:
+    """Fold partials from several run slices back into one row per
+    query — exact by construction (SUM of counts, MIN of ranks, SUM of
+    exact decimals)."""
+    return partials.groupBy(query_col).agg(
+        F.sum("hits_at_k").cast("long").alias("hits_at_k"),
+        F.min("first_rel").alias("first_rel"),
+        F.sum("dcg").cast("decimal(38,12)").alias("dcg"),
+    )
+
+
+def ranking_metrics_from_partials(
+    partials: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """The metrics tail over folded partials: attach the qrels-derived
+    denominators (n_rel, ideal DCG) and derive
+    recall/precision/rr/ndcg — the second half of
+    :func:`ranking_metrics`, shared with the streaming view so the
+    stream's final state is double-for-double the batch readout."""
+    term_dec = "decimal(38,12)"
+    folded = fold_ranking_partials(partials, query_col)
+    labeled = qrels.filter(F.col(rel_col) > 0).select(
+        query_col, doc_col, rel_col
+    )
+    # Spine = run queries UNION labeled queries: a query the retriever
+    # returned zero rows for must still score hits/recall/rr 0 (else
+    # downstream means — MRR, mean recall — silently skew optimistic).
+    spine = (
+        folded.select(query_col)
+        .union(labeled.select(query_col))
+        .distinct()
+    )
+    per_q = spine.join(folded, on=query_col, how="left").select(
+        query_col,
+        F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+        F.col("first_rel").alias("__first"),
+        F.coalesce("dcg", F.lit(0).cast(term_dec)).alias("__dcg"),
     )
     n_rel = labeled.groupBy(query_col).agg(F.count("*").alias("n_rel"))
     w = Window.partitionBy(query_col).orderBy(
@@ -250,4 +283,56 @@ def ranking_metrics(
                 / F.col("__idcg").cast("double")
             ).alias("ndcg_at_k"),
         )
+    )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rnk",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranking quality of a retrieval run — the standard IR
+    eval readout (TREC conventions; Järvelin & Kekäläinen 2002 for
+    NDCG): given ranked ``results`` (query, doc, 1-based rank) and
+    graded relevance labels ``qrels`` (query, doc, integer rel > 0),
+    returns per query
+
+    * ``n_rel`` — labeled-relevant docs for the query,
+    * ``hits_at_k`` / ``recall_at_k`` / ``precision_at_k``,
+    * ``rr`` — reciprocal rank of the first relevant hit (0 if none;
+      MRR is its mean),
+    * ``dcg_at_k`` / ``idcg_at_k`` / ``ndcg_at_k`` — graded, gain
+      ``2^rel - 1``, ``log2(rank+1)`` discount; NDCG is NULL when the
+      query has no labeled-relevant docs.
+
+    Exactness: every DCG term quantizes through DECIMAL(38,12) BEFORE
+    the sum (the decimal-replay re-synchronization barrier — libm
+    ``log2`` may differ across engines in the last ulp, and double
+    SUM order is undefined; the quantized decimal sum is exact and
+    order-free), so a SQL oracle value-checks every metric. The ideal
+    ordering ties break on the doc id — deterministic in both engines.
+
+    Scale shape: one broadcast-able join of the top-k slice against
+    qrels (both bounded by queries x k / queries x labels — metadata
+    next to the corpus), two combinable per-query aggregates, one
+    rank window over qrels for the ideal ordering. The corpus itself
+    is never touched — this consumes a retrieval RUN.
+
+    The output spine is the UNION of run queries and labeled queries:
+    a query present in qrels for which the retriever returned zero
+    rows still appears, scoring hits/recall/rr/dcg 0 (ndcg 0 when it
+    has labeled-relevant docs) — means over the frame stay honest."""
+    return ranking_metrics_from_partials(
+        ranking_partials(
+            results, qrels, k, query_col, doc_col, rank_col, rel_col
+        ),
+        qrels,
+        k,
+        query_col,
+        doc_col,
+        rel_col,
     )

@@ -1599,3 +1599,118 @@ class ClassifierScoreStreamPipeline:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class RankingMetricsStreamPipeline:
+    """Streaming ranking-quality evaluation of a retrieval run
+    (operators/retrieval.ranking_metrics' streaming twin — the r13
+    verdict's #7: the retrieval eval tier was batch-only): ranked run
+    rows ``(query, doc, rnk)`` arrive in micro-batches (the shape a
+    live retrieval service emits), qrels are FROZEN metadata
+    (queries x labels — broadcast into every batch), and each batch
+    publishes only its per-query MERGEABLE partials
+    ``(query, hits_at_k, first_rel, dcg)`` — an integer count, a MIN
+    rank, and an exact DECIMAL(38,12) DCG-term sum — atomically to
+    ``sidecar_dir/batch_id=N`` (write-tmp + rename; a replayed batch
+    finds its partition and skips — the engine-wide exactly-once file
+    protocol).
+
+    :meth:`metrics_view` folds the sidecars (SUM/MIN/SUM — exact by
+    construction) and runs the batch operator's own tail
+    (retrieval.ranking_metrics_from_partials), so the view over N
+    batches is double-for-double ``ranking_metrics`` over the
+    concatenated run even when one query's rows span batches
+    (equivalence-pinned in tests/test_streaming.py) — which lets the
+    suite value-oracle a STREAMING eval query with the batch query's
+    own oracle. Per-batch sidecar state: <= queries-in-batch rows."""
+
+    def __init__(
+        self,
+        qrels: DataFrame,
+        sidecar_dir: str,
+        checkpoint_dir: str,
+        k: int = 10,
+        query_col: str = "query_id",
+        doc_col: str = "doc_id",
+        rank_col: str = "rnk",
+        rel_col: str = "rel",
+    ) -> None:
+        self.qrels = qrels
+        self.sidecar_dir = sidecar_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.k = int(k)
+        self.query_col = query_col
+        self.doc_col = doc_col
+        self.rank_col = rank_col
+        self.rel_col = rel_col
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import uuid as _uuid
+
+        from d365fo_db_sync_spark.operators.retrieval import ranking_partials
+
+        if batch_df.isEmpty():
+            return
+        final = os.path.join(self.sidecar_dir, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replayed batch: partials already published
+        out = ranking_partials(
+            batch_df,
+            self.qrels,
+            self.k,
+            self.query_col,
+            self.doc_col,
+            self.rank_col,
+            self.rel_col,
+        )
+        os.makedirs(self.sidecar_dir, exist_ok=True)
+        tmp = os.path.join(self.sidecar_dir, f"_tmp-{_uuid.uuid4().hex[:8]}")
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def partials_view(self, spark) -> DataFrame:
+        """Raw published partials over everything ingested (one row per
+        (batch, query) — metrics_view folds them exactly)."""
+        import os
+
+        if not os.path.isdir(self.sidecar_dir) or not any(
+            e.startswith("batch_id=") for e in os.listdir(self.sidecar_dir)
+        ):
+            return spark.createDataFrame(
+                [],
+                f"{self.query_col} long, hits_at_k long, first_rel int, "
+                "dcg decimal(38,12)",
+            )
+        return (
+            spark.read.option("basePath", self.sidecar_dir)
+            .parquet(self.sidecar_dir)
+            .select(self.query_col, "hits_at_k", "first_rel", "dcg")
+        )
+
+    def metrics_view(self, spark) -> DataFrame:
+        """Live per-query metrics of the ingested run — same output
+        contract (and double-for-double the same values) as
+        ``retrieval.ranking_metrics`` over the concatenated stream."""
+        from d365fo_db_sync_spark.operators.retrieval import (
+            ranking_metrics_from_partials,
+        )
+
+        return ranking_metrics_from_partials(
+            self.partials_view(spark),
+            self.qrels,
+            self.k,
+            self.query_col,
+            self.doc_col,
+            self.rel_col,
+        )
+
+    def start(self, stream_df: DataFrame, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -64,6 +64,28 @@ def test_ranking_metrics_values(spark, frames):
     assert r3["dcg_at_k"] == 0.0
 
 
+def test_ranking_metrics_missing_query_scores_zero(spark, frames):
+    # a query present in qrels but ABSENT from the run (retriever
+    # returned zero rows) must still appear, scoring 0 — not vanish
+    # and skew MRR / mean recall optimistic
+    results, qrels = frames
+    qrels_plus = qrels.union(
+        spark.createDataFrame(
+            [(9, 90, 2), (9, 91, 1)], "query_id long, doc_id long, rel int"
+        )
+    )
+    got = {
+        r["query_id"]: r
+        for r in ranking_metrics(results, qrels_plus, k=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 9}
+    r9 = got[9]
+    assert r9["n_rel"] == 2 and r9["hits_at_k"] == 0
+    assert r9["recall_at_k"] == 0.0 and r9["precision_at_k"] == 0.0
+    assert r9["rr"] == 0.0 and r9["dcg_at_k"] == 0.0
+    assert r9["idcg_at_k"] > 0 and r9["ndcg_at_k"] == 0.0
+
+
 def test_ranking_metrics_k_slices(spark, frames):
     results, qrels = frames
     got = {

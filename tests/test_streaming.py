@@ -1637,3 +1637,53 @@ def test_classifier_score_stream_equals_batch_histogram(spark, tmp_path):
         for r in pipe.histogram_view(spark).collect()
     }
     assert again == want
+
+
+def test_ranking_metrics_stream_equals_batch(spark, tmp_path):
+    """RankingMetricsStreamPipeline's folded view is double-for-double
+    retrieval.ranking_metrics over the concatenated run, including
+    queries whose rows span micro-batches and a qrels query the run
+    never mentions (scores zero on both sides); replaying a published
+    batch_id is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from d365fo_db_sync_spark.operators.retrieval import ranking_metrics
+    from d365fo_db_sync_spark.streaming import RankingMetricsStreamPipeline
+
+    run = spark.createDataFrame(
+        [(q, q * 100 + r, r) for q in (1, 2, 3) for r in range(1, 8)],
+        "query_id long, doc_id long, rnk int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 101, 2), (1, 105, 1), (2, 203, 3), (2, 999, 1), (9, 900, 2)],
+        "query_id long, doc_id long, rel int",
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for b in range(3):  # split on DOC id: queries span batches
+        run.filter(F.pmod("doc_id", F.lit(3)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{b}")
+    pipe = RankingMetricsStreamPipeline(
+        qrels, str(tmp_path / "sidecar"), str(tmp_path / "ckpt"), k=5
+    )
+    stream = (
+        spark.readStream.schema(run.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    assert pipe.start(stream, available_now=True).awaitTermination(120)
+
+    def snap(df):
+        return {r["query_id"]: tuple(r)[1:] for r in df.collect()}
+
+    got = snap(pipe.metrics_view(spark))
+    want = snap(ranking_metrics(run, qrels, k=5))
+    assert got == want  # exact, not approximate
+    assert 9 in got and got[9][1] == 0  # absent-from-run query scores 0
+
+    # replay safety: re-publishing an existing batch_id is a no-op
+    pipe._handle_batch(spark.read.parquet(f"{src}/b0"), 0)
+    assert snap(pipe.metrics_view(spark)) == want
