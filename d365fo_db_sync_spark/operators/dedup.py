@@ -255,25 +255,42 @@ def minhash_lsh_candidates(
     return pairs
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: sum +/-1 per bit over token hashes,
-    then pack the signs. 64 conditional-sum aggregates in ONE groupBy —
-    wide but map-side combinable, shuffle is 64 longs per doc."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
-    )
+#: signature width per token-hash function: xxhash64 fills all 64 bits;
+#: the md5 twin takes 15 hex chars = 60 bits (the repo's cross-engine
+#: ``('0x' || substr(md5(tok), 1, 15))::BIGINT`` idiom — 60 bits keeps
+#: the value positive in a signed BIGINT on both engines)
+_SIMHASH_BITS = {"xxhash64": 64, "md5": 60}
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per document: sum +/-1 per bit over token hashes, then
+    pack the signs. One conditional-sum aggregate per bit in ONE
+    groupBy — wide but map-side combinable, shuffle is ``bits`` longs
+    per doc. ``hash_fn``: ``xxhash64`` (production, 64-bit) or ``md5``
+    (the oracle-replayable 60-bit twin — DuckDB computes identical
+    token hashes, so the signature value-checks cross-engine)."""
+    bits = _SIMHASH_BITS[hash_fn]
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s_{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     sums = tok.groupBy(id_col).agg(*bit_sums)
     # shiftleft instead of a 1<<63 literal: bit 63 is the Long sign bit,
     # unrepresentable as a positive literal; distinct-power addition
     # never overflows (the one negative term only pulls the sum down)
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         sig = sig + F.when(
             F.col(f"s_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -281,13 +298,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Hamming-near candidates: split the 64-bit signature into bands;
-    pairs sharing any band are candidates (catches Hamming distance
-    < bands by pigeonhole)."""
-    width = 64 // bands
-    sigs = simhash(df, id_col, text_col)
+    """Hamming-near candidates: split the signature into bands; pairs
+    sharing any band are candidates (catches Hamming distance < bands
+    by pigeonhole). ``hash_fn`` as in :func:`simhash`."""
+    width = _SIMHASH_BITS[hash_fn] // bands
+    sigs = simhash(df, id_col, text_col, hash_fn=hash_fn)
     mask = (1 << width) - 1
     chunks = sigs.select(
         id_col,

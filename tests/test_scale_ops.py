@@ -70,6 +70,23 @@ def test_simhash_candidates_recall(spark, docs):
     assert (0, 2) in pairs
 
 
+def test_simhash_md5_twin_recall_and_sig_width(spark, docs):
+    """The oracle-replayable md5 twin recovers the same planted pairs
+    as the xxhash64 production path, and its signatures fit 60 bits
+    (non-negative in a signed long — the cross-engine contract)."""
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidates(
+            docs, "doc_id", "text", hash_fn="md5"
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+    sigs = dedup.simhash(docs, "doc_id", "text", hash_fn="md5").collect()
+    assert all(0 <= r["simhash"] < (1 << 60) for r in sigs)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     # 4-dim embeddings: 0/1 identical, 2 close to them, 3 orthogonal
