@@ -1,0 +1,217 @@
+"""Perceptual-hash image near-dup detection — dHash over decoded
+luminance with Hamming-banded candidate pairs (the MinHash-LSH shape
+applied to pixels; the standard image-dedup recipe of training-data
+pipelines, e.g. the difference-hash described by the pHash/imagehash
+literature).
+
+Pipeline shape (100 TB story identical to text MinHash-LSH):
+
+1. **decode + hash** — one ``mapInPandas`` Arrow-batch stage parses
+   each image payload with the REAL byte decoder (binary PPM P6 here —
+   the raw-interchange format the multimodal tier already decodes and
+   value-oracles) and reduces it to a 56-bit dHash: the 8x8 grayscale
+   grid's horizontal gradient signs (bit ``y*7+x`` set iff
+   ``px[y][x] > px[y][x+1]``). The corpus collapses to one BIGINT per
+   image before anything shuffles.
+2. **band** — the signature splits into 4 bands of 14 bits (the
+   dedup.simhash_candidates discipline): any pair within Hamming
+   distance <= 3 shares at least one band by pigeonhole.
+3. **candidates** — a band-bucket self-equi-join emits collision
+   groups only, never all-pairs.
+4. **verify** — candidates re-join the signature sidecar (bounded: one
+   long per image) and keep pairs with exact ``bit_count(a XOR b)``
+   under the threshold.
+
+Every step is integer byte math over an already-oracled decoder, so a
+SQL oracle replays decode -> hash -> band -> join -> verify end to end
+(suite: ``multimodal_dhash_near_dups``). 56 bits (not 64) keeps the
+signature strictly positive in a signed BIGINT on both engines — the
+dedup._SIMHASH_BITS md5 precedent.
+
+Reference parity: the reference engine (DBSyncTool) has no media
+operators; this extends the LLM-data-pipeline tier next to
+operators/dedup.py (text near-dup) and operators/multimodal.py (codec
+registry the decode stage builds on).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: dHash grid — 8x8 luminance, 7 horizontal comparisons per row
+GRID = 8
+DHASH_BITS = GRID * (GRID - 1)  # 56
+#: banding — 4 bands of 14 bits: catches every pair with Hamming
+#: distance <= 3 by pigeonhole
+BANDS = 4
+BAND_WIDTH = DHASH_BITS // BANDS
+
+
+def stage_ppm_assets(docs: DataFrame, grid: int = GRID) -> DataFrame:
+    """Deterministic grayscale PPM asset table from the documents
+    corpus: each document becomes one ``grid x grid`` binary PPM (P6)
+    whose pixel bytes are the leading codepoints of
+    ``text + 'AAA...'`` padding mod 256 (R = G = B, so luminance is
+    the byte itself under any weighting) — near-duplicate texts yield
+    near-duplicate images, and a SQL oracle recomputes every pixel
+    from the raw text without a decoder (the
+    jpeg_assets_from_documents discipline). Runs executor-side in the
+    same Arrow-batch shape as the decode stage."""
+    n_px = grid * grid
+    pad = "A" * n_px
+    header = f"P6 {grid} {grid} 255\n".encode()
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text or "") + pad)[:n_px]
+                px = bytes(ord(ch) % 256 for ch in s)
+                ids.append(doc_id)
+                blobs.append(header + b"".join(bytes((v, v, v)) for v in px))
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    staged = docs.select("doc_id", "text").mapInPandas(
+        stage,
+        schema=T.StructType(
+            [
+                T.StructField("asset_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return staged.select(
+        "asset_id",
+        F.lit("image").alias("media_type"),
+        "content",
+        F.create_map(F.lit("codec"), F.lit("ppm-gray")).alias("meta"),
+    )
+
+
+def dhash_py(lum: list[int], grid: int = GRID) -> int:
+    """Reference dHash over a row-major luminance grid — bit
+    ``y*(grid-1)+x`` set iff ``lum[y][x] > lum[y][x+1]``. Shared by
+    the executor stage and the brute-force test model."""
+    sig = 0
+    for y in range(grid):
+        for x in range(grid - 1):
+            if lum[y * grid + x] > lum[y * grid + x + 1]:
+                sig |= 1 << (y * (grid - 1) + x)
+    return sig
+
+
+def dhash_signatures(
+    assets: DataFrame,
+    grid: int = GRID,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(id, dhash) via one ``mapInPandas`` Arrow-batch stage: parse the
+    P6 payload with the real byte decoder (multimodal.ppm_pixels),
+    take the red channel as luminance (staged images are gray:
+    R = G = B), reduce to the 56-bit dHash. One long per image leaves
+    the stage — the corpus never shuffles at pixel width."""
+    from d365fo_db_sync_spark.operators.multimodal import ppm_pixels
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, px = ppm_pixels(bytes(content))
+                if (w, h) != (grid, grid):
+                    raise ValueError(
+                        f"dhash_signatures expects {grid}x{grid} images, "
+                        f"got {w}x{h} for id {aid}"
+                    )
+                lum = [px[i * 3] for i in range(w * h)]  # R of gray RGB
+                ids.append(aid)
+                sigs.append(dhash_py(lum, grid))
+            yield pd.DataFrame({id_col: ids, "dhash": sigs})
+
+    return assets.select(id_col, content_col).mapInPandas(
+        hash_batch,
+        schema=T.StructType(
+            [
+                T.StructField(id_col, T.LongType(), False),
+                T.StructField("dhash", T.LongType(), False),
+            ]
+        ),
+    )
+
+
+def dhash_candidates(
+    sigs: DataFrame, id_col: str = "asset_id", bands: int = BANDS
+) -> DataFrame:
+    """Hamming-near candidate pairs (id_a < id_b): split the 56-bit
+    signature into ``bands`` chunks; pairs sharing any chunk are
+    candidates (catches Hamming distance < bands by pigeonhole). The
+    band-bucket equi-join shuffles collision groups only — never
+    all-pairs (dedup.simhash_candidates on pixels)."""
+    width = DHASH_BITS // bands
+    mask = (1 << width) - 1
+    chunks = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("dhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def dhash_near_duplicates(
+    sigs: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "asset_id",
+    bands: int = BANDS,
+) -> DataFrame:
+    """Verified near-dup pairs: banded candidates re-joined against the
+    signature sidecar (one long per image — broadcast-able next to any
+    real corpus), kept when the exact Hamming distance
+    ``bit_count(a XOR b)`` <= ``max_hamming``. Returns
+    ``(id_a, id_b, hamming)``. Candidate recall is exact below
+    ``bands`` and falls off above — the MinHash-LSH
+    candidate/verify split."""
+    cand = dhash_candidates(sigs, id_col=id_col, bands=bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("dhash").alias("_ha"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("dhash").alias("_hb"))
+    return (
+        cand.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("_ha").bitwiseXOR(F.col("_hb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

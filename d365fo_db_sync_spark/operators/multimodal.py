@@ -215,6 +215,39 @@ def wav_audio_codec() -> Codec:
     return codec
 
 
+def ppm_pixels(content: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) payload to ``(width, height, rgb
+    bytes)`` — header scan (whitespace/comment tolerant per the netpbm
+    spec) + raw interleaved-RGB slice. The shared byte decoder behind
+    :func:`ppm_image_codec` (histogram features) and
+    operators/imagededup's dHash stage. Raises on non-P6 payloads;
+    maxval must be 255 for the raw byte slice to be the pixel values
+    (the only maxval the staging paths emit)."""
+    buf = content or b""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":  # comment to end of line
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        fields.append(buf[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = (int(x) for x in fields)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return w, h, buf[i : i + w * h * 3]
+
+
 def ppm_image_codec() -> Codec:
     """REAL image decoder for binary PPM (P6) — pure byte parsing, no
     imaging library: header gives true width/height; the feature is the
@@ -225,28 +258,9 @@ def ppm_image_codec() -> Codec:
     import numpy as np
 
     def codec(content: bytes, media_type: str) -> dict:
-        buf = content or b""
-        if not buf.startswith(b"P6"):
-            raise ValueError("not a binary PPM (P6) payload")
-        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
-        fields: list[bytes] = []
-        i = 2
-        while len(fields) < 3:
-            while i < len(buf) and buf[i : i + 1].isspace():
-                i += 1
-            if buf[i : i + 1] == b"#":  # comment to end of line
-                while i < len(buf) and buf[i : i + 1] != b"\n":
-                    i += 1
-                continue
-            j = i
-            while j < len(buf) and not buf[j : j + 1].isspace():
-                j += 1
-            fields.append(buf[i:j])
-            i = j
-        i += 1  # the single whitespace after maxval
-        w, h, maxval = (int(x) for x in fields)
-        px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=i)
-        rgb = px.reshape(h, w, 3).astype(np.float64) / float(maxval)
+        w, h, raw = ppm_pixels(content)
+        px = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3)
+        rgb = px.reshape(h, w, 3).astype(np.float64) / 255.0
         lum = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
         hist, _ = np.histogram(lum, bins=5, range=(0.0, 1.0))
         histn = (hist / lum.size).tolist()
