@@ -102,6 +102,17 @@ def _history(keys: tuple[str, ...], fold=min) -> dict[str, float]:
     return hist
 
 
+def _median(vals: list[float]) -> float | None:
+    """Plain median (even-length = mean of middles) — None when empty.
+    The shared folding rule of both canary normalizations, pinned by
+    tests/test_bench_helpers.py."""
+    if not vals:
+        return None
+    s = sorted(vals)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
 def _canary_history() -> dict[str, float]:
     """CPU-canary history (min of pre/post per recorded round)."""
     return _history(("load_canary_pre", "load_canary_post"))
@@ -210,17 +221,10 @@ def main() -> None:
     # the JSON so readers never re-derive it from SCALE.md.
     this_canary = min(canary_pre, canary_post)
     history = _canary_history()
-    hist_vals = sorted(history.values())
-    if hist_vals and this_canary > 0:
-        mid = len(hist_vals) // 2
-        median_hist = (
-            hist_vals[mid]
-            if len(hist_vals) % 2
-            else (hist_vals[mid - 1] + hist_vals[mid]) / 2
-        )
+    median_hist = _median(list(history.values()))
+    if median_hist and this_canary > 0:
         normalized_total = round(total * median_hist / this_canary, 3)
     else:
-        median_hist = None
         normalized_total = round(total, 3)
 
     # The same correction for the one tracked THROUGHPUT sub-key:
@@ -240,6 +244,20 @@ def main() -> None:
     steady_hist = _history((steady_key,), fold=max)
     io_hist = _io_canary_history()
     this_io = min(io_canary_pre, io_canary_post)
+    # Second normalized total, the io twin (r13 verdict #5 — the
+    # accumulated io-canary history graduates from a reading rule to a
+    # published number): raw total * (median historical io canary /
+    # this run's io canary). Same formula shape as the CPU one; reads
+    # differently — the CPU twin corrects compute contention on every
+    # entry, the io twin bounds the cold-page-cache discount (io
+    # contention only inflates the io-bound entries, so when the io
+    # canary is the one that fired, the true quiet-machine total lies
+    # BETWEEN io_normalized_total and the raw total).
+    io_median_hist = _median(list(io_hist.values()))
+    if io_median_hist and this_io > 0:
+        io_normalized_total = round(total * io_median_hist / this_io, 3)
+    else:
+        io_normalized_total = round(total, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
@@ -249,6 +267,7 @@ def main() -> None:
         "queries": timings,
         "dispersion": dispersion,
         "normalized_total": normalized_total,
+        "io_normalized_total": io_normalized_total,
         "canary": {
             "this_run": this_canary,
             "median_history": median_hist,
@@ -257,6 +276,7 @@ def main() -> None:
         },
         "io_canary": {
             "this_run": this_io,
+            "median_history": io_median_hist,
             "history": io_hist,
             # two-factor reading rule: the CPU canary normalizes
             # compute contention (normalized_total applies it); the io
@@ -327,6 +347,7 @@ def summary_line(detail: dict) -> str:
             "value": detail["value"],
             "unit": detail["unit"],
             "normalized_total": detail["normalized_total"],
+            "io_normalized_total": detail.get("io_normalized_total"),
             "sf": detail["sf"],
             "n_queries": sum(
                 1

@@ -104,3 +104,30 @@ def test_summary_line_stays_under_driver_tail_window():
                   "cdc_stream_throughput:steady_rows_per_sec"):
             assert k in parsed["queries"]
         assert parsed["n_queries"] == n
+
+
+def test_median_formula():
+    import bench
+
+    assert bench._median([]) is None
+    assert bench._median([0.3]) == 0.3
+    assert bench._median([0.1, 0.3]) == 0.2
+    assert bench._median([0.3, 0.1, 0.2]) == 0.2
+
+
+def test_io_normalized_total_formula_and_summary():
+    """r13 verdict #5: the io-canary history graduates to a published
+    io_normalized_total = raw_total * median(io history) / this_io —
+    same shape as the CPU correction, carried in both the detail dict
+    and the stdout summary. With io median 0.12 and this-run io 0.10
+    the raw 43.21 normalizes to 43.21 * 1.2."""
+    import bench
+
+    detail = _fake_detail(5)
+    detail["io_normalized_total"] = round(43.21 * 0.12 / 0.1, 3)
+    parsed = json.loads(bench.summary_line(detail))
+    assert parsed["io_normalized_total"] == round(43.21 * 0.12 / 0.1, 3)
+    # the formula itself, as main() computes it
+    assert round(43.21 * bench._median([0.11, 0.12, 0.13]) / 0.1, 3) == round(
+        43.21 * 1.2, 3
+    )
