@@ -66,6 +66,19 @@ def scratch_dir(prefix: str) -> str:
     return path
 
 
+def await_stream(query, timeout_sec: int = 300) -> None:
+    """awaitTermination with a LOUD timeout: a streaming suite query
+    that times out has produced only a partial sidecar/state, and the
+    downstream view would fail its value oracle with no hint of the
+    cause. Raise instead so a slow run fails at the source."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query did not finish within {timeout_sec}s; "
+            "state is partial — not comparing it against the oracle"
+        )
+
+
 def register(name: str, oracle: str | None = None, bench: bool = False):
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the suite."""
 

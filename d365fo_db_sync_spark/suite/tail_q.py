@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from d365fo_db_sync_spark.operators import dedup, similarity
 from d365fo_db_sync_spark.sources import load_table
-from d365fo_db_sync_spark.suite import register
+from d365fo_db_sync_spark.suite import await_stream, register
 
 _K = 5
 _BITS = 8
@@ -59,7 +59,9 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches every pair with Hamming distance <= 3 by pigeonhole).
     Depends on xxhash64 bit patterns, which DuckDB cannot reproduce ->
     rows-only check; the pytest suite asserts the planted near-dup pairs
-    are recovered."""
+    are recovered. The md5-hashed twin (dedup_simhash_md5_candidates,
+    r14 — same operator, hash_fn="md5") carries the full value
+    oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_candidates(docs, "doc_id", "text", bands=4)
 
@@ -738,7 +740,9 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int, rounds: int, pred: str = "TRUE") -> str:
+def _kmeans_ctes(
+    k: int, rounds: int, pred: str = "TRUE", sample_n: int | None = None
+) -> str:
     """Unrolled CTE chain replaying operators/clustering.kmeans_fit
     bit-for-bit (the classifier/_clf_ctes discipline applied to
     Lloyd's): components quantized once to DECIMAL(28,12); seeds = the
@@ -747,17 +751,21 @@ def _kmeans_ctes(k: int, rounds: int, pred: str = "TRUE") -> str:
     per-(cell, dim) means re-quantized to DECIMAL(28,12), empty cells
     coalescing to the prior centroid. Ends with ``km_c{rounds}`` (the
     final centroids) and ``km_af`` (the final assignment + exact
-    squared distance). ``pred`` restricts the FIT corpus (seeds,
-    distances, updates, km_af) — the incremental-index oracle fits on
-    the base slice only."""
+    squared distance, over the FULL pred corpus). ``pred`` restricts
+    the corpus (the incremental-index oracle fits on the base slice
+    only); ``sample_n`` restricts the FIT (round distances + updates)
+    to the md5-order sample — kmeans_fit's sample_n, replayed as the
+    same ORDER BY md5 LIMIT. Seeds are the first k of that order, so
+    they are sample-invariant."""
+    fit_src = "km_vs" if sample_n is not None else "km_ve"
 
-    def dist(prev: str, name: str) -> str:
+    def dist(prev: str, name: str, src: str = "km_ve") -> str:
         return f"""
     {name} AS (SELECT v.vec_id, c.cell,
                       SUM(CAST((CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
                                * (CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
                                AS DECIMAL(38,18))) AS dist
-               FROM km_ve v JOIN {prev} c USING (pos) GROUP BY 1, 2)"""
+               FROM {src} v JOIN {prev} c USING (pos) GROUP BY 1, 2)"""
 
     parts = [
         f"""
@@ -772,8 +780,13 @@ def _kmeans_ctes(k: int, rounds: int, pred: str = "TRUE") -> str:
     km_c0 AS (SELECT cell, pos, comp FROM km_sd JOIN km_ve USING (vec_id)
               WHERE cell < {k})"""
     ]
+    if sample_n is not None:
+        parts.append(f"""
+    km_vs AS (SELECT v.* FROM km_ve v
+              JOIN (SELECT vec_id FROM km_sd WHERE cell < {sample_n}) s
+              USING (vec_id))""")
     for r in range(1, rounds + 1):
-        parts.append(dist(f"km_c{r - 1}", f"km_d{r}"))
+        parts.append(dist(f"km_c{r - 1}", f"km_d{r}", fit_src))
         parts.append(f"""
     km_a{r} AS (SELECT vec_id, cell FROM
                   (SELECT vec_id, cell,
@@ -783,7 +796,7 @@ def _kmeans_ctes(k: int, rounds: int, pred: str = "TRUE") -> str:
     km_u{r} AS (SELECT cell, pos,
                        CAST(CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                             AS DECIMAL(28,12)) AS comp
-                FROM km_a{r} JOIN km_ve USING (vec_id) GROUP BY 1, 2),
+                FROM km_a{r} JOIN {fit_src} USING (vec_id) GROUP BY 1, 2),
     km_c{r} AS (SELECT p.cell, p.pos, COALESCE(u.comp, p.comp) AS comp
                 FROM km_c{r - 1} p LEFT JOIN km_u{r} u USING (cell, pos))""")
     parts.append(dist(f"km_c{rounds}", "km_df"))
@@ -797,7 +810,12 @@ def _kmeans_ctes(k: int, rounds: int, pred: str = "TRUE") -> str:
 
 
 #: the IVF instance — 16 cells, 2 Lloyd rounds
-_IVF_KM_CTES = _kmeans_ctes(16, 2)
+#: deterministic md5-order fit sample for every suite k-means fit —
+#: smaller than every corpus (500 vectors at sf0.001) so the sampled
+#: path is exercised at all scale factors; at 100 TB this is the knob
+#: that keeps the fit bounded (the MLlib/PQ ~100k-vector argument)
+_KM_SAMPLE = 256
+_IVF_KM_CTES = _kmeans_ctes(16, 2, sample_n=_KM_SAMPLE)
 
 
 @register(
@@ -847,7 +865,7 @@ def similarity_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centers = similarity.ivf_index_deterministic(
-        emb, n_lists=16, rounds=2
+        emb, n_lists=16, rounds=2, sample_n=_KM_SAMPLE
     )
     probes = clustering.probe_cells_exact(
         _queries_frame(emb), centers, n_probes=4
@@ -1235,7 +1253,7 @@ def text_bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_semantic_dedup",
     oracle=f"""
-    WITH RECURSIVE {_kmeans_ctes(8, 2)},
+    WITH RECURSIVE {_kmeans_ctes(8, 2, sample_n=_KM_SAMPLE)},
     v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM km_af a JOIN km_af b
@@ -1279,7 +1297,9 @@ def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d365fo_db_sync_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
-    res = sim.semantic_dedup(emb, threshold=0.4, n_lists=8, deterministic=True)
+    res = sim.semantic_dedup(
+        emb, threshold=0.4, n_lists=8, deterministic=True, sample_n=_KM_SAMPLE
+    )
     return res.groupBy("is_survivor").agg(
         F.count("*").alias("n_vecs"),
         F.countDistinct("cluster_id").alias("n_clusters"),
@@ -3548,7 +3568,8 @@ _IVF_APPEND_DIST = """
                             COUNT(*) OVER () AS n
                      FROM embeddings)
                   WHERE rn = CAST(CEIL(0.8 * n) AS BIGINT)),
-    {_kmeans_ctes(16, 2, pred="vec_id <= (SELECT cut FROM cutr)")},
+    {_kmeans_ctes(16, 2, pred="vec_id <= (SELECT cut FROM cutr)",
+                  sample_n=_KM_SAMPLE)},
     allq AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                     CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,12))
                       AS comp
@@ -3628,7 +3649,9 @@ def similarity_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, late = emb.filter(F.col("vec_id") <= cut), emb.filter(
         F.col("vec_id") > cut
     )
-    assigned, centers = ivf_index_deterministic(base, n_lists=16, rounds=2)
+    assigned, centers = ivf_index_deterministic(
+        base, n_lists=16, rounds=2, sample_n=_KM_SAMPLE
+    )
     root = scratch_dir("ivfinc_")
     ivf_write_incremental(assigned, centers, root)
     ivf_append_incremental(spark, root, late, exact=True)
@@ -4676,7 +4699,7 @@ def text_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{src}/*")
     )
     q = pipe.start(stream, available_now=True)
-    q.awaitTermination(300)
+    await_stream(q)
     return pipe.exact(spark, docs)
 
 
@@ -5365,7 +5388,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{src}/*")
     )
     q = pipe.start(stream, available_now=True)
-    q.awaitTermination(300)
+    await_stream(q)
     view = pipe.view(spark)
     assert view is not None
     return view.select(
@@ -7985,7 +8008,7 @@ def quality_drift_ks_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    pipe.start(stream, available_now=True).awaitTermination(300)
+    await_stream(pipe.start(stream, available_now=True))
     return pipe.ks_view(spark)
 
 
@@ -8043,7 +8066,7 @@ def quality_drift_mix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    pipe.start(stream, available_now=True).awaitTermination(300)
+    await_stream(pipe.start(stream, available_now=True))
     return pipe.mix_view(spark)
 
 
@@ -8090,7 +8113,7 @@ def events_frequent_props_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    pipe.start(stream, available_now=True).awaitTermination(300)
+    await_stream(pipe.start(stream, available_now=True))
     return pipe.exact(spark, ev)
 
 
@@ -8541,7 +8564,7 @@ def sketch_cms_stream_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    pipe.start(stream, available_now=True).awaitTermination(300)
+    await_stream(pipe.start(stream, available_now=True))
     est = pipe.estimate(spark, ev)
     exact = (
         ev.filter(F.col("key").isNotNull())
@@ -9448,7 +9471,7 @@ def quality_embedding_drift_stream(spark: SparkSession, sf_dir: str) -> DataFram
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    pipe.start(stream, available_now=True).awaitTermination(300)
+    await_stream(pipe.start(stream, available_now=True))
     return pipe.centroid_view(spark)
 
 
@@ -9802,10 +9825,9 @@ def quality_perplexity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM devr CROSS JOIN nd2 GROUP BY ndev),
     trr AS (SELECT doc_id, r FROM probs WHERE doc_id % 7 <> 0),
     si AS (SELECT x.doc_id,
-                  list_sum(list_transform(
-                      list_sort(list(struct_pack(b := bucket, c := x * g))),
-                      t -> t.c)) AS s
-           FROM x JOIN gdv USING (bucket) JOIN trr USING (doc_id)
+                  CAST(SUM(CAST(x * g AS DECIMAL(38,18))) AS DOUBLE) AS s
+           FROM x JOIN gdv USING (bucket)
+           WHERE x.doc_id % 7 <> 0
            GROUP BY x.doc_id)
     SELECT t.doc_id, t.r * (COALESCE(si.s, 0.0) + gdb.gb) AS influence
     FROM trr t LEFT JOIN si USING (doc_id) CROSS JOIN gdb
@@ -9822,10 +9844,12 @@ def quality_influence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     confident-learning screen). Same fitted model as the calibration
     family (shared CTE builder); residuals from the quantized
     probabilities, dev-mean gradient as DECIMAL-exact sums with one
-    division, per-doc bucket-sorted folds times one residual — fully
-    value-oracled. Plan: the dev gradient collapses into <= m_buckets
-    + 1 combinable partials broadcast back; the corpus shuffles once
-    on the doc id for the fold."""
+    division, per-doc DECIMAL(38,18)-quantized order-free dot products
+    times one residual — fully value-oracled. Plan: the dev gradient
+    collapses into <= m_buckets + 1 combinable partials broadcast
+    back; the per-doc attribution is ONE combinable grouped SUM (r14:
+    was a bucket-sorted list fold — interpreted HOF Spark-side and an
+    >80 GB list-agg spill in the sf1 DuckDB replay)."""
     from d365fo_db_sync_spark.operators.classifier import (
         influence_scores,
         logreg_fit,
@@ -9848,7 +9872,7 @@ def quality_influence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: the standalone clustering instance — 8 cells, 2 Lloyd rounds
 _KM_K = 8
-_KM_CTES = _kmeans_ctes(_KM_K, 2)
+_KM_CTES = _kmeans_ctes(_KM_K, 2, sample_n=_KM_SAMPLE)
 
 
 @register(
@@ -9868,17 +9892,20 @@ def similarity_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns every vector's final cell and exact squared distance —
     the assignment AND the distances value-hash against the unrolled
     CTE replay, graduating the ANN tier's clustering primitive from
-    rows-only to fully oracled (r12 verdict #4). Plan: fit is
-    2 x (map-only assignment + ONE combinable (cell, dim)-keyed
-    aggregate + k*dim-row collect); the returned assignment pass is
-    map-only — the corpus is never shuffled to be assigned."""
+    rows-only to fully oracled (r12 verdict #4). Plan (r14): fit runs
+    on the 256-vector md5-order sample (2 x (codegen exploded
+    assignment + ONE combinable (cell, dim)-keyed aggregate + k*dim
+    collect) — bounded whatever the corpus size); the returned
+    full-corpus assignment is the codegen exploded shape
+    (assign_cells: broadcast centroid join + combinable decimal
+    aggregate + rank window — no interpreted HOF folds)."""
     from d365fo_db_sync_spark.operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centers = clustering.kmeans_fit(emb, k=_KM_K, rounds=2)
-    return clustering.kmeans_assign(
-        emb, centers, dist_col="sq_dist"
-    ).select("vec_id", "cell", "sq_dist")
+    centers = clustering.kmeans_fit(
+        emb, k=_KM_K, rounds=2, sample_n=_KM_SAMPLE
+    )
+    return clustering.assign_cells(emb, centers, dist_col="sq_dist")
 
 
 @register(
@@ -9903,9 +9930,11 @@ def similarity_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d365fo_db_sync_spark.operators import clustering
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centers = clustering.kmeans_fit(emb, k=_KM_K, rounds=2)
+    centers = clustering.kmeans_fit(
+        emb, k=_KM_K, rounds=2, sample_n=_KM_SAMPLE
+    )
     counts = (
-        clustering.kmeans_assign(emb, centers)
+        clustering.assign_cells(emb, centers)
         .groupBy("cell")
         .agg(F.count("*").alias("n_members"))
     )
@@ -9989,13 +10018,14 @@ def quality_classifier_score_stream(spark: SparkSession, sf_dir: str) -> DataFra
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    pipe.start(stream, available_now=True).awaitTermination(300)
+    await_stream(pipe.start(stream, available_now=True))
     return pipe.histogram_view(spark)
 
 
-@register(
-    "retrieval_ranking_metrics",
-    oracle="""
+#: shared by the batch query and its streaming twin — the stream's
+#: folded final state is double-for-double the batch readout, so the
+#: SAME oracle value-checks both
+_RANKING_METRICS_ORACLE = """
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
     q AS (SELECT vec_id AS query_id, label AS qlab, e AS qe
           FROM v WHERE vec_id % 25 = 0),
@@ -10046,8 +10076,10 @@ def quality_classifier_score_stream(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) AS ndcg_at_k
     FROM perq p LEFT JOIN nr n USING (query_id)
     LEFT JOIN idl i USING (query_id)
-    """,
-)
+    """
+
+
+@register("retrieval_ranking_metrics", oracle=_RANKING_METRICS_ORACLE)
 def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality eval of a retrieval run
     (operators/retrieval.ranking_metrics — TREC conventions, NDCG per
@@ -10064,6 +10096,16 @@ def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrels; the corpus itself is never touched."""
     from d365fo_db_sync_spark.operators.retrieval import ranking_metrics
 
+    run, qrels = _ranking_run_and_qrels(spark, sf_dir)
+    return ranking_metrics(run, qrels, k=10)
+
+
+def _ranking_run_and_qrels(spark: SparkSession, sf_dir: str):
+    """The shared eval instance of the ranking-metrics family: the
+    exact cosine top-10 run over the embeddings corpus plus
+    label-derived graded qrels (same-label docs relevant, grade
+    1 + (vec_id % 2)) — consumed by the batch query and streamed in
+    micro-batches by its twin."""
     emb = load_table(spark, sf_dir, "embeddings")
     run = similarity.cosine_topk_bruteforce(
         emb, _queries_frame(emb), k=10, id_col="vec_id",
@@ -10081,4 +10123,242 @@ def retrieval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.lit(1) + F.pmod("doc_id", F.lit(2)).cast("int")).alias("rel"),
     )
-    return ranking_metrics(run, qrels, k=10)
+    return run, qrels
+
+
+@register(
+    "dedup_simhash_md5_candidates",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id,
+                        ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+                 FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS t
+                       FROM documents)),
+    bits AS (SELECT doc_id, p.i,
+                    SUM(CASE WHEN (h >> p.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM tok CROSS JOIN (SELECT unnest(range(60)) AS i) p
+             GROUP BY 1, 2),
+    sig AS (SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN 1::BIGINT << i
+                            ELSE 0::BIGINT END) AS simhash
+            FROM bits GROUP BY doc_id),
+    chunks AS (SELECT doc_id, b.b AS band,
+                      (simhash >> (b.b * 15)) & 32767 AS chunk
+               FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM chunks a JOIN chunks c
+      ON a.band = c.band AND a.chunk = c.chunk AND a.doc_id < c.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash_candidates' fully value-oracled twin (r13 verdict
+    #3): the same banded-Hamming candidate generation
+    (operators/dedup.simhash_candidates) with the token hash swapped
+    from xxhash64 (engine-internal bit pattern — DuckDB cannot
+    reproduce it) to the repo's cross-engine md5 idiom
+    (``('0x' || substr(md5(tok), 1, 15))::BIGINT`` — 60 bits, 4 bands
+    of 15). The oracle replays tokenize -> per-bit +/-1 sums -> sign
+    pack -> band split -> bucket self-join, so the candidate PAIR SET
+    value-hashes end to end; the xxhash64 production path stays
+    registered rows-only with its pytest recall pin, and
+    tests/test_scale_ops.py pins both paths' recall on the planted
+    corpus. Plan: one token explode into 60 combinable conditional
+    sums (shuffle = 60 longs per doc), band chunks as a 4-element
+    generator explode, candidates from the band-bucket equi-join —
+    collision groups only, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(
+        docs, "doc_id", "text", bands=4, hash_fn="md5"
+    )
+
+
+@register(
+    "multimodal_dhash_near_dups",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      substr(coalesce(text, '') || repeat('A', 64), 1, 64)
+                        AS s
+               FROM documents),
+    px AS (SELECT doc_id, CAST((p.i - 1) // 8 AS INT) AS y,
+                  CAST((p.i - 1) % 8 AS INT) AS x,
+                  ascii(substr(s, p.i, 1)) % 256 AS v
+           FROM t CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p),
+    sig AS (SELECT a.doc_id,
+                   SUM(CASE WHEN a.v > b.v
+                            THEN 1::BIGINT << (a.y * 7 + a.x)
+                            ELSE 0::BIGINT END) AS dhash
+            FROM px a JOIN px b
+              ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+            GROUP BY a.doc_id),
+    chunks AS (SELECT doc_id, b.b AS band,
+                      (dhash >> (b.b * 14)) & 16383 AS chunk
+               FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+    cand AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM chunks a JOIN chunks c
+               ON a.band = c.band AND a.chunk = c.chunk
+                  AND a.doc_id < c.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.dhash, sb.dhash)) AS INT) AS hamming
+    FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+    JOIN sig sb ON cand.id_b = sb.doc_id
+    WHERE bit_count(xor(sa.dhash, sb.dhash)) <= 6
+    """,
+)
+def multimodal_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup detection end to end
+    (operators/imagededup.py — the r13 verdict's #4: the MinHash-LSH
+    candidate/verify shape on pixels): each document stages as a
+    deterministic 8x8 grayscale binary PPM (pixel bytes = leading text
+    codepoints mod 256 — near-dup texts yield near-dup images), the
+    REAL P6 byte decoder (multimodal.ppm_pixels) parses it back, the
+    56-bit dHash (horizontal gradient signs) reduces every image to
+    one BIGINT inside a single Arrow-batch stage, 4 bands of 14 bits
+    generate Hamming-banded candidates (pigeonhole-complete below
+    distance 4), and the exact ``bit_count(a XOR b) <= 6`` verify
+    keeps true near-dups. The oracle recomputes pixels from the raw
+    text (the jpeg_assets_from_documents discipline), then replays
+    hash -> band -> join -> verify — the pair set AND distances
+    value-hash cross-engine; tests/test_imagededup.py pins the banded
+    set against the brute-force Hamming model. Plan: corpus collapses
+    to n longs before any shuffle; the band join emits collision
+    groups only, never all-pairs."""
+    from d365fo_db_sync_spark.operators import imagededup
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = imagededup.stage_ppm_assets(docs)
+    sigs = imagededup.dhash_signatures(assets)
+    return imagededup.dhash_near_duplicates(sigs, max_hamming=6).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
+    )
+
+
+@register(
+    "pipeline_media_shard_export",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      substr(coalesce(text, '') || repeat('A', 64), 1, 64)
+                        AS s
+               FROM documents),
+    px AS (SELECT doc_id,
+                  list_transform(range(1, 65),
+                      i -> repeat(printf('%02x',
+                                         ascii(substr(s, i, 1)) % 256), 3))
+                    AS hx
+           FROM t),
+    sz AS (SELECT doc_id,
+                  '503620382038203235350a' || array_to_string(hx, '') AS hex,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM px),
+    szz AS (SELECT doc_id, octet_length(unhex(hex)) AS n_bytes,
+                   md5(hex) AS cmd5, h
+            FROM sz),
+    bs AS (SELECT doc_id, n_bytes, cmd5,
+                  CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS g_start
+           FROM szz WHERE doc_id % 5 <> 0),
+    bshard AS (SELECT doc_id, n_bytes, cmd5, g_start,
+                      g_start // 4096 AS shard
+               FROM bs),
+    mx AS (SELECT MAX(shard) + 1 AS basek FROM bshard),
+    ls AS (SELECT doc_id, n_bytes, cmd5,
+                  CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS g0
+           FROM szz WHERE doc_id % 5 = 0),
+    lshard AS (SELECT doc_id, n_bytes, cmd5,
+                      g0 + basek * 4096 AS g_start,
+                      (g0 // 4096) + basek AS shard
+               FROM ls CROSS JOIN mx),
+    allr AS (SELECT doc_id, n_bytes, cmd5, g_start, shard FROM bshard
+             UNION ALL
+             SELECT doc_id, n_bytes, cmd5, g_start, shard FROM lshard)
+    SELECT doc_id AS asset_id, CAST(shard AS BIGINT) AS shard,
+           CAST(g_start - MIN(g_start) OVER (PARTITION BY shard)
+                AS BIGINT) AS offset,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           cmd5 AS content_md5
+    FROM allr
+    """,
+)
+def pipeline_media_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style MEDIA record-shard export end to end
+    (operators/recordshard.py — the r13 verdict's #6): the documents
+    corpus stages as deterministic grayscale PPM payloads
+    (imagededup.stage_ppm_assets), the base slice (asset_id % 5 <> 0)
+    exports as byte-budgeted record shards — one contiguous blob per
+    shard plus the (id, shard, offset, n_bytes) manifest sidecar —
+    the late slice arrives as an O(batch) APPEND opening a fresh
+    shard range (published blobs byte-untouched), and the final
+    readout slices every record back out of the on-disk blobs with
+    codegen substring and reports its md5 (over the lowercase hex —
+    DuckDB's md5 is VARCHAR-only; hex is injective so the check is
+    still byte-exact). The value hash therefore proves layout AND
+    round-trip byte-exactness through disk, across both the initial
+    export and the append — pipeline_export_e2e's discipline lifted
+    to binary media. Plan: one md5-banded prefix sum per batch, one
+    shard-id shuffle into bounded Arrow blob builders, pure-codegen
+    read-back; tests/test_recordshard.py pins blob immutability under
+    append."""
+    from d365fo_db_sync_spark.operators import imagededup, recordshard
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = imagededup.stage_ppm_assets(docs)
+    base = assets.filter(F.pmod("asset_id", F.lit(5)) != 0)
+    late = assets.filter(F.pmod("asset_id", F.lit(5)) == 0)
+    root = f"{scratch_dir('recshard_')}/rs"
+    assigned = recordshard.record_shard_assignments(base, shard_bytes=4096)
+    recordshard.write_record_shards(base, assigned, root)
+    recordshard.append_record_shards(spark, root, late, shard_bytes=4096)
+    back = recordshard.read_record_assets(spark, root)
+    return back.select(
+        "asset_id",
+        "shard",
+        "offset",
+        "n_bytes",
+        F.md5(F.lower(F.hex("content"))).alias("content_md5"),
+    )
+
+
+@register("retrieval_ranking_metrics_stream", oracle=_RANKING_METRICS_ORACLE)
+def retrieval_ranking_metrics_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ranking-quality evaluation
+    (streaming.RankingMetricsStreamPipeline — the r13 verdict's #7:
+    the retrieval eval tier was batch-only): the same exact cosine
+    top-10 run as retrieval_ranking_metrics arrives in 4 micro-batches
+    split on the DOC id (so a single query's rows deliberately SPAN
+    batches — the hard fold case), qrels stay frozen metadata, each
+    batch publishes only its per-query mergeable partials (integer
+    hit count, MIN first-relevant rank, exact DECIMAL(38,12) DCG-term
+    sum — exactly-once batch_id sidecars), and metrics_view folds them
+    through the batch operator's own tail
+    (retrieval.ranking_metrics_from_partials). Because count/min/
+    decimal-sum fold exactly, the final state is double-for-double
+    ranking_metrics over the concatenated run — so this STREAMING
+    query carries the batch query's own value oracle
+    (equivalence-pinned in tests/test_streaming.py). Per-batch sidecar
+    state: <= queries-in-batch rows."""
+    from d365fo_db_sync_spark.streaming import RankingMetricsStreamPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    run, qrels = _ranking_run_and_qrels(spark, sf_dir)
+    run_dir = scratch_dir("rankstream_")
+    src = f"{run_dir}/in"
+    for b in range(4):
+        run.filter(F.pmod("doc_id", F.lit(4)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{b}")
+    pipe = RankingMetricsStreamPipeline(
+        qrels, f"{run_dir}/sidecar", f"{run_dir}/ckpt", k=10
+    )
+    stream = (
+        spark.readStream.schema(run.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    await_stream(pipe.start(stream, available_now=True))
+    return pipe.metrics_view(spark)
