@@ -192,6 +192,16 @@ def ranking_partials(
             F.sum(F.when(F.col(rel_col).isNotNull(), dterm)),
             F.lit(0).cast(term_dec),
         ).alias("dcg"),
+        # the ranks at which relevant docs appeared (<= k ints, sorted)
+        # — the AP partial: a bounded SET is what merges exactly, the
+        # cumulative-precision terms themselves do not
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col(rel_col).isNotNull(), F.col(rank_col)).cast(
+                    "int"
+                )
+            )
+        ).alias("rel_ranks"),
     )
 
 
@@ -205,6 +215,9 @@ def fold_ranking_partials(
         F.sum("hits_at_k").cast("long").alias("hits_at_k"),
         F.min("first_rel").alias("first_rel"),
         F.sum("dcg").cast("decimal(38,12)").alias("dcg"),
+        F.array_sort(F.flatten(F.collect_list("rel_ranks"))).alias(
+            "rel_ranks"
+        ),
     )
 
 
@@ -239,7 +252,25 @@ def ranking_metrics_from_partials(
         F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
         F.col("first_rel").alias("__first"),
         F.coalesce("dcg", F.lit(0).cast(term_dec)).alias("__dcg"),
+        F.coalesce(
+            "rel_ranks", F.array().cast("array<int>")
+        ).alias("__ranks"),
     )
+    # AP numerator from the folded relevant-rank list: the i-th
+    # relevant hit (1-based, rank-ascending) contributes P@r_i = i/r_i;
+    # each term quantizes through DECIMAL(38,12) before the exact sum
+    # (the DCG discipline — double SUM order is undefined cross-engine)
+    ap_num = F.aggregate(
+        F.transform(
+            "__ranks",
+            lambda r, i: (
+                (i + F.lit(1)).cast("double") / r.cast("double")
+            ).cast(term_dec),
+        ),
+        F.lit(0).cast(term_dec),
+        lambda acc, v: (acc + v).cast(term_dec),
+    )
+    per_q = per_q.withColumn("__apnum", ap_num).drop("__ranks")
     n_rel = labeled.groupBy(query_col).agg(F.count("*").alias("n_rel"))
     w = Window.partitionBy(query_col).orderBy(
         F.desc(rel_col), F.asc(doc_col)
@@ -276,6 +307,13 @@ def ranking_metrics_from_partials(
             F.coalesce(
                 F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
             ).alias("rr"),
+            (
+                F.col("__apnum").cast("double")
+                / F.nullif(
+                    F.least(F.coalesce("n_rel", F.lit(0)), F.lit(k)),
+                    F.lit(0),
+                ).cast("double")
+            ).alias("ap_at_k"),
             F.col("__dcg").cast("double").alias("dcg_at_k"),
             F.col("__idcg").cast("double").alias("idcg_at_k"),
             (
@@ -305,6 +343,10 @@ def ranking_metrics(
     * ``hits_at_k`` / ``recall_at_k`` / ``precision_at_k``,
     * ``rr`` — reciprocal rank of the first relevant hit (0 if none;
       MRR is its mean),
+    * ``ap_at_k`` — binary-relevance average precision,
+      ``sum_i(i / rank_i) / min(n_rel, k)`` over the i-th relevant hit
+      at rank ``rank_i`` (MAP is its mean; NULL when the query has no
+      labeled-relevant docs, like NDCG),
     * ``dcg_at_k`` / ``idcg_at_k`` / ``ndcg_at_k`` — graded, gain
       ``2^rel - 1``, ``log2(rank+1)`` discount; NDCG is NULL when the
       query has no labeled-relevant docs.

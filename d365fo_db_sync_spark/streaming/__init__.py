@@ -1609,8 +1609,10 @@ class RankingMetricsStreamPipeline:
     live retrieval service emits), qrels are FROZEN metadata
     (queries x labels — broadcast into every batch), and each batch
     publishes only its per-query MERGEABLE partials
-    ``(query, hits_at_k, first_rel, dcg)`` — an integer count, a MIN
-    rank, and an exact DECIMAL(38,12) DCG-term sum — atomically to
+    ``(query, hits_at_k, first_rel, dcg, rel_ranks)`` — an integer
+    count, a MIN rank, an exact DECIMAL(38,12) DCG-term sum, and the
+    bounded (<= k) sorted relevant-rank list the AP terms derive from
+    — atomically to
     ``sidecar_dir/batch_id=N`` (write-tmp + rename; a replayed batch
     finds its partition and skips — the engine-wide exactly-once file
     protocol).
@@ -1680,12 +1682,14 @@ class RankingMetricsStreamPipeline:
             return spark.createDataFrame(
                 [],
                 f"{self.query_col} long, hits_at_k long, first_rel int, "
-                "dcg decimal(38,12)",
+                "dcg decimal(38,12), rel_ranks array<int>",
             )
         return (
             spark.read.option("basePath", self.sidecar_dir)
             .parquet(self.sidecar_dir)
-            .select(self.query_col, "hits_at_k", "first_rel", "dcg")
+            .select(
+                self.query_col, "hits_at_k", "first_rel", "dcg", "rel_ranks"
+            )
         )
 
     def metrics_view(self, spark) -> DataFrame:

@@ -48,6 +48,8 @@ def test_ranking_metrics_values(spark, frames):
     assert r1["rr"] == 1.0
     assert r1["dcg_at_k"] == pytest.approx(dcg([(1, 2), (2, 1)]), abs=1e-9)
     assert r1["ndcg_at_k"] == pytest.approx(1.0, abs=1e-9)
+    # AP: relevant at ranks 1,2 -> (1/1 + 2/2) / min(2, 3) = 1
+    assert r1["ap_at_k"] == pytest.approx(1.0, abs=1e-9)
 
     # q2: the graded docs rank WORST-first -> NDCG < 1, rr = 1/2
     r2 = got[2]
@@ -55,12 +57,15 @@ def test_ranking_metrics_values(spark, frames):
     assert r2["dcg_at_k"] == pytest.approx(dcg([(2, 1), (3, 2)]), abs=1e-9)
     assert r2["idcg_at_k"] == pytest.approx(dcg([(1, 2), (2, 1)]), abs=1e-9)
     assert 0 < r2["ndcg_at_k"] < 1
+    # AP: relevant at ranks 2,3 -> (1/2 + 2/3) / min(2, 3)
+    assert r2["ap_at_k"] == pytest.approx((0.5 + 2 / 3) / 2, abs=1e-9)
 
-    # q3: nothing labeled -> rr 0, recall/NDCG NULL, dcg 0
+    # q3: nothing labeled -> rr 0, recall/AP/NDCG NULL, dcg 0
     r3 = got[3]
     assert r3["n_rel"] == 0 and r3["hits_at_k"] == 0
     assert r3["rr"] == 0.0
     assert r3["recall_at_k"] is None and r3["ndcg_at_k"] is None
+    assert r3["ap_at_k"] is None
     assert r3["dcg_at_k"] == 0.0
 
 
@@ -83,6 +88,7 @@ def test_ranking_metrics_missing_query_scores_zero(spark, frames):
     assert r9["n_rel"] == 2 and r9["hits_at_k"] == 0
     assert r9["recall_at_k"] == 0.0 and r9["precision_at_k"] == 0.0
     assert r9["rr"] == 0.0 and r9["dcg_at_k"] == 0.0
+    assert r9["ap_at_k"] == 0.0  # labeled but no hits: 0, not NULL
     assert r9["idcg_at_k"] > 0 and r9["ndcg_at_k"] == 0.0
 
 
