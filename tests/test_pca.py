@@ -1,0 +1,63 @@
+"""operators/pca.py — deterministic power iteration: determinism,
+convergence against numpy's exact top eigenpair on the real corpus,
+projection contract, and the degenerate zero-covariance guard."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from d365fo_db_sync_spark.operators import pca
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_fit_is_deterministic(spark, emb):
+    a = pca.pca_power_fit(emb, rounds=4)
+    b = pca.pca_power_fit(emb, rounds=4)
+    assert a == b  # bit-identical: means, component, eigenvalue
+
+
+def test_converges_to_numpy_top_eigenpair(spark, emb):
+    import numpy as np
+
+    mu, v, eig = pca.pca_power_fit(emb, rounds=64)
+    x = np.array(
+        [list(map(float, r["embedding"])) for r in emb.collect()],
+        dtype=np.float64,
+    )
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / x.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    top_val, top_vec = evals[-1], evecs[:, -1]
+    # Rayleigh quotient converges fast even with a small eigengap
+    assert eig == pytest.approx(top_val, rel=0.01)
+    assert eig <= top_val * (1 + 1e-6)  # Rayleigh never exceeds lambda_max
+    # direction: |cosine| high (sign is arbitrary in the reference)
+    cos = abs(float(np.dot(v, top_vec)) / math.sqrt(float(np.dot(v, v))))
+    assert cos >= 0.9
+    assert math.isclose(
+        sum(c * c for c in v), 1.0, rel_tol=1e-6
+    )  # unit on the quantized grid
+
+
+def test_projection_values(spark, emb):
+    mu, v, _ = pca.pca_power_fit(emb, rounds=4)
+    got = {r["vec_id"]: r["proj"] for r in pca.pca_project(emb, mu, v).collect()}
+    rows = {r["vec_id"]: list(map(float, r["embedding"])) for r in emb.collect()}
+    # spot-check three vectors against the plain double dot product
+    for vid in list(rows)[:3]:
+        want = sum((x - m) * c for x, m, c in zip(rows[vid], mu, v))
+        assert got[vid] == pytest.approx(want, abs=1e-9)
+    assert len(got) == len(rows)
+
+
+def test_zero_covariance_keeps_axis(spark):
+    df = spark.sparkSession if False else None  # noqa: F841
+    v, eig = pca.power_iterate([[0.0, 0.0], [0.0, 0.0]], rounds=3)
+    assert v in ([1.0, 0.0], [0.0, 1.0])
+    assert eig == 0.0
