@@ -10051,6 +10051,14 @@ _RANKING_METRICS_ORACLE = """
                            AS DECIMAL(38,12)) END),
                       CAST(0 AS DECIMAL(38,12))) AS dcg
              FROM jn GROUP BY 1),
+    apn AS (SELECT query_id,
+                   SUM(CAST(CAST(i AS DOUBLE) / CAST(rnk AS DOUBLE)
+                            AS DECIMAL(38,12))) AS apnum
+            FROM (SELECT query_id, rnk,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY rnk) AS i
+                  FROM jn WHERE rel IS NOT NULL)
+            GROUP BY 1),
     nr AS (SELECT query_id, COUNT(*) AS n_rel FROM lab GROUP BY 1),
     idl AS (SELECT query_id, SUM(it) AS idcg FROM
               (SELECT query_id,
@@ -10071,10 +10079,14 @@ _RANKING_METRICS_ORACLE = """
              AS recall_at_k,
            CAST(p.hits_at_k AS DOUBLE) / 10.0 AS precision_at_k,
            COALESCE(1.0 / CAST(p.first_rel AS DOUBLE), 0.0) AS rr,
+           CAST(COALESCE(a.apnum, CAST(0 AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(NULLIF(LEAST(COALESCE(n.n_rel, 0), 10), 0) AS DOUBLE)
+             AS ap_at_k,
            CAST(p.dcg AS DOUBLE) AS dcg_at_k,
            CAST(i.idcg AS DOUBLE) AS idcg_at_k,
            CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) AS ndcg_at_k
     FROM perq p LEFT JOIN nr n USING (query_id)
+    LEFT JOIN apn a USING (query_id)
     LEFT JOIN idl i USING (query_id)
     """
 
@@ -10362,3 +10374,127 @@ def retrieval_ranking_metrics_stream(
     )
     await_stream(pipe.start(stream, available_now=True))
     return pipe.metrics_view(spark)
+
+
+def _pca_ctes(rounds: int) -> str:
+    """Unrolled CTE chain replaying operators/pca.pca_power_fit
+    bit-for-bit: DECIMAL(28,12)-quantized components, exact-decimal
+    mean and covariance with one IEEE division each, fixed power-
+    iteration rounds (matvec as DECIMAL(38,18)-quantized exact sums,
+    correctly-rounded libm sqrt, DECIMAL(28,12) re-quantization of the
+    unit vector), Rayleigh-quotient eigenvalue. Ends with
+    ``pc_v{rounds}`` (the component), ``pc_mu``, ``pc_d`` (centered
+    components) and ``pc_eig``. The multiply-referenced CTEs are
+    explicitly MATERIALIZED: each pc_v{r} feeds pc_w{r+1}, and
+    pc_w{r} feeds both the norm and the update — default inlining
+    re-evaluates the chain once per REFERENCE, doubling work per round
+    (measured: 0.2 s at 3 rounds, >100 s at 8)."""
+    parts = [f"""
+    pc_ve AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(CAST(unnest(embedding) AS DOUBLE)
+                          AS DECIMAL(28,12)) AS comp
+              FROM embeddings),
+    pc_mu AS (SELECT pos,
+                     CAST(CAST(SUM(comp) AS DOUBLE) / COUNT(*)
+                          AS DECIMAL(28,12)) AS m
+              FROM pc_ve GROUP BY pos),
+    pc_d AS MATERIALIZED (SELECT v.vec_id, v.pos,
+                    CAST(v.comp AS DOUBLE) - CAST(mu.m AS DOUBLE) AS d
+             FROM pc_ve v JOIN pc_mu mu USING (pos)),
+    pc_cv AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+                     CAST(CAST(SUM(CAST(a.d * b.d AS DECIMAL(38,18)))
+                               AS DOUBLE) / COUNT(*)
+                          AS DECIMAL(28,12)) AS c
+              FROM pc_d a JOIN pc_d b USING (vec_id) GROUP BY 1, 2),
+    pc_v0 AS (SELECT i AS pos,
+                     CASE WHEN i = (SELECT i FROM pc_cv WHERE i = j
+                                    ORDER BY c DESC, i LIMIT 1)
+                          THEN 1.0 ELSE 0.0 END AS vc
+              FROM pc_cv WHERE i = j)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    pc_w{r} AS MATERIALIZED (SELECT cv.i AS pos,
+                       CAST(SUM(CAST(CAST(cv.c AS DOUBLE) * v.vc
+                                     AS DECIMAL(38,18))) AS DOUBLE) AS w
+                FROM pc_cv cv JOIN pc_v{r - 1} v ON cv.j = v.pos
+                GROUP BY 1),
+    pc_nrm{r} AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18)))
+                                   AS DOUBLE)) AS nrm
+                  FROM pc_w{r}),
+    pc_v{r} AS MATERIALIZED (SELECT pos,
+                       CAST(CAST(w / nrm AS DECIMAL(28,12)) AS DOUBLE)
+                         AS vc
+                FROM pc_w{r} CROSS JOIN pc_nrm{r})""")
+    parts.append(f"""
+    pc_wf AS (SELECT cv.i AS pos,
+                     CAST(SUM(CAST(CAST(cv.c AS DOUBLE) * v.vc
+                                   AS DECIMAL(38,18))) AS DOUBLE) AS w
+              FROM pc_cv cv JOIN pc_v{rounds} v ON cv.j = v.pos
+              GROUP BY 1),
+    pc_eig AS (SELECT CAST(CAST(SUM(CAST(v.vc * w.w AS DECIMAL(38,18)))
+                                AS DOUBLE) AS DECIMAL(28,12)) AS eig
+               FROM pc_v{rounds} v JOIN pc_wf w USING (pos))""")
+    return ",".join(parts)
+
+
+#: the corpus' top eigengap is thin (near-random embeddings:
+#: lambda2/lambda1 ~ 0.93), so convergence needs ~64 rounds
+#: ((0.93)^64 ~ 1e-2); each round is one 4096-row materialized CTE —
+#: the unroll stays cheap on both engines
+_PCA_ROUNDS = 64
+
+
+@register(
+    "similarity_pca_component",
+    oracle=f"""
+    WITH {_pca_ctes(_PCA_ROUNDS)}
+    SELECT CAST(v.pos AS INT) AS pos, CAST(mu.m AS DOUBLE) AS mean_comp,
+           v.vc AS pc_comp, CAST(e.eig AS DOUBLE) AS eigenvalue
+    FROM pc_v{_PCA_ROUNDS} v JOIN pc_mu mu USING (pos) CROSS JOIN pc_eig e
+    """,
+)
+def similarity_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained top principal component itself, value-oracled
+    (operators/pca.py — deterministic fixed-round power iteration, the
+    decimal-replay twin of the eigh-bound whitener's leading eigenpair;
+    r14): per dimension the corpus mean, the unit component on the
+    DECIMAL(28,12) grid after {_PCA_ROUNDS} unrolled rounds, and the
+    Rayleigh-quotient eigenvalue. The oracle replays mean ->
+    covariance -> every round -> Rayleigh bit for bit;
+    tests/test_pca.py pins convergence against numpy.linalg.eigh.
+    Plan: one combinable (i, j)-keyed covariance aggregate (d^2 out),
+    two bounded collects, the iteration on 32 KB of driver metadata —
+    corpus size never touches the fit loop."""
+    from d365fo_db_sync_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, v, eig = pca.pca_power_fit(emb, rounds=_PCA_ROUNDS)
+    return spark.createDataFrame(
+        [(p, m, c, eig) for p, (m, c) in enumerate(zip(mu, v))],
+        "pos int, mean_comp double, pc_comp double, eigenvalue double",
+    )
+
+
+@register(
+    "similarity_pca_projection",
+    oracle=f"""
+    WITH {_pca_ctes(_PCA_ROUNDS)}
+    SELECT d.vec_id,
+           CAST(SUM(CAST(d.d * v.vc AS DECIMAL(38,18))) AS DOUBLE) AS proj
+    FROM pc_d d JOIN pc_v{_PCA_ROUNDS} v USING (pos)
+    GROUP BY 1
+    """,
+)
+def similarity_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's exact-decimal projection onto the fitted top
+    component (operators/pca.pca_project) — the rank-1 PCA readout a
+    curation pipeline sorts/buckets on (dominant-axis outlier triage,
+    the cheap first look before full whitening). Fit as in
+    similarity_pca_component; the projection is one broadcast join +
+    ONE combinable DECIMAL(38,18) aggregate in codegen — the corpus
+    shuffles once on the vector id. Fully value-oracled end to end."""
+    from d365fo_db_sync_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu, v, _eig = pca.pca_power_fit(emb, rounds=_PCA_ROUNDS)
+    return pca.pca_project(emb, mu, v)
