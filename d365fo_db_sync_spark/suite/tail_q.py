@@ -10498,3 +10498,139 @@ def similarity_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mu, v, _eig = pca.pca_power_fit(emb, rounds=_PCA_ROUNDS)
     return pca.pca_project(emb, mu, v)
+
+
+@register(
+    "retrieval_eval_summary",
+    oracle=f"""
+    WITH perq_all AS ({_RANKING_METRICS_ORACLE.replace(chr(10) + '    ', chr(10) + '        ')}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CAST(rr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             AS mrr,
+           CAST(SUM(CAST(COALESCE(ap_at_k, 0.0) AS DECIMAL(38,12)))
+                AS DOUBLE)
+             / NULLIF(COUNT(ap_at_k), 0) AS map_at_k,
+           CAST(SUM(CAST(COALESCE(ndcg_at_k, 0.0) AS DECIMAL(38,12)))
+                AS DOUBLE)
+             / NULLIF(COUNT(ndcg_at_k), 0) AS mean_ndcg_at_k,
+           CAST(SUM(CAST(COALESCE(recall_at_k, 0.0) AS DECIMAL(38,12)))
+                AS DOUBLE)
+             / NULLIF(COUNT(recall_at_k), 0) AS mean_recall_at_k
+    FROM perq_all
+    """,
+)
+def retrieval_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row eval dashboard a retrieval run ships with — the
+    means of the per-query frame (TREC conventions: MRR over ALL
+    queries; MAP / mean NDCG / mean recall over the queries with
+    labeled-relevant docs, the standard denominators): composes
+    retrieval.ranking_metrics' exact per-query readout into the
+    headline numbers. Each mean routes its summands through
+    DECIMAL(38,12) before the sum (double SUM order is undefined
+    cross-engine — the DCG discipline applied to the aggregation
+    level too), so even this one-row frame value-hashes. Plan: the
+    per-query frame is queries-bounded metadata; one 1-row
+    aggregate."""
+    from d365fo_db_sync_spark.operators.retrieval import ranking_metrics
+
+    run, qrels = _ranking_run_and_qrels(spark, sf_dir)
+    m = ranking_metrics(run, qrels, k=10)
+    dec = "decimal(38,12)"
+
+    def mean_of(col: str):
+        return (
+            F.sum(F.coalesce(F.col(col), F.lit(0.0)).cast(dec)).cast("double")
+            / F.nullif(F.count(col), F.lit(0)).cast("double")
+        )
+
+    return m.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        (
+            F.sum(F.col("rr").cast(dec)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mrr"),
+        mean_of("ap_at_k").alias("map_at_k"),
+        mean_of("ndcg_at_k").alias("mean_ndcg_at_k"),
+        mean_of("recall_at_k").alias("mean_recall_at_k"),
+    )
+
+
+@register(
+    "text_char_entropy_gate",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+                FROM documents),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1),
+    ent AS (SELECT cnt.doc_id,
+                   CAST(SUM(CAST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * log2(CAST(n AS DOUBLE)
+                                        / CAST(k AS DOUBLE))
+                                 AS DECIMAL(38,12))) AS DOUBLE)
+                     AS entropy_bits,
+                   CAST(MAX(n) AS BIGINT) AS n_chars,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_chars
+            FROM cnt JOIN tot USING (doc_id) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(e.n_chars, 0) AS n_chars,
+           COALESCE(e.distinct_chars, 0) AS distinct_chars,
+           COALESCE(e.entropy_bits, 0.0) AS entropy_bits,
+           COALESCE(e.entropy_bits, 0.0) BETWEEN 2.0 AND 5.5 AS keep
+    FROM documents d LEFT JOIN ent e USING (doc_id)
+    """,
+)
+def text_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy as a quality gate — the
+    SQL-expressible sibling of the deflate compression-ratio filter
+    (text_compression_quality stays rows-only: zlib is not replayable;
+    the character-distribution entropy captures the same two failure
+    modes — near-zero bits/char = degenerate repetition, near-uniform
+    ~6 bits/char over a large alphabet = gibberish/binary — with
+    every number value-checked). Per document:
+    ``H = sum over distinct chars of (k/n) * log2(n/k)``, each term
+    quantized through DECIMAL(38,12) before the exact order-free sum
+    (libm log2 may differ in the last ulp across engines — the DCG
+    re-synchronization barrier); ``keep`` brackets natural-language
+    entropy (2.0-5.5 bits/char) and compares on the exact-sum-derived
+    double, so the decision replays too. Plan: one codepoint explode
+    into a combinable (doc, char) count, one per-doc aggregate —
+    map-side combine collapses the shuffle to the per-doc alphabet
+    (<= |charset| rows per doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dec = "decimal(38,12)"
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("k"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    ent = (
+        cnt.join(tot, on="doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("k").cast("double") / F.col("n").cast("double"))
+                    * F.log2(
+                        F.col("n").cast("double") / F.col("k").cast("double")
+                    )
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("entropy_bits"),
+            F.max("n").cast("long").alias("n_chars"),
+            F.count("*").cast("long").alias("distinct_chars"),
+        )
+    )
+    eb = F.coalesce("entropy_bits", F.lit(0.0))
+    return docs.select("doc_id").join(ent, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce("distinct_chars", F.lit(0))
+        .cast("long")
+        .alias("distinct_chars"),
+        eb.alias("entropy_bits"),
+        ((eb >= 2.0) & (eb <= 5.5)).alias("keep"),
+    )
