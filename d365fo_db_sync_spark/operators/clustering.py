@@ -16,12 +16,17 @@ k-means++ init for BIT-EXACT cross-engine replay:
   per-(vector, cell) distance is an exact, order-free decimal sum —
   equal whether folded sequentially (Spark ``aggregate``) or
   aggregated by SQL ``SUM`` (DuckDB). Argmin ties break on cell id.
-* **update** — per-(cell, dim) mean as ``decimal28_12(double(sum_dec)
-  / n)``: the sum is exact decimal, the single division is IEEE-exact
-  given identical operands, and the result re-quantizes so the
-  centroids entering the next round are decimal-valued doubles a SQL
-  oracle replays as chained CTEs, round for round (the
-  ``graph.pagerank`` / ``classifier.logreg_fit`` fixed-K discipline).
+* **update** — per-(cell, dim) mean as the RAW IEEE quotient
+  ``double(sum_dec) / double(n)``: the sum is exact decimal (so both
+  engines cast it to the identical double) and the single division of
+  identical operands is correctly rounded — bit-identical
+  cross-engine with NO quantization boundary. (r14: the mean
+  previously re-quantized through DECIMAL(28,12); a double→decimal
+  cast rounds the SHORTEST repr on the JVM but the exact binary
+  expansion in DuckDB, and at sf1 one mean landed on a half-boundary
+  those two representations split — the raw quotient has no such
+  boundary, and every downstream consumer only needs both engines to
+  hold the same double.)
 * **empty cells** keep their previous centroid (coalesce against the
   prior round — no resampling, which would need order-dependent
   randomness).
@@ -230,8 +235,6 @@ def kmeans_fit(
                 "cell",
                 F.col("_pos").alias("pos"),
                 (F.col("s").cast("double") / F.col("n").cast("double"))
-                .cast(_COMP_DEC)
-                .cast("double")
                 .alias("c"),
             )
             .collect()
@@ -257,10 +260,10 @@ def _driver_lloyd(
       ``BigDecimal.valueOf`` cast path), summed exactly;
     * argmin strictly-less over ascending cells == the (dist, cell)
       tie-break;
-    * mean = ``float(exact decimal sum) / n`` (one IEEE division on
-      identical operands) re-quantized to DECIMAL(28,12); ``+ 0.0``
-      folds a Python ``-0.0`` into the engines' unsigned-zero
-      decimals; empty cells keep their previous centroid."""
+    * mean = ``float(exact decimal sum) / n`` — the RAW IEEE quotient,
+      no re-quantization (see the module doc: the double→decimal
+      re-cast is the one step whose rounding can split cross-engine);
+      empty cells keep their previous centroid."""
     from decimal import ROUND_HALF_UP, Decimal
 
     q12, q18 = Decimal("1e-12"), Decimal("1e-18")
@@ -287,14 +290,7 @@ def _driver_lloyd(
                 s[p] += Decimal(repr(x)).quantize(q12, ROUND_HALF_UP)
         centers = [
             [
-                float(
-                    Decimal(repr(float(sums[ci][p]) / cnts[ci])).quantize(
-                        q12, ROUND_HALF_UP
-                    )
-                )
-                + 0.0
-                if cnts[ci]
-                else centers[ci][p]
+                float(sums[ci][p]) / cnts[ci] if cnts[ci] else centers[ci][p]
                 for p in range(len(centers[ci]))
             ]
             for ci in range(k)

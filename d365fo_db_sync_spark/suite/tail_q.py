@@ -748,8 +748,10 @@ def _kmeans_ctes(
     Lloyd's): components quantized once to DECIMAL(28,12); seeds = the
     k ids smallest by (md5(id), id); per round, distances as exact
     order-free DECIMAL(38,18) term sums, argmin tie-broken on cell,
-    per-(cell, dim) means re-quantized to DECIMAL(28,12), empty cells
-    coalescing to the prior centroid. Ends with ``km_c{rounds}`` (the
+    per-(cell, dim) means as RAW IEEE quotients of the exact decimal
+    sums (r14: no re-quantization — the double->decimal re-cast is the
+    one step whose half-up rounding can split cross-engine, and it
+    fired at sf1), empty cells coalescing to the prior centroid. Ends with ``km_c{rounds}`` (the
     final centroids) and ``km_af`` (the final assignment + exact
     squared distance, over the FULL pred corpus). ``pred`` restricts
     the corpus (the incremental-index oracle fits on the base slice
@@ -777,7 +779,8 @@ def _kmeans_ctes(
                      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                         vec_id) - 1 AS cell
               FROM embeddings WHERE {pred}),
-    km_c0 AS (SELECT cell, pos, comp FROM km_sd JOIN km_ve USING (vec_id)
+    km_c0 AS (SELECT cell, pos, CAST(comp AS DOUBLE) AS comp
+              FROM km_sd JOIN km_ve USING (vec_id)
               WHERE cell < {k})"""
     ]
     if sample_n is not None:
@@ -794,8 +797,8 @@ def _kmeans_ctes(
                                              ORDER BY dist, cell) AS rn
                    FROM km_d{r}) WHERE rn = 1),
     km_u{r} AS (SELECT cell, pos,
-                       CAST(CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                            AS DECIMAL(28,12)) AS comp
+                       CAST(SUM(comp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                         AS comp
                 FROM km_a{r} JOIN {fit_src} USING (vec_id) GROUP BY 1, 2),
     km_c{r} AS (SELECT p.cell, p.pos, COALESCE(u.comp, p.comp) AS comp
                 FROM km_c{r - 1} p LEFT JOIN km_u{r} u USING (cell, pos))""")
