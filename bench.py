@@ -113,6 +113,28 @@ def _median(vals: list[float]) -> float | None:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+#: bound on any applied canary correction factor (r14 verdict #7: a
+#: 0.077 s canary read against a 0.1215 median turned a FASTER raw
+#: total into an apparent +22% normalized regression — the canary is a
+#: ~0.1 s measurement and cannot justify an unbounded multiplier).
+#: The raw factor is still recorded beside the applied one.
+CANARY_FACTOR_CLAMP = (0.75, 4.0 / 3.0)
+
+
+def _bounded_factor(
+    median_hist: float | None, this_run: float | None
+) -> tuple[float | None, float]:
+    """(raw, applied) correction factor for a canary reading: raw =
+    historical median / this run (None when either side is missing),
+    applied = raw clamped to CANARY_FACTOR_CLAMP (1.0 when raw is
+    None). Pinned by tests/test_bench_helpers.py."""
+    if not median_hist or not this_run or this_run <= 0:
+        return None, 1.0
+    raw = median_hist / this_run
+    lo, hi = CANARY_FACTOR_CLAMP
+    return raw, min(max(raw, lo), hi)
+
+
 def _canary_history() -> dict[str, float]:
     """CPU-canary history (min of pre/post per recorded round)."""
     return _history(("load_canary_pre", "load_canary_post"))
@@ -219,31 +241,37 @@ def main() -> None:
     # state — a cross-round-comparable number. The raw total stays the
     # headline "value" (ground truth for this run); history rides in
     # the JSON so readers never re-derive it from SCALE.md.
-    this_canary = min(canary_pre, canary_post)
+    # r15 (verdict #7): this run's canary estimate folds ALL recorded
+    # canary reads — pre, post, and the interleaved trail — through
+    # the MEDIAN (a single unlucky 0.08 s read can no longer set the
+    # factor alone), and the applied factor is CLAMPED to
+    # CANARY_FACTOR_CLAMP with the raw factor recorded beside it.
+    this_canary_min = min(canary_pre, canary_post)
+    canary_samples = [canary_pre, canary_post] + canary_trail
+    this_canary = _median(canary_samples)
     history = _canary_history()
     median_hist = _median(list(history.values()))
-    if median_hist and this_canary > 0:
-        normalized_total = round(total * median_hist / this_canary, 3)
-    else:
-        normalized_total = round(total, 3)
+    raw_cpu_factor, cpu_factor = _bounded_factor(median_hist, this_canary)
+    normalized_total = round(total * cpu_factor, 3)
 
     # The same correction for the one tracked THROUGHPUT sub-key:
     # machine load deflates rows/s by the CPU-contention factor the
-    # canary measures, so the normalized twin is raw * (this/median) —
-    # the inverse direction of the wall-clock correction. The raw
-    # number stays ground truth; a judge reads the normalized twin
-    # against the recorded quiet band instead of re-benching.
+    # canary measures, so the normalized twin DIVIDES by the same
+    # bounded factor — the inverse direction of the wall-clock
+    # correction. The raw number stays ground truth; a judge reads the
+    # normalized twin against the recorded quiet band instead of
+    # re-benching.
     steady_key = "cdc_stream_throughput:steady_rows_per_sec"
     if steady_key in timings and median_hist:
         timings[steady_key + "_normalized"] = round(
-            timings[steady_key] * this_canary / median_hist, 1
+            timings[steady_key] / cpu_factor, 1
         )
     # ...and the recorded per-round history of that raw number (same
     # strictly-before-this-round window as the canary history), so the
     # band a reading is judged against travels in the JSON
     steady_hist = _history((steady_key,), fold=max)
     io_hist = _io_canary_history()
-    this_io = min(io_canary_pre, io_canary_post)
+    this_io = _median([io_canary_pre, io_canary_post])
     # Second normalized total, the io twin (r13 verdict #5 — the
     # accumulated io-canary history graduates from a reading rule to a
     # published number): raw total * (median historical io canary /
@@ -254,10 +282,8 @@ def main() -> None:
     # canary is the one that fired, the true quiet-machine total lies
     # BETWEEN io_normalized_total and the raw total).
     io_median_hist = _median(list(io_hist.values()))
-    if io_median_hist and this_io > 0:
-        io_normalized_total = round(total * io_median_hist / this_io, 3)
-    else:
-        io_normalized_total = round(total, 3)
+    raw_io_factor, io_factor = _bounded_factor(io_median_hist, this_io)
+    io_normalized_total = round(total * io_factor, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
@@ -270,12 +296,19 @@ def main() -> None:
         "io_normalized_total": io_normalized_total,
         "canary": {
             "this_run": this_canary,
+            "this_run_min": this_canary_min,
+            "samples_folded": len(canary_samples),
+            "raw_factor": raw_cpu_factor,
+            "applied_factor": cpu_factor,
+            "factor_clamp": list(CANARY_FACTOR_CLAMP),
             "median_history": median_hist,
             "history": history,
             "trail": canary_trail,
         },
         "io_canary": {
             "this_run": this_io,
+            "raw_factor": raw_io_factor,
+            "applied_factor": io_factor,
             "median_history": io_median_hist,
             "history": io_hist,
             # two-factor reading rule: the CPU canary normalizes

@@ -177,13 +177,16 @@ def kmeans_fit(
     sample_n: int | None = None,
 ) -> list[list[float]]:
     """Fixed-round deterministic Lloyd's: returns the final centroids
-    as k lists of DECIMAL(28,12)-valued doubles. Per round: codegen
-    assignment against the previous centroids (exploded broadcast
-    join + ONE combinable (_id, cell)-keyed exact decimal aggregate +
-    rank window — r14; the r13 shape evaluated k*dim interpreted HOF
-    folds per row), ONE combinable (cell, dim)-keyed mean aggregate,
-    one k*dim-row collect. Exactly ``rounds`` rounds — no convergence
-    loop, so a SQL oracle unrolls the identical chain.
+    as k lists of doubles — each component the RAW IEEE quotient of an
+    exact decimal sum (no DECIMAL(28,12) re-quantization; the r14
+    half-boundary fix, module doc). Per round: codegen assignment
+    against the previous centroids (_assign_exploded — centroid
+    literals indexed by position into ONE combinable exact-decimal
+    groupBy + array_min argmin; no join, no window — r14; the r13
+    shape evaluated k*dim interpreted HOF folds per row), ONE
+    combinable (cell, dim)-keyed mean aggregate, one k*dim-row
+    collect. Exactly ``rounds`` rounds — no convergence loop, so a SQL
+    oracle unrolls the identical chain.
 
     ``sample_n`` fits on the deterministic md5-order sample instead of
     the full corpus (the suite's hash-order ``sampling`` discipline:
@@ -374,11 +377,18 @@ def probe_cells_exact(
     )
 
 
-def wcss(df: DataFrame, centers: list[list[float]], vec_col: str = "embedding") -> float:
+def wcss(
+    df: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
     """Within-cluster sum of squares against the given centroids — the
-    quality number tests pin the deterministic fit against MLlib's."""
+    quality number tests pin the deterministic fit against MLlib's.
+    ``id_col`` threads through to assign_cells (frames without a
+    ``vec_id`` column pass their own key here)."""
     row = (
-        assign_cells(df, centers, vec_col=vec_col, dist_col="_d")
+        assign_cells(df, centers, id_col=id_col, vec_col=vec_col, dist_col="_d")
         .agg(F.sum("_d").alias("w"))
         .collect()[0]
     )

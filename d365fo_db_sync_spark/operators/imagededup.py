@@ -189,7 +189,7 @@ def dhash_candidates(
 
 def dhash_near_duplicates(
     sigs: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int | None = None,
     id_col: str = "asset_id",
     bands: int = BANDS,
 ) -> DataFrame:
@@ -197,9 +197,25 @@ def dhash_near_duplicates(
     signature sidecar (one long per image — broadcast-able next to any
     real corpus), kept when the exact Hamming distance
     ``bit_count(a XOR b)`` <= ``max_hamming``. Returns
-    ``(id_a, id_b, hamming)``. Candidate recall is exact below
-    ``bands`` and falls off above — the MinHash-LSH
-    candidate/verify split."""
+    ``(id_a, id_b, hamming)``. Candidate recall is exact only below
+    ``bands`` (pigeonhole), so ``max_hamming`` DEFAULTS to
+    ``bands - 1`` — the largest threshold the banding fully covers;
+    passing a larger one is allowed (banded-LSH partial recall, the
+    MinHash-LSH candidate/verify split) but warns that pairs past the
+    pigeonhole bound may be silently missed."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    elif max_hamming >= bands:
+        import warnings
+
+        warnings.warn(
+            f"dhash_near_duplicates: max_hamming={max_hamming} exceeds the "
+            f"banding recall guarantee (bands={bands} only ensures every "
+            f"pair at Hamming distance <= {bands - 1} shares a band) — "
+            f"pairs at distance {bands}..{max_hamming} are best-effort",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     cand = dhash_candidates(sigs, id_col=id_col, bands=bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("dhash").alias("_ha"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("dhash").alias("_hb"))

@@ -11,19 +11,26 @@ oracle):
 
 * components quantize once to DECIMAL(28,12) (clustering.quantized_vec);
 * the per-dimension MEAN and the d x d COVARIANCE are exact
-  DECIMAL(38,18) term sums with one IEEE division each, re-quantized
-  to DECIMAL(28,12) — covariance is ONE combinable (i, j)-keyed
-  aggregate over the per-row component self-join (n*d^2 rows in, d^2
-  out, map-side partials);
+  DECIMAL(38,18) term sums, each finished by ONE raw IEEE division —
+  NOT re-quantized to decimal (r15: a double→decimal cast of a
+  DERIVED double rounds the shortest repr on the JVM but the exact
+  binary expansion in DuckDB, and a half-boundary splits them — the
+  sf1 k-means centroid incident, clustering.py module doc);
+  covariance is ONE combinable (i, j)-keyed aggregate over the
+  per-row component self-join (n*d^2 rows in, d^2 out, map-side
+  partials);
 * the iteration runs DRIVER-SIDE on the collected d^2 matrix (bounded
   model metadata — 32 KB at d=64, the PQ-codebook contract) with exact
   Decimal arithmetic mirroring the engines' casts: per round
   ``w = C v`` as per-entry DECIMAL(38,18)-quantized exact sums,
   ``norm = sqrt(exact sum of w_i^2)`` (libm sqrt is correctly rounded
-  — identical IEEE doubles both sides), ``v' = decimal28(w / norm)``;
-  init is the coordinate vector of the LARGEST DIAGONAL entry (ties to
-  the smallest index) — deterministic and never orthogonal to the top
-  eigenvector of a PSD matrix unless that diagonal is degenerate;
+  — identical IEEE doubles both sides), ``v' = w / norm`` as raw IEEE
+  quotients; init is the coordinate vector of the LARGEST DIAGONAL
+  entry (ties to the smallest index) — deterministic, and heuristic:
+  a PSD matrix CAN place its max diagonal on a coordinate orthogonal
+  to the top eigenvector (the fixed-round iteration then converges to
+  a lower eigenpair), so the fit runs a second deterministic start
+  and WARNS when it finds a materially larger Rayleigh quotient;
 * the per-vector PROJECTION onto the fitted component is one more
   combinable exact-decimal aggregate (codegen exploded shape).
 
@@ -48,14 +55,7 @@ from d365fo_db_sync_spark.operators.clustering import (
     exploded_components,
 )
 
-_Q12 = Decimal("1e-12")
 _Q18 = Decimal("1e-18")
-
-
-def _q12f(x: float) -> float:
-    """double -> DECIMAL(28,12) -> double, through the shortest decimal
-    repr (== the engines' cast path); +0.0 folds -0.0."""
-    return float(Decimal(repr(float(x))).quantize(_Q12, ROUND_HALF_UP)) + 0.0
 
 
 def _d18(x: float) -> Decimal:
@@ -65,9 +65,10 @@ def _d18(x: float) -> Decimal:
 def component_means(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[float]:
-    """Per-dimension DECIMAL(28,12)-exact means of the quantized corpus
-    — d driver rows (bounded metadata). ``decimal28(double(exact sum) /
-    n)`` per dimension, the kmeans centroid-update arithmetic."""
+    """Per-dimension means of the quantized corpus — d driver rows
+    (bounded metadata). ``double(exact decimal sum) / double(n)`` per
+    dimension: the RAW IEEE quotient, no re-quantization — the kmeans
+    centroid-update arithmetic after the r14 half-boundary fix."""
     rows = (
         exploded_components(df, id_col, vec_col)
         .groupBy("_pos")
@@ -78,8 +79,6 @@ def component_means(
         .select(
             "_pos",
             (F.col("s").cast("double") / F.col("n").cast("double"))
-            .cast(_COMP_DEC)
-            .cast("double")
             .alias("m"),
         )
         .collect()
@@ -96,8 +95,10 @@ def covariance_frame(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(i, j, c): the exact-decimal covariance ``C_ij = decimal28(
-    double(sum_rows DEC38((x_i - mu_i) (x_j - mu_j))) / n)``. One
+    """(i, j, c): the deterministic covariance ``C_ij =
+    double(sum_rows DEC38((x_i - mu_i) (x_j - mu_j))) / n`` — the sum
+    is an exact order-free decimal term sum, the quotient stays RAW
+    IEEE (no decimal re-cast of the derived double). One
     self-join of the exploded components on the row id (n*d^2 rows)
     into ONE combinable (i, j)-keyed aggregate — map-side partials
     collapse the shuffle to partitions * d^2 rows."""
@@ -128,25 +129,33 @@ def covariance_frame(
             "i",
             "j",
             (F.col("s").cast("double") / F.col("n").cast("double"))
-            .cast(_COMP_DEC)
-            .cast("double")
             .alias("c"),
         )
     )
 
 
 def power_iterate(
-    cov: list[list[float]], rounds: int = 3
+    cov: list[list[float]], rounds: int = 3, guard: bool = True
 ) -> tuple[list[float], float]:
     """Fixed-round power iteration on the collected covariance,
     driver-side with exact Decimal arithmetic (see module doc).
-    Returns ``(v, eigenvalue)`` — the unit top-component estimate on
-    the DECIMAL(28,12) grid and its Rayleigh quotient
-    ``decimal28(v . Cv)`` after the final round."""
+    Returns ``(v, eigenvalue)`` — the unit top-component estimate
+    (components are raw IEEE quotients) and its Rayleigh quotient
+    ``double(exact sum of DEC38(v_i * (Cv)_i))`` after the final round.
+
+    The deterministic start (coordinate of the largest diagonal, ties
+    to the smallest index) is a heuristic, not a guarantee: a PSD
+    matrix CAN carry its max diagonal on a coordinate orthogonal to
+    the top eigenvector, and a thin eigengap can leave ``rounds`` too
+    few (this corpus needed 64). ``guard=True`` therefore re-runs the
+    identical iteration from a SECOND deterministic start (the
+    next-largest diagonal) and emits a ``RuntimeWarning`` when that
+    start's Rayleigh quotient materially exceeds the returned one —
+    the returned eigenpair is always the primary start's, so oracle
+    replays are unaffected."""
+    import math
+
     d = len(cov)
-    # init: coordinate vector of the largest diagonal (ties -> lowest i)
-    j0 = max(range(d), key=lambda i: (cov[i][i], -i))
-    v = [1.0 if i == j0 else 0.0 for i in range(d)]
 
     def matvec(vv: list[float]) -> list[float]:
         out = []
@@ -155,18 +164,38 @@ def power_iterate(
             out.append(float(s))
         return out
 
-    for _ in range(rounds):
-        w = matvec(v)
-        import math
-
-        nrm = math.sqrt(
-            float(sum((_d18(x * x) for x in w), Decimal(0)))
+    def run(j0: int) -> tuple[list[float], float]:
+        v = [1.0 if i == j0 else 0.0 for i in range(d)]
+        for _ in range(rounds):
+            w = matvec(v)
+            nrm = math.sqrt(
+                float(sum((_d18(x * x) for x in w), Decimal(0)))
+            )
+            if nrm == 0.0:  # degenerate (zero covariance): keep the axis
+                break
+            v = [x / nrm for x in w]  # raw IEEE quotients — no re-cast
+        wv = matvec(v)
+        eig = float(
+            sum((_d18(v[i] * wv[i]) for i in range(d)), Decimal(0))
         )
-        if nrm == 0.0:  # degenerate (zero covariance): keep the axis
-            break
-        v = [_q12f(x / nrm) for x in w]
-    wv = matvec(v)
-    eig = _q12f(float(sum((_d18(v[i] * wv[i]) for i in range(d)), Decimal(0))))
+        return v, eig
+
+    # diagonal order: largest first, ties to the smallest index
+    diag_order = sorted(range(d), key=lambda i: (-cov[i][i], i))
+    v, eig = run(diag_order[0])
+    if guard and d > 1:
+        _, eig2 = run(diag_order[1])
+        if eig2 > eig + max(1e-9 * abs(eig), 1e-30):
+            import warnings
+
+            warnings.warn(
+                f"power_iterate: second deterministic start found a "
+                f"larger Rayleigh quotient ({eig2!r} > {eig!r}) — the "
+                f"primary start likely converged to a lower eigenpair "
+                f"(orthogonal init or under-converged rounds={rounds})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return v, eig
 
 
@@ -175,17 +204,20 @@ def pca_power_fit(
     rounds: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    guard: bool = True,
 ) -> tuple[list[float], list[float], float]:
     """End-to-end deterministic top-component fit: returns
     ``(mu, v, eigenvalue)``. Two bounded collects (d means, d^2
-    covariance) + the driver-side iteration."""
+    covariance) + the driver-side iteration (``guard`` as in
+    power_iterate — a second-start Rayleigh check that warns on
+    wrong-eigenpair convergence without changing the result)."""
     mu = component_means(df, id_col, vec_col)
     rows = covariance_frame(df, mu, id_col, vec_col).collect()
     d = len(mu)
     cov = [[0.0] * d for _ in range(d)]
     for r in rows:
         cov[r.i][r.j] = r.c
-    v, eig = power_iterate(cov, rounds)
+    v, eig = power_iterate(cov, rounds, guard=guard)
     return mu, v, eig
 
 

@@ -312,19 +312,23 @@ def ivf_pq_topk(
 # the entire fit+encode+search. Codebook init is the md5-order seed
 # pick (the clustering discipline) instead of a seeded permutation.
 
-_COMP_DEC = "decimal(28,12)"
 _DIST_DEC = "decimal(38,18)"
 
 
 def normalized_qvec(vec_col) -> "F.Column":
-    """L2-normalized, decimal-quantized vector column: components
-    quantize to DECIMAL(28,12), the squared norm is an exact
-    DECIMAL(38,18) term sum, the division is IEEE-exact given
-    identical operands, and the normalized components re-quantize to
-    the DECIMAL(28,12) grid — every step replays in SQL. Zero vectors
-    normalize to themselves (the numpy path's max(norm, eps) guard,
-    exactly expressible because the zero test runs on exact
-    decimals)."""
+    """L2-normalized, deterministic vector column: components quantize
+    ONCE to DECIMAL(28,12) at ingestion, the squared norm is an exact
+    DECIMAL(38,18) term sum, and each normalized component is the RAW
+    IEEE quotient ``x / sqrt(double(n2))`` — sqrt and division are
+    correctly rounded over identical operands, so both engines hold
+    the identical double with NO quantization boundary. (r14/r15: the
+    quotient previously re-quantized through DECIMAL(28,12); a
+    double→decimal cast of a DERIVED double rounds the shortest repr
+    on the JVM but the exact binary expansion in DuckDB, and a
+    half-boundary splits them — the class of the sf1 k-means centroid
+    incident, see clustering.py's module doc.) Zero vectors normalize
+    to themselves (the numpy path's max(norm, eps) guard, exactly
+    expressible because the zero test runs on exact decimals)."""
     from d365fo_db_sync_spark.operators.clustering import quantized_vec
 
     qv = quantized_vec(vec_col)
@@ -335,7 +339,7 @@ def normalized_qvec(vec_col) -> "F.Column":
     )
     nrm = F.sqrt(n2.cast("double"))
     return F.when(n2 == F.lit(0).cast(_DIST_DEC), qv).otherwise(
-        F.transform(qv, lambda x: (x / nrm).cast(_COMP_DEC).cast("double"))
+        F.transform(qv, lambda x: x / nrm)
     )
 
 
@@ -409,8 +413,9 @@ def pq_train_deterministic(
     """Per-subspace codebooks via GROUPED fixed-round Lloyd's over the
     FULL corpus — all m subspaces fit in the same jobs, with the
     clustering.kmeans_fit exactness toolkit: md5-order seed rows,
-    DECIMAL(28,12) component/centroid grids, exact DECIMAL(38,18)
-    distances, argmin ties toward the smaller code, empty codewords
+    exact DECIMAL(38,18) term-quantized distances and mean sums with
+    raw-IEEE-quotient centroids (no derived-double→decimal re-casts),
+    argmin ties toward the smaller code, empty codewords
     keeping their previous centroid. Per round: one combinable
     distance aggregate + one rank window (assignment), one combinable
     (sub, code, dim)-keyed mean aggregate + an m*k*d_sub-row bounded
@@ -441,11 +446,17 @@ def pq_train_deterministic(
         for _ in range(rounds):
             cb = _codebook_frame(spark, centroids, d_sub)
             codes = _codes_exploded(exp, cb, id_col)
+            # codeword mean: normalized components are DERIVED doubles
+            # (raw norm quotients), so the order-free sum quantizes each
+            # TERM to DECIMAL(38,18) (the gradient/entropy-term
+            # discipline), and the mean itself stays the RAW IEEE
+            # quotient of that exact sum — no DECIMAL(28,12) re-cast
+            # (the sf1 half-boundary class, clustering.py module doc).
             upd = (
                 codes.join(exp, on=[id_col, "sub"])
                 .groupBy("sub", "cw", "spos")
                 .agg(
-                    F.sum(F.col("comp").cast(_COMP_DEC)).alias("s"),
+                    F.sum(F.col("comp").cast(_DIST_DEC)).alias("s"),
                     F.count("*").alias("n"),
                 )
                 .select(
@@ -453,8 +464,6 @@ def pq_train_deterministic(
                     "cw",
                     "spos",
                     (F.col("s").cast("double") / F.col("n").cast("double"))
-                    .cast(_COMP_DEC)
-                    .cast("double")
                     .alias("c"),
                 )
                 .collect()

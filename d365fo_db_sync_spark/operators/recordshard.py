@@ -48,6 +48,14 @@ from pyspark.sql import types as T
 
 from d365fo_db_sync_spark.operators.packing import shuffled_shards
 
+#: hard ceiling on the per-shard byte budget. A shard blob is ONE
+#: parquet binary cell (Spark caps a single binary value at 2 GiB) and
+#: rides whole through the read-path join, so the practical bound is
+#: task memory, not the format: 256 MiB keeps blob build, write and
+#: slice comfortably inside a default executor task while staying
+#: large enough for WebDataset-style sequential IO.
+MAX_SHARD_BYTES = 256 * 1024 * 1024
+
 _BLOB_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.LongType(), False),
@@ -67,7 +75,19 @@ def record_shard_assignments(
     deterministic md5-order shuffle and banded prefix sum of
     packing.shuffled_shards with the budget counted in CONTENT BYTES.
     Zero-byte payloads are excluded (a record file cannot address an
-    empty slice; callers keep them in a metadata-only sidecar)."""
+    empty slice; callers keep them in a metadata-only sidecar).
+    ``shard_bytes`` must be in ``[1, MAX_SHARD_BYTES]`` — a blob is one
+    parquet binary cell and rides whole through the per-record read
+    join, so an unbounded budget silently runs into Spark's 2 GiB
+    binary-cell cap / task memory long before it fails loudly."""
+    if not 1 <= shard_bytes <= MAX_SHARD_BYTES:
+        raise ValueError(
+            f"shard_bytes={shard_bytes} outside [1, {MAX_SHARD_BYTES}] — "
+            f"a shard blob is a single parquet binary cell (2 GiB hard "
+            f"format cap) held whole in task memory during build and "
+            f"read-back; raise MAX_SHARD_BYTES only with executor "
+            f"memory sized to match"
+        )
     assigned = shuffled_shards(
         assets,
         F.length(F.col(content_col)).cast("long"),
@@ -168,8 +188,15 @@ def read_record_assets(
     """The dataloader view: ``(id, shard, offset, n_bytes, content)``
     with every record sliced back out of its shard blob by
     ``substring(blob, offset + 1, n_bytes)`` — pure codegen on the
-    read path; the manifest x blobs equi-join touches each blob row
-    once per record it holds."""
+    read path. This is the RANDOM-ACCESS view: the manifest x blobs
+    equi-join references the full ``shard_bytes`` blob on every
+    probe-side row until the substring projects, which is fine for
+    point lookups and bounded by MAX_SHARD_BYTES by construction —
+    but a FULL-CORPUS sequential read should go per-shard instead
+    (group the manifest by ``shard``, open each blob once, slice
+    records in offset order inside one task — the WebDataset loader
+    pattern), touching each blob once total rather than once per
+    record."""
     blobs = spark.read.parquet(f"{root}/blobs")
     man = spark.read.parquet(f"{root}/manifest")
     return man.join(blobs, on="shard").select(

@@ -1631,10 +1631,13 @@ def fuzzy_part_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_ctes(m: int, k: int, rounds: int) -> str:
     """Unrolled CTE chain replaying the deterministic PQ path
     (pq.pq_train_deterministic + pq_encode_exact) bit-for-bit: L2
-    normalization through exact decimal sums (zero vectors normalize
-    to themselves), md5-order seed codewords, grouped per-subspace
-    Lloyd rounds on the _kmeans_ctes discipline, and the final code
-    assignment. Ends with ``pq_nv`` (normalized components keyed
+    normalization as the RAW IEEE quotient over an exact decimal norm
+    sum (zero vectors normalize to themselves), md5-order seed
+    codewords, grouped per-subspace Lloyd rounds on the _kmeans_ctes
+    discipline with raw-quotient codeword means over DECIMAL(38,18)
+    term-quantized sums (r15: no derived-double→DECIMAL(28,12)
+    re-casts anywhere — the sf1 half-boundary class), and the final
+    code assignment. Ends with ``pq_nv`` (normalized components keyed
     (vec_id, sub, spos)), ``pq_c{rounds}`` (the codebooks) and
     ``pq_af`` (the per-(vec, sub) codes)."""
     d_sub = 64 // m
@@ -1661,10 +1664,9 @@ def _pq_ctes(m: int, k: int, rounds: int) -> str:
     pq_nv AS (SELECT vec_id,
                      CAST(pos // {d_sub} AS INT) AS sub,
                      CAST(pos % {d_sub} AS INT) AS spos,
-                     CASE WHEN n2 = 0 THEN comp
-                          ELSE CAST(CAST(comp AS DOUBLE)
-                                    / sqrt(CAST(n2 AS DOUBLE))
-                                    AS DECIMAL(28,12)) END AS comp
+                     CASE WHEN n2 = 0 THEN CAST(comp AS DOUBLE)
+                          ELSE CAST(comp AS DOUBLE)
+                               / sqrt(CAST(n2 AS DOUBLE)) END AS comp
               FROM pq_ve JOIN pq_n2 USING (vec_id)),
     pq_sd AS (SELECT vec_id,
                      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
@@ -1682,9 +1684,8 @@ def _pq_ctes(m: int, k: int, rounds: int) -> str:
                                              ORDER BY dist, cw) AS rn
                    FROM pq_d{r}) WHERE rn = 1),
     pq_u{r} AS (SELECT a.sub, a.cw, n.spos,
-                       CAST(CAST(SUM(n.comp) AS DOUBLE)
-                            / CAST(COUNT(*) AS DOUBLE)
-                            AS DECIMAL(28,12)) AS comp
+                       CAST(SUM(CAST(n.comp AS DECIMAL(38,18))) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE) AS comp
                 FROM pq_a{r} a JOIN pq_nv n
                   ON a.vec_id = n.vec_id AND a.sub = n.sub
                 GROUP BY 1, 2, 3),
@@ -10231,7 +10232,10 @@ def multimodal_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     one BIGINT inside a single Arrow-batch stage, 4 bands of 14 bits
     generate Hamming-banded candidates (pigeonhole-complete below
     distance 4), and the exact ``bit_count(a XOR b) <= 6`` verify
-    keeps true near-dups. The oracle recomputes pixels from the raw
+    keeps true near-dups — the threshold deliberately exceeds the
+    banding guarantee (pairs at distance 4-6 are best-effort banded
+    recall, and the operator warns so; r15), which stays value-exact
+    because BOTH engines replay the identical banded candidate set. The oracle recomputes pixels from the raw
     text (the jpeg_assets_from_documents discipline), then replays
     hash -> band -> join -> verify — the pair set AND distances
     value-hash cross-engine; tests/test_imagededup.py pins the banded
@@ -10382,10 +10386,12 @@ def retrieval_ranking_metrics_stream(
 def _pca_ctes(rounds: int) -> str:
     """Unrolled CTE chain replaying operators/pca.pca_power_fit
     bit-for-bit: DECIMAL(28,12)-quantized components, exact-decimal
-    mean and covariance with one IEEE division each, fixed power-
-    iteration rounds (matvec as DECIMAL(38,18)-quantized exact sums,
-    correctly-rounded libm sqrt, DECIMAL(28,12) re-quantization of the
-    unit vector), Rayleigh-quotient eigenvalue. Ends with
+    term sums finished by RAW IEEE divisions for mean / covariance /
+    the unit iteration vector (r15: no derived-double→decimal
+    re-casts — the sf1 half-boundary class), fixed power-iteration
+    rounds (matvec as DECIMAL(38,18)-quantized exact sums,
+    correctly-rounded libm sqrt), Rayleigh-quotient eigenvalue (raw
+    double of the exact term sum). Ends with
     ``pc_v{rounds}`` (the component), ``pc_mu``, ``pc_d`` (centered
     components) and ``pc_eig``. The multiply-referenced CTEs are
     explicitly MATERIALIZED: each pc_v{r} feeds pc_w{r+1}, and
@@ -10398,16 +10404,14 @@ def _pca_ctes(rounds: int) -> str:
                           AS DECIMAL(28,12)) AS comp
               FROM embeddings),
     pc_mu AS (SELECT pos,
-                     CAST(CAST(SUM(comp) AS DOUBLE) / COUNT(*)
-                          AS DECIMAL(28,12)) AS m
+                     CAST(SUM(comp) AS DOUBLE) / COUNT(*) AS m
               FROM pc_ve GROUP BY pos),
     pc_d AS MATERIALIZED (SELECT v.vec_id, v.pos,
                     CAST(v.comp AS DOUBLE) - CAST(mu.m AS DOUBLE) AS d
              FROM pc_ve v JOIN pc_mu mu USING (pos)),
     pc_cv AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
-                     CAST(CAST(SUM(CAST(a.d * b.d AS DECIMAL(38,18)))
-                               AS DOUBLE) / COUNT(*)
-                          AS DECIMAL(28,12)) AS c
+                     CAST(SUM(CAST(a.d * b.d AS DECIMAL(38,18)))
+                          AS DOUBLE) / COUNT(*) AS c
               FROM pc_d a JOIN pc_d b USING (vec_id) GROUP BY 1, 2),
     pc_v0 AS (SELECT i AS pos,
                      CASE WHEN i = (SELECT i FROM pc_cv WHERE i = j
@@ -10424,9 +10428,7 @@ def _pca_ctes(rounds: int) -> str:
     pc_nrm{r} AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18)))
                                    AS DOUBLE)) AS nrm
                   FROM pc_w{r}),
-    pc_v{r} AS MATERIALIZED (SELECT pos,
-                       CAST(CAST(w / nrm AS DECIMAL(28,12)) AS DOUBLE)
-                         AS vc
+    pc_v{r} AS MATERIALIZED (SELECT pos, w / nrm AS vc
                 FROM pc_w{r} CROSS JOIN pc_nrm{r})""")
     parts.append(f"""
     pc_wf AS (SELECT cv.i AS pos,
@@ -10434,8 +10436,8 @@ def _pca_ctes(rounds: int) -> str:
                                    AS DECIMAL(38,18))) AS DOUBLE) AS w
               FROM pc_cv cv JOIN pc_v{rounds} v ON cv.j = v.pos
               GROUP BY 1),
-    pc_eig AS (SELECT CAST(CAST(SUM(CAST(v.vc * w.w AS DECIMAL(38,18)))
-                                AS DOUBLE) AS DECIMAL(28,12)) AS eig
+    pc_eig AS (SELECT CAST(SUM(CAST(v.vc * w.w AS DECIMAL(38,18)))
+                           AS DOUBLE) AS eig
                FROM pc_v{rounds} v JOIN pc_wf w USING (pos))""")
     return ",".join(parts)
 

@@ -131,3 +131,39 @@ def test_io_normalized_total_formula_and_summary():
     assert round(43.21 * bench._median([0.11, 0.12, 0.13]) / 0.1, 3) == round(
         43.21 * 1.2, 3
     )
+
+
+def test_bounded_factor_formula():
+    """r14 verdict #7: the canary is a ~0.1 s measurement — the applied
+    correction is the raw median-ratio CLAMPED to CANARY_FACTOR_CLAMP,
+    with the raw factor reported beside it; missing history or a dead
+    canary mean factor 1.0 (raw None)."""
+    import bench
+
+    lo, hi = bench.CANARY_FACTOR_CLAMP
+    # in-band: applied == raw
+    raw, applied = bench._bounded_factor(0.12, 0.10)
+    assert raw == applied == 0.12 / 0.10
+    # the r14 incident shape: 0.1215 median over a 0.077 read is a
+    # 1.58x multiplier — now clamped to the ceiling, raw preserved
+    raw, applied = bench._bounded_factor(0.1215, 0.077)
+    assert raw == 0.1215 / 0.077 and applied == hi
+    # fast-machine direction clamps at the floor
+    raw, applied = bench._bounded_factor(0.08, 0.16)
+    assert raw == 0.5 and applied == lo
+    # degenerate inputs
+    assert bench._bounded_factor(None, 0.1) == (None, 1.0)
+    assert bench._bounded_factor(0.1, None) == (None, 1.0)
+    assert bench._bounded_factor(0.1, 0.0) == (None, 1.0)
+
+
+def test_this_run_canary_is_median_of_all_samples():
+    """The published this-run canary folds pre + post + the
+    interleaved trail through the median — one unlucky read cannot
+    set the correction factor (main() computes
+    _median([pre, post] + trail))."""
+    import bench
+
+    # the r14 shape: one 0.077 outlier among otherwise ~0.12 reads
+    samples = [0.077, 0.121] + [0.118, 0.124, 0.119]
+    assert bench._median(samples) == 0.119

@@ -176,3 +176,15 @@ def test_probe_cells_exact_matches_double_probes(spark, emb):
         for r in similarity._probe_cells(queries, centers, 3).collect()
     }
     assert exact == prod
+
+
+def test_wcss_threads_custom_id_col(spark):
+    """wcss on a frame WITHOUT a vec_id column (r14 regression: the
+    assign_cells route hardcoded id_col and broke such frames)."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [4.0, 4.0])],
+        "doc_id long, emb array<double>",
+    )
+    centers = [[0.0, 0.0], [4.0, 4.0]]
+    w = clustering.wcss(df, centers, vec_col="emb", id_col="doc_id")
+    assert w == pytest.approx(2.0)  # (1,1) -> (0,0) contributes 1+1

@@ -61,3 +61,60 @@ def test_zero_covariance_keeps_axis(spark):
     v, eig = pca.power_iterate([[0.0, 0.0], [0.0, 0.0]], rounds=3)
     assert v in ([1.0, 0.0], [0.0, 1.0])
     assert eig == 0.0
+
+
+def test_guard_warns_on_orthogonal_init():
+    """The largest-diagonal start CAN be orthogonal to the top
+    eigenvector (the r14 ADVICE counterexample): diag(C) puts its max
+    on a coordinate carried by a LOWER eigenpair. The second-start
+    Rayleigh guard must warn; the returned pair stays the primary
+    start's (oracle replays unchanged)."""
+    import warnings
+
+    # eigenvectors e0=(1,0,0) with lambda=2 is NOT top; top is the
+    # (0,1,1)/sqrt2 pair with lambda=3, but the max diagonal (first
+    # coordinate, 2.0 > 1.5) is exactly orthogonal to it.
+    cov = [
+        [2.0, 0.0, 0.0],
+        [0.0, 1.5, 1.5],
+        [0.0, 1.5, 1.5],
+    ]
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        v, eig = pca.power_iterate(cov, rounds=8)
+    assert eig == pytest.approx(2.0)  # primary start's (wrong) pair
+    assert v == [1.0, 0.0, 0.0]
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "larger Rayleigh" in str(w.message)
+        for w in rec
+    )
+
+
+def test_guard_silent_when_primary_start_wins():
+    import warnings
+
+    cov = [[3.0, 0.5], [0.5, 1.0]]
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        pca.power_iterate(cov, rounds=16)
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)]
+
+
+def test_raw_quotient_component_no_decimal_grid(spark, emb):
+    """r15: the fitted component/means are RAW IEEE quotients — NOT
+    DECIMAL(28,12)-grid values (the sf1 half-boundary class). A grid
+    value re-quantizes to itself; a raw quotient generically does not."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    mu, v, eig = pca.pca_power_fit(emb, rounds=4)
+
+    def on_grid(x: float) -> bool:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+        ) == x
+
+    # at least one mean and one component must carry digits past the
+    # 1e-12 grid (all-on-grid would mean the re-cast quietly returned)
+    assert not all(on_grid(m) for m in mu)
+    assert not all(on_grid(c) for c in v)

@@ -100,3 +100,24 @@ def test_zero_byte_payloads_excluded(spark):
     )
     assigned = recordshard.record_shard_assignments(df, shard_bytes=100)
     assert [r["asset_id"] for r in assigned.collect()] == [1]
+
+
+def test_shard_bytes_cap_validated(spark):
+    """r15: a shard blob is ONE parquet binary cell held whole in task
+    memory — budgets outside [1, MAX_SHARD_BYTES] must fail loudly at
+    assignment time, not at write/read time against the 2 GiB cap."""
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"xy"), {})],
+        "asset_id long, media_type string, content binary, "
+        "meta map<string,string>",
+    )
+    with pytest.raises(ValueError, match="shard_bytes"):
+        recordshard.record_shard_assignments(
+            df, shard_bytes=recordshard.MAX_SHARD_BYTES + 1
+        )
+    with pytest.raises(ValueError, match="shard_bytes"):
+        recordshard.record_shard_assignments(df, shard_bytes=0)
+    # the boundary itself is legal
+    recordshard.record_shard_assignments(
+        df, shard_bytes=recordshard.MAX_SHARD_BYTES
+    )
