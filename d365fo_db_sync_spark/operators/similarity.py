@@ -1131,6 +1131,161 @@ def mmr_rerank(
     return pool_vecs.groupBy(query_id_col).applyInPandas(greedy, schema)
 
 
+def mmr_rerank_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`mmr_rerank`'s oracle-replayable twin on the decimal-replay
+    discipline (clustering/pq/pca — r15): a SQL engine can unroll the
+    entire fit because every number is either an exact order-free
+    decimal sum or a deterministic IEEE scalar op on identical
+    operands.
+
+    * relevance and pairwise candidate similarity are cosines over
+      RAW-QUOTIENT normalized vectors (pq.normalized_qvec), each dot
+      product an exact DECIMAL(38,18) term sum — combinable
+      aggregates, ranked UNCAST so pool ties cannot drift;
+    * the greedy runs as ``k`` UNROLLED selection rounds of DataFrame
+      ops (no applyInPandas): per round one rank window picks the
+      argmax of ``lam * rel - (1 - lam) * maxsim`` — computed in RAW
+      double from the exact decimal operands (products and the
+      subtraction are correctly rounded over identical doubles, so
+      both engines order identically; ties break on neighbor_id) —
+      then one join folds the winner's similarity column into each
+      survivor's running decimal ``maxsim`` via GREATEST.
+
+    The pool (|queries| x shortlist) and pairwise-sim (distinct pool
+    pairs) frames are localCheckpointed once — KB-scale model-side
+    state; the corpus-width work is the two combinable cosine
+    aggregates, exactly the cosine_topk shuffle shape. Semantics
+    equivalence with the production Arrow greedy is pinned by
+    tests/test_retrieval.py (same selection sequence on a fixed run).
+    """
+    from d365fo_db_sync_spark.operators.pq import _DIST_DEC, normalized_qvec
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    mu = 1.0 - lam  # templated, never re-derived in SQL: repr round-trips
+
+    cn = corpus.select(
+        F.col(id_col).alias("_nid"), normalized_qvec(vec_col).alias("_nv")
+    ).select("_nid", F.posexplode("_nv").alias("_pos", "_nc"))
+    qn = queries.select(
+        F.col(query_id_col).alias("_qid"), normalized_qvec(vec_col).alias("_nv")
+    ).select("_qid", F.posexplode("_nv").alias("_pos", "_qc"))
+
+    rel = (
+        cn.join(F.broadcast(qn), on="_pos")
+        .filter(F.col("_qid") != F.col("_nid"))
+        .groupBy("_qid", "_nid")
+        .agg(F.sum((F.col("_qc") * F.col("_nc")).cast(_DIST_DEC)).alias("_rel"))
+    )
+    w_pool = Window.partitionBy("_qid").orderBy(F.desc("_rel"), F.asc("_nid"))
+    pool = (
+        rel.withColumn("_rn", F.row_number().over(w_pool))
+        .filter(F.col("_rn") <= shortlist)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+
+    # pairwise sims among pool members — distinct unordered id pairs
+    # across all pools, each an exact decimal dot product
+    pairs = (
+        pool.select("_qid", F.col("_nid").alias("_ida"))
+        .join(pool.select("_qid", F.col("_nid").alias("_idb")), on="_qid")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    sims = (
+        cn.select(F.col("_nid").alias("_ida"), "_pos", F.col("_nc").alias("_ca"))
+        .join(F.broadcast(pairs), on="_ida")
+        .join(
+            cn.select(
+                F.col("_nid").alias("_idb"), "_pos", F.col("_nc").alias("_cb")
+            ),
+            on=["_idb", "_pos"],
+        )
+        .groupBy("_ida", "_idb")
+        .agg(F.sum((F.col("_ca") * F.col("_cb")).cast(_DIST_DEC)).alias("_sim"))
+        .localCheckpoint(eager=True)
+    )
+    sym = sims.select(
+        F.col("_ida").alias("_cnid"), F.col("_idb").alias("_csel"), "_sim"
+    ).unionByName(
+        sims.select(
+            F.col("_idb").alias("_cnid"), F.col("_ida").alias("_csel"), "_sim"
+        )
+    )
+
+    lam_c, mu_c = F.lit(lam), F.lit(mu)
+    rel_d = F.col("_rel").cast("double")
+
+    def pick(frame: DataFrame, score, rnk: int) -> DataFrame:
+        ww = Window.partitionBy("_qid").orderBy(F.desc("_score"), F.asc("_nid"))
+        return (
+            frame.withColumn("_score", score)
+            .withColumn("_rn", F.row_number().over(ww))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "_qid",
+                F.col("_nid").alias("_sel"),
+                F.lit(rnk).alias("rnk"),
+                F.col("_rel").alias("_selrel"),
+                F.col("_score").alias("_selscore"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    selected = [pick(pool, lam_c * rel_d, 1)]  # round 1: empty selected set
+    cand = pool
+    for r in range(2, k + 1):
+        sel = selected[-1]
+        cand = (
+            cand.join(sel.select("_qid", "_sel"), on="_qid")
+            .filter(F.col("_nid") != F.col("_sel"))
+            .join(
+                sym,
+                (F.col("_nid") == F.col("_cnid"))
+                & (F.col("_sel") == F.col("_csel")),
+            )
+            .select(
+                "_qid",
+                "_nid",
+                "_rel",
+                (
+                    F.greatest("_ms", "_sim")
+                    if "_ms" in cand.columns
+                    else F.col("_sim")
+                ).alias("_ms"),
+            )
+        )
+        selected.append(
+            pick(cand, lam_c * rel_d - mu_c * F.col("_ms").cast("double"), r)
+        )
+
+    out = selected[0]
+    for s in selected[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        F.col("_qid").alias(query_id_col),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("_sel").alias("neighbor_id"),
+        F.col("_selrel").cast("double").alias("relevance"),
+        F.col("_selscore").alias("mmr_score"),
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

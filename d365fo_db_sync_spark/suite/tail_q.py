@@ -4194,30 +4194,130 @@ def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_exact(docs, "text", k=60)
 
 
-@register("retrieval_mmr_rerank", oracle=None)
+def _mmr_ctes(k: int, lam: float, shortlist: int, query_pred: str) -> str:
+    """Unrolled CTE chain replaying similarity.mmr_rerank_exact
+    bit-for-bit: raw-quotient L2 normalization (the pq_nv discipline),
+    exact DECIMAL(38,18) relevance/similarity dot products ranked
+    UNCAST, then ``k`` greedy selection rounds — per round one rank
+    window over ``lam * rel - (1 - lam) * maxsim`` in RAW double
+    (identical IEEE operands both engines; ``1 - lam`` is templated
+    via repr, never re-derived in SQL) and one join folding the
+    winner's similarity into each survivor's decimal maxsim via
+    GREATEST. Every multiply-referenced CTE is MATERIALIZED (the
+    _pca_ctes inlining lesson). Ends with ``mm_sel1..mm_sel{k}``."""
+    lam_sql = f"CAST({lam!r} AS DOUBLE)"
+    mu_sql = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    parts = [
+        f"""
+    mm_ve AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(CAST(unnest(embedding) AS DOUBLE)
+                          AS DECIMAL(28,12)) AS comp
+              FROM embeddings),
+    mm_n2 AS (SELECT vec_id,
+                     SUM(CAST(CAST(comp AS DOUBLE) * CAST(comp AS DOUBLE)
+                              AS DECIMAL(38,18))) AS n2
+              FROM mm_ve GROUP BY 1),
+    mm_nv AS MATERIALIZED (SELECT vec_id, pos,
+                     CASE WHEN n2 = 0 THEN CAST(comp AS DOUBLE)
+                          ELSE CAST(comp AS DOUBLE)
+                               / sqrt(CAST(n2 AS DOUBLE)) END AS c
+              FROM mm_ve JOIN mm_n2 USING (vec_id)),
+    mm_rel AS MATERIALIZED (SELECT q.vec_id AS query_id,
+                     d.vec_id AS neighbor_id,
+                     SUM(CAST(q.c * d.c AS DECIMAL(38,18))) AS rel
+              FROM mm_nv q JOIN mm_nv d USING (pos)
+              WHERE {query_pred} AND d.vec_id <> q.vec_id
+              GROUP BY 1, 2),
+    mm_pool AS MATERIALIZED (SELECT query_id, neighbor_id, rel FROM
+                (SELECT query_id, neighbor_id, rel,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, neighbor_id)
+                          AS rn
+                 FROM mm_rel) WHERE rn <= {shortlist}),
+    mm_dp AS (SELECT DISTINCT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+              FROM mm_pool a JOIN mm_pool b
+                ON a.query_id = b.query_id
+               AND a.neighbor_id < b.neighbor_id),
+    mm_ps AS (SELECT dp.id_a, dp.id_b,
+                     SUM(CAST(x.c * y.c AS DECIMAL(38,18))) AS sim
+              FROM mm_dp dp
+              JOIN mm_nv x ON x.vec_id = dp.id_a
+              JOIN mm_nv y ON y.vec_id = dp.id_b AND y.pos = x.pos
+              GROUP BY 1, 2),
+    mm_sym AS MATERIALIZED (SELECT id_a AS cnid, id_b AS csel, sim FROM mm_ps
+                UNION ALL
+                SELECT id_b, id_a, sim FROM mm_ps),
+    mm_sel1 AS MATERIALIZED (SELECT query_id, neighbor_id, rel,
+                     {lam_sql} * CAST(rel AS DOUBLE) AS score FROM
+                (SELECT query_id, neighbor_id, rel,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY {lam_sql}
+                                                    * CAST(rel AS DOUBLE)
+                                                    DESC, neighbor_id) AS rn
+                 FROM mm_pool) WHERE rn = 1)"""
+    ]
+    for r in range(2, k + 1):
+        prev = "mm_pool" if r == 2 else f"mm_cand{r - 1}"
+        ms = "s.sim" if r == 2 else "GREATEST(c.maxsim, s.sim)"
+        parts.append(f"""
+    mm_cand{r} AS MATERIALIZED (SELECT c.query_id, c.neighbor_id, c.rel,
+                       {ms} AS maxsim
+                FROM {prev} c
+                JOIN mm_sel{r - 1} l ON c.query_id = l.query_id
+                                    AND c.neighbor_id <> l.neighbor_id
+                JOIN mm_sym s ON s.cnid = c.neighbor_id
+                             AND s.csel = l.neighbor_id),
+    mm_sel{r} AS MATERIALIZED (SELECT query_id, neighbor_id, rel,
+                       {lam_sql} * CAST(rel AS DOUBLE)
+                       - {mu_sql} * CAST(maxsim AS DOUBLE) AS score FROM
+                (SELECT query_id, neighbor_id, rel, maxsim,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY {lam_sql}
+                                                    * CAST(rel AS DOUBLE)
+                                                    - {mu_sql}
+                                                    * CAST(maxsim AS DOUBLE)
+                                                    DESC, neighbor_id) AS rn
+                 FROM mm_cand{r}) WHERE rn = 1)""")
+    return ",".join(parts)
+
+
+_MMR_FINAL = "\n    UNION ALL\n    ".join(
+    f"SELECT query_id, CAST({r} AS INT) AS rnk, neighbor_id, "
+    f"CAST(rel AS DOUBLE) AS relevance, score AS mmr_score FROM mm_sel{r}"
+    for r in range(1, 6)
+)
+
+
+@register(
+    "retrieval_mmr_rerank",
+    oracle=f"""
+    WITH {_mmr_ctes(5, 0.7, 32, "q.vec_id % 125 = 0")}
+    {_MMR_FINAL}
+    """,
+)
 def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR-diversified top-k retrieval (operators/similarity.mmr_rerank):
-    exact GEMM shortlist per query, pool rejoin by broadcasting the
-    (|queries| x shortlist)-row pool, then the Carbonell-Goldstein
-    greedy per query group in applyInPandas — fully distributed, no
-    driver materialization. Rows-only by design: each greedy step's
-    argmax depends on the previously selected set, which no SQL
-    recursion DuckDB allows can express (recursive CTEs forbid
-    LIMIT/aggregates in the recursive term); the semantics are pinned
-    instead by tests/test_retrieval.py::
-    test_mmr_rerank_matches_naive_full_mmr — full-MMR equality against
-    an independent pure-Python implementation across lambdas, plus the
-    near-duplicate diversity property that motivates the operator."""
+    """MMR-diversified top-k retrieval — VALUE-ORACLED from r15 via the
+    decimal-replay twin (operators/similarity.mmr_rerank_exact): exact
+    decimal cosine pool per query (shortlist 32, ranked on the uncast
+    decimal), then the Carbonell-Goldstein greedy as 5 UNROLLED
+    DataFrame selection rounds whose scores are raw-double arithmetic
+    over exact-decimal operands — the kmeans/PCA fixed-round unroll
+    applied to a greedy argmax (each round's oracle CTE picks the
+    winner with a rank window and folds its similarity into the
+    survivors' maxsim via GREATEST; rows-only in r13-r14 because the
+    PRODUCTION applyInPandas float path cannot hash cross-engine).
+    The production Arrow greedy (similarity.mmr_rerank — GEMM
+    shortlist, broadcast pool, per-query numpy loop: the 100 TB hot
+    path) stays pinned by tests/test_retrieval.py full-MMR equality
+    AND the new twin-vs-production selection-sequence equality.
+    Queries are the % 125 slice (the hybrid_rrf discipline) so the
+    sf1 oracle's |q| x |corpus| x dim unnest stays bounded."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.mmr_rerank(
-        emb, _queries_frame(emb), k=_K, lam=0.7, shortlist=32
+    queries = emb.filter(F.pmod("vec_id", F.lit(125)) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    return out.select(
-        "query_id",
-        "rnk",
-        "neighbor_id",
-        F.round("relevance", 6).alias("relevance"),
-        F.round("mmr_score", 6).alias("mmr_score"),
+    return similarity.mmr_rerank_exact(
+        emb, queries, k=_K, lam=0.7, shortlist=32
     )
 
 

@@ -289,3 +289,35 @@ def test_cosine_topk_np_empty_query_set_returns_empty(spark):
     out = cosine_topk_bruteforce_np(corpus, empty_q, k=3)
     assert out.columns == ["query_id", "rnk", "neighbor_id", "cosine"]
     assert out.count() == 0
+
+
+def test_mmr_exact_twin_matches_production_selection(spark, sf_dir):
+    """r15 graduation check: the decimal-replay twin
+    (similarity.mmr_rerank_exact — the value-oracled suite path) picks
+    the SAME selection sequence as the production Arrow greedy
+    (similarity.mmr_rerank) on the real corpus, and its scores agree
+    to float tolerance (the twin scores from decimal-quantized cosine
+    terms, the production from float64 GEMM — identical semantics,
+    different rounding at ~1e-12)."""
+    from d365fo_db_sync_spark.operators.similarity import (
+        mmr_rerank,
+        mmr_rerank_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = mmr_rerank_exact(emb, queries, k=5, lam=0.7, shortlist=32)
+    prod = mmr_rerank(emb, queries, k=5, lam=0.7, shortlist=32)
+    got = {(r["query_id"], r["rnk"]): r for r in exact.collect()}
+    want = {(r["query_id"], r["rnk"]): r for r in prod.collect()}
+    assert set(got) == set(want) and got
+    for key in got:
+        assert got[key]["neighbor_id"] == want[key]["neighbor_id"], key
+        assert got[key]["relevance"] == pytest.approx(
+            want[key]["relevance"], abs=1e-9
+        )
+        assert got[key]["mmr_score"] == pytest.approx(
+            want[key]["mmr_score"], abs=1e-9
+        )
