@@ -1414,16 +1414,106 @@ def text_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_vocab_learn", oracle=None)
+def _bpe_ctes(n_merges: int, final_wt: bool = False) -> str:
+    """Integer-exact fixed-round unroll of operators/bpe.learn_bpe
+    (batch_size=1, the classic Sennrich algorithm) as chained
+    MATERIALIZED CTEs — the kmeans/PCA/MMR round-replay discipline
+    applied to a count argmax where NOTHING floats: pair frequencies
+    are integer SUMs of word counts and the argmax tie-breaks
+    (freq DESC, a, b) on binary string collation in both engines.
+
+    Word state is the POSITIONAL table (wid, cnt, pos, sym) — never a
+    list aggregate (the r14 sf1 spill lesson). Per round: LEAD gives
+    adjacent pairs; the winner is the freq>=2 argmax (empty past early
+    stop, so later rounds contribute zero output rows, matching the
+    loop break); the merge replays Spark's left-to-right
+    non-overlapping fold relationally — within each maximal run of
+    consecutive match positions only EVEN offsets merge (runs only
+    exceed length 1 when a = b; proven equal to the skip-flag fold in
+    tests/test_bpe.py's reference), then consumed successors drop and
+    positions renumber. ``final_wt`` also emits ``bp_wt{n+1}`` (the
+    post-merge word table, LEFT-JOIN-preserved through early stop) for
+    composition oracles. Prototype-verified against the pure-Python
+    reference on adversarial overlap/early-stop word sets."""
+    parts = [
+        f"""
+    bp_words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT UNNEST({_TOKS_SQL}) AS word FROM documents)
+      GROUP BY word),
+    bp_wt1 AS MATERIALIZED (
+      SELECT word AS wid, cnt, i - 1 AS pos,
+             CASE WHEN i = length(word) THEN substring(word, i, 1) || '</w>'
+                  ELSE substring(word, i, 1) END AS sym
+      FROM (SELECT word, cnt, UNNEST(generate_series(1, length(word))) AS i
+            FROM bp_words))"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+    bp_pairs{r} AS MATERIALIZED (
+      SELECT wid, cnt, pos, sym,
+             LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+      FROM bp_wt{r}),
+    bp_sel{r} AS MATERIALIZED (
+      SELECT sym AS a, nxt AS b, freq FROM (
+        SELECT sym, nxt, SUM(cnt) AS freq
+        FROM bp_pairs{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+      WHERE freq >= 2
+      ORDER BY freq DESC, a, b LIMIT 1)""")
+        if r < n_merges or final_wt:
+            parts.append(f"""
+    bp_act{r} AS MATERIALIZED (
+      SELECT wid, pos, msym FROM (
+        SELECT wid, pos, msym,
+               pos - MIN(pos) OVER (PARTITION BY wid, grp) AS off
+        FROM (SELECT p.wid, p.pos, s.a || s.b AS msym,
+                     p.pos - ROW_NUMBER() OVER (PARTITION BY p.wid
+                                                ORDER BY p.pos) AS grp
+              FROM bp_pairs{r} p
+              JOIN bp_sel{r} s ON p.sym = s.a AND p.nxt = s.b))
+      WHERE off % 2 = 0),
+    bp_wt{r + 1} AS MATERIALIZED (
+      SELECT wid, cnt,
+             ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) - 1 AS pos,
+             sym FROM (
+        SELECT t.wid, t.cnt, t.pos,
+               CASE WHEN a.pos IS NOT NULL THEN a.msym ELSE t.sym END AS sym
+        FROM bp_wt{r} t
+        LEFT JOIN bp_act{r} a ON a.wid = t.wid AND a.pos = t.pos
+        LEFT JOIN bp_act{r} d ON d.wid = t.wid AND d.pos = t.pos - 1
+        WHERE d.pos IS NULL))""")
+    return ",".join(parts)
+
+
+_BPE_FINAL = "\n    UNION ALL\n    ".join(
+    f'SELECT CAST({r - 1} AS INT) AS "rank", a AS "left", b AS "right", '
+    f"a || b AS merged, CAST(freq AS BIGINT) AS freq FROM bp_sel{r}"
+    for r in range(1, 11)
+)
+
+
+@register(
+    "text_bpe_vocab_learn",
+    oracle=f"""
+    WITH {_bpe_ctes(10)}
+    {_BPE_FINAL}
+    """,
+)
 def text_bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction over the documents corpus
     (operators/bpe.py, after Sennrich et al. 2016): one corpus pass
     builds the distinct-word frequency table; each merge round is one
-    pair-count shuffle + a 1-row argmax + a map-side array fold. Rows-
-    only: the merge loop is an iterative argmax no single SQL statement
-    expresses; the semantics are pinned against a pure-Python reference
-    implementation in tests/test_bpe.py (exact merge-table equality,
-    partitioning-invariance, early stop)."""
+    pair-count shuffle + a 1-row argmax + a map-side array fold.
+    VALUE-ORACLED from r15 — and unlike the float tiers the oracle
+    checks the PRODUCTION loop directly, because classic BPE is
+    integer-exact: _bpe_ctes unrolls 10 merge rounds over the
+    positional word table, each an identical pair-count SUM + binary-
+    collation argmax + relational replay of the left-to-right merge
+    fold (even-offset rule within consecutive-match runs). Early stop
+    matches by construction: a round with no freq>=2 pair yields an
+    empty sel CTE and zero output rows, exactly the loop break. The
+    pure-Python reference equality / partitioning-invariance /
+    early-stop pins in tests/test_bpe.py stand unchanged."""
     from d365fo_db_sync_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1567,17 +1657,42 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_bpe_packing", oracle=None)
+@register(
+    "pipeline_bpe_packing",
+    oracle=f"""
+    WITH {_bpe_ctes(8, final_wt=True)},
+    bp_wlen AS (SELECT wid AS word, COUNT(*) AS sublen
+                FROM bp_wt9 GROUP BY wid),
+    bp_dtok AS (SELECT doc_id, UNNEST({_TOKS_SQL}) AS word FROM documents),
+    bp_dsub AS (SELECT t.doc_id, SUM(w.sublen) AS n_tokens
+                FROM bp_dtok t JOIN bp_wlen w USING (word)
+                GROUP BY t.doc_id),
+    bp_cum AS (SELECT doc_id, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS g_start
+               FROM bp_dsub WHERE n_tokens > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_subwords,
+           CAST(MAX((g_start + n_tokens - 1) // 256) AS BIGINT)
+             AS n_packs_minus_1
+    FROM bp_cum
+    """,
+)
 def pipeline_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-true packing: learn a BPE vocab ON the corpus
     (operators/bpe.learn_bpe), encode every document with it
     (apply_merges — Arrow-batched rank-greedy), and pack by the REAL
     subword counts (operators/packing.pack_sequences) — the pipeline a
     pretraining run actually executes, where packing budgets are
-    tokenizer tokens, not whitespace tokens. Rows-only: BPE training is
-    iterative argmax; every component is separately pinned (test_bpe
-    reference equality, the packing global-cumsum oracle) and this
-    composition asserts their contract compatibility end-to-end."""
+    tokenizer tokens, not whitespace tokens. VALUE-ORACLED from r15:
+    _bpe_ctes(8, final_wt=True) replays training to the post-merge word
+    table, whose per-word symbol counts ARE apply_merges' per-word
+    subword counts (rank-greedy encoding reproduces the trained table —
+    the test_bpe pin this oracle leans on), and the global-cumsum
+    packing oracle (text_sequence_packing's) folds them to the same
+    three totals. Early stop is LEFT-JOIN-preserved: an empty merge
+    round leaves bp_wt unchanged, exactly the frozen Spark table."""
     from d365fo_db_sync_spark.operators import bpe
     from d365fo_db_sync_spark.operators.packing import pack_sequences
 
