@@ -6,13 +6,15 @@ literature).
 
 Pipeline shape (100 TB story identical to text MinHash-LSH):
 
-1. **decode + hash** — one ``mapInPandas`` Arrow-batch stage parses
-   each image payload with the REAL byte decoder (binary PPM P6 here —
-   the raw-interchange format the multimodal tier already decodes and
-   value-oracles) and reduces it to a 56-bit dHash: the 8x8 grayscale
-   grid's horizontal gradient signs (bit ``y*7+x`` set iff
-   ``px[y][x] > px[y][x+1]``). The corpus collapses to one BIGINT per
-   image before anything shuffles.
+1. **decode + hash** — one ``mapInPandas`` Arrow-batch stage decodes
+   each image payload with the REAL stdlib decoders behind the
+   multimodal codec registry (PNG inflate + filters, GIF LZW +
+   palette, baseline JPEG, binary PPM — sniffed by signature via
+   multimodal.image_luminance; r15, was PPM-only), box-downsamples to
+   the hash grid when larger, and reduces it to a 56-bit dHash: the
+   8x8 luminance grid's horizontal gradient signs (bit ``y*7+x`` set
+   iff ``px[y][x] > px[y][x+1]``). The corpus collapses to one BIGINT
+   per image before anything shuffles.
 2. **band** — the signature splits into 4 bands of 14 bits (the
    dedup.simhash_candidates discipline): any pair within Hamming
    distance <= 3 shares at least one band by pigeonhole.
@@ -94,6 +96,93 @@ def stage_ppm_assets(docs: DataFrame, grid: int = GRID) -> DataFrame:
     )
 
 
+def stage_mixed_assets(docs: DataFrame, grid: int = GRID) -> DataFrame:
+    """:func:`stage_ppm_assets` with the FORMAT rotated per document —
+    ``doc_id % 3`` picks binary PPM, grayscale PNG, or gray-palette
+    GIF89a (multimodal.encode_gray_png / encode_gray_gif), all
+    LOSSLESS encodings of the IDENTICAL pixel rule (leading text
+    codepoints mod 256). Near-dup semantics are format-blind by
+    construction, and a SQL oracle still recomputes every pixel from
+    the raw text — while the Spark side now exercises three REAL
+    decode paths (PPM byte slice, PNG inflate + filters, GIF LZW +
+    palette) inside one Arrow-batch stage."""
+    from d365fo_db_sync_spark.operators.multimodal import (
+        encode_gray_gif,
+        encode_gray_png,
+    )
+
+    n_px = grid * grid
+    pad = "A" * n_px
+    header = f"P6 {grid} {grid} 255\n".encode()
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, codecs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = ((text or "") + pad)[:n_px]
+                px = bytes(ord(ch) % 256 for ch in s)
+                fmt = int(doc_id) % 3
+                if fmt == 0:
+                    blob = header + b"".join(bytes((v, v, v)) for v in px)
+                    codec = "ppm-gray"
+                elif fmt == 1:
+                    blob = encode_gray_png(grid, grid, px)
+                    codec = "png-gray"
+                else:
+                    blob = encode_gray_gif(grid, grid, px)
+                    codec = "gif-gray"
+                ids.append(doc_id)
+                blobs.append(blob)
+                codecs.append(codec)
+            yield pd.DataFrame(
+                {"asset_id": ids, "content": blobs, "codec": codecs}
+            )
+
+    staged = docs.select("doc_id", "text").mapInPandas(
+        stage,
+        schema=T.StructType(
+            [
+                T.StructField("asset_id", T.LongType(), False),
+                T.StructField("content", T.BinaryType(), False),
+                T.StructField("codec", T.StringType(), False),
+            ]
+        ),
+    )
+    return staged.select(
+        "asset_id",
+        F.lit("image").alias("media_type"),
+        "content",
+        F.create_map(F.lit("codec"), F.col("codec")).alias("meta"),
+    )
+
+
+def luminance_grid(content: bytes, grid: int = GRID) -> list[int]:
+    """Row-major ``grid x grid`` integer luminance from ANY
+    stdlib-decodable image payload (multimodal.image_luminance sniffs
+    PNG/GIF/baseline-JPEG/PPM): images already at ``grid x grid`` pass
+    through exactly; larger ones box-downsample (integer block mean,
+    ``sum // count`` over ``[k*n // grid, (k+1)*n // grid)`` bounds) —
+    the deterministic resize dHash needs, no imaging library. Smaller
+    images raise: an upsample would fabricate gradients."""
+    from d365fo_db_sync_spark.operators.multimodal import image_luminance
+
+    w, h, lum = image_luminance(content)
+    if w < grid or h < grid:
+        raise ValueError(
+            f"luminance_grid needs >= {grid}x{grid} pixels, got {w}x{h}"
+        )
+    if (w, h) == (grid, grid):
+        return [int(v) for v in lum.flatten()]
+    out = []
+    for gy in range(grid):
+        y0, y1 = gy * h // grid, (gy + 1) * h // grid
+        for gx in range(grid):
+            x0, x1 = gx * w // grid, (gx + 1) * w // grid
+            blk = lum[y0:y1, x0:x1]
+            out.append(int(blk.sum()) // int(blk.size))
+    return out
+
+
 def dhash_py(lum: list[int], grid: int = GRID) -> int:
     """Reference dHash over a row-major luminance grid — bit
     ``y*(grid-1)+x`` set iff ``lum[y][x] > lum[y][x+1]``. Shared by
@@ -112,24 +201,21 @@ def dhash_signatures(
     id_col: str = "asset_id",
     content_col: str = "content",
 ) -> DataFrame:
-    """(id, dhash) via one ``mapInPandas`` Arrow-batch stage: parse the
-    P6 payload with the real byte decoder (multimodal.ppm_pixels),
-    take the red channel as luminance (staged images are gray:
-    R = G = B), reduce to the 56-bit dHash. One long per image leaves
-    the stage — the corpus never shuffles at pixel width."""
-    from d365fo_db_sync_spark.operators.multimodal import ppm_pixels
+    """(id, dhash) via one ``mapInPandas`` Arrow-batch stage: decode
+    the payload with the REAL sniffing pixel adapter
+    (:func:`luminance_grid` over multimodal.image_luminance — PNG,
+    GIF, baseline JPEG, or binary PPM; r15, was PPM-only),
+    box-downsample to the hash grid when larger, reduce to the 56-bit
+    dHash. One long per image leaves the stage — the corpus never
+    shuffles at pixel width. For the gray staged corpora the ITU
+    luminance IS the staged byte (R = G = B), so signatures are
+    unchanged from the PPM-only path."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, sigs = [], []
             for aid, content in zip(pdf[id_col], pdf[content_col]):
-                w, h, px = ppm_pixels(bytes(content))
-                if (w, h) != (grid, grid):
-                    raise ValueError(
-                        f"dhash_signatures expects {grid}x{grid} images, "
-                        f"got {w}x{h} for id {aid}"
-                    )
-                lum = [px[i * 3] for i in range(w * h)]  # R of gray RGB
+                lum = luminance_grid(bytes(content), grid)
                 ids.append(aid)
                 sigs.append(dhash_py(lum, grid))
             yield pd.DataFrame({id_col: ids, "dhash": sigs})

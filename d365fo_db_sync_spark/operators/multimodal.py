@@ -277,109 +277,122 @@ def ppm_image_codec() -> Codec:
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
-def png_image_codec() -> Codec:
-    """REAL PNG decoder in pure stdlib (``zlib`` + byte walking) — no
-    imaging library: chunk walk (IHDR dims, concatenated IDAT inflate,
-    PLTE for palette images), then per-scanline filter reconstruction
-    (None/Sub/Up/Average/Paeth exactly per the PNG spec, byte
-    arithmetic mod 256 with bytes-per-pixel offsets). Supports bit
-    depth 8 in all five color types (gray, RGB, palette, gray+alpha,
-    RGBA), non-interlaced; Adam7 / 1-2-4-16-bit payloads are rejected
-    loudly rather than mis-decoded (register Pillow for those). The
-    feature is the same contract as :func:`pillow_image_codec`: an
-    8-bin normalized luminance histogram (ITU-R 601-2 integer weights,
-    Pillow's own L-mode formula) — so where both run they agree in
-    kind, and this one actually runs in this environment."""
+def png_decode_pixels(content: bytes):
+    """Decode a PNG to ``(width, height, H x W x 3 uint8 RGB array)``
+    — the pixel surface behind :func:`png_image_codec` (which reduces
+    it to the histogram feature) and operators/imagededup's luminance
+    adapter. Pure stdlib (``zlib`` + byte walking): chunk walk (IHDR
+    dims, concatenated IDAT inflate, PLTE for palette images), then
+    per-scanline filter reconstruction (None/Sub/Up/Average/Paeth
+    exactly per the PNG spec, byte arithmetic mod 256 with
+    bytes-per-pixel offsets). Supports bit depth 8 in all five color
+    types (gray, RGB, palette, gray+alpha, RGBA), non-interlaced;
+    Adam7 / 1-2-4-16-bit payloads are rejected loudly rather than
+    mis-decoded (register Pillow for those)."""
     import struct
     import zlib
 
     import numpy as np
 
-    def codec(content: bytes, media_type: str) -> dict:
-        buf = content or b""
-        if buf[:8] != PNG_SIGNATURE:
-            raise ValueError("not a PNG payload")
-        ihdr = None
-        idat: list[bytes] = []
-        plte = None
-        i = 8
-        while i + 8 <= len(buf):
-            ln = int.from_bytes(buf[i : i + 4], "big")
-            typ = buf[i + 4 : i + 8]
-            data = buf[i + 8 : i + 8 + ln]
-            if typ == b"IHDR":
-                ihdr = data
-            elif typ == b"IDAT":
-                idat.append(data)
-            elif typ == b"PLTE":
-                plte = data
-            elif typ == b"IEND":
-                break
-            i += 12 + ln  # length + type + data + CRC
-        if ihdr is None or len(ihdr) < 13 or not idat:
-            raise ValueError("PNG missing IHDR or IDAT")
-        w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
-            ">IIBBBBB", ihdr[:13]
+    buf = content or b""
+    if buf[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat: list[bytes] = []
+    plte = None
+    i = 8
+    while i + 8 <= len(buf):
+        ln = int.from_bytes(buf[i : i + 4], "big")
+        typ = buf[i + 4 : i + 8]
+        data = buf[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported without Pillow")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported without Pillow")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    bpp = channels  # bytes per pixel at depth 8
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    recon = np.zeros((h, stride), dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
         )
-        if interlace != 0:
-            raise ValueError("Adam7-interlaced PNG unsupported without Pillow")
-        if depth != 8:
-            raise ValueError(f"PNG bit depth {depth} unsupported without Pillow")
-        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-        if channels is None:
-            raise ValueError(f"unknown PNG color type {color_type}")
-        raw = zlib.decompress(b"".join(idat))
-        stride = w * channels
-        bpp = channels  # bytes per pixel at depth 8
-        if len(raw) < h * (stride + 1):
-            raise ValueError("PNG scanline data truncated")
-        recon = np.zeros((h, stride), dtype=np.int32)
-        pos = 0
-        for y in range(h):
-            ft = raw[pos]
-            pos += 1
-            line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
-                np.int32
-            )
-            pos += stride
-            prior = recon[y - 1] if y else np.zeros(stride, dtype=np.int32)
-            if ft == 0:  # None
-                cur = line
-            elif ft == 2:  # Up
-                cur = (line + prior) & 0xFF
-            elif ft == 1:  # Sub — sequential along x, per the spec
-                cur = line.copy()
-                for x in range(bpp, stride):
-                    cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-            elif ft == 3:  # Average
-                cur = line.copy()
-                for x in range(stride):
-                    left = cur[x - bpp] if x >= bpp else 0
-                    cur[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
-            elif ft == 4:  # Paeth
-                cur = line.copy()
-                for x in range(stride):
-                    a = cur[x - bpp] if x >= bpp else 0
-                    b = int(prior[x])
-                    c = int(prior[x - bpp]) if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = (line[x] + pred) & 0xFF
-            else:
-                raise ValueError(f"invalid PNG filter type {ft}")
-            recon[y] = cur
-        px = recon.reshape(h, w, channels).astype(np.uint8)
-        if color_type == 3:  # palette lookup
-            if plte is None:
-                raise ValueError("palette PNG missing PLTE chunk")
-            pal = np.frombuffer(plte, dtype=np.uint8)
-            pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
-            rgb = pal[px[..., 0]]
-        elif color_type in (0, 4):  # gray (+alpha): replicate the gray
-            rgb = np.repeat(px[..., :1], 3, axis=2)
-        else:  # RGB / RGBA: drop alpha
-            rgb = px[..., :3]
+        pos += stride
+        prior = recon[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif ft == 1:  # Sub — sequential along x, per the spec
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        recon[y] = cur
+    px = recon.reshape(h, w, channels).astype(np.uint8)
+    if color_type == 3:  # palette lookup
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        rgb = pal[px[..., 0]]
+    elif color_type in (0, 4):  # gray (+alpha): replicate the gray
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    else:  # RGB / RGBA: drop alpha
+        rgb = px[..., :3]
+    return int(w), int(h), rgb.astype("uint8")
+
+
+def png_image_codec() -> Codec:
+    """REAL PNG decoder in pure stdlib — :func:`png_decode_pixels` for
+    the chunk walk + filter reconstruction; this wrapper reduces the
+    pixels to the shared feature contract of
+    :func:`pillow_image_codec`: true dimensions + an 8-bin normalized
+    luminance histogram (ITU-R 601-2 integer weights, Pillow's own
+    L-mode formula) — so where both run they agree in kind, and this
+    one actually runs in this environment."""
+    import numpy as np
+
+    def codec(content: bytes, media_type: str) -> dict:
+        w, h, rgb = png_decode_pixels(content)
         r, g, b = (rgb[..., k].astype(np.int64) for k in range(3))
         lum = (r * 299 + g * 587 + b * 114) // 1000  # Pillow's L formula
         hist, _ = np.histogram(lum, bins=8, range=(0, 256))
@@ -447,101 +460,113 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_image_codec() -> Codec:
-    """REAL GIF decoder in pure stdlib — no imaging library: header +
-    logical-screen parse, global/local color tables, full LZW decode
-    (variable code width 3..12 bits LSB-first, CLEAR/END, the KwKwK
-    case), GIF89a extension-block walking, and Adam-style 4-pass
-    interlace reordering. The FIRST frame is decoded to pixels; later
-    frames are structurally walked (not decoded) to count frames and
-    sum Graphic Control delays, so animated GIFs report a true
-    ``duration_ms`` (delay units are 1/100 s per the spec) while
-    stills report None. The feature is the same 8-bin normalized
-    luminance histogram contract as :func:`png_image_codec`, computed
-    over the first frame through its active palette."""
+def gif_decode_pixels(content: bytes):
+    """Decode a GIF to ``(width, height, first-frame H x W x 3 uint8
+    RGB array, n_frames, total_delay_ms)`` — the pixel surface behind
+    :func:`gif_image_codec` and operators/imagededup's luminance
+    adapter. Pure stdlib: header + logical-screen parse, global/local
+    color tables, full LZW decode (variable code width 3..12 bits
+    LSB-first, CLEAR/END, the KwKwK case), GIF89a extension-block
+    walking, and Adam-style 4-pass interlace reordering. The FIRST
+    frame is decoded to pixels; later frames are structurally walked
+    (not decoded) to count frames and sum Graphic Control delays
+    (units of 1/100 s per the spec)."""
     import struct
 
     import numpy as np
 
+    buf = content or b""
+    if buf[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF payload")
+    if len(buf) < 13:
+        raise ValueError("GIF header truncated")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", buf[6:13])
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = buf[i : i + n]
+        i += n
+    frames = 0
+    total_delay_ms = 0
+    first: tuple | None = None
+    while i < len(buf):
+        b0 = buf[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label, then length-prefixed sub-blocks
+            label = buf[i + 1]
+            i += 2
+            while i < len(buf):
+                sz = buf[i]
+                if sz == 0:
+                    i += 1
+                    break
+                if label == 0xF9 and sz >= 4:  # Graphic Control
+                    total_delay_ms += (
+                        int.from_bytes(buf[i + 2 : i + 4], "little") * 10
+                    )
+                i += 1 + sz
+        elif b0 == 0x2C:  # image descriptor
+            _left, _top, lw, lh, lp = struct.unpack("<HHHHB", buf[i + 1 : i + 10])
+            i += 10
+            table = gct
+            if lp & 0x80:
+                n = 3 * (2 << (lp & 0x07))
+                table = buf[i : i + n]
+                i += n
+            mcs = buf[i]
+            i += 1
+            data = bytearray()
+            while i < len(buf):
+                sz = buf[i]
+                if sz == 0:
+                    i += 1
+                    break
+                data += buf[i + 1 : i + 1 + sz]
+                i += 1 + sz
+            frames += 1
+            if first is None:
+                first = (bytes(data), mcs, lw, lh, bool(lp & 0x40), table)
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if first is None:
+        raise ValueError("GIF contains no image data")
+    data, mcs, lw, lh, interlaced, table = first
+    if table is None:
+        raise ValueError("GIF frame has neither local nor global color table")
+    idx = _gif_lzw_decode(data, mcs)
+    if len(idx) < lw * lh:
+        raise ValueError("GIF pixel data truncated")
+    arr = np.asarray(idx[: lw * lh], dtype=np.int64).reshape(lh, lw)
+    if interlaced:
+        order = [
+            r
+            for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, lh, step)
+        ]
+        deinter = np.empty_like(arr)
+        deinter[order] = arr  # stored rows are in pass order
+        arr = deinter
+    pal = np.frombuffer(table, dtype=np.uint8)
+    pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+    if pal.size == 0 or int(arr.max()) >= len(pal):
+        raise ValueError("GIF pixel index outside color table")
+    rgb = pal[arr]
+    return int(w), int(h), rgb.astype("uint8"), frames, int(total_delay_ms)
+
+
+def gif_image_codec() -> Codec:
+    """REAL GIF decoder in pure stdlib — :func:`gif_decode_pixels` for
+    the container walk + LZW + interlace; this wrapper reduces the
+    first frame to the same 8-bin normalized luminance histogram
+    contract as :func:`png_image_codec`, computed through the frame's
+    active palette. Animated GIFs report a true ``duration_ms``;
+    stills report None."""
+    import numpy as np
+
     def codec(content: bytes, media_type: str) -> dict:
-        buf = content or b""
-        if buf[:6] not in GIF_SIGNATURES:
-            raise ValueError("not a GIF payload")
-        if len(buf) < 13:
-            raise ValueError("GIF header truncated")
-        w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", buf[6:13])
-        i = 13
-        gct = None
-        if packed & 0x80:
-            n = 3 * (2 << (packed & 0x07))
-            gct = buf[i : i + n]
-            i += n
-        frames = 0
-        total_delay_ms = 0
-        first: tuple | None = None
-        while i < len(buf):
-            b0 = buf[i]
-            if b0 == 0x3B:  # trailer
-                break
-            if b0 == 0x21:  # extension: label, then length-prefixed sub-blocks
-                label = buf[i + 1]
-                i += 2
-                while i < len(buf):
-                    sz = buf[i]
-                    if sz == 0:
-                        i += 1
-                        break
-                    if label == 0xF9 and sz >= 4:  # Graphic Control
-                        total_delay_ms += (
-                            int.from_bytes(buf[i + 2 : i + 4], "little") * 10
-                        )
-                    i += 1 + sz
-            elif b0 == 0x2C:  # image descriptor
-                _left, _top, lw, lh, lp = struct.unpack("<HHHHB", buf[i + 1 : i + 10])
-                i += 10
-                table = gct
-                if lp & 0x80:
-                    n = 3 * (2 << (lp & 0x07))
-                    table = buf[i : i + n]
-                    i += n
-                mcs = buf[i]
-                i += 1
-                data = bytearray()
-                while i < len(buf):
-                    sz = buf[i]
-                    if sz == 0:
-                        i += 1
-                        break
-                    data += buf[i + 1 : i + 1 + sz]
-                    i += 1 + sz
-                frames += 1
-                if first is None:
-                    first = (bytes(data), mcs, lw, lh, bool(lp & 0x40), table)
-            else:
-                raise ValueError(f"unknown GIF block 0x{b0:02x}")
-        if first is None:
-            raise ValueError("GIF contains no image data")
-        data, mcs, lw, lh, interlaced, table = first
-        if table is None:
-            raise ValueError("GIF frame has neither local nor global color table")
-        idx = _gif_lzw_decode(data, mcs)
-        if len(idx) < lw * lh:
-            raise ValueError("GIF pixel data truncated")
-        arr = np.asarray(idx[: lw * lh], dtype=np.int64).reshape(lh, lw)
-        if interlaced:
-            order = [
-                r
-                for start, step in _GIF_INTERLACE_PASSES
-                for r in range(start, lh, step)
-            ]
-            deinter = np.empty_like(arr)
-            deinter[order] = arr  # stored rows are in pass order
-            arr = deinter
-        pal = np.frombuffer(table, dtype=np.uint8)
-        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
-        if pal.size == 0 or int(arr.max()) >= len(pal):
-            raise ValueError("GIF pixel index outside color table")
-        rgb = pal[arr]
+        w, h, rgb, frames, total_delay_ms = gif_decode_pixels(content)
         r, g, b = (rgb[..., k].astype(np.int64) for k in range(3))
         lum = (r * 299 + g * 587 + b * 114) // 1000  # Pillow's L formula
         hist, _ = np.histogram(lum, bins=8, range=(0, 256))
@@ -1028,6 +1053,113 @@ def encode_dc_jpeg(
     return JPEG_SOI + dqt + dht + sof + sos + bits.flush() + b"\xff\xd9"
 
 
+def encode_gray_png(w: int, h: int, pixels: bytes) -> bytes:
+    """Emit a minimal standard grayscale PNG (color type 0, depth 8,
+    filter 0 rows) from row-major pixel bytes — the staging/fixture
+    twin of :func:`png_decode_pixels`, same role as
+    :func:`encode_dc_jpeg`: lossless, so staged corpora stay
+    VALUE-PREDICTABLE (a SQL oracle recomputes the decoded pixels from
+    the source text without inflating zlib) while the Spark side
+    exercises the real chunk-walk + inflate + filter path."""
+    import struct
+    import zlib
+
+    if len(pixels) != w * h:
+        raise ValueError(f"need {w * h} gray bytes, got {len(pixels)}")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    raw = b"".join(b"\x00" + pixels[y * w : (y + 1) * w] for y in range(h))
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """FORWARD GIF-LZW encoder (spec appendix F): dictionary build +
+    variable code width LSB-first packing, CLEAR emitted at table
+    overflow. The encoder side of :func:`_gif_lzw_decode`, kept
+    independent of it (dict-of-tuples build vs the decoder's
+    code-table walk) so round-trip tests exercise spec math, not one
+    implementation against itself."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev: tuple = ()
+    for px in indices:
+        cand = prev + (px,)
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:  # table full: reset per spec
+                emit(clear)
+                table = {(i,): i for i in range(clear)}
+                next_code = end + 1
+                width = min_code_size + 1
+        prev = (px,)
+    if prev:
+        emit(table[prev])
+    emit(end)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def encode_gray_gif(w: int, h: int, pixels: bytes) -> bytes:
+    """Emit a minimal standard GIF89a (256-entry gray global palette,
+    one non-interlaced frame whose indices ARE the pixel values) from
+    row-major gray bytes — lossless like :func:`encode_gray_png`, so
+    staged corpora stay value-predictable while the Spark side
+    exercises the real LZW + palette decode path."""
+    import struct
+
+    if len(pixels) != w * h:
+        raise ValueError(f"need {w * h} gray bytes, got {len(pixels)}")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-color GCT
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW min code size
+    data = _gif_lzw_encode(pixels, 8)
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def jpeg_assets_from_documents(docs: DataFrame, side: int = 2) -> DataFrame:
     """Stage a deterministic JPEG asset table from the documents
     corpus: each document becomes one ``side``x``side``-block (8·side
@@ -1067,6 +1199,51 @@ def jpeg_assets_from_documents(docs: DataFrame, side: int = 2) -> DataFrame:
         "content",
         F.create_map(F.lit("codec"), F.lit("jpeg-dc")).alias("meta"),
     )
+
+
+def image_luminance(content: bytes):
+    """Decode ANY stdlib-decodable image payload to ``(width, height,
+    H x W int64 luminance array)`` — the shared pixel adapter behind
+    operators/imagededup's dHash stage (r15: perceptual hashing is no
+    longer PPM-staged-only). Sniffs the payload signature with the
+    same rules as :func:`auto_image_codec` and routes to the REAL
+    decoder (:func:`png_decode_pixels`, :func:`gif_decode_pixels`,
+    :func:`jpeg_decode_pixels`, :func:`ppm_pixels`); luminance is the
+    ITU-R 601-2 integer formula every image codec here uses
+    (``(299 r + 587 g + 114 b) // 1000`` — Pillow's L mode), so for
+    the gray staged corpora (R = G = B = v) it is exactly ``v``.
+    Width/height are the PIXEL ARRAY's dims (for GIF, the first
+    frame's — a frame can be smaller than the logical screen).
+    Unknown signatures raise loudly — the codec-registry stub
+    contract, not a silent fake."""
+    import numpy as np
+
+    buf = content or b""
+    if buf[:8] == PNG_SIGNATURE:
+        _w, _h, rgb = png_decode_pixels(buf)
+    elif buf[:6] in GIF_SIGNATURES:
+        _w, _h, rgb, _frames, _delay = gif_decode_pixels(buf)
+    elif buf[:2] == JPEG_SOI:
+        px = jpeg_decode_pixels(buf)
+        if px.ndim == 2:
+            lum = px.astype(np.int64)
+            return int(lum.shape[1]), int(lum.shape[0]), lum
+        rgb = px
+    elif buf[:2] == b"P6":
+        w, h, raw = ppm_pixels(buf)
+        rgb = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3).reshape(
+            h, w, 3
+        )
+    else:
+        raise ValueError(
+            "image_luminance: unrecognized image signature (PNG/GIF/"
+            "baseline JPEG/binary PPM decode here; register Pillow for "
+            "other formats)"
+        )
+    rgb = np.asarray(rgb)
+    r, g, b = (rgb[..., k].astype(np.int64) for k in range(3))
+    lum = (r * 299 + g * 587 + b * 114) // 1000  # Pillow's L formula
+    return int(lum.shape[1]), int(lum.shape[0]), lum
 
 
 def auto_image_codec(prefer_real: bool = True) -> Codec:

@@ -10854,3 +10854,65 @@ def text_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         eb.alias("entropy_bits"),
         ((eb >= 2.0) & (eb <= 5.5)).alias("keep"),
     )
+
+
+@register(
+    "multimodal_dhash_mixed_formats",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      substr(coalesce(text, '') || repeat('A', 64), 1, 64)
+                        AS s
+               FROM documents),
+    px AS (SELECT doc_id, CAST((p.i - 1) // 8 AS INT) AS y,
+                  CAST((p.i - 1) % 8 AS INT) AS x,
+                  ascii(substr(s, p.i, 1)) % 256 AS v
+           FROM t CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p),
+    sig AS (SELECT a.doc_id,
+                   SUM(CASE WHEN a.v > b.v
+                            THEN 1::BIGINT << (a.y * 7 + a.x)
+                            ELSE 0::BIGINT END) AS dhash
+            FROM px a JOIN px b
+              ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+            GROUP BY a.doc_id),
+    chunks AS (SELECT doc_id, b.b AS band,
+                      (dhash >> (b.b * 14)) & 16383 AS chunk
+               FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) b),
+    cand AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM chunks a JOIN chunks c
+               ON a.band = c.band AND a.chunk = c.chunk
+                  AND a.doc_id < c.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa.dhash, sb.dhash)) AS INT) AS hamming
+    FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+    JOIN sig sb ON cand.id_b = sb.doc_id
+    WHERE bit_count(xor(sa.dhash, sb.dhash)) <= 3
+    """,
+)
+def multimodal_dhash_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_dhash_near_dups across THREE real decode paths (r15
+    verdict #4): each document stages as PPM, grayscale PNG, or
+    gray-palette GIF89a by ``doc_id % 3`` (imagededup.
+    stage_mixed_assets) — all LOSSLESS encodings of the identical
+    pixel rule — and the signature stage decodes by SIGNATURE SNIFF
+    through the codec registry's stdlib decoders (multimodal.
+    image_luminance: PNG inflate + filter reconstruction, GIF LZW +
+    palette lookup, PPM byte slice). The oracle never touches the
+    blobs: it recomputes every pixel from the raw text, so the value
+    hash PROVES all three decoders reproduce ground-truth pixels on
+    the full corpus, not just fixtures. Threshold is the default
+    ``bands - 1 = 3`` — exactly the pigeonhole-complete recall the
+    banding guarantees. The lossy path (baseline JPEG) is pinned by
+    encode->decode->dhash self-consistency in tests/test_imagededup.py
+    instead: quantization moves pixels, so its hashes are decoder-
+    relative by nature. Plan: identical to multimodal_dhash_near_dups
+    — one Arrow stage collapses the corpus to n longs, band join emits
+    collision groups only."""
+    from d365fo_db_sync_spark.operators import imagededup
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = imagededup.stage_mixed_assets(docs)
+    sigs = imagededup.dhash_signatures(assets)
+    return imagededup.dhash_near_duplicates(sigs).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
+    )

@@ -96,3 +96,62 @@ def test_dhash_rejects_wrong_grid(spark):
     )
     with pytest.raises(Exception):
         imagededup.dhash_signatures(assets).collect()
+
+
+def test_mixed_formats_identical_signatures(spark, docs):
+    """r15: the format rotation (PPM/PNG/GIF) is signature-invisible —
+    every staged blob decodes through its own REAL stdlib path back to
+    the identical pixel rule, so dHash equals the text-derived model
+    no matter which codec carried it."""
+    assets = imagededup.stage_mixed_assets(docs)
+    metas = {r["asset_id"]: r["meta"]["codec"] for r in assets.collect()}
+    assert {metas[0], metas[1], metas[2]} == {"ppm-gray", "png-gray", "gif-gray"}
+    sigs = {
+        r["asset_id"]: r["dhash"]
+        for r in imagededup.dhash_signatures(assets).collect()
+    }
+    for i, t in {r["doc_id"]: r["text"] for r in docs.collect()}.items():
+        assert sigs[i] == _expected_sig(t), (i, metas[i])
+
+
+def test_luminance_grid_box_downsamples_larger_images():
+    """A 16x16 image box-downsamples to the 8x8 hash grid by integer
+    block means — checked against an independent numpy reference."""
+    import numpy as np
+
+    vals = bytes((y * 16 + x) * 13 % 256 for y in range(16) for x in range(16))
+    blob = multimodal.encode_gray_png(16, 16, vals)
+    got = imagededup.luminance_grid(blob, grid=8)
+    arr = np.frombuffer(vals, dtype=np.uint8).reshape(16, 16).astype(np.int64)
+    want = [
+        int(arr[2 * gy : 2 * gy + 2, 2 * gx : 2 * gx + 2].sum()) // 4
+        for gy in range(8)
+        for gx in range(8)
+    ]
+    assert got == want
+
+
+def test_dhash_jpeg_self_consistency():
+    """The lossy path: dHash over a real baseline JPEG equals the
+    reference dHash of the DECODER's own pixels (flat DC-only blocks
+    make those exactly predictable: clip(dc + 128) at quant=8), so the
+    adapter is pinned decoder-relative — the honest contract for a
+    lossy codec."""
+    dc = [((i * 29) % 201) - 100 for i in range(64)]  # 8x8 blocks -> 64x64 px
+    blob = multimodal.encode_dc_jpeg(dc, 8, quant=8)
+    expected_lum = [max(0, min(255, v + 128)) for v in dc]
+    assert imagededup.luminance_grid(blob, grid=8) == expected_lum
+    sigs = imagededup.dhash_py(expected_lum)
+    assets_sig = imagededup.dhash_py(imagededup.luminance_grid(blob, grid=8))
+    assert assets_sig == sigs
+
+
+def test_gif_lzw_encoder_roundtrips_through_decoder():
+    """The forward LZW encoder (spec appendix F, encoder side) round-
+    trips through the production decoder, including the code-width
+    growth and full-table CLEAR/reset path (21k varied bytes overflow
+    the 12-bit table)."""
+    data = bytes((i * i * 31 + i * 7) % 256 for i in range(21000))
+    enc = multimodal._gif_lzw_encode(data, 8)
+    dec = multimodal._gif_lzw_decode(enc, 8)
+    assert bytes(dec) == data
