@@ -1485,6 +1485,123 @@ def _bpe_ctes(n_merges: int, final_wt: bool = False) -> str:
     return ",".join(parts)
 
 
+def _bpe_batched_ctes(n_merges: int, batch: int, rounds: int) -> str:
+    """:func:`_bpe_ctes`' parallel-BPE sibling (learn_bpe with
+    batch_size > 1) — still integer-exact, so the oracle again checks
+    the PRODUCTION loop. Extra replayed state per round: ``want``
+    (merges still needed, capped at the batch), the candidate
+    over-collect limit (``1`` when want is 1, else ``max(4*want,
+    16)`` — learn_bpe's own formula), and the greedy symbol-disjoint
+    selection, unrolled as ``batch`` steps of "the lowest-ranked
+    candidate after the previously selected one that shares no raw or
+    just-created symbol with the selections so far" (conflict is
+    monotone — ``used`` only grows — so the single Python pass equals
+    this iterated form). The multi-pair merge replays with the SAME
+    even-offset rule as the classic round: symbol-disjointness makes
+    cross-pair overlapping matches impossible (a match at pos i+1
+    would need its ``a`` to equal the pos-i match's ``b``), leaving
+    only the same-(a,a)-pair consecutive runs the classic rule
+    already handles. Rounds past ``want = 0`` select nothing and
+    LEFT-JOIN-preserve the word table. Prototype-verified against a
+    faithful Python port on conflict-heavy and want-shrink cases."""
+    parts = [
+        f"""
+    bp_words AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT UNNEST({_TOKS_SQL}) AS word FROM documents)
+      GROUP BY word),
+    bp_wt1 AS MATERIALIZED (
+      SELECT word AS wid, cnt, i - 1 AS pos,
+             CASE WHEN i = length(word) THEN substring(word, i, 1) || '</w>'
+                  ELSE substring(word, i, 1) END AS sym
+      FROM (SELECT word, cnt, UNNEST(generate_series(1, length(word))) AS i
+            FROM bp_words))"""
+    ]
+    prev_sels: list[int] = []
+    for r in range(1, rounds + 1):
+        prev_cnt = (
+            " + ".join(f"(SELECT COUNT(*) FROM bb_sel{i})" for i in prev_sels)
+            or "0"
+        )
+        parts.append(f"""
+    bb_meta{r} AS MATERIALIZED (
+      SELECT LEAST({batch}, {n_merges} - ({prev_cnt})) AS want,
+             CASE WHEN LEAST({batch}, {n_merges} - ({prev_cnt})) = 1 THEN 1
+                  ELSE GREATEST(4 * LEAST({batch}, {n_merges} - ({prev_cnt})),
+                                16) END AS climit,
+             {prev_cnt} AS prev_total),
+    bb_pairs{r} AS MATERIALIZED (
+      SELECT wid, cnt, pos, sym,
+             LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+      FROM bp_wt{r}),
+    bb_cand{r} AS MATERIALIZED (
+      SELECT a, b, freq, rn FROM (
+        SELECT sym AS a, nxt AS b, SUM(cnt) AS freq,
+               ROW_NUMBER() OVER (ORDER BY SUM(cnt) DESC, sym, nxt) AS rn
+        FROM bb_pairs{r} WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+      WHERE rn <= (SELECT climit FROM bb_meta{r}) AND freq >= 2)""")
+        for j in range(1, batch + 1):
+            prev_rn = (
+                f"COALESCE((SELECT rn FROM bb_s{r}_{j - 1}), 1000000000)"
+                if j > 1
+                else "0"
+            )
+            used = (
+                "\n              UNION ALL ".join(
+                    f"SELECT a AS u FROM bb_s{r}_{i} UNION ALL "
+                    f"SELECT b FROM bb_s{r}_{i} UNION ALL "
+                    f"SELECT a || b FROM bb_s{r}_{i}"
+                    for i in range(1, j)
+                )
+                or "SELECT NULL AS u WHERE 1=0"
+            )
+            parts.append(f"""
+    bb_s{r}_{j} AS MATERIALIZED (
+      SELECT a, b, freq, rn, {j} AS sj FROM bb_cand{r} c
+      WHERE (SELECT want FROM bb_meta{r}) >= {j}
+        AND rn > {prev_rn}
+        AND NOT EXISTS (SELECT 1 FROM ({used}) u
+                        WHERE u.u IN (c.a, c.b, c.a || c.b))
+      ORDER BY rn LIMIT 1)""")
+        sel_union = "\n      UNION ALL\n      ".join(
+            f"SELECT a, b, freq, sj FROM bb_s{r}_{j}"
+            for j in range(1, batch + 1)
+        )
+        parts.append(f"""
+    bb_sel{r} AS MATERIALIZED (
+      {sel_union}),
+    bb_act{r} AS MATERIALIZED (
+      SELECT wid, pos, msym FROM (
+        SELECT wid, pos, msym,
+               pos - MIN(pos) OVER (PARTITION BY wid, grp) AS off
+        FROM (SELECT p.wid, p.pos, s.a || s.b AS msym,
+                     p.pos - ROW_NUMBER() OVER (PARTITION BY p.wid
+                                                ORDER BY p.pos) AS grp
+              FROM bb_pairs{r} p
+              JOIN bb_sel{r} s ON p.sym = s.a AND p.nxt = s.b))
+      WHERE off % 2 = 0),
+    bp_wt{r + 1} AS MATERIALIZED (
+      SELECT wid, cnt,
+             ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) - 1 AS pos,
+             sym FROM (
+        SELECT t.wid, t.cnt, t.pos,
+               CASE WHEN a.pos IS NOT NULL THEN a.msym ELSE t.sym END AS sym
+        FROM bp_wt{r} t
+        LEFT JOIN bb_act{r} a ON a.wid = t.wid AND a.pos = t.pos
+        LEFT JOIN bb_act{r} d ON d.wid = t.wid AND d.pos = t.pos - 1
+        WHERE d.pos IS NULL))""")
+        prev_sels.append(r)
+    return ",".join(parts)
+
+
+_BPE_BATCHED_FINAL = "\n    UNION ALL\n    ".join(
+    f"SELECT CAST((SELECT prev_total FROM bb_meta{r}) + sj - 1 AS INT) "
+    f'AS "rank", a AS "left", b AS "right", a || b AS merged, '
+    f"CAST(freq AS BIGINT) AS freq FROM bb_sel{r}"
+    for r in range(1, 11)
+)
+
+
 _BPE_FINAL = "\n    UNION ALL\n    ".join(
     f'SELECT CAST({r - 1} AS INT) AS "rank", a AS "left", b AS "right", '
     f"a || b AS merged, CAST(freq AS BIGINT) AS freq FROM bp_sel{r}"
@@ -2963,7 +3080,13 @@ def sync_append_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.read(spark)
 
 
-@register("text_bpe_vocab_batched", oracle=None)
+@register(
+    "text_bpe_vocab_batched",
+    oracle=f"""
+    WITH {_bpe_batched_ctes(50, 10, 10)}
+    {_BPE_BATCHED_FINAL}
+    """,
+)
 def text_bpe_vocab_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parallel-BPE vocabulary induction (operators/bpe.py,
     batch_size>1): each round collects the top pair candidates once
@@ -2971,10 +3094,16 @@ def text_bpe_vocab_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard parallel-BPE approximation that cuts a 32k-merge
     production vocab from ~64k Spark jobs to ~1k rounds. The query
     learns 5x the merges of text_bpe_vocab_learn in a bounded round
-    count (asserted in-plan) and returns the merge table. Rows-only:
-    iterative argmax; the M=1 path's exact reference equality, the
-    disjointness invariant, and the <=20-rounds-for-1000-merges scale
-    pin live in tests/test_bpe.py."""
+    count (asserted in-plan) and returns the merge table.
+    VALUE-ORACLED from r15 (the last BPE rows-only): _bpe_batched_ctes
+    unrolls 10 rounds — pair counts, the want/cand-limit bookkeeping,
+    the greedy symbol-disjoint selection as 10 chained first-
+    non-conflicting-candidate steps, and the multi-pair merge under
+    the classic even-offset rule (disjointness excludes every
+    cross-pair overlap) — checking the PRODUCTION loop directly, like
+    the classic twin. The oracle's 10-round unroll covers exactly the
+    envelope the in-plan assert guarantees. tests/test_bpe.py's
+    reference-equality / disjointness / scale pins stand unchanged."""
     from d365fo_db_sync_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
