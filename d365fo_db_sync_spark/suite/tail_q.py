@@ -11045,3 +11045,67 @@ def multimodal_dhash_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFram
     return imagededup.dhash_near_duplicates(sigs).select(
         F.col("id_a"), F.col("id_b"), F.col("hamming")
     )
+
+
+@register(
+    "similarity_sq8_topk",
+    oracle="""
+    WITH sq_ve AS (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS pos,
+                          CAST(CAST(unnest(embedding) AS DOUBLE)
+                               AS DECIMAL(28,12)) AS comp
+                   FROM embeddings),
+    sq_n2 AS (SELECT vec_id,
+                     SUM(CAST(CAST(comp AS DOUBLE) * CAST(comp AS DOUBLE)
+                              AS DECIMAL(38,18))) AS n2
+              FROM sq_ve GROUP BY 1),
+    sq_nv AS MATERIALIZED (SELECT vec_id, pos,
+                     CASE WHEN n2 = 0 THEN CAST(comp AS DOUBLE)
+                          ELSE CAST(comp AS DOUBLE)
+                               / sqrt(CAST(n2 AS DOUBLE)) END AS c
+              FROM sq_ve JOIN sq_n2 USING (vec_id)),
+    sq_mm AS MATERIALIZED (SELECT pos, MIN(c) AS mn, MAX(c) AS mx
+              FROM sq_nv GROUP BY pos),
+    sq_rc AS MATERIALIZED (SELECT v.vec_id, v.pos,
+                     mm.mn + CAST(CASE WHEN mm.mx > mm.mn
+                                  THEN LEAST(255, GREATEST(0,
+                                       FLOOR((v.c - mm.mn) * 255.0
+                                             / (mm.mx - mm.mn) + 0.5)))
+                                  ELSE 0 END AS DOUBLE)
+                           * ((mm.mx - mm.mn) / 255.0) AS recon
+              FROM sq_nv v JOIN sq_mm mm USING (pos)),
+    sq_sc AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                     SUM(CAST(q.c * r.recon AS DECIMAL(38,18))) AS score
+              FROM sq_nv q JOIN sq_rc r USING (pos)
+              WHERE q.vec_id % 25 = 0 AND r.vec_id <> q.vec_id
+              GROUP BY 1, 2)
+    SELECT query_id, CAST(rn AS INT) AS rnk, neighbor_id,
+           CAST(score AS DOUBLE) AS score
+    FROM (SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rn
+          FROM sq_sc)
+    WHERE rn <= 5
+    """,
+)
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) embedding search (operators/sq.py, the
+    FAISS ScalarQuantizer recipe — NEW r15): per-dimension min/max
+    bounds over the raw-quotient normalized corpus (one combinable
+    aggregate, dim rows of model), one byte per component
+    (floor-half-up linear map, clamped), asymmetric scoring of
+    full-precision queries against the RECONSTRUCTED corpus — exact
+    DECIMAL(38,18) term sums ranked uncast with the id tie-break.
+    Fully value-oracled fit -> encode -> reconstruct -> score -> rank:
+    unlike PQ/k-means nothing iterates, so the replay needs no
+    unrolling — min/max are exact order-free reductions and every
+    code/reconstruction op is correctly rounded IEEE over identical
+    doubles (no derived-double decimal re-cast anywhere). The 100 TB
+    point is memory: codes are 1/8 the bytes of the double column,
+    which is what lets a corpus-wide ANN index stay executor-resident;
+    plan shape is the cosine_topk exploded equi-join + one combinable
+    groupBy, model broadcast, no all-pairs."""
+    from d365fo_db_sync_spark.operators import sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq.sq8_topk(emb, _queries_frame(emb), k=_K)

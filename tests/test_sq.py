@@ -1,0 +1,102 @@
+"""operators/sq.py — SQ8 scalar quantization: code range and constant-
+dim behavior, reconstruction error inside the quantizer-step bound,
+determinism under repartitioning, and retrieval agreement with exact
+cosine top-k on the real corpus (asymmetric SQ8 at 8 bits is a
+fine-grained quantizer — top-1 should essentially always survive)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from d365fo_db_sync_spark.operators import sq
+from d365fo_db_sync_spark.operators.similarity import cosine_topk_bruteforce_np
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_codes_in_range_and_constant_dim_codes_zero(spark):
+    rows = [(1, [0.5, 3.0, -1.0]), (2, [0.5, -3.0, 2.0]), (3, [0.5, 0.0, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = sq.fit_sq8(df)
+    codes = sq.sq8_encode(df, model).collect()
+    assert all(0 <= r["code"] <= 255 for r in codes)
+    mm = {r["pos"]: (r["mn"], r["mx"]) for r in model.collect()}
+    # dim 0 is NOT constant after normalization (norms differ), but a
+    # truly constant dim must code 0 for every vector
+    const = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    cmodel = sq.fit_sq8(const)
+    cm = {r["pos"]: r for r in cmodel.collect()}
+    assert all(cm[p]["mn"] == cm[p]["mx"] for p in cm)
+    assert all(
+        r["code"] == 0 for r in sq.sq8_encode(const, cmodel).collect()
+    )
+
+
+def test_reconstruction_error_within_half_step(emb):
+    model = sq.fit_sq8(emb.limit(200))
+    corpus = emb.limit(200)
+    codes = sq.sq8_encode(corpus, model)
+    recon = sq.sq8_reconstruct(
+        codes.select(F.col("vec_id").alias("_nid"), "pos", "code"), model
+    )
+    from d365fo_db_sync_spark.operators.pq import normalized_qvec
+
+    truth = corpus.select(
+        F.col("vec_id").alias("_nid"),
+        F.posexplode(normalized_qvec("embedding")).alias("pos", "c"),
+    )
+    joined = recon.join(truth, on=["_nid", "pos"]).join(
+        model, on="pos"
+    )
+    bad = joined.filter(
+        F.abs(F.col("recon") - F.col("c"))
+        > (F.col("mx") - F.col("mn")) / 255.0 / 2.0 + F.lit(1e-12)
+    )
+    assert bad.count() == 0
+
+
+def test_topk_deterministic_under_repartition(emb):
+    q = _queries(emb).limit(3)
+    a = sq.sq8_topk(emb, q, k=5).collect()
+    b = sq.sq8_topk(emb.repartition(7), q, k=5).collect()
+    key = lambda r: (r["query_id"], r["rnk"])
+    da, db = {key(r): r for r in a}, {key(r): r for r in b}
+    assert set(da) == set(db) and da
+    for kk in da:
+        assert da[kk]["neighbor_id"] == db[kk]["neighbor_id"]
+        assert da[kk]["score"] == db[kk]["score"]  # exact, not approx
+
+
+def test_topk_agrees_with_exact_cosine_top1(emb):
+    """8-bit scalar quantization is fine-grained: the exact top-1
+    neighbor must survive quantization for (almost) every query; we
+    require >= 90% top-1 agreement and positive score correlation."""
+    q = _queries(emb)
+    sq_top = {
+        r["query_id"]: r["neighbor_id"]
+        for r in sq.sq8_topk(emb, q, k=1).collect()
+    }
+    exact_top = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk_bruteforce_np(emb, q, k=1).collect()
+    }
+    assert set(sq_top) == set(exact_top) and sq_top
+    agree = sum(1 for k in sq_top if sq_top[k] == exact_top[k])
+    assert agree / len(sq_top) >= 0.9, (agree, len(sq_top))
+
+
+def test_k_must_be_positive(emb):
+    with pytest.raises(ValueError):
+        sq.sq8_topk(emb, _queries(emb), k=0)
