@@ -672,9 +672,14 @@ def winsorized_group_stats(
     size together; the two bound rows per group collapse via a
     conditional aggregate into a |groups|-row frame that BROADCASTS
     back onto the scores; clip counts are integer-exact and the mean
-    rounds per-row before the rollup (cross-engine float discipline).
-    No driver materialization, two shuffles total (the sort, the
-    final group agg)."""
+    is an ORDER-FREE rollup: each clipped score rounds to 6 dp and
+    routes through DECIMAL(18,6) so the group sum is exact under any
+    partitioning, and the mean is the raw IEEE quotient of that exact
+    sum (r15: a double AVG sums in task-scheduling order, so its last
+    ulps — and occasionally a 6-dp round — flipped between runs; the
+    sf1 battery caught the sibling pattern in the LM rollups). No
+    driver materialization, two shuffles total (the sort, the final
+    group agg)."""
     if not 0.0 < lo_q < hi_q <= 1.0:
         raise ValueError(f"need 0 < lo_q < hi_q <= 1, got ({lo_q}, {hi_q})")
     s = F.col(score_col)
@@ -697,7 +702,10 @@ def winsorized_group_stats(
         F.count("*").alias("n_docs"),
         F.sum((s < F.col("p_lo")).cast("long")).alias("clipped_lo"),
         F.sum((s > F.col("p_hi")).cast("long")).alias("clipped_hi"),
-        F.round(F.avg(F.round(clipped, 6)), 6).alias("avg_winsorized"),
+        (
+            F.sum(F.round(clipped, 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_winsorized"),
     ).select(
         group_col, "n_docs", "p_lo", "p_hi",
         "clipped_lo", "clipped_hi", "avg_winsorized",

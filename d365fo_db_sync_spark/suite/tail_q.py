@@ -1374,8 +1374,10 @@ _LM_FLOOR = -20.0
                / GREATEST(len(toks), 1) AS oov
       FROM t, vm)
     SELECT source, COUNT(*) AS n_docs,
-           ROUND(AVG(ROUND(mean_lp, 6)), 6) AS avg_mean_logprob,
-           ROUND(AVG(ROUND(oov, 6)), 6) AS avg_oov_rate
+           CAST(SUM(CAST(ROUND(mean_lp, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) / COUNT(*) AS avg_mean_logprob,
+           CAST(SUM(CAST(ROUND(oov, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) / COUNT(*) AS avg_oov_rate
     FROM scored GROUP BY source
     """,
 )
@@ -1387,8 +1389,11 @@ def text_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+groupBy (a maintained sidecar at corpus scale); scoring is
     a map-side sequential HOF fold over each document's token list, the
     same left-to-right order the oracle's list fold applies. Per-doc
-    scores round to 6 dp BEFORE the rollup average so the final
-    doubles cannot drift past the shared display round."""
+    scores round to 6 dp (absorbing cross-engine ln ulps), and the
+    rollup is ORDER-FREE from r15: the rounded scores route through
+    DECIMAL(18,6) into an exact sum, and the average is its raw IEEE
+    quotient — a double AVG sums in task-scheduling order, and the sf1
+    battery caught its last ulps flipping a 6-dp round between runs."""
     from d365fo_db_sync_spark.operators import text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1409,8 +1414,14 @@ def text_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("mean_lp"), 6).alias("avg_mean_logprob"),
-        F.round(F.avg("oov"), 6).alias("avg_oov_rate"),
+        (
+            F.sum(F.col("mean_lp").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_mean_logprob"),
+        (
+            F.sum(F.col("oov").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_oov_rate"),
     )
 
 
@@ -4711,7 +4722,8 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  coalesce(list_sum(lps), 0) / greatest(len(lps), 1) AS blp
                FROM sc)
     SELECT source, COUNT(*) AS n_docs,
-           ROUND(AVG(ROUND(blp, 6)), 6) AS avg_bigram_logprob
+           CAST(SUM(CAST(ROUND(blp, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) / COUNT(*) AS avg_bigram_logprob
     FROM scored GROUP BY source
     """.replace("{top_v}", str(_LM_TOP_V)),
 )
@@ -4726,8 +4738,9 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals (map_from_arrays — at 100 TB these become a broadcast
     join against the sidecar, same scores). Scoring is one map-side
     HOF fold per document, same left-to-right order as the oracle's
-    list fold; per-doc scores round to 6 dp before the rollup so the
-    cross-engine ln ulps cannot accumulate past the display round.
+    list fold; per-doc scores round to 6 dp (absorbing cross-engine ln
+    ulps) and roll up through the r15 order-free DECIMAL(18,6)
+    sum-then-divide, not a scheduling-order-dependent double AVG.
     Scoring the training corpus means every bigram is seen, so the
     per-w1 fallback branch never fires here (it is exercised on
     held-out text in tests/test_text_quality.py)."""
@@ -4763,7 +4776,10 @@ def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("blp"), 6).alias("avg_bigram_logprob"),
+        (
+            F.sum(F.col("blp").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bigram_logprob"),
     )
 
 
@@ -4858,7 +4874,8 @@ def _winsorize_oracle() -> str:
              AS clipped_lo,
            CAST(SUM(CASE WHEN q > b.p_hi THEN 1 ELSE 0 END) AS BIGINT)
              AS clipped_hi,
-           ROUND(AVG(ROUND(LEAST(GREATEST(q, b.p_lo), b.p_hi), 6)), 6)
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(q, b.p_lo), b.p_hi), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
              AS avg_winsorized
     FROM s JOIN b USING (source)
     GROUP BY s.source, b.p_lo, b.p_hi
@@ -6010,7 +6027,8 @@ def _quality_monitor_oracle() -> str:
                           THEN q END) AS p_hi
           FROM r GROUP BY source),
     w AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                 ROUND(AVG(ROUND(LEAST(GREATEST(q, b.p_lo), b.p_hi), 6)), 6)
+                 CAST(SUM(CAST(ROUND(LEAST(GREATEST(q, b.p_lo), b.p_hi), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
                    AS avg_winsorized,
                  CAST(SUM(CASE WHEN q < b.p_lo OR q > b.p_hi
                                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
