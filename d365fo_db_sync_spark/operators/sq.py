@@ -152,6 +152,13 @@ def sq8_topk(
             )
         )
     )
+    return _rank_scores(scores, k, query_id_col)
+
+
+def _rank_scores(scores: DataFrame, k: int, query_id_col: str) -> DataFrame:
+    """Top-k readout shared by the flat and IVF search paths: rank the
+    UNCAST decimal score (desc, neighbor-id tie-break), emit the
+    double only in the final projection."""
     w = Window.partitionBy("_qid").orderBy(F.desc("_score"), F.asc("_nid"))
     return (
         scores.withColumn("rnk", F.row_number().over(w))
@@ -163,3 +170,59 @@ def sq8_topk(
             F.col("_score").cast("double").alias("score"),
         )
     )
+
+
+def sq8_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + SQ8 — the FAISS ``IVF<n>,SQ8`` index composed from the
+    repo's two oracled tiers: coarse candidate selection from the
+    deterministic k-means cells (``assigned``: (id, cell) from
+    similarity.ivf_index_deterministic; ``probes``: (query_id, cell)
+    from clustering.probe_cells_exact), asymmetric SQ8 scoring over
+    ONLY the probed cells' vectors. This is the memory-AND-compute
+    scale shape: the probe prunes the corpus to ~n*probes/lists
+    candidates per query (cell-partitioned storage reads only those
+    files at 100 TB), and the candidates score against 1-byte codes
+    instead of doubles. Deterministic end to end — every stage is the
+    already-replayable k-means / SQ8 math, so the suite value-oracles
+    the full composition."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if model is None:
+        model = fit_sq8(corpus, vec_col)
+    codes = sq8_encode(corpus, model, id_col=id_col, vec_col=vec_col)
+    recon = sq8_reconstruct(
+        codes.select(F.col(id_col).alias("_nid"), "pos", "code"), model
+    )
+    cand = (
+        probes.select(F.col(query_id_col).alias("_qid"), "cell")
+        .join(
+            assigned.select(F.col(id_col).alias("_nid"), "cell"), on="cell"
+        )
+        .filter(F.col("_qid") != F.col("_nid"))
+        .select("_qid", "_nid")
+    )
+    qn = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.posexplode(normalized_qvec(vec_col)).alias("pos", "_qc"),
+    )
+    scores = (
+        cand.join(qn, on="_qid")
+        .join(recon, on=["_nid", "pos"])
+        .groupBy("_qid", "_nid")
+        .agg(
+            F.sum((F.col("_qc") * F.col("recon")).cast(_DIST_DEC)).alias(
+                "_score"
+            )
+        )
+    )
+    return _rank_scores(scores, k, query_id_col)

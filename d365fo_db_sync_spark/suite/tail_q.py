@@ -11065,10 +11065,12 @@ def multimodal_dhash_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register(
-    "similarity_sq8_topk",
-    oracle="""
-    WITH sq_ve AS (SELECT vec_id,
+#: SQ8 replay block (operators/sq.py): raw-quotient normalization,
+#: per-dim min/max model, byte codes, reconstruction — shared by the
+#: flat and IVF-composed search oracles. Ends with sq_nv (normalized
+#: components) and sq_rc (reconstructed corpus).
+_SQ8_CTES = """
+    sq_ve AS (SELECT vec_id,
                           generate_subscripts(embedding, 1) - 1 AS pos,
                           CAST(CAST(unnest(embedding) AS DOUBLE)
                                AS DECIMAL(28,12)) AS comp
@@ -11091,12 +11093,9 @@ def multimodal_dhash_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFram
                                              / (mm.mx - mm.mn) + 0.5)))
                                   ELSE 0 END AS DOUBLE)
                            * ((mm.mx - mm.mn) / 255.0) AS recon
-              FROM sq_nv v JOIN sq_mm mm USING (pos)),
-    sq_sc AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-                     SUM(CAST(q.c * r.recon AS DECIMAL(38,18))) AS score
-              FROM sq_nv q JOIN sq_rc r USING (pos)
-              WHERE q.vec_id % 25 = 0 AND r.vec_id <> q.vec_id
-              GROUP BY 1, 2)
+              FROM sq_nv v JOIN sq_mm mm USING (pos))"""
+
+_SQ8_RANKED = """
     SELECT query_id, CAST(rn AS INT) AS rnk, neighbor_id,
            CAST(score AS DOUBLE) AS score
     FROM (SELECT query_id, neighbor_id, score,
@@ -11104,6 +11103,19 @@ def multimodal_dhash_mixed_formats(spark: SparkSession, sf_dir: str) -> DataFram
                                     ORDER BY score DESC, neighbor_id) AS rn
           FROM sq_sc)
     WHERE rn <= 5
+    """
+
+
+@register(
+    "similarity_sq8_topk",
+    oracle=f"""
+    WITH {_SQ8_CTES},
+    sq_sc AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                     SUM(CAST(q.c * r.recon AS DECIMAL(38,18))) AS score
+              FROM sq_nv q JOIN sq_rc r USING (pos)
+              WHERE q.vec_id % 25 = 0 AND r.vec_id <> q.vec_id
+              GROUP BY 1, 2)
+    {_SQ8_RANKED}
     """,
 )
 def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11127,3 +11139,61 @@ def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return sq.sq8_topk(emb, _queries_frame(emb), k=_K)
+
+
+@register(
+    "similarity_sq8_topk_ivf",
+    oracle=f"""
+    WITH {_IVF_KM_CTES},
+    {_SQ8_CTES},
+    qd AS (SELECT v.vec_id AS query_id, c.cell,
+                  SUM(CAST((CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
+                           * (CAST(v.comp AS DOUBLE) - CAST(c.comp AS DOUBLE))
+                           AS DECIMAL(38,18))) AS dist
+           FROM km_ve v JOIN km_c2 c USING (pos)
+           WHERE v.vec_id % 25 = 0
+           GROUP BY 1, 2),
+    probes AS (SELECT query_id, cell FROM
+                 (SELECT query_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY dist, cell) AS rn
+                  FROM qd) WHERE rn <= 4),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN km_af a USING (cell)
+             WHERE p.query_id <> a.vec_id),
+    sq_sc AS (SELECT c.query_id, c.neighbor_id,
+                     SUM(CAST(q.c * r.recon AS DECIMAL(38,18))) AS score
+              FROM cand c
+              JOIN sq_nv q ON q.vec_id = c.query_id
+              JOIN sq_rc r ON r.vec_id = c.neighbor_id AND r.pos = q.pos
+              GROUP BY 1, 2)
+    {_SQ8_RANKED}
+    """,
+)
+def similarity_sq8_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 — the FAISS ``IVF16,SQ8`` index composed from the two
+    already-oracled tiers (operators/sq.sq8_topk_ivf, NEW r15): the
+    deterministic k-means cells prune candidates to the 4 probed cells
+    per query (exact-decimal centroid distances, the
+    similarity_cosine_topk_ivf machinery verbatim), and the survivors
+    score asymmetrically against 1-byte SQ8 reconstructions instead of
+    doubles. The 100 TB compounding: the probe cuts COMPUTE to
+    ~n*probes/lists candidates (cell-partitioned storage reads only
+    those files), SQ8 cuts the scored bytes 8x — compose both and a
+    corpus that was neither executor-resident nor scan-affordable
+    becomes both. Every stage is the replayable k-means / SQ8 math, so
+    the oracle value-checks index build + probe + quantized scoring +
+    rank end to end; tests pin recall against both the flat SQ8 and
+    the exact-cosine IVF paths."""
+    from d365fo_db_sync_spark.operators import clustering, sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = similarity.ivf_index_deterministic(
+        emb, n_lists=16, rounds=2, sample_n=_KM_SAMPLE
+    )
+    probes = clustering.probe_cells_exact(
+        _queries_frame(emb), centers, n_probes=4
+    )
+    return sq.sq8_topk_ivf(
+        emb, _queries_frame(emb), assigned, probes, k=_K
+    )

@@ -100,3 +100,62 @@ def test_topk_agrees_with_exact_cosine_top1(emb):
 def test_k_must_be_positive(emb):
     with pytest.raises(ValueError):
         sq.sq8_topk(emb, _queries(emb), k=0)
+
+
+def test_ivf_sq8_matches_flat_sq8_on_probed_cells(emb):
+    """The IVF composition must equal flat SQ8 restricted to the probed
+    candidate set — same model, same scores, the probe only prunes."""
+    from d365fo_db_sync_spark.operators import clustering
+    from d365fo_db_sync_spark.operators.similarity import (
+        ivf_index_deterministic,
+    )
+
+    q = _queries(emb).limit(4)
+    assigned, centers = ivf_index_deterministic(
+        emb, n_lists=16, rounds=2, sample_n=256
+    )
+    probes = clustering.probe_cells_exact(q, centers, n_probes=16)
+    # probing ALL cells makes the candidate set the full corpus, so the
+    # composition must reproduce flat SQ8 exactly
+    full = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["score"])
+        for r in sq.sq8_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["score"])
+        for r in sq.sq8_topk_ivf(emb, q, assigned, probes, k=5).collect()
+    }
+    assert ivf == full and ivf
+
+
+def test_ivf_sq8_quantization_cost_isolated(emb):
+    """Against exact-cosine IVF with the IDENTICAL probed candidate
+    set, only the 8-bit quantization separates the two rankings — so
+    top-1 agreement must clear the flat-SQ8 bar (>= 0.9). (Probe
+    recall itself is corpus-shape-dependent — ~probes/lists on
+    unclustered data by design — and is pinned on planted clusters in
+    test_scale_ops, not here.)"""
+    from d365fo_db_sync_spark.operators import clustering, similarity
+    from d365fo_db_sync_spark.operators.similarity import (
+        ivf_index_deterministic,
+    )
+
+    q = _queries(emb)
+    assigned, centers = ivf_index_deterministic(
+        emb, n_lists=16, rounds=2, sample_n=256
+    )
+    probes = clustering.probe_cells_exact(q, centers, n_probes=4)
+    sq_top = {
+        r["query_id"]: r["neighbor_id"]
+        for r in sq.sq8_topk_ivf(emb, q, assigned, probes, k=1).collect()
+    }
+    exact_ivf = similarity.ivf_topk(
+        assigned, centers, q, k=1, n_probes=4,
+        id_col="vec_id", query_id_col="query_id", probes=probes,
+    )
+    exact_top = {
+        r["query_id"]: r["neighbor_id"] for r in exact_ivf.collect()
+    }
+    assert set(sq_top) == set(exact_top) and sq_top
+    agree = sum(1 for k in sq_top if sq_top[k] == exact_top[k])
+    assert agree / len(exact_top) >= 0.9, (agree, len(exact_top))
