@@ -95,6 +95,37 @@ def sq8_encode(
     )
 
 
+def sq8_pack_codes(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, codes BINARY) — the STORAGE form: one byte per dimension in
+    position order, which is where the 8x memory cut actually lands (an
+    exploded (id, pos, code-int) table is wider than the doubles it
+    replaced). Pure codegen: per-id struct sort, hex render, one
+    ``unhex``. At 100 TB this column is what persists beside the
+    corpus and what an executor-resident index loads."""
+    hexed = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "code"))),
+        lambda s: F.lpad(F.conv(s["code"].cast("string"), 10, 16), 2, "0"),
+    )
+    return (
+        codes.groupBy(id_col)
+        .agg(F.unhex(F.concat_ws("", hexed)).alias("codes"))
+    )
+
+
+def sq8_unpack_codes(packed: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, pos, code) back from the packed binary — hex pairs sliced
+    positionally, still whole-stage codegen. Byte-exact inverse of
+    :func:`sq8_pack_codes` (round-trip pinned in tests)."""
+    h = F.hex(F.col("codes"))
+    idx = F.sequence(F.lit(0), (F.length(h) / F.lit(2)).cast("int") - 1)
+    arr = F.transform(
+        idx, lambda i: F.conv(h.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("int")
+    )
+    return packed.select(
+        id_col, F.posexplode(arr).alias("pos", "code")
+    )
+
+
 def sq8_reconstruct(codes: DataFrame, model: DataFrame) -> DataFrame:
     """(id, pos, recon) — decode codes back to doubles: ``mn + code *
     ((mx - mn) / 255)``, every operation correctly rounded over

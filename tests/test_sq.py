@@ -159,3 +159,19 @@ def test_ivf_sq8_quantization_cost_isolated(emb):
     assert set(sq_top) == set(exact_top) and sq_top
     agree = sum(1 for k in sq_top if sq_top[k] == exact_top[k])
     assert agree / len(exact_top) >= 0.9, (agree, len(exact_top))
+
+
+def test_pack_unpack_roundtrip_and_size(emb):
+    """The packed storage form is byte-exact and actually small: one
+    byte per dimension, round-tripping to the identical code table."""
+    corpus = emb.limit(50)
+    model = sq.fit_sq8(corpus)
+    codes = sq.sq8_encode(corpus, model)
+    packed = sq.sq8_pack_codes(codes)
+    dim = len(emb.first()["embedding"])
+    lens = packed.select(F.length("codes").alias("n")).distinct().collect()
+    assert [r["n"] for r in lens] == [dim]
+    back = sq.sq8_unpack_codes(packed)
+    orig = {(r["vec_id"], r["pos"]): r["code"] for r in codes.collect()}
+    got = {(r["vec_id"], r["pos"]): r["code"] for r in back.collect()}
+    assert got == orig and got
