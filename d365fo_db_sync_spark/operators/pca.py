@@ -40,6 +40,26 @@ chained CTEs (suite: ``similarity_pca_component`` /
 eigenpair on real data) is pinned in tests/test_pca.py against
 numpy.linalg.eigh; the full-spectrum whitener keeps its rows-only
 production path.
+
+**The corpus-scale exactness limit (r15, found by the sf1 battery).**
+The chain above is exact GIVEN identical inputs, but the ingestion
+cast itself (double -> DECIMAL(28,12)) is only
+probabilistically identical cross-engine: Spark rounds the double's
+shortest decimal repr, DuckDB its exact binary expansion, and for an
+arbitrary double the two quantize differently with P ~ 2e-5 (the
+value must land within the ~1e-17 repr gap of a 5e-13 grid
+half-boundary). Per value that is invisible; over a 38M-component
+corpus it means HUNDREDS of components differ by one 1e-12 grid step,
+a per-dimension mean accumulates ~1e-16 of cross-engine difference,
+and 64 amplifying iteration rounds grow the component vector's
+divergence to ~1e-14. Consequences baked into this module: the
+iteration stays raw (re-quantizing mid-chain at 1e-12 would
+re-introduce the k-means incident class at ~4k casts/fit), and every
+READOUT quantizes onto a grid far COARSER than the accumulated
+divergence (v at 1e-6, mean/eigenvalue at 1e-9 — straddle odds
+~1e-6/battery) so downstream arithmetic is exact-decimal and the
+value hash holds by construction. Any operator that surfaces
+corpus-aggregated doubles at full precision inherits this limit.
 """
 
 from __future__ import annotations
@@ -221,6 +241,26 @@ def pca_power_fit(
     return mu, v, eig
 
 
+#: readout grids (r15, the sf1 projection incident — see module doc):
+#: COARSER than the fit's accumulated cross-engine divergence. The
+#: ingestion cast (double -> DECIMAL(28,12)) straddles with
+#: P ~ 2e-5 per component — invisible per value, but a corpus-scale
+#: mean accumulates ~1e-16 of cross-engine difference and 64
+#: amplifying power-iteration rounds grow it to ~1e-14 in v. A
+#: readout grid must sit far above that: 1e-6 for the component
+#: (straddle P ~ 1e-8 per entry), 1e-9 for the slow-moving mean and
+#: eigenvalue (divergence ~1e-16, P ~ 1e-7).
+_QV = Decimal("1e-6")
+_QMU = Decimal("1e-9")
+
+
+def _dq(x: float, grid: Decimal) -> Decimal:
+    """Model-constant quantization — the Python twin of Spark's
+    double->decimal cast (shortest-repr HALF_UP, the
+    clustering._driver_lloyd equivalence)."""
+    return Decimal(repr(float(x))).quantize(grid, ROUND_HALF_UP)
+
+
 def pca_project(
     df: DataFrame,
     mu: list[float],
@@ -229,13 +269,28 @@ def pca_project(
     vec_col: str = "embedding",
     out: str = "proj",
 ) -> DataFrame:
-    """(id, proj): each vector's exact-decimal projection onto the
-    fitted component, ``double(sum_i DEC38((x_i - mu_i) * v_i))`` —
-    one broadcast join + ONE combinable aggregate (codegen), the
-    rank-1 PCA readout (curation/visualization axis)."""
+    """(id, proj): each vector's EXACT-decimal projection onto the
+    quantized fitted component — one broadcast join + ONE combinable
+    aggregate (codegen), the rank-1 PCA readout (curation/
+    visualization axis).
+
+    Readout discipline (r15, the sf1 projection incident): the fitted
+    ``mu``/``v`` doubles are NOT bit-identical cross-engine at corpus
+    scale (the module doc's ingestion-straddle accumulation — v
+    diverges ~1e-14 at sf1), so any readout arithmetic on the raw
+    doubles hashes differently. The fix quantizes the 2*dim MODEL
+    constants ONCE onto grids far coarser than the divergence (v at
+    1e-6, mu at 1e-9 — both engines then hold the identical decimal
+    with straddle probability ~1e-6 per battery), after which every
+    per-vector term ``(x_i - mu_i) * v_i`` is an exact decimal
+    product: ZERO double->decimal casts on the corpus-width path, and
+    the sum value-hashes by construction."""
     pv = df.sparkSession.createDataFrame(
-        [(p, m, c) for p, (m, c) in enumerate(zip(mu, v))],
-        "_pos int, m double, v double",
+        [
+            (p, _dq(m, _QMU), _dq(c, _QV))
+            for p, (m, c) in enumerate(zip(mu, v))
+        ],
+        "_pos int, m decimal(16,9), v decimal(7,6)",
     )
     from pyspark.sql.functions import broadcast
 
@@ -245,7 +300,8 @@ def pca_project(
         .groupBy("_id")
         .agg(
             F.sum(
-                ((F.col("_comp") - F.col("m")) * F.col("v")).cast(_DIST_DEC)
+                (F.col("_comp").cast("decimal(16,12)") - F.col("m"))
+                * F.col("v")
             ).alias("s")
         )
         .select(

@@ -10815,8 +10815,10 @@ _PCA_ROUNDS = 64
     "similarity_pca_component",
     oracle=f"""
     WITH {_pca_ctes(_PCA_ROUNDS)}
-    SELECT CAST(v.pos AS INT) AS pos, CAST(mu.m AS DOUBLE) AS mean_comp,
-           v.vc AS pc_comp, CAST(e.eig AS DOUBLE) AS eigenvalue
+    SELECT CAST(v.pos AS INT) AS pos,
+           CAST(CAST(mu.m AS DECIMAL(18,9)) AS DOUBLE) AS mean_comp,
+           CAST(CAST(v.vc AS DECIMAL(7,6)) AS DOUBLE) AS pc_comp,
+           CAST(CAST(e.eig AS DECIMAL(18,9)) AS DOUBLE) AS eigenvalue
     FROM pc_v{_PCA_ROUNDS} v JOIN pc_mu mu USING (pos) CROSS JOIN pc_eig e
     """,
 )
@@ -10824,10 +10826,14 @@ def similarity_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained top principal component itself, value-oracled
     (operators/pca.py — deterministic fixed-round power iteration, the
     decimal-replay twin of the eigh-bound whitener's leading eigenpair;
-    r14): per dimension the corpus mean, the unit component on the
-    DECIMAL(28,12) grid after {_PCA_ROUNDS} unrolled rounds, and the
-    Rayleigh-quotient eigenvalue. The oracle replays mean ->
-    covariance -> every round -> Rayleigh bit for bit;
+    r14): per dimension the corpus mean, the unit component after
+    {_PCA_ROUNDS} unrolled rounds, and the Rayleigh-quotient
+    eigenvalue. The oracle replays mean -> covariance -> every round ->
+    Rayleigh; the READOUT reports each number on the r15
+    divergence-proof grid (mean/eigenvalue at 1e-9, component at 1e-6
+    — the fit's doubles drift apart cross-engine at corpus scale, see
+    similarity_pca_projection / pca.py module doc, so raw-double
+    outputs here were a latent 1e-3-per-battery hash flip).
     tests/test_pca.py pins convergence against numpy.linalg.eigh.
     Plan: one combinable (i, j)-keyed covariance aggregate (d^2 out),
     two bounded collects, the iteration on 32 KB of driver metadata —
@@ -10837,7 +10843,15 @@ def similarity_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     mu, v, eig = pca.pca_power_fit(emb, rounds=_PCA_ROUNDS)
     return spark.createDataFrame(
-        [(p, m, c, eig) for p, (m, c) in enumerate(zip(mu, v))],
+        [
+            (
+                p,
+                float(pca._dq(m, pca._QMU)),
+                float(pca._dq(c, pca._QV)),
+                float(pca._dq(eig, pca._QMU)),
+            )
+            for p, (m, c) in enumerate(zip(mu, v))
+        ],
         "pos int, mean_comp double, pc_comp double, eigenvalue double",
     )
 
@@ -10846,9 +10860,12 @@ def similarity_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_pca_projection",
     oracle=f"""
     WITH {_pca_ctes(_PCA_ROUNDS)}
-    SELECT d.vec_id,
-           CAST(SUM(CAST(d.d * v.vc AS DECIMAL(38,18))) AS DOUBLE) AS proj
-    FROM pc_d d JOIN pc_v{_PCA_ROUNDS} v USING (pos)
+    SELECT ve.vec_id,
+           CAST(SUM((CAST(ve.comp AS DECIMAL(16,12))
+                     - CAST(mu.m AS DECIMAL(16,9)))
+                    * CAST(pv.vc AS DECIMAL(7,6))) AS DOUBLE) AS proj
+    FROM pc_ve ve JOIN pc_mu mu USING (pos)
+    JOIN pc_v{_PCA_ROUNDS} pv USING (pos)
     GROUP BY 1
     """,
 )
@@ -10858,8 +10875,16 @@ def similarity_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline sorts/buckets on (dominant-axis outlier triage,
     the cheap first look before full whitening). Fit as in
     similarity_pca_component; the projection is one broadcast join +
-    ONE combinable DECIMAL(38,18) aggregate in codegen — the corpus
-    shuffles once on the vector id. Fully value-oracled end to end."""
+    ONE combinable decimal aggregate in codegen — the corpus shuffles
+    once on the vector id. r15 (this round's sf1 battery catch): the
+    FIT's doubles are not bit-identical cross-engine at corpus scale —
+    ingestion-cast straddles accumulate ~1e-16 into the means and
+    amplify to ~1e-14 in v through 64 iteration rounds (pca.py module
+    doc) — so the readout quantizes the 2*dim MODEL constants onto
+    grids far COARSER than that divergence (mu at 1e-9, v at 1e-6),
+    making every per-vector term an exact decimal product that
+    value-hashes by construction, with zero corpus-width
+    double->decimal casts."""
     from d365fo_db_sync_spark.operators import pca
 
     emb = load_table(spark, sf_dir, "embeddings")

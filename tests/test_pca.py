@@ -49,10 +49,12 @@ def test_projection_values(spark, emb):
     mu, v, _ = pca.pca_power_fit(emb, rounds=4)
     got = {r["vec_id"]: r["proj"] for r in pca.pca_project(emb, mu, v).collect()}
     rows = {r["vec_id"]: list(map(float, r["embedding"])) for r in emb.collect()}
-    # spot-check three vectors against the plain double dot product
+    # spot-check three vectors against the plain double dot product;
+    # tolerance covers the r15 readout quantization (v at 1e-6, mu at
+    # 1e-9): |sum (x-mu) dv| <= dim * max|x-mu| * 5e-7 ~ 2e-5
     for vid in list(rows)[:3]:
         want = sum((x - m) * c for x, m, c in zip(rows[vid], mu, v))
-        assert got[vid] == pytest.approx(want, abs=1e-9)
+        assert got[vid] == pytest.approx(want, abs=5e-5)
     assert len(got) == len(rows)
 
 
