@@ -7134,7 +7134,52 @@ def similarity_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_silhouette(emb)
 
 
-@register("graph_kcore_members", oracle=None)
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled simultaneous-peel replay of graph.k_core over the
+    >= 0.5 trigram-Jaccard pair graph — the batched-BPE graduation
+    pattern applied to graph iteration: peeling is integer-exact
+    (degrees are counts, removal is a threshold), each unrolled round
+    drops every node under degree ``k`` and restricts the bidirected
+    edge list to survivors, and every round PAST the fixpoint is the
+    identity — so the ``rounds``-round unroll equals the converged
+    core whenever the peel depth fits the unroll, which the Spark
+    side makes LOUD (``max_iter=rounds`` raises RuntimeError rather
+    than returning a silently-partial core). Prototype-verified
+    against a brute-force peel on adversarial shapes (cascade to
+    empty, cycles, self-loops)."""
+    from d365fo_db_sync_spark.suite.dedup_q import (
+        _JACCARD_PAIRS_SELECT,
+        _SHINGLE_CTE,
+    )
+
+    assert _JACCARD_PAIRS_SELECT.count(">= 0.8") == 1
+    pair_sel = _JACCARD_PAIRS_SELECT.replace(">= 0.8", ">= 0.5")
+    parts = [
+        _SHINGLE_CTE
+        + f""", pairs AS ({pair_sel}),
+    kc_b0 AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    kc_k{r} AS MATERIALIZED (SELECT u FROM (
+        SELECT u, COUNT(*) AS deg FROM kc_b{r - 1} GROUP BY u)
+      WHERE deg >= {k}),
+    kc_b{r} AS MATERIALIZED (SELECT e.u, e.v FROM kc_b{r - 1} e
+        JOIN kc_k{r} a ON e.u = a.u
+        JOIN kc_k{r} b ON e.v = b.u)""")
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM kc_b{rounds} GROUP BY u"""
+    )
+
+
+@register("graph_kcore_members", oracle=_kcore_oracle(2, _KCORE_ROUNDS))
 def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (operators/graph.k_core) over the near-dup
     pair graph (>= 0.5 trigram Jaccard): the 2-core keeps exactly the
@@ -7144,18 +7189,24 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     tells a curator whether a dup cluster is one template (safe to
     keep one survivor) or transitive drift (survivors may not resemble
     each other). Non-empty at every shipped scale (7/3/31 members at
-    sf0.001/0.01/0.1). Iterative peeling is not SQL-expressible
-    (recursive CTEs cannot aggregate in the recursive term), so this
-    is a rows-only entry; the peeling semantics are pinned against a
-    brute-force model in tests/test_graph.py (known shapes incl.
-    cascade-to-empty, random graphs, and the column-order regression).
-    Returns (node, degree) sorted for stable display."""
+    sf0.001/0.01/0.1). VALUE-ORACLED from r15 (was rows-only as
+    "iterative peeling is not SQL-expressible"): the fixed-round
+    unroll discipline covers it after all — peel rounds past the
+    fixpoint are identities, so a {_KCORE_ROUNDS}-round unrolled
+    oracle equals the converged core, and ``max_iter={_KCORE_ROUNDS}``
+    turns a deeper-than-unrolled graph into a loud RuntimeError (the
+    batched-BPE assert pattern; real near-dup graphs peel in
+    single-digit rounds — 2 at sf0.1). The brute-force peel model
+    pins in tests/test_graph.py stand unchanged. Returns
+    (node, degree) sorted for stable display."""
     from d365fo_db_sync_spark.operators import dedup
     from d365fo_db_sync_spark.operators.graph import k_core
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
-    return k_core(pairs, k=2, src="id_a", dst="id_b").orderBy("node")
+    return k_core(
+        pairs, k=2, src="id_a", dst="id_b", max_iter=_KCORE_ROUNDS
+    ).orderBy("node")
 
 
 @register(
