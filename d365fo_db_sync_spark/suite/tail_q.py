@@ -11273,3 +11273,73 @@ def similarity_sq8_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq.sq8_topk_ivf(
         emb, _queries_frame(emb), assigned, probes, k=_K
     )
+
+
+@register(
+    "dedup_incremental_stream",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    f AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM t)
+    SELECT fp, MIN(doc_id) AS doc_id FROM f GROUP BY fp
+    """,
+)
+def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING continuous-ingestion dedup
+    (streaming.DedupStreamPipeline over operators/dedup.ingest_batch —
+    the streaming twin of the gate query dedup_incremental_index): the
+    corpus arrives as 4 OVERLAPPING ascending doc-id ranges, one file
+    per micro-batch with explicitly ascending modification times (the
+    file source orders pending files by (mtime, path), so ingestion
+    order is pinned, not scheduling luck), and each micro-batch probes
+    only the index buckets it hashes into before folding its novel
+    fingerprints through the partial-rewrite merge. The final index
+    state carries the batch query's own MIN-per-fingerprint oracle:
+    within-batch dedup keeps the min id, and with ascending ranges the
+    earliest batch containing ANY holder of a fingerprint provably
+    contains its min-id holder — so first-ingested == global min and
+    overlap re-ingestion is a metadata no-op (idempotency exercised on
+    every overlap region). Plan per batch: one fingerprint shuffle +
+    one partition-pruned probe; the historical corpus is never
+    re-read."""
+    import os
+    import time
+
+    from d365fo_db_sync_spark.operators.text import fingerprint
+    from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+    from d365fo_db_sync_spark.streaming import DedupStreamPipeline
+    from d365fo_db_sync_spark.suite import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    m = docs.agg(F.max("doc_id")).first()[0]
+    cuts = [
+        (None, 0.3),
+        (0.2, 0.6),
+        (0.5, 0.9),
+        (0.8, None),
+    ]
+    work = scratch_dir("dedupstream_")
+    src = f"{work}/in"
+    t0 = time.time() - 4000
+    for i, (lo, hi) in enumerate(cuts):
+        b = docs
+        if lo is not None:
+            b = b.filter(F.col("doc_id") >= int(lo * m))
+        if hi is not None:
+            b = b.filter(F.col("doc_id") < int(hi * m) + 1)
+        path = f"{src}/b{i}"
+        b.coalesce(1).write.mode("overwrite").parquet(path)
+        stamp = t0 + i * 600
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (stamp, stamp))
+    idx = BucketedParquetTarget(f"{work}/idx", key="fp", n_buckets=32)
+    pipe = DedupStreamPipeline(idx, f"{work}/ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    await_stream(pipe.start(stream, available_now=True))
+    return idx.read(spark)
