@@ -208,6 +208,7 @@ def logreg_fit(
     lr: float = 10.0,
     rounds: int = 2,
     lr_bias: float | None = None,
+    features: DataFrame | None = None,
 ) -> LogRegModel:
     """Fit the classifier with ``rounds`` full-batch GD rounds from
     zero weights (round 1's p is exactly 0.5 — the analytic shortcut
@@ -229,7 +230,13 @@ def logreg_fit(
     Per round: one doc-keyed score join (skipped in round 1), one
     eager doc-sized checkpoint of the residuals, one bucket-keyed
     combinable gradient aggregate collected as <= m_buckets rows, and
-    one 1-row bias aggregate — the driver only ever holds the model."""
+    one 1-row bias aggregate — the driver only ever holds the model.
+
+    ``features`` optionally passes a precomputed, ALREADY-MATERIALIZED
+    ``hashed_tf(train, ...)`` frame (``logreg_score``'s existing
+    contract) so a fit-then-score caller over ONE corpus pays for the
+    feature explode — the heaviest map-side stage — exactly once
+    instead of once per phase."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     if lr <= 0:
@@ -250,7 +257,9 @@ def logreg_fit(
     # normalized TF, materialized because every round's gradient and
     # the next round's score join both read it
     x = (
-        hashed_tf(train, text_col, id_col, m_buckets)
+        features.select(id_col, "bucket", "x")
+        if features is not None
+        else hashed_tf(train, text_col, id_col, m_buckets)
         .select(id_col, "bucket", "x")
         .localCheckpoint(eager=True)
     )

@@ -9638,6 +9638,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. DSIR weights TOWARD the target; this classifier FILTERS
     against it — the composed pair is the published curation stack."""
     from d365fo_db_sync_spark.operators.classifier import (
+        hashed_tf,
         logreg_fit,
         logreg_score,
     )
@@ -9649,10 +9650,16 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.coalesce(src_num < 10, F.lit(False)).alias("is_ref"),
     )
+    # ONE materialized feature explode feeds the fit AND the scoring
+    # pass (r15 optimization: train == scored corpus, so the heaviest
+    # map-side stage — tokenize + md5-bucket + explode — runs once,
+    # not once per phase; identical frame, identical values)
+    x = hashed_tf(docs, "text", "doc_id", 1024).localCheckpoint(eager=True)
     model = logreg_fit(
-        labeled, "is_ref", m_buckets=1024, lr=2000.0, rounds=2, lr_bias=1.0
+        labeled, "is_ref", m_buckets=1024, lr=2000.0, rounds=2, lr_bias=1.0,
+        features=x,
     )
-    return logreg_score(docs, model)
+    return logreg_score(docs, model, features=x)
 
 
 @register(

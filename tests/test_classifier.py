@@ -139,6 +139,26 @@ def test_fit_score_matches_python_replay(spark):
     assert got2 == out2
 
 
+def test_fit_with_shared_features_is_identical(spark):
+    """A precomputed ``hashed_tf`` frame passed through ``features=``
+    (the r15 one-explode fit+score path) yields bit-identical weights,
+    bias, and scored output to the self-featurizing fit — the
+    value-preservation contract of the optimization."""
+    m, lr, rounds = 64, 500.0, 2
+    df = spark.createDataFrame(ROWS, "doc_id long, text string, y int")
+    base_model = logreg_fit(df, "y", m_buckets=m, lr=lr, rounds=rounds, lr_bias=1.0)
+    base_out = sorted(map(tuple, logreg_score(df, base_model).collect()))
+
+    x = hashed_tf(df, "text", "doc_id", m).localCheckpoint(eager=True)
+    model = logreg_fit(
+        df, "y", m_buckets=m, lr=lr, rounds=rounds, lr_bias=1.0, features=x
+    )
+    assert model.bias == base_model.bias
+    assert model.weights == base_model.weights
+    out = sorted(map(tuple, logreg_score(df, model, features=x).collect()))
+    assert out == base_out
+
+
 def test_separation_and_keep(spark):
     """Two rounds separate the classes on a clean synthetic: every
     reference-like doc outscores every crawl-like doc, keep follows

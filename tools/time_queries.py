@@ -22,6 +22,13 @@ def main() -> int:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument(
+        "--noop",
+        action="store_true",
+        help="time a noop-sink write (bench.py's exact methodology: full "
+        "materialization of every column, no driver collect) instead of "
+        "collect(); rows report -1",
+    )
     args = ap.parse_args()
 
     from d365fo_db_sync_spark.session import get_spark
@@ -35,8 +42,14 @@ def main() -> int:
         best = None
         rows = -1
         for _ in range(args.repeat):
+            spark.catalog.clearCache()
             t0 = time.time()
-            rows = len(qs[name](spark, args.sf).collect())
+            if args.noop:
+                qs[name](spark, args.sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            else:
+                rows = len(qs[name](spark, args.sf).collect())
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         print(f"{name} {best:.3f} {rows}")
