@@ -479,9 +479,15 @@ def ingest_batch(
     Returns the novel rows (first occurrence per new fingerprint, by
     lowest ``id_col``).
     """
-    batch_unique = exact_dedup(batch, cols=[fp_col], key=id_col)
+    # materialized up front: the probe's bucket collect, the anti-join,
+    # and the novel checkpoint below each re-execute this frame's
+    # lineage otherwise (separate actions share no exchanges), and the
+    # lineage starts with the batch's fingerprint computation — the
+    # heaviest map-side stage (r15: one featurize pass, not three)
+    batch_unique = exact_dedup(batch, cols=[fp_col], key=id_col).localCheckpoint(
+        eager=True
+    )
     if not index.exists():
-        batch_unique = batch_unique.localCheckpoint(eager=True)
         if stage_novel is not None:
             stage_novel(batch_unique)
         index.overwrite(batch_unique.select(fp_col, id_col))

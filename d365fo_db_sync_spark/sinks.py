@@ -538,11 +538,20 @@ class BucketedParquetTarget(ParquetTarget):
         doomed_keys: DataFrame | None = None,
         replace_keys: bool = True,
         evolve_schema: bool = False,
+        affected_buckets: "list[int] | None" = None,
     ) -> int:
         """Replace-or-insert ``upserts`` rows and delete ``doomed_keys``
         rows, rewriting ONLY the buckets their keys hash into. Returns
         the number of rewritten buckets. Falls back to a plain
         overwrite when no live version exists.
+
+        ``affected_buckets`` optionally passes the changed keys' bucket
+        set when the caller has already computed it (e.g. folded into a
+        stats aggregate it was running anyway — sync.merge_upsert),
+        skipping this method's own distinct+collect job. It MUST equal
+        ``{pmod(xxhash64(key), n_buckets)}`` over the changed keys:
+        a superset would rewrite clean buckets, a subset would leave
+        stale rows live.
 
         ``evolve_schema=True`` admits upserts whose column set differs
         from the target's: new columns widen the table (NULL for all
@@ -574,11 +583,15 @@ class BucketedParquetTarget(ParquetTarget):
         changed = upserts.select(self.key)
         if doomed_keys is not None:
             changed = changed.unionByName(doomed_keys.select(self.key))
-        affected = sorted(
-            r["b"]
-            for r in changed.select(self._bucket_of(F.col(self.key)).alias("b"))
-            .distinct()
-            .collect()
+        affected = (
+            sorted(affected_buckets)
+            if affected_buckets is not None
+            else sorted(
+                r["b"]
+                for r in changed.select(self._bucket_of(F.col(self.key)).alias("b"))
+                .distinct()
+                .collect()
+            )
         )
         if not affected:
             return 0
@@ -1490,6 +1503,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         doomed_keys: DataFrame | None = None,
         replace_keys: bool = True,
         evolve_schema: bool = False,
+        affected_buckets: "list[int] | None" = None,
     ) -> int:
         from pyspark.sql import functions as F
 
@@ -1500,11 +1514,18 @@ class ManifestParquetTarget(BucketedParquetTarget):
         changed = upserts.select(self.key)
         if doomed_keys is not None:
             changed = changed.unionByName(doomed_keys.select(self.key))
-        affected = sorted(
-            r["b"]
-            for r in changed.select(self._bucket_of(F.col(self.key)).alias("b"))
-            .distinct()
-            .collect()
+        # affected_buckets: same precomputed-bucket-set contract as
+        # BucketedParquetTarget.merge (exact set of the changed keys'
+        # buckets, skips the distinct+collect job)
+        affected = (
+            sorted(affected_buckets)
+            if affected_buckets is not None
+            else sorted(
+                r["b"]
+                for r in changed.select(self._bucket_of(F.col(self.key)).alias("b"))
+                .distinct()
+                .collect()
+            )
         )
         if not affected:
             return 0

@@ -64,10 +64,11 @@ class CdcStreamPipeline:
         self.evolve_schema = evolve_schema
 
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         # a micro-batch is a DELTA, not a snapshot window — upsert by
-        # key; rows carrying a true `__deleted` tombstone delete theirs
+        # key; rows carrying a true `__deleted` tombstone delete theirs.
+        # No isEmpty() pre-check: merge_upsert's own stats aggregate
+        # detects the empty batch (NO_CHANGE, no write), and the extra
+        # probe job per micro-batch is pure fixed cost on the hot path.
         self.engine.merge_upsert(
             self.table, batch_df, self.target, evolve_schema=self.evolve_schema
         )

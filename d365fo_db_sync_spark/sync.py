@@ -194,9 +194,15 @@ class SyncEngine:
         is_tomb = (
             F.coalesce(F.col(tomb), F.lit(False)) if tomb in batch.columns else F.lit(False)
         )
+        from d365fo_db_sync_spark.sinks import BucketedParquetTarget
+
         batch = self._compact_last_event(batch).cache()
-        # one agg job covers live count, tombstone count, and watermark
-        # maxima (previously two jobs: upsert agg + tombstone count)
+        # one agg job covers live count, tombstone count, watermark
+        # maxima (previously two jobs: upsert agg + tombstone count),
+        # AND — for bucketed targets — the changed keys' bucket set, so
+        # merge() below skips its own distinct+collect job (r15: one
+        # Spark job per micro-batch instead of two on the CDC path)
+        bucketed = isinstance(target, BucketedParquetTarget)
         row = batch.agg(
             F.count(F.when(~is_tomb, 1)).alias("n"),
             F.count(F.when(is_tomb, 1)).alias("n_dead"),
@@ -204,6 +210,9 @@ class SyncEngine:
             F.max(F.when(~is_tomb, F.col(ver))).alias("max_ver")
             if ver in batch.columns
             else F.lit(None).alias("max_ver"),
+            F.collect_set(target._bucket_of(F.col(key))).alias("aff")
+            if bucketed
+            else F.lit(None).alias("aff"),
         ).first()
         n_dead = row["n_dead"]
         report = SyncReport(table=name, mode=INCREMENTAL, inserted=row["n"], deleted=n_dead)
@@ -212,9 +221,7 @@ class SyncEngine:
             batch.unpersist()
             return report
         upserts = batch.filter(~is_tomb).drop(tomb) if tomb in batch.columns else batch
-        from d365fo_db_sync_spark.sinks import BucketedParquetTarget
-
-        if isinstance(target, BucketedParquetTarget) and target.exists():
+        if bucketed and target.exists():
             # partial-rewrite fast path: only the buckets containing
             # changed keys are read and rewritten; untouched buckets
             # carry forward as hardlinks. Same atomic swap + same
@@ -238,7 +245,11 @@ class SyncEngine:
             for attempt in range(3):
                 try:
                     target.merge(
-                        self.spark, upserts, tombstoned, evolve_schema=evolve_schema
+                        self.spark,
+                        upserts,
+                        tombstoned,
+                        evolve_schema=evolve_schema,
+                        affected_buckets=sorted(row["aff"] or []),
                     )
                     break
                 except ConcurrentWriteError:
