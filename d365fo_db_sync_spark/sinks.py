@@ -1011,6 +1011,7 @@ class ManifestParquetTarget(BucketedParquetTarget):
         sort_exprs: list | None = None,
         max_records_per_file: int | None = None,
         retire_keys: DataFrame | None = None,
+        n_write_partitions: int | None = None,
     ) -> None:
         """Stage ``df`` (bucketed rows) into a fresh version dir, merge
         its freshly-written bucket files with the ``carried``
@@ -1045,35 +1046,56 @@ class ManifestParquetTarget(BucketedParquetTarget):
         name = f"v_{uuid.uuid4().hex[:12]}"
         staged = os.path.join(self.root, name)
         out = df.withColumn(self.DATA_BUCKET_COL, F.col(self.BUCKET_COL))
-        shaped = out.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+        # Sort columns for clustered layouts. Computed sort expressions
+        # (a Morton z-code) MUST be materialized as temp columns first:
+        # Spark's generated ordering re-evaluates sort expressions on
+        # BOTH rows at EVERY comparison (O(n log n) evaluations — a
+        # complex z-code expression there turned a seconds-long sf1
+        # rewrite into minutes, found live). The temp columns are
+        # dropped after the sort, before anything reaches the files;
+        # the projection is narrow, so the local sort order survives.
+        tmp: dict[str, object] = {}
+        # `shaping` carries the temp sort columns; `out` stays pristine
+        # because the manifest schema is derived from it below
+        shaping = out
         if sort_by_key and sort_exprs is None:
             # key clustering sorts on the plain column — no
             # materialization needed, attribute compares are cheap
-            shaped = shaped.sortWithinPartitions(
-                F.col(self.BUCKET_COL), F.col(self.key)
-            )
+            sort_cols = [F.col(self.key)]
         elif sort_exprs is not None:
-            # clustered layout: rows sorted within each bucket task, so
+            tmp = {f"__kb_sort_{i}": e for i, e in enumerate(sort_exprs)}
+            shaping = out.withColumns(tmp)
+            sort_cols = [F.col(c) for c in tmp]
+        else:
+            sort_cols = []
+        if sort_cols and n_write_partitions and n_write_partitions > 1:
+            # Clustered rewrite at write parallelism ~ output file
+            # count (Iceberg's range distribution-mode, public design):
+            # range-partition on (bucket, sort key) so every task owns
+            # a CONTIGUOUS slice of the clustered order — zone maps
+            # stay range-tight across the task split — instead of
+            # hash-on-bucket's one-task-per-bucket serialization (a
+            # 4-bucket table compacted on 4 of 32 cores, each task
+            # rotating through maxRecordsPerFile splits one file at a
+            # time). The range sampling pass re-reads the input once —
+            # the documented cost of every range-distributed clustered
+            # write; the serial alternative is far worse at scale.
+            shaped = shaping.repartitionByRange(
+                int(n_write_partitions), F.col(self.BUCKET_COL), *sort_cols
+            )
+        else:
+            shaped = shaping.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+        if sort_cols:
+            # clustered layout: rows sorted within each task, so
             # maxRecordsPerFile splits yield files owning CONTIGUOUS
             # sort-order ranges — per-file zone maps go from bucket-wide
             # to range-tight, and scan_range/scan_box/delete_range prune
             # INSIDE a bucket instead of only across buckets.
-            # Computed sort expressions (a Morton z-code) MUST be
-            # materialized as temp columns first: Spark's generated
-            # ordering re-evaluates sort expressions on BOTH rows at
-            # EVERY comparison (O(n log n) evaluations — a complex
-            # z-code expression there turned a seconds-long sf1 rewrite
-            # into minutes, found live). The temp columns are dropped
-            # after the sort, before anything reaches the files; the
-            # projection is narrow, so the local sort order survives.
-            tmp = {f"__kb_sort_{i}": e for i, e in enumerate(sort_exprs)}
-            shaped = (
-                shaped.withColumns(tmp)
-                .sortWithinPartitions(
-                    F.col(self.BUCKET_COL), *[F.col(c) for c in tmp]
-                )
-                .drop(*tmp)
+            shaped = shaped.sortWithinPartitions(
+                F.col(self.BUCKET_COL), *sort_cols
             )
+        if tmp:
+            shaped = shaped.drop(*tmp)
         writer = shaped.write.mode("overwrite")
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
@@ -1867,6 +1889,11 @@ class ManifestParquetTarget(BucketedParquetTarget):
             expected_parent=parent,
             sort_by_key=cluster_by_key,
             max_records_per_file=target_rows_per_file,
+            n_write_partitions=self._clustered_write_partitions(
+                m, fat_files, target_rows_per_file
+            )
+            if cluster_by_key
+            else None,
         )
         return len(fat)
 
@@ -1967,8 +1994,31 @@ class ManifestParquetTarget(BucketedParquetTarget):
             expected_parent=parent,
             sort_exprs=[zcode],
             max_records_per_file=target_rows_per_file,
+            n_write_partitions=self._clustered_write_partitions(
+                m, files, target_rows_per_file
+            ),
         )
         return len(fat)
+
+    def _clustered_write_partitions(
+        self, m: dict, files: list[str], target_rows_per_file: int | None
+    ) -> int | None:
+        """Write parallelism for a clustered full rewrite: ~one task
+        per intended output file (``total rows / target_rows_per_file``,
+        floored at ``n_buckets``), derived from the manifest's recorded
+        per-file row counts — a driver-side metadata sum, no Spark job.
+        None (the hash-on-bucket legacy shape) when there is no file
+        split target or the row counts aren't recorded."""
+        if not target_rows_per_file or target_rows_per_file < 1:
+            return None
+        stats = m.get("stats", {})
+        known = [stats[f]["rows"] for f in files if f in stats and "rows" in stats[f]]
+        if not known:
+            return None
+        total = sum(known)
+        if total <= 0:
+            return None
+        return max(self.n_buckets, -(-total // int(target_rows_per_file)))
 
     #: grace period before an unreferenced, never-published ``v_*``
     #: dir (a concurrent writer's in-flight staging, or a
