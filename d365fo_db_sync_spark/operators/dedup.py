@@ -65,37 +65,58 @@ def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
     """(id, shingle) rows built with codegen-friendly operators:
-    posexplode tokens -> lead() window per document -> concat_ws.
+    per-document shifted-slice arrays zipped into sliding windows —
+    ``arrays_zip(toks, slice(toks, 2, ...), ...)`` + posexplode +
+    concat_ws. Entirely MAP-SIDE: no window, no shuffle of the token
+    stream (r15 — the previous lead()-window build shuffled and sorted
+    every exploded token by (doc, pos) before any consumer aggregated;
+    at 100 TB that is a full-corpus exchange for a per-row
+    transformation).
 
     Equivalent to ``explode(array_distinct(shingles(text, n)))`` when
     ``distinct`` (the default) — including the short-document rule (a
     document with < n tokens yields its whole token stream as one
-    shingle; concat_ws skips the NULL leads).
+    shingle; concat_ws skips the absent tail fields, exactly as it
+    skipped the NULL leads).
 
     ``distinct=False`` keeps repeated shingles and skips the
     dropDuplicates EXCHANGE on (id, shingle) — the right call whenever
     the consumer is duplicate-insensitive (min-aggregation for MinHash,
-    collect_set for set building): those consumers then reuse the lead
-    window's doc-id partitioning directly, one full shuffle less."""
-    from pyspark.sql import Window
-
+    collect_set for set building): duplicate-insensitive aggregates
+    then collapse map-side before their one exchange ships bounded
+    per-doc partials."""
     # tokenize ONCE: the regex split over full documents is the single
     # most expensive expression here; staging it prevents re-evaluation
-    # for the size() and the explode
+    # for the size() and each shifted slice
     toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    tok = toks.select(
+    sz = F.size("__toks")
+    shifted = toks.select(
         F.col(id_col),
-        F.size("__toks").alias("__n_tok"),
-        F.posexplode("__toks").alias("__pos", "__tok"),
+        sz.alias("__n_tok"),
+        F.col("__toks").alias("__a0"),
+        # slice() clamps to the array end, so shift i is simply the
+        # suffix starting at i+1; arrays_zip pads the short suffixes
+        # with NULL struct fields at the tail
+        *[
+            F.slice("__toks", i + 1, sz).alias(f"__a{i}")
+            for i in range(1, n)
+        ],
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
-    lead_cols = [F.lead("__tok", i).over(w).alias(f"__t{i}") for i in range(1, n)]
-    with_leads = tok.select(id_col, "__n_tok", "__pos", "__tok", *lead_cols)
-    last_lead = F.col(f"__t{n - 1}")
-    keep = last_lead.isNotNull() | ((F.col("__n_tok") < n) & (F.col("__pos") == 0))
-    out = with_leads.filter(keep).select(
+    zipped = shifted.select(
+        F.col(id_col),
+        F.col("__n_tok"),
+        F.posexplode(F.arrays_zip(*[f"__a{i}" for i in range(n)])).alias(
+            "__pos", "__w"
+        ),
+    )
+    keep = (F.col("__pos") <= F.col("__n_tok") - n) | (
+        (F.col("__n_tok") < n) & (F.col("__pos") == 0)
+    )
+    out = zipped.filter(keep).select(
         id_col,
-        F.concat_ws(" ", "__tok", *[f"__t{i}" for i in range(1, n)]).alias("g"),
+        F.concat_ws(
+            " ", *[F.col("__w").getField(f"__a{i}") for i in range(n)]
+        ).alias("g"),
     )
     return out.dropDuplicates([id_col, "g"]) if distinct else out
 
