@@ -67,6 +67,7 @@ def dsir_log_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     m_buckets: int = 1024,
+    target_is_raw_subset: bool = False,
 ) -> DataFrame:
     """Per-raw-document DSIR log importance weights:
     ``(id_col, n_features, log_w)``.
@@ -83,7 +84,15 @@ def dsir_log_weights(
     dropped row. Determinism: the per-document fold runs over the
     bucket-sorted contribution list (``aggregate`` over
     ``array_sort(collect_list(...))``), so partial-sum order cannot
-    drift between engines or reruns."""
+    drift between engines or reruns.
+
+    ``target_is_raw_subset=True`` declares that ``target``'s rows are a
+    row-subset of ``raw`` (same ids, same text). The target model then
+    derives from the RAW corpus's explode by an id semi-join — one
+    featurize pass instead of two (the tokenize + md5-bucket explode
+    is the heaviest map-side stage; the in-domain-slice-of-the-crawl
+    call shape is the common DSIR deployment). Identical values: the
+    semi-joined grouped count equals re-exploding the subset."""
     if m_buckets < 2:
         raise ValueError(f"m_buckets must be >= 2, got {m_buckets}")
     from pyspark.sql.functions import broadcast
@@ -94,9 +103,6 @@ def dsir_log_weights(
             F.explode(hashed_features(text_col)).alias("__f"),
         ).select(*extra, _bucket(F.col("__f"), m_buckets).alias("bucket"))
 
-    t_counts = bucketed(target).groupBy("bucket").agg(
-        F.count("*").alias("ct")
-    )
     # the raw corpus explodes ONCE: per-(doc, bucket) counts —
     # localCheckpointed, since both the raw model fit and the scoring
     # join read them and Spark's lack of plan reuse would otherwise
@@ -110,6 +116,18 @@ def dsir_log_weights(
         .agg(F.count("*").alias("cnt"))
         .localCheckpoint(eager=True)
     )
+    if target_is_raw_subset:
+        t_counts = (
+            doc_buckets.join(
+                target.select(id_col), on=id_col, how="left_semi"
+            )
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("ct"))
+        )
+    else:
+        t_counts = bucketed(target).groupBy("bucket").agg(
+            F.count("*").alias("ct")
+        )
     r_counts = doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
     spine = t_counts.join(r_counts, on="bucket", how="full_outer").select(
         "bucket",
@@ -158,6 +176,7 @@ def dsir_select_topk(
     m_buckets: int = 1024,
     include_empty: bool = False,
     salt: str = "",
+    target_is_raw_subset: bool = False,
 ) -> DataFrame:
     """The full DSIR pipeline — featurize → fit both bucket models →
     score → Gumbel top-k select ``k`` documents without replacement
@@ -181,7 +200,8 @@ def dsir_select_topk(
     from d365fo_db_sync_spark.operators.sampling import gumbel_topk_sample
 
     weights = dsir_log_weights(
-        raw, target, text_col=text_col, id_col=id_col, m_buckets=m_buckets
+        raw, target, text_col=text_col, id_col=id_col, m_buckets=m_buckets,
+        target_is_raw_subset=target_is_raw_subset,
     )
     pool = weights if include_empty else weights.filter(F.col("n_features") > 0)
     return gumbel_topk_sample(pool, [id_col], F.col("log_w"), k, salt=salt)

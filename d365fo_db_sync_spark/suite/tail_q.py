@@ -8814,7 +8814,8 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_log_weights(
-        docs, docs.filter(F.col("lang") == "en"), m_buckets=1024
+        docs, docs.filter(F.col("lang") == "en"), m_buckets=1024,
+        target_is_raw_subset=True,
     )
 
 
@@ -8850,7 +8851,8 @@ def sampling_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_select_topk(
-        docs, docs.filter(F.col("lang") == "en"), k=100, m_buckets=1024
+        docs, docs.filter(F.col("lang") == "en"), k=100, m_buckets=1024,
+        target_is_raw_subset=True,
     ).select("doc_id")
 
 
@@ -9121,7 +9123,8 @@ def pipeline_curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique = dedup.exact_dedup(kept, cols=["fp"], key="doc_id")
     surv = docs.join(unique.select("doc_id"), on="doc_id", how="left_semi")
     weights = dsir_log_weights(
-        surv, surv.filter(F.col("lang") == "en"), m_buckets=1024
+        surv, surv.filter(F.col("lang") == "en"), m_buckets=1024,
+        target_is_raw_subset=True,
     )
     return gumbel_topk_sample(weights, ["doc_id"], F.col("log_w"), 50).select(
         "doc_id"

@@ -168,6 +168,31 @@ def test_select_topk_excludes_empty_docs(spark):
         dsir_select_topk(raw, target, k=0)
 
 
+def test_subset_target_path_is_identical(spark):
+    """target_is_raw_subset=True (the r15 one-featurize path) returns
+    bit-identical weights to re-exploding the subset target — the
+    value-preservation contract of the optimization."""
+    rows = [
+        (0, "the quick brown fox jumps again", "en"),
+        (1, "unrelated spam spam spam offer", "de"),
+        (2, "quantum flux capacitors hum loudly", "en"),
+        (3, None, None),
+        (4, "", "en"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = raw.filter(F.col("lang") == "en")
+    base = sorted(map(tuple, dsir_log_weights(raw, target, m_buckets=64).collect()))
+    fast = sorted(
+        map(
+            tuple,
+            dsir_log_weights(
+                raw, target, m_buckets=64, target_is_raw_subset=True
+            ).collect(),
+        )
+    )
+    assert fast == base
+
+
 def test_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="m_buckets"):
