@@ -82,32 +82,39 @@ def token_windows(
     shorter than k tokens emit nothing."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    # materialize the token array ONCE as a real column: it is read
-    # inside the per-start window lambda, and an inlined tokenize
-    # expression there would re-split the document per window
+    # materialize the token array ONCE as a real column: every shifted
+    # slice reads it, and an inlined tokenize expression would re-split
+    # the document per slice
     base = docs.select(F.col(id_col), _tokens(text_col).alias("__a"))
-    a = F.col("__a")
-    n = F.size(a)
-    win = lambda s: F.array_join(F.slice(a, s + 1, k), " ")  # noqa: E731
-    # All windows are built INSIDE one transform and only the window
-    # array reaches the explode — n small window values (8-byte
-    # hashes when ``hashed``), never n copies of the n-token source
-    # array riding along on every exploded row (that shape is O(n^2)
-    # bytes per document and was measured at ~140 s for three 20k-token
-    # documents; this one is ~1 s — SCALE.md round 10).
-    # sequence() descends when stop < start, so the short-doc case
-    # must be an explicit empty array, not sequence(0, negative).
-    wins = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            (lambda s: F.xxhash64(win(s))) if hashed else win,
-        ),
-    ).otherwise(
-        F.array().cast("array<bigint>" if hashed else "array<string>")
+    sz = F.size("__a")
+    # Sliding windows as the zip of the token array with its own k-1
+    # shifted suffixes (dedup.exploded_shingles' r15 build): slice +
+    # arrays_zip + posexplode + concat_ws are all whole-stage codegen,
+    # where the previous transform(sequence(...), array_join(slice))
+    # evaluated an interpreted lambda per window. Only the zipped
+    # window structs reach the explode — k tokens per row, never n
+    # copies of the n-token source array (that shape is O(n^2) bytes
+    # per document and was measured at ~140 s for three 20k-token
+    # documents — SCALE.md round 10). The start <= n-k filter drops
+    # the ragged tail windows (and short docs entirely, matching the
+    # contract).
+    shifted = base.select(
+        F.col(id_col),
+        sz.alias("__n"),
+        *[F.slice("__a", i + 1, sz).alias(f"__s{i}") for i in range(k)],
     )
-    return base.select(
-        F.col(id_col), F.posexplode(wins).alias("start", "w")
+    zipped = shifted.select(
+        F.col(id_col),
+        "__n",
+        F.posexplode(F.arrays_zip(*[f"__s{i}" for i in range(k)])).alias(
+            "start", "__w"
+        ),
+    )
+    w = F.concat_ws(" ", *[F.col("__w").getField(f"__s{i}") for i in range(k)])
+    return zipped.filter(F.col("start") <= F.col("__n") - k).select(
+        F.col(id_col),
+        "start",
+        (F.xxhash64(w) if hashed else w).alias("w"),
     )
 
 
