@@ -251,22 +251,31 @@ def redact_spans(
     document even when most of the document is covered, and no
     per-row Python anywhere."""
     occ = phrase_occurrences(docs, phrases, id_col=id_col, text_col=text_col)
-    covered = (
+    # ONE per-doc aggregate carries both the covered set and the match
+    # count (r15: the two separate rollups each re-ran the whole
+    # phrase_occurrences subtree — tokenize + postings join + HAVING —
+    # because sibling aggregates share no exchange). Same values:
+    # distinct-flatten-sort of the per-occurrence position ranges ==
+    # collect_set over their explode.
+    per_doc = (
         occ.select(
             id_col,
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + F.col("plen") - 1)
-            ).alias("p"),
+            F.sequence(
+                F.col("start"), F.col("start") + F.col("plen") - 1
+            ).alias("__ps"),
         )
         .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("p")).alias("cov"))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("__ps")))
+            ).alias("cov"),
+        )
     )
-    counts = occ.groupBy(id_col).agg(F.count("*").alias("n_matches"))
 
     base = docs.select(F.col(id_col), _token_array(text_col).alias("__toks"))
     j = (
-        base.join(covered, on=id_col, how="left")
-        .join(counts, on=id_col, how="left")
+        base.join(per_doc, on=id_col, how="left")
         .select(
             F.col(id_col),
             "__toks",

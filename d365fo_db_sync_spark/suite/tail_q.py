@@ -6096,8 +6096,14 @@ def pipeline_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = text_ops.quality_classifier(docs, "text").select(
-        "doc_id", "source", F.col("quality_logit").alias("q")
+    # materialized once: the winsorized stats and the outlier rollup
+    # both consume the scored frame, and sibling aggregates share no
+    # exchange — without this the quality_classifier featurization
+    # (the heavy tokenize pass) runs twice (r15; values unchanged)
+    scored = (
+        text_ops.quality_classifier(docs, "text")
+        .select("doc_id", "source", F.col("quality_logit").alias("q"))
+        .localCheckpoint(eager=True)
     )
     w = text_ops.winsorized_group_stats(
         scored, "source", "q", lo_q=0.05, hi_q=0.95, tiebreak_cols=("doc_id",)
