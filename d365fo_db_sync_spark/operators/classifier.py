@@ -175,16 +175,21 @@ def _scores(
     weights: dict[int, float],
     bias: float,
     spark,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """``(id_col, score)`` for every row of ``base``: the broadcast
-    weight map dotted against the hashed-TF frame, bias added;
-    documents with no features (or only unseen buckets) score the
-    bare bias. An empty weight map short-circuits to the bias — the
-    round-1 state."""
+    """``(id_col, *carry, score)`` for every row of ``base``: the
+    broadcast weight map dotted against the hashed-TF frame, bias
+    added; documents with no features (or only unseen buckets) score
+    the bare bias. An empty weight map short-circuits to the bias —
+    the round-1 state. ``carry`` passes extra ``base`` columns
+    through, so a caller needing (score, label) per row reads them
+    off this frame directly instead of re-joining ``base`` on
+    ``id_col`` (one exchange+join per fit round saved; the score
+    arithmetic is untouched)."""
     from pyspark.sql.functions import broadcast
 
     if not weights:
-        return base.select(id_col, F.lit(float(bias)).alias("score"))
+        return base.select(id_col, *carry, F.lit(float(bias)).alias("score"))
     wdf = spark.createDataFrame(
         sorted((int(b), float(w)) for b, w in weights.items()),
         "bucket long, w double",
@@ -195,6 +200,7 @@ def _scores(
     dot = _fold_dot(terms, id_col)
     return base.join(dot, on=id_col, how="left").select(
         id_col,
+        *carry,
         (F.coalesce("__s", F.lit(0.0)) + F.lit(float(bias))).alias("score"),
     )
 
@@ -276,10 +282,12 @@ def logreg_fit(
     #: unaffected.
     _BIAS_KEY = -1
     for _ in range(rounds):
-        scored = _scores(x, y, id_col, weights, bias, spark)
+        # __y rides through _scores (carry=) so the residual reads one
+        # frame — the old y.join(scored, on=id_col) re-shuffled the
+        # doc spine once per round for columns _scores already had
+        scored = _scores(x, y, id_col, weights, bias, spark, carry=("__y",))
         resid = (
-            y.join(scored, on=id_col)
-            .select(
+            scored.select(
                 id_col,
                 (_sigmoid_q(F.col("score")) - F.col("__y")).alias("__r"),
             )
