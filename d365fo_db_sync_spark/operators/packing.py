@@ -64,6 +64,10 @@ def pack_sequences(
             F.expr(f"cast({id_col} as bigint) div {bucket_span}").alias("_pk_bucket"),
         )
         .filter(F.col("n_tokens") > 0)
+        # materialized: the in-bucket window (stage 2) and the bucket
+        # totals (stage 3) are sibling consumers — without the barrier
+        # the upstream lineage (tokenize/size computation) runs twice
+        .localCheckpoint(eager=True)
     )
     # stage 2: in-bucket running total (parallel across buckets).
     # id_col must be UNIQUE — it is the stream order key, so the layout
@@ -154,8 +158,18 @@ def hash_banded_prefix_sum(
     ``hash_col`` must order rows uniformly (md5 of the id in practice);
     with no ``group_cols`` the prefix is global, and the single-
     partition stage-2 window is made explicit via the constant pmod
-    partition key (the frame is 256 rows by construction)."""
-    banded = sized.withColumn("_hb", F.substring(hash_col, 1, 2))
+    partition key (the frame is 256 rows by construction).
+
+    The banded frame is materialized (eager ``localCheckpoint``) before
+    the two stages: the in-band window and the band-total aggregate are
+    sibling consumers sharing no exchange, so without the barrier Spark
+    re-runs the ENTIRE upstream lineage — which for pipeline consumers
+    is the full curation pipeline (manifest read, quality gates, dedup
+    semi-joins) — once per stage. The checkpointed rows are the narrow
+    decision-pass proxy (id, value, hash), never the payload."""
+    banded = sized.withColumn(
+        "_hb", F.substring(hash_col, 1, 2)
+    ).localCheckpoint(eager=True)
     in_band = (
         Window.partitionBy(*group_cols, "_hb")
         .orderBy(hash_col, id_col)
