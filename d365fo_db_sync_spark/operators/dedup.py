@@ -347,6 +347,11 @@ def simhash_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.chunk")
+    # materialized: the self-join's sides otherwise re-run the whole
+    # simhash pipeline (tokenize + per-bit majority aggregate) once
+    # each — bands rows per doc, metadata-sized (see
+    # minhash_lsh_candidates)
+    chunks = chunks.localCheckpoint(eager=True)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
@@ -645,6 +650,11 @@ def paragraph_dedup(
         df.select(F.col(id_col), F.posexplode(paras).alias("pidx", "para"))
         .filter(F.col("para") != "")
         .withColumn("__fp", F.md5("para"))
+        # materialized: three consumers (keeper aggregate, semi-join
+        # probe, per-doc total) each group/join on DIFFERENT keys, so
+        # no exchange is reusable and the tokenize + paragraph-slice +
+        # md5 pipeline would otherwise run three times
+        .localCheckpoint(eager=True)
     )
     keepers = exploded.groupBy("__fp").agg(
         F.min(F.struct(F.col(id_col), F.col("pidx"))).alias("first")
@@ -712,7 +722,13 @@ def containment_pairs(
     from pyspark.sql import Window
 
     if sets is None:
-        sets = shingle_sets(df, id_col, text_col, n)
+        # materialized: five consumers read this frame (freq, prefix
+        # probe, postings, and both verify sides) under different join
+        # keys, so no exchange is reusable and the tokenize+shingle
+        # pipeline would otherwise run once per consumer
+        sets = shingle_sets(df, id_col, text_col, n).localCheckpoint(
+            eager=True
+        )
     tok = sets.select(id_col, "set_size", F.explode("sh").alias("g"))
     freq = tok.groupBy("g").agg(F.count("*").alias("df_g"))
     w = Window.partitionBy(id_col).orderBy(F.asc("df_g"), F.asc("g"))

@@ -302,6 +302,10 @@ def dhash_near_duplicates(
             RuntimeWarning,
             stacklevel=2,
         )
+    # materialized: four consumers (both candidate self-join sides and
+    # both verify sides) would each re-run the Arrow decode stage —
+    # the signature frame is one long per image, metadata-sized
+    sigs = sigs.localCheckpoint(eager=True)
     cand = dhash_candidates(sigs, id_col=id_col, bands=bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("dhash").alias("_ha"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("dhash").alias("_hb"))
