@@ -387,14 +387,18 @@ def ngram_jaccard_pairs(
     and at 100 TB. Both paths are exact (prefix filtering is complete),
     so results are identical to the naive all-shared-shingles join.
 
-    ``sets`` (from :func:`shingle_sets`) is consumed three times in the
-    default plan (prefix candidates + both verify sides); Spark's
-    exchange reuse dedups the shuffle, and a caller running repeated
-    batches can pass a cached frame and own its lifecycle — nothing is
-    cached internally.
+    ``sets`` (from :func:`shingle_sets`) is consumed five times in the
+    default plan (three prefix-filter reads + both verify sides); a
+    caller running repeated batches can pass a cached frame and own its
+    lifecycle. When the frame is built HERE it is localCheckpointed
+    (exchange reuse does not cover the differently-keyed consumers, so
+    the tokenize+shingle pipeline would otherwise run once per consumer
+    — measured on dedup_containment_pairs, the same shape).
     """
     if sets is None:
-        sets = shingle_sets(df, id_col, text_col, n)
+        sets = shingle_sets(df, id_col, text_col, n).localCheckpoint(
+            eager=True
+        )
     if candidates is None:
         candidates = _prefix_filter_candidates(sets, id_col, threshold)
     a = sets.select(

@@ -7767,10 +7767,22 @@ def pipeline_curation_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", text_ops.fingerprint("text").alias("fp"))
-    e1 = dedup.exact_dedup(base, cols=["fp"], key="doc_id").select("doc_id")
+    # the two narrow id frames are each read by multiple downstream
+    # consumers under different join types/keys (semi, anti, left) —
+    # materialized so the dedup subtrees run once instead of once per
+    # consumer (the before-plan carried 168 parquet scans)
+    e1 = (
+        dedup.exact_dedup(base, cols=["fp"], key="doc_id")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     d1 = docs.join(e1, on="doc_id", how="left_semi")
     pairs = dedup.ngram_jaccard_pairs(d1, "doc_id", "text", n=3, threshold=0.8)
-    dropped_fuzzy = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    dropped_fuzzy = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     d2 = d1.join(dropped_fuzzy, on="doc_id", how="left_anti")
     exc = excise_repeated_windows(d2, k=8).select(
         "doc_id", (F.col("n_tokens") - F.col("n_dup_tokens")).alias("clean_n")
