@@ -88,11 +88,13 @@ def dsir_log_weights(
 
     ``target_is_raw_subset=True`` declares that ``target``'s rows are a
     row-subset of ``raw`` (same ids, same text). The target model then
-    derives from the RAW corpus's explode by an id semi-join — one
+    derives from the RAW corpus's explode by a membership flag — one
     featurize pass instead of two (the tokenize + md5-bucket explode
     is the heaviest map-side stage; the in-domain-slice-of-the-crawl
-    call shape is the common DSIR deployment). Identical values: the
-    semi-joined grouped count equals re-exploding the subset."""
+    call shape is the common DSIR deployment), and BOTH bucket models
+    fall out of a single grouped aggregate over the counts. Identical
+    values: the flagged conditional sum equals re-exploding the
+    subset (integer sums, order-free exact)."""
     if m_buckets < 2:
         raise ValueError(f"m_buckets must be >= 2, got {m_buckets}")
     from pyspark.sql.functions import broadcast
@@ -117,23 +119,45 @@ def dsir_log_weights(
         .localCheckpoint(eager=True)
     )
     if target_is_raw_subset:
-        t_counts = (
-            doc_buckets.join(
-                target.select(id_col), on=id_col, how="left_semi"
-            )
+        # ONE grouped pass builds BOTH bucket models: a membership flag
+        # (left join on distinct target ids — distinct so a duplicated
+        # id cannot multiply count rows) turns the old semi-join +
+        # separate target/raw aggregates + full-outer spine into a
+        # single combinable aggregate over the checkpointed counts.
+        # sum(when(member, cnt)) over a bucket equals the semi-joined
+        # grouped sum (integer sums, order-free exact), and a bucket
+        # with no member rows yields ct = 0 — exactly the full_outer +
+        # coalesce result (target ⊆ raw, so no target-only buckets).
+        t_ids = target.select(id_col).distinct().withColumn(
+            "__t", F.lit(True)
+        )
+        spine = (
+            doc_buckets.join(t_ids, on=id_col, how="left")
             .groupBy("bucket")
-            .agg(F.sum("cnt").alias("ct"))
+            .agg(
+                F.sum(
+                    F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))
+                ).alias("ct"),
+                F.sum("cnt").alias("cr"),
+            )
         )
     else:
         t_counts = bucketed(target).groupBy("bucket").agg(
             F.count("*").alias("ct")
         )
-    r_counts = doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
-    spine = t_counts.join(r_counts, on="bucket", how="full_outer").select(
-        "bucket",
-        F.coalesce("ct", F.lit(0)).alias("ct"),
-        F.coalesce("cr", F.lit(0)).alias("cr"),
-    )
+        r_counts = doc_buckets.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+        spine = t_counts.join(r_counts, on="bucket", how="full_outer").select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    # <= m_buckets rows, but consumed TWICE (the totals subquery and
+    # the ratio projection) — without this materialization the whole
+    # model-fit lineage (grouped aggregates over the corpus counts, or
+    # the full target featurize on the two-corpus path) executes once
+    # per consumer (Spark shares no exchanges across a broadcast
+    # subquery boundary).
+    spine = spine.localCheckpoint(eager=True)
     tot = spine.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     m = F.lit(m_buckets)
     ratios = spine.crossJoin(broadcast(tot)).select(

@@ -68,6 +68,14 @@ def bm25_score(
         .withColumn("dl", F.size("toks"))
         .withColumns({f"tf_{i}": _tf(t) for i, t in enumerate(terms)})
         .drop("toks")
+        # narrow per-doc decision frame (id, dl, tf_*), materialized:
+        # TWO consumers read it (the stats aggregate and the score
+        # side), and on the score side the `matched` predicate is
+        # otherwise pushed below the projection with its aliases
+        # substituted — the regex tokenize then runs ~5x per row (4x
+        # in the pushed filter + once in the projection) plus once
+        # more for the stats scan. One tokenize pass total instead.
+        .localCheckpoint(eager=True)
     )
     stats = base.agg(
         F.count("*").alias("n_docs"),
