@@ -122,27 +122,36 @@ def hashed_tf(
     bucket) counts; documents with no features yield no rows (callers
     re-attach them with a left join, the DSIR convention). The
     featurizer and bucket hash are DSIR's — one explode can serve
-    both operators."""
+    both operators.
+
+    ``n_features`` (the per-doc total feature count = sum of cnt) is
+    the SIZE of the feature array, so it rides map-side from before
+    the explode instead of a partition-by-doc window after the
+    aggregate — one exchange+sort fewer per featurize, identical
+    integers, identical ``x`` doubles (r15)."""
     if m_buckets < 2:
         raise ValueError(f"m_buckets must be >= 2, got {m_buckets}")
     counts = (
-        df.select(
-            F.col(id_col),
-            F.explode(hashed_features(text_col)).alias("__f"),
+        df.select(F.col(id_col), hashed_features(text_col).alias("__fs"))
+        .select(
+            id_col,
+            F.size("__fs").cast("long").alias("n_features"),
+            F.explode(F.col("__fs")).alias("__f"),
         )
-        .select(id_col, _bucket(F.col("__f"), m_buckets).alias("bucket"))
-        .groupBy(id_col, "bucket")
+        .select(
+            id_col, "n_features", _bucket(F.col("__f"), m_buckets).alias("bucket")
+        )
+        # n_features is functionally dependent on id_col — an extra
+        # grouping key, not extra groups
+        .groupBy(id_col, "n_features", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
-    from pyspark.sql import Window
-
-    n = Window.partitionBy(id_col)
     return counts.select(
         id_col,
         "bucket",
         "cnt",
-        F.sum("cnt").over(n).alias("n_features"),
-        (F.col("cnt").cast("double") / F.sum("cnt").over(n).cast("double")).alias(
+        "n_features",
+        (F.col("cnt").cast("double") / F.col("n_features").cast("double")).alias(
             "x"
         ),
     )
