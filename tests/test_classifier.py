@@ -192,6 +192,15 @@ def test_hashed_tf_and_validation(spark):
     assert all(row["n_features"] == n for row in r)
     assert all(row["x"] == row["cnt"] / n for row in r)
     assert tf.filter(F.col("doc_id") == 6).count() == 0  # NULL text
+    # r15: n_features rides map-side (size of the feature array, cast
+    # long) instead of a per-doc window sum — the published type and
+    # column order must not drift with the plan change
+    assert dict(tf.dtypes)["n_features"] == "bigint"
+    assert tf.columns == ["doc_id", "bucket", "cnt", "n_features", "x"]
+    empty = spark.createDataFrame(
+        [(0, ""), (1, "   ")], "doc_id long, text string"
+    )
+    assert hashed_tf(empty, m_buckets=64).count() == 0  # no features -> no rows
 
     with pytest.raises(ValueError, match="m_buckets"):
         hashed_tf(df, m_buckets=1)
