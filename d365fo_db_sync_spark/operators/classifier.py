@@ -214,6 +214,92 @@ def _scores(
     )
 
 
+def _fused_round_grad(
+    x: DataFrame,
+    y: DataFrame,
+    id_col: str,
+    weights: dict[int, float],
+    bias: float,
+    spark,
+) -> DataFrame:
+    """One fit round's gradient frame ``(bucket, __gd)`` — bias under
+    bucket -1 — as a SINGLE plan over ``x`` (r16 fusion; requires
+    non-empty ``weights``).
+
+    Value preservation vs the unfused shape, term by term:
+
+    * score: the fold runs over ``filter(array_sort(collect_list(
+      struct(bucket, x, c))), c IS NOT NULL)`` — the same members
+      (weighted buckets only; ``c = w * x`` after a broadcast join) in
+      the same order (bucket asc — buckets are distinct per doc) as
+      ``_fold_dot``'s ``array_sort(collect_list(struct(bucket, c)))``,
+      so the sequential double sum is bit-identical.
+    * docs with features but no weighted bucket fold to 0.0; featureless
+      docs (left join from ``y``) coalesce to 0.0 — both match the old
+      ``coalesce(__s, 0.0) + bias``.
+    * gradient: every (doc, bucket) term is ``(__r * x).cast(_Q_TERM)``
+      exactly as before; the bias entry is appended to the SAME array
+      with ``x = 1.0``, and ``__r * 1.0 == __r`` bit-for-bit (IEEE
+      multiplication by one is exact; ``__r`` is always finite), so the
+      bias terms equal the old ``__r.cast(_Q_TERM)``. The grouped
+      decimal sum is order-free exact either way.
+    """
+    from pyspark.sql.functions import broadcast
+
+    wdf = spark.createDataFrame(
+        sorted((int(b), float(w)) for b, w in weights.items()),
+        "bucket long, w double",
+    )
+    dot = F.aggregate(
+        F.filter(F.col("__arr"), lambda t: t["c"].isNotNull()),
+        F.lit(0.0),
+        lambda acc, t: acc + t["c"],
+    )
+    # the fold is projected HERE, per doc, below the y join and the
+    # explode: left in the post-explode projection the optimizer
+    # re-evaluates it once per exploded TERM (~avg buckets/doc times
+    # per doc — verified in the plan). Only the scalar sigmoid rides
+    # above the Generate.
+    per_doc = (
+        x.join(broadcast(wdf), on="bucket", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("bucket", "x", (F.col("w") * F.col("x")).alias("c"))
+                )
+            ).alias("__arr")
+        )
+        .select(id_col, "__arr", F.coalesce(dot, F.lit(0.0)).alias("__dot"))
+    )
+    score = F.coalesce(F.col("__dot"), F.lit(0.0)) + F.lit(float(bias))
+    bias_entry = F.struct(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1.0).alias("x"),
+        F.lit(None).cast("double").alias("c"),
+    )
+    terms = (
+        y.join(per_doc, on=id_col, how="left")
+        .select(
+            (_sigmoid_q(score) - F.col("__y")).alias("__r"),
+            F.explode(
+                F.when(F.col("__arr").isNull(), F.array(bias_entry)).otherwise(
+                    F.concat(F.col("__arr"), F.array(bias_entry))
+                )
+            ).alias("__t0"),
+        )
+        .select(
+            F.col("__t0.bucket").alias("bucket"),
+            (F.col("__r") * F.col("__t0.x")).cast(_Q_TERM).alias("__t"),
+        )
+    )
+    return (
+        terms.groupBy("bucket")
+        .agg(F.sum("__t").alias("__g"))
+        .select("bucket", F.col("__g").cast("double").alias("__gd"))
+    )
+
+
 def logreg_fit(
     train: DataFrame,
     label_col: str,
@@ -291,30 +377,47 @@ def logreg_fit(
     #: unaffected.
     _BIAS_KEY = -1
     for _ in range(rounds):
-        # __y rides through _scores (carry=) so the residual reads one
-        # frame — the old y.join(scored, on=id_col) re-shuffled the
-        # doc spine once per round for columns _scores already had
-        scored = _scores(x, y, id_col, weights, bias, spark, carry=("__y",))
-        resid = (
-            scored.select(
-                id_col,
-                (_sigmoid_q(F.col("score")) - F.col("__y")).alias("__r"),
+        if not weights:
+            # round 1 (zero weights): the score is the bare bias for
+            # every doc, so the residual is a constant-per-label
+            # expression over y — checkpointed (doc-sized) because the
+            # w/b gradient branches both consume it, and an unchecked
+            # parquet-lineage residual gets mis-broadcast into the
+            # gradient join (measured r15 regression)
+            scored = _scores(x, y, id_col, weights, bias, spark, carry=("__y",))
+            resid = (
+                scored.select(
+                    id_col,
+                    (_sigmoid_q(F.col("score")) - F.col("__y")).alias("__r"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        w_terms = x.join(resid, on=id_col).select(
-            "bucket", (F.col("__r") * F.col("x")).cast(_Q_TERM).alias("__t")
-        )
-        b_terms = resid.select(
-            F.lit(_BIAS_KEY).cast("long").alias("bucket"),
-            F.col("__r").cast(_Q_TERM).alias("__t"),
-        )
-        grad = (
-            w_terms.unionByName(b_terms)
-            .groupBy("bucket")
-            .agg(F.sum("__t").alias("__g"))
-            .select("bucket", F.col("__g").cast("double").alias("__gd"))
-        )
+            w_terms = x.join(resid, on=id_col).select(
+                "bucket", (F.col("__r") * F.col("x")).cast(_Q_TERM).alias("__t")
+            )
+            b_terms = resid.select(
+                F.lit(_BIAS_KEY).cast("long").alias("bucket"),
+                F.col("__r").cast(_Q_TERM).alias("__t"),
+            )
+            grad = (
+                w_terms.unionByName(b_terms)
+                .groupBy("bucket")
+                .agg(F.sum("__t").alias("__g"))
+                .select("bucket", F.col("__g").cast("double").alias("__gd"))
+            )
+        else:
+            # rounds >= 2, FUSED (r16): one job per round instead of a
+            # score/residual checkpoint job + a separate gradient job.
+            # Each doc's (bucket, x, w*x) list rides through ONE
+            # groupBy; the score folds the weighted SUB-SEQUENCE of the
+            # bucket-sorted list (identical summation sequence to
+            # _fold_dot — same members, same order, same doubles), the
+            # residual is computed inline, and the SAME array (plus a
+            # bias entry with x = 1.0, so its term __r * 1.0 == __r
+            # bit-for-bit) explodes into the gradient terms — x is
+            # scanned once, nothing is materialized between, and the
+            # per-(doc,bucket) frame never joins back on itself.
+            grad = _fused_round_grad(x, y, id_col, weights, bias, spark)
         # fold the old parameters in JVM-side so the update arithmetic
         # — w - lr * (g/n), then the decimal quantization — happens in
         # ONE Spark expression, the exact tree the oracle writes

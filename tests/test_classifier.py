@@ -159,6 +159,26 @@ def test_fit_with_shared_features_is_identical(spark):
     assert out == base_out
 
 
+def test_fused_rounds_match_python_replay(spark):
+    """rounds >= 2 run the r16 FUSED round (one plan: per-doc
+    (bucket, x, w*x) list -> sorted-subsequence score fold -> inline
+    residual -> exploded gradient terms). Three rounds chain two fused
+    rounds back to back; weights, bias and scores must equal the plain
+    Python replay double-for-double — including the featureless doc
+    (id 6), whose bias gradient term must survive the left join."""
+    m, lr, rounds = 64, 500.0, 3
+    df = spark.createDataFrame(ROWS, "doc_id long, text string, y int")
+    model = logreg_fit(df, "y", m_buckets=m, lr=lr, rounds=rounds, lr_bias=1.0)
+    exp_w, exp_b, exp_out = _py_fit_score(ROWS, m, lr, rounds, lr_b=1.0)
+    assert model.bias == exp_b
+    assert model.weights == exp_w
+    got = {
+        r["doc_id"]: (r["n_features"], r["score"], r["prob"])
+        for r in logreg_score(df, model).collect()
+    }
+    assert got == exp_out
+
+
 def test_separation_and_keep(spark):
     """Two rounds separate the classes on a clean synthetic: every
     reference-like doc outscores every crawl-like doc, keep follows
