@@ -92,6 +92,31 @@ def test_jaccard_pairs_match_bruteforce(spark, seed):
     assert got == _brute_force_pairs(docs, 3, 0.6)
 
 
+def test_jaccard_pairs_singleton_prune_edges(spark):
+    """The r16 singleton prune (df_g = 1 shingles dropped before the
+    prefix rank window) must not change results on the shapes it
+    touches hardest: exact duplicates embedded in a corpus of fully
+    UNIQUE documents (every non-shared shingle has df 1 — such docs
+    now contribute zero prefix rows), and a doc sharing only its
+    rarest shingle."""
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),  # exact dup of 0
+        (2, " ".join(f"u2w{i}" for i in range(9))),  # all shingles unique
+        (3, " ".join(f"u3w{i}" for i in range(12))),  # all shingles unique
+        (4, "alpha beta gamma nine ten eleven twelve"),  # partial overlap
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.8, 1.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        assert got == _brute_force_pairs(docs, 3, t)
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_minhash_verified_equals_exact(spark, seed):
     """LSH candidates -> exact verify must equal the exact pair set:
