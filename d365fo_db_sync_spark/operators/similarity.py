@@ -172,6 +172,7 @@ def cosine_topk_bruteforce_np(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    preserve_fold_order: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query — the Arrow/numpy scale
     path for the same contract as :func:`cosine_topk_bruteforce`.
@@ -196,7 +197,19 @@ def cosine_topk_bruteforce_np(
     a handful of vectors), the same contract that lets the HOF path
     broadcast them. The HOF variant remains the cross-engine oracle
     anchor; both are exact, and float accumulation-order differences
-    live at ~1e-16, far below ranking gaps."""
+    live at ~1e-16, far below ranking gaps.
+
+    ``preserve_fold_order=True`` (r16) replaces the GEMM with a
+    dimension-ordered accumulation that reproduces the HOF fold's
+    doubles BIT-FOR-BIT: dots and squared norms accumulate as
+    ``acc = acc + term`` in dimension order (vectorized ACROSS rows —
+    element-wise IEEE adds in the same per-pair sequence as
+    ``aggregate(zip_with(...))`` from 0.0), multiplication operand
+    order is irrelevant (IEEE multiply is bitwise commutative), and
+    sqrt/divide are correctly-rounded single ops in both runtimes. Use
+    it where the published values are pinned to the fold (the
+    similarity_cosine_topk oracle); the default GEMM is the faster
+    shape when ~1e-16 accumulation drift is acceptable."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -222,7 +235,26 @@ def cosine_topk_bruteforce_np(
         )
     qids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
     qmat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
+    if preserve_fold_order:
+        # dimension-ordered ||q||: same ((0 + q0*q0) + q1*q1) + ...
+        # sequence as _norm's fold
+        qn2 = np.zeros(len(qids))
+        for d in range(qmat.shape[1]):
+            qn2 = qn2 + qmat[:, d] * qmat[:, d]
+        qnorm = np.sqrt(qn2)
+    else:
+        qnorm = np.linalg.norm(qmat, axis=1)
+
+    def _fold_scores(cmat: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+        """(dots, corpus norms) accumulated in dimension order — the
+        exact IEEE sequence of the zip_with/aggregate fold, vectorized
+        across the batch's rows."""
+        dots = np.zeros((cmat.shape[0], qmat.shape[0]))
+        cn2 = np.zeros(cmat.shape[0])
+        for d in range(cmat.shape[1]):
+            dots = dots + np.multiply.outer(cmat[:, d], qmat[:, d])
+            cn2 = cn2 + cmat[:, d] * cmat[:, d]
+        return dots, np.sqrt(cn2)
 
     def score(batches):
         for pdf in batches:
@@ -230,8 +262,12 @@ def cosine_topk_bruteforce_np(
             if len(ids) == 0:
                 continue
             cmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            cnorm = np.linalg.norm(cmat, axis=1)
-            scores = (cmat @ qmat.T) / np.outer(cnorm, qnorm)
+            if preserve_fold_order:
+                dots, cnorm = _fold_scores(cmat)
+                scores = dots / np.outer(cnorm, qnorm)
+            else:
+                cnorm = np.linalg.norm(cmat, axis=1)
+                scores = (cmat @ qmat.T) / np.outer(cnorm, qnorm)
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
                 col = scores[:, j]

@@ -55,12 +55,24 @@ def _queries_frame(emb: DataFrame) -> DataFrame:
     bench=True,
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k per query: dot products as JVM
-    higher-order folds (zip_with + aggregate — no Python), query side
-    broadcast, final top-k as a rank window partitioned by query."""
+    """Exact brute-force cosine top-k per query, computed on the
+    fold-order-preserving Arrow path (r16): per-batch dots and norms
+    accumulate in dimension order, reproducing the JVM zip_with +
+    aggregate fold's doubles bit-for-bit (pinned by
+    tests/test_pandas_udfs.py::test_ordered_np_equals_hof_fold), while
+    the corpus streams through vectorized numpy instead of interpreted
+    per-pair HOF folds and each batch pre-reduces to its own top-k
+    before the rank-window shuffle. The HOF formulation
+    (similarity.cosine_topk_bruteforce) remains the oracle-anchor
+    twin; both produce identical rows."""
     emb = load_table(spark, sf_dir, "embeddings")
-    res = similarity.cosine_topk_bruteforce(
-        emb, _queries_frame(emb), k=_K, id_col="vec_id", query_id_col="query_id"
+    res = similarity.cosine_topk_bruteforce_np(
+        emb,
+        _queries_frame(emb),
+        k=_K,
+        id_col="vec_id",
+        query_id_col="query_id",
+        preserve_fold_order=True,
     )
     return res.select("query_id", "rnk", "neighbor_id", F.round("cosine", 4).alias("cosine"))
 
