@@ -128,7 +128,15 @@ def hashed_tf(
     the SIZE of the feature array, so it rides map-side from before
     the explode instead of a partition-by-doc window after the
     aggregate — one exchange+sort fewer per featurize, identical
-    integers, identical ``x`` doubles (r15)."""
+    integers, identical ``x`` doubles (r15).
+
+    PRECONDITION (load-bearing since the r15 map-side change):
+    ``id_col`` must be unique in ``df``. Grouping on (id, n_features,
+    bucket) treats n_features as functionally dependent on the id;
+    two rows sharing an id but differing in feature count would
+    produce separate (id, bucket) rows where the old window-sum shape
+    merged them. Every engine caller keys documents by a unique
+    doc_id; a caller with duplicate ids must pre-aggregate first."""
     if m_buckets < 2:
         raise ValueError(f"m_buckets must be >= 2, got {m_buckets}")
     counts = (

@@ -5,7 +5,12 @@ own canary dilute the cross-round correction."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
+
+#: driver-window tier: value-equality / contract tests (pytest -m fast)
+pytestmark = pytest.mark.fast
 
 
 def _write(p, name, canary):

@@ -18,6 +18,9 @@ from d365fo_db_sync_spark.operators.classifier import (
     logreg_score,
 )
 
+#: driver-window tier: value-equality / contract tests (pytest -m fast)
+pytestmark = pytest.mark.fast
+
 
 def _feats(text: str) -> list[str]:
     toks = text.lower().split()

@@ -18,6 +18,9 @@ from hypothesis import strategies as st
 
 from d365fo_db_sync_spark.operators import dedup
 
+#: driver-window tier: value-equality / contract tests (pytest -m fast)
+pytestmark = pytest.mark.fast
+
 
 @given(
     a=st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),

@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from d365fo_db_sync_spark.operators.dsir import dsir_log_weights, hashed_features
 
+#: driver-window tier: value-equality / contract tests (pytest -m fast)
+pytestmark = pytest.mark.fast
+
 
 def _feats(text: str) -> list[str]:
     toks = text.lower().split()

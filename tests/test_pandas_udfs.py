@@ -3,6 +3,11 @@ equivalence with the codegen posexplode(split(...)) path."""
 
 from __future__ import annotations
 
+import pytest
+
+#: driver-window tier: value-equality / contract tests (pytest -m fast)
+pytestmark = pytest.mark.fast
+
 def test_sentence_split_udtf_matches_codegen_path(spark):
     """UDTF output == the posexplode(split(...)) codegen equivalent on
     every row, including empties, trailing dots, and NULL text."""

@@ -5,6 +5,8 @@ not in production."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from d365fo_db_sync_spark import scans
@@ -15,6 +17,9 @@ from d365fo_db_sync_spark.plans.audit import (
     uses,
 )
 from d365fo_db_sync_spark.sources import load_table
+
+#: driver-window tier: value-equality / contract tests (pytest -m fast)
+pytestmark = pytest.mark.fast
 
 SF = "/root/testdata/sf0.001"
 

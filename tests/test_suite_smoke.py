@@ -8,6 +8,10 @@ from __future__ import annotations
 
 import pytest
 
+# NOT in the `-m fast` driver-window tier: the per-query smoke run is
+# redundant with the driver's own t2 correctness gate, which executes
+# every registered query against its DuckDB oracle anyway.
+
 
 def _names():
     from d365fo_db_sync_spark.suite import queries

@@ -67,14 +67,15 @@ def profile_cdc(spark, sf_dir: str) -> None:
     fn = queries()["cdc_stream_throughput"]
     from d365fo_db_sync_spark.suite.tail_q import CDC_STREAM_STATS
 
-    for rep in range(2):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        print(
-            f"  rep{rep}: total={time.time() - t0:6.3f}s stats={dict(CDC_STREAM_STATS)}",
-            flush=True,
-        )
+    # one rep per call — main()'s --repeat drives the rep count (the
+    # old internal 2-rep loop ran 2*repeat reps and ignored the flag)
+    spark.catalog.clearCache()
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    print(
+        f"  total={time.time() - t0:6.3f}s stats={dict(CDC_STREAM_STATS)}",
+        flush=True,
+    )
 
 
 def main() -> int:
