@@ -123,7 +123,13 @@ def psi(
     expressions bins identically."""
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
-    return psi_from_counts(_binned_spine(ref, cur, col, n_bins), eps=eps)
+    # materialized (r16 sweep): psi_from_counts reads the spine twice
+    # (totals aggregate + term projection), and each read re-ran the
+    # whole two-corpus binning lineage; the spine is n_bins rows
+    return psi_from_counts(
+        _binned_spine(ref, cur, col, n_bins).localCheckpoint(eager=True),
+        eps=eps,
+    )
 
 
 def _binned_spine(
@@ -543,7 +549,10 @@ def jsd(
     two snapshots over reference-edged equi-width bins — see
     :func:`jsd_from_counts` for the term math and why JSD earns a
     place next to PSI."""
-    return jsd_from_counts(_binned_spine(ref, cur, col, n_bins))
+    # materialized: same two-consumer spine shape as :func:`psi` (r16)
+    return jsd_from_counts(
+        _binned_spine(ref, cur, col, n_bins).localCheckpoint(eager=True)
+    )
 
 
 def jsd_from_counts(spine: DataFrame) -> DataFrame:
@@ -728,7 +737,12 @@ def ks_statistic(
     (integer metrics or pre-binned continuous ones) — see
     :func:`_spine_guard`."""
     _spine_guard(ref, cur, col, max_spine)
-    return ks_from_counts(_counts_spine(ref, cur, col))
+    # materialized (r16 sweep): the KS tail reads the spine from two
+    # consumers (cumulative window + totals) — each re-ran both corpus
+    # scans; the spine is distinct-value-bounded (guarded above)
+    return ks_from_counts(
+        _counts_spine(ref, cur, col).localCheckpoint(eager=True)
+    )
 
 
 def ks_from_counts(spine: DataFrame) -> DataFrame:
@@ -792,7 +806,10 @@ def wasserstein_1(
     empty side yields NULL (try_divide). Same bounded-spine guard and
     cumulative-window shape as :func:`ks_statistic`."""
     _spine_guard(ref, cur, col, max_spine)
-    return _w1_from_counts(_counts_spine(ref, cur, col))
+    # materialized: same multi-consumer spine shape as ks_statistic (r16)
+    return _w1_from_counts(
+        _counts_spine(ref, cur, col).localCheckpoint(eager=True)
+    )
 
 
 def _w1_from_counts(spine: DataFrame) -> DataFrame:
@@ -1016,7 +1033,10 @@ def mann_whitney_auc(
     cumulative window over the spine, totals broadcast — with the same
     in-code ``max_spine`` guard."""
     _spine_guard(ref, cur, col, max_spine)
-    return auc_from_counts(_counts_spine(ref, cur, col))
+    # materialized: same multi-consumer spine shape as ks_statistic (r16)
+    return auc_from_counts(
+        _counts_spine(ref, cur, col).localCheckpoint(eager=True)
+    )
 
 
 def auc_from_counts(spine: DataFrame) -> DataFrame:

@@ -86,6 +86,16 @@ def token_windows(
     # slice reads it, and an inlined tokenize expression would re-split
     # the document per slice
     base = docs.select(F.col(id_col), _tokens(text_col).alias("__a"))
+    return _windows_from_tokens(base, k, id_col, hashed)
+
+
+def _windows_from_tokens(
+    base: DataFrame, k: int, id_col: str, hashed: bool = False
+) -> DataFrame:
+    """:func:`token_windows` body over a pre-tokenized ``(<id_col>,
+    __a array<string>)`` frame — the split point that lets
+    :func:`excise_repeated_windows` tokenize the corpus exactly once
+    for its three consumers (r16)."""
     sz = F.size("__a")
     # Sliding windows as the zip of the token array with its own k-1
     # shifted suffixes (dedup.exploded_shingles' r15 build): slice +
@@ -166,11 +176,36 @@ def excise_repeated_windows(
     full boilerplate span — no half-excised fragments. The rebuild is
     the same codegen run-slicing discipline as ``redact_spans``
     (O(n_tokens + n_runs) per document); spans drop rather than leave
-    a placeholder."""
-    wins = token_windows(docs, k, id_col=id_col, text_col=text_col, hashed=hashed)
-    dup = repeated_windows(
-        docs, k, id_col=id_col, text_col=text_col, min_docs=min_docs, hashed=hashed
-    ).select("w")
+    a placeholder.
+
+    One-tokenize shape (r16): the previous body built the
+    ``token_windows`` subtree TWICE (once for the window stream, once
+    inside ``repeated_windows`` for the boilerplate inventory) and
+    tokenized the corpus a THIRD time for the rebuild — three full
+    scans + tokenizes of the source, since sibling consumers share no
+    exchange. Now the tokenized frame is materialized once and feeds
+    all three; the inventory is the same aggregate derived from the
+    same window stream, so the output is multiset-identical. The
+    checkpoint is corpus-token-scale (not the narrow-frame norm —
+    SCALE.md's reliable-checkpoint/staging substitution applies at
+    cluster scale), the price of removing two of three corpus
+    passes."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (cross-document repetition), got {min_docs}"
+        )
+    toks = docs.select(F.col(id_col), _tokens(text_col).alias("__a")).localCheckpoint(
+        eager=True
+    )
+    wins = _windows_from_tokens(toks, k, id_col, hashed)
+    dup = (
+        wins.groupBy("w")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("w")
+    )
     hits = wins.join(dup, on="w")
     covered = (
         hits.select(
@@ -182,7 +217,7 @@ def excise_repeated_windows(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("p")).alias("cov"))
     )
-    base = docs.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    base = toks.select(F.col(id_col), F.col("__a").alias("__toks"))
     j = (
         base.join(covered, on=id_col, how="left")
         .select(

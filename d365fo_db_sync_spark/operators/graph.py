@@ -366,7 +366,14 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    e = edges.select(F.col("src").alias("s"), F.col("dst").alias("t"))
+    # materialized (r16 sweep): the edge frame is read by the degree
+    # aggregate AND by every iteration's contribution join — without
+    # this, the caller's edge lineage (often a self-join + distinct)
+    # re-ran once per iteration (graph_pagerank_bipartite: 12 scans
+    # for 3 iterations). Two longs per edge.
+    e = edges.select(
+        F.col("src").alias("s"), F.col("dst").alias("t")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("s").agg(F.count("*").alias("d"))
     n_frame = deg.agg(F.count("*").alias("n"))
     p = (
@@ -448,6 +455,10 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # materialized (r16 sweep): three differently-keyed consumers
+        # (both wedge sides + the closing semi probe) each re-ran the
+        # caller's edge lineage; two longs per edge
+        .localCheckpoint(eager=True)
     )
     if orient == "id":
         wedges = e.join(

@@ -2029,9 +2029,17 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = text_ops.quality_features(docs, "text")
-    kept = feats.filter(
-        F.col("n_tokens").between(30, 95) & (F.col("punct_ratio") <= 0.3)
-    ).select("doc_id", "n_tokens", text_ops.fingerprint("text").alias("fp"))
+    # materialized (r16 sweep): the quality-gated frame is the shared
+    # prefix of stages 1-3, and each stage rollup is its own aggregate
+    # consumer — the quality_features + fingerprint subtree re-ran
+    # three times; the frame is (doc_id, n_tokens, fp), narrow
+    kept = (
+        feats.filter(
+            F.col("n_tokens").between(30, 95) & (F.col("punct_ratio") <= 0.3)
+        )
+        .select("doc_id", "n_tokens", text_ops.fingerprint("text").alias("fp"))
+        .localCheckpoint(eager=True)
+    )
     unique = dedup.exact_dedup(kept, cols=["fp"], key="doc_id")
     train = hash_sample(unique, ["doc_id"], 0.9)
 
@@ -5909,7 +5917,14 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .select("token")
     )
-    pres = toks.join(F.broadcast(vocab), on="token").distinct()
+    # materialized (r16 sweep): the presence frame feeds BOTH self-join
+    # sides and the per-token doc counts — three differently-keyed
+    # consumers re-ran the tokenize+explode+vocab subtree each
+    # (18 scans / 16 Generate in the before-plan); the frame itself is
+    # narrow and vocab-bounded (<= 30 rows per doc)
+    pres = toks.join(F.broadcast(vocab), on="token").distinct().localCheckpoint(
+        eager=True
+    )
     tok_docs = pres.groupBy("token").agg(F.count("*").alias("n_docs"))
     n_total = docs.agg(F.count("*").alias("n_total"))
     a = pres.select(F.col("doc_id"), F.col("token").alias("t1"))
@@ -7065,8 +7080,14 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_seconds=6 * 3600,
         equi_keys=["user_id"],
     )
-    pc = pairs.groupBy("p_id", "value_u", "channel").agg(
-        F.count("*").alias("n_c")
+    # materialized (r16 sweep): the per-(purchase, channel) counts feed
+    # the per-purchase totals AND the credit join — two consumers that
+    # each re-ran the banded interval join; the frame is purchases x
+    # channels, metadata-sized
+    pc = (
+        pairs.groupBy("p_id", "value_u", "channel")
+        .agg(F.count("*").alias("n_c"))
+        .localCheckpoint(eager=True)
     )
     pt = pc.groupBy("p_id").agg(F.sum("n_c").alias("n_total"))
     credit = pc.join(pt, on="p_id").select(
@@ -10562,12 +10583,25 @@ def _ranking_run_and_qrels(spark: SparkSession, sf_dir: str):
     exact cosine top-10 run over the embeddings corpus plus
     label-derived graded qrels (same-label docs relevant, grade
     1 + (vec_id % 2)) — consumed by the batch query and streamed in
-    micro-batches by its twin."""
+    micro-batches by its twin.
+
+    r16: the run comes from the fold-order-preserving Arrow scorer
+    (bit-identical rows to the HOF fold — the similarity_cosine_topk
+    equality contract) and is MATERIALIZED, queries*k rows: the r16
+    plan sweep found ranking_metrics' branches (partials, spine,
+    first-rel) each re-ran the whole brute-force scoring subtree
+    (retrieval_eval_summary: 24 scans / 18 rank windows for one
+    ~800-row run frame). Same for qrels (a self-join of the embeddings
+    table consumed by three branches)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    run = similarity.cosine_topk_bruteforce(
-        emb, _queries_frame(emb), k=10, id_col="vec_id",
-        query_id_col="query_id",
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rnk")
+    run = (
+        similarity.cosine_topk_bruteforce_np(
+            emb, _queries_frame(emb), k=10, id_col="vec_id",
+            query_id_col="query_id", preserve_fold_order=True,
+        )
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rnk")
+        .localCheckpoint(eager=True)
+    )
     q = emb.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("qlab")
     )
@@ -10579,7 +10613,7 @@ def _ranking_run_and_qrels(spark: SparkSession, sf_dir: str):
         "query_id",
         "doc_id",
         (F.lit(1) + F.pmod("doc_id", F.lit(2)).cast("int")).alias("rel"),
-    )
+    ).localCheckpoint(eager=True)
     return run, qrels
 
 
